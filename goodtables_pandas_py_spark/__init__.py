@@ -1,0 +1,100 @@
+"""goodtables_pandas_py_spark — PySpark-native tabular validation &
+data-quality engine with the capabilities of the public
+``ezwelty/goodtables-pandas-py`` reference, re-architected Spark-first
+(SURVEY.md is the blueprint; citations [R module::function] refer to
+the public reference, [SPEC …] to the Frictionless specs).
+
+Public API mirrors the reference's surface ([R __init__.py]):
+
+- ``validate(...)``        — E1: whole-package validation → report dict
+- ``validate_table(...)``  — one table (header/parse/constraints/keys)
+- ``parse_table(...)``     — E2: stringly → typed DataFrame
+- ``parse_field(...)``     — one column parser (P22 dispatcher)
+- schema model: ``Package``/``Resource``/``TableSchema``/``Field``
+
+Extensions beyond the reference (SURVEY.md §2.9): ``extensions``
+(dedup / similarity / text / multimodal) and ``streaming``.
+"""
+
+from __future__ import annotations
+
+from .errors import Error, errors_to_spark_df
+from .parsers import ParsedField, parse_field
+from .schema import (
+    Dialect,
+    Field,
+    ForeignKey,
+    Package,
+    Resource,
+    SchemaError,
+    TableSchema,
+    load_package,
+)
+from .sources import read_csv_stringly, read_parquet, read_resource, stringly
+from .validate import (
+    TableValidation,
+    assemble_report,
+    check_header,
+    validate_package,
+    validate_table,
+)
+
+__version__ = "0.1.0"
+
+validate = validate_package  # reference-parity alias [R validate.py::validate]
+
+
+def parse_table(df, schema, resource: str = ""):
+    """E2 ([R parse.py::parse_table]): parse a stringly DataFrame to
+    typed columns; returns (typed DataFrame, list[Error])."""
+    tv = validate_table(df, schema, resource=resource, persist=False)
+    return tv.parsed, tv.errors
+
+
+def get_spark(app_name: str = "goodtables-spark", master: str | None = None):
+    """Opinionated local session: UTC timezone (canonical NTZ wall
+    times, parsers/__init__.py note), AQE on (auto broadcast / skew
+    handling, SURVEY.md §4.2), Arrow on (pandas-UDF fast path)."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+__all__ = [
+    "Dialect",
+    "Error",
+    "Field",
+    "ForeignKey",
+    "Package",
+    "ParsedField",
+    "Resource",
+    "SchemaError",
+    "TableSchema",
+    "TableValidation",
+    "assemble_report",
+    "check_header",
+    "errors_to_spark_df",
+    "get_spark",
+    "load_package",
+    "parse_field",
+    "parse_table",
+    "read_csv_stringly",
+    "read_parquet",
+    "read_resource",
+    "stringly",
+    "validate",
+    "validate_package",
+    "validate_table",
+]

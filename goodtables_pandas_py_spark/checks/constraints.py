@@ -1,0 +1,122 @@
+"""Field-constraint checks C1-C6 (SURVEY.md §2.4, [R check.py]).
+
+Each constraint compiles to a boolean *violation mask* Column over the
+parsed (typed) DataFrame. All masks for all fields are evaluated in ONE
+wide aggregate pass (SURVEY.md §4.3.1) by ``validate`` — compiling here
+never triggers a job.
+
+Semantics notes (mirroring the reference / Table Schema spec):
+- Unparseable values were nulled by the parser, so constraints other
+  than ``required`` never double-report them (SURVEY.md §4.1).
+- ``required`` fires on the post-missingValues lexical null, not on
+  parse failures ([R check.py::check_constraints]).
+- ``pattern`` applies to the lexical (pre-cast) string, fullmatch-
+  anchored [SPEC table-schema §constraints-pattern].
+- ``unique`` is not a row mask; it is handled with the key machinery
+  (C2 ≡ single-field unique key, SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..parsers import parse_constraint_value
+from ..schema import Field
+
+#: constraint name -> goodtables data-quality-spec error code
+CONSTRAINT_CODES = {
+    "required": "required-constraint",
+    "unique": "unique-constraint",
+    "minLength": "minimum-length-constraint",
+    "maxLength": "maximum-length-constraint",
+    "minimum": "minimum-constraint",
+    "maximum": "maximum-constraint",
+    "enum": "enumerable-constraint",
+    "pattern": "pattern-constraint",
+}
+
+
+@dataclass
+class ConstraintCheck:
+    """One compiled constraint: violation mask + reporting metadata."""
+
+    field: str
+    constraint: str
+    code: str
+    constraint_value: object
+    mask: Column  # true where the row VIOLATES the constraint
+    report_col: Column  # the value to sample for the error report
+
+
+def _length_col(parsed: Column, field: Field) -> Column:
+    # arrays/objects: element count [SPEC table-schema §constraints];
+    # our object/array physical type is the JSON string, so measure via
+    # parsed JSON length; strings measure characters.
+    if field.type == "array":
+        return F.json_array_length(parsed)
+    if field.type == "object":
+        return F.size(F.from_json(parsed, "map<string,string>"))
+    return F.length(parsed)
+
+
+def compile_constraints(
+    field: Field, parsed: Column, raw: Column | None
+) -> list[ConstraintCheck]:
+    """Compile C1-C6 for one field. ``raw`` is the post-missingValues
+    lexical column (None when validating an already-typed table — then
+    ``required``/``pattern`` fall back to the parsed column)."""
+    lex = raw if raw is not None else parsed
+    out: list[ConstraintCheck] = []
+    cons = field.constraints
+
+    def add(name: str, value, mask: Column, report: Column) -> None:
+        out.append(
+            ConstraintCheck(
+                field=field.name,
+                constraint=name,
+                code=CONSTRAINT_CODES[name],
+                constraint_value=value,
+                mask=F.coalesce(mask, F.lit(False)),
+                report_col=report,
+            )
+        )
+
+    if cons.get("required"):
+        # C1: null after missing-values mapping
+        add("required", True, lex.isNull(), lex)
+
+    if "minLength" in cons:
+        n = int(cons["minLength"])
+        add("minLength", n, _length_col(parsed, field) < n, parsed)
+    if "maxLength" in cons:
+        n = int(cons["maxLength"])
+        add("maxLength", n, _length_col(parsed, field) > n, parsed)
+
+    if "minimum" in cons:
+        v = parse_constraint_value(cons["minimum"], field)
+        add("minimum", v, parsed < F.lit(v), parsed)
+    if "maximum" in cons:
+        v = parse_constraint_value(cons["maximum"], field)
+        add("maximum", v, parsed > F.lit(v), parsed)
+
+    if "enum" in cons:
+        values = [parse_constraint_value(v, field) for v in cons["enum"]]
+        # C5: literal IN-list; Catalyst turns long lists into a hash-set
+        # probe. (Huge enum → broadcast-join variant lives in keys.py as
+        # an FK against a literal parent.)
+        add("enum", values, parsed.isNotNull() & ~parsed.isin(values), parsed)
+
+    if "pattern" in cons:
+        p = str(cons["pattern"])
+        # fullmatch anchoring via non-capturing group [SPEC]
+        add(
+            "pattern",
+            p,
+            lex.isNotNull() & ~lex.rlike(f"^(?:{p})$"),
+            lex,
+        )
+
+    return out

@@ -1,0 +1,157 @@
+"""Table-level key checks K1-K3 (SURVEY.md §2.5, [R check.py]).
+
+Each check runs on the *parsed* DataFrame (callers should persist it —
+SURVEY.md §4.3.2) and returns bounded results: an exact violation count
+plus a capped sample of offending key tuples (never an unbounded
+collect — 100 TB posture, SURVEY.md §4.4).
+
+Null semantics (SURVEY.md §2.5 decisions, documented deviations none):
+- K1 primary key: any-null component is a violation; duplicate tuples
+  are violations. Spark ``groupBy`` groups nulls together, matching
+  pandas ``duplicated()`` NaN==NaN behavior ([R check.py]).
+- K3 foreign key: child rows with any-null component are SKIPPED (SQL
+  MATCH SIMPLE; pandas merge matches NaN<->NaN, so the reference
+  counts null tuples as satisfied — same observable outcome: neither
+  reports them as violations).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import VALUE_SAMPLE_CAP, Error
+
+
+@dataclass
+class KeyCheckResult:
+    code: str
+    count: int = 0
+    values: list = dc_field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return self.count == 0
+
+    def to_error(self, resource: str, field_names: list[str], constraint) -> Error:
+        return Error(
+            code=self.code,
+            resource=resource,
+            field=",".join(field_names),
+            constraint=constraint,
+            values=self.values,
+            count=self.count,
+            message=f"{self.code} on ({', '.join(field_names)}): "
+            f"{self.count} violating rows",
+        )
+
+
+def _tuple_col(df: DataFrame, key: list[str]):
+    return [F.col(c) for c in key]
+
+
+def duplicate_keys_df(df: DataFrame, key: list[str]) -> DataFrame:
+    """Shared kernel of K1/K2/C2: key tuples appearing more than once,
+    with multiplicities. One hash-aggregate shuffle on the key —
+    partial (map-side) aggregation is automatic (SURVEY.md §4.2)."""
+    return (
+        df.groupBy(*_tuple_col(df, key))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def _dup_count_and_sample(dups: DataFrame, key: list[str]) -> tuple[int, list]:
+    """Exact extra-row count + bounded sample. The sample is a second
+    LIMIT job (early-terminating scan) fired only when violations
+    exist, never an unbounded collect (SURVEY.md §4.4)."""
+    extra = dups.select(
+        F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("extra")
+    ).first()["extra"]
+    sample: list = []
+    if extra:
+        sample = [
+            tuple(r[c] for c in key) for r in dups.limit(VALUE_SAMPLE_CAP).collect()
+        ]
+    return int(extra), sample
+
+
+def check_primary_key(df: DataFrame, key: list[str]) -> KeyCheckResult:
+    """K1 ([R check.py::check_primary_key]): components non-null AND
+    tuple unique. Returns combined violation count (null rows + extra
+    duplicate rows)."""
+    null_mask = None
+    for c in key:
+        m = F.col(c).isNull()
+        null_mask = m if null_mask is None else (null_mask | m)
+    nulls = df.select(F.count_if(null_mask).alias("n")).first()["n"]
+
+    extra, sample = _dup_count_and_sample(
+        duplicate_keys_df(df.where(~null_mask), key), key
+    )
+    return KeyCheckResult(
+        code="primary-key-constraint", count=int(nulls) + extra, values=sample
+    )
+
+
+def check_unique_key(df: DataFrame, key: list[str]) -> KeyCheckResult:
+    """K2 ([R check.py::check_unique_keys]): tuple uniqueness only
+    (null components allowed; null tuples can duplicate, matching
+    pandas — Spark groupBy groups nulls identically)."""
+    extra, sample = _dup_count_and_sample(duplicate_keys_df(df, key), key)
+    return KeyCheckResult(code="unique-key-constraint", count=extra, values=sample)
+
+
+def foreign_key_violations_df(
+    child: DataFrame,
+    child_fields: list[str],
+    parent: DataFrame,
+    parent_fields: list[str],
+    broadcast_parent: bool | None = None,
+) -> DataFrame:
+    """K3 kernel ([R check.py::check_foreign_keys]): DISTINCT child key
+    tuples with no match in parent — a left ANTI join on distinct sets
+    (violation *set*, not per-row; SURVEY.md §4.3.3).
+
+    Scale notes: distinct() both sides first shrinks the shuffle to key
+    cardinality; AQE converts to broadcast when the parent is small.
+    ``broadcast_parent=True`` forces the hint for known dimension
+    tables.
+    """
+    notnull = None
+    for c in child_fields:
+        m = F.col(c).isNotNull()
+        notnull = m if notnull is None else (notnull & m)
+    left = child.where(notnull).select(*child_fields).distinct()
+    right = parent.select(
+        *[F.col(p).alias(f"__ref_{i}") for i, p in enumerate(parent_fields)]
+    ).distinct()
+    if broadcast_parent:
+        right = F.broadcast(right)
+    cond = None
+    for i, c in enumerate(child_fields):
+        eq = left[c] == right[f"__ref_{i}"]
+        cond = eq if cond is None else (cond & eq)
+    return left.join(right, cond, "left_anti")
+
+
+def check_foreign_key(
+    child: DataFrame,
+    child_fields: list[str],
+    parent: DataFrame,
+    parent_fields: list[str],
+    broadcast_parent: bool | None = None,
+) -> KeyCheckResult:
+    viol = foreign_key_violations_df(
+        child, child_fields, parent, parent_fields, broadcast_parent
+    )
+    n = viol.count()
+    sample: list = []
+    if n:
+        sample = [
+            tuple(r[c] for c in child_fields)
+            for r in viol.limit(VALUE_SAMPLE_CAP).collect()
+        ]
+    return KeyCheckResult(code="foreign-key-error", count=int(n), values=sample)

@@ -1,0 +1,103 @@
+"""Error model (SURVEY.md §1.1 D6) — goodtables data-quality-spec codes.
+
+The reference emits error dicts per check with the offending *distinct
+values* rather than one error per cell ([R errors.py]); we mirror that
+with a small driver-side dataclass plus an optional Spark DataFrame
+rendering for audit sinks at scale (SURVEY.md §2.1 S4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+# goodtables data-quality-spec codes [SPEC data-quality-spec]
+HEADER_CODES = {
+    "blank-header",
+    "duplicate-header",
+    "missing-header",
+    "extra-header",
+    "non-matching-header",
+}
+VALUE_CODES = {
+    "type-or-format-error",
+    "required-constraint",
+    "unique-constraint",
+    "minimum-constraint",
+    "maximum-constraint",
+    "minimum-length-constraint",
+    "maximum-length-constraint",
+    "enumerable-constraint",
+    "pattern-constraint",
+}
+KEY_CODES = {"primary-key-constraint", "unique-key-constraint", "foreign-key-error"}
+SCHEMA_CODES = {"schema-error"}
+
+#: cap on offending-value samples carried to the driver (SURVEY.md §2.6
+#: A2 — the reference keeps the full list; unbounded collects are not
+#: 100 TB-safe, so we cap and keep the exact count separately).
+VALUE_SAMPLE_CAP = 20
+
+
+@dataclass
+class Error:
+    """One typed error ([R errors.py] shape: code + message +
+    substitutions)."""
+
+    code: str
+    resource: str = ""
+    field: str | None = None
+    constraint: Any = None
+    values: list[Any] = dc_field(default_factory=list)
+    count: int = 0
+    message: str = ""
+
+    def to_dict(self) -> dict[str, Any]:
+        d: dict[str, Any] = {"code": self.code, "message": self.message or self.code}
+        if self.resource:
+            d["resource"] = self.resource
+        if self.field is not None:
+            d["field"] = self.field
+        if self.constraint is not None:
+            d["constraint"] = self.constraint
+        if self.values:
+            d["values"] = [_jsonable(v) for v in self.values]
+        d["count"] = self.count
+        return d
+
+
+def _jsonable(v: Any) -> Any:
+    import datetime as dt
+
+    if isinstance(v, (dt.date, dt.datetime)):
+        return v.isoformat()
+    return v
+
+
+def errors_to_spark_df(spark, errors: list[Error]):
+    """Audit-trail rendering: errors as a DataFrame (writeable to
+    parquet for 100 TB pipelines, SURVEY.md §2.1 S4)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("code", T.StringType()),
+            T.StructField("resource", T.StringType()),
+            T.StructField("field", T.StringType()),
+            T.StructField("constraint", T.StringType()),
+            T.StructField("values", T.ArrayType(T.StringType())),
+            T.StructField("count", T.LongType()),
+        ]
+    )
+    rows = [
+        (
+            e.code,
+            e.resource,
+            e.field,
+            None if e.constraint is None else str(e.constraint),
+            [str(_jsonable(v)) for v in e.values],
+            e.count,
+        )
+        for e in errors
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,436 @@
+"""Vectorized type parsers P1-P21 (SURVEY.md §2.3).
+
+Each parser mirrors one ``parse_<type>`` kernel of the public reference
+([R parse.py]) but is expressed as Spark ``Column`` expressions so the
+whole parse of a table compiles into ONE projection inside whole-stage
+codegen — no Python in the hot path (the sole exception is the
+``any``-format datetime family, P11, which wraps ``dateutil`` in a
+pandas UDF exactly as the reference wraps it in Python).
+
+Uniform shape (SURVEY.md §2.3 intro):
+
+    parsed = expr(raw)                      # typed column, null if bad
+    bad    = raw.isNotNull() & parsed.isNull()   # post-missingValues
+
+``parse_field`` is the dispatcher ([R parse.py::parse_field], P22);
+``ParsedField`` carries (parsed, bad) so ``parse_table`` (P23) can fuse
+everything into a single select.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import pandas as pd  # module scope: pandas-UDF type hints resolve here
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..patterns import (
+    BASE64_RE,
+    DURATION_RE,
+    EMAIL_RE,
+    GEOJSON_TYPES,
+    INTEGER_RE,
+    NUMBER_RE,
+    TIME_RE,
+    TOPOJSON_TYPES,
+    URI_RE,
+    UUID_RE,
+    YEAR_RE,
+    YEARMONTH_RE,
+    strptime_to_spark,
+)
+from ..schema import Field
+
+__all__ = ["ParsedField", "parse_field", "apply_missing_values", "parse_constraint_value"]
+
+
+@dataclass
+class ParsedField:
+    """Parsed column + bad-value mask for one field."""
+
+    name: str
+    parsed: Column
+    bad: Column  # true where lexical value exists but failed to parse
+
+
+def apply_missing_values(col: Column, missing_values: list[str]) -> Column:
+    """Map declared missing-value sentinels to null BEFORE parsing
+    [SPEC table-schema §missing-values] (SURVEY.md §1.3). The default
+    sentinel list is [""]."""
+    if not missing_values:
+        return col
+    return F.when(col.isin(*missing_values), F.lit(None)).otherwise(col)
+
+
+def _bad(raw: Column, parsed: Column) -> Column:
+    return raw.isNotNull() & parsed.isNull()
+
+
+# --- string family (P1-P5) ------------------------------------------------
+
+
+def _parse_string(raw: Column, field: Field) -> ParsedField:
+    fmt = field.format
+    if fmt == "default":
+        return ParsedField(field.name, raw, F.lit(False))
+    if fmt == "email":
+        ok = raw.rlike(EMAIL_RE)
+    elif fmt == "uri":
+        ok = raw.rlike(URI_RE)
+    elif fmt == "uuid":
+        ok = raw.rlike(UUID_RE)
+    elif fmt == "binary":
+        ok = raw.rlike(BASE64_RE) & (F.length(raw) % 4 == 0)
+    else:  # pragma: no cover - schema validation rejects earlier
+        raise ValueError(f"unknown string format {fmt!r}")
+    parsed = F.when(ok, raw)  # value kept as string; invalid -> null
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+# --- numbers (P6, P7) -----------------------------------------------------
+
+
+def _strip_bare_number(col: Column) -> Column:
+    """bareNumber=false: trim non-numeric prefix/suffix around the
+    numeric token [SPEC table-schema §number]."""
+    token = F.regexp_extract(
+        col, r"([+-]?(?:[0-9][0-9.,  ']*)?[0-9](?:[eE][+-]?[0-9]+)?|[+-]?[0-9])", 1
+    )
+    return F.when(token == "", F.lit(None)).otherwise(token)
+
+
+def _normalize_number(raw: Column, field: Field) -> Column:
+    s = raw
+    if not field.bare_number:
+        s = _strip_bare_number(s)
+    if field.group_char:
+        s = F.replace(s, F.lit(field.group_char), F.lit(""))
+    if field.decimal_char != ".":
+        s = F.replace(s, F.lit(field.decimal_char), F.lit("."))
+    return s
+
+
+def _parse_number(raw: Column, field: Field) -> ParsedField:
+    s = _normalize_number(raw, field)
+    # specials NaN / INF / -INF are case-sensitive per spec
+    parsed = (
+        F.when(s == "NaN", F.lit(float("nan")))
+        .when(s == "INF", F.lit(float("inf")))
+        .when(s == "-INF", F.lit(float("-inf")))
+        .when(s.rlike(NUMBER_RE), s.try_cast(T.DoubleType()))
+    )
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+def _parse_integer(raw: Column, field: Field) -> ParsedField:
+    s = raw if field.bare_number else _strip_bare_number(raw)
+    # regex first rejects floats ('1.0'); try_cast catches int64 overflow
+    parsed = F.when(s.rlike(INTEGER_RE), s.try_cast(T.LongType()))
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+# --- boolean (P8) ---------------------------------------------------------
+
+
+def _parse_boolean(raw: Column, field: Field) -> ParsedField:
+    parsed = (
+        F.when(raw.isin(*field.true_values), F.lit(True))
+        .when(raw.isin(*field.false_values), F.lit(False))
+        .otherwise(F.lit(None).cast(T.BooleanType()))
+    )
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+# --- temporal family (P9-P13) --------------------------------------------
+
+
+def _pandas_any_datetime(raw: Column) -> Column:
+    """P11: format='any' — dateutil permissive parse, the one place the
+    reference's semantics genuinely need Python ([R parse.py::parse_date
+    format=any]). Arrow-batched pandas UDF, never per-row Python."""
+
+    @F.pandas_udf(T.TimestampNTZType())
+    def any_dt(s: pd.Series) -> pd.Series:
+        from dateutil import parser as du
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                d = du.parse(v)
+            except (ValueError, OverflowError):
+                return None
+            return d.replace(tzinfo=None)
+
+        return s.map(one)
+
+    return any_dt(raw)
+
+
+# NOTE on strictness (SURVEY.md §7.3.1): Spark's CORRECTED-mode
+# java.time parser is already strptime-strict — 'yyyy-MM-dd' rejects
+# '2024-1-01' (width) and '2023-02-29' (calendar validity), verified
+# empirically against pyspark 4.1.2 — so no regex pre-guard is needed.
+# Optional sections '[.SSSSSS][XXX]' accept variable-length fractions
+# and Z / ±hh:mm offsets. Offsets convert to the session timezone; our
+# entry points pin spark.sql.session.timeZone=UTC so the canonical
+# TimestampNTZ wall time is UTC.
+
+#: ISO 8601 datetime [SPEC table-schema §datetime]
+ISO_DATETIME_FMT = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]"
+
+
+def _parse_date(raw: Column, field: Field) -> ParsedField:
+    fmt = field.format
+    if fmt in ("default", ""):
+        parsed = F.try_to_timestamp(raw, F.lit("yyyy-MM-dd")).cast(T.DateType())
+    elif fmt == "any":
+        parsed = _pandas_any_datetime(raw).cast(T.DateType())
+    else:
+        parsed = F.try_to_timestamp(raw, F.lit(strptime_to_spark(fmt))).cast(
+            T.DateType()
+        )
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+def _parse_datetime(raw: Column, field: Field) -> ParsedField:
+    fmt = field.format
+    if fmt in ("default", ""):
+        parsed = F.try_to_timestamp(raw, F.lit(ISO_DATETIME_FMT)).cast(
+            T.TimestampNTZType()
+        )
+    elif fmt == "any":
+        parsed = _pandas_any_datetime(raw)
+    else:
+        parsed = F.try_to_timestamp(raw, F.lit(strptime_to_spark(fmt))).cast(
+            T.TimestampNTZType()
+        )
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+def _parse_time(raw: Column, field: Field) -> ParsedField:
+    """Canonical physical type: seconds-of-day IntegerType (SURVEY.md
+    §1.3 — Spark has no TimeType before 4.1's TIME; int is join- and
+    range-friendly)."""
+    fmt = field.format
+    if fmt in ("default", ""):
+        ts = F.try_to_timestamp(
+            F.concat(F.lit("1970-01-01 "), raw), F.lit("yyyy-MM-dd HH:mm:ss")
+        )
+        parsed = F.when(raw.rlike(TIME_RE), ts.cast(T.LongType())).cast(T.IntegerType())
+    elif fmt == "any":
+        ts = _pandas_any_datetime(raw)
+        parsed = (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)).cast(
+            T.IntegerType()
+        )
+    else:
+        ts = F.try_to_timestamp(raw, F.lit(strptime_to_spark(fmt)))
+        parsed = (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)).cast(
+            T.IntegerType()
+        )
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+# --- year / yearmonth (P16, P17) -----------------------------------------
+
+
+def _parse_year(raw: Column, field: Field) -> ParsedField:
+    parsed = F.when(raw.rlike(YEAR_RE), raw.try_cast(T.IntegerType()))
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+def _parse_yearmonth(raw: Column, field: Field) -> ParsedField:
+    ok = raw.rlike(YEARMONTH_RE)
+    parsed = F.when(
+        ok,
+        F.struct(
+            F.substring(raw, 1, 4).try_cast(T.IntegerType()).alias("year"),
+            F.substring(raw, 6, 2).try_cast(T.IntegerType()).alias("month"),
+        ),
+    )
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+# --- duration (P18) -------------------------------------------------------
+
+
+def _parse_duration(raw: Column, field: Field) -> ParsedField:
+    """ISO 8601 duration → struct<months:long, seconds:double>; no single
+    Spark interval type holds both calendar and clock parts (SURVEY.md
+    §1.3)."""
+    ok = raw.rlike(DURATION_RE)
+    num = lambda grp: F.coalesce(  # noqa: E731
+        F.regexp_extract(raw, grp, 1).try_cast(T.DoubleType()), F.lit(0.0)
+    )
+    years = num(r"P[^T]*?([0-9]+)Y")
+    months = num(r"P[^T]*?([0-9]+)M")
+    weeks = num(r"P[^T]*?([0-9]+)W")
+    days = num(r"P[^T]*?([0-9]+(?:\.[0-9]+)?)D")
+    hours = num(r"T.*?([0-9]+)H")
+    mins = num(r"T[0-9H]*?([0-9]+)M")
+    secs = num(r"T.*?([0-9]+(?:\.[0-9]+)?)S")
+    parsed = F.when(
+        ok,
+        F.struct(
+            (years * 12 + months).cast(T.LongType()).alias("months"),
+            (weeks * 7 * 86400 + days * 86400 + hours * 3600 + mins * 60 + secs).alias(
+                "seconds"
+            ),
+        ),
+    )
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+# --- object / array (P14, P15) -------------------------------------------
+
+
+def _json_valid(raw: Column, leading: str) -> Column:
+    """JSON validity with required top-level token. Spark 4's
+    try_parse_json gives full-fidelity validation (SURVEY.md §2.3 P14);
+    keep the lexical string as the parsed value (lossless)."""
+    starts = F.ltrim(raw).startswith(leading)
+    return starts & F.try_parse_json(raw).isNotNull()
+
+
+def _parse_object(raw: Column, field: Field) -> ParsedField:
+    parsed = F.when(_json_valid(raw, "{"), raw)
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+def _parse_array(raw: Column, field: Field) -> ParsedField:
+    parsed = F.when(_json_valid(raw, "["), raw)
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+# --- geo (P19, P20) -------------------------------------------------------
+
+
+def _lonlat(lon: Column, lat: Column) -> Column:
+    ok = (
+        lon.isNotNull()
+        & lat.isNotNull()
+        & (lon >= -180)
+        & (lon <= 180)
+        & (lat >= -90)
+        & (lat <= 90)
+    )
+    return F.when(ok, F.struct(lon.alias("lon"), lat.alias("lat")))
+
+
+def _parse_geopoint(raw: Column, field: Field) -> ParsedField:
+    fmt = field.format
+    if fmt in ("default", ""):
+        # "lon, lat" (optional space) [SPEC table-schema §geopoint]
+        parts = F.split(raw, r",")
+        two = F.size(parts) == 2
+        lon = F.when(two, F.trim(parts[0]).try_cast(T.DoubleType()))
+        lat = F.when(two, F.trim(parts[1]).try_cast(T.DoubleType()))
+        parsed = _lonlat(lon, lat)
+    elif fmt == "array":
+        arr = F.from_json(raw, T.ArrayType(T.DoubleType()))
+        two = F.size(arr) == 2
+        parsed = _lonlat(F.when(two, arr[0]), F.when(two, arr[1]))
+    elif fmt == "object":
+        st = F.from_json(
+            raw,
+            T.StructType(
+                [
+                    T.StructField("lon", T.DoubleType()),
+                    T.StructField("lat", T.DoubleType()),
+                ]
+            ),
+        )
+        parsed = _lonlat(st["lon"], st["lat"])
+    else:  # pragma: no cover
+        raise ValueError(f"unknown geopoint format {fmt!r}")
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+def _parse_geojson(raw: Column, field: Field) -> ParsedField:
+    types = TOPOJSON_TYPES if field.format == "topojson" else GEOJSON_TYPES
+    ok = _json_valid(raw, "{") & F.get_json_object(raw, "$.type").isin(*types)
+    parsed = F.when(ok, raw)
+    return ParsedField(field.name, parsed, _bad(raw, parsed))
+
+
+# --- any (P21) ------------------------------------------------------------
+
+
+def _parse_any(raw: Column, field: Field) -> ParsedField:
+    return ParsedField(field.name, raw, F.lit(False))
+
+
+_PARSERS: dict[str, Callable[[Column, Field], ParsedField]] = {
+    "string": _parse_string,
+    "number": _parse_number,
+    "integer": _parse_integer,
+    "boolean": _parse_boolean,
+    "date": _parse_date,
+    "time": _parse_time,
+    "datetime": _parse_datetime,
+    "year": _parse_year,
+    "yearmonth": _parse_yearmonth,
+    "duration": _parse_duration,
+    "object": _parse_object,
+    "array": _parse_array,
+    "geopoint": _parse_geopoint,
+    "geojson": _parse_geojson,
+    "any": _parse_any,
+}
+
+
+def parse_field(
+    raw: Column, field: Field, missing_values: list[str] | None = None
+) -> ParsedField:
+    """P22 dispatcher ([R parse.py::parse_field]): missing-values mapping
+    then the per-type kernel. ``raw`` must be a string column."""
+    mv = missing_values if missing_values is not None else [""]
+    raw_mv = apply_missing_values(raw, mv)
+    return _PARSERS[field.type](raw_mv, field)
+
+
+# --- constraint-literal parsing (P22 second half) -------------------------
+
+
+def parse_constraint_value(value, field: Field):
+    """Parse enum/minimum/maximum constraint literals with the Python
+    twin of the field's parser so comparisons are typed (SURVEY.md §2.3
+    P22 — the reference routes constraint values through the same
+    parser, [R parse.py::parse_field])."""
+    import datetime as dt
+
+    if value is None:
+        return None
+    t = field.type
+    if t == "integer":
+        return int(value)
+    if t in ("number",):
+        return float(value)
+    if t == "year":
+        return int(value)
+    if t == "boolean":
+        if isinstance(value, bool):
+            return value
+        if value in field.true_values:
+            return True
+        if value in field.false_values:
+            return False
+        raise ValueError(f"bad boolean constraint literal {value!r}")
+    if t == "date":
+        if isinstance(value, dt.date):
+            return value
+        return dt.date.fromisoformat(value)
+    if t == "datetime":
+        if isinstance(value, dt.datetime):
+            return value
+        return dt.datetime.fromisoformat(value.replace("Z", "+00:00")).replace(
+            tzinfo=None
+        )
+    if t == "time":
+        tm = dt.time.fromisoformat(value) if isinstance(value, str) else value
+        return tm.hour * 3600 + tm.minute * 60 + tm.second
+    # string family and the rest compare lexically
+    return value

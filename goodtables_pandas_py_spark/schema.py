@@ -1,0 +1,288 @@
+"""Table Schema / Data Package model (SURVEY.md §1, D1-D4).
+
+Declared-schema data model mirroring the public reference
+``goodtables_pandas`` package's descriptor handling
+([R validate.py::validate], Frictionless Table Schema v1 /
+Data Package v1 specs). Pure driver-side Python — no Spark imports —
+so it is testable without a cluster (SURVEY.md §7.1 M1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+#: Table Schema v1 logical types we support (SURVEY.md §1.3).
+FIELD_TYPES = {
+    "string",
+    "number",
+    "integer",
+    "boolean",
+    "date",
+    "time",
+    "datetime",
+    "year",
+    "yearmonth",
+    "duration",
+    "object",
+    "array",
+    "geopoint",
+    "geojson",
+    "any",
+}
+
+#: string formats that are validations (SURVEY.md §2.3 P2-P5)
+STRING_FORMATS = {"default", "email", "uri", "uuid", "binary"}
+
+#: Table Schema defaults [SPEC table-schema §boolean]
+DEFAULT_TRUE_VALUES = ["true", "True", "TRUE", "1"]
+DEFAULT_FALSE_VALUES = ["false", "False", "FALSE", "0"]
+#: [SPEC table-schema §missing-values]
+DEFAULT_MISSING_VALUES = [""]
+
+CONSTRAINT_KEYS = {
+    "required",
+    "unique",
+    "minLength",
+    "maxLength",
+    "minimum",
+    "maximum",
+    "enum",
+    "pattern",
+}
+
+
+class SchemaError(ValueError):
+    """Raised for structurally invalid descriptors (goodtables
+    ``schema-error`` class of problems)."""
+
+
+@dataclass
+class Field:
+    """One field descriptor [SPEC table-schema §field-descriptors]."""
+
+    name: str
+    type: str = "string"
+    format: str = "default"
+    constraints: dict[str, Any] = dc_field(default_factory=dict)
+    # number / integer lexical options
+    decimal_char: str = "."
+    group_char: str = ""
+    bare_number: bool = True
+    # boolean vocabularies
+    true_values: list[str] = dc_field(default_factory=lambda: list(DEFAULT_TRUE_VALUES))
+    false_values: list[str] = dc_field(
+        default_factory=lambda: list(DEFAULT_FALSE_VALUES)
+    )
+
+    def __post_init__(self) -> None:
+        if self.type not in FIELD_TYPES:
+            raise SchemaError(f"field {self.name!r}: unknown type {self.type!r}")
+        if self.type == "string" and self.format not in STRING_FORMATS:
+            raise SchemaError(
+                f"field {self.name!r}: unknown string format {self.format!r}"
+            )
+        for k in self.constraints:
+            if k not in CONSTRAINT_KEYS:
+                raise SchemaError(f"field {self.name!r}: unknown constraint {k!r}")
+
+    @classmethod
+    def from_descriptor(cls, d: dict[str, Any]) -> "Field":
+        if "name" not in d:
+            raise SchemaError("field descriptor missing 'name'")
+        return cls(
+            name=d["name"],
+            type=d.get("type", "string"),
+            format=d.get("format", "default"),
+            constraints=dict(d.get("constraints", {})),
+            decimal_char=d.get("decimalChar", "."),
+            group_char=d.get("groupChar", ""),
+            bare_number=d.get("bareNumber", True),
+            true_values=list(d.get("trueValues", DEFAULT_TRUE_VALUES)),
+            false_values=list(d.get("falseValues", DEFAULT_FALSE_VALUES)),
+        )
+
+
+@dataclass
+class ForeignKey:
+    """[SPEC table-schema §foreign-keys]; ``reference.resource == ""``
+    means self-reference ([R check.py::check_foreign_keys])."""
+
+    fields: list[str]
+    reference_resource: str
+    reference_fields: list[str]
+
+    @classmethod
+    def from_descriptor(cls, d: dict[str, Any]) -> "ForeignKey":
+        flds = d.get("fields")
+        ref = d.get("reference", {})
+        if not flds or not ref.get("fields"):
+            raise SchemaError(f"invalid foreignKey descriptor: {d!r}")
+        flds = [flds] if isinstance(flds, str) else list(flds)
+        rfields = ref["fields"]
+        rfields = [rfields] if isinstance(rfields, str) else list(rfields)
+        if len(flds) != len(rfields):
+            raise SchemaError(f"foreignKey field arity mismatch: {d!r}")
+        return cls(
+            fields=flds,
+            reference_resource=ref.get("resource", ""),
+            reference_fields=rfields,
+        )
+
+
+@dataclass
+class TableSchema:
+    """[SPEC table-schema]; ``uniqueKeys`` is the reference's extension
+    ([R check.py::check_unique_keys])."""
+
+    fields: list[Field]
+    missing_values: list[str] = dc_field(
+        default_factory=lambda: list(DEFAULT_MISSING_VALUES)
+    )
+    primary_key: list[str] = dc_field(default_factory=list)
+    unique_keys: list[list[str]] = dc_field(default_factory=list)
+    foreign_keys: list[ForeignKey] = dc_field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        names = [f.name for f in self.fields]
+        if len(set(names)) != len(names):
+            raise SchemaError(f"duplicate field names: {names}")
+        known = set(names)
+        for col in self.primary_key:
+            if col not in known:
+                raise SchemaError(f"primaryKey field {col!r} not in schema")
+        for key in self.unique_keys:
+            for col in key:
+                if col not in known:
+                    raise SchemaError(f"uniqueKeys field {col!r} not in schema")
+        for fk in self.foreign_keys:
+            for col in fk.fields:
+                if col not in known:
+                    raise SchemaError(f"foreignKey field {col!r} not in schema")
+
+    def field(self, name: str) -> Field:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+    @property
+    def field_names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    @classmethod
+    def from_descriptor(cls, d: dict[str, Any]) -> "TableSchema":
+        if "fields" not in d or not isinstance(d["fields"], list):
+            raise SchemaError("schema descriptor missing 'fields' list")
+        pk = d.get("primaryKey", [])
+        pk = [pk] if isinstance(pk, str) else list(pk)
+        uks = [[k] if isinstance(k, str) else list(k) for k in d.get("uniqueKeys", [])]
+        return cls(
+            fields=[Field.from_descriptor(fd) for fd in d["fields"]],
+            missing_values=list(d.get("missingValues", DEFAULT_MISSING_VALUES)),
+            primary_key=pk,
+            unique_keys=uks,
+            foreign_keys=[
+                ForeignKey.from_descriptor(fk) for fk in d.get("foreignKeys", [])
+            ],
+        )
+
+
+@dataclass
+class Dialect:
+    """CSV dialect [SPEC csv-dialect], subset used by the reference's
+    pandas.read_csv call ([R validate.py::validate])."""
+
+    delimiter: str = ","
+    quote_char: str = '"'
+    double_quote: bool = True
+    escape_char: str | None = None
+    line_terminator: str = "\r\n"
+    header: bool = True
+    skip_initial_space: bool = False
+
+    @classmethod
+    def from_descriptor(cls, d: dict[str, Any]) -> "Dialect":
+        return cls(
+            delimiter=d.get("delimiter", ","),
+            quote_char=d.get("quoteChar", '"'),
+            double_quote=d.get("doubleQuote", True),
+            escape_char=d.get("escapeChar"),
+            line_terminator=d.get("lineTerminator", "\r\n"),
+            header=d.get("header", True),
+            skip_initial_space=d.get("skipInitialSpace", False),
+        )
+
+
+@dataclass
+class Resource:
+    """One resource (D2): path + schema + dialect."""
+
+    name: str
+    path: str | None = None
+    schema: TableSchema | None = None
+    dialect: Dialect = dc_field(default_factory=Dialect)
+    encoding: str = "utf-8"
+    format: str | None = None  # csv | parquet | inline
+
+    @classmethod
+    def from_descriptor(cls, d: dict[str, Any], base_dir: str = ".") -> "Resource":
+        name = d.get("name") or os.path.splitext(os.path.basename(d.get("path", "")))[0]
+        if not name:
+            raise SchemaError("resource needs a name or path")
+        path = d.get("path")
+        if path is not None and not _is_url(path):
+            path = os.path.join(base_dir, path)
+        schema = d.get("schema")
+        fmt = d.get("format")
+        if fmt is None and path:
+            ext = os.path.splitext(path)[1].lstrip(".").lower()
+            fmt = ext or None
+        return cls(
+            name=name,
+            path=path,
+            schema=TableSchema.from_descriptor(schema) if schema else None,
+            dialect=Dialect.from_descriptor(d.get("dialect", {})),
+            encoding=d.get("encoding", "utf-8"),
+            format=fmt,
+        )
+
+
+@dataclass
+class Package:
+    """Data Package (D1): named resources."""
+
+    resources: list[Resource]
+    name: str = ""
+
+    def resource(self, name: str) -> Resource:
+        for r in self.resources:
+            if r.name == name:
+                return r
+        raise KeyError(name)
+
+    @classmethod
+    def from_descriptor(cls, d: dict[str, Any], base_dir: str = ".") -> "Package":
+        if "resources" not in d or not isinstance(d["resources"], list):
+            raise SchemaError("package descriptor missing 'resources' list")
+        resources = [Resource.from_descriptor(rd, base_dir) for rd in d["resources"]]
+        names = [r.name for r in resources]
+        if len(set(names)) != len(names):
+            raise SchemaError(f"duplicate resource names: {names}")
+        return cls(resources=resources, name=d.get("name", ""))
+
+
+def _is_url(path: str) -> bool:
+    return "://" in path
+
+
+def load_package(source: str | dict[str, Any]) -> Package:
+    """S1: load a datapackage.json from a path or dict
+    ([R validate.py::validate], SURVEY.md §2.1 S1)."""
+    if isinstance(source, dict):
+        return Package.from_descriptor(source)
+    with open(source, encoding="utf-8") as fh:
+        descriptor = json.load(fh)
+    return Package.from_descriptor(descriptor, base_dir=os.path.dirname(source) or ".")

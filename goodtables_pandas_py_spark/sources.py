@@ -1,0 +1,99 @@
+"""Sources / sinks S1-S3 (SURVEY.md §2.1).
+
+The reference reads CSV with pandas, all columns as ``str`` and
+NA-filtering disabled, so the lexical form survives for parsing
+([R validate.py::validate] — the core design, SURVEY.md §1.1 D5). Our
+equivalent: ``spark.read.csv`` with an explicit all-StringType schema
+(never ``inferSchema``) and nulls disabled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schema import Dialect, Resource
+
+
+def read_csv_stringly(
+    spark: SparkSession,
+    path: str,
+    dialect: Dialect | None = None,
+    encoding: str = "utf-8",
+    column_names: list[str] | None = None,
+) -> DataFrame:
+    """S2: read a CSV with every column as a string and no NA
+    interpretation (missing-values mapping happens later, per schema).
+
+    When ``column_names`` is given the file schema is pinned (scan
+    stays schema-checked and codegen-friendly); otherwise one header
+    sniff drives the column list.
+    """
+    d = dialect or Dialect()
+    reader = (
+        spark.read.option("header", d.header)
+        .option("sep", d.delimiter)
+        .option("quote", d.quote_char)
+        .option("multiLine", True)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+        # keep lexical forms: no implicit nulls or type coercion
+        .option("nullValue", "\u0001NEVER_A_NULL\u0001")
+        .option("emptyValue", "")
+        .option("inferSchema", False)
+    )
+    if d.escape_char:
+        reader = reader.option("escape", d.escape_char)
+    elif d.double_quote:
+        reader = reader.option("escape", '"')
+    if d.skip_initial_space:
+        reader = reader.option("ignoreLeadingWhiteSpace", True)
+    if column_names is not None:
+        schema = T.StructType([T.StructField(c, T.StringType()) for c in column_names])
+        return reader.schema(schema).csv(path)
+    df = reader.csv(path)
+    # header=True + no schema yields all-string columns already
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S3: typed parquet resource — our primary test path
+    (TESTDATA.md). Columnar scan; Catalyst prunes columns/predicates."""
+    return spark.read.parquet(path)
+
+
+def read_resource(spark: SparkSession, resource: Resource) -> DataFrame:
+    if resource.path is None:
+        raise ValueError(f"resource {resource.name!r} has no path")
+    fmt = (resource.format or "csv").lower()
+    if fmt == "parquet":
+        return read_parquet(spark, resource.path)
+    if fmt == "csv":
+        names = (
+            resource.schema.field_names
+            if resource.schema and resource.schema.fields
+            else None
+        )
+        # do NOT pin names: header mismatches must be observed (H1)
+        return read_csv_stringly(
+            spark, resource.path, resource.dialect, resource.encoding
+        )
+    raise ValueError(f"unsupported resource format {fmt!r}")
+
+
+def stringly(df: DataFrame) -> DataFrame:
+    """Render a typed DataFrame lexically (every column cast to
+    string) — lets the parser/validation pipeline run against typed
+    sources exactly as it would against CSV text. Dates/timestamps use
+    ISO forms matching Table Schema defaults."""
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, T.DateType):
+            cols.append(F.date_format(c, "yyyy-MM-dd").alias(f.name))
+        elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            cols.append(F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss").alias(f.name))
+        else:
+            cols.append(c.cast(T.StringType()).alias(f.name))
+    return df.select(*cols)

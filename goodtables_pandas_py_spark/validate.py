@@ -1,0 +1,335 @@
+"""Validation orchestrator — E1 lifecycle (SURVEY.md §3).
+
+Compiles a Table Schema into Spark plans ([R validate.py::validate]
+re-architected for Catalyst):
+
+  (a) ONE projection producing typed columns + violation masks
+      (parsing P1-P21 fused with constraints C1-C6 — single scan,
+      SURVEY.md §4.3.1);
+  (b) ONE wide aggregate over all masks (A1: counts);
+  (c) bounded per-violation sample jobs (A2, only for failed checks);
+  (d) per-key groupBy jobs (K1/K2) and per-FK anti-joins (K3) over the
+      persisted parsed DataFrame (SURVEY.md §4.3.2).
+
+The IR *is* the Catalyst logical plan; no custom IR (SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+from .checks.constraints import ConstraintCheck, compile_constraints
+from .checks.keys import check_foreign_key, check_primary_key, check_unique_key
+from .errors import VALUE_SAMPLE_CAP, Error
+from .parsers import apply_missing_values, parse_field
+from .schema import Package, TableSchema, load_package
+from .sources import read_resource, stringly
+
+
+@dataclass
+class _CompiledCheck:
+    """Internal: one countable mask with reporting metadata."""
+
+    kind: str  # 'type' | 'constraint'
+    field: str
+    code: str
+    constraint: object
+    mask_col: str  # name of the boolean mask column in the wide DF
+    report_col: str  # column to sample offending values from
+
+
+@dataclass
+class TableValidation:
+    """Result of one table's validation; ``parsed`` is the typed
+    DataFrame (usable for downstream ETL — the reference's
+    ``parse_table`` use-case E2)."""
+
+    resource: str
+    parsed: DataFrame
+    row_count: int = 0
+    errors: list[Error] = dc_field(default_factory=list)
+    cached: DataFrame | None = None  # the persisted wide projection
+
+    @property
+    def valid(self) -> bool:
+        return not self.errors
+
+    def unpersist(self) -> None:
+        if self.cached is not None:
+            self.cached.unpersist()
+
+
+def check_header(
+    columns: list[str], schema: TableSchema, resource: str = ""
+) -> list[Error]:
+    """H1 ([goodtables data-quality-spec header codes], SURVEY.md
+    §2.2): driver-side compare — no cluster job."""
+    errors: list[Error] = []
+    expected = schema.field_names
+    seen: set[str] = set()
+    dup = [c for c in columns if c in seen or seen.add(c)]  # order-preserving
+    blank = [c for c in columns if not c or not c.strip()]
+    missing = [c for c in expected if c not in columns]
+    extra = [c for c in columns if c not in expected and c.strip()]
+    if blank:
+        errors.append(
+            Error("blank-header", resource, values=blank, count=len(blank))
+        )
+    if dup:
+        errors.append(
+            Error("duplicate-header", resource, values=dup, count=len(dup))
+        )
+    if missing:
+        errors.append(
+            Error("missing-header", resource, values=missing, count=len(missing))
+        )
+    if extra:
+        errors.append(
+            Error("extra-header", resource, values=extra, count=len(extra))
+        )
+    if not (missing or extra or dup or blank):
+        present = [c for c in columns if c in set(expected)]
+        if present != [c for c in expected if c in set(columns)]:
+            errors.append(
+                Error(
+                    "non-matching-header",
+                    resource,
+                    values=present,
+                    count=1,
+                )
+            )
+    return errors
+
+
+def _compile_table(
+    df: DataFrame, schema: TableSchema, assume_typed: bool
+) -> tuple[DataFrame, list[_CompiledCheck], list[str]]:
+    """Build the single-scan projection: typed columns + masks."""
+    select_cols: list = []
+    checks: list[_CompiledCheck] = []
+    typed_names: list[str] = []
+    present = set(df.columns)
+
+    for fld in schema.fields:
+        if fld.name not in present:
+            continue  # reported by header check
+        typed_names.append(fld.name)
+        if assume_typed:
+            parsed_expr = F.col(fld.name)
+            raw_expr = None
+            select_cols.append(parsed_expr)
+        else:
+            raw_expr = apply_missing_values(F.col(fld.name), schema.missing_values)
+            pf = parse_field(F.col(fld.name), fld, schema.missing_values)
+            parsed_expr = pf.parsed
+            select_cols.append(parsed_expr.alias(fld.name))
+            bad_name = f"__bad__{fld.name}"
+            select_cols.append(pf.bad.alias(bad_name))
+            raw_name = f"__raw__{fld.name}"
+            select_cols.append(F.col(fld.name).alias(raw_name))
+            checks.append(
+                _CompiledCheck(
+                    kind="type",
+                    field=fld.name,
+                    code="type-or-format-error",
+                    constraint=f"{fld.type}/{fld.format}",
+                    mask_col=bad_name,
+                    report_col=raw_name,
+                )
+            )
+
+        # constraints compose over the parsed EXPRESSION (not an alias
+        # reference — aliases in the same select are not resolvable);
+        # Catalyst's subexpression elimination dedups the shared parse.
+        for cc in compile_constraints(fld, parsed_expr, raw_expr):
+            if cc.constraint == "unique":
+                continue  # handled via key machinery below
+            mask_name = f"__viol__{fld.name}__{cc.constraint}"
+            select_cols.append(cc.mask.alias(mask_name))
+            rep_name = f"__rep__{fld.name}__{cc.constraint}"
+            select_cols.append(cc.report_col.alias(rep_name))
+            checks.append(
+                _CompiledCheck(
+                    kind="constraint",
+                    field=fld.name,
+                    code=cc.code,
+                    constraint=cc.constraint_value,
+                    mask_col=mask_name,
+                    report_col=rep_name,
+                )
+            )
+
+    return df.select(*select_cols), checks, typed_names
+
+
+def validate_table(
+    df: DataFrame,
+    schema: TableSchema,
+    resource: str = "",
+    assume_typed: bool = False,
+    persist: bool = True,
+) -> TableValidation:
+    """Validate one table (header + parse + constraints + PK/unique
+    keys). FK checks live at package level (they need sibling tables).
+
+    ``assume_typed=True`` skips parsing (columns already typed —
+    parquet path); otherwise every column must be a string column.
+    """
+    errors = check_header(df.columns, schema, resource)
+
+    wide, checks, typed_names = _compile_table(df, schema, assume_typed)
+    if persist:
+        # parsed projection is re-traversed by (b)/(c)/(d) and by
+        # package-level FK checks — cache it (SURVEY.md §4.3.2);
+        # validate_package unpersists when done, standalone callers
+        # via .parsed.unpersist().
+        wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # --- (b) one wide aggregate: row count + every mask count --------
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for i, ck in enumerate(checks):
+        aggs.append(F.count_if(F.col(ck.mask_col)).alias(f"__c{i}"))
+    row = wide.agg(*aggs).first()
+    n_rows = int(row["__rows"])
+
+    # --- (c) bounded samples for violated checks only ----------------
+    for i, ck in enumerate(checks):
+        n = int(row[f"__c{i}"])
+        if not n:
+            continue
+        sample_rows = (
+            wide.where(F.col(ck.mask_col))
+            .select(F.col(ck.report_col).cast(T.StringType()).alias("v"))
+            .distinct()
+            .limit(VALUE_SAMPLE_CAP)
+            .collect()
+        )
+        errors.append(
+            Error(
+                code=ck.code,
+                resource=resource,
+                field=ck.field,
+                constraint=ck.constraint if ck.kind == "constraint" else None,
+                values=[r["v"] for r in sample_rows],
+                count=n,
+                message=f"{ck.code} on {ck.field}: {n} rows",
+            )
+        )
+
+    parsed = wide.select(*typed_names)
+
+    # --- (d) key checks over the persisted parsed projection ---------
+    for fld in schema.fields:
+        if fld.constraints.get("unique") and fld.name in typed_names:
+            res = check_unique_key(parsed, [fld.name])
+            if not res.ok:
+                err = res.to_error(resource, [fld.name], "unique")
+                err.code = "unique-constraint"  # field-level C2 code
+                errors.append(err)
+    if schema.primary_key:
+        res = check_primary_key(parsed, schema.primary_key)
+        if not res.ok:
+            errors.append(res.to_error(resource, schema.primary_key, "primaryKey"))
+    for key in schema.unique_keys:
+        res = check_unique_key(parsed, key)
+        if not res.ok:
+            errors.append(res.to_error(resource, key, "uniqueKeys"))
+
+    return TableValidation(
+        resource=resource,
+        parsed=parsed,
+        row_count=n_rows,
+        errors=errors,
+        cached=wide if persist else None,
+    )
+
+
+def validate_package(
+    spark: SparkSession,
+    source,
+    dataframes: dict[str, DataFrame] | None = None,
+    assume_typed: bool = False,
+) -> dict:
+    """E1 public API ([R validate.py::validate]): validate a whole Data
+    Package (descriptor path or dict). ``dataframes`` overrides
+    resource paths with pre-loaded DataFrames (name-keyed) — the
+    parquet/testdata path.
+    """
+    package = source if isinstance(source, Package) else load_package(source)
+
+    validations: dict[str, TableValidation] = {}
+    for res in package.resources:
+        if dataframes and res.name in dataframes:
+            df = dataframes[res.name]
+        else:
+            df = read_resource(spark, res)
+            if assume_typed is False and res.format == "parquet":
+                df = stringly(df)
+        if res.schema is None:
+            continue
+        validations[res.name] = validate_table(
+            df, res.schema, resource=res.name, assume_typed=assume_typed
+        )
+
+    # --- K3: foreign keys (cross-resource + self-referencing) --------
+    for res in package.resources:
+        if res.schema is None:
+            continue
+        child_v = validations[res.name]
+        for fk in res.schema.foreign_keys:
+            parent_name = fk.reference_resource or res.name  # "" = self
+            parent_v = validations.get(parent_name)
+            if parent_v is None:
+                child_v.errors.append(
+                    Error(
+                        code="foreign-key-error",
+                        resource=res.name,
+                        field=",".join(fk.fields),
+                        constraint="reference resource missing",
+                        count=1,
+                        message=f"unknown reference resource {parent_name!r}",
+                    )
+                )
+                continue
+            result = check_foreign_key(
+                child_v.parsed, fk.fields, parent_v.parsed, fk.reference_fields
+            )
+            if not result.ok:
+                err = result.to_error(res.name, fk.fields, "foreignKey")
+                err.message += f" (reference: {parent_name})"
+                child_v.errors.append(err)
+
+    report = assemble_report(validations)
+    for v in validations.values():
+        v.unpersist()
+    return report
+
+
+def assemble_report(validations: dict[str, TableValidation]) -> dict:
+    """S4/D7: goodtables-style report dict ([R validate.py::validate,
+    errors.py])."""
+    tables = []
+    total_errors = 0
+    for name, v in validations.items():
+        errs = [e.to_dict() for e in v.errors]
+        total_errors += len(errs)
+        tables.append(
+            {
+                "source": name,
+                "valid": v.valid,
+                "row-count": v.row_count,
+                "error-count": len(errs),
+                "errors": errs,
+            }
+        )
+    return {
+        "valid": total_errors == 0,
+        "error-count": total_errors,
+        "table-count": len(tables),
+        "tables": tables,
+    }

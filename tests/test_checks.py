@@ -1,0 +1,144 @@
+"""Constraint (C1-C6) and key (K1-K3) check tests over small inline
+DataFrames plus the clean testdata (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from goodtables_pandas_py_spark.checks.constraints import compile_constraints
+from goodtables_pandas_py_spark.checks.keys import (
+    check_foreign_key,
+    check_primary_key,
+    check_unique_key,
+    foreign_key_violations_df,
+)
+from goodtables_pandas_py_spark.schema import Field
+
+from .conftest import load
+
+
+def viol_count(spark, field, data, schema_str):
+    df = spark.createDataFrame(data, schema_str)
+    checks = compile_constraints(field, F.col("v"), F.col("v"))
+    out = {}
+    for ck in checks:
+        n = df.select(F.count_if(ck.mask).alias("n")).first()["n"]
+        out[ck.constraint] = n
+    return out
+
+
+def test_required(spark):
+    f = Field("v", constraints={"required": True})
+    got = viol_count(spark, f, [("a",), (None,), ("b",), (None,)], "v string")
+    assert got["required"] == 2
+
+
+def test_min_max_length(spark):
+    f = Field("v", constraints={"minLength": 2, "maxLength": 3})
+    got = viol_count(spark, f, [("a",), ("ab",), ("abcd",), (None,)], "v string")
+    assert got["minLength"] == 1 and got["maxLength"] == 1
+
+
+def test_minimum_maximum_numeric(spark):
+    f = Field("v", type="number", constraints={"minimum": 0, "maximum": 10})
+    got = viol_count(
+        spark, f, [(-1.0,), (0.0,), (10.0,), (11.5,), (None,)], "v double"
+    )
+    assert got["minimum"] == 1 and got["maximum"] == 1
+
+
+def test_minimum_date_typed(spark):
+    import datetime as dt
+
+    f = Field("v", type="date", constraints={"minimum": "2024-01-01"})
+    got = viol_count(
+        spark,
+        f,
+        [(dt.date(2023, 12, 31),), (dt.date(2024, 1, 1),), (dt.date(2024, 2, 2),)],
+        "v date",
+    )
+    assert got["minimum"] == 1
+
+
+def test_enum(spark):
+    f = Field("v", constraints={"enum": ["F", "P", "O"]})
+    got = viol_count(spark, f, [("F",), ("X",), (None,), ("O",)], "v string")
+    assert got["enum"] == 1  # null is not an enum violation
+
+
+def test_enum_integer_typed(spark):
+    f = Field("v", type="integer", constraints={"enum": ["1", "2"]})
+    got = viol_count(spark, f, [(1,), (2,), (3,)], "v long")
+    assert got["enum"] == 1
+
+
+def test_pattern_fullmatch_anchored(spark):
+    f = Field("v", constraints={"pattern": "B[0-9]+"})
+    got = viol_count(
+        spark, f, [("B1",), ("B12",), ("xB1",), ("B1x",), (None,)], "v string"
+    )
+    # pandas str.fullmatch semantics: partial matches are violations
+    assert got["pattern"] == 2
+
+
+def test_primary_key_clean(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    res = check_primary_key(orders, ["o_orderkey"])
+    assert res.ok
+
+
+def test_primary_key_dirty(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "c"), (2, "d")], "k long, x string"
+    )
+    res = check_primary_key(df, ["k"])
+    # one null + one duplicate extra row
+    assert res.count == 2
+    assert (1,) in res.values
+
+
+def test_unique_key_composite(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 1), (None, None), (None, None)], "a long, b long"
+    )
+    res = check_unique_key(df, ["a", "b"])
+    # (1,1) duplicated once; (null,null) duplicates too (pandas NaN==NaN)
+    assert res.count == 2
+
+
+def test_foreign_key_clean(spark, sf_dir):
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    res = check_foreign_key(lineitem, ["l_orderkey"], orders, ["o_orderkey"])
+    assert res.ok
+
+
+def test_foreign_key_violations(spark):
+    child = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "k long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p long")
+    res = check_foreign_key(child, ["k"], parent, ["p"])
+    # 99 missing; null child tuple skipped (MATCH SIMPLE)
+    assert res.count == 1 and res.values == [(99,)]
+
+
+def test_foreign_key_composite_self(spark):
+    df = spark.createDataFrame(
+        [(1, None, None), (2, 1, 1), (3, 9, 9)], "id long, pa long, pb long"
+    )
+    viol = foreign_key_violations_df(df, ["pa", "pb"], df, ["id", "id"])
+    got = [tuple(r) for r in viol.collect()]
+    assert got == [(9, 9)]
+
+
+def test_fk_broadcast_plan(spark, sf_dir):
+    """The FK anti-join against a small parent must broadcast (AQE or
+    hint), never sort-merge (SURVEY.md §4.3.3)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    viol = foreign_key_violations_df(
+        lineitem, ["l_orderkey"], orders, ["o_orderkey"], broadcast_parent=True
+    )
+    plan = viol._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

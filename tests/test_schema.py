@@ -1,0 +1,83 @@
+"""Schema model tests (M1 — no Spark needed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from goodtables_pandas_py_spark.patterns import strptime_guard_regex, strptime_to_spark
+from goodtables_pandas_py_spark.schema import (
+    Field,
+    ForeignKey,
+    Package,
+    SchemaError,
+    TableSchema,
+)
+
+
+def test_field_defaults():
+    f = Field.from_descriptor({"name": "x"})
+    assert f.type == "string" and f.format == "default"
+    assert f.true_values == ["true", "True", "TRUE", "1"]
+
+
+def test_field_number_options():
+    f = Field.from_descriptor(
+        {"name": "n", "type": "number", "decimalChar": ",", "groupChar": ".",
+         "bareNumber": False}
+    )
+    assert f.decimal_char == "," and f.group_char == "." and not f.bare_number
+
+
+def test_field_rejects_unknown_type():
+    with pytest.raises(SchemaError):
+        Field.from_descriptor({"name": "x", "type": "floaty"})
+
+
+def test_field_rejects_unknown_constraint():
+    with pytest.raises(SchemaError):
+        Field.from_descriptor({"name": "x", "constraints": {"bogus": 1}})
+
+
+def test_schema_keys_normalization():
+    s = TableSchema.from_descriptor(
+        {
+            "fields": [{"name": "a"}, {"name": "b"}],
+            "primaryKey": "a",
+            "uniqueKeys": [["a", "b"], "b"],
+            "foreignKeys": [
+                {"fields": "a", "reference": {"resource": "", "fields": "b"}}
+            ],
+        }
+    )
+    assert s.primary_key == ["a"]
+    assert s.unique_keys == [["a", "b"], ["b"]]
+    assert s.foreign_keys[0] == ForeignKey(["a"], "", ["b"])
+
+
+def test_schema_rejects_unknown_key_field():
+    with pytest.raises(SchemaError):
+        TableSchema.from_descriptor({"fields": [{"name": "a"}], "primaryKey": "zz"})
+
+
+def test_package_duplicate_resources_rejected():
+    with pytest.raises(SchemaError):
+        Package.from_descriptor(
+            {"resources": [{"name": "r", "path": "x.csv"}, {"name": "r", "path": "y.csv"}]}
+        )
+
+
+def test_strptime_translation():
+    assert strptime_to_spark("%Y-%m-%d") == "yyyy-MM-dd"
+    assert strptime_to_spark("%d/%m/%Y %H:%M") == "dd/MM/yyyy HH:mm"
+    assert strptime_to_spark("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss"
+    assert strptime_to_spark("%H%M%S") == "HHmmss"
+    with pytest.raises(ValueError):
+        strptime_to_spark("%Q")
+
+
+def test_strptime_guard():
+    g = strptime_guard_regex("%d/%m/%Y")
+    import re
+
+    assert re.match(g, "01/02/2024")
+    assert not re.match(g, "1/2/2024")

@@ -1,0 +1,198 @@
+"""End-to-end validate() tests: dirty inline package + clean testdata
+package (E1 lifecycle, SURVEY.md §3)."""
+
+from __future__ import annotations
+
+import goodtables_pandas_py_spark as gt
+
+from .conftest import load
+
+
+def _dirty_package(spark):
+    """B2-style dirty orders + B3-style FK-violating lineitem
+    (FIXTURES.md §B) built inline as stringly DataFrames."""
+    orders_rows = [
+        # ok rows
+        ("1", "F", "100.5", "2024-01-01"),
+        ("2", "O", "5.0", "2024-02-29"),
+        ("3", "P", "0.0", "2024-03-05"),
+        # defects
+        ("3", "F", "1.0", "2024-01-02"),  # dup pk
+        (None, "F", "1.0", "2024-01-03"),  # null pk
+        ("5", "X", "1.0", "2024-01-04"),  # bad enum
+        ("6", "F", "-3.0", "2024-01-05"),  # minimum violation
+        ("7", "F", "abc", "2024-01-06"),  # bad number
+        ("8", "F", "1.0", "2023-02-29"),  # bad date
+        ("NA", "F", "1.0", "2024-01-07"),  # missing pk via NA
+    ]
+    lineitem_rows = [
+        ("1", "1"),
+        ("2", "1"),
+        ("99", "1"),  # fk violation
+        (None, "2"),  # null fk: skipped
+    ]
+    orders = spark.createDataFrame(
+        orders_rows, "o_orderkey string, o_orderstatus string, "
+        "o_totalprice string, o_orderdate string"
+    )
+    lineitem = spark.createDataFrame(
+        lineitem_rows, "l_orderkey string, l_linenumber string"
+    )
+    descriptor = {
+        "name": "dirty",
+        "resources": [
+            {
+                "name": "orders",
+                "schema": {
+                    "fields": [
+                        {"name": "o_orderkey", "type": "integer",
+                         "constraints": {"required": True}},
+                        {"name": "o_orderstatus", "type": "string",
+                         "constraints": {"enum": ["F", "P", "O"]}},
+                        {"name": "o_totalprice", "type": "number",
+                         "constraints": {"minimum": 0}},
+                        {"name": "o_orderdate", "type": "date"},
+                    ],
+                    "missingValues": ["", "NA"],
+                    "primaryKey": ["o_orderkey"],
+                },
+            },
+            {
+                "name": "lineitem",
+                "schema": {
+                    "fields": [
+                        {"name": "l_orderkey", "type": "integer"},
+                        {"name": "l_linenumber", "type": "integer"},
+                    ],
+                    "foreignKeys": [
+                        {"fields": ["l_orderkey"],
+                         "reference": {"resource": "orders",
+                                       "fields": ["o_orderkey"]}}
+                    ],
+                },
+            },
+        ],
+    }
+    return descriptor, {"orders": orders, "lineitem": lineitem}
+
+
+def _errs(report, source):
+    (table,) = [t for t in report["tables"] if t["source"] == source]
+    return {(e["code"], e.get("field")): e for e in table["errors"]}
+
+
+def test_validate_dirty_package(spark):
+    descriptor, dfs = _dirty_package(spark)
+    report = gt.validate(spark, descriptor, dataframes=dfs)
+    assert not report["valid"]
+
+    oe = _errs(report, "orders")
+    # bad number 'abc' + bad date '2023-02-29'
+    assert oe[("type-or-format-error", "o_totalprice")]["count"] == 1
+    assert "abc" in oe[("type-or-format-error", "o_totalprice")]["values"]
+    assert oe[("type-or-format-error", "o_orderdate")]["count"] == 1
+    # required: null + 'NA' missing-value
+    assert oe[("required-constraint", "o_orderkey")]["count"] == 2
+    assert oe[("enumerable-constraint", "o_orderstatus")]["count"] == 1
+    assert oe[("minimum-constraint", "o_totalprice")]["count"] == 1
+    # pk: 2 nulls + 1 dup extra
+    assert oe[("primary-key-constraint", "o_orderkey")]["count"] == 3
+
+    le = _errs(report, "lineitem")
+    assert le[("foreign-key-error", "l_orderkey")]["count"] == 1
+
+
+def test_validate_clean_testdata(spark, sf_dir):
+    descriptor = {
+        "name": "tpch",
+        "resources": [
+            {
+                "name": "orders",
+                "schema": {
+                    "fields": [
+                        {"name": "o_orderkey", "type": "integer",
+                         "constraints": {"required": True, "unique": True}},
+                        {"name": "o_custkey", "type": "integer"},
+                        {"name": "o_orderstatus", "type": "string",
+                         "constraints": {"enum": ["F", "P", "O"]}},
+                        {"name": "o_totalprice", "type": "number",
+                         "constraints": {"minimum": 0}},
+                        {"name": "o_orderdate", "type": "datetime"},
+                        {"name": "o_orderpriority", "type": "string",
+                         "constraints": {"pattern": "[1-5]-[A-Z ]+"}},
+                    ],
+                    "primaryKey": ["o_orderkey"],
+                },
+            },
+            {
+                "name": "customer",
+                "schema": {
+                    "fields": [
+                        {"name": "c_custkey", "type": "integer"},
+                        {"name": "c_name", "type": "string"},
+                        {"name": "c_nationkey", "type": "integer"},
+                        {"name": "c_acctbal", "type": "number"},
+                        {"name": "c_mktsegment", "type": "string"},
+                    ],
+                    "primaryKey": ["c_custkey"],
+                },
+            },
+        ],
+    }
+    dfs = {
+        "orders": gt.stringly(load(spark, sf_dir, "orders")),
+        "customer": gt.stringly(load(spark, sf_dir, "customer")),
+    }
+    # add the FK orders->customer
+    descriptor["resources"][0]["schema"]["foreignKeys"] = [
+        {"fields": ["o_custkey"],
+         "reference": {"resource": "customer", "fields": ["c_custkey"]}}
+    ]
+    report = gt.validate(spark, descriptor, dataframes=dfs)
+    assert report["valid"], report
+    assert report["tables"][0]["row-count"] > 0
+
+
+def test_parse_table_roundtrip(spark, sf_dir):
+    """E2: stringly -> typed round trip preserves values."""
+    orders = load(spark, sf_dir, "orders")
+    schema = gt.TableSchema.from_descriptor(
+        {
+            "fields": [
+                {"name": "o_orderkey", "type": "integer"},
+                {"name": "o_totalprice", "type": "number"},
+                {"name": "o_orderdate", "type": "datetime"},
+            ]
+        }
+    )
+    typed, errors = gt.parse_table(
+        gt.stringly(orders.select("o_orderkey", "o_totalprice", "o_orderdate")),
+        schema,
+    )
+    assert not errors
+    import pyspark.sql.functions as F
+
+    orig = orders.select(
+        F.sum("o_orderkey").alias("k"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("p"),
+    ).first()
+    got = typed.select(
+        F.sum("o_orderkey").alias("k"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("p"),
+    ).first()
+    assert orig["k"] == got["k"]
+    assert orig["p"] == got["p"]
+
+
+def test_header_checks():
+    schema = gt.TableSchema.from_descriptor(
+        {"fields": [{"name": "a"}, {"name": "b"}]}
+    )
+    errs = gt.check_header(["a", "b"], schema)
+    assert errs == []
+    codes = {e.code for e in gt.check_header(["a", "x"], schema)}
+    assert codes == {"missing-header", "extra-header"}
+    codes = {e.code for e in gt.check_header(["b", "a"], schema)}
+    assert codes == {"non-matching-header"}
+    codes = {e.code for e in gt.check_header(["a", "a", "b", ""], schema)}
+    assert "duplicate-header" in codes and "blank-header" in codes
