@@ -1,0 +1,308 @@
+"""Deduplication operators (X1/X2): exact, MinHash+LSH, SimHash,
+n-gram Jaccard — the dedup ladder of a large-scale training-data
+pipeline (SURVEY.md §2.9), all shuffle-conscious:
+
+- exact:    one hash-groupBy on a fingerprint (map-side combine).
+- minhash:  shingle → H minhashes → B bands → groupBy(band) →
+            within-bucket candidate pairs → exact Jaccard verify.
+            Never an all-pairs join; the only shuffles are the band
+            groupBy and the (tiny) candidate join.
+- simhash:  64-bit sign-sum fingerprint via aggregate() lambda —
+            JVM-side; near-dups = equal 16-bit chunk buckets (Hamming
+            LSH).
+
+MinHash math (public): P[minhash_i(A)=minhash_i(B)] = J(A,B); banding
+(b bands × r rows) matches pairs with J ≈ (1/b)^(1/r) threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import normalize_text, shingles, whitespace_tokens
+
+# --- X1: exact dedup ------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str] | None = None, keep: str | None = None
+) -> DataFrame:
+    """Drop exact duplicates on ``cols`` (all columns when None).
+    ``keep`` names an ordering column: the row with the smallest value
+    survives deterministically (window + row_number); with keep=None
+    Spark's dropDuplicates picks an arbitrary row (cheaper — one
+    shuffle, no sort)."""
+    if keep is None:
+        return df.dropDuplicates(cols)
+    w = Window.partitionBy(*[F.col(c) for c in (cols or df.columns)]).orderBy(
+        F.col(keep)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, fingerprint: Column) -> DataFrame:
+    """Audit variant (A3): fingerprint groups with >1 member, with
+    multiplicity and the surviving (min) id when present."""
+    return (
+        df.select(fingerprint.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+# --- X2: MinHash + LSH ----------------------------------------------------
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 64, shingle_k: int = 3
+) -> Column:
+    """Array of ``num_hashes`` minhashes over k-word shingles.
+    Hash family: xxhash64 salted per hash index (JVM built-in; no
+    Python). Empty shingle set -> null signature."""
+    toks = whitespace_tokens(normalize_text(text))
+    sh = shingles(toks, shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, h))),
+    )
+    return F.when(F.size(sh) > 0, sig)
+
+
+def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of (band_index, band_hash) structs.
+    band_hash folds the band's minhashes through xxhash64."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("band_hash"),
+        ),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+    Plan shape: one scan → explode bands → groupBy band bucket →
+    within-bucket self-pairing via collect_list on SMALL buckets.
+    Bucket skew guard: buckets larger than 1000 ids are dropped (they
+    are near-certain boilerplate; at 100 TB a hot bucket would OOM the
+    pair expansion — standard practice is to cap and report)."""
+    rows = num_hashes // num_bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    banded = (
+        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .where(F.col("sig").isNotNull())
+        .select("id", F.explode(lsh_bands(F.col("sig"), num_bands, rows)).alias("b"))
+        .select("id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("bh"))
+    )
+    buckets = banded.groupBy("band", "bh").agg(F.collect_list("id").alias("ids"))
+    small = buckets.where((F.size("ids") > 1) & (F.size("ids") <= 1000))
+    pairs = (
+        small.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda a: F.transform(
+                                F.col("ids"),
+                                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    a_tokens: Column, b_tokens: Column, k: int = 3
+) -> Column:
+    """Exact n-gram Jaccard similarity of two token arrays."""
+    sa = F.array_distinct(shingles(a_tokens, k))
+    sb = F.array_distinct(shingles(b_tokens, k))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with exact-Jaccard verification ≥ threshold:
+    LSH candidates (cheap, recall-oriented) → join back the token
+    arrays → exact shingle Jaccard (precision). Returns
+    (id_a, id_b, jaccard)."""
+    cands = minhash_candidates(
+        df, id_col, text_col, num_hashes, num_bands, shingle_k
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        whitespace_tokens(normalize_text(F.col(text_col))).alias("toks"),
+    )
+    return (
+        cands.join(toks.withColumnsRenamed({"id": "id_a", "toks": "toks_a"}), "id_a")
+        .join(toks.withColumnsRenamed({"id": "id_b", "toks": "toks_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            ngram_jaccard(F.col("toks_a"), F.col("toks_b"), shingle_k).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --- X2b: SimHash ---------------------------------------------------------
+
+
+def simhash64(text: Column, shingle_k: int = 2) -> Column:
+    """64-bit SimHash, fully JVM-side: per-shingle xxhash64 → per-bit
+    ±1 vote (getbit) → sign of the 64 sums. aggregate() threads a
+    64-long vote array through the shingle array (no Python, no
+    explode). ANSI-safe packing: two 32-bit halves built with
+    acc*2+bit (max 2^32, no long overflow) then OR-shifted together."""
+    toks = whitespace_tokens(normalize_text(text))
+    feats = shingles(toks, shingle_k)
+    bits = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        feats,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(bits, lambda b: F.getbit(F.xxhash64(s), b) * 2 - 1),
+            lambda a, v: a + v,
+        ),
+    )
+
+    def pack(half: Column) -> Column:
+        # half: 32 votes, highest bit first after reverse
+        return F.aggregate(
+            F.reverse(half),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
+        )
+
+    lo = pack(F.slice(votes, 1, 32))
+    hi = pack(F.slice(votes, 33, 32))
+    fp = F.shiftleft(hi, 32).bitwiseOR(lo)
+    return F.when(F.size(feats) > 0, fp)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of
+    xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash chunk-LSH: equal 16-bit chunk → same
+    bucket (any pair within Hamming ≤ 3 shares ≥1 of 4 chunks —
+    pigeonhole); verify Hamming ≤ max_hamming exactly."""
+    fp = (
+        df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_k).alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
+    chunks = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("fp"), c * 16)
+                        .bitwiseAND(0xFFFF)
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "fp", "c.chunk", "c.val")
+    a = chunks.select(
+        F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "chunk", "val"
+    )
+    b = chunks.select(
+        F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "chunk", "val"
+    )
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding near-dup (X2c) ---------------------------------------------
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH
+    bucketing + exact cosine verify. See similarity.py for the
+    signature machinery."""
+    from .similarity import cosine, rp_signature
+
+    renamed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sig = rp_signature(renamed, "v", num_planes=num_planes, seed=seed)
+    withsig = renamed.withColumn("bucket", sig)
+    a = withsig.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket"
+    )
+    b = withsig.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,151 @@
+"""Multimodal columns (X-multimodal): image/audio/video as opaque
+``binary`` columns with typed metadata, processed via Arrow-batched
+``mapInPandas`` (SURVEY.md north star; the decode step itself is
+STUBBED — the decode libraries are not in this container — but the
+Spark-side plumbing is real and tested: schema contract, batch shape,
+partition sizing).
+
+Design for 100 TB:
+- blobs ride in parquet binary columns (or `binaryFile` source for
+  loose files); metadata is a sibling struct so filters/pruning never
+  touch the bytes;
+- per-batch processing via mapInPandas keeps peak memory to
+  (batch rows × blob size); `spark.sql.files.maxPartitionBytes`
+  governs scan granularity;
+- decode outputs are fixed-size feature vectors, never re-encoded
+  blobs, so downstream shuffles stay narrow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata contract for a multimodal column
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Derive the cheap half of the metadata (sizes) JVM-side; decode-
+    dependent fields stay null until a decoder fills them."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(None).cast("string").alias("media_type"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(F.col(blob_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def decode_image(blob: bytes) -> "object":
+    """STUB — image decoding requires PIL/opencv, not present in this
+    container. The Spark plumbing around it (batching, schema) is
+    real; swap this function for a real decoder in production."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "environment; use fake_feature_extractor for plumbing tests"
+    )
+
+
+def fake_feature_extractor(blob: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a decode→embed step: folds the bytes
+    into ``dim`` float buckets. Lets the full pipeline (including
+    similarity search over the features) run end-to-end without media
+    libraries."""
+    acc = [0] * dim
+    for i, byte in enumerate(blob):
+        acc[i % dim] = (acc[i % dim] * 31 + byte) & 0x7FFFFFFF
+    return [float(x % 1000) / 1000.0 for x in acc]
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    extractor: Callable[[bytes], list[float]] | None = None,
+) -> DataFrame:
+    """mapInPandas feature extraction: Arrow-batched, one Python
+    round-trip per batch, output schema fixed (never inferred).
+    ``extractor`` defaults to the deterministic fake (real decoders
+    are injected the same way)."""
+    fn = extractor or fake_feature_extractor
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            oks = []
+            for blob in pdf[blob_col]:
+                try:
+                    feats.append(fn(bytes(blob)) if blob is not None else None)
+                    oks.append(blob is not None)
+                except NotImplementedError:
+                    feats.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "feature": feats,
+                    "decode_ok": oks,
+                }
+            )
+
+    return df.mapInPandas(batches, _FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, every_ms: int = 1000, id_col: str = "media_id"
+) -> DataFrame:
+    """Video frame-sampling *plan*: expands each media row into frame
+    timestamps JVM-side (sequence + explode) so the expensive decode
+    only sees (media_id, frame_ts) work items — the shuffle unit is a
+    frame task, not a video blob."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.coalesce(F.col("media_meta.duration_ms"), F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+
+
+def demo_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Synthetic binary table for plumbing tests (deterministic)."""
+    rows = [(i, bytes([(i * 7 + j) % 251 for j in range(128 + i)])) for i in range(n)]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

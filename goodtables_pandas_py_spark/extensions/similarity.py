@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (X3): brute-force cosine
+top-k as the exact baseline, random-hyperplane LSH bucketing as the
+scale path (SURVEY.md §2.9; distributed top-k literature: REPOSE,
+ICDE 2021 — see PAPERS.md).
+
+Vector math is pure Column algebra: zip_with + aggregate dot products
+run inside whole-stage codegen — no UDF, no collect. Top-k uses
+orderBy(...).limit(k) which Spark executes as TakeOrderedAndProject
+(per-partition heap + driver merge of k·P rows — no full sort, no
+full shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine to a literal query vector.
+    One scan; the query is a folded literal array so the comparison is
+    codegen'd; TakeOrderedAndProject bounds driver traffic to k rows.
+    Ties broken by id for determinism."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def rp_signature(
+    df: DataFrame,
+    vec_col: str,
+    num_planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> Column:
+    """Random-hyperplane (SimHash-for-vectors) LSH signature: sign
+    bits of <v, r_i> packed into a long. Hyperplanes are deterministic
+    (numpy RandomState(seed)) and folded into the plan as literals —
+    broadcast-free, no fitting step (contrast MLlib's
+    BucketedRandomProjectionLSH which must be fit)."""
+    import numpy as np
+
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("empty DataFrame; pass dim= explicitly")
+        dim = first["d"]
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    sig = F.lit(0).cast("long")
+    for i in range(num_planes):
+        r = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(dot(F.col(vec_col).cast("array<double>"), r) > 0, 1).otherwise(0)
+        sig = sig.bitwiseOR(F.shiftleft(bit.cast("long"), i))
+    return sig
+
+
+def ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    probe_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to LSH buckets
+    within ``probe_hamming`` of the query's bucket (multi-probe).
+    At 100 TB the signature column should be precomputed + the table
+    bucketed/partitioned by it, turning this into partition pruning;
+    here the filter still skips the cosine for ~ (1 - coverage) of
+    rows (cheap bit_count pre-filter before the expensive aggregate)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"]
+    planes = rng.standard_normal((num_planes, dim))
+    qsig = 0
+    for i in range(num_planes):
+        if float(np.dot(query, planes[i])) > 0:
+            qsig |= 1 << i
+    sig = rp_signature(df, vec_col, num_planes=num_planes, seed=seed, dim=dim)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("v"),
+            sig.alias("sig"),
+        )
+        .where(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming)
+        .select(
+            F.col(id_col), cosine(F.col("v").cast("array<double>"), q).alias("cosine")
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k-per-left-row similarity join, LSH-bucketed: join on equal
+    signature bucket then rank within left id. The bucket equi-join
+    shuffles on the signature (co-located), never a cross join."""
+    from pyspark.sql import Window
+
+    lsig = rp_signature(left, vec_col, num_planes=num_planes, seed=seed)
+    rsig = rp_signature(right, vec_col, num_planes=num_planes, seed=seed)
+    l_df = left.select(
+        F.col(left_id).alias("left_id"), F.col(vec_col).alias("lv"), lsig.alias("sig")
+    )
+    r_df = right.select(
+        F.col(right_id).alias("right_id"), F.col(vec_col).alias("rv"), rsig.alias("sig")
+    )
+    scored = (
+        l_df.join(r_df, "sig")
+        .where(F.col("left_id") != F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            cosine(F.col("lv").cast("array<double>"), F.col("rv").cast("array<double>")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("cosine").desc(), F.col("right_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )

@@ -1,0 +1,181 @@
+"""Text-analysis operators (X4): token counting, quality scoring,
+language ID, document fingerprinting — all JVM-side Column expressions
+(no Python in the hot path), designed for 100 TB document tables.
+
+The reference has no text analytics; these extend its vectorized
+philosophy ([R parse.py] whole-column kernels) to LLM-data-pipeline
+needs (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- tokenization ---------------------------------------------------------
+
+#: BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs —
+#: the shape GPT-style BPE pre-tokenization produces (public pattern
+#: family; simplified, ASCII-oriented).
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def whitespace_tokens(text: Column) -> Column:
+    """Split on whitespace runs; empty input -> empty array."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column, method: str = "whitespace") -> Column:
+    """Token count; 'whitespace' or 'bpe' (regexp-based BPE-ish
+    pre-tokenization)."""
+    if method == "whitespace":
+        return F.size(whitespace_tokens(text))
+    if method == "bpe":
+        return F.coalesce(F.regexp_count(text, F.lit(BPE_TOKEN_RE)), F.lit(0))
+    raise ValueError(f"unknown tokenizer {method!r}")
+
+
+# --- quality scoring ------------------------------------------------------
+
+#: small English stopword list (public, standard)
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this",
+]
+
+
+def quality_features(text: Column) -> Column:
+    """Struct of cheap quality signals: length, token count, mean word
+    length, punctuation ratio, stopword ratio, uppercase ratio. All
+    whole-stage-codegen expressions."""
+    toks = whitespace_tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (n_chars / safe_tok).alias("mean_word_len"),
+        (n_punct / safe_chars).alias("punct_ratio"),
+        (n_stop / safe_tok).alias("stopword_ratio"),
+        (n_upper / safe_chars).alias("upper_ratio"),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar [0,1] quality heuristic: penalize extreme lengths, high
+    punctuation, low stopword incidence (Gopher-rule-style signals,
+    public C4/Gopher filtering heuristics)."""
+    q = quality_features(text)
+    len_ok = (q["n_tokens"] >= 5) & (q["n_tokens"] <= 100000)
+    word_ok = (q["mean_word_len"] >= 2) & (q["mean_word_len"] <= 15)
+    punct_ok = q["punct_ratio"] <= 0.3
+    score = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(word_ok, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ok, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.least(q["stopword_ratio"] * 2, F.lit(0.1))
+    )
+    return score.alias("quality_score")
+
+
+# --- language ID ----------------------------------------------------------
+
+#: tiny per-language function-word profiles (public knowledge); the
+#: heuristic votes by profile-word hits — deterministic, JVM-side.
+_LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "dans", "pour", "que"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "人", "这"],
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID over profile-word hits; returns the
+    best-scoring language code or 'und'. For CJK, character hits count
+    (no whitespace tokenization assumption)."""
+    toks = whitespace_tokens(F.lower(text))
+    scores = []
+    for lang, words in _LANG_PROFILES.items():
+        if lang == "zh":
+            hits = sum(
+                (F.length(text) - F.length(F.replace(text, F.lit(w), F.lit(""))))
+                for w in words
+            )
+            score = hits.cast("double")
+        else:
+            score = F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).cast("double")
+        scores.append(F.struct(score.alias("s"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# --- fingerprinting -------------------------------------------------------
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse
+    whitespace, strip edges."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """k-word shingles of a token array, JVM-side:
+    transform(sequence(0, n-k), i -> concat_ws(' ', slice(tokens, i+1, k))).
+    Returns empty array when n < k."""
+    n = F.size(tokens)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
+        )
+    )
+
+
+def rolling_fingerprint(text: Column, k: int = 3) -> Column:
+    """Content-defined fingerprint: min xxhash64 over k-word shingles
+    of the normalized text (minhash with one permutation) — stable
+    under small edits far from the minimum. Null-safe: short docs fall
+    back to the md5 fingerprint hashed to long."""
+    toks = whitespace_tokens(normalize_text(text))
+    sh = shingles(toks, k)
+    min_h = F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
+    return F.coalesce(min_h, F.xxhash64(normalize_text(text)))
+
+
+# --- convenience over a documents table -----------------------------------
+
+
+def analyze_documents(
+    df: DataFrame, text_col: str = "text", tokenizer: str = "whitespace"
+) -> DataFrame:
+    """One-scan text profile of a documents table: adds token counts,
+    quality features, langid, fingerprints. Single projection —
+    explain() shows one WholeStageCodegen span over the scan."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t, tokenizer).alias("n_tokens"),
+        token_count(t, "bpe").alias("n_bpe_tokens"),
+        quality_features(t).alias("quality"),
+        quality_score(t).alias("quality_score"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint_md5(t).alias("fp_md5"),
+        rolling_fingerprint(t).alias("fp_rolling"),
+    )

@@ -1,0 +1,1005 @@
+"""Driver-contract query registry: one entry per implemented operator
+from SURVEY.md §2, each with a DuckDB oracle (ANSI SQL over the same
+parquet) unless genuinely non-SQL-expressible (then oracle=None →
+rows-only check).
+
+Design rules for oracle parity (driver compares row-count + schema +
+order-insensitive value-hash):
+- every computed column aliased IDENTICALLY in Spark and SQL;
+- money/quantity sums go through DECIMAL(18,2) (exact) then cast to
+  DOUBLE — float sums are order-dependent and would hash-mismatch;
+- integer outputs cast to BIGINT on both sides;
+- timestamps rendered as strings (or DATE) — engines' native
+  timestamp hashing differs;
+- synthesized dirty data uses modulo rules on key columns so the
+  oracle can count expectations ARITHMETICALLY — an independent
+  ground truth, not a re-implementation of our parser.
+
+Each builder takes (spark, sf_dir) → DataFrame; ``QUERIES`` maps
+name → builder, ``ORACLE_SQL`` maps name → SQL (or absent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extensions import dedup as xdedup
+from .extensions import similarity as xsim
+from .extensions import text as xtext
+from .parsers import parse_field
+from .schema import Field
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table. events.parquet carries TIMESTAMP(NANOS)
+    which Spark reads only as long (legacy conf); convert to a proper
+    timestamp column."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec2(c) -> F.Column:
+    return c.cast("decimal(18,2)")
+
+
+_BIG = "bigint"
+
+# --------------------------------------------------------------------------
+# registry
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _utc(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return wrapped
+
+    return deco
+
+
+# ===================== H: header / projection =============================
+
+
+@q(
+    "h2_projection",
+    "SELECT DISTINCT o_orderstatus AS status FROM orders",
+)
+def _h2(spark, sf_dir):
+    """H2 column projection + distinct (SURVEY.md §2.2)."""
+    return t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status")
+    ).distinct()
+
+
+# ===================== P: type parsers ====================================
+
+
+@q(
+    "p7_parse_integer",
+    "SELECT count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(sum(l_orderkey) AS BIGINT) AS sum_parsed FROM lineitem",
+)
+def _p7(spark, sf_dir):
+    """P7 integer parse of stringified keys; oracle sums the original
+    typed column (independent ground truth)."""
+    li = t(spark, sf_dir, "lineitem")
+    fld = Field("v", type="integer")
+    pf = parse_field(F.col("l_orderkey").cast("string"), fld)
+    return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.count_if(F.col("b")).alias("n_bad"),
+        F.sum("p").cast(_BIG).alias("sum_parsed"),
+    )
+
+
+@q(
+    "p6_parse_number",
+    "SELECT count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_parsed"
+    " FROM lineitem",
+)
+def _p6(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    fld = Field("v", type="number")
+    pf = parse_field(F.col("l_extendedprice").cast("string"), fld)
+    return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.count_if(F.col("b")).alias("n_bad"),
+        F.sum(dec2(F.col("p"))).cast("double").alias("sum_parsed"),
+    )
+
+
+@q(
+    "p6_parse_number_options",
+    "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    " AS sum_parsed, count(*) FILTER (WHERE FALSE) AS n_bad FROM lineitem",
+)
+def _p6b(spark, sf_dir):
+    """P6 with decimalChar=',' + bareNumber=false: lexicals like
+    '€57151,66' built from the typed column, parsed back."""
+    li = t(spark, sf_dir, "lineitem")
+    raw = F.concat(
+        F.lit("€"),
+        F.replace(F.col("l_extendedprice").cast("string"), F.lit("."), F.lit(",")),
+    )
+    fld = Field("v", type="number", decimal_char=",", bare_number=False)
+    pf = parse_field(raw, fld)
+    return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.sum(dec2(F.col("p"))).cast("double").alias("sum_parsed"),
+        F.count_if(F.col("b")).alias("n_bad"),
+    )
+
+
+@q(
+    "p8_parse_boolean",
+    "SELECT count(*) FILTER (WHERE l_returnflag = 'R') AS n_true,"
+    " count(*) FILTER (WHERE l_returnflag <> 'R') AS n_false,"
+    " count(*) FILTER (WHERE FALSE) AS n_bad FROM lineitem",
+)
+def _p8(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    raw = (
+        F.when(F.col("l_returnflag") == "R", F.lit("TRUE"))
+        .when(F.col("l_returnflag") == "A", F.lit("false"))
+        .otherwise(F.lit("0"))
+    )
+    fld = Field("v", type="boolean")
+    pf = parse_field(raw, fld)
+    return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.count_if(F.col("p") == True).alias("n_true"),  # noqa: E712
+        F.count_if(F.col("p") == False).alias("n_false"),  # noqa: E712
+        F.count_if(F.col("b")).alias("n_bad"),
+    )
+
+
+@q(
+    "p9_parse_date",
+    "SELECT min(CAST(l_shipdate AS DATE)) AS min_d,"
+    " max(CAST(l_shipdate AS DATE)) AS max_d,"
+    " CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n_distinct"
+    " FROM lineitem",
+)
+def _p9(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    raw = F.date_format("l_shipdate", "yyyy-MM-dd")
+    pf = parse_field(raw, Field("v", type="date"))
+    return li.select(pf.parsed.alias("p")).agg(
+        F.min("p").alias("min_d"),
+        F.max("p").alias("max_d"),
+        F.count_distinct("p").cast(_BIG).alias("n_distinct"),
+    )
+
+
+@q(
+    "p10_parse_date_pattern",
+    "SELECT min(CAST(l_shipdate AS DATE)) AS min_d,"
+    " max(CAST(l_shipdate AS DATE)) AS max_d FROM lineitem",
+)
+def _p10(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    raw = F.date_format("l_shipdate", "dd/MM/yyyy")
+    pf = parse_field(raw, Field("v", type="date", format="%d/%m/%Y"))
+    return li.select(pf.parsed.alias("p")).agg(
+        F.min("p").alias("min_d"), F.max("p").alias("max_d")
+    )
+
+
+@q(
+    "p11_parse_date_any",
+    "SELECT min(CAST(strptime(strftime(o_orderdate, '%B %d, %Y'),"
+    " '%B %d, %Y') AS DATE)) AS min_d,"
+    " max(CAST(strptime(strftime(o_orderdate, '%B %d, %Y'),"
+    " '%B %d, %Y') AS DATE)) AS max_d FROM orders",
+)
+def _p11(spark, sf_dir):
+    """P11 format='any' — the one pandas-UDF parser (dateutil)."""
+    o = t(spark, sf_dir, "orders")
+    raw = F.date_format("o_orderdate", "MMMM dd, yyyy")
+    pf = parse_field(raw, Field("v", type="date", format="any"))
+    return o.select(pf.parsed.alias("p")).agg(
+        F.min("p").alias("min_d"), F.max("p").alias("max_d")
+    )
+
+
+@q(
+    "p12_parse_time",
+    "SELECT CAST(sum(EXTRACT(hour FROM ts) * 3600 + EXTRACT(minute FROM ts)"
+    " * 60 + FLOOR(EXTRACT(second FROM ts))) AS BIGINT) AS sum_secs,"
+    " count(*) FILTER (WHERE FALSE) AS n_bad FROM events",
+)
+def _p12(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    raw = F.date_format("ts", "HH:mm:ss")
+    pf = parse_field(raw, Field("v", type="time"))
+    return ev.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.sum("p").cast(_BIG).alias("sum_secs"),
+        F.count_if(F.col("b")).alias("n_bad"),
+    )
+
+
+@q(
+    "p13_parse_datetime",
+    "SELECT strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_ts,"
+    " strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_ts,"
+    " CAST(count(o_orderdate) AS BIGINT) AS n FROM orders",
+)
+def _p13(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    raw = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss")
+    pf = parse_field(raw, Field("v", type="datetime"))
+    return o.select(pf.parsed.alias("p")).agg(
+        F.date_format(F.min("p"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("p"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.count("p").cast(_BIG).alias("n"),
+    )
+
+
+@q(
+    "p14_parse_object",
+    "SELECT count(*) AS n_valid, count(*) FILTER (WHERE FALSE) AS n_invalid,"
+    " CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)"
+    " AS sum_k FROM events",
+)
+def _p14(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    pf = parse_field(F.col("props"), Field("v", type="object"))
+    k = F.get_json_object(F.col("props"), "$.k").try_cast(_BIG)
+    return ev.select(pf.parsed.alias("p"), pf.bad.alias("b"), k.alias("k")).agg(
+        F.count("p").cast(_BIG).alias("n_valid"),
+        F.count_if(F.col("b")).alias("n_invalid"),
+        F.sum("k").cast(_BIG).alias("sum_k"),
+    )
+
+
+@q(
+    "p15_parse_array",
+    "SELECT count(*) FILTER (WHERE event_id % 7 <> 0) AS n_valid,"
+    " count(*) FILTER (WHERE event_id % 7 = 0) AS n_invalid,"
+    " CAST(count(*) FILTER (WHERE event_id % 7 <> 0) * 2 AS BIGINT)"
+    " AS sum_len FROM events",
+)
+def _p15(spark, sf_dir):
+    """P15: synthesized array lexicals; rows with event_id%7==0 are
+    deliberately malformed — oracle counts by the rule."""
+    ev = t(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 7 != 0,
+        F.concat(
+            F.lit("["),
+            (F.col("event_id") % 100).cast("string"),
+            F.lit(", "),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit("]"),
+        ),
+    ).otherwise(F.lit("[broken"))
+    pf = parse_field(raw, Field("v", type="array"))
+    ln = F.json_array_length(pf.parsed)
+    return ev.select(pf.parsed.alias("p"), pf.bad.alias("b"), ln.alias("ln")).agg(
+        F.count("p").cast(_BIG).alias("n_valid"),
+        F.count_if(F.col("b")).alias("n_invalid"),
+        F.sum("ln").cast(_BIG).alias("sum_len"),
+    )
+
+
+@q(
+    "p16_parse_year",
+    "SELECT count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(min(year(l_shipdate)) AS BIGINT) AS min_y,"
+    " CAST(max(year(l_shipdate)) AS BIGINT) AS max_y FROM lineitem",
+)
+def _p16(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    raw = F.date_format("l_shipdate", "yyyy")
+    pf = parse_field(raw, Field("v", type="year"))
+    return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.count_if(F.col("b")).alias("n_bad"),
+        F.min("p").cast(_BIG).alias("min_y"),
+        F.max("p").cast(_BIG).alias("max_y"),
+    )
+
+
+@q(
+    "p17_parse_yearmonth",
+    "SELECT DISTINCT CAST(year(l_shipdate) AS BIGINT) AS ym_year,"
+    " CAST(month(l_shipdate) AS BIGINT) AS ym_month FROM lineitem",
+)
+def _p17(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    raw = F.date_format("l_shipdate", "yyyy-MM")
+    pf = parse_field(raw, Field("v", type="yearmonth"))
+    return (
+        li.select(pf.parsed.alias("p"))
+        .select(
+            F.col("p.year").cast(_BIG).alias("ym_year"),
+            F.col("p.month").cast(_BIG).alias("ym_month"),
+        )
+        .distinct()
+    )
+
+
+@q(
+    "p18_parse_duration",
+    "SELECT CAST(sum((l_partkey % 5) * 12) AS BIGINT) AS sum_months,"
+    " CAST(sum(l_linenumber * 86400 + (l_suppkey % 24) * 3600) AS DOUBLE)"
+    " AS sum_seconds, count(*) FILTER (WHERE FALSE) AS n_bad FROM lineitem",
+)
+def _p18(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    raw = F.concat(
+        F.lit("P"),
+        (F.col("l_partkey") % 5).cast("string"),
+        F.lit("Y"),
+        F.col("l_linenumber").cast("string"),
+        F.lit("DT"),
+        (F.col("l_suppkey") % 24).cast("string"),
+        F.lit("H"),
+    )
+    pf = parse_field(raw, Field("v", type="duration"))
+    return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.sum("p.months").cast(_BIG).alias("sum_months"),
+        F.sum("p.seconds").cast("double").alias("sum_seconds"),
+        F.count_if(F.col("b")).alias("n_bad"),
+    )
+
+
+@q(
+    "p19_parse_geopoint",
+    "SELECT CAST(sum((p_partkey % 360) - 180) AS BIGINT) AS sum_lon,"
+    " CAST(sum((p_size % 90) - 45) AS BIGINT) AS sum_lat,"
+    " count(*) FILTER (WHERE FALSE) AS n_bad FROM part",
+)
+def _p19(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    raw = F.concat(
+        ((F.col("p_partkey") % 360) - 180).cast("string"),
+        F.lit(", "),
+        ((F.col("p_size") % 90) - 45).cast("string"),
+    )
+    pf = parse_field(raw, Field("v", type="geopoint"))
+    return p.select(pf.parsed.alias("g"), pf.bad.alias("b")).agg(
+        F.sum("g.lon").cast(_BIG).alias("sum_lon"),
+        F.sum("g.lat").cast(_BIG).alias("sum_lat"),
+        F.count_if(F.col("b")).alias("n_bad"),
+    )
+
+
+@q(
+    "p20_parse_geojson",
+    "SELECT count(*) FILTER (WHERE p_partkey % 9 <> 0) AS n_valid,"
+    " count(*) FILTER (WHERE p_partkey % 9 = 0) AS n_invalid FROM part",
+)
+def _p20(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    raw = F.when(
+        F.col("p_partkey") % 9 != 0,
+        F.concat(
+            F.lit('{"type": "Point", "coordinates": ['),
+            (F.col("p_partkey") % 180).cast("string"),
+            F.lit(", 10]}"),
+        ),
+    ).otherwise(F.lit('{"type": "Nope"}'))
+    pf = parse_field(raw, Field("v", type="geojson"))
+    return p.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.count("p").cast(_BIG).alias("n_valid"),
+        F.count_if(F.col("b")).alias("n_invalid"),
+    )
+
+
+@q(
+    "p2_string_email",
+    "SELECT count(*) FILTER (WHERE c_custkey % 10 <> 0) AS n_valid,"
+    " count(*) FILTER (WHERE c_custkey % 10 = 0) AS n_invalid FROM customer",
+)
+def _p2(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    raw = F.when(
+        F.col("c_custkey") % 10 != 0,
+        F.concat(
+            F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.concat(F.col("c_name"), F.lit("@@bad")))
+    pf = parse_field(raw, Field("v", format="email"))
+    return c.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.count("p").cast(_BIG).alias("n_valid"),
+        F.count_if(F.col("b")).alias("n_invalid"),
+    )
+
+
+@q(
+    "p3_string_uri",
+    "SELECT count(*) FILTER (WHERE s_suppkey % 4 <> 0) AS n_valid,"
+    " count(*) FILTER (WHERE s_suppkey % 4 = 0) AS n_invalid FROM supplier",
+)
+def _p3(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    raw = F.when(
+        F.col("s_suppkey") % 4 != 0,
+        F.concat(
+            F.lit("https://example.com/supplier/"), F.col("s_suppkey").cast("string")
+        ),
+    ).otherwise(F.lit("not a uri"))
+    pf = parse_field(raw, Field("v", format="uri"))
+    return s.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.count("p").cast(_BIG).alias("n_valid"),
+        F.count_if(F.col("b")).alias("n_invalid"),
+    )
+
+
+@q(
+    "p4_string_uuid",
+    "SELECT count(*) FILTER (WHERE c_custkey % 5 <> 0) AS n_valid,"
+    " count(*) FILTER (WHERE c_custkey % 5 = 0) AS n_invalid FROM customer",
+)
+def _p4(spark, sf_dir):
+    """P4: uuids synthesized from md5 (identical function both engines;
+    validity decided by the modulo rule)."""
+    c = t(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_name"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    raw = F.when(F.col("c_custkey") % 5 != 0, uuid).otherwise(F.lit("not-a-uuid"))
+    pf = parse_field(raw, Field("v", format="uuid"))
+    return c.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.count("p").cast(_BIG).alias("n_valid"),
+        F.count_if(F.col("b")).alias("n_invalid"),
+    )
+
+
+@q(
+    "p5_string_binary",
+    "SELECT count(*) FILTER (WHERE n_nationkey % 3 <> 0) AS n_valid,"
+    " count(*) FILTER (WHERE n_nationkey % 3 = 0) AS n_invalid FROM nation",
+)
+def _p5(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    raw = F.when(
+        F.col("n_nationkey") % 3 != 0,
+        F.base64(F.col("n_name").cast("binary")),
+    ).otherwise(F.lit("!!notbase64"))
+    pf = parse_field(raw, Field("v", format="binary"))
+    return n.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.count("p").cast(_BIG).alias("n_valid"),
+        F.count_if(F.col("b")).alias("n_invalid"),
+    )
+
+
+# ===================== C: constraints =====================================
+
+
+@q(
+    "c1_required",
+    "SELECT count(*) FILTER (WHERE o_orderkey % 13 = 0) AS n_missing"
+    " FROM orders",
+)
+def _c1(spark, sf_dir):
+    """C1: nulls injected by rule (clean data has none)."""
+    o = t(spark, sf_dir, "orders")
+    v = F.when(F.col("o_orderkey") % 13 != 0, F.col("o_custkey"))
+    return o.select(v.alias("v")).agg(
+        F.count_if(F.col("v").isNull()).alias("n_missing")
+    )
+
+
+@q(
+    "c2_unique_violations",
+    "SELECT CAST(l_orderkey AS BIGINT) AS orderkey, count(*) AS n"
+    " FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1",
+)
+def _c2(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").cast(_BIG).alias("orderkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+@q(
+    "c3_length_bounds",
+    "SELECT count(*) FILTER (WHERE length(p_name) < 10) AS n_short,"
+    " count(*) FILTER (WHERE length(p_name) > 30) AS n_long FROM part",
+)
+def _c3(spark, sf_dir):
+    from .checks.constraints import compile_constraints
+
+    p = t(spark, sf_dir, "part")
+    fld = Field("p_name", constraints={"minLength": 10, "maxLength": 30})
+    checks = compile_constraints(fld, F.col("p_name"), F.col("p_name"))
+    masks = {c.constraint: c.mask for c in checks}
+    return p.agg(
+        F.count_if(masks["minLength"]).alias("n_short"),
+        F.count_if(masks["maxLength"]).alias("n_long"),
+    )
+
+
+@q(
+    "c4_range",
+    "SELECT count(*) FILTER (WHERE l_discount < 0.0) AS n_below,"
+    " count(*) FILTER (WHERE l_discount > 0.05) AS n_above,"
+    " min(l_discount) AS min_v, max(l_discount) AS max_v FROM lineitem",
+)
+def _c4(spark, sf_dir):
+    from .checks.constraints import compile_constraints
+
+    li = t(spark, sf_dir, "lineitem")
+    fld = Field("l_discount", type="number",
+                constraints={"minimum": 0.0, "maximum": 0.05})
+    checks = compile_constraints(fld, F.col("l_discount"), None)
+    masks = {c.constraint: c.mask for c in checks}
+    return li.agg(
+        F.count_if(masks["minimum"]).alias("n_below"),
+        F.count_if(masks["maximum"]).alias("n_above"),
+        F.min("l_discount").alias("min_v"),
+        F.max("l_discount").alias("max_v"),
+    )
+
+
+@q(
+    "c5_enum",
+    "SELECT o_orderstatus AS status, count(*) AS n,"
+    " o_orderstatus IN ('F','P','O') AS is_valid"
+    " FROM orders GROUP BY o_orderstatus",
+)
+def _c5(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col("o_orderstatus").isin("F", "P", "O")).alias("is_valid"),
+    )
+
+
+@q(
+    "c6_pattern",
+    "SELECT count(*) FILTER (WHERE regexp_matches(p_brand, '^(?:Brand#[0-9]+)$'))"
+    " AS n_match, count(*) FILTER (WHERE NOT regexp_matches(p_brand,"
+    " '^(?:Brand#[0-9]+)$')) AS n_violation FROM part",
+)
+def _c6(spark, sf_dir):
+    from .checks.constraints import compile_constraints
+
+    p = t(spark, sf_dir, "part")
+    fld = Field("p_brand", constraints={"pattern": "Brand#[0-9]+"})
+    (ck,) = compile_constraints(fld, F.col("p_brand"), F.col("p_brand"))
+    return p.agg(
+        F.count_if(~ck.mask).alias("n_match"),
+        F.count_if(ck.mask).alias("n_violation"),
+    )
+
+
+# ===================== K: keys ============================================
+
+
+@q(
+    "k1_pk_orders",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+    " count(*) FILTER (WHERE o_orderkey IS NULL) AS n_null,"
+    " CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_extra"
+    " FROM orders",
+)
+def _k1(spark, sf_dir):
+    from .checks.keys import check_primary_key
+
+    o = t(spark, sf_dir, "orders")
+    res = check_primary_key(o, ["o_orderkey"])
+    n = o.count()
+    return spark.createDataFrame(
+        [(n, 0, res.count)], "n_rows bigint, n_null bigint, n_dup_extra bigint"
+    )
+
+
+@q(
+    "k2_unique_key_lineitem",
+    "SELECT CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))"
+    " AS BIGINT) AS n_extra FROM lineitem",
+)
+def _k2(spark, sf_dir):
+    from .checks.keys import check_unique_key
+
+    li = t(spark, sf_dir, "lineitem")
+    res = check_unique_key(li, ["l_orderkey", "l_linenumber"])
+    return spark.createDataFrame([(res.count,)], "n_extra bigint")
+
+
+@q(
+    "k3_fk_lineitem_orders",
+    "SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS l_orderkey FROM lineitem"
+    " WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN"
+    " (SELECT o_orderkey FROM orders)",
+)
+def _k3a(spark, sf_dir):
+    from .checks.keys import foreign_key_violations_df
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return foreign_key_violations_df(
+        li.select(F.col("l_orderkey").cast(_BIG).alias("l_orderkey")),
+        ["l_orderkey"],
+        o,
+        ["o_orderkey"],
+        broadcast_parent=True,
+    )
+
+
+@q(
+    "k3_fk_violations",
+    "SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS l_orderkey FROM lineitem"
+    " WHERE l_orderkey % 7 = 0",
+)
+def _k3b(spark, sf_dir):
+    """K3 with real violations: parent filtered to o_orderkey%7!=0, so
+    every child key divisible by 7 is orphaned (FKs are clean in the
+    testdata, so the rule is the ground truth)."""
+    from .checks.keys import foreign_key_violations_df
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 != 0)
+    return foreign_key_violations_df(
+        li.select(F.col("l_orderkey").cast(_BIG).alias("l_orderkey")),
+        ["l_orderkey"],
+        o,
+        ["o_orderkey"],
+        broadcast_parent=True,
+    )
+
+
+@q(
+    "k3_fk_composite",
+    "SELECT DISTINCT CAST(l_partkey AS BIGINT) AS l_partkey,"
+    " CAST(l_suppkey AS BIGINT) AS l_suppkey FROM lineitem"
+    " WHERE (l_partkey + l_suppkey) % 5 = 0",
+)
+def _k3c(spark, sf_dir):
+    from .checks.keys import foreign_key_violations_df
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast(_BIG).alias("l_partkey"),
+        F.col("l_suppkey").cast(_BIG).alias("l_suppkey"),
+    )
+    parent = li.where((F.col("l_partkey") + F.col("l_suppkey")) % 5 != 0)
+    return foreign_key_violations_df(
+        li, ["l_partkey", "l_suppkey"], parent, ["l_partkey", "l_suppkey"]
+    )
+
+
+# ===================== A/W: aggregation & window ==========================
+
+
+@q(
+    "a1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *"
+    " CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price"
+    " FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def _a1(spark, sf_dir):
+    """A1: TPC-H Q1-shaped pricing summary — the flagship agg (one
+    scan, partial+final hash agg; decimals keep it exact)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(dec2(F.col("l_extendedprice"))).cast("double").alias("sum_price"),
+        F.sum(dec2(F.col("l_extendedprice")) * dec2(1 - F.col("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+    )
+
+
+@q(
+    "w1_extra_lines",
+    "SELECT CAST(l_orderkey AS BIGINT) AS orderkey,"
+    " CAST(count(*) - 1 AS BIGINT) AS n_extra FROM lineitem"
+    " GROUP BY l_orderkey HAVING count(*) > 1",
+)
+def _w1(spark, sf_dir):
+    """W1: duplicate-row accounting via a ranking window (the oracle
+    states it as GROUP BY — same result, exercises the window op)."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .groupBy(F.col("l_orderkey").cast(_BIG).alias("orderkey"))
+        .agg((F.max("rn") - 1).cast(_BIG).alias("n_extra"))
+        .where(F.col("n_extra") > 0)
+    )
+
+
+@q(
+    "w3_topk_orders",
+    "SELECT CAST(o_orderkey AS BIGINT) AS orderkey, o_totalprice FROM orders"
+    " ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def _w3(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(F.col("o_orderkey").cast(_BIG).alias("orderkey"), "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+# ===================== E1: flagship data-quality summary ==================
+
+
+@q(
+    "dq_summary",
+    "SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,"
+    " CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_lineitem,"
+    " CAST((SELECT count(*) FROM orders WHERE o_orderstatus NOT IN"
+    " ('F','P','O')) AS BIGINT) AS n_bad_status,"
+    " CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)"
+    " AS BIGINT) AS n_pk_dup_extra,"
+    " CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem WHERE l_orderkey"
+    " NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_fk_viol",
+)
+def _dq(spark, sf_dir):
+    """E1 flagship: package-level data-quality summary over
+    orders+lineitem, one number per check class."""
+    from .checks.keys import check_primary_key, foreign_key_violations_df
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    n_orders = o.count()
+    n_li = li.count()
+    n_bad_status = o.select(
+        F.count_if(~F.col("o_orderstatus").isin("F", "P", "O")).alias("n")
+    ).first()["n"]
+    pk = check_primary_key(o, ["o_orderkey"])
+    fk = foreign_key_violations_df(
+        li, ["l_orderkey"], o, ["o_orderkey"], broadcast_parent=True
+    ).count()
+    return spark.createDataFrame(
+        [(n_orders, n_li, int(n_bad_status), pk.count, fk)],
+        "n_orders bigint, n_lineitem bigint, n_bad_status bigint,"
+        " n_pk_dup_extra bigint, n_fk_viol bigint",
+    )
+
+
+# ===================== X: extensions ======================================
+
+
+@q(
+    "x1_exact_dedup",
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ',"
+    " 'g')))) AS BIGINT) AS n_distinct_fp FROM documents",
+)
+def _x1(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(xtext.fingerprint_md5(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
+        F.count_distinct("fp").cast(_BIG).alias("n_distinct_fp"),
+    )
+
+
+@q(
+    "x4_fingerprint_md5",
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+    " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp"
+    " FROM documents",
+)
+def _x4fp(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        xtext.fingerprint_md5(F.col("text")).alias("fp"),
+    )
+
+
+@q(
+    "x4_token_counts",
+    "SELECT source, CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))"
+    " AS BIGINT) AS sum_ws_tokens, CAST(count(*) AS BIGINT) AS n_docs"
+    " FROM documents GROUP BY source",
+)
+def _x4tok(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(xtext.token_count(F.col("text"))).cast(_BIG).alias("sum_ws_tokens"),
+        F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
+    )
+
+
+@q(
+    "x4_text_profile",
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(length(text)) AS BIGINT) AS sum_chars,"
+    " CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)"
+    " AS sum_tokens FROM documents GROUP BY lang",
+)
+def _x4q(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
+        F.sum(F.length("text")).cast(_BIG).alias("sum_chars"),
+        F.sum(xtext.token_count(F.col("text"))).cast(_BIG).alias("sum_tokens"),
+    )
+
+
+@q("x4_langid", None)  # heuristic voting — rows-only check
+def _x4lang(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(xtext.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).cast(_BIG).alias("n"))
+    )
+
+
+@q(
+    "x2_jaccard_pairs",
+    """WITH toks AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM toks)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+         AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.1""",
+)
+def _x2j(spark, sf_dir):
+    """X2: exact 3-gram Jaccard over same-source pairs (bounded
+    pair space — the LSH variants handle the unbounded case)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        "source",
+        xtext.whitespace_tokens(xtext.normalize_text(F.col("text"))).alias("w"),
+    )
+    a = toks.select(
+        F.col("doc_id").alias("id_a"), F.col("source"), F.col("w").alias("wa")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("id_b"), F.col("source"), F.col("w").alias("wb")
+    )
+    jac = xdedup.ngram_jaccard(F.col("wa"), F.col("wb"), 3)
+    return (
+        a.join(b, "source")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.1)
+    )
+
+
+@q("x2_minhash_pairs", None)  # xxhash64-based — rows-only
+def _x2m(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return xdedup.minhash_dedup_pairs(d, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@q("x2_simhash_dups", None)  # xxhash64-based — rows-only
+def _x2s(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return xdedup.simhash_candidates(d, max_hamming=8)
+
+
+@q(
+    "x3_cosine_topk",
+    "SELECT CAST(b.vec_id AS BIGINT) AS vec_id,"
+    " ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])), 6) AS cosine"
+    " FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id = 0"
+    " ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id LIMIT 10",
+)
+def _x3(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = xsim.cosine_topk(e, [float(x) for x in qv], k=10)
+    return top.select(
+        F.col("vec_id").cast(_BIG).alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+@q("x3_ann_topk", None)  # approximate by construction — rows-only
+def _x3ann(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = xsim.ann_topk(e, [float(x) for x in qv], k=10)
+    return top.select(
+        F.col("vec_id").cast(_BIG).alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+@q("x3_embedding_near_dups", None)  # LSH recall — rows-only
+def _x3nd(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return xdedup.embedding_near_dups(e, threshold=0.8).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@q(
+    "x5_events_window",
+    "SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),"
+    " '%Y-%m-%d %H:%M') AS win_start, event_type,"
+    " CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val"
+    " FROM events GROUP BY 1, 2",
+)
+def _x5(spark, sf_dir):
+    """X5 (batch twin of the streaming query): 10-minute tumbling
+    windows per event type. streaming/validate.py runs the identical
+    expressions over readStream."""
+    ev = t(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes")
+    return ev.groupBy(win.alias("w"), F.col("event_type")).agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n"),
+        F.sum(dec2(F.col("value"))).cast("double").alias("sum_val"),
+    ).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_val",
+    )
+
+
+@q(
+    "x5_sessions",
+    """WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM marked GROUP BY user_id""",
+)
+def _x5s(spark, sf_dir):
+    """X5b: session counting; Spark uses session_window (the streaming-
+    native op), oracle states it as gaps-and-islands SQL."""
+    ev = t(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return sess.groupBy(F.col("user_id").cast(_BIG).alias("user_id")).agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n_sessions"),
+        F.sum("n").cast(_BIG).alias("n_events"),
+    )
