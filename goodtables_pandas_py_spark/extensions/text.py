@@ -56,7 +56,8 @@ def quality_features(text: Column) -> Column:
     n_chars = F.length(text)
     n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
     n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
-    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    # token occurrences (not distinct types): filter, don't intersect
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
     safe_tok = F.greatest(n_tok, F.lit(1))
     safe_chars = F.greatest(n_chars, F.lit(1))
     return F.struct(

@@ -35,20 +35,36 @@ from .schema import Field
 
 
 def _utc(spark: SparkSession) -> None:
+    """Session tuning safe to apply on a driver-provided session: UTC
+    wall times (oracle parity) + full-width scans on small file sets."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import os
+
+    spark.conf.set(
+        "spark.sql.files.minPartitionNum", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def t(spark: SparkSession, sf_dir: str, name: str, wide: bool = False) -> DataFrame:
     """Load a testdata table. events.parquet carries TIMESTAMP(NANOS)
     which Spark reads only as long (legacy conf); convert to a proper
-    timestamp column."""
+    timestamp column.
+
+    ``wide=True`` repartitions under-split files (single row group) to
+    session width — worth one small shuffle only for compute-heavy
+    consumers (hashing, parsing); single-pass aggregates are faster
+    scanning 3 partitions than paying the shuffle, so they keep the
+    default."""
+    from .sources import ensure_parallelism
+
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn(
+        df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return ensure_parallelism(df) if wide else df
 
 
 def dec2(c) -> F.Column:
@@ -880,7 +896,7 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
 def _x2j(spark, sf_dir):
     """X2: exact 3-gram Jaccard over same-source pairs (bounded
     pair space — the LSH variants handle the unbounded case)."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", wide=True)
     toks = d.select(
         F.col("doc_id").cast(_BIG).alias("doc_id"),
         "source",
@@ -903,7 +919,7 @@ def _x2j(spark, sf_dir):
 
 @q("x2_minhash_pairs", None)  # xxhash64-based — rows-only
 def _x2m(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", wide=True)
     return xdedup.minhash_dedup_pairs(d, threshold=0.5).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -911,7 +927,7 @@ def _x2m(spark, sf_dir):
 
 @q("x2_simhash_dups", None)  # xxhash64-based — rows-only
 def _x2s(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", wide=True)
     return xdedup.simhash_candidates(d, max_hamming=8)
 
 

@@ -82,6 +82,23 @@ def read_resource(spark: SparkSession, resource: Resource) -> DataFrame:
     raise ValueError(f"unsupported resource format {fmt!r}")
 
 
+def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition only when the source yields far fewer partitions
+    than the session's parallelism (e.g. single-row-group parquet
+    files, which Spark cannot split below one task per row group).
+    At real scale (partitions >> cores) this is a no-op, so no shuffle
+    is added where it would hurt; on under-split inputs the one cheap
+    round-robin shuffle unlocks full-width execution for everything
+    downstream."""
+    spark = df.sparkSession
+    if target is None:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    current = df.rdd.getNumPartitions()
+    if current * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def stringly(df: DataFrame) -> DataFrame:
     """Render a typed DataFrame lexically (every column cast to
     string) — lets the parser/validation pipeline run against typed

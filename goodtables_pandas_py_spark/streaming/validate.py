@@ -1,0 +1,122 @@
+"""Streaming validation X5 (SURVEY.md §2.9): the SAME compiled check
+expressions the batch engine uses (checks/constraints.py, parsers/)
+applied over ``readStream`` sources, plus watermark-windowed error-rate
+aggregation and micro-batch FK checks.
+
+The reference is batch-only (SURVEY.md §1.1); this extension exists
+because a 100 TB training-data pipeline validates data in flight.
+Design:
+
+- **Expression reuse**: a compiled mask Column is engine-agnostic —
+  the identical Catalyst expression tree runs in both batch and
+  micro-batch plans, so batch goldens certify streaming semantics.
+- **Watermarks** bound state for windowed aggregation; late rows
+  beyond the watermark are dropped and accounted by the watermark
+  policy, never buffered unboundedly.
+- **FK checks** are NOT stream-stream joins (unbounded state,
+  SURVEY.md §7.3.6): ``foreachBatch`` anti-joins each micro-batch
+  against a (broadcast) parent snapshot.
+
+Caveat: Spark requires event-time (watermark) columns to be
+TIMESTAMP (LTZ), not TIMESTAMP_NTZ — cast NTZ event time with
+``col.cast("timestamp")`` (identity wall-clock under the UTC session
+timezone our entry points pin).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checks.constraints import compile_constraints
+from ..parsers import parse_field
+from ..schema import TableSchema
+
+
+def validate_stream(
+    stream: DataFrame, schema: TableSchema, assume_typed: bool = True
+) -> DataFrame:
+    """Augment a streaming DataFrame with one boolean ``__viol__*``
+    column per check (same naming as the batch engine). Pure stateless
+    projection — no shuffle, survives any output mode."""
+    cols = [F.col(c) for c in stream.columns]
+    for fld in schema.fields:
+        if fld.name not in stream.columns:
+            continue
+        if assume_typed:
+            parsed = F.col(fld.name)
+            raw = None
+        else:
+            raw = F.col(fld.name)
+            pf = parse_field(raw, fld, schema.missing_values)
+            parsed = pf.parsed
+            cols.append(pf.bad.alias(f"__bad__{fld.name}"))
+        for ck in compile_constraints(fld, parsed, raw):
+            if ck.constraint == "unique":
+                continue  # needs global state; not a streaming check
+            cols.append(ck.mask.alias(f"__viol__{fld.name}__{ck.constraint}"))
+    return stream.select(*cols)
+
+
+def error_rate_windows(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window violation rates over a ``validate_stream``
+    output: per window (and optional keys), total rows and per-check
+    violation counts. Watermark bounds the aggregation state; output
+    works in append mode once the watermark passes a window."""
+    mask_cols = [c for c in stream.columns if c.startswith("__viol__")
+                 or c.startswith("__bad__")]
+    keys = [F.window(F.col(ts_col), window_duration).alias("window")] + [
+        F.col(k) for k in (group_by or [])
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.count_if(F.col(c)).alias(c.replace("__viol__", "n_").replace("__bad__", "n_bad_"))
+        for c in mask_cols
+    ]
+    return stream.withWatermark(ts_col, watermark).groupBy(*keys).agg(*aggs)
+
+
+def session_event_counts(
+    stream: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows (gap-merged) per user — the streaming twin of
+    queries.py::x5_sessions. State bounded by the watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def fk_check_foreach_batch(
+    parent: DataFrame,
+    child_fields: list[str],
+    parent_fields: list[str],
+    on_violations: Callable[[DataFrame, int], None],
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function that anti-joins each
+    micro-batch against a parent snapshot and hands violations to
+    ``on_violations(viol_df, batch_id)``. The parent is broadcast
+    when small (AQE decides; hint forced here since dimension parents
+    are the norm). Keeps FK state out of the stream — micro-batch
+    joins only (SURVEY.md §7.3.6)."""
+    from ..checks.keys import foreign_key_violations_df
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        viol = foreign_key_violations_df(
+            batch_df, child_fields, parent, parent_fields, broadcast_parent=True
+        )
+        on_violations(viol, batch_id)
+
+    return handle

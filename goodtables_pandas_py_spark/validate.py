@@ -182,22 +182,39 @@ def validate_table(
     """
     errors = check_header(df.columns, schema, resource)
 
-    wide, checks, typed_names = _compile_table(df, schema, assume_typed)
-    if persist:
-        # parsed projection is re-traversed by (b)/(c)/(d) and by
-        # package-level FK checks — cache it (SURVEY.md §4.3.2);
-        # validate_package unpersists when done, standalone callers
-        # via .parsed.unpersist().
-        wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
+    from .sources import ensure_parallelism
 
-    # --- (b) one wide aggregate: row count + every mask count --------
+    df = ensure_parallelism(df)
+    wide, checks, typed_names = _compile_table(df, schema, assume_typed)
+
+    # --- (b) one pass: mask counts + cache materialization -----------
+    # Observation metrics are computed WHILE rows stream into the
+    # typed-column cache, so parsing + all C1-C6/type-error counting +
+    # cache fill is literally one job over one scan (SURVEY.md §4.3.1;
+    # profiling: persisting mask+raw columns tripled cache-write cost,
+    # so only typed columns are stored and the masks live only inside
+    # the metrics expressions).
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for i, ck in enumerate(checks):
         aggs.append(F.count_if(F.col(ck.mask_col)).alias(f"__c{i}"))
-    row = wide.agg(*aggs).first()
-    n_rows = int(row["__rows"])
+
+    if persist:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        parsed_src = wide.observe(obs, *aggs).select(*typed_names)
+        parsed_src = parsed_src.persist(StorageLevel.MEMORY_AND_DISK)
+        n_rows = parsed_src.count()  # materializes cache + metrics
+        row = obs.get
+        wide_cached = parsed_src
+    else:
+        row = wide.agg(*aggs).first().asDict()
+        n_rows = int(row["__rows"])
+        wide_cached = None
 
     # --- (c) bounded samples for violated checks only ----------------
+    # rare path: recomputes from the source with column pruning (only
+    # the one field's parse survives pruning), LIMIT-bounded.
     for i, ck in enumerate(checks):
         n = int(row[f"__c{i}"])
         if not n:
@@ -221,7 +238,7 @@ def validate_table(
             )
         )
 
-    parsed = wide.select(*typed_names)
+    parsed = wide_cached if wide_cached is not None else wide.select(*typed_names)
 
     # --- (d) key checks over the persisted parsed projection ---------
     for fld in schema.fields:
@@ -243,9 +260,9 @@ def validate_table(
     return TableValidation(
         resource=resource,
         parsed=parsed,
-        row_count=n_rows,
+        row_count=int(n_rows),
         errors=errors,
-        cached=wide if persist else None,
+        cached=wide_cached,
     )
 
 

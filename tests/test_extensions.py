@@ -1,0 +1,220 @@
+"""Extension operator tests (X1-X4): dedup, similarity, text,
+multimodal plumbing (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goodtables_pandas_py_spark.extensions import dedup, multimodal, similarity, text
+
+from .conftest import load
+
+
+# --- text -----------------------------------------------------------------
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("", ), ("  x ",), ("one",)], "t string"
+    )
+    got = [
+        r["n"] for r in df.select(text.token_count(F.col("t")).alias("n")).collect()
+    ]
+    assert got == [3, 0, 1, 1]
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([("it's 42 cats!",)], "t string")
+    n = df.select(text.token_count(F.col("t"), "bpe").alias("n")).first()["n"]
+    # it | 's | ' 42' | ' cats' | '!'
+    assert n == 5
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([("the cat sat on the mat",)], "t string")
+    q = df.select(text.quality_features(F.col("t")).alias("q")).first()["q"]
+    assert q["n_tokens"] == 6
+    assert q["stopword_ratio"] == pytest.approx(3 / 6)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog in that house",),
+            ("el perro y la casa de los gatos",),
+            ("der hund und die katze ist von dem haus",),
+            ("zzz qqq xxx",),
+        ],
+        "t string",
+    )
+    got = [r["l"] for r in df.select(text.lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "es", "de", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("different",)], "t string"
+    )
+    fps = [r["f"] for r in df.select(text.fingerprint_md5(F.col("t")).alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    got = df.select(
+        text.shingles(text.whitespace_tokens(F.col("t")), 3).alias("s")
+    ).collect()
+    assert got[0]["s"] == ["a b c", "b c d"]
+    assert got[1]["s"] == []
+
+
+# --- dedup ----------------------------------------------------------------
+
+
+@pytest.fixture()
+def near_dup_docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    edited = base.replace("gamma", "GAMMA", 1)
+    other = "totally different words nothing shared here at all " * 5
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, other)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark, near_dup_docs):
+    out = dedup.exact_dedup(near_dup_docs, ["text"])
+    assert out.count() == 3  # 1/2 collapse
+    kept = dedup.exact_dedup(near_dup_docs, ["text"], keep="doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 3, 4}  # deterministic keeper: min doc_id
+
+
+def test_minhash_finds_near_dups(spark, near_dup_docs):
+    pairs = dedup.minhash_dedup_pairs(near_dup_docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact copy
+    assert (1, 3) in got or (2, 3) in got  # small edit
+    assert all(4 not in p for p in got)  # unrelated doc never pairs
+
+
+def test_minhash_signatures_match_column_form(spark, near_dup_docs):
+    """The codegen scale path and the Column form must agree."""
+    fast = {
+        r["id"]: r["sig"]
+        for r in dedup.minhash_signatures(near_dup_docs, num_hashes=16).collect()
+    }
+    slow = {
+        r["doc_id"]: r["sig"]
+        for r in near_dup_docs.select(
+            "doc_id",
+            dedup.minhash_signature(F.col("text"), num_hashes=16).alias("sig"),
+        ).collect()
+    }
+    assert fast == slow
+
+
+def test_simhash_fingerprints_match_column_form(spark, near_dup_docs):
+    fast = {r["id"]: r["fp"] for r in dedup.simhash_fingerprints(near_dup_docs).collect()}
+    slow = {
+        r["doc_id"]: r["fp"]
+        for r in near_dup_docs.select(
+            "doc_id", dedup.simhash64(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fast == slow
+
+
+def test_simhash_near_dup_distance(spark, near_dup_docs):
+    cands = dedup.simhash_candidates(near_dup_docs, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in cands.collect()}
+    assert got[(1, 2)] == 0  # identical docs, identical fingerprint
+    assert (1, 4) not in got
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame([("a b c d e", "a b c d x")], "x string, y string")
+    jac = df.select(
+        dedup.ngram_jaccard(
+            text.whitespace_tokens(F.col("x")),
+            text.whitespace_tokens(F.col("y")),
+            3,
+        ).alias("j")
+    ).first()["j"]
+    # shingles x: {abc,bcd,cde}, y: {abc,bcd,cdx} -> 2/4
+    assert jac == pytest.approx(0.5)
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_near_dups(df, threshold=0.99, num_planes=8)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+# --- similarity -----------------------------------------------------------
+
+
+def test_cosine_topk_exact(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id = 0").first()["embedding"]
+    top = similarity.cosine_topk(emb, [float(x) for x in q], k=3).collect()
+    assert top[0]["vec_id"] == 0
+    assert top[0]["cosine"] == pytest.approx(1.0)
+    # descending
+    assert top[0]["cosine"] >= top[1]["cosine"] >= top[2]["cosine"]
+
+
+def test_ann_topk_contains_self(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id = 0").first()["embedding"]
+    got = [r["vec_id"] for r in similarity.ann_topk(emb, [float(x) for x in q], k=3).collect()]
+    assert got[0] == 0  # query bucket always contains the query itself
+
+
+def test_similarity_join_topk_per_left(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(50)
+    out = similarity.similarity_join(emb, emb, k=2)
+    counts = out.groupBy("left_id").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+
+
+def test_dot_and_norm(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [1.0, 0.0])], "a array<double>, b array<double>")
+    r = df.select(
+        similarity.dot(F.col("a"), F.col("b")).alias("d"),
+        similarity.norm(F.col("a")).alias("n"),
+        similarity.cosine(F.col("a"), F.col("a")).alias("c"),
+    ).first()
+    assert r["d"] == 3.0 and r["n"] == 5.0 and r["c"] == pytest.approx(1.0)
+
+
+# --- multimodal -----------------------------------------------------------
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.demo_media_df(spark, n=16)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 16
+    assert all(r["decode_ok"] for r in rows)
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in rows)
+    # deterministic: same blob -> same feature
+    again = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media).collect()}
+    assert again == {r["media_id"]: r["feature"] for r in rows}
+
+
+def test_multimodal_stub_decoder_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"bytes")
+
+
+def test_multimodal_metadata(spark):
+    media = multimodal.attach_media_metadata(multimodal.demo_media_df(spark, n=4))
+    r = media.first()
+    assert r["media_meta"]["n_bytes"] == len(r["blob"])
