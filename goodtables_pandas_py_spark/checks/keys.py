@@ -64,36 +64,75 @@ def duplicate_keys_df(df: DataFrame, key: list[str]) -> DataFrame:
 
 
 def _dup_count_and_sample(dups: DataFrame, key: list[str]) -> tuple[int, list]:
-    """Exact extra-row count + bounded sample. The sample is a second
-    LIMIT job (early-terminating scan) fired only when violations
-    exist, never an unbounded collect (SURVEY.md §4.4)."""
-    extra = dups.select(
-        F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("extra")
-    ).first()["extra"]
-    sample: list = []
-    if extra:
-        sample = [
-            tuple(r[c] for c in key) for r in dups.limit(VALUE_SAMPLE_CAP).collect()
-        ]
-    return int(extra), sample
+    """Exact extra-row count + bounded sample from ONE shuffle: the
+    violating groups (usually tiny — violations only) are persisted, so
+    the count aggregate pays the groupBy shuffle once and the sample is
+    a cache read, never a second shuffle or an unbounded collect
+    (SURVEY.md §4.4). Worst case (everything duplicated) the persist
+    spills to disk rather than recomputing."""
+    dups = dups.persist()
+    try:
+        extra = dups.select(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("extra")
+        ).first()["extra"]
+        sample: list = []
+        if extra:
+            sample = [
+                tuple(r[c] for c in key)
+                for r in dups.limit(VALUE_SAMPLE_CAP).collect()
+            ]
+        return int(extra), sample
+    finally:
+        dups.unpersist()
 
 
 def check_primary_key(df: DataFrame, key: list[str]) -> KeyCheckResult:
     """K1 ([R check.py::check_primary_key]): components non-null AND
     tuple unique. Returns combined violation count (null rows + extra
-    duplicate rows)."""
+    duplicate rows).
+
+    One action, one shuffle: group on (any-null?, key tuple) and fold
+    null-row and duplicate counts out of the grouped result in the same
+    job (vs the naive two passes — a scan-count for nulls plus a
+    groupBy for dups)."""
     null_mask = None
     for c in key:
         m = F.col(c).isNull()
         null_mask = m if null_mask is None else (null_mask | m)
-    nulls = df.select(F.count_if(null_mask).alias("n")).first()["n"]
 
-    extra, sample = _dup_count_and_sample(
-        duplicate_keys_df(df.where(~null_mask), key), key
+    viol = (
+        df.groupBy(null_mask.alias("__isnull"), *_tuple_col(df, key))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("__isnull") | (F.col("n") > 1))
+        .persist()  # violations only — tiny; sample is then a cache read
     )
-    return KeyCheckResult(
-        code="primary-key-constraint", count=int(nulls) + extra, values=sample
-    )
+    try:
+        row = viol.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__isnull"), F.col("n")).otherwise(F.lit(0))),
+                F.lit(0),
+            ).alias("nulls"),
+            F.coalesce(
+                F.sum(
+                    F.when(~F.col("__isnull"), F.greatest(F.col("n") - 1, F.lit(0)))
+                ),
+                F.lit(0),
+            ).alias("extra"),
+        ).first()
+        nulls, extra = int(row["nulls"]), int(row["extra"])
+
+        sample: list = []
+        if extra:
+            dups = viol.where(~F.col("__isnull") & (F.col("n") > 1))
+            sample = [
+                tuple(r[c] for c in key)
+                for r in dups.limit(VALUE_SAMPLE_CAP).collect()
+            ]
+        return KeyCheckResult(
+            code="primary-key-constraint", count=nulls + extra, values=sample
+        )
+    finally:
+        viol.unpersist()
 
 
 def check_unique_key(df: DataFrame, key: list[str]) -> KeyCheckResult:
@@ -146,12 +185,15 @@ def check_foreign_key(
 ) -> KeyCheckResult:
     viol = foreign_key_violations_df(
         child, child_fields, parent, parent_fields, broadcast_parent
-    )
-    n = viol.count()
-    sample: list = []
-    if n:
-        sample = [
-            tuple(r[c] for c in child_fields)
-            for r in viol.limit(VALUE_SAMPLE_CAP).collect()
-        ]
-    return KeyCheckResult(code="foreign-key-error", count=int(n), values=sample)
+    ).persist()  # violating tuples only; sample reads the cache
+    try:
+        n = viol.count()
+        sample: list = []
+        if n:
+            sample = [
+                tuple(r[c] for c in child_fields)
+                for r in viol.limit(VALUE_SAMPLE_CAP).collect()
+            ]
+        return KeyCheckResult(code="foreign-key-error", count=int(n), values=sample)
+    finally:
+        viol.unpersist()

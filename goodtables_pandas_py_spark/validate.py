@@ -16,6 +16,7 @@ The IR *is* the Catalyst logical plan; no custom IR (SURVEY.md §3).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,7 +29,7 @@ from .checks.keys import check_foreign_key, check_primary_key, check_unique_key
 from .errors import VALUE_SAMPLE_CAP, Error
 from .parsers import apply_missing_values, parse_field
 from .schema import Package, TableSchema, load_package
-from .sources import read_resource, stringly
+from .sources import ensure_parallelism, read_resource, stringly
 
 
 @dataclass
@@ -41,6 +42,13 @@ class _CompiledCheck:
     constraint: object
     mask_col: str  # name of the boolean mask column in the wide DF
     report_col: str  # column to sample offending values from
+    cname: str | None = None  # constraint name ('minimum', 'enum', …)
+    #: sample source for the violation values:
+    #:   'none'   — values are definitionally null (required): no job
+    #:   'cached' — mask/report rebuild from the cached TYPED columns
+    #:              (cheap: no re-parse)
+    #:   'raw'    — needs the lexical column: re-read + re-parse source
+    sample_from: str = "raw"
 
 
 @dataclass
@@ -153,6 +161,16 @@ def _compile_table(
             select_cols.append(cc.mask.alias(mask_name))
             rep_name = f"__rep__{fld.name}__{cc.constraint}"
             select_cols.append(cc.report_col.alias(rep_name))
+            if cc.constraint == "required":
+                sample_from = "none"  # violating values are null
+            elif cc.constraint in (
+                "minLength", "maxLength", "minimum", "maximum", "enum",
+            ):
+                # mask depends only on the parsed value → rebuild from
+                # the cached typed column (no source re-parse)
+                sample_from = "cached"
+            else:  # pattern (lexical) — needs the raw column
+                sample_from = "raw"
             checks.append(
                 _CompiledCheck(
                     kind="constraint",
@@ -161,6 +179,8 @@ def _compile_table(
                     constraint=cc.constraint_value,
                     mask_col=mask_name,
                     report_col=rep_name,
+                    cname=cc.constraint,
+                    sample_from=sample_from,
                 )
             )
 
@@ -181,8 +201,6 @@ def validate_table(
     parquet path); otherwise every column must be a string column.
     """
     errors = check_header(df.columns, schema, resource)
-
-    from .sources import ensure_parallelism
 
     df = ensure_parallelism(df)
     wide, checks, typed_names = _compile_table(df, schema, assume_typed)
@@ -213,26 +231,46 @@ def validate_table(
         wide_cached = None
 
     # --- (c) bounded samples for violated checks only ----------------
-    # rare path: recomputes from the source with column pruning (only
-    # the one field's parse survives pruning), LIMIT-bounded.
+    # cheapest source that can produce the offending values:
+    #   required     → no job (violating values are null by definition)
+    #   typed-only   → rebuild mask on the CACHED typed columns
+    #   lexical/type → recompute from the source with column pruning
+    #                  (only the one field's parse survives pruning)
+    fields_by_name = {f.name: f for f in schema.fields}
     for i, ck in enumerate(checks):
         n = int(row[f"__c{i}"])
         if not n:
             continue
-        sample_rows = (
-            wide.where(F.col(ck.mask_col))
-            .select(F.col(ck.report_col).cast(T.StringType()).alias("v"))
-            .distinct()
-            .limit(VALUE_SAMPLE_CAP)
-            .collect()
-        )
+        if ck.sample_from == "none":
+            values: list = [None]
+        else:
+            if ck.sample_from == "cached" and wide_cached is not None:
+                fld = fields_by_name[ck.field]
+                cc = next(
+                    c
+                    for c in compile_constraints(fld, F.col(ck.field), None)
+                    if c.constraint == ck.cname
+                )
+                src, mask, rep = wide_cached, cc.mask, cc.report_col
+            else:
+                src = wide
+                mask = F.col(ck.mask_col)
+                rep = F.col(ck.report_col)
+            values = [
+                r["v"]
+                for r in src.where(mask)
+                .select(rep.cast(T.StringType()).alias("v"))
+                .distinct()
+                .limit(VALUE_SAMPLE_CAP)
+                .collect()
+            ]
         errors.append(
             Error(
                 code=ck.code,
                 resource=resource,
                 field=ck.field,
                 constraint=ck.constraint if ck.kind == "constraint" else None,
-                values=[r["v"] for r in sample_rows],
+                values=values,
                 count=n,
                 message=f"{ck.code} on {ck.field}: {n} rows",
             )
@@ -280,20 +318,41 @@ def validate_package(
     package = source if isinstance(source, Package) else load_package(source)
 
     validations: dict[str, TableValidation] = {}
+    pending: list[tuple[str, DataFrame, TableSchema]] = []
     for res in package.resources:
         if dataframes and res.name in dataframes:
             df = dataframes[res.name]
         else:
             df = read_resource(spark, res)
             if assume_typed is False and res.format == "parquet":
-                df = stringly(df)
+                # widen BEFORE the lexical cast: the string render is
+                # the expensive step, so it must run at full session
+                # parallelism, and the shuffle moves compact typed rows
+                # instead of their (fatter) string forms (~2x on
+                # under-split inputs; no-op at real scale)
+                df = stringly(ensure_parallelism(df))
         if res.schema is None:
             continue
-        validations[res.name] = validate_table(
-            df, res.schema, resource=res.name, assume_typed=assume_typed
-        )
+        pending.append((res.name, df, res.schema))
+
+    # independent resources validate concurrently: each thread only
+    # *submits* Spark jobs (job scheduling is thread-safe), so table
+    # B's scan overlaps table A's aggregate instead of idling the
+    # executors between sequential driver round-trips
+    with ThreadPoolExecutor(max_workers=max(1, min(8, len(pending)))) as pool:
+        futs = {
+            name: pool.submit(
+                validate_table, df, schema, resource=name, assume_typed=assume_typed
+            )
+            for name, df, schema in pending
+        }
+        for name, fut in futs.items():
+            validations[name] = fut.result()
 
     # --- K3: foreign keys (cross-resource + self-referencing) --------
+    # independent anti-joins: submit concurrently (same rationale as
+    # the per-table pool above)
+    fk_tasks = []
     for res in package.resources:
         if res.schema is None:
             continue
@@ -313,13 +372,31 @@ def validate_package(
                     )
                 )
                 continue
-            result = check_foreign_key(
-                child_v.parsed, fk.fields, parent_v.parsed, fk.reference_fields
-            )
-            if not result.ok:
-                err = result.to_error(res.name, fk.fields, "foreignKey")
-                err.message += f" (reference: {parent_name})"
-                child_v.errors.append(err)
+            fk_tasks.append((res.name, child_v, fk, parent_name, parent_v))
+    if fk_tasks:
+        with ThreadPoolExecutor(max_workers=max(1, min(8, len(fk_tasks)))) as pool:
+            futs = [
+                (
+                    name,
+                    child_v,
+                    fk,
+                    parent_name,
+                    pool.submit(
+                        check_foreign_key,
+                        child_v.parsed,
+                        fk.fields,
+                        parent_v.parsed,
+                        fk.reference_fields,
+                    ),
+                )
+                for name, child_v, fk, parent_name, parent_v in fk_tasks
+            ]
+            for name, child_v, fk, parent_name, fut in futs:
+                result = fut.result()
+                if not result.ok:
+                    err = result.to_error(name, fk.fields, "foreignKey")
+                    err.message += f" (reference: {parent_name})"
+                    child_v.errors.append(err)
 
     report = assemble_report(validations)
     for v in validations.values():
