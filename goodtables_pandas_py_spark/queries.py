@@ -1019,3 +1019,104 @@ def _x5s(spark, sf_dir):
         F.count(F.lit(1)).cast(_BIG).alias("n_sessions"),
         F.sum("n").cast(_BIG).alias("n_events"),
     )
+
+
+# ===================== P1/P21: trivial parsers ============================
+
+
+@q(
+    "p1_parse_string",
+    "SELECT count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct FROM customer",
+)
+def _p1(spark, sf_dir):
+    """P1 string default parse = identity ([R parse.py::parse_string];
+    SURVEY.md §2.3): never errors, value preserved."""
+    c = t(spark, sf_dir, "customer")
+    pf = parse_field(F.col("c_name"), Field("v", type="string"))
+    return c.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.count_if(F.col("b")).alias("n_bad"),
+        F.count_distinct(F.col("p")).cast(_BIG).alias("n_distinct"),
+    )
+
+
+@q(
+    "p21_parse_any",
+    "SELECT count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(count(p_type) AS BIGINT) AS n_vals FROM part",
+)
+def _p21(spark, sf_dir):
+    """P21 `any` passthrough ([R parse.py::parse_field]; SURVEY.md
+    §2.3): no validation, no errors, lexical value kept."""
+    p = t(spark, sf_dir, "part")
+    pf = parse_field(F.col("p_type"), Field("v", type="any"))
+    return p.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+        F.count_if(F.col("b")).alias("n_bad"),
+        F.count(F.col("p")).cast(_BIG).alias("n_vals"),
+    )
+
+
+# ===================== X6: multimodal columns =============================
+
+
+@q(
+    "x6_media_features",
+    "SELECT CAST(doc_id AS BIGINT) AS media_id,"
+    " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
+    " 16 AS feature_dim, TRUE AS decode_ok FROM documents",
+)
+def _x6(spark, sf_dir):
+    """X-multimodal (SURVEY.md §2.1 S5): opaque binary column + typed
+    metadata + Arrow-batched mapInPandas feature extraction. Blobs are
+    the utf-8 bytes of documents.text (deterministic stand-in — real
+    image/audio decode is stubbed, extensions/multimodal.py). The
+    oracle independently checks the metadata path (byte length) and
+    the batch contract (fixed feature_dim, decode_ok)."""
+    from .extensions import multimodal as xmulti
+
+    d = t(spark, sf_dir, "documents", wide=True)
+    media = xmulti.attach_media_metadata(
+        d.select(
+            F.col("doc_id").cast(_BIG).alias("media_id"),
+            F.encode("text", "UTF-8").alias("blob"),
+        )
+    )
+    feats = xmulti.extract_features(media)
+    meta = media.select("media_id", F.col("media_meta.n_bytes").alias("n_bytes"))
+    return feats.join(meta, "media_id").select(
+        "media_id",
+        "n_bytes",
+        F.size("feature").alias("feature_dim"),
+        "decode_ok",
+    )
+
+
+@q(
+    "x6_frame_sample",
+    "SELECT CAST(doc_id AS BIGINT) AS media_id,"
+    " unnest(generate_series(0, CAST(n_chars AS BIGINT), 500)) AS frame_ts_ms"
+    " FROM documents",
+)
+def _x6f(spark, sf_dir):
+    """X-multimodal frame-sampling plan: sequence+explode expands each
+    media row into per-frame work items JVM-side, so a video decoder
+    only ever sees (media_id, frame_ts) tasks — the shuffle unit is a
+    frame, not a blob (extensions/multimodal.py::frame_sample_plan).
+    duration_ms is faked as n_chars (no media libs in container)."""
+    from .extensions import multimodal as xmulti
+
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast(_BIG).alias("media_id"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("n_chars").cast(_BIG).alias("duration_ms"),
+            F.col("n_chars").cast(_BIG).alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+    return xmulti.frame_sample_plan(media, every_ms=500).select(
+        "media_id", F.col("frame_ts_ms").cast(_BIG).alias("frame_ts_ms")
+    )
