@@ -130,3 +130,53 @@ def test_stream_fk_foreach_batch(spark, event_stream_dir):
     q.awaitTermination(120)
     # users 5 and 6 missing from parent
     assert sorted(set(seen)) == [5, 6]
+
+
+def test_stateful_dedup_counts_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key state must survive micro-batch
+    boundaries — two parquet files processed as TWO micro-batches
+    (maxFilesPerTrigger=1), duplicate keys spanning both."""
+    d = str(tmp_path / "dup-stream")
+    # batch 1: ids a,a,b   batch 2: ids a,c,c,c
+    spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "k string"
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(
+        [("a",), ("c",), ("c",), ("c",)], "k string"
+    ).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = xstream.dedup_counts_stream(stream, "k")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("dedup_state").collect()
+
+    # update-mode sink appends one row per (key, batch) it appeared in;
+    # the LAST row per key carries the lifetime totals
+    last = {}
+    for r in rows:
+        last[r["key"]] = (r["total_seen"], r["n_new"], r["n_dup"])
+    totals = {k: v[0] for k, v in last.items()}
+    assert totals == {"a": 3, "b": 1, "c": 3}
+    # n_new only fires in the key's FIRST batch
+    news = {}
+    for r in rows:
+        news[r["key"]] = news.get(r["key"], 0) + r["n_new"]
+    assert news == {"a": 1, "b": 1, "c": 1}
+    # per-key suppressed duplicates across the whole stream
+    dups = {}
+    for r in rows:
+        dups[r["key"]] = dups.get(r["key"], 0) + r["n_dup"]
+    assert dups == {"a": 2, "b": 0, "c": 2}
+    # state really crossed batches: key 'a' appears in 2 output rows
+    assert sum(1 for r in rows if r["key"] == "a") == 2
