@@ -67,6 +67,13 @@ class TableValidation:
     def valid(self) -> bool:
         return not self.errors
 
+    def key_view(self, cols: list[str]) -> DataFrame:
+        """Cheapest DataFrame containing ``cols`` (cache when it
+        covers them, else the recomputing typed projection)."""
+        if self.cached is not None and set(cols) <= set(self.cached.columns):
+            return self.cached
+        return self.parsed
+
     def unpersist(self) -> None:
         if self.cached is not None:
             self.cached.unpersist()
@@ -193,12 +200,20 @@ def validate_table(
     resource: str = "",
     assume_typed: bool = False,
     persist: bool = True,
+    cache_cols: list[str] | None = None,
 ) -> TableValidation:
     """Validate one table (header + parse + constraints + PK/unique
     keys). FK checks live at package level (they need sibling tables).
 
     ``assume_typed=True`` skips parsing (columns already typed —
     parquet path); otherwise every column must be a string column.
+
+    ``cache_cols`` restricts the persisted projection to the columns
+    downstream jobs actually re-traverse (key/FK fields — computed by
+    ``validate_package``). Cache bytes then scale with the KEYS, not
+    the full row width — the difference between caching 2 columns and
+    2000 at 100 TB. ``None`` caches every typed column (standalone
+    callers who go on to use ``.parsed``).
     """
     errors = check_header(df.columns, schema, resource)
 
@@ -207,24 +222,30 @@ def validate_table(
 
     # --- (b) one pass: mask counts + cache materialization -----------
     # Observation metrics are computed WHILE rows stream into the
-    # typed-column cache, so parsing + all C1-C6/type-error counting +
-    # cache fill is literally one job over one scan (SURVEY.md §4.3.1;
-    # profiling: persisting mask+raw columns tripled cache-write cost,
-    # so only typed columns are stored and the masks live only inside
-    # the metrics expressions).
+    # cache, so parsing + all C1-C6/type-error counting + cache fill is
+    # literally one job over one scan (SURVEY.md §4.3.1; profiling:
+    # persisting mask+raw columns tripled cache-write cost, so masks
+    # live only inside the metrics expressions).
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for i, ck in enumerate(checks):
         aggs.append(F.count_if(F.col(ck.mask_col)).alias(f"__c{i}"))
 
-    if persist:
+    cache_sel = [
+        c
+        for c in (typed_names if cache_cols is None else cache_cols)
+        if c in typed_names
+    ]
+    if persist and cache_sel:
         from pyspark.sql import Observation
 
         obs = Observation()
-        parsed_src = wide.observe(obs, *aggs).select(*typed_names)
-        parsed_src = parsed_src.persist(StorageLevel.MEMORY_AND_DISK)
-        n_rows = parsed_src.count()  # materializes cache + metrics
+        wide_cached = (
+            wide.observe(obs, *aggs)
+            .select(*cache_sel)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_rows = wide_cached.count()  # materializes cache + metrics
         row = obs.get
-        wide_cached = parsed_src
     else:
         row = wide.agg(*aggs).first().asDict()
         n_rows = int(row["__rows"])
@@ -244,7 +265,11 @@ def validate_table(
         if ck.sample_from == "none":
             values: list = [None]
         else:
-            if ck.sample_from == "cached" and wide_cached is not None:
+            if (
+                ck.sample_from == "cached"
+                and wide_cached is not None
+                and ck.field in wide_cached.columns
+            ):
                 fld = fields_by_name[ck.field]
                 cc = next(
                     c
@@ -276,22 +301,32 @@ def validate_table(
             )
         )
 
-    parsed = wide_cached if wide_cached is not None else wide.select(*typed_names)
+    if wide_cached is not None and set(typed_names) <= set(wide_cached.columns):
+        parsed = wide_cached
+    else:
+        parsed = wide.select(*typed_names)
 
-    # --- (d) key checks over the persisted parsed projection ---------
+    def key_view(cols: list[str]) -> DataFrame:
+        """Cheapest DataFrame containing ``cols``: the (narrow) cache
+        when it covers them, else the recomputing projection."""
+        if wide_cached is not None and set(cols) <= set(wide_cached.columns):
+            return wide_cached
+        return parsed
+
+    # --- (d) key checks over the persisted key projection ------------
     for fld in schema.fields:
         if fld.constraints.get("unique") and fld.name in typed_names:
-            res = check_unique_key(parsed, [fld.name])
+            res = check_unique_key(key_view([fld.name]), [fld.name])
             if not res.ok:
                 err = res.to_error(resource, [fld.name], "unique")
                 err.code = "unique-constraint"  # field-level C2 code
                 errors.append(err)
     if schema.primary_key:
-        res = check_primary_key(parsed, schema.primary_key)
+        res = check_primary_key(key_view(schema.primary_key), schema.primary_key)
         if not res.ok:
             errors.append(res.to_error(resource, schema.primary_key, "primaryKey"))
     for key in schema.unique_keys:
-        res = check_unique_key(parsed, key)
+        res = check_unique_key(key_view(key), key)
         if not res.ok:
             errors.append(res.to_error(resource, key, "uniqueKeys"))
 
@@ -316,6 +351,25 @@ def validate_package(
     parquet/testdata path.
     """
     package = source if isinstance(source, Package) else load_package(source)
+
+    # columns each resource's cache must hold = everything re-traversed
+    # after the single validation scan: PK/unique keys, own FK child
+    # fields, and fields OTHER resources' FKs reference here
+    cache_need: dict[str, set[str]] = {}
+    for res in package.resources:
+        if res.schema is None:
+            continue
+        need = cache_need.setdefault(res.name, set())
+        need.update(res.schema.primary_key or [])
+        for key in res.schema.unique_keys:
+            need.update(key)
+        for fld in res.schema.fields:
+            if fld.constraints.get("unique"):
+                need.add(fld.name)
+        for fk in res.schema.foreign_keys:
+            need.update(fk.fields)
+            parent = fk.reference_resource or res.name
+            cache_need.setdefault(parent, set()).update(fk.reference_fields)
 
     validations: dict[str, TableValidation] = {}
     pending: list[tuple[str, DataFrame, TableSchema]] = []
@@ -342,7 +396,12 @@ def validate_package(
     with ThreadPoolExecutor(max_workers=max(1, min(8, len(pending)))) as pool:
         futs = {
             name: pool.submit(
-                validate_table, df, schema, resource=name, assume_typed=assume_typed
+                validate_table,
+                df,
+                schema,
+                resource=name,
+                assume_typed=assume_typed,
+                cache_cols=sorted(cache_need.get(name, set())),
             )
             for name, df, schema in pending
         }
@@ -383,9 +442,9 @@ def validate_package(
                     parent_name,
                     pool.submit(
                         check_foreign_key,
-                        child_v.parsed,
+                        child_v.key_view(fk.fields),
                         fk.fields,
-                        parent_v.parsed,
+                        parent_v.key_view(fk.reference_fields),
                         fk.reference_fields,
                     ),
                 )
