@@ -1120,3 +1120,32 @@ def _x6f(spark, sf_dir):
     return xmulti.frame_sample_plan(media, every_ms=500).select(
         "media_id", F.col("frame_ts_ms").cast(_BIG).alias("frame_ts_ms")
     )
+
+
+# ===================== A4: profiling aggregates ===========================
+
+
+@q(
+    "a4_profile_rollup",
+    "SELECT coalesce(l_returnflag, '<all>') AS returnflag,"
+    " coalesce(l_linestatus, '<all>') AS linestatus,"
+    " CAST(count(*) AS BIGINT) AS n,"
+    " CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders"
+    " FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+def _a4(spark, sf_dir):
+    """A4 (SURVEY.md §2.6): hierarchical profiling via rollup —
+    grouping-set aggregation with an exact distinct (both engines
+    compute rollup levels natively; map-side partial agg + single
+    shuffle). The approx variant (approx_count_distinct/HLL) is the
+    100 TB path but is not oracle-comparable across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n"),
+        F.count_distinct(F.col("l_orderkey")).cast(_BIG).alias("n_orders"),
+    ).select(
+        F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+        "n",
+        "n_orders",
+    )

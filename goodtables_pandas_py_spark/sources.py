@@ -70,12 +70,8 @@ def read_resource(spark: SparkSession, resource: Resource) -> DataFrame:
     if fmt == "parquet":
         return read_parquet(spark, resource.path)
     if fmt == "csv":
-        names = (
-            resource.schema.field_names
-            if resource.schema and resource.schema.fields
-            else None
-        )
-        # do NOT pin names: header mismatches must be observed (H1)
+        # do NOT pin schema field names: header mismatches must be
+        # observed by H1, so the file's own header drives the columns
         return read_csv_stringly(
             spark, resource.path, resource.dialect, resource.encoding
         )
