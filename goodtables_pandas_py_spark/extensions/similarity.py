@@ -167,3 +167,92 @@ def similarity_join(
         .where(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+# --- IVF (inverted-file) ANN ----------------------------------------------
+
+
+def _centroid_rows(df: DataFrame, vec_col: str, nlist: int, refine: int = 1):
+    """Coarse quantizer centroids: deterministic hash-sample seed +
+    ``refine`` Lloyd iterations, all as DataFrame jobs (posexplode →
+    per-dimension mean). Only the nlist×dim centroid matrix is ever
+    collected — the training data never moves to the driver."""
+    seed_rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(vec_col).cast("array<string>")).alias("h"))
+        .orderBy("h")
+        .limit(nlist)
+        .select(F.monotonically_increasing_id().alias("cid"), "v")
+    )
+    cents = [list(r["v"]) for r in seed_rows.collect()]
+    for _ in range(refine):
+        assigned = df.select(
+            F.col(vec_col).alias("v"), _nearest_cid(F.col(vec_col), cents).alias("cid")
+        )
+        new = (
+            assigned.select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform(F.col("pm"), lambda s: s["m"]).alias("v"))
+        )
+        got = {int(r["cid"]): list(r["v"]) for r in new.collect()}
+        cents = [got.get(i, c) for i, c in enumerate(cents)]
+    return cents
+
+
+def _nearest_cid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_c ||v - c||² as a literal-folded expression: one struct
+    per centroid (distance, cid), array_min picks the closest — all
+    inside codegen, centroids behave like a broadcast."""
+    v = vec.cast("array<double>")
+    scored = []
+    for cid, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*scored))["cid"]
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    refine: int = 1,
+) -> tuple[DataFrame, list[list[float]]]:
+    """(df + ``ivf_cid`` column, centroids). At 100 TB the assignment
+    is computed once and the table is written partitioned/bucketed by
+    ``ivf_cid`` so probes become partition pruning."""
+    cents = _centroid_rows(df, vec_col, nlist, refine)
+    return df.withColumn("ivf_cid", _nearest_cid(F.col(vec_col), cents)), cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    refine: int = 1,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine restricted to the ``nprobe``
+    inverted lists nearest the query. Complements ``ann_topk`` (LSH):
+    IVF adapts to the data distribution, LSH is data-independent."""
+    assigned, cents = ivf_assign(df, vec_col, nlist, refine)
+    qd = [
+        (sum((q - c) ** 2 for q, c in zip(query, cent)), cid)
+        for cid, cent in enumerate(cents)
+    ]
+    probes = [cid for _, cid in sorted(qd)[:nprobe]]
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    scored = assigned.where(F.col("ivf_cid").isin(probes)).select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), qlit).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

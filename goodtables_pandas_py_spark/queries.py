@@ -961,6 +961,20 @@ def _x3ann(spark, sf_dir):
     )
 
 
+@q("x3_ivf_topk", None)  # approximate by construction — rows-only
+def _x3ivf(spark, sf_dir):
+    """X3c: IVF ANN — exact cosine restricted to nprobe inverted
+    lists (extensions/similarity.py::ivf_topk); the data-adaptive
+    complement to the data-independent LSH path."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = xsim.ivf_topk(e, [float(x) for x in qv], k=10)
+    return top.select(
+        F.col("vec_id").cast(_BIG).alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 @q("x3_embedding_near_dups", None)  # LSH recall — rows-only
 def _x3nd(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")

@@ -218,3 +218,32 @@ def test_multimodal_metadata(spark):
     media = multimodal.attach_media_metadata(multimodal.demo_media_df(spark, n=4))
     r = media.first()
     assert r["media_meta"]["n_bytes"] == len(r["blob"])
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with full probe coverage must equal brute force; with
+    partial probes it must keep most of the true top-k (recall)."""
+    import numpy as np
+    from goodtables_pandas_py_spark.extensions import similarity as xsim
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((200, 16)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in vecs[3]]
+    exact = [r["vec_id"] for r in xsim.cosine_topk(df, q, k=10).collect()]
+    # all lists probed -> identical to brute force
+    full = [
+        r["vec_id"]
+        for r in xsim.ivf_topk(df, q, k=10, nlist=8, nprobe=8).collect()
+    ]
+    assert full == exact
+    # partial probes -> the query's own vector still found, recall ≥ 50%
+    part = [
+        r["vec_id"]
+        for r in xsim.ivf_topk(df, q, k=10, nlist=8, nprobe=3).collect()
+    ]
+    assert 3 in part
+    assert len(set(part) & set(exact)) >= 5

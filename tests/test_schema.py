@@ -81,3 +81,52 @@ def test_strptime_guard():
 
     assert re.match(g, "01/02/2024")
     assert not re.match(g, "1/2/2024")
+
+
+def test_infer_schema_from_strings(spark):
+    from goodtables_pandas_py_spark.inference import infer_schema
+
+    rows = [
+        ("1", "2.5", "true", "2024-01-02", "2024-01-02T10:00:00", "hello", ""),
+        ("2", "3.25", "false", "2023-12-31", "2023-12-31T23:59:59", "world", "x"),
+        ("3", "-1", "True", "2020-02-29", "2020-02-29T00:00:01", "!", "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "i string, n string, b string, d string, dt string, s string, m string"
+    )
+    schema = infer_schema(df)
+    types = {f.name: f.type for f in schema.fields}
+    assert types == {
+        "i": "integer",
+        "n": "number",
+        "b": "boolean",
+        "d": "date",
+        "dt": "datetime",
+        "s": "string",
+        "m": "string",
+    }
+
+
+def test_infer_schema_all_missing_column(spark):
+    from goodtables_pandas_py_spark.inference import infer_schema
+
+    df = spark.createDataFrame([("", "1")], "empty string, ok string")
+    schema = infer_schema(df)
+    types = {f.name: f.type for f in schema.fields}
+    # all-missing column cannot be typed -> string fallback
+    assert types == {"empty": "string", "ok": "integer"}
+
+
+def test_infer_then_validate_roundtrip(spark):
+    """Inferred schema must validate its own source cleanly."""
+    from goodtables_pandas_py_spark.inference import infer_schema
+    from goodtables_pandas_py_spark.validate import validate_table
+
+    df = spark.createDataFrame(
+        [("1", "a", "2024-01-01"), ("2", "b", "2024-06-30")],
+        "id string, name string, day string",
+    )
+    schema = infer_schema(df)
+    v = validate_table(df, schema, "t")
+    assert v.valid, [e.to_dict() for e in v.errors]
+    v.unpersist()
