@@ -1,0 +1,125 @@
+"""Property-based parser tests (hypothesis; SURVEY.md §5.2.4):
+round-trips through the lexical form must be lossless, and no input
+may ever crash a parser — failures surface as (parsed=null, bad=true),
+never as exceptions. Examples are batched (one Spark job per
+hypothesis example, each carrying many values)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from goodtables_pandas_py_spark.parsers import parse_field
+from goodtables_pandas_py_spark.schema import Field
+
+FAST = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _parse_batch(spark, values, field):
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    pf = parse_field(F.col("raw"), field, [""])
+    return df.select(
+        F.col("raw"), pf.parsed.alias("p"), pf.bad.alias("b")
+    ).collect()
+
+
+@FAST
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1, max_size=30))
+def test_integer_roundtrip(spark, xs):
+    rows = _parse_batch(spark, [str(x) for x in xs], Field("v", type="integer"))
+    for x, r in zip(xs, rows):
+        assert not r["b"], r
+        assert r["p"] == x
+
+
+@FAST
+@given(st.lists(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    min_size=1, max_size=30))
+def test_number_roundtrip(spark, xs):
+    rows = _parse_batch(spark, [repr(x) for x in xs], Field("v", type="number"))
+    for x, r in zip(xs, rows):
+        assert not r["b"], r
+        assert r["p"] == pytest.approx(x, rel=1e-15, abs=1e-300)
+
+
+@FAST
+@given(st.lists(st.dates(min_value=dt.date(1, 1, 1),
+                         max_value=dt.date(9999, 12, 31)),
+                min_size=1, max_size=30))
+def test_date_roundtrip(spark, ds):
+    rows = _parse_batch(
+        spark, [d.isoformat() for d in ds], Field("v", type="date")
+    )
+    for d, r in zip(ds, rows):
+        assert not r["b"], (d, r)
+        assert r["p"] == d
+
+
+@FAST
+@given(st.lists(st.datetimes(min_value=dt.datetime(1, 1, 1),
+                             max_value=dt.datetime(9999, 12, 31, 23, 59, 59)),
+                min_size=1, max_size=30))
+def test_datetime_roundtrip(spark, ts):
+    rows = _parse_batch(
+        spark,
+        # %Y does not zero-pad years < 1000 on Linux → format manually
+        [f"{x.year:04d}-{x:%m-%dT%H:%M:%S}" for x in ts],
+        Field("v", type="datetime"),
+    )
+    for x, r in zip(ts, rows):
+        assert not r["b"], (x, r)
+        assert r["p"] == x.replace(microsecond=0)
+
+
+#: types whose parsers must never raise on arbitrary text
+_TOTAL_TYPES = [
+    ("integer", "default"), ("number", "default"), ("boolean", "default"),
+    ("date", "default"), ("time", "default"), ("datetime", "default"),
+    ("year", "default"), ("yearmonth", "default"), ("duration", "default"),
+    ("geopoint", "default"), ("object", "default"), ("array", "default"),
+    ("string", "email"), ("string", "uuid"), ("string", "binary"),
+]
+
+
+@FAST
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=20))
+def test_parsers_total_on_arbitrary_text(spark, texts):
+    """No crash on any input; bad ⇔ (raw non-null ∧ parsed null)."""
+    # one fused job across every parser: mirrors the validator's shape
+    df = spark.createDataFrame([(t,) for t in texts], "raw string")
+    cols = []
+    for i, (typ, fmt) in enumerate(_TOTAL_TYPES):
+        pf = parse_field(F.col("raw"), Field("v", type=typ, format=fmt), [""])
+        cols.append(pf.bad.alias(f"b{i}"))
+        cols.append(pf.parsed.isNull().alias(f"n{i}"))
+    rows = df.select(F.col("raw").isNull().alias("rawnull"), *cols).collect()
+    for r in rows:
+        for i in range(len(_TOTAL_TYPES)):
+            if r[f"b{i}"]:
+                assert not r["rawnull"] and r[f"n{i}"]
+
+
+@FAST
+@given(st.lists(st.decimals(min_value=-10**12, max_value=10**12, places=2),
+                min_size=1, max_size=20))
+def test_number_locale_options_roundtrip(spark, xs):
+    """European rendering (groupChar='.', decimalChar=',') parses back
+    exactly under the matching lexical options."""
+    def euro(d):
+        s = f"{d:,.2f}"          # 1,234,567.89
+        return s.replace(",", "#").replace(".", ",").replace("#", ".")
+    fld = Field("v", type="number", group_char=".", decimal_char=",")
+    rows = _parse_batch(spark, [euro(x) for x in xs], fld)
+    for x, r in zip(xs, rows):
+        assert not r["b"], (x, r)
+        assert r["p"] == pytest.approx(float(x))
