@@ -101,3 +101,23 @@ def errors_to_spark_df(spark, errors: list[Error]):
         for e in errors
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def write_report_errors(spark, report: dict, path: str, mode: str = "overwrite") -> None:
+    """S4 audit sink: persist every table's errors as parquet — the
+    scale-safe report artifact (value samples are already capped, so
+    rows are small and bounded by check count, not data size)."""
+    errors = [
+        Error(
+            code=e.get("code", ""),
+            resource=tbl["source"],
+            field=e.get("field"),
+            constraint=None if e.get("constraint") is None else str(e["constraint"]),
+            values=e.get("values", []),
+            count=e.get("count", 0),
+            message=e.get("message", ""),
+        )
+        for tbl in report.get("tables", [])
+        for e in tbl.get("errors", [])
+    ]
+    errors_to_spark_df(spark, errors).write.mode(mode).parquet(path)

@@ -226,6 +226,9 @@ class Resource:
     dialect: Dialect = dc_field(default_factory=Dialect)
     encoding: str = "utf-8"
     format: str | None = None  # csv | parquet | inline
+    #: inline data [SPEC data-package §resource.data]: array of objects
+    #: or array of arrays (first row = header when dialect.header)
+    data: Any = None
 
     @classmethod
     def from_descriptor(cls, d: dict[str, Any], base_dir: str = ".") -> "Resource":
@@ -233,10 +236,16 @@ class Resource:
         if not name:
             raise SchemaError("resource needs a name or path")
         path = d.get("path")
+        data = d.get("data")
+        # no path AND no data is legal at parse time: callers may
+        # supply the DataFrame directly (validate(dataframes=...));
+        # read_resource raises if actually asked to read such a resource
         if path is not None and not _is_url(path):
             path = os.path.join(base_dir, path)
         schema = d.get("schema")
         fmt = d.get("format")
+        if fmt is None and data is not None:
+            fmt = "inline"
         if fmt is None and path:
             ext = os.path.splitext(path)[1].lstrip(".").lower()
             fmt = ext or None
@@ -247,6 +256,7 @@ class Resource:
             dialect=Dialect.from_descriptor(d.get("dialect", {})),
             encoding=d.get("encoding", "utf-8"),
             format=fmt,
+            data=data,
         )
 
 

@@ -49,6 +49,10 @@ def read_csv_stringly(
         reader = reader.option("escape", '"')
     if d.skip_initial_space:
         reader = reader.option("ignoreLeadingWhiteSpace", True)
+    if d.line_terminator not in ("\r\n", "\n", "\r"):
+        # Spark auto-detects the standard terminators; only exotic
+        # single-char terminators need an explicit lineSep
+        reader = reader.option("lineSep", d.line_terminator[:1])
     if column_names is not None:
         schema = T.StructType([T.StructField(c, T.StringType()) for c in column_names])
         return reader.schema(schema).csv(path)
@@ -63,7 +67,46 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_inline(spark: SparkSession, resource: Resource) -> DataFrame:
+    """Inline ``data`` resources [SPEC data-package §resource.data]:
+    array of objects, or array of arrays whose first row is the header
+    (when dialect.header). Rendered all-string like the CSV path so
+    the identical parse pipeline applies. Inline data is descriptor-
+    sized by definition — driver-side construction is correct here."""
+    data = resource.data
+    if not isinstance(data, list) or not data:
+        raise ValueError(f"resource {resource.name!r}: inline data must be a non-empty list")
+    if isinstance(data[0], dict):
+        columns: list[str] = []
+        for row in data:
+            for k in row:
+                if k not in columns:
+                    columns.append(k)
+        rows = [tuple(_lex(row.get(c)) for c in columns) for row in data]
+    else:
+        if resource.dialect.header:
+            columns = [str(c) for c in data[0]]
+            body = data[1:]
+        else:
+            columns = [f"field{i + 1}" for i in range(len(data[0]))]
+            body = data
+        rows = [tuple(_lex(v) for v in row) for row in body]
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
+    return spark.createDataFrame(rows, schema)
+
+
+def _lex(v) -> str | None:
+    """Lexical render of an inline value (JSON-ish scalars)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def read_resource(spark: SparkSession, resource: Resource) -> DataFrame:
+    if resource.data is not None:
+        return read_inline(spark, resource)
     if resource.path is None:
         raise ValueError(f"resource {resource.name!r} has no path")
     fmt = (resource.format or "csv").lower()
@@ -110,3 +153,28 @@ def stringly(df: DataFrame) -> DataFrame:
         else:
             cols.append(c.cast(T.StringType()).alias(f.name))
     return df.select(*cols)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: list[str],
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> DataFrame:
+    """Bucketed sink (SURVEY.md §4.3.3 scale path): tables bucketed on
+    the same key with the same bucket count join/aggregate WITHOUT a
+    shuffle — the hash partitioning is baked into the files, so at
+    100 TB repeated FK checks or dedup passes pay the shuffle once at
+    write time, never per query. Sorted within buckets so merge joins
+    skip the sort too. Returns the catalog-backed DataFrame."""
+    writer = (
+        df.write.bucketBy(num_buckets, *key)
+        .sortBy(*key)
+        .mode("overwrite")
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+    return df.sparkSession.table(table_name)

@@ -161,3 +161,38 @@ def test_topk_uses_take_ordered_not_full_sort(spark):
     ).limit(5)
     plan = _initial_plan(q)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join without any
+    Exchange — the write-once-shuffle-never pattern for repeated FK
+    checks at scale."""
+    from goodtables_pandas_py_spark.sources import write_bucketed
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    bl = write_bucketed(li, "b_lineitem", ["l_orderkey"], 8,
+                        str(tmp_path / "bl"))
+    bo = write_bucketed(orders, "b_orders", ["o_orderkey"], 8,
+                        str(tmp_path / "bo"))
+    # force the sort-merge path (broadcast would trivially avoid the
+    # shuffle for dimension-sized test data) — the bucketing must
+    # carry the co-location
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"]).select(
+            F.sum("l_quantity").alias("q")
+        )
+        plan = _final_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        # co-located: no shuffle exchange feeding the join
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -196,3 +196,61 @@ def test_header_checks():
     assert codes == {"non-matching-header"}
     codes = {e.code for e in gt.check_header(["a", "a", "b", ""], schema)}
     assert "duplicate-header" in codes and "blank-header" in codes
+
+
+def test_inline_data_resource(spark):
+    """Inline `data` resources (array-of-objects and array-of-arrays)
+    run through the same parse/check pipeline as files."""
+    import goodtables_pandas_py_spark as gt
+
+    desc = {
+        "name": "inline",
+        "resources": [
+            {"name": "objs",
+             "data": [
+                 {"id": 1, "status": "F"},
+                 {"id": 2, "status": "X"},   # bad enum
+                 {"id": None, "status": "P"},  # missing required
+             ],
+             "schema": {"fields": [
+                 {"name": "id", "type": "integer",
+                  "constraints": {"required": True}},
+                 {"name": "status", "type": "string",
+                  "constraints": {"enum": ["F", "P", "O"]}},
+             ], "primaryKey": ["id"]}},
+            {"name": "arrays",
+             "data": [["a", "b"], ["1", "2"], ["3", "4"]],
+             "schema": {"fields": [
+                 {"name": "a", "type": "integer"},
+                 {"name": "b", "type": "integer"},
+             ]}},
+        ],
+    }
+    report = gt.validate(spark, desc)
+    by_table = {t["source"]: t for t in report["tables"]}
+    assert by_table["arrays"]["valid"]
+    codes = sorted(e["code"] for e in by_table["objs"]["errors"])
+    assert "enumerable-constraint" in codes
+    assert "required-constraint" in codes
+
+
+def test_write_report_errors_parquet(spark, tmp_path):
+    import goodtables_pandas_py_spark as gt
+    from goodtables_pandas_py_spark.errors import write_report_errors
+
+    desc = {
+        "name": "p",
+        "resources": [
+            {"name": "t",
+             "data": [{"x": 1}, {"x": "oops"}],
+             "schema": {"fields": [{"name": "x", "type": "integer"}]}},
+        ],
+    }
+    report = gt.validate(spark, desc)
+    out = str(tmp_path / "errors")
+    write_report_errors(spark, report, out)
+    back = spark.read.parquet(out)
+    rows = back.collect()
+    assert len(rows) == 1
+    assert rows[0]["code"] == "type-or-format-error"
+    assert rows[0]["values"] == ["oops"]
