@@ -61,6 +61,43 @@ def read_csv_stringly(
     return df
 
 
+def sniff_csv_header(
+    spark: SparkSession,
+    path: str,
+    dialect: Dialect | None = None,
+    encoding: str = "utf-8",
+) -> list[str] | None:
+    """Recover the TRUE header row of a CSV. ``spark.read.csv``
+    auto-renames duplicate header names (a,a → a0,a1) and blank ones
+    (→ _cN), which would blind the H1 duplicate-header/blank-header
+    checks — so H1 must compare against the raw first line, parsed
+    with the dialect. Bounded work: one line, local file read or a
+    LIMIT-1 text scan."""
+    import csv
+    import io
+    import os
+
+    d = dialect or Dialect()
+    if not d.header:
+        return None
+    line: str | None = None
+    if os.path.isfile(path):
+        with open(path, encoding=encoding, newline="") as fh:
+            line = fh.readline()
+    else:  # glob / directory / remote: one-row text scan (utf-8)
+        first = spark.read.text(path).limit(1).first()
+        line = first[0] if first else ""
+    reader = csv.reader(
+        io.StringIO(line),
+        delimiter=d.delimiter,
+        quotechar=d.quote_char,
+        escapechar=d.escape_char or None,
+        doublequote=d.double_quote,
+        skipinitialspace=d.skip_initial_space,
+    )
+    return next(reader, [])
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """S3: typed parquet resource — our primary test path
     (TESTDATA.md). Columnar scan; Catalyst prunes columns/predicates."""

@@ -29,7 +29,12 @@ from .checks.keys import check_foreign_key, check_primary_key, check_unique_key
 from .errors import VALUE_SAMPLE_CAP, Error
 from .parsers import apply_missing_values, parse_field
 from .schema import Package, TableSchema, load_package
-from .sources import ensure_parallelism, read_resource, stringly
+from .sources import (
+    ensure_parallelism,
+    read_resource,
+    sniff_csv_header,
+    stringly,
+)
 
 
 @dataclass
@@ -201,6 +206,7 @@ def validate_table(
     assume_typed: bool = False,
     persist: bool = True,
     cache_cols: list[str] | None = None,
+    header: list[str] | None = None,
 ) -> TableValidation:
     """Validate one table (header + parse + constraints + PK/unique
     keys). FK checks live at package level (they need sibling tables).
@@ -214,8 +220,14 @@ def validate_table(
     the full row width — the difference between caching 2 columns and
     2000 at 100 TB. ``None`` caches every typed column (standalone
     callers who go on to use ``.parsed``).
+
+    ``header`` overrides ``df.columns`` for H1 — needed for CSV, where
+    Spark mangles duplicate/blank header names before they reach the
+    DataFrame (sources.sniff_csv_header recovers the raw row).
     """
-    errors = check_header(df.columns, schema, resource)
+    errors = check_header(
+        df.columns if header is None else header, schema, resource
+    )
 
     df = ensure_parallelism(df)
     wide, checks, typed_names = _compile_table(df, schema, assume_typed)
@@ -372,8 +384,9 @@ def validate_package(
             cache_need.setdefault(parent, set()).update(fk.reference_fields)
 
     validations: dict[str, TableValidation] = {}
-    pending: list[tuple[str, DataFrame, TableSchema]] = []
+    pending: list[tuple[str, DataFrame, TableSchema, list[str] | None]] = []
     for res in package.resources:
+        header = None
         if dataframes and res.name in dataframes:
             df = dataframes[res.name]
         else:
@@ -385,9 +398,15 @@ def validate_package(
                 # instead of their (fatter) string forms (~2x on
                 # under-split inputs; no-op at real scale)
                 df = stringly(ensure_parallelism(df))
+            if (res.format or "csv") == "csv" and res.path and res.data is None:
+                # H1 needs the RAW header row: Spark mangles duplicate
+                # and blank header names before df.columns exists
+                header = sniff_csv_header(
+                    spark, res.path, res.dialect, res.encoding
+                )
         if res.schema is None:
             continue
-        pending.append((res.name, df, res.schema))
+        pending.append((res.name, df, res.schema, header))
 
     # independent resources validate concurrently: each thread only
     # *submits* Spark jobs (job scheduling is thread-safe), so table
@@ -402,8 +421,9 @@ def validate_package(
                 resource=name,
                 assume_typed=assume_typed,
                 cache_cols=sorted(cache_need.get(name, set())),
+                header=header,
             )
-            for name, df, schema in pending
+            for name, df, schema, header in pending
         }
         for name, fut in futs.items():
             validations[name] = fut.result()

@@ -254,3 +254,30 @@ def test_write_report_errors_parquet(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["code"] == "type-or-format-error"
     assert rows[0]["values"] == ["oops"]
+
+
+def test_duplicate_and_blank_csv_headers_detected(spark, tmp_path):
+    """Spark mangles duplicate/blank CSV header names (a,a -> a0,a1;
+    '' -> _cN); H1 must still report the REAL defects via the sniffed
+    raw header row."""
+    import json
+    import goodtables_pandas_py_spark as gt
+
+    p = tmp_path / "t.csv"
+    p.write_text("id,id,,name\n1,2,3,x\n")
+    dp = {
+        "name": "p",
+        "resources": [{
+            "name": "t", "path": "t.csv",
+            "schema": {"fields": [
+                {"name": "id", "type": "integer"},
+                {"name": "name", "type": "string"},
+            ]},
+        }],
+    }
+    (tmp_path / "datapackage.json").write_text(json.dumps(dp))
+    report = gt.validate(spark, str(tmp_path / "datapackage.json"))
+    codes = {e["code"] for t in report["tables"] for e in t["errors"]}
+    assert "duplicate-header" in codes, codes
+    assert "blank-header" in codes, codes
+    assert not report["valid"]
