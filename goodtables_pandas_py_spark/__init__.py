@@ -18,7 +18,8 @@ Extensions beyond the reference (SURVEY.md §2.9): ``extensions``
 
 from __future__ import annotations
 
-from .errors import Error, errors_to_spark_df
+from .errors import Error, errors_to_spark_df, write_report_errors
+from .inference import infer_schema
 from .parsers import ParsedField, parse_field
 from .schema import (
     Dialect,
@@ -30,7 +31,13 @@ from .schema import (
     TableSchema,
     load_package,
 )
-from .sources import read_csv_stringly, read_parquet, read_resource, stringly
+from .sources import (
+    read_csv_stringly,
+    read_parquet,
+    read_resource,
+    stringly,
+    write_bucketed,
+)
 from .validate import (
     TableValidation,
     assemble_report,

@@ -17,7 +17,7 @@ MinHash math (public): P[minhash_i(A)=minhash_i(B)] = J(A,B); banding
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import normalize_text, shingles, whitespace_tokens
@@ -29,20 +29,24 @@ def exact_dedup(
     df: DataFrame, cols: list[str] | None = None, keep: str | None = None
 ) -> DataFrame:
     """Drop exact duplicates on ``cols`` (all columns when None).
-    ``keep`` names an ordering column: the row with the smallest value
-    survives deterministically (window + row_number); with keep=None
-    Spark's dropDuplicates picks an arbitrary row (cheaper — one
-    shuffle, no sort)."""
+    ``keep`` names an ordering column: the row with the smallest
+    (keep, rest-of-row) value survives deterministically.
+
+    Skew posture: the keep-path is a MIN aggregate over a struct, not
+    a window — partial (map-side) aggregation collapses hot duplicate
+    groups before the shuffle, so a fingerprint that appears 10M times
+    costs 10M comparisons but shuffles one row; the window+row_number
+    formulation would sort all 10M copies in a single task."""
     if keep is None:
         return df.dropDuplicates(cols)
-    w = Window.partitionBy(*[F.col(c) for c in (cols or df.columns)]).orderBy(
-        F.col(keep)
-    )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    key = cols or df.columns
+    rest = [c for c in df.columns if c not in key]
+    packed = F.struct(F.col(keep), *[F.col(c) for c in rest if c != keep])
+    agg = df.groupBy(*[F.col(c) for c in key]).agg(F.min(packed).alias("__keep"))
+    out_cols = [
+        F.col(c) if c in key else F.col(f"__keep.{c}") for c in df.columns
+    ]
+    return agg.select(*out_cols)
 
 
 def duplicate_groups(df: DataFrame, fingerprint: Column) -> DataFrame:
