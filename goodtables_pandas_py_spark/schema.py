@@ -202,6 +202,12 @@ class Dialect:
     line_terminator: str = "\r\n"
     header: bool = True
     skip_initial_space: bool = False
+    #: extension (not in [SPEC csv-dialect]): fields may contain quoted
+    #: newlines. Default OFF deliberately — multiLine CSV parsing makes
+    #: files NON-SPLITTABLE (one task per file regardless of size),
+    #: which serializes a 100 TB scan; opt in only when the data
+    #: genuinely embeds newlines.
+    multiline: bool = False
 
     @classmethod
     def from_descriptor(cls, d: dict[str, Any]) -> "Dialect":
@@ -213,6 +219,7 @@ class Dialect:
             line_terminator=d.get("lineTerminator", "\r\n"),
             header=d.get("header", True),
             skip_initial_space=d.get("skipInitialSpace", False),
+            multiline=bool(d.get("multiline", False)),
         )
 
 

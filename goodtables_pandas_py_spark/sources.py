@@ -35,7 +35,9 @@ def read_csv_stringly(
         spark.read.option("header", d.header)
         .option("sep", d.delimiter)
         .option("quote", d.quote_char)
-        .option("multiLine", True)
+        # multiLine makes CSV non-splittable (one task per file) —
+        # only when the dialect declares embedded newlines
+        .option("multiLine", d.multiline)
         .option("encoding", encoding)
         .option("mode", "PERMISSIVE")
         # keep lexical forms: no implicit nulls or type coercion

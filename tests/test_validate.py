@@ -281,3 +281,29 @@ def test_duplicate_and_blank_csv_headers_detected(spark, tmp_path):
     assert "duplicate-header" in codes, codes
     assert "blank-header" in codes, codes
     assert not report["valid"]
+
+
+def test_csv_multiline_dialect_opt_in(spark, tmp_path):
+    """Quoted embedded newlines parse correctly when the dialect opts
+    in (multiline=True); the default stays splittable-friendly."""
+    import json
+    import goodtables_pandas_py_spark as gt
+
+    p = tmp_path / "m.csv"
+    p.write_text('id,note\n1,"line one\nline two"\n2,plain\n')
+    dp = {
+        "name": "p",
+        "resources": [{
+            "name": "m", "path": "m.csv",
+            "dialect": {"multiline": True},
+            "schema": {"fields": [
+                {"name": "id", "type": "integer",
+                 "constraints": {"required": True}},
+                {"name": "note", "type": "string"},
+            ]},
+        }],
+    }
+    (tmp_path / "datapackage.json").write_text(json.dumps(dp))
+    report = gt.validate(spark, str(tmp_path / "datapackage.json"))
+    assert report["valid"], report
+    assert report["tables"][0]["row-count"] == 2
