@@ -51,6 +51,9 @@ class Error:
     values: list[Any] = dc_field(default_factory=list)
     count: int = 0
     message: str = ""
+    #: sample of offending row positions (SURVEY.md D6; capped like
+    #: values — row addressing is opt-in, see validate_table(row_ids=))
+    row_ids: list[int] = dc_field(default_factory=list)
 
     def to_dict(self) -> dict[str, Any]:
         d: dict[str, Any] = {"code": self.code, "message": self.message or self.code}
@@ -62,6 +65,8 @@ class Error:
             d["constraint"] = self.constraint
         if self.values:
             d["values"] = [_jsonable(v) for v in self.values]
+        if self.row_ids:
+            d["row-ids"] = list(self.row_ids)
         d["count"] = self.count
         return d
 

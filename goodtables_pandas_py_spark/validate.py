@@ -135,6 +135,9 @@ def _compile_table(
     typed_names: list[str] = []
     present = set(df.columns)
 
+    if "__row_id" in present:
+        select_cols.append(F.col("__row_id"))
+
     for fld in schema.fields:
         if fld.name not in present:
             continue  # reported by header check
@@ -207,6 +210,7 @@ def validate_table(
     persist: bool = True,
     cache_cols: list[str] | None = None,
     header: list[str] | None = None,
+    row_ids: bool = False,
 ) -> TableValidation:
     """Validate one table (header + parse + constraints + PK/unique
     keys). FK checks live at package level (they need sibling tables).
@@ -224,11 +228,24 @@ def validate_table(
     ``header`` overrides ``df.columns`` for H1 — needed for CSV, where
     Spark mangles duplicate/blank header names before they reach the
     DataFrame (sources.sniff_csv_header recovers the raw row).
+
+    ``row_ids=True`` attaches row positions to cell-level error samples
+    (SURVEY.md D6/§4.3.4). Positions come from
+    ``monotonically_increasing_id`` computed at ingest — stable for a
+    fixed source layout; for parquet audit trails requiring exactness
+    across re-reads, pre-attach ``__row_id`` from
+    ``_metadata.row_index`` instead.
     """
     errors = check_header(
         df.columns if header is None else header, schema, resource
     )
 
+    # attach row addresses BEFORE any repartition so they reflect the
+    # source order (per-partition-offset encoded: stable addresses for
+    # a fixed source layout; ordinal 0..n-1 only for single-partition
+    # sources — global ordinals would cost an extra pass at scale)
+    if row_ids and "__row_id" not in df.columns:
+        df = df.withColumn("__row_id", F.monotonically_increasing_id())
     df = ensure_parallelism(df)
     wide, checks, typed_names = _compile_table(df, schema, assume_typed)
 
@@ -274,8 +291,26 @@ def validate_table(
         n = int(row[f"__c{i}"])
         if not n:
             continue
-        if ck.sample_from == "none":
-            values: list = [None]
+        ids: list[int] = []
+        if row_ids:
+            # row addressing: sample (value, position) pairs from the
+            # wide projection (it carries __row_id)
+            sample_rows = (
+                wide.where(F.col(ck.mask_col))
+                .select(
+                    F.col(ck.report_col).cast(T.StringType()).alias("v"),
+                    F.col("__row_id"),
+                )
+                .limit(VALUE_SAMPLE_CAP)
+                .collect()
+            )
+            seen: dict = {}
+            for r in sample_rows:
+                seen.setdefault(r["v"], None)
+                ids.append(int(r["__row_id"]))
+            values: list = list(seen)
+        elif ck.sample_from == "none":
+            values = [None]
         else:
             if (
                 ck.sample_from == "cached"
@@ -310,6 +345,7 @@ def validate_table(
                 values=values,
                 count=n,
                 message=f"{ck.code} on {ck.field}: {n} rows",
+                row_ids=ids,
             )
         )
 
@@ -356,6 +392,7 @@ def validate_package(
     source,
     dataframes: dict[str, DataFrame] | None = None,
     assume_typed: bool = False,
+    row_ids: bool = False,
 ) -> dict:
     """E1 public API ([R validate.py::validate]): validate a whole Data
     Package (descriptor path or dict). ``dataframes`` overrides
@@ -422,6 +459,7 @@ def validate_package(
                 assume_typed=assume_typed,
                 cache_cols=sorted(cache_need.get(name, set())),
                 header=header,
+                row_ids=row_ids,
             )
             for name, df, schema, header in pending
         }

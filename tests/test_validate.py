@@ -307,3 +307,31 @@ def test_csv_multiline_dialect_opt_in(spark, tmp_path):
     report = gt.validate(spark, str(tmp_path / "datapackage.json"))
     assert report["valid"], report
     assert report["tables"][0]["row-count"] == 2
+
+
+def test_row_ids_in_error_samples(spark):
+    """row_ids=True attaches row positions to cell-level errors."""
+    from goodtables_pandas_py_spark.schema import TableSchema
+    from goodtables_pandas_py_spark.validate import validate_table
+
+    df = spark.createDataFrame(
+        [("1", "F"), ("x", "P"), ("3", "Z"), ("y", "O")],
+        "id string, status string",
+    ).coalesce(1)  # single partition -> positions are 0..n-1 in order
+    schema = TableSchema.from_descriptor({
+        "fields": [
+            {"name": "id", "type": "integer"},
+            {"name": "status", "type": "string",
+             "constraints": {"enum": ["F", "P", "O"]}},
+        ]
+    })
+    v = validate_table(df, schema, "t", row_ids=True)
+    by = {(e.code, e.field): e for e in v.errors}
+    type_err = by[("type-or-format-error", "id")]
+    assert sorted(type_err.row_ids) == [1, 3]
+    assert sorted(type_err.values) == ["x", "y"]
+    enum_err = by[("enumerable-constraint", "status")]
+    assert enum_err.row_ids == [2]
+    assert enum_err.values == ["Z"]
+    assert "row-ids" in type_err.to_dict()
+    v.unpersist()
