@@ -1163,3 +1163,63 @@ def _a4(spark, sf_dir):
         "n",
         "n_orders",
     )
+
+
+# ===================== quarantine split ===================================
+
+
+@q(
+    "dq2_quarantine",
+    "SELECT CAST(count(*) FILTER (WHERE NOT (l_orderkey % 97 = 0 OR"
+    " l_linenumber % 5 = 0)) AS BIGINT) AS n_valid,"
+    " CAST(count(*) FILTER (WHERE l_orderkey % 97 = 0 OR"
+    " l_linenumber % 5 = 0) AS BIGINT) AS n_invalid,"
+    " CAST(count(*) FILTER (WHERE l_orderkey % 97 = 0) AS BIGINT) AS n_bad_qty,"
+    " CAST(count(*) FILTER (WHERE l_linenumber % 5 = 0) AS BIGINT)"
+    " AS n_missing_flag FROM lineitem",
+)
+def _dq2(spark, sf_dir):
+    """Quarantine split (validate.partition_valid): rows failing any
+    cell-level check route to a dead-letter DataFrame with per-row
+    failed-check labels. Dirt injected by modulo rules so the oracle
+    counts expectations arithmetically."""
+    from .schema import TableSchema
+    from .validate import partition_valid
+
+    li = t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_orderkey").cast("string").alias("okey"),
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit("x"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("qty"),
+        F.when(F.col("l_linenumber") % 5 == 0, F.lit(""))
+        .otherwise(F.col("l_returnflag"))
+        .alias("flag"),
+    )
+    schema = TableSchema.from_descriptor(
+        {
+            "fields": [
+                {"name": "okey", "type": "integer",
+                 "constraints": {"required": True}},
+                {"name": "qty", "type": "number"},
+                {"name": "flag", "type": "string",
+                 "constraints": {"required": True, "enum": ["N", "A", "R"]}},
+            ]
+        }
+    )
+    valid, invalid = partition_valid(raw, schema)
+    inv = invalid.select(
+        F.explode_outer(F.col("__failed_checks")).alias("label")
+    )
+    return valid.agg(F.count(F.lit(1)).cast(_BIG).alias("n_valid")).crossJoin(
+        invalid.agg(F.count(F.lit(1)).cast(_BIG).alias("n_invalid"))
+    ).crossJoin(
+        inv.agg(
+            F.count_if(F.col("label") == "qty:type-or-format-error")
+            .cast(_BIG)
+            .alias("n_bad_qty"),
+            F.count_if(F.col("label") == "flag:required-constraint")
+            .cast(_BIG)
+            .alias("n_missing_flag"),
+        )
+    )

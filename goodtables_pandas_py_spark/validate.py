@@ -544,3 +544,45 @@ def assemble_report(validations: dict[str, TableValidation]) -> dict:
         "table-count": len(tables),
         "tables": tables,
     }
+
+
+def partition_valid(
+    df: DataFrame,
+    schema: TableSchema,
+    assume_typed: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split (dead-letter pattern): route rows through the
+    same single-scan check projection and return
+
+    - ``valid``: rows passing every cell-level check, TYPED columns —
+      ready for downstream ETL;
+    - ``invalid``: offending rows with their RAW lexical columns (for
+      repair/replay) plus ``__failed_checks: array<string>`` naming
+      each violated check.
+
+    Cell-level only (type + C1/C3-C6); key/uniqueness violations are
+    set-level properties — use validate_table for those. One scan per
+    output (or one total if the caller persists the wide projection);
+    both outputs stay partition-parallel, nothing is collected.
+    """
+    wide, checks, typed_names = _compile_table(df, schema, assume_typed)
+    if not checks:
+        return wide.select(*typed_names), wide.select(*typed_names).limit(0)
+
+    labels = F.array_compact(
+        F.array(
+            *[
+                F.when(F.col(ck.mask_col), F.lit(f"{ck.field}:{ck.code}"))
+                for ck in checks
+            ]
+        )
+    )
+    marked = wide.withColumn("__failed_checks", labels)
+    any_bad = F.size(F.col("__failed_checks")) > 0
+    valid = marked.where(~any_bad).select(*typed_names)
+    raw_cols = [
+        F.col(f"__raw__{c}").alias(c) if f"__raw__{c}" in wide.columns else F.col(c)
+        for c in typed_names
+    ]
+    invalid = marked.where(any_bad).select(*raw_cols, F.col("__failed_checks"))
+    return valid, invalid

@@ -335,3 +335,32 @@ def test_row_ids_in_error_samples(spark):
     assert enum_err.values == ["Z"]
     assert "row-ids" in type_err.to_dict()
     v.unpersist()
+
+
+def test_partition_valid_quarantine(spark):
+    from goodtables_pandas_py_spark.schema import TableSchema
+    from goodtables_pandas_py_spark.validate import partition_valid
+
+    df = spark.createDataFrame(
+        [("1", "F"), ("x", "P"), ("3", "Z"), ("4", "O"), ("", "F")],
+        "id string, status string",
+    )
+    schema = TableSchema.from_descriptor({
+        "fields": [
+            {"name": "id", "type": "integer",
+             "constraints": {"required": True}},
+            {"name": "status", "type": "string",
+             "constraints": {"enum": ["F", "P", "O"]}},
+        ]
+    })
+    valid, invalid = partition_valid(df, schema)
+    assert sorted(r["id"] for r in valid.collect()) == [1, 4]
+    inv = {r["id"]: sorted(r["__failed_checks"]) for r in invalid.collect()}
+    assert inv["x"] == ["id:type-or-format-error"]
+    assert inv["3"] == ["status:enumerable-constraint"]
+    # raw lexical form preserved: the missing value is the EMPTY STRING
+    assert inv[""] == ["id:required-constraint"]
+    # invalid keeps RAW lexical forms for repair
+    assert dict(invalid.dtypes)["id"] == "string"
+    # valid is typed
+    assert dict(valid.dtypes)["id"] == "bigint"
