@@ -42,6 +42,7 @@ from .validate import (
     TableValidation,
     assemble_report,
     check_header,
+    partition_valid,
     validate_package,
     validate_table,
 )
