@@ -350,32 +350,113 @@ def simhash_candidates(
 # --- embedding near-dup (X2c) ---------------------------------------------
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine pairs (id_a < id_b, cosine ≥ threshold):
+    the brute-force all-pairs baseline that ``embedding_near_dups``
+    approximates. O(n²) comparisons — the small-table oracle path and
+    the per-bucket verify kernel; at scale, call it only on LSH/IVF
+    buckets, never the full table. Norms are computed once per row
+    before the self-join (n norms, not n²)."""
+    from .similarity import dot
+
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "n",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    a = normed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("n").alias("n_a")
+    )
+    b = normed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("n").alias("n_b")
+    )
+    denom = F.col("n_a") * F.col("n_b")
+    cos = F.when(denom > 0, dot(F.col("v_a"), F.col("v_b")) / denom).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_planes: int = 16,
+    num_bands: int = 8,
+    planes_per_band: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH
-    bucketing + exact cosine verify. See similarity.py for the
-    signature machinery."""
+    """Embedding-cosine near-dup pairs via BANDED random-hyperplane
+    LSH + exact cosine verify (see similarity.py for the signature
+    machinery).
+
+    Banding (OR over ``num_bands`` independent ``planes_per_band``-bit
+    buckets) is what makes the recall real: a single 16-plane bucket
+    catches a cosine-0.95 pair (θ≈18°) with only (1-θ/π)^16 ≈ 19%
+    probability, while 8 bands × 8 planes give
+    1-(1-0.9^8)^8 ≈ 99% — the standard LSH amplification trade
+    (more bands → recall, more planes/band → precision). Candidates
+    are deduped BEFORE the vectors are joined back, so the exact
+    verify runs once per pair regardless of how many bands agree."""
     from .similarity import cosine, rp_signature
 
     renamed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    sig = rp_signature(renamed, "v", num_planes=num_planes, seed=seed)
-    withsig = renamed.withColumn("bucket", sig)
-    a = withsig.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket"
-    )
-    b = withsig.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket"
-    )
-    return (
-        a.join(b, "bucket")
+    first = renamed.select(F.size("v").alias("d")).first()
+    if first is None:
+        return renamed.select(
+            F.col("id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
+    dim = first["d"]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            rp_signature(
+                renamed, "v", num_planes=planes_per_band, seed=seed * 1000 + b, dim=dim
+            ).alias("sig"),
+        )
+        for b in range(num_bands)
+    ]
+    ex = renamed.select(
+        "id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = ex.select(F.col("id").alias("id_a"), "band", "sig")
+    b = ex.select(F.col("id").alias("id_b"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
         .distinct()
+    )
+    va = renamed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = renamed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(
+                F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
     )

@@ -975,12 +975,41 @@ def _x3ivf(spark, sf_dir):
     )
 
 
+@q(
+    "x3_cosine_pairs",
+    "SELECT CAST(a.vec_id AS BIGINT) AS id_a,"
+    " CAST(b.vec_id AS BIGINT) AS id_b,"
+    " ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])), 6) AS cosine"
+    " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+    " WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])) >= 0.45",
+)
+def _x3p(spark, sf_dir):
+    """X2e exact half: brute-force cosine pairs ≥ threshold — the
+    oracle-checkable baseline that the LSH path approximates
+    (extensions/dedup.py::embedding_cosine_pairs)."""
+    e = t(spark, sf_dir, "embeddings")
+    return xdedup.embedding_cosine_pairs(e, threshold=0.45).select(
+        F.col("id_a").cast(_BIG).alias("id_a"),
+        F.col("id_b").cast(_BIG).alias("id_b"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 @q("x3_embedding_near_dups", None)  # LSH recall — rows-only
 def _x3nd(spark, sf_dir):
+    """X2e approximate half: banded random-hyperplane LSH + exact
+    verify (extensions/dedup.py::embedding_near_dups). Rows-only: LSH
+    recall < 1 by construction. Threshold 0.45 so the testdata (near-
+    random vectors, max pairwise cosine ≈ 0.5) yields non-empty
+    output; at that low a threshold banding recall is partial — the
+    designed operating point is ≥0.9 (≈99% recall, test_extensions
+    recall test)."""
     e = t(spark, sf_dir, "embeddings")
-    return xdedup.embedding_near_dups(e, threshold=0.8).select(
-        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
-    )
+    return xdedup.embedding_near_dups(
+        e, threshold=0.45, num_bands=16, planes_per_band=4
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 @q(

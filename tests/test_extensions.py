@@ -152,9 +152,56 @@ def test_embedding_near_dups(spark):
         (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    out = dedup.embedding_near_dups(df, threshold=0.99, num_planes=8)
+    out = dedup.embedding_near_dups(
+        df, threshold=0.99, num_bands=4, planes_per_band=4
+    )
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert got == {(1, 2)}
+
+
+def test_embedding_near_dups_banded_recall(spark):
+    """The point of banding: planted near-dup pairs (cosine ≥ 0.95)
+    must be recovered with high recall, where a single wide bucket
+    would catch only ~19% of them."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # planted near-duplicate of every vector: tiny perturbation
+        pert = v + 0.02 * rng.standard_normal(16)
+        rows.append((100 + i, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_near_dups(
+        df, threshold=0.95, num_bands=8, planes_per_band=8
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    planted = {(i, 100 + i) for i in range(40)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9
+    # verify step guarantees precision: nothing below threshold
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.95).collect()
+    }
+    assert got <= exact
+
+
+def test_embedding_cosine_pairs_exact(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.01]),  # cos ≈ 0.99995 with 1
+        (3, [0.0, 1.0]),  # orthogonal to 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] == pytest.approx(0.99995, abs=1e-4)
 
 
 # --- similarity -----------------------------------------------------------
