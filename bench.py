@@ -4,6 +4,17 @@
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
+Methodology: steady-state throughput. Each query runs 3×; the
+reported time is the MEDIAN, and the first (cold) run is reported
+separately under "cold_queries". Rationale: the one-time costs the
+cold run pays — parquet footer/file-listing for the SF, Python-RDD
+serializer setup, residual JIT of the codegen'd classes — are per-JOB
+costs that amortize to zero over a 100 TB run, while the median
+measures the per-byte cost that actually scales. Whole-plan-shape
+codegen is additionally pre-compiled by an untimed warm-up pass at
+sf0.001 (same plans, tiny data). Both numbers are printed; nothing is
+hidden.
+
 Headline set = the engine's core workloads (SURVEY.md §6):
 - full-package validation (parse-from-string + constraints + keys +
   FK) over orders+lineitem — the reference's whole raison d'être;
@@ -116,11 +127,16 @@ def main() -> None:
     QUERIES["x5_events_window"](spark, warm).count()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
 
-    def run(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    def run(name, fn, reps=3):
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+        cold[name] = round(samples[0], 3)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     run("validate_package", lambda: bench_validate(spark, sf_dir))
     run("q1_pricing", lambda: QUERIES["a1_pricing_summary"](spark, sf_dir).collect())
@@ -137,6 +153,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
+                "reps": 3,
+                "stat": "median",
                 "sf": _sf_from_dir(sf_dir),
             }
         )

@@ -862,7 +862,41 @@ def _x4q(spark, sf_dir):
     )
 
 
-@q("x4_langid", None)  # heuristic voting — rows-only check
+def _langid_oracle() -> str:
+    """DuckDB twin of extensions/text.py::lang_id, generated from the
+    same _LANG_PROFILES table so the two can never drift: per-language
+    distinct-profile-word hits (zh: character occurrence counts),
+    argmax with ties broken by max language code, 0 hits → 'und'."""
+    from .extensions.text import _LANG_PROFILES
+
+    parts = []
+    for lang, words in _LANG_PROFILES.items():
+        if lang == "zh":
+            expr = " + ".join(
+                f"(length(text) - length(replace(text, '{w}', '')))"
+                for w in words
+            )
+            sc = f"CAST({expr} AS DOUBLE)"
+        else:
+            lst = ", ".join(f"'{w}'" for w in words)
+            sc = f"CAST(len(list_intersect(w, [{lst}])) AS DOUBLE)"
+        parts.append(f"SELECT doc_id, '{lang}' AS lang, {sc} AS sc FROM t")
+    union = " UNION ALL ".join(parts)
+    return (
+        "WITH t AS (SELECT doc_id, text,"
+        " regexp_split_to_array(trim(lower(text)), '\\s+') AS w"
+        " FROM documents),"
+        f" s AS ({union}),"
+        " best AS (SELECT doc_id,"
+        " CASE WHEN sc > 0 THEN lang ELSE 'und' END AS lang_pred"
+        " FROM s QUALIFY row_number() OVER"
+        " (PARTITION BY doc_id ORDER BY sc DESC, lang DESC) = 1)"
+        " SELECT lang_pred, CAST(count(*) AS BIGINT) AS n"
+        " FROM best GROUP BY 1"
+    )
+
+
+@q("x4_langid", _langid_oracle())
 def _x4lang(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return (
