@@ -39,6 +39,7 @@ from .sources import (
     write_bucketed,
 )
 from .validate import (
+    CustomCheck,
     TableValidation,
     assemble_report,
     check_header,
@@ -105,6 +106,7 @@ __all__ = [
     "read_parquet",
     "read_resource",
     "stringly",
+    "CustomCheck",
     "validate",
     "validate_package",
     "validate_table",

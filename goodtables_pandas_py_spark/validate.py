@@ -16,10 +16,11 @@ The IR *is* the Catalyst logical plan; no custom IR (SURVEY.md §3).
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field as dc_field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
@@ -35,6 +36,30 @@ from .sources import (
     sniff_csv_header,
     stringly,
 )
+
+
+@dataclass
+class CustomCheck:
+    """X6 plugin surface (SURVEY.md §2.9): a user-defined check that
+    rides the SAME single-scan Observation pass as C1-C6 — plugging in
+    a check adds zero extra Spark jobs.
+
+    ``mask`` receives ``{field_name: typed Column}`` for every schema
+    field present and returns a boolean Column that is TRUE where the
+    row VIOLATES the check. Cross-field row checks (e.g.
+    ``cols["start"] > cols["end"]``) are therefore first-class —
+    a capability the reference lacks. The expression may be pure
+    Column algebra (whole-stage codegen) or embed a ``pandas_udf``
+    for arbitrary Python (Arrow-batched — never a row-at-a-time UDF).
+
+    ``field`` labels the reported error; ``report`` (optional) picks
+    the Column sampled into the error's ``values`` (defaults to the
+    labeled field's parsed column)."""
+
+    name: str  # error code in the report
+    mask: Callable[[dict[str, Column]], Column]
+    field: str | None = None
+    report: Callable[[dict[str, Column]], Column] | None = None
 
 
 @dataclass
@@ -127,12 +152,16 @@ def check_header(
 
 
 def _compile_table(
-    df: DataFrame, schema: TableSchema, assume_typed: bool
+    df: DataFrame,
+    schema: TableSchema,
+    assume_typed: bool,
+    custom_checks: list[CustomCheck] | None = None,
 ) -> tuple[DataFrame, list[_CompiledCheck], list[str]]:
     """Build the single-scan projection: typed columns + masks."""
     select_cols: list = []
     checks: list[_CompiledCheck] = []
     typed_names: list[str] = []
+    parsed_exprs: dict[str, Column] = {}
     present = set(df.columns)
 
     if "__row_id" in present:
@@ -165,6 +194,8 @@ def _compile_table(
                     report_col=raw_name,
                 )
             )
+
+        parsed_exprs[fld.name] = parsed_expr
 
         # constraints compose over the parsed EXPRESSION (not an alias
         # reference — aliases in the same select are not resolvable);
@@ -199,6 +230,29 @@ def _compile_table(
                 )
             )
 
+    for i, uc in enumerate(custom_checks or []):
+        mask_name = f"__custom__{i}"
+        select_cols.append(uc.mask(dict(parsed_exprs)).alias(mask_name))
+        rep_name = f"__customrep__{i}"
+        if uc.report is not None:
+            rep = uc.report(dict(parsed_exprs))
+        elif uc.field is not None and uc.field in parsed_exprs:
+            rep = parsed_exprs[uc.field]
+        else:
+            rep = F.lit(None).cast("string")
+        select_cols.append(rep.alias(rep_name))
+        checks.append(
+            _CompiledCheck(
+                kind="custom",
+                field=uc.field or "",
+                code=uc.name,
+                constraint="custom",
+                mask_col=mask_name,
+                report_col=rep_name,
+                sample_from="raw",
+            )
+        )
+
     return df.select(*select_cols), checks, typed_names
 
 
@@ -211,9 +265,13 @@ def validate_table(
     cache_cols: list[str] | None = None,
     header: list[str] | None = None,
     row_ids: bool = False,
+    custom_checks: list[CustomCheck] | None = None,
 ) -> TableValidation:
     """Validate one table (header + parse + constraints + PK/unique
     keys). FK checks live at package level (they need sibling tables).
+
+    ``custom_checks`` (X6 plugin surface): extra :class:`CustomCheck`
+    masks fused into the same single-scan pass as C1-C6.
 
     ``assume_typed=True`` skips parsing (columns already typed —
     parquet path); otherwise every column must be a string column.
@@ -247,7 +305,9 @@ def validate_table(
     if row_ids and "__row_id" not in df.columns:
         df = df.withColumn("__row_id", F.monotonically_increasing_id())
     df = ensure_parallelism(df)
-    wide, checks, typed_names = _compile_table(df, schema, assume_typed)
+    wide, checks, typed_names = _compile_table(
+        df, schema, assume_typed, custom_checks
+    )
 
     # --- (b) one pass: mask counts + cache materialization -----------
     # Observation metrics are computed WHILE rows stream into the
@@ -393,11 +453,14 @@ def validate_package(
     dataframes: dict[str, DataFrame] | None = None,
     assume_typed: bool = False,
     row_ids: bool = False,
+    custom_checks: dict[str, list[CustomCheck]] | None = None,
 ) -> dict:
     """E1 public API ([R validate.py::validate]): validate a whole Data
     Package (descriptor path or dict). ``dataframes`` overrides
     resource paths with pre-loaded DataFrames (name-keyed) — the
-    parquet/testdata path.
+    parquet/testdata path. ``custom_checks`` maps resource name →
+    extra :class:`CustomCheck` list (X6 plugin surface), fused into
+    that table's single validation scan.
     """
     package = source if isinstance(source, Package) else load_package(source)
 
@@ -460,6 +523,7 @@ def validate_package(
                 cache_cols=sorted(cache_need.get(name, set())),
                 header=header,
                 row_ids=row_ids,
+                custom_checks=(custom_checks or {}).get(name),
             )
             for name, df, schema, header in pending
         }
@@ -550,6 +614,7 @@ def partition_valid(
     df: DataFrame,
     schema: TableSchema,
     assume_typed: bool = False,
+    custom_checks: list[CustomCheck] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Quarantine split (dead-letter pattern): route rows through the
     same single-scan check projection and return
@@ -565,7 +630,9 @@ def partition_valid(
     output (or one total if the caller persists the wide projection);
     both outputs stay partition-parallel, nothing is collected.
     """
-    wide, checks, typed_names = _compile_table(df, schema, assume_typed)
+    wide, checks, typed_names = _compile_table(
+        df, schema, assume_typed, custom_checks
+    )
     if not checks:
         return wide.select(*typed_names), wide.select(*typed_names).limit(0)
 

@@ -364,3 +364,80 @@ def test_partition_valid_quarantine(spark):
     assert dict(invalid.dtypes)["id"] == "string"
     # valid is typed
     assert dict(valid.dtypes)["id"] == "bigint"
+
+
+def test_custom_check_cross_field(spark):
+    """X6 plugin surface: a cross-field CustomCheck rides the same
+    single-scan pass and reports like a built-in constraint."""
+    import pyspark.sql.functions as F
+
+    from goodtables_pandas_py_spark.schema import TableSchema
+    from goodtables_pandas_py_spark.validate import CustomCheck, validate_table
+
+    df = spark.createDataFrame(
+        [("1", "10"), ("5", "3"), ("2", "2"), ("7", "1")],
+        "lo string, hi string",
+    )
+    schema = TableSchema.from_descriptor({
+        "fields": [
+            {"name": "lo", "type": "integer"},
+            {"name": "hi", "type": "integer"},
+        ]
+    })
+    cc = CustomCheck(
+        name="lo-gt-hi",
+        mask=lambda cols: cols["lo"] > cols["hi"],
+        field="lo",
+    )
+    v = validate_table(df, schema, resource="t", custom_checks=[cc])
+    errs = [e for e in v.errors if e.code == "lo-gt-hi"]
+    assert len(errs) == 1
+    assert errs[0].count == 2  # (5,3) and (7,1)
+    assert sorted(errs[0].values) == ["5", "7"]
+    v.unpersist()
+
+
+def test_custom_check_pandas_udf(spark):
+    """Arbitrary-Python checks via an Arrow-batched pandas_udf mask —
+    still one scan, no driver loop."""
+    from pyspark.sql.functions import pandas_udf
+
+    from goodtables_pandas_py_spark.schema import TableSchema
+    from goodtables_pandas_py_spark.validate import CustomCheck, validate_table
+
+    @pandas_udf("boolean")
+    def odd_length(s):
+        return s.str.len() % 2 == 1
+
+    df = spark.createDataFrame([("ab",), ("abc",), ("abcd",)], "s string")
+    schema = TableSchema.from_descriptor(
+        {"fields": [{"name": "s", "type": "string"}]}
+    )
+    cc = CustomCheck(name="odd-length", mask=lambda cols: odd_length(cols["s"]), field="s")
+    v = validate_table(df, schema, resource="t", custom_checks=[cc])
+    errs = [e for e in v.errors if e.code == "odd-length"]
+    assert len(errs) == 1 and errs[0].count == 1
+    assert errs[0].values == ["abc"]
+    v.unpersist()
+
+
+def test_custom_check_partition_valid(spark):
+    """Custom checks also drive the quarantine split."""
+    from goodtables_pandas_py_spark.schema import TableSchema
+    from goodtables_pandas_py_spark.validate import CustomCheck, partition_valid
+
+    df = spark.createDataFrame([("1", "2"), ("9", "4")], "lo string, hi string")
+    schema = TableSchema.from_descriptor({
+        "fields": [
+            {"name": "lo", "type": "integer"},
+            {"name": "hi", "type": "integer"},
+        ]
+    })
+    cc = CustomCheck(
+        name="lo-gt-hi", mask=lambda cols: cols["lo"] > cols["hi"], field="lo"
+    )
+    valid, invalid = partition_valid(df, schema, custom_checks=[cc])
+    assert [r["lo"] for r in valid.collect()] == [1]
+    inv = invalid.collect()
+    assert len(inv) == 1 and inv[0]["lo"] == "9"
+    assert inv[0]["__failed_checks"] == ["lo:lo-gt-hi"]
