@@ -139,6 +139,75 @@ def frame_sample_plan(
     )
 
 
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resize_ok", T.BooleanType()),
+    ]
+)
+
+
+def fake_resizer(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: truncates /
+    cycles the byte stream to width*height bytes. Keeps the pipeline
+    (batching, output schema, metadata rewrite) runnable without
+    imaging libraries; a real implementation swaps in PIL/opencv."""
+    target = max(1, width * height)
+    if not blob:
+        return bytes(target)
+    reps = (target // len(blob)) + 1
+    return (blob * reps)[:target]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """mapInPandas image resize: Arrow-batched blobs in, re-encoded
+    blobs + rewritten dimensions out. Same 100 TB posture as
+    extract_features — peak memory is (batch rows × blob size), the
+    output schema is fixed, and the new width/height ride alongside
+    the bytes so downstream metadata stays consistent. ``resizer``
+    defaults to the deterministic fake (decode libs are not in this
+    container); inject a real PIL/opencv-backed callable in
+    production."""
+    fn = resizer or fake_resizer
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            oks = []
+            for blob in pdf[blob_col]:
+                try:
+                    if blob is None:
+                        blobs.append(None)
+                        oks.append(False)
+                    else:
+                        blobs.append(fn(bytes(blob), width, height))
+                        oks.append(True)
+                except NotImplementedError:
+                    blobs.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "blob": blobs,
+                    "width": [width if ok else None for ok in oks],
+                    "height": [height if ok else None for ok in oks],
+                    "resize_ok": oks,
+                }
+            )
+
+    return df.mapInPandas(batches, _RESIZED_SCHEMA)
+
+
 def demo_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
     """Synthetic binary table for plumbing tests (deterministic)."""
     rows = [(i, bytes([(i * 7 + j) % 251 for j in range(128 + i)])) for i in range(n)]

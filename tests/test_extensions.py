@@ -294,3 +294,19 @@ def test_ivf_topk_recall(spark):
     ]
     assert 3 in part
     assert len(set(part) & set(exact)) >= 5
+
+
+def test_multimodal_resize_plumbing(spark):
+    media = multimodal.demo_media_df(spark, n=8)
+    out = multimodal.resize_images(media, width=4, height=3).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["resize_ok"] is True
+        assert (r["width"], r["height"]) == (4, 3)
+        assert len(r["blob"]) == 12  # width*height bytes from the fake
+    # deterministic across runs
+    again = {
+        r["media_id"]: bytes(r["blob"])
+        for r in multimodal.resize_images(media, width=4, height=3).collect()
+    }
+    assert {r["media_id"]: bytes(r["blob"]) for r in out} == again
