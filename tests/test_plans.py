@@ -196,3 +196,18 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_embedding_near_dups_join_is_not_cartesian(spark):
+    """The banded-LSH near-dup candidate join must be an equi-join on
+    (band, signature) — never a cartesian/nested-loop all-pairs plan,
+    which is the difference between O(n·bucket) and O(n²) at scale."""
+    from goodtables_pandas_py_spark.extensions import dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = dedup.embedding_near_dups(
+        emb, threshold=0.9, num_bands=4, planes_per_band=4
+    )
+    plan = _final_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
