@@ -127,6 +127,47 @@ def ann_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT top-k-per-left-row cosine join (excluding equal ids) —
+    the brute-force baseline that ``similarity_join`` (LSH-bucketed)
+    approximates. The right side should be broadcastable; at scale use
+    ``similarity_join`` or IVF partition pruning instead. One cross
+    join + one window; ties broken by right id for determinism."""
+    from pyspark.sql import Window
+
+    l_df = left.select(
+        F.col(left_id).alias("left_id"),
+        F.col(vec_col).cast("array<double>").alias("lv"),
+    )
+    r_df = right.select(
+        F.col(right_id).alias("right_id"),
+        F.col(vec_col).cast("array<double>").alias("rv"),
+    )
+    scored = (
+        l_df.join(F.broadcast(r_df), F.col("left_id") != F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            cosine(F.col("lv"), F.col("rv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("cosine").desc(), F.col("right_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def similarity_join(
     left: DataFrame,
     right: DataFrame,

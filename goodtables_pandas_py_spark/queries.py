@@ -1031,6 +1031,32 @@ def _x3p(spark, sf_dir):
     )
 
 
+@q(
+    "x3_knn_join",
+    "SELECT CAST(a.vec_id AS BIGINT) AS left_id,"
+    " CAST(b.vec_id AS BIGINT) AS right_id,"
+    " ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])), 6) AS cosine"
+    " FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id"
+    " WHERE a.vec_id < 50"
+    " QUALIFY row_number() OVER (PARTITION BY a.vec_id"
+    " ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 3",
+)
+def _x3knn(spark, sf_dir):
+    """X3d: exact top-k-per-row similarity join (brute force, window
+    rank) — the oracle-checked baseline for the LSH-bucketed
+    similarity_join (extensions/similarity.py::knn_join). Left side
+    bounded to 50 query rows so the oracle compare stays small."""
+    e = t(spark, sf_dir, "embeddings")
+    out = xsim.knn_join(e.where(F.col("vec_id") < 50), e, k=3)
+    return out.select(
+        F.col("left_id").cast(_BIG).alias("left_id"),
+        F.col("right_id").cast(_BIG).alias("right_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 @q("x3_embedding_near_dups", None)  # LSH recall — rows-only
 def _x3nd(spark, sf_dir):
     """X2e approximate half: banded random-hyperplane LSH + exact

@@ -310,3 +310,17 @@ def test_multimodal_resize_plumbing(spark):
         for r in multimodal.resize_images(media, width=4, height=3).collect()
     }
     assert {r["media_id"]: bytes(r["blob"]) for r in out} == again
+
+
+def test_knn_join_exact(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.knn_join(df, df, k=1).collect()
+    best = {r["left_id"]: r["right_id"] for r in out}
+    # 1's nearest (excluding itself) is 2 and vice versa; 3's is 2
+    assert best == {1: 2, 2: 1, 3: 2}
+    assert all(0.0 <= r["cosine"] <= 1.0 for r in out)
