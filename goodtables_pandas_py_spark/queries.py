@@ -130,39 +130,44 @@ def _p7(spark, sf_dir):
 
 @q(
     "p6_parse_number",
-    "SELECT count(*) FILTER (WHERE FALSE) AS n_bad,"
+    "SELECT 'default' AS variant, count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_parsed"
+    " FROM lineitem"
+    " UNION ALL"
+    " SELECT 'options' AS variant, count(*) FILTER (WHERE FALSE) AS n_bad,"
     " CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_parsed"
     " FROM lineitem",
 )
 def _p6(spark, sf_dir):
+    """P6 number parse, two variants in one query (the driver caps
+    CORRECTNESS at 50 entries — fine-grained twins share a row):
+    'default' parses the plain lexical; 'options' parses
+    decimalChar=',' + bareNumber=false lexicals like '€57151,66'
+    built from the typed column. Both must recover the same sum."""
     li = t(spark, sf_dir, "lineitem")
-    fld = Field("v", type="number")
-    pf = parse_field(F.col("l_extendedprice").cast("string"), fld)
-    return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+
+    pf_a = parse_field(
+        F.col("l_extendedprice").cast("string"), Field("v", type="number")
+    )
+    default = li.select(pf_a.parsed.alias("p"), pf_a.bad.alias("b")).agg(
+        F.lit("default").alias("variant"),
         F.count_if(F.col("b")).alias("n_bad"),
         F.sum(dec2(F.col("p"))).cast("double").alias("sum_parsed"),
     )
 
-
-@q(
-    "p6_parse_number_options",
-    "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
-    " AS sum_parsed, count(*) FILTER (WHERE FALSE) AS n_bad FROM lineitem",
-)
-def _p6b(spark, sf_dir):
-    """P6 with decimalChar=',' + bareNumber=false: lexicals like
-    '€57151,66' built from the typed column, parsed back."""
-    li = t(spark, sf_dir, "lineitem")
     raw = F.concat(
         F.lit("€"),
         F.replace(F.col("l_extendedprice").cast("string"), F.lit("."), F.lit(",")),
     )
-    fld = Field("v", type="number", decimal_char=",", bare_number=False)
-    pf = parse_field(raw, fld)
-    return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
-        F.sum(dec2(F.col("p"))).cast("double").alias("sum_parsed"),
-        F.count_if(F.col("b")).alias("n_bad"),
+    pf_b = parse_field(
+        raw, Field("v", type="number", decimal_char=",", bare_number=False)
     )
+    options = li.select(pf_b.parsed.alias("p"), pf_b.bad.alias("b")).agg(
+        F.lit("options").alias("variant"),
+        F.count_if(F.col("b")).alias("n_bad"),
+        F.sum(dec2(F.col("p"))).cast("double").alias("sum_parsed"),
+    )
+    return default.unionByName(options)
 
 
 @q(
@@ -188,35 +193,45 @@ def _p8(spark, sf_dir):
 
 
 @q(
-    "p9_parse_date",
-    "SELECT min(CAST(l_shipdate AS DATE)) AS min_d,"
+    "p9_p10_parse_date",
+    "SELECT 'iso' AS variant, min(CAST(l_shipdate AS DATE)) AS min_d,"
+    " max(CAST(l_shipdate AS DATE)) AS max_d,"
+    " CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n_distinct"
+    " FROM lineitem"
+    " UNION ALL"
+    " SELECT 'pattern' AS variant, min(CAST(l_shipdate AS DATE)) AS min_d,"
     " max(CAST(l_shipdate AS DATE)) AS max_d,"
     " CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n_distinct"
     " FROM lineitem",
 )
-def _p9(spark, sf_dir):
+def _p9_p10(spark, sf_dir):
+    """P9 default ISO date + P10 strptime-pattern date in one query
+    (50-entry registry cap): 'iso' parses yyyy-MM-dd, 'pattern'
+    parses dd/MM/yyyy via the strptime→Spark translator
+    (patterns.py). Both must recover the same date stats."""
     li = t(spark, sf_dir, "lineitem")
-    raw = F.date_format("l_shipdate", "yyyy-MM-dd")
-    pf = parse_field(raw, Field("v", type="date"))
-    return li.select(pf.parsed.alias("p")).agg(
+
+    pf_a = parse_field(
+        F.date_format("l_shipdate", "yyyy-MM-dd"), Field("v", type="date")
+    )
+    iso = li.select(pf_a.parsed.alias("p")).agg(
+        F.lit("iso").alias("variant"),
         F.min("p").alias("min_d"),
         F.max("p").alias("max_d"),
         F.count_distinct("p").cast(_BIG).alias("n_distinct"),
     )
 
-
-@q(
-    "p10_parse_date_pattern",
-    "SELECT min(CAST(l_shipdate AS DATE)) AS min_d,"
-    " max(CAST(l_shipdate AS DATE)) AS max_d FROM lineitem",
-)
-def _p10(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
-    raw = F.date_format("l_shipdate", "dd/MM/yyyy")
-    pf = parse_field(raw, Field("v", type="date", format="%d/%m/%Y"))
-    return li.select(pf.parsed.alias("p")).agg(
-        F.min("p").alias("min_d"), F.max("p").alias("max_d")
+    pf_b = parse_field(
+        F.date_format("l_shipdate", "dd/MM/yyyy"),
+        Field("v", type="date", format="%d/%m/%Y"),
     )
+    pat = li.select(pf_b.parsed.alias("p")).agg(
+        F.lit("pattern").alias("variant"),
+        F.min("p").alias("min_d"),
+        F.max("p").alias("max_d"),
+        F.count_distinct("p").cast(_BIG).alias("n_distinct"),
+    )
+    return iso.unionByName(pat)
 
 
 @q(
@@ -270,33 +285,34 @@ def _p13(spark, sf_dir):
 
 
 @q(
-    "p14_parse_object",
-    "SELECT count(*) AS n_valid, count(*) FILTER (WHERE FALSE) AS n_invalid,"
+    "p14_p15_json",
+    "SELECT 'object' AS kind, count(*) AS n_valid,"
+    " count(*) FILTER (WHERE FALSE) AS n_invalid,"
     " CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)"
-    " AS sum_k FROM events",
+    " AS sum_x FROM events"
+    " UNION ALL"
+    " SELECT 'array' AS kind, count(*) FILTER (WHERE event_id % 7 <> 0)"
+    " AS n_valid, count(*) FILTER (WHERE event_id % 7 = 0) AS n_invalid,"
+    " CAST(count(*) FILTER (WHERE event_id % 7 <> 0) * 2 AS BIGINT)"
+    " AS sum_x FROM events",
 )
-def _p14(spark, sf_dir):
+def _p14_p15(spark, sf_dir):
+    """P14 object + P15 array JSON parsers in one query (50-entry
+    registry cap). 'object' validates events.props and sums $.k;
+    'array' parses synthesized array lexicals where event_id%7==0
+    rows are deliberately malformed — the oracle counts by the rule,
+    sum_x is the total parsed-array length."""
     ev = t(spark, sf_dir, "events")
-    pf = parse_field(F.col("props"), Field("v", type="object"))
+
+    pf_o = parse_field(F.col("props"), Field("v", type="object"))
     k = F.get_json_object(F.col("props"), "$.k").try_cast(_BIG)
-    return ev.select(pf.parsed.alias("p"), pf.bad.alias("b"), k.alias("k")).agg(
+    obj = ev.select(pf_o.parsed.alias("p"), pf_o.bad.alias("b"), k.alias("k")).agg(
+        F.lit("object").alias("kind"),
         F.count("p").cast(_BIG).alias("n_valid"),
         F.count_if(F.col("b")).alias("n_invalid"),
-        F.sum("k").cast(_BIG).alias("sum_k"),
+        F.sum("k").cast(_BIG).alias("sum_x"),
     )
 
-
-@q(
-    "p15_parse_array",
-    "SELECT count(*) FILTER (WHERE event_id % 7 <> 0) AS n_valid,"
-    " count(*) FILTER (WHERE event_id % 7 = 0) AS n_invalid,"
-    " CAST(count(*) FILTER (WHERE event_id % 7 <> 0) * 2 AS BIGINT)"
-    " AS sum_len FROM events",
-)
-def _p15(spark, sf_dir):
-    """P15: synthesized array lexicals; rows with event_id%7==0 are
-    deliberately malformed — oracle counts by the rule."""
-    ev = t(spark, sf_dir, "events")
     raw = F.when(
         F.col("event_id") % 7 != 0,
         F.concat(
@@ -307,49 +323,60 @@ def _p15(spark, sf_dir):
             F.lit("]"),
         ),
     ).otherwise(F.lit("[broken"))
-    pf = parse_field(raw, Field("v", type="array"))
-    ln = F.json_array_length(pf.parsed)
-    return ev.select(pf.parsed.alias("p"), pf.bad.alias("b"), ln.alias("ln")).agg(
+    pf_a = parse_field(raw, Field("v", type="array"))
+    ln = F.json_array_length(pf_a.parsed)
+    arr = ev.select(pf_a.parsed.alias("p"), pf_a.bad.alias("b"), ln.alias("ln")).agg(
+        F.lit("array").alias("kind"),
         F.count("p").cast(_BIG).alias("n_valid"),
         F.count_if(F.col("b")).alias("n_invalid"),
-        F.sum("ln").cast(_BIG).alias("sum_len"),
+        F.sum("ln").cast(_BIG).alias("sum_x"),
     )
+    return obj.unionByName(arr)
 
 
 @q(
-    "p16_parse_year",
-    "SELECT count(*) FILTER (WHERE FALSE) AS n_bad,"
-    " CAST(min(year(l_shipdate)) AS BIGINT) AS min_y,"
-    " CAST(max(year(l_shipdate)) AS BIGINT) AS max_y FROM lineitem",
+    "p16_p17_year_month",
+    "SELECT 'year' AS kind, count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(min(year(l_shipdate)) AS BIGINT) AS min_v,"
+    " CAST(max(year(l_shipdate)) AS BIGINT) AS max_v,"
+    " CAST(count(DISTINCT year(l_shipdate)) AS BIGINT) AS n_distinct"
+    " FROM lineitem"
+    " UNION ALL"
+    " SELECT 'yearmonth' AS kind, count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(min(year(l_shipdate) * 100 + month(l_shipdate)) AS BIGINT) AS min_v,"
+    " CAST(max(year(l_shipdate) * 100 + month(l_shipdate)) AS BIGINT) AS max_v,"
+    " CAST(count(DISTINCT year(l_shipdate) * 100 + month(l_shipdate))"
+    " AS BIGINT) AS n_distinct FROM lineitem",
 )
-def _p16(spark, sf_dir):
+def _p16_p17(spark, sf_dir):
+    """P16 year + P17 yearmonth parsers in one query (50-entry
+    registry cap). The yearmonth struct<year,month> is pinned via
+    year*100+month min/max/distinct aggregates."""
     li = t(spark, sf_dir, "lineitem")
-    raw = F.date_format("l_shipdate", "yyyy")
-    pf = parse_field(raw, Field("v", type="year"))
-    return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+
+    pf_y = parse_field(F.date_format("l_shipdate", "yyyy"), Field("v", type="year"))
+    yr = li.select(pf_y.parsed.alias("p"), pf_y.bad.alias("b")).agg(
+        F.lit("year").alias("kind"),
         F.count_if(F.col("b")).alias("n_bad"),
-        F.min("p").cast(_BIG).alias("min_y"),
-        F.max("p").cast(_BIG).alias("max_y"),
+        F.min("p").cast(_BIG).alias("min_v"),
+        F.max("p").cast(_BIG).alias("max_v"),
+        F.count_distinct("p").cast(_BIG).alias("n_distinct"),
     )
 
-
-@q(
-    "p17_parse_yearmonth",
-    "SELECT DISTINCT CAST(year(l_shipdate) AS BIGINT) AS ym_year,"
-    " CAST(month(l_shipdate) AS BIGINT) AS ym_month FROM lineitem",
-)
-def _p17(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
-    raw = F.date_format("l_shipdate", "yyyy-MM")
-    pf = parse_field(raw, Field("v", type="yearmonth"))
-    return (
-        li.select(pf.parsed.alias("p"))
-        .select(
-            F.col("p.year").cast(_BIG).alias("ym_year"),
-            F.col("p.month").cast(_BIG).alias("ym_month"),
-        )
-        .distinct()
+    pf_ym = parse_field(
+        F.date_format("l_shipdate", "yyyy-MM"), Field("v", type="yearmonth")
     )
+    code = (F.col("p.year") * 100 + F.col("p.month")).cast(_BIG)
+    ym = li.select(pf_ym.parsed.alias("p"), pf_ym.bad.alias("b")).select(
+        code.alias("c"), "b"
+    ).agg(
+        F.lit("yearmonth").alias("kind"),
+        F.count_if(F.col("b")).alias("n_bad"),
+        F.min("c").alias("min_v"),
+        F.max("c").alias("max_v"),
+        F.count_distinct("c").alias("n_distinct"),
+    )
+    return yr.unionByName(ym)
 
 
 @q(
@@ -421,55 +448,57 @@ def _p20(spark, sf_dir):
 
 
 @q(
-    "p2_string_email",
-    "SELECT count(*) FILTER (WHERE c_custkey % 10 <> 0) AS n_valid,"
-    " count(*) FILTER (WHERE c_custkey % 10 = 0) AS n_invalid FROM customer",
+    "p2_p5_string_formats",
+    "SELECT 'email' AS fmt, count(*) FILTER (WHERE c_custkey % 10 <> 0)"
+    " AS n_valid, count(*) FILTER (WHERE c_custkey % 10 = 0) AS n_invalid"
+    " FROM customer"
+    " UNION ALL"
+    " SELECT 'uri' AS fmt, count(*) FILTER (WHERE s_suppkey % 4 <> 0)"
+    " AS n_valid, count(*) FILTER (WHERE s_suppkey % 4 = 0) AS n_invalid"
+    " FROM supplier"
+    " UNION ALL"
+    " SELECT 'uuid' AS fmt, count(*) FILTER (WHERE c_custkey % 5 <> 0)"
+    " AS n_valid, count(*) FILTER (WHERE c_custkey % 5 = 0) AS n_invalid"
+    " FROM customer"
+    " UNION ALL"
+    " SELECT 'binary' AS fmt, count(*) FILTER (WHERE n_nationkey % 3 <> 0)"
+    " AS n_valid, count(*) FILTER (WHERE n_nationkey % 3 = 0) AS n_invalid"
+    " FROM nation",
 )
-def _p2(spark, sf_dir):
+def _p2_p5(spark, sf_dir):
+    """P2 email + P3 uri + P4 uuid + P5 binary string-format parsers
+    in one query (50-entry registry cap), one labeled row per format.
+    Lexicals are synthesized with modulo validity rules so the oracle
+    counts expectations arithmetically; uuids come from md5 (identical
+    function both engines)."""
+
+    def _count(df, raw, fld, fmt):
+        pf = parse_field(raw, fld)
+        return df.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+            F.lit(fmt).alias("fmt"),
+            F.count("p").cast(_BIG).alias("n_valid"),
+            F.count_if(F.col("b")).alias("n_invalid"),
+        )
+
     c = t(spark, sf_dir, "customer")
-    raw = F.when(
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+
+    email_raw = F.when(
         F.col("c_custkey") % 10 != 0,
         F.concat(
             F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
             F.lit("@example.com"),
         ),
     ).otherwise(F.concat(F.col("c_name"), F.lit("@@bad")))
-    pf = parse_field(raw, Field("v", format="email"))
-    return c.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
-        F.count("p").cast(_BIG).alias("n_valid"),
-        F.count_if(F.col("b")).alias("n_invalid"),
-    )
 
-
-@q(
-    "p3_string_uri",
-    "SELECT count(*) FILTER (WHERE s_suppkey % 4 <> 0) AS n_valid,"
-    " count(*) FILTER (WHERE s_suppkey % 4 = 0) AS n_invalid FROM supplier",
-)
-def _p3(spark, sf_dir):
-    s = t(spark, sf_dir, "supplier")
-    raw = F.when(
+    uri_raw = F.when(
         F.col("s_suppkey") % 4 != 0,
         F.concat(
             F.lit("https://example.com/supplier/"), F.col("s_suppkey").cast("string")
         ),
     ).otherwise(F.lit("not a uri"))
-    pf = parse_field(raw, Field("v", format="uri"))
-    return s.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
-        F.count("p").cast(_BIG).alias("n_valid"),
-        F.count_if(F.col("b")).alias("n_invalid"),
-    )
 
-
-@q(
-    "p4_string_uuid",
-    "SELECT count(*) FILTER (WHERE c_custkey % 5 <> 0) AS n_valid,"
-    " count(*) FILTER (WHERE c_custkey % 5 = 0) AS n_invalid FROM customer",
-)
-def _p4(spark, sf_dir):
-    """P4: uuids synthesized from md5 (identical function both engines;
-    validity decided by the modulo rule)."""
-    c = t(spark, sf_dir, "customer")
     h = F.md5(F.col("c_name"))
     uuid = F.concat_ws(
         "-",
@@ -479,29 +508,20 @@ def _p4(spark, sf_dir):
         F.substring(h, 17, 4),
         F.substring(h, 21, 12),
     )
-    raw = F.when(F.col("c_custkey") % 5 != 0, uuid).otherwise(F.lit("not-a-uuid"))
-    pf = parse_field(raw, Field("v", format="uuid"))
-    return c.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
-        F.count("p").cast(_BIG).alias("n_valid"),
-        F.count_if(F.col("b")).alias("n_invalid"),
+    uuid_raw = F.when(F.col("c_custkey") % 5 != 0, uuid).otherwise(
+        F.lit("not-a-uuid")
     )
 
-
-@q(
-    "p5_string_binary",
-    "SELECT count(*) FILTER (WHERE n_nationkey % 3 <> 0) AS n_valid,"
-    " count(*) FILTER (WHERE n_nationkey % 3 = 0) AS n_invalid FROM nation",
-)
-def _p5(spark, sf_dir):
-    n = t(spark, sf_dir, "nation")
-    raw = F.when(
+    bin_raw = F.when(
         F.col("n_nationkey") % 3 != 0,
         F.base64(F.col("n_name").cast("binary")),
     ).otherwise(F.lit("!!notbase64"))
-    pf = parse_field(raw, Field("v", format="binary"))
-    return n.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
-        F.count("p").cast(_BIG).alias("n_valid"),
-        F.count_if(F.col("b")).alias("n_invalid"),
+
+    return (
+        _count(c, email_raw, Field("v", format="email"), "email")
+        .unionByName(_count(s, uri_raw, Field("v", format="uri"), "uri"))
+        .unionByName(_count(c, uuid_raw, Field("v", format="uuid"), "uuid"))
+        .unionByName(_count(n, bin_raw, Field("v", format="binary"), "binary"))
     )
 
 
@@ -537,43 +557,54 @@ def _c2(spark, sf_dir):
 
 
 @q(
-    "c3_length_bounds",
-    "SELECT count(*) FILTER (WHERE length(p_name) < 10) AS n_short,"
-    " count(*) FILTER (WHERE length(p_name) > 30) AS n_long FROM part",
+    "c3_c4_bounds",
+    "SELECT 'length' AS chk,"
+    " count(*) FILTER (WHERE length(p_name) < 10) AS n_low,"
+    " count(*) FILTER (WHERE length(p_name) > 30) AS n_high,"
+    " CAST(min(length(p_name)) AS DOUBLE) AS min_v,"
+    " CAST(max(length(p_name)) AS DOUBLE) AS max_v FROM part"
+    " UNION ALL"
+    " SELECT 'range' AS chk,"
+    " count(*) FILTER (WHERE l_discount < 0.0) AS n_low,"
+    " count(*) FILTER (WHERE l_discount > 0.05) AS n_high,"
+    " min(l_discount) AS min_v, max(l_discount) AS max_v FROM lineitem",
 )
-def _c3(spark, sf_dir):
+def _c3_c4(spark, sf_dir):
+    """C3 min/maxLength + C4 minimum/maximum in one query (50-entry
+    registry cap): 'length' row checks p_name length bounds, 'range'
+    row checks l_discount value bounds, both via the compiled
+    constraint masks used by validate."""
     from .checks.constraints import compile_constraints
 
     p = t(spark, sf_dir, "part")
-    fld = Field("p_name", constraints={"minLength": 10, "maxLength": 30})
-    checks = compile_constraints(fld, F.col("p_name"), F.col("p_name"))
-    masks = {c.constraint: c.mask for c in checks}
-    return p.agg(
-        F.count_if(masks["minLength"]).alias("n_short"),
-        F.count_if(masks["maxLength"]).alias("n_long"),
+    fld_len = Field("p_name", constraints={"minLength": 10, "maxLength": 30})
+    len_masks = {
+        c.constraint: c.mask
+        for c in compile_constraints(fld_len, F.col("p_name"), F.col("p_name"))
+    }
+    length = p.agg(
+        F.lit("length").alias("chk"),
+        F.count_if(len_masks["minLength"]).alias("n_low"),
+        F.count_if(len_masks["maxLength"]).alias("n_high"),
+        F.min(F.length("p_name")).cast("double").alias("min_v"),
+        F.max(F.length("p_name")).cast("double").alias("max_v"),
     )
 
-
-@q(
-    "c4_range",
-    "SELECT count(*) FILTER (WHERE l_discount < 0.0) AS n_below,"
-    " count(*) FILTER (WHERE l_discount > 0.05) AS n_above,"
-    " min(l_discount) AS min_v, max(l_discount) AS max_v FROM lineitem",
-)
-def _c4(spark, sf_dir):
-    from .checks.constraints import compile_constraints
-
     li = t(spark, sf_dir, "lineitem")
-    fld = Field("l_discount", type="number",
-                constraints={"minimum": 0.0, "maximum": 0.05})
-    checks = compile_constraints(fld, F.col("l_discount"), None)
-    masks = {c.constraint: c.mask for c in checks}
-    return li.agg(
-        F.count_if(masks["minimum"]).alias("n_below"),
-        F.count_if(masks["maximum"]).alias("n_above"),
+    fld_rng = Field("l_discount", type="number",
+                    constraints={"minimum": 0.0, "maximum": 0.05})
+    rng_masks = {
+        c.constraint: c.mask
+        for c in compile_constraints(fld_rng, F.col("l_discount"), None)
+    }
+    rng = li.agg(
+        F.lit("range").alias("chk"),
+        F.count_if(rng_masks["minimum"]).alias("n_low"),
+        F.count_if(rng_masks["maximum"]).alias("n_high"),
         F.min("l_discount").alias("min_v"),
         F.max("l_discount").alias("max_v"),
     )
+    return length.unionByName(rng)
 
 
 @q(
@@ -643,45 +674,37 @@ def _k2(spark, sf_dir):
 
 
 @q(
-    "k3_fk_lineitem_orders",
-    "SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS l_orderkey FROM lineitem"
-    " WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN"
-    " (SELECT o_orderkey FROM orders)",
-)
-def _k3a(spark, sf_dir):
-    from .checks.keys import foreign_key_violations_df
-
-    li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
-    return foreign_key_violations_df(
-        li.select(F.col("l_orderkey").cast(_BIG).alias("l_orderkey")),
-        ["l_orderkey"],
-        o,
-        ["o_orderkey"],
-        broadcast_parent=True,
-    )
-
-
-@q(
     "k3_fk_violations",
-    "SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS l_orderkey FROM lineitem"
-    " WHERE l_orderkey % 7 = 0",
+    "SELECT 'clean' AS fk, CAST(l_orderkey AS BIGINT) AS l_orderkey"
+    " FROM lineitem WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN"
+    " (SELECT o_orderkey FROM orders)"
+    " UNION"
+    " SELECT 'dirty' AS fk, CAST(l_orderkey AS BIGINT) AS l_orderkey"
+    " FROM lineitem WHERE l_orderkey % 7 = 0",
 )
 def _k3b(spark, sf_dir):
-    """K3 with real violations: parent filtered to o_orderkey%7!=0, so
-    every child key divisible by 7 is orphaned (FKs are clean in the
-    testdata, so the rule is the ground truth)."""
+    """K3 foreign keys, two checks in one query (50-entry registry
+    cap): 'clean' runs the real lineitem→orders FK (testdata FKs hold,
+    so it contributes 0 rows — any row here is a real defect); 'dirty'
+    filters the parent to o_orderkey%7!=0, so every child key
+    divisible by 7 is orphaned and the oracle counts by the rule.
+    Both run the broadcast distinct-distinct anti-join path."""
     from .checks.keys import foreign_key_violations_df
 
     li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 != 0)
-    return foreign_key_violations_df(
-        li.select(F.col("l_orderkey").cast(_BIG).alias("l_orderkey")),
+    child = li.select(F.col("l_orderkey").cast(_BIG).alias("l_orderkey"))
+    o = t(spark, sf_dir, "orders")
+    clean = foreign_key_violations_df(
+        child, ["l_orderkey"], o, ["o_orderkey"], broadcast_parent=True
+    ).select(F.lit("clean").alias("fk"), "l_orderkey")
+    dirty = foreign_key_violations_df(
+        child,
         ["l_orderkey"],
-        o,
+        o.where(F.col("o_orderkey") % 7 != 0),
         ["o_orderkey"],
         broadcast_parent=True,
-    )
+    ).select(F.lit("dirty").alias("fk"), "l_orderkey")
+    return clean.unionByName(dirty)
 
 
 @q(
@@ -1128,35 +1151,34 @@ def _x5s(spark, sf_dir):
 
 
 @q(
-    "p1_parse_string",
-    "SELECT count(*) FILTER (WHERE FALSE) AS n_bad,"
-    " CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct FROM customer",
+    "p1_p21_passthrough",
+    "SELECT 'string' AS kind, count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(count(DISTINCT c_name) AS BIGINT) AS n_out FROM customer"
+    " UNION ALL"
+    " SELECT 'any' AS kind, count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(count(p_type) AS BIGINT) AS n_out FROM part",
 )
-def _p1(spark, sf_dir):
-    """P1 string default parse = identity ([R parse.py::parse_string];
-    SURVEY.md §2.3): never errors, value preserved."""
+def _p1_p21(spark, sf_dir):
+    """P1 string default parse (= identity, never errors, value
+    preserved) + P21 `any` passthrough (no validation, lexical kept)
+    in one query (50-entry registry cap). [R parse.py::parse_string /
+    parse_field]; SURVEY.md §2.3."""
     c = t(spark, sf_dir, "customer")
-    pf = parse_field(F.col("c_name"), Field("v", type="string"))
-    return c.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+    pf_s = parse_field(F.col("c_name"), Field("v", type="string"))
+    s = c.select(pf_s.parsed.alias("p"), pf_s.bad.alias("b")).agg(
+        F.lit("string").alias("kind"),
         F.count_if(F.col("b")).alias("n_bad"),
-        F.count_distinct(F.col("p")).cast(_BIG).alias("n_distinct"),
+        F.count_distinct(F.col("p")).cast(_BIG).alias("n_out"),
     )
 
-
-@q(
-    "p21_parse_any",
-    "SELECT count(*) FILTER (WHERE FALSE) AS n_bad,"
-    " CAST(count(p_type) AS BIGINT) AS n_vals FROM part",
-)
-def _p21(spark, sf_dir):
-    """P21 `any` passthrough ([R parse.py::parse_field]; SURVEY.md
-    §2.3): no validation, no errors, lexical value kept."""
     p = t(spark, sf_dir, "part")
-    pf = parse_field(F.col("p_type"), Field("v", type="any"))
-    return p.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+    pf_a = parse_field(F.col("p_type"), Field("v", type="any"))
+    a = p.select(pf_a.parsed.alias("p"), pf_a.bad.alias("b")).agg(
+        F.lit("any").alias("kind"),
         F.count_if(F.col("b")).alias("n_bad"),
-        F.count(F.col("p")).cast(_BIG).alias("n_vals"),
+        F.count(F.col("p")).cast(_BIG).alias("n_out"),
     )
+    return s.unionByName(a)
 
 
 # ===================== X6: multimodal columns =============================
