@@ -974,18 +974,97 @@ def _x2j(spark, sf_dir):
     )
 
 
-@q("x2_minhash_pairs", None)  # xxhash64-based — rows-only
+@q(
+    "x2_minhash_pairs",
+    """WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM toks),
+ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5)
+SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+       TRUE AS containment_ok, TRUE AS recall_ok""",
+)
 def _x2m(spark, sf_dir):
+    """X2 MinHash+LSH near-dup, restated as a DETERMINISTIC summary
+    against its exact twin so the approximate path gets a hash-checked
+    oracle row (was rows-only): the oracle computes the exact-Jaccard
+    pair count in SQL; Spark computes the LSH+verify pairs AND the
+    exact pairs, then asserts containment (verify is exact Jaccard, so
+    every reported pair must be a true pair) and recall ≥ 0.9 (banding
+    is designed for ~99% at this operating point)."""
     d = t(spark, sf_dir, "documents", wide=True)
-    return xdedup.minhash_dedup_pairs(d, threshold=0.5).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    approx = xdedup.minhash_dedup_pairs(d, threshold=0.5).select(
+        F.col("id_a").cast(_BIG).alias("id_a"),
+        F.col("id_b").cast(_BIG).alias("id_b"),
+        F.lit(1).alias("in_a"),
+    )
+    toks = d.select(
+        F.col("doc_id").cast(_BIG).alias("id"),
+        xtext.whitespace_tokens(xtext.normalize_text(F.col("text"))).alias("w"),
+    )
+    a = toks.select(F.col("id").alias("id_a"), F.col("w").alias("wa"))
+    b = toks.select(F.col("id").alias("id_b"), F.col("w").alias("wb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(xdedup.ngram_jaccard(F.col("wa"), F.col("wb"), 3) >= 0.5)
+        .select("id_a", "id_b", F.lit(1).alias("in_e"))
+    )
+    j = exact.join(approx, ["id_a", "id_b"], "full")
+    return j.agg(
+        F.count_if(F.col("in_e").isNotNull()).alias("ne"),
+        F.count_if(F.col("in_a").isNotNull() & F.col("in_e").isNull()).alias("extra"),
+        F.count_if(F.col("in_a").isNotNull() & F.col("in_e").isNotNull()).alias("common"),
+    ).select(
+        F.col("ne").cast(_BIG).alias("n_exact"),
+        (F.col("extra") == 0).alias("containment_ok"),
+        (F.col("common") >= F.round(F.col("ne") * 0.9)).alias("recall_ok"),
     )
 
 
-@q("x2_simhash_dups", None)  # xxhash64-based — rows-only
+@q(
+    "x2_simhash_dups",
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS complete_ok"
+    " FROM documents",
+)
 def _x2s(spark, sf_dir):
+    """X2b SimHash chunk-LSH, restated as a DETERMINISTIC completeness
+    summary (was rows-only): at max_hamming=3 the 4×16-bit chunk LSH
+    is pigeonhole-COMPLETE (any pair within Hamming 3 shares an intact
+    chunk), so the bucketed candidate set must EQUAL the brute-force
+    all-pairs Hamming≤3 set. Spark computes both and asserts equality;
+    the brute-force side is the verification kernel only — the LSH
+    side is the 100 TB path. xxhash64 fingerprints are not
+    SQL-expressible, so the oracle pins n_docs + the completeness
+    invariant."""
     d = t(spark, sf_dir, "documents", wide=True)
-    return xdedup.simhash_candidates(d, max_hamming=8)
+    lsh = xdedup.simhash_candidates(d, max_hamming=3).select(
+        "id_a", "id_b", F.lit(1).alias("in_l")
+    )
+    fp = xdedup.simhash_fingerprints(d)
+    a = fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(xdedup.hamming64(F.col("fp_a"), F.col("fp_b")) <= 3)
+        .select("id_a", "id_b", F.lit(1).alias("in_b"))
+    )
+    j = brute.join(lsh, ["id_a", "id_b"], "full")
+    n_docs = d.select(F.count(F.lit(1)).cast(_BIG).alias("n_docs"))
+    summary = j.agg(
+        F.count_if(F.col("in_b").isNull() | F.col("in_l").isNull()).alias("diff")
+    ).select((F.col("diff") == 0).alias("complete_ok"))
+    return n_docs.crossJoin(summary)
 
 
 @q(
@@ -1007,28 +1086,98 @@ def _x3(spark, sf_dir):
     )
 
 
-@q("x3_ann_topk", None)  # approximate by construction — rows-only
-def _x3ann(spark, sf_dir):
+_EXACT_TOP10_SQL = (
+    "SELECT CAST(b.vec_id AS BIGINT) AS vec_id"
+    " FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id = 0"
+    " ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id LIMIT 10"
+)
+
+
+def _topk_overlap_summary(spark, sf_dir, approx_fn, min_overlap: int):
+    """Shared overlap@10 summary for the approximate top-k queries.
+
+    The raw testdata embeddings are near-random (max pairwise cosine
+    ≈ 0.5), a regime where NO sublinear ANN can beat noise — so the
+    query runs on a planted-structure variant: every 50th vector is
+    replaced by 0.9·q + 0.1·v (cosine ≈ 0.99 to the query), giving a
+    true neighborhood the index must recover. Emits (k, top1_id,
+    top1_cosine, overlap_ok): top1 comes from the APPROXIMATE result —
+    the query vector itself must always be found at cosine 1.0, which
+    the oracle states exactly; overlap@10 vs the exact top-10 must
+    clear ``min_overlap`` (fixed seeds → deterministic)."""
     e = t(spark, sf_dir, "embeddings")
-    qv = e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    top = xsim.ann_topk(e, [float(x) for x in qv], k=10)
-    return top.select(
-        F.col("vec_id").cast(_BIG).alias("vec_id"),
-        F.round("cosine", 6).alias("cosine"),
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    ]
+    qlit = F.array(*[F.lit(0.9 * float(x)) for x in qv])
+    planted_vec = F.zip_with(
+        qlit, F.col("embedding").cast("array<double>"), lambda x, y: x + 0.1 * y
+    )
+    e = e.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 50 == 0, planted_vec)
+        .otherwise(F.col("embedding").cast("array<double>"))
+        .alias("embedding"),
+    )
+    approx = approx_fn(e, qv).select(
+        F.col("vec_id").cast(_BIG).alias("vec_id"), "cosine"
+    )
+    exact = xsim.cosine_topk(e, qv, k=10).select(
+        F.col("vec_id").cast(_BIG).alias("vec_id")
+    )
+    top1 = approx.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(1).select(
+        F.col("vec_id").alias("top1_id"), F.round("cosine", 6).alias("top1_cosine")
+    )
+    overlap = (
+        approx.select("vec_id")
+        .join(exact, "vec_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(10).cast(_BIG).alias("k"),
+            (F.col("n") >= min_overlap).alias("overlap_ok"),
+        )
+    )
+    return overlap.crossJoin(top1)
+
+
+@q(
+    "x3_ann_topk",
+    "SELECT CAST(10 AS BIGINT) AS k, TRUE AS overlap_ok,"
+    " CAST(0 AS BIGINT) AS top1_id, CAST(1.0 AS DOUBLE) AS top1_cosine",
+)
+def _x3ann(spark, sf_dir):
+    """X3b multi-probe LSH ANN, restated as a DETERMINISTIC overlap@10
+    summary vs the exact top-10 (was rows-only): ≥7/10 of the true
+    neighbors must be found (fixed hyperplane seed → deterministic),
+    and the top-1 must be the query vector itself at cosine 1.0."""
+    return _topk_overlap_summary(
+        spark,
+        sf_dir,
+        lambda e, qv: xsim.ann_topk(e, qv, k=10),
+        min_overlap=7,
     )
 
 
-@q("x3_ivf_topk", None)  # approximate by construction — rows-only
+@q(
+    "x3_ivf_topk",
+    "SELECT CAST(10 AS BIGINT) AS k, TRUE AS overlap_ok,"
+    " CAST(0 AS BIGINT) AS top1_id, CAST(1.0 AS DOUBLE) AS top1_cosine",
+)
 def _x3ivf(spark, sf_dir):
-    """X3c: IVF ANN — exact cosine restricted to nprobe inverted
-    lists (extensions/similarity.py::ivf_topk); the data-adaptive
-    complement to the data-independent LSH path."""
-    e = t(spark, sf_dir, "embeddings")
-    qv = e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    top = xsim.ivf_topk(e, [float(x) for x in qv], k=10)
-    return top.select(
-        F.col("vec_id").cast(_BIG).alias("vec_id"),
-        F.round("cosine", 6).alias("cosine"),
+    """X3c IVF ANN (data-adaptive complement to the LSH path),
+    restated as a DETERMINISTIC overlap@10 summary vs the exact
+    top-10 (was rows-only): ≥7/10 true neighbors found via nprobe
+    inverted lists (deterministic hash-sampled centroid seeds), top-1
+    is the query vector at cosine 1.0."""
+    return _topk_overlap_summary(
+        spark,
+        sf_dir,
+        lambda e, qv: xsim.ivf_topk(e, qv, k=10),
+        min_overlap=7,
     )
 
 
@@ -1080,19 +1229,90 @@ def _x3knn(spark, sf_dir):
     )
 
 
-@q("x3_embedding_near_dups", None)  # LSH recall — rows-only
+@q(
+    "x3_embedding_near_dups",
+    "SELECT CAST(count(*) AS BIGINT) AS n_exact,"
+    " TRUE AS containment_ok, TRUE AS recall_ok"
+    " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+    " WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])) >= 0.45",
+)
 def _x3nd(spark, sf_dir):
-    """X2e approximate half: banded random-hyperplane LSH + exact
-    verify (extensions/dedup.py::embedding_near_dups). Rows-only: LSH
-    recall < 1 by construction. Threshold 0.45 so the testdata (near-
-    random vectors, max pairwise cosine ≈ 0.5) yields non-empty
-    output; at that low a threshold banding recall is partial — the
-    designed operating point is ≥0.9 (≈99% recall, test_extensions
-    recall test)."""
+    """X2e banded random-hyperplane LSH + exact-cosine verify
+    (extensions/dedup.py::embedding_near_dups), restated as a
+    DETERMINISTIC summary vs the exact brute-force pairs (was
+    rows-only): the oracle computes the exact pair count ≥ 0.45 in
+    SQL; Spark asserts the LSH+verify pairs are contained in the
+    exact set (verify is exact cosine) with recall ≥ 0.85. Threshold
+    0.45 so the near-random testdata yields non-empty output; the
+    designed ≥0.9 operating point has ≈99% recall (test_extensions)."""
     e = t(spark, sf_dir, "embeddings")
-    return xdedup.embedding_near_dups(
+    approx = xdedup.embedding_near_dups(
         e, threshold=0.45, num_bands=16, planes_per_band=4
-    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    ).select(
+        F.col("id_a").cast(_BIG).alias("id_a"),
+        F.col("id_b").cast(_BIG).alias("id_b"),
+        F.lit(1).alias("in_a"),
+    )
+    exact = xdedup.embedding_cosine_pairs(e, threshold=0.45).select(
+        F.col("id_a").cast(_BIG).alias("id_a"),
+        F.col("id_b").cast(_BIG).alias("id_b"),
+        F.lit(1).alias("in_e"),
+    )
+    j = exact.join(approx, ["id_a", "id_b"], "full")
+    return j.agg(
+        F.count_if(F.col("in_e").isNotNull()).alias("ne"),
+        F.count_if(F.col("in_a").isNotNull() & F.col("in_e").isNull()).alias("extra"),
+        F.count_if(F.col("in_a").isNotNull() & F.col("in_e").isNotNull()).alias("common"),
+    ).select(
+        F.col("ne").cast(_BIG).alias("n_exact"),
+        (F.col("extra") == 0).alias("containment_ok"),
+        (F.col("common") >= F.round(F.col("ne") * 0.85)).alias("recall_ok"),
+    )
+
+
+@q(
+    "x3_sim_join",
+    "SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 30)"
+    " AS BIGINT) AS n_left,"
+    " CAST((SELECT count(*) FROM embeddings WHERE vec_id < 30) * 3"
+    " AS BIGINT) AS n_exact, TRUE AS overlap_ok",
+)
+def _x3sj(spark, sf_dir):
+    """X3e banded-LSH similarity_join (the scale path for
+    top-k-per-row joins), as a DETERMINISTIC overlap summary vs the
+    exact knn_join: per left row the approximate top-3 must recover
+    ≥ 60% of the exact top-3 pairs overall (fixed seed →
+    deterministic; near-random testdata vectors make per-pair
+    collision the designed ≈99.8% only for genuinely similar pairs,
+    so the bound is looser than the near-dup recall test's planted
+    pairs)."""
+    e = t(spark, sf_dir, "embeddings")
+    left = e.where(F.col("vec_id") < 30)
+    approx = xsim.similarity_join(
+        left, e, k=3, num_bands=8, planes_per_band=4
+    ).select(
+        F.col("left_id").cast(_BIG).alias("left_id"),
+        F.col("right_id").cast(_BIG).alias("right_id"),
+        F.lit(1).alias("in_a"),
+    )
+    exact = xsim.knn_join(left, e, k=3).select(
+        F.col("left_id").cast(_BIG).alias("left_id"),
+        F.col("right_id").cast(_BIG).alias("right_id"),
+        F.lit(1).alias("in_e"),
+    )
+    n_left = left.agg(F.count(F.lit(1)).cast(_BIG).alias("n_left"))
+    j = exact.join(approx, ["left_id", "right_id"], "full")
+    summary = j.agg(
+        F.count_if(F.col("in_e").isNotNull()).alias("ne"),
+        F.count_if(F.col("in_a").isNotNull() & F.col("in_e").isNotNull()).alias(
+            "common"
+        ),
+    ).select(
+        F.col("ne").cast(_BIG).alias("n_exact"),
+        (F.col("common") >= F.col("ne") * 0.6).alias("overlap_ok"),
+    )
+    return n_left.crossJoin(summary).select("n_left", "n_exact", "overlap_ok")
 
 
 @q(

