@@ -320,11 +320,30 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     refine: int = 1,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine restricted to the ``nprobe``
     inverted lists nearest the query. Complements ``ann_topk`` (LSH):
-    IVF adapts to the data distribution, LSH is data-independent."""
-    assigned, cents = ivf_assign(df, vec_col, nlist, refine)
+    IVF adapts to the data distribution, LSH is data-independent.
+
+    Pass ``centroids`` (from a prior ``ivf_assign``) to skip training
+    entirely — the 100 TB call shape: train/assign ONCE, persist the
+    table partitioned or bucketed by ``ivf_cid``, then serve every
+    query as pure partition pruning + a bounded exact scan. When
+    ``centroids`` is given and ``df`` already carries an ``ivf_cid``
+    column (a pre-assigned table), the assignment expression is reused
+    as-is and this function launches no training jobs at all (asserted
+    in test_extensions)."""
+    if centroids is None:
+        assigned, cents = ivf_assign(df, vec_col, nlist, refine)
+    else:
+        cents = centroids
+        if "ivf_cid" in df.columns:
+            assigned = df
+        else:
+            assigned = df.withColumn(
+                "ivf_cid", _nearest_cid(F.col(vec_col), cents)
+            )
     qd = [
         (sum((q - c) ** 2 for q, c in zip(query, cent)), cid)
         for cid, cent in enumerate(cents)

@@ -295,6 +295,24 @@ def test_multimodal_metadata(spark):
     assert r["media_meta"]["n_bytes"] == len(r["blob"])
 
 
+def test_ivf_topk_precomputed_centroids_no_training(spark, sf_dir, monkeypatch):
+    """The 100 TB call shape: ivf_assign once, then every query with
+    centroids= on the pre-assigned table must launch ZERO training
+    jobs and ZERO re-assignment — both are poisoned to prove it."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, cents = similarity.ivf_assign(emb, nlist=8, refine=1)
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+
+    def _boom(*a, **k):
+        raise AssertionError("ivf_topk retrained/re-assigned")
+
+    monkeypatch.setattr(similarity, "_centroid_rows", _boom)
+    monkeypatch.setattr(similarity, "_nearest_cid", _boom)
+    out = similarity.ivf_topk(assigned, q, k=5, centroids=cents).collect()
+    assert out[0]["vec_id"] == 0
+    assert out[0]["cosine"] == pytest.approx(1.0)
+
+
 def test_ivf_topk_recall(spark):
     """IVF with full probe coverage must equal brute force; with
     partial probes it must keep most of the true top-k (recall)."""
