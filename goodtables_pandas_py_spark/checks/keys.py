@@ -158,12 +158,18 @@ def foreign_key_violations_df(
     cardinality; AQE converts to broadcast when the parent is small.
     ``broadcast_parent=True`` forces the hint for known dimension
     tables.
-    """
-    notnull = None
+
+    Null semantics (pandas-reference parity): pandas ``merge`` matches
+    NaN==NaN, so a PARTIALLY-null composite tuple like (1, null) is a
+    violation unless the parent contains (1, null) too. We mirror that
+    with a null-safe equality join (``<=>`` — still a hash-joinable
+    equi-key) and skip only FULLY-null tuples (no information to
+    check, matching the reference's NA-row drop)."""
+    some_notnull = None
     for c in child_fields:
         m = F.col(c).isNotNull()
-        notnull = m if notnull is None else (notnull & m)
-    left = child.where(notnull).select(*child_fields).distinct()
+        some_notnull = m if some_notnull is None else (some_notnull | m)
+    left = child.where(some_notnull).select(*child_fields).distinct()
     right = parent.select(
         *[F.col(p).alias(f"__ref_{i}") for i, p in enumerate(parent_fields)]
     ).distinct()
@@ -171,7 +177,7 @@ def foreign_key_violations_df(
         right = F.broadcast(right)
     cond = None
     for i, c in enumerate(child_fields):
-        eq = left[c] == right[f"__ref_{i}"]
+        eq = left[c].eqNullSafe(right[f"__ref_{i}"])
         cond = eq if cond is None else (cond & eq)
     return left.join(right, cond, "left_anti")
 

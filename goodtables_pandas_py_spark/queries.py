@@ -1346,7 +1346,7 @@ def _x5(spark, sf_dir):
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                      > INTERVAL '30 minutes'
+                      >= INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_session
   FROM events)
 SELECT CAST(user_id AS BIGINT) AS user_id,
@@ -1356,7 +1356,9 @@ FROM marked GROUP BY user_id""",
 )
 def _x5s(spark, sf_dir):
     """X5b: session counting; Spark uses session_window (the streaming-
-    native op), oracle states it as gaps-and-islands SQL."""
+    native op), oracle states it as gaps-and-islands SQL. The oracle
+    gap test is ``>=`` to match session_window's half-open [t, t+gap)
+    semantics: an event exactly gap-after starts a NEW session."""
     ev = t(spark, sf_dir, "events")
     sess = ev.groupBy(
         F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")

@@ -16,6 +16,23 @@ from pyspark.sql import types as T
 from .schema import Dialect, Resource
 
 
+def _java_charset(encoding: str) -> str:
+    """Normalize a Python-style encoding name (``latin-1``, ``ascii``)
+    to the canonical Java charset name Spark's CSV reader demands."""
+    import codecs
+
+    try:
+        name = codecs.lookup(encoding).name
+    except LookupError:
+        return encoding
+    return {
+        "iso8859-1": "iso-8859-1",
+        "ascii": "us-ascii",
+        "utf-16-be": "utf-16be",
+        "utf-16-le": "utf-16le",
+    }.get(name, name)
+
+
 def read_csv_stringly(
     spark: SparkSession,
     path: str,
@@ -38,7 +55,7 @@ def read_csv_stringly(
         # multiLine makes CSV non-splittable (one task per file) —
         # only when the dialect declares embedded newlines
         .option("multiLine", d.multiline)
-        .option("encoding", encoding)
+        .option("encoding", _java_charset(encoding))
         .option("mode", "PERMISSIVE")
         # keep lexical forms: no implicit nulls or type coercion
         .option("nullValue", "\u0001NEVER_A_NULL\u0001")
@@ -63,6 +80,99 @@ def read_csv_stringly(
     return df
 
 
+def _is_url(path: str) -> bool:
+    return "://" in path
+
+
+# one addFile per URL per session: SparkFiles caches by basename, so a
+# second addFile of the same name would collide; memoizing also avoids
+# re-downloading on every validate call.
+_URL_CACHE: dict[str, str] = {}
+
+
+def localize_url(spark: SparkSession, url: str) -> str:
+    """Materialize a remote resource locally, cluster-wide.
+
+    ``file://`` URLs are already paths — return the path part.
+    ``http(s)://`` / ``ftp://`` go through ``SparkContext.addFile``,
+    which downloads ONCE and ships the file to every executor (the
+    idiomatic Spark route for URL-hosted inputs — no executor ever
+    re-fetches), then the local ``SparkFiles`` path is read like any
+    other file. Bounded driver work: one download per distinct URL per
+    session."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(url)
+    if parsed.scheme == "file":
+        return parsed.path
+    if parsed.scheme in ("http", "https", "ftp"):
+        if url not in _URL_CACHE:
+            from pyspark import SparkFiles
+
+            spark.sparkContext.addFile(url)
+            name = parsed.path.rstrip("/").rsplit("/", 1)[-1]
+            _URL_CACHE[url] = SparkFiles.get(name)
+        return _URL_CACHE[url]
+    # hdfs:// s3a:// etc.: Hadoop-native schemes pass through untouched
+    return url
+
+
+def _first_file(spark: SparkSession, path: str) -> str | None:
+    """Deterministically resolve the FIRST file of a glob/directory
+    path (lexicographically smallest leaf), via the Hadoop FS API so
+    every filesystem Spark can read is covered. Returns None when
+    nothing matches."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath)
+    if statuses is None:
+        return None
+    leaves: list[str] = []
+    for st in statuses:
+        if st.isFile():
+            leaves.append(st.getPath().toString())
+        elif st.isDirectory():
+            for child in fs.listStatus(st.getPath()):
+                if child.isFile():
+                    leaves.append(child.getPath().toString())
+    visible = [
+        p for p in leaves
+        if not p.rsplit("/", 1)[-1].startswith((".", "_"))
+    ]
+    return min(visible) if visible else None
+
+
+def _read_first_line(
+    spark: SparkSession, file_path: str, encoding: str, line_sep: str
+) -> str:
+    """First line of one concrete file via a Hadoop FS stream —
+    honors the declared encoding and line terminator (a bare
+    spark.read.text would assume utf-8 and \\n). Reads at most 1 MiB:
+    a header longer than that is malformed by any reasonable
+    standard."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(file_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # py4j copies byte[] by value, so chunked read-into-buffer can't
+    # work from Python; read a bounded prefix in one JVM call instead
+    want = min(int(fs.getFileStatus(jpath).getLen()), 1 << 20)
+    stream = fs.open(jpath)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream, want)
+        )
+    finally:
+        stream.close()
+    text = data.decode(encoding, errors="replace")
+    if line_sep in text:
+        return text.split(line_sep, 1)[0]
+    # declared terminator absent (e.g. \r\n declared, file uses \n):
+    # fall back to universal newline handling
+    lines = text.splitlines()
+    return lines[0] if lines else ""
+
+
 def sniff_csv_header(
     spark: SparkSession,
     path: str,
@@ -73,8 +183,15 @@ def sniff_csv_header(
     auto-renames duplicate header names (a,a → a0,a1) and blank ones
     (→ _cN), which would blind the H1 duplicate-header/blank-header
     checks — so H1 must compare against the raw first line, parsed
-    with the dialect. Bounded work: one line, local file read or a
-    LIMIT-1 text scan."""
+    with the dialect. Bounded work: one line from one deterministically
+    chosen file (lexicographically first for globs/directories),
+    honoring the declared encoding and line terminator. Returns None
+    (caller falls back to df.columns) when no file can be resolved —
+    never a wrong-file guess.
+
+    Limitation (documented): a quoted header cell containing an
+    embedded line terminator is truncated at that terminator; such
+    headers also break H1's raw-line model upstream."""
     import csv
     import io
     import os
@@ -82,13 +199,22 @@ def sniff_csv_header(
     d = dialect or Dialect()
     if not d.header:
         return None
+    if _is_url(path):
+        path = localize_url(spark, path)
     line: str | None = None
     if os.path.isfile(path):
         with open(path, encoding=encoding, newline="") as fh:
             line = fh.readline()
-    else:  # glob / directory / remote: one-row text scan (utf-8)
-        first = spark.read.text(path).limit(1).first()
-        line = first[0] if first else ""
+    else:  # glob / directory / hadoop-scheme path
+        line_sep = d.line_terminator if d.line_terminator else "\r\n"
+        try:
+            first = _first_file(spark, path)
+            if first is None:
+                return None
+            line = _read_first_line(spark, first, encoding, line_sep)
+        except Exception:  # FS quirks: fall back to Spark's own columns
+            return None
+    line = line.rstrip("\r\n")
     reader = csv.reader(
         io.StringIO(line),
         delimiter=d.delimiter,
@@ -148,14 +274,20 @@ def read_resource(spark: SparkSession, resource: Resource) -> DataFrame:
         return read_inline(spark, resource)
     if resource.path is None:
         raise ValueError(f"resource {resource.name!r} has no path")
+    path = resource.path
+    if _is_url(path):
+        # local-or-URL path semantics (reference parity): http(s)/ftp
+        # localize once via addFile, file:// unwraps, hadoop schemes
+        # pass through
+        path = localize_url(spark, path)
     fmt = (resource.format or "csv").lower()
     if fmt == "parquet":
-        return read_parquet(spark, resource.path)
+        return read_parquet(spark, path)
     if fmt == "csv":
         # do NOT pin schema field names: header mismatches must be
         # observed by H1, so the file's own header drives the columns
         return read_csv_stringly(
-            spark, resource.path, resource.dialect, resource.encoding
+            spark, path, resource.dialect, resource.encoding
         )
     raise ValueError(f"unsupported resource format {fmt!r}")
 
@@ -188,7 +320,17 @@ def stringly(df: DataFrame) -> DataFrame:
         if isinstance(f.dataType, T.DateType):
             cols.append(F.date_format(c, "yyyy-MM-dd").alias(f.name))
         elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
-            cols.append(F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss").alias(f.name))
+            # sub-second precision must round-trip losslessly through
+            # the lexical form (the datetime parser accepts [.SSSSSS]);
+            # the fraction is appended only when non-zero so
+            # whole-second sources keep their canonical short form
+            base = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+            frac = F.date_format(c, "SSSSSS")
+            cols.append(
+                F.when(frac == "000000", base)
+                .otherwise(F.concat(base, F.lit("."), frac))
+                .alias(f.name)
+            )
         else:
             cols.append(c.cast(T.StringType()).alias(f.name))
     return df.select(*cols)

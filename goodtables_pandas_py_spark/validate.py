@@ -422,6 +422,27 @@ def validate_table(
         return parsed
 
     # --- (d) key checks over the persisted key projection ------------
+    def _key_cols_present(key_fields: list[str], kind: str) -> bool:
+        """Key checks on columns absent from the table (missing CSV
+        header, or Spark-mangled duplicate headers) must degrade to a
+        schema-level error like H1 does — not crash the whole
+        validation with an AnalysisException."""
+        absent = [f for f in key_fields if f not in typed_names]
+        if absent:
+            errors.append(
+                Error(
+                    code="schema-error",
+                    resource=resource,
+                    field=",".join(key_fields),
+                    constraint=kind,
+                    values=absent,
+                    count=len(absent),
+                    message=f"{kind} field(s) missing from table: {absent}",
+                )
+            )
+            return False
+        return True
+
     for fld in schema.fields:
         if fld.constraints.get("unique") and fld.name in typed_names:
             res = check_unique_key(key_view([fld.name]), [fld.name])
@@ -429,11 +450,13 @@ def validate_table(
                 err = res.to_error(resource, [fld.name], "unique")
                 err.code = "unique-constraint"  # field-level C2 code
                 errors.append(err)
-    if schema.primary_key:
+    if schema.primary_key and _key_cols_present(schema.primary_key, "primaryKey"):
         res = check_primary_key(key_view(schema.primary_key), schema.primary_key)
         if not res.ok:
             errors.append(res.to_error(resource, schema.primary_key, "primaryKey"))
     for key in schema.unique_keys:
+        if not _key_cols_present(key, "uniqueKeys"):
+            continue
         res = check_unique_key(key_view(key), key)
         if not res.ok:
             errors.append(res.to_error(resource, key, "uniqueKeys"))
@@ -550,6 +573,32 @@ def validate_package(
                         constraint="reference resource missing",
                         count=1,
                         message=f"unknown reference resource {parent_name!r}",
+                    )
+                )
+                continue
+            absent_child = [
+                f for f in fk.fields if f not in child_v.parsed.columns
+            ]
+            absent_parent = [
+                f
+                for f in fk.reference_fields
+                if f not in parent_v.parsed.columns
+            ]
+            if absent_child or absent_parent:
+                # degrade like the unknown-resource case: a structured
+                # report error, never an AnalysisException mid-join
+                child_v.errors.append(
+                    Error(
+                        code="foreign-key-error",
+                        resource=res.name,
+                        field=",".join(fk.fields),
+                        constraint="reference fields missing",
+                        values=absent_child + absent_parent,
+                        count=1,
+                        message=(
+                            f"foreign key fields missing: child {absent_child},"
+                            f" parent ({parent_name}) {absent_parent}"
+                        ),
                     )
                 )
                 continue

@@ -441,3 +441,138 @@ def test_custom_check_partition_valid(spark):
     inv = invalid.collect()
     assert len(inv) == 1 and inv[0]["lo"] == "9"
     assert inv[0]["__failed_checks"] == ["lo:lo-gt-hi"]
+
+
+def test_url_resource_with_encoding(spark, tmp_path):
+    """URL-hosted resources (file:// here; http(s) goes through
+    addFile) with a non-utf8 declared encoding must read and validate
+    exactly like local paths — including the raw-header sniff."""
+    csv = tmp_path / "latin.csv"
+    csv.write_bytes("id,città\n1,Torino\n2,Zürich\n".encode("latin-1"))
+    descriptor = {
+        "name": "urlpkg",
+        "resources": [
+            {
+                "name": "latin",
+                "path": f"file://{csv}",
+                "encoding": "latin-1",
+                "schema": {
+                    "fields": [
+                        {"name": "id", "type": "integer",
+                         "constraints": {"required": True, "unique": True}},
+                        {"name": "città", "type": "string"},
+                    ],
+                    "primaryKey": ["id"],
+                },
+            }
+        ],
+    }
+    report = gt.validate(spark, descriptor)
+    assert report["valid"], report
+    assert report["tables"][0]["row-count"] == 2
+
+
+def test_missing_key_fields_degrade_to_schema_error(spark):
+    """PK/uniqueKeys/FK fields absent from the table (missing header)
+    must yield structured report errors, never an AnalysisException."""
+    child = spark.createDataFrame([("1",), ("2",)], "a string")
+    parent = spark.createDataFrame([("1",)], "p string")
+    descriptor = {
+        "name": "broken",
+        "resources": [
+            {
+                "name": "child",
+                "schema": {
+                    "fields": [
+                        {"name": "a", "type": "integer"},
+                        {"name": "nope", "type": "integer"},
+                        {"name": "also_gone", "type": "string"},
+                        {"name": "ghost", "type": "integer"},
+                    ],
+                    "primaryKey": ["a", "nope"],
+                    "uniqueKeys": [["also_gone"]],
+                    "foreignKeys": [
+                        {"fields": ["ghost"],
+                         "reference": {"resource": "parent", "fields": ["p"]}}
+                    ],
+                },
+            },
+            {
+                "name": "parent",
+                "schema": {"fields": [{"name": "p", "type": "integer"}]},
+            },
+        ],
+    }
+    report = gt.validate(
+        spark, descriptor, dataframes={"child": child, "parent": parent}
+    )
+    assert not report["valid"]
+    codes = sorted(
+        (e["code"], e.get("constraint"))
+        for t in report["tables"]
+        for e in t["errors"]
+        if e["code"] in ("schema-error", "foreign-key-error", "missing-header")
+    )
+    assert ("schema-error", "primaryKey") in codes
+    assert ("schema-error", "uniqueKeys") in codes
+    assert ("foreign-key-error", "reference fields missing") in codes
+
+
+def test_fk_partial_null_composite_null_safe(spark):
+    """Pandas-reference parity: a partially-null composite child tuple
+    is a violation unless the parent holds the same (null-safe) tuple;
+    only fully-null tuples are skipped."""
+    from goodtables_pandas_py_spark.checks.keys import foreign_key_violations_df
+
+    child = spark.createDataFrame(
+        [(1, None), (2, None), (None, None), (3, 30)],
+        "x int, y int",
+    )
+    parent = spark.createDataFrame(
+        [(1, None), (3, 30)],
+        "x int, y int",
+    )
+    viol = foreign_key_violations_df(child, ["x", "y"], parent, ["x", "y"])
+    got = {(r["x"], r["y"]) for r in viol.collect()}
+    # (1,null) matches null-safely; (null,null) skipped; (2,null) violates
+    assert got == {(2, None)}
+
+
+def test_stringly_subsecond_roundtrip(spark):
+    """Timestamps with sub-second precision must survive the
+    stringly -> parse round trip (parquet validation path)."""
+    import datetime as dt
+
+    from goodtables_pandas_py_spark.parsers import parse_field
+    from goodtables_pandas_py_spark.schema import Field
+    from goodtables_pandas_py_spark.sources import stringly
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, 3, 4, 5, 123456),),
+         (dt.datetime(2024, 1, 2, 3, 4, 5),)],
+        "ts timestamp",
+    )
+    lex = stringly(df)
+    vals = sorted(r["ts"] for r in lex.collect())
+    assert vals == ["2024-01-02T03:04:05", "2024-01-02T03:04:05.123456"]
+    pf = parse_field(F.col("ts"), Field("ts", type="datetime"))
+    back = lex.select(pf.parsed.alias("p"), pf.bad.alias("b")).collect()
+    assert not any(r["b"] for r in back)
+    assert sorted(r["p"] for r in back) == [
+        dt.datetime(2024, 1, 2, 3, 4, 5),
+        dt.datetime(2024, 1, 2, 3, 4, 5, 123456),
+    ]
+
+
+def test_sniff_header_directory_deterministic(spark, tmp_path):
+    """Glob/directory sniff must pick the lexicographically first file
+    and honor the declared encoding — not an arbitrary task's line."""
+    d = tmp_path / "csvs"
+    d.mkdir()
+    (d / "b.csv").write_text("wrong,header\n9,9\n")
+    (d / "a.csv").write_bytes("id,née\n1,x\n".encode("latin-1"))
+    from goodtables_pandas_py_spark.sources import sniff_csv_header
+
+    got = sniff_csv_header(spark, str(d), encoding="latin-1")
+    assert got == ["id", "née"]
