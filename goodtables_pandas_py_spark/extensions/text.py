@@ -102,9 +102,18 @@ _LANG_PROFILES: dict[str, list[str]] = {
 
 def lang_id(text: Column) -> Column:
     """Heuristic language ID over profile-word hits; returns the
-    best-scoring language code or 'und'. For CJK, character hits count
-    (no whitespace tokenization assumption)."""
+    best-scoring language code or 'und'.
+
+    Scores are commensurate across scripts — each is a coverage ratio
+    in [0, 1]: Latin languages score profile-word *occurrences per
+    token*; zh scores profile-character occurrences *per character*
+    (no whitespace tokenization assumption). Raw counts would bias
+    mixed CJK/Latin text toward zh (character hits are unbounded while
+    distinct word types cap at the profile size). Ties break toward
+    the max language code (struct comparison), same as the oracle."""
     toks = whitespace_tokens(F.lower(text))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_chr = F.greatest(F.length(text), F.lit(1))
     scores = []
     for lang, words in _LANG_PROFILES.items():
         if lang == "zh":
@@ -112,11 +121,10 @@ def lang_id(text: Column) -> Column:
                 (F.length(text) - F.length(F.replace(text, F.lit(w), F.lit(""))))
                 for w in words
             )
-            score = hits.cast("double")
+            score = hits.cast("double") / n_chr
         else:
-            score = F.size(
-                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
-            ).cast("double")
+            hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+            score = hits.cast("double") / n_tok
         scores.append(F.struct(score.alias("s"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
     return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -888,8 +888,11 @@ def _x4q(spark, sf_dir):
 def _langid_oracle() -> str:
     """DuckDB twin of extensions/text.py::lang_id, generated from the
     same _LANG_PROFILES table so the two can never drift: per-language
-    distinct-profile-word hits (zh: character occurrence counts),
-    argmax with ties broken by max language code, 0 hits → 'und'."""
+    coverage ratios (Latin: profile-word occurrences per token; zh:
+    profile-character occurrences per character), argmax with ties
+    broken by max language code, 0 hits → 'und'. Ratios are exact
+    divisions of the same integers in both engines, so the IEEE-double
+    argmax cannot drift."""
     from .extensions.text import _LANG_PROFILES
 
     parts = []
@@ -899,10 +902,13 @@ def _langid_oracle() -> str:
                 f"(length(text) - length(replace(text, '{w}', '')))"
                 for w in words
             )
-            sc = f"CAST({expr} AS DOUBLE)"
+            sc = f"CAST({expr} AS DOUBLE) / greatest(length(text), 1)"
         else:
             lst = ", ".join(f"'{w}'" for w in words)
-            sc = f"CAST(len(list_intersect(w, [{lst}])) AS DOUBLE)"
+            sc = (
+                f"CAST(len(list_filter(w, x -> list_contains([{lst}], x)))"
+                " AS DOUBLE) / greatest(len(w), 1)"
+            )
         parts.append(f"SELECT doc_id, '{lang}' AS lang, {sc} AS sc FROM t")
     union = " UNION ALL ".join(parts)
     return (

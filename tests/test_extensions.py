@@ -52,6 +52,18 @@ def test_lang_id(spark):
     assert got == ["en", "es", "de", "und"]
 
 
+def test_lang_id_mixed_script(spark):
+    # Mostly-English text with a sprinkle of repeated zh profile chars:
+    # raw character counts would beat the (capped) word-type count and
+    # misreport zh; per-token/per-char coverage ratios must pick en.
+    en_body = "the cat and the dog sat on the mat in the big red house " * 8
+    mixed = en_body + "的的的的的的的的的的的的的的的"
+    zh = "我是这的人了在和有不我是这的人了"
+    df = spark.createDataFrame([(mixed,), (zh,)], "t string")
+    got = [r["l"] for r in df.select(text.lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "zh"]
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [("Hello   World",), ("hello world",), ("different",)], "t string"
