@@ -31,6 +31,7 @@ from .schema import (
     TableSchema,
     load_package,
 )
+from .profile import PACKAGE_PROFILE, TABLE_SCHEMA_PROFILE, check_descriptor
 from .sources import (
     read_csv_stringly,
     read_parquet,
@@ -100,6 +101,9 @@ __all__ = [
     "errors_to_spark_df",
     "get_spark",
     "load_package",
+    "PACKAGE_PROFILE",
+    "TABLE_SCHEMA_PROFILE",
+    "check_descriptor",
     "parse_field",
     "parse_table",
     "read_csv_stringly",

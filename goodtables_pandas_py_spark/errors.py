@@ -31,7 +31,9 @@ VALUE_CODES = {
     "pattern-constraint",
 }
 KEY_CODES = {"primary-key-constraint", "unique-key-constraint", "foreign-key-error"}
-SCHEMA_CODES = {"schema-error"}
+#: descriptor-level codes: the descriptor itself failed its profile
+#: ([R validate.py::validate] profile validation; goodtables codes)
+SCHEMA_CODES = {"schema-error", "datapackage-error"}
 
 #: cap on offending-value samples carried to the driver (SURVEY.md §2.6
 #: A2 — the reference keeps the full list; unbounded collects are not

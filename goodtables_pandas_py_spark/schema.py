@@ -295,11 +295,21 @@ def _is_url(path: str) -> bool:
     return "://" in path
 
 
+def load_descriptor(source: str | dict[str, Any]) -> tuple[dict[str, Any], str]:
+    """Resolve a descriptor source (path or dict) to ``(descriptor,
+    base_dir)`` without interpreting it — profile validation runs on
+    the raw dict before dataclass construction (SURVEY.md §1.4)."""
+    if isinstance(source, dict):
+        return source, "."
+    with open(source, encoding="utf-8") as fh:
+        return json.load(fh), os.path.dirname(source) or "."
+
+
 def load_package(source: str | dict[str, Any]) -> Package:
     """S1: load a datapackage.json from a path or dict
-    ([R validate.py::validate], SURVEY.md §2.1 S1)."""
-    if isinstance(source, dict):
-        return Package.from_descriptor(source)
-    with open(source, encoding="utf-8") as fh:
-        descriptor = json.load(fh)
-    return Package.from_descriptor(descriptor, base_dir=os.path.dirname(source) or ".")
+    ([R validate.py::validate], SURVEY.md §2.1 S1). Raises
+    :class:`SchemaError` on invalid descriptors — the programmatic
+    API; ``validate_package`` instead *reports* descriptor problems
+    (profile check + this fallback) as structured errors."""
+    descriptor, base_dir = load_descriptor(source)
+    return Package.from_descriptor(descriptor, base_dir=base_dir)

@@ -303,7 +303,10 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     spark = df.sparkSession
     if target is None:
         target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    current = df.rdd.getNumPartitions()
+    # JVM-side partition count: df.rdd would initialize the Python RDD
+    # serializer machinery (~1s first use per session) for a number the
+    # JVM already knows
+    current = df._jdf.rdd().getNumPartitions()
     if current * 2 <= target:
         return df.repartition(target)
     return df

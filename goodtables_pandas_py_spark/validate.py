@@ -29,7 +29,8 @@ from .checks.constraints import ConstraintCheck, compile_constraints
 from .checks.keys import check_foreign_key, check_primary_key, check_unique_key
 from .errors import VALUE_SAMPLE_CAP, Error
 from .parsers import apply_missing_values, parse_field
-from .schema import Package, TableSchema, load_package
+from .profile import check_descriptor, descriptor_error_report
+from .schema import Package, SchemaError, TableSchema, load_descriptor
 from .sources import (
     ensure_parallelism,
     read_resource,
@@ -484,8 +485,27 @@ def validate_package(
     parquet/testdata path. ``custom_checks`` maps resource name →
     extra :class:`CustomCheck` list (X6 plugin surface), fused into
     that table's single validation scan.
+
+    Descriptor problems never raise here: the raw descriptor is
+    profile-checked first ([R validate.py::validate] profile
+    validation, SURVEY.md §1.4) and any violation — or a residual
+    :class:`SchemaError` from cross-field invariants the profile
+    can't express — returns a ``datapackage-error``/``schema-error``
+    report with zero tables checked.
     """
-    package = source if isinstance(source, Package) else load_package(source)
+    if isinstance(source, Package):
+        package = source
+    else:
+        descriptor, base_dir = load_descriptor(source)
+        profile_errors = check_descriptor(descriptor)
+        if profile_errors:
+            return descriptor_error_report(profile_errors)
+        try:
+            package = Package.from_descriptor(descriptor, base_dir=base_dir)
+        except SchemaError as exc:
+            return descriptor_error_report(
+                [Error(code="schema-error", message=str(exc), count=1)]
+            )
 
     # columns each resource's cache must hold = everything re-traversed
     # after the single validation scan: PK/unique keys, own FK child

@@ -130,3 +130,80 @@ def test_infer_then_validate_roundtrip(spark):
     v = validate_table(df, schema, "t")
     assert v.valid, [e.to_dict() for e in v.errors]
     v.unpersist()
+
+
+# --- descriptor profile validation (S1, SURVEY.md §1.4) -------------------
+
+
+def test_profile_clean_descriptor():
+    from goodtables_pandas_py_spark.profile import check_descriptor
+
+    desc = {
+        "resources": [
+            {
+                "name": "t",
+                "path": "t.csv",
+                "schema": {
+                    "fields": [{"name": "a", "type": "integer"}],
+                    "primaryKey": "a",
+                    "foreignKeys": [
+                        {
+                            "fields": "a",
+                            "reference": {"resource": "t", "fields": "a"},
+                        }
+                    ],
+                },
+            }
+        ]
+    }
+    assert check_descriptor(desc) == []
+
+
+def test_profile_violations_structured():
+    from goodtables_pandas_py_spark.profile import check_descriptor
+
+    # resources not a list -> datapackage-error
+    errs = check_descriptor({"resources": {"name": "t"}})
+    assert [e.code for e in errs] == ["datapackage-error"]
+    assert "resources" in errs[0].message
+
+    # missing resources entirely
+    errs = check_descriptor({})
+    assert errs and errs[0].code == "datapackage-error"
+
+    # bad field type inside a schema subtree -> schema-error
+    errs = check_descriptor(
+        {
+            "resources": [
+                {
+                    "name": "t",
+                    "path": "t.csv",
+                    "schema": {"fields": [{"name": "a", "type": "wat"}]},
+                }
+            ]
+        }
+    )
+    assert [e.code for e in errs] == ["schema-error"]
+    assert "'wat'" in errs[0].message
+
+    # fields item missing required name; primaryKey wrong shape
+    errs = check_descriptor(
+        {
+            "resources": [
+                {
+                    "name": "t",
+                    "schema": {"fields": [{"type": "string"}], "primaryKey": 7},
+                }
+            ]
+        }
+    )
+    codes = sorted(e.code for e in errs)
+    assert codes == ["schema-error", "schema-error"]
+
+
+def test_profile_bool_is_not_integer():
+    from goodtables_pandas_py_spark.profile import _type_ok
+
+    assert not _type_ok(True, "integer")
+    assert _type_ok(3, "number")
+    assert not _type_ok(True, "number")

@@ -576,3 +576,50 @@ def test_sniff_header_directory_deterministic(spark, tmp_path):
 
     got = sniff_csv_header(spark, str(d), encoding="latin-1")
     assert got == ["id", "née"]
+
+
+def test_descriptor_errors_report_not_raise(spark):
+    """Malformed descriptors yield a structured report with zero
+    tables checked ([R validate.py::validate] profile validation) —
+    validate_package must not raise."""
+    # profile violation: bad field type
+    rep = gt.validate_package(
+        spark,
+        {
+            "resources": [
+                {
+                    "name": "t",
+                    "path": "/nonexistent.csv",
+                    "schema": {"fields": [{"name": "a", "type": "wat"}]},
+                }
+            ]
+        },
+    )
+    assert rep["valid"] is False and rep["table-count"] == 0
+    assert [e["code"] for e in rep["errors"]] == ["schema-error"]
+
+    # package-level violation
+    rep = gt.validate_package(spark, {"resources": "nope"})
+    assert rep["valid"] is False
+    assert [e["code"] for e in rep["errors"]] == ["datapackage-error"]
+
+    # cross-field invariant the profile can't express: PK names an
+    # unknown field -> SchemaError downgraded to a report error
+    rep = gt.validate_package(
+        spark,
+        {
+            "resources": [
+                {
+                    "name": "t",
+                    "path": "/nonexistent.csv",
+                    "schema": {
+                        "fields": [{"name": "a", "type": "string"}],
+                        "primaryKey": ["zzz"],
+                    },
+                }
+            ]
+        },
+    )
+    assert rep["valid"] is False and rep["table-count"] == 0
+    assert [e["code"] for e in rep["errors"]] == ["schema-error"]
+    assert "zzz" in rep["errors"][0]["message"]
