@@ -983,11 +983,11 @@ def _x2j(spark, sf_dir):
 @q(
     "x2_minhash_pairs",
     """WITH toks AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
   FROM documents),
 sh AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          list_distinct(CASE WHEN len(w) >= 3
            THEN list_transform(range(1, len(w) - 1),
                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
@@ -995,35 +995,63 @@ sh AS (
   FROM toks),
 ex AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5)
 SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
        TRUE AS containment_ok, TRUE AS recall_ok""",
 )
 def _x2m(spark, sf_dir):
-    """X2 MinHash+LSH near-dup, restated as a DETERMINISTIC summary
-    against its exact twin so the approximate path gets a hash-checked
-    oracle row (was rows-only): the oracle computes the exact-Jaccard
-    pair count in SQL; Spark computes the LSH+verify pairs AND the
-    exact pairs, then asserts containment (verify is exact Jaccard, so
-    every reported pair must be a true pair) and recall ≥ 0.9 (banding
-    is designed for ~99% at this operating point)."""
+    """X2 MinHash+LSH near-dup, as a DETERMINISTIC summary against a
+    BOUNDED exact twin: the oracle computes the exact-Jaccard pair
+    count over SAME-SOURCE pairs only (equi-join on ``source`` — the
+    bound that kept r2's ``x2_jaccard_pairs`` cheap, vs the unbounded
+    ``id_a < id_b`` nested-loop that hung BENCH_r02, VERDICT r2 §wrong
+    1); Spark computes the LSH+verify pairs (the 100 TB path, run on
+    the FULL table) and the same bounded exact set, then asserts
+    containment and recall ≥ 0.9 on the bounded subspace. Both stats
+    stay meaningful: containment/recall restricted to a subspace of
+    pairs are still exact statements about those pairs.
+
+    Perf posture: the shingle arrays are computed ONCE PER DOC before
+    the pair join (n arrays, not n² evaluations — r2 rebuilt both
+    sides per pair via interpreted HOF lambdas), and the join is an
+    equi-join on ``source`` (shuffled hash join, ~p·(n/p)² pairs),
+    never a BroadcastNestedLoopJoin (plan-guard-tested)."""
     d = t(spark, sf_dir, "documents", wide=True)
-    approx = xdedup.minhash_dedup_pairs(d, threshold=0.5).select(
-        F.col("id_a").cast(_BIG).alias("id_a"),
-        F.col("id_b").cast(_BIG).alias("id_b"),
-        F.lit(1).alias("in_a"),
+    src = d.select(F.col("doc_id").cast(_BIG).alias("id"), "source")
+    approx = (
+        xdedup.minhash_dedup_pairs(d, threshold=0.5)
+        .select(
+            F.col("id_a").cast(_BIG).alias("id_a"),
+            F.col("id_b").cast(_BIG).alias("id_b"),
+        )
+        # restrict to the same bounded pair space as the exact twin
+        .join(src.withColumnsRenamed({"id": "id_a", "source": "src_a"}), "id_a")
+        .join(src.withColumnsRenamed({"id": "id_b", "source": "src_b"}), "id_b")
+        .where(F.col("src_a") == F.col("src_b"))
+        .select("id_a", "id_b", F.lit(1).alias("in_a"))
     )
-    toks = d.select(
+    sh = d.select(
         F.col("doc_id").cast(_BIG).alias("id"),
-        xtext.whitespace_tokens(xtext.normalize_text(F.col("text"))).alias("w"),
+        "source",
+        F.array_distinct(
+            xtext.shingles(
+                xtext.whitespace_tokens(xtext.normalize_text(F.col("text"))), 3
+            )
+        ).alias("s"),
     )
-    a = toks.select(F.col("id").alias("id_a"), F.col("w").alias("wa"))
-    b = toks.select(F.col("id").alias("id_b"), F.col("w").alias("wb"))
+    a = sh.select(F.col("id").alias("id_a"), "source", F.col("s").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), "source", F.col("s").alias("sb"))
+    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    jac = F.when(
+        union > 0,
+        F.size(F.array_intersect(F.col("sa"), F.col("sb"))) / union,
+    ).otherwise(F.lit(0.0))
     exact = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(xdedup.ngram_jaccard(F.col("wa"), F.col("wb"), 3) >= 0.5)
+        a.join(b, "source")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(jac >= 0.5)
         .select("id_a", "id_b", F.lit(1).alias("in_e"))
     )
     j = exact.join(approx, ["id_a", "id_b"], "full")
