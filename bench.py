@@ -107,60 +107,89 @@ def bench_validate(spark, sf_dir):
     return report["error-count"]
 
 
+# Benched registry queries (bench name -> (registry key, action)).
+# tests/test_plans.py plan-guards every entry: no CartesianProduct /
+# BroadcastNestedLoopJoin may appear in any benched plan (VERDICT r3
+# item 4 — this guard would have caught both the r2 DNF and the r3
+# quadratic twins).
+BENCH_QUERIES: dict[str, tuple[str, str]] = {
+    "q1_pricing": ("a1_pricing_summary", "collect"),
+    "fk_anti_join": ("k3_fk_violations", "count"),
+    "minhash_dedup": ("x2_minhash_pairs", "count"),
+    "cosine_topk": ("x3_cosine_topk", "collect"),
+    "events_window": ("x5_events_window", "count"),
+}
+
+
 def main() -> None:
+    import traceback
+
     import goodtables_pandas_py_spark as gt
     from goodtables_pandas_py_spark.queries import QUERIES
 
     spark = gt.get_spark(app_name="gt-bench")
     sf_dir = SF_DIR
+    errors: dict[str, str] = {}
+
+    def exec_one(name, sf):
+        if name == "validate_package":
+            bench_validate(spark, sf)
+            return
+        key, action = BENCH_QUERIES[name]
+        df = QUERIES[key](spark, sf)
+        df.collect() if action == "collect" else df.count()
+
+    names = ["validate_package", *BENCH_QUERIES]
 
     # warm-up (not timed): run every headline pipeline once at the
     # smallest SF so JIT/codegen compilation is excluded from the
     # steady-state numbers (whole-stage codegen compiles per plan
-    # shape; first execution pays javac/JIT cost once per JVM)
+    # shape; first execution pays javac/JIT cost once per JVM).
+    # Fail-soft (VERDICT r3 item 5): one broken query must cost only
+    # its own timing, never the whole bench — r3 crashed here at
+    # x5_events_window and produced zero numbers.
     warm = "/root/testdata/sf0.001"
-    bench_validate(spark, warm)
-    QUERIES["a1_pricing_summary"](spark, warm).collect()
-    QUERIES["k3_fk_violations"](spark, warm).count()
-    QUERIES["x2_minhash_pairs"](spark, warm).count()
-    QUERIES["x3_cosine_topk"](spark, warm).collect()
-    QUERIES["x5_events_window"](spark, warm).count()
+    for name in names:
+        try:
+            exec_one(name, warm)
+        except Exception:
+            errors[name] = traceback.format_exc(limit=3)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
 
-    def run(name, fn, reps=3):
+    for name in names:
+        if name in errors:
+            continue
         samples = []
-        for _ in range(reps):
-            t0 = time.time()
-            fn()
-            samples.append(time.time() - t0)
+        try:
+            for _ in range(3):
+                t0 = time.time()
+                exec_one(name, sf_dir)
+                samples.append(time.time() - t0)
+        except Exception:
+            errors[name] = traceback.format_exc(limit=3)
+            continue
         cold[name] = round(samples[0], 3)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
-    run("validate_package", lambda: bench_validate(spark, sf_dir))
-    run("q1_pricing", lambda: QUERIES["a1_pricing_summary"](spark, sf_dir).collect())
-    run("fk_anti_join", lambda: QUERIES["k3_fk_violations"](spark, sf_dir).count())
-    run("minhash_dedup", lambda: QUERIES["x2_minhash_pairs"](spark, sf_dir).count())
-    run("cosine_topk", lambda: QUERIES["x3_cosine_topk"](spark, sf_dir).collect())
-    run("events_window", lambda: QUERIES["x5_events_window"](spark, sf_dir).count())
-
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "reps": 3,
-                "stat": "median",
-                "sf": _sf_from_dir(sf_dir),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "reps": 3,
+        "stat": "median",
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if errors:
+        # partial result: total covers only the queries that ran
+        out["errors"] = {k: v.splitlines()[-1] for k, v in errors.items()}
+        out["incomplete"] = True
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1075,7 +1075,9 @@ def _x2m(spark, sf_dir):
     ).select(
         F.col("ne").cast(_BIG).alias("n_exact"),
         (F.col("extra") == 0).alias("containment_ok"),
-        (F.col("common") >= F.round(F.col("ne") * 0.9)).alias("recall_ok"),
+        # integer arithmetic, not HALF_UP rounding: round(0.9*ne) accepts
+        # e.g. common=6 of ne=7 (recall .857) — ADVICE r3
+        (F.col("common") * 10 >= F.col("ne") * 9).alias("recall_ok"),
     )
 
 
@@ -1086,23 +1088,33 @@ def _x2m(spark, sf_dir):
 )
 def _x2s(spark, sf_dir):
     """X2b SimHash chunk-LSH, restated as a DETERMINISTIC completeness
-    summary (was rows-only): at max_hamming=3 the 4×16-bit chunk LSH
-    is pigeonhole-COMPLETE (any pair within Hamming 3 shares an intact
-    chunk), so the bucketed candidate set must EQUAL the brute-force
-    all-pairs Hamming≤3 set. Spark computes both and asserts equality;
-    the brute-force side is the verification kernel only — the LSH
-    side is the 100 TB path. xxhash64 fingerprints are not
+    summary: at max_hamming=3 the 4×16-bit chunk LSH is pigeonhole-
+    COMPLETE (any pair within Hamming 3 shares an intact chunk), so on
+    any pair subspace the bucketed candidate set must EQUAL the
+    brute-force Hamming≤3 set. The brute twin is BOUNDED to
+    same-``source`` pairs via an equi-join (the minhash r3 cure —
+    shuffled hash join, never BroadcastNestedLoopJoin; VERDICT r3
+    §wrong 2), and the LSH side is restricted to the same subspace
+    before comparing; completeness on that subspace is still an exact
+    statement about it. The LSH side itself is the 100 TB path and
+    runs on the FULL table. xxhash64 fingerprints are not
     SQL-expressible, so the oracle pins n_docs + the completeness
     invariant."""
     d = t(spark, sf_dir, "documents", wide=True)
-    lsh = xdedup.simhash_candidates(d, max_hamming=3).select(
-        "id_a", "id_b", F.lit(1).alias("in_l")
+    src = d.select(F.col("doc_id").alias("id"), "source")
+    lsh = (
+        xdedup.simhash_candidates(d, max_hamming=3)
+        .join(src.withColumnsRenamed({"id": "id_a", "source": "src_a"}), "id_a")
+        .join(src.withColumnsRenamed({"id": "id_b", "source": "src_b"}), "id_b")
+        .where(F.col("src_a") == F.col("src_b"))
+        .select("id_a", "id_b", F.lit(1).alias("in_l"))
     )
-    fp = xdedup.simhash_fingerprints(d)
-    a = fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
-    b = fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    fp = xdedup.simhash_fingerprints(d).join(src, "id")
+    a = fp.select(F.col("id").alias("id_a"), "source", F.col("fp").alias("fp_a"))
+    b = fp.select(F.col("id").alias("id_b"), "source", F.col("fp").alias("fp_b"))
     brute = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, "source")
+        .where(F.col("id_a") < F.col("id_b"))
         .where(xdedup.hamming64(F.col("fp_a"), F.col("fp_b")) <= 3)
         .select("id_a", "id_b", F.lit(1).alias("in_b"))
     )
@@ -1234,16 +1246,23 @@ def _x3ivf(spark, sf_dir):
     " CAST(b.vec_id AS BIGINT) AS id_b,"
     " ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
     " CAST(b.embedding AS DOUBLE[])), 6) AS cosine"
-    " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+    " FROM embeddings a JOIN embeddings b"
+    " ON CAST(a.vec_id AS BIGINT) // 64 = CAST(b.vec_id AS BIGINT) // 64"
+    " AND a.vec_id < b.vec_id"
     " WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
     " CAST(b.embedding AS DOUBLE[])) >= 0.45",
 )
 def _x3p(spark, sf_dir):
-    """X2e exact half: brute-force cosine pairs ≥ threshold — the
-    oracle-checkable baseline that the LSH path approximates
+    """X2e exact half: exact cosine pairs ≥ threshold, BOUNDED to
+    same-block pairs (vec_id div 64) so the join is a shuffled-hash
+    equi-join on the block key — n·32 comparisons, linear in n —
+    instead of the O(n²) BroadcastNestedLoopJoin that sat on the
+    benched registry through r3 (VERDICT r3 §wrong 2). Still an
+    exact-cosine statement about every pair it covers; the unbounded
+    variant remains in the library for per-bucket verify
     (extensions/dedup.py::embedding_cosine_pairs)."""
     e = t(spark, sf_dir, "embeddings")
-    return xdedup.embedding_cosine_pairs(e, threshold=0.45).select(
+    return xdedup.embedding_cosine_pairs(e, threshold=0.45, block_size=64).select(
         F.col("id_a").cast(_BIG).alias("id_a"),
         F.col("id_b").cast(_BIG).alias("id_b"),
         F.round("cosine", 6).alias("cosine"),
@@ -1280,28 +1299,42 @@ def _x3knn(spark, sf_dir):
     "x3_embedding_near_dups",
     "SELECT CAST(count(*) AS BIGINT) AS n_exact,"
     " TRUE AS containment_ok, TRUE AS recall_ok"
-    " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+    " FROM embeddings a JOIN embeddings b"
+    " ON CAST(a.vec_id AS BIGINT) // 64 = CAST(b.vec_id AS BIGINT) // 64"
+    " AND a.vec_id < b.vec_id"
     " WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
     " CAST(b.embedding AS DOUBLE[])) >= 0.45",
 )
 def _x3nd(spark, sf_dir):
     """X2e banded random-hyperplane LSH + exact-cosine verify
-    (extensions/dedup.py::embedding_near_dups), restated as a
-    DETERMINISTIC summary vs the exact brute-force pairs (was
-    rows-only): the oracle computes the exact pair count ≥ 0.45 in
-    SQL; Spark asserts the LSH+verify pairs are contained in the
-    exact set (verify is exact cosine) with recall ≥ 0.85. Threshold
-    0.45 so the near-random testdata yields non-empty output; the
-    designed ≥0.9 operating point has ≈99% recall (test_extensions)."""
+    (extensions/dedup.py::embedding_near_dups), as a DETERMINISTIC
+    summary vs an exact twin BOUNDED to same-block pairs (vec_id div
+    64, equi-join — the r3 minhash cure; VERDICT r3 §wrong 2): the
+    oracle computes the bounded exact pair count ≥ 0.45 in SQL; the
+    LSH path runs on the FULL table (the 100 TB shape), is restricted
+    to the same subspace, and must be contained in the exact set
+    (verify is exact cosine) with recall ≥ 0.85 there. Recall compares
+    in integer arithmetic (common·100 ≥ ne·85), not HALF_UP rounding
+    (ADVICE r3). Threshold 0.45 so the near-random testdata yields
+    non-empty output; the designed ≥0.9 operating point has ≈99%
+    recall (test_extensions)."""
     e = t(spark, sf_dir, "embeddings")
-    approx = xdedup.embedding_near_dups(
-        e, threshold=0.45, num_bands=16, planes_per_band=4
-    ).select(
-        F.col("id_a").cast(_BIG).alias("id_a"),
-        F.col("id_b").cast(_BIG).alias("id_b"),
-        F.lit(1).alias("in_a"),
+    blk_a = F.expr("CAST(id_a AS BIGINT) div 64")
+    blk_b = F.expr("CAST(id_b AS BIGINT) div 64")
+    approx = (
+        xdedup.embedding_near_dups(
+            e, threshold=0.45, num_bands=16, planes_per_band=4
+        )
+        .select(
+            F.col("id_a").cast(_BIG).alias("id_a"),
+            F.col("id_b").cast(_BIG).alias("id_b"),
+        )
+        .where(blk_a == blk_b)
+        .select("id_a", "id_b", F.lit(1).alias("in_a"))
     )
-    exact = xdedup.embedding_cosine_pairs(e, threshold=0.45).select(
+    exact = xdedup.embedding_cosine_pairs(
+        e, threshold=0.45, block_size=64
+    ).select(
         F.col("id_a").cast(_BIG).alias("id_a"),
         F.col("id_b").cast(_BIG).alias("id_b"),
         F.lit(1).alias("in_e"),
@@ -1314,7 +1347,7 @@ def _x3nd(spark, sf_dir):
     ).select(
         F.col("ne").cast(_BIG).alias("n_exact"),
         (F.col("extra") == 0).alias("containment_ok"),
-        (F.col("common") >= F.round(F.col("ne") * 0.85)).alias("recall_ok"),
+        (F.col("common") * 100 >= F.col("ne") * 85).alias("recall_ok"),
     )
 
 
