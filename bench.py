@@ -115,7 +115,7 @@ def bench_validate(spark, sf_dir):
 BENCH_QUERIES: dict[str, tuple[str, str]] = {
     "q1_pricing": ("a1_pricing_summary", "collect"),
     "fk_anti_join": ("k3_fk_violations", "count"),
-    "minhash_dedup": ("x2_minhash_pairs", "count"),
+    "minhash_dedup": ("x2_minhash_dedup", "collect"),
     "cosine_topk": ("x3_cosine_topk", "collect"),
     "events_window": ("x5_events_window", "count"),
 }

@@ -1082,6 +1082,36 @@ def _x2m(spark, sf_dir):
 
 
 @q(
+    "x2_minhash_dedup",
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS verified_ok"
+    " FROM documents",
+)
+def _x2d(spark, sf_dir):
+    """X2 PRODUCT path, benched: MinHash+LSH candidates → exact-Jaccard
+    verify ≥ 0.5 over the full documents table — exactly what a 100 TB
+    dedup run executes, with none of the exact-twin verification
+    machinery riding along (that harness is ``x2_minhash_pairs``,
+    oracle-checked at correctness scale; benching the twin doubled the
+    timed cost in r4's first bench run). xxhash64 signatures are not
+    SQL-expressible, so the oracle pins n_docs plus the verify
+    invariant — every emitted pair carries exact Jaccard ≥ threshold
+    by construction, asserted Spark-side. The two summaries combine
+    via UNION + one aggregate (Catalyst folds a constant-key 1-row
+    join back into a BroadcastNestedLoopJoin, which would trip the
+    benched-registry plan guard)."""
+    d = t(spark, sf_dir, "documents", wide=True)
+    pairs = xdedup.minhash_dedup_pairs(d, threshold=0.5)
+    doc_rows = d.select(F.lit("doc").alias("kind"))
+    bad = pairs.where(~(F.col("jaccard") >= 0.5)).select(
+        F.lit("bad").alias("kind")
+    )
+    return doc_rows.unionAll(bad).agg(
+        F.count_if(F.col("kind") == "doc").cast(_BIG).alias("n_docs"),
+        (F.count_if(F.col("kind") == "bad") == 0).alias("verified_ok"),
+    )
+
+
+@q(
     "x2_simhash_dups",
     "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS complete_ok"
     " FROM documents",
