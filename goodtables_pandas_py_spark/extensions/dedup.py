@@ -441,7 +441,13 @@ def embedding_near_dups(
     verify runs once per pair regardless of how many bands agree."""
     from .similarity import cosine, rp_signature
 
-    renamed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # null vectors are near-dups of nothing: drop them up front (they
+    # would hash to the all-zero signature and collide with bucket 0;
+    # F.size(null) = -1 would also reach numpy as a negative shape in
+    # the dim probe — ADVICE r3)
+    renamed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).where(
+        F.col("v").isNotNull()
+    )
     first = renamed.select(F.size("v").alias("d")).first()
     if first is None:
         return renamed.select(

@@ -195,15 +195,29 @@ def similarity_join(
     bands agree."""
     from pyspark.sql import Window
 
-    l_renamed = left.select(F.col(left_id).alias("left_id"), F.col(vec_col).alias("lv"))
-    r_renamed = right.select(F.col(right_id).alias("right_id"), F.col(vec_col).alias("rv"))
+    # null vectors are similar to nothing: drop them up front — they
+    # would otherwise hash to the all-zero signature (every sign test
+    # falls through to 0), collide with bucket 0, and ride a null
+    # cosine through the rank window (ADVICE r3; F.size(null) = -1
+    # would also reach numpy as a negative shape in the dim probe)
+    l_renamed = left.select(
+        F.col(left_id).alias("left_id"), F.col(vec_col).alias("lv")
+    ).where(F.col("lv").isNotNull())
+    r_renamed = right.select(
+        F.col(right_id).alias("right_id"), F.col(vec_col).alias("rv")
+    ).where(F.col("rv").isNotNull())
+    # empty-result schema takes each id's type from its own side
     first = l_renamed.select(F.size("lv").alias("d")).first()
     if first is None:
-        return l_renamed.select(
-            "left_id",
-            F.col("left_id").alias("right_id"),
-            F.lit(0.0).alias("cosine"),
-        ).limit(0)
+        return (
+            l_renamed.select("left_id")
+            .limit(0)
+            .withColumn(
+                "right_id",
+                F.lit(None).cast(r_renamed.schema["right_id"].dataType),
+            )
+            .withColumn("cosine", F.lit(0.0))
+        )
     dim = first["d"]
 
     def banded(df: DataFrame, vcol: str, out_id: str) -> DataFrame:

@@ -1149,11 +1149,17 @@ def _x2s(spark, sf_dir):
         .select("id_a", "id_b", F.lit(1).alias("in_b"))
     )
     j = brute.join(lsh, ["id_a", "id_b"], "full")
-    n_docs = d.select(F.count(F.lit(1)).cast(_BIG).alias("n_docs"))
-    summary = j.agg(
-        F.count_if(F.col("in_b").isNull() | F.col("in_l").isNull()).alias("diff")
-    ).select((F.col("diff") == 0).alias("complete_ok"))
-    return n_docs.crossJoin(summary)
+    # union + one aggregate, not a 1-row crossJoin: keeps the whole
+    # registry free of BroadcastNestedLoopJoin for the plan guard
+    u = d.select(F.lit("doc").alias("kind")).unionAll(
+        j.where(F.col("in_b").isNull() | F.col("in_l").isNull()).select(
+            F.lit("diff").alias("kind")
+        )
+    )
+    return u.agg(
+        F.count_if(F.col("kind") == "doc").cast(_BIG).alias("n_docs"),
+        (F.count_if(F.col("kind") == "diff") == 0).alias("complete_ok"),
+    )
 
 
 @q(
@@ -1218,19 +1224,26 @@ def _topk_overlap_summary(spark, sf_dir, approx_fn, min_overlap: int):
     exact = xsim.cosine_topk(e, qv, k=10).select(
         F.col("vec_id").cast(_BIG).alias("vec_id")
     )
-    top1 = approx.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(1).select(
-        F.col("vec_id").alias("top1_id"), F.round("cosine", 6).alias("top1_cosine")
+    # one aggregate over a left join carries overlap AND argmax-top1
+    # (struct-max: maximize cosine, then minimize vec_id) — no 1-row
+    # crossJoin, so the registry-wide plan guard holds
+    j = approx.join(
+        exact.select("vec_id", F.lit(1).alias("in_e")), "vec_id", "left"
     )
-    overlap = (
-        approx.select("vec_id")
-        .join(exact, "vec_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.lit(10).cast(_BIG).alias("k"),
-            (F.col("n") >= min_overlap).alias("overlap_ok"),
-        )
+    agg = j.agg(
+        F.count_if(F.col("in_e").isNotNull()).alias("n"),
+        F.max(
+            F.struct(
+                F.col("cosine").alias("c"), (-F.col("vec_id")).alias("nid")
+            )
+        ).alias("best"),
     )
-    return overlap.crossJoin(top1)
+    return agg.select(
+        F.lit(10).cast(_BIG).alias("k"),
+        (F.col("n") >= min_overlap).alias("overlap_ok"),
+        (-F.col("best.nid")).cast(_BIG).alias("top1_id"),
+        F.round(F.col("best.c"), 6).alias("top1_cosine"),
+    )
 
 
 @q(
@@ -1411,18 +1424,21 @@ def _x3sj(spark, sf_dir):
         F.col("right_id").cast(_BIG).alias("right_id"),
         F.lit(1).alias("in_e"),
     )
-    n_left = left.agg(F.count(F.lit(1)).cast(_BIG).alias("n_left"))
     j = exact.join(approx, ["left_id", "right_id"], "full")
-    summary = j.agg(
-        F.count_if(F.col("in_e").isNotNull()).alias("ne"),
-        F.count_if(F.col("in_a").isNotNull() & F.col("in_e").isNotNull()).alias(
-            "common"
-        ),
-    ).select(
-        F.col("ne").cast(_BIG).alias("n_exact"),
-        (F.col("common") >= F.col("ne") * 0.6).alias("overlap_ok"),
+    # union + one aggregate, not a 1-row crossJoin (plan guard)
+    u = left.select(
+        F.lit("l").alias("kind"),
+        F.lit(None).cast("int").alias("in_e"),
+        F.lit(None).cast("int").alias("in_a"),
+    ).unionAll(j.select(F.lit("p").alias("kind"), "in_e", "in_a"))
+    return u.agg(
+        F.count_if(F.col("kind") == "l").cast(_BIG).alias("n_left"),
+        F.count_if(F.col("in_e").isNotNull()).cast(_BIG).alias("n_exact"),
+        (
+            F.count_if(F.col("in_a").isNotNull() & F.col("in_e").isNotNull())
+            >= F.count_if(F.col("in_e").isNotNull()) * 0.6
+        ).alias("overlap_ok"),
     )
-    return n_left.crossJoin(summary).select("n_left", "n_exact", "overlap_ok")
 
 
 @q(
@@ -1654,15 +1670,22 @@ def _dq2(spark, sf_dir):
     inv = invalid.select(
         F.explode_outer(F.col("__failed_checks")).alias("label")
     )
-    return valid.agg(F.count(F.lit(1)).cast(_BIG).alias("n_valid")).crossJoin(
-        invalid.agg(F.count(F.lit(1)).cast(_BIG).alias("n_invalid"))
-    ).crossJoin(
-        inv.agg(
-            F.count_if(F.col("label") == "qty:type-or-format-error")
-            .cast(_BIG)
-            .alias("n_bad_qty"),
-            F.count_if(F.col("label") == "flag:required-constraint")
-            .cast(_BIG)
-            .alias("n_missing_flag"),
-        )
+    # three-way union + one aggregate, not chained 1-row crossJoins
+    # (plan guard); the exploded label rows get their own kind so
+    # multi-failure rows don't inflate n_invalid
+    nul = F.lit(None).cast("string")
+    u = (
+        valid.select(F.lit("v").alias("kind"), nul.alias("label"))
+        .unionAll(invalid.select(F.lit("i").alias("kind"), nul.alias("label")))
+        .unionAll(inv.select(F.lit("x").alias("kind"), F.col("label")))
+    )
+    return u.agg(
+        F.count_if(F.col("kind") == "v").cast(_BIG).alias("n_valid"),
+        F.count_if(F.col("kind") == "i").cast(_BIG).alias("n_invalid"),
+        F.count_if(F.col("label") == "qty:type-or-format-error")
+        .cast(_BIG)
+        .alias("n_bad_qty"),
+        F.count_if(F.col("label") == "flag:required-constraint")
+        .cast(_BIG)
+        .alias("n_missing_flag"),
     )

@@ -16,6 +16,7 @@ The IR *is* the Catalyst logical plan; no custom IR (SURVEY.md §3).
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field as dc_field
@@ -496,7 +497,21 @@ def validate_package(
     if isinstance(source, Package):
         package = source
     else:
-        descriptor, base_dir = load_descriptor(source)
+        try:
+            descriptor, base_dir = load_descriptor(source)
+        except (json.JSONDecodeError, OSError, UnicodeDecodeError) as exc:
+            # a missing/unreadable/non-JSON descriptor file is a
+            # datapackage-error report, not an exception — the
+            # docstring's report-not-raise promise (ADVICE r3)
+            return descriptor_error_report(
+                [
+                    Error(
+                        code="datapackage-error",
+                        message=f"cannot load descriptor {source!r}: {exc}",
+                        count=1,
+                    )
+                ]
+            )
         profile_errors = check_descriptor(descriptor)
         if profile_errors:
             return descriptor_error_report(profile_errors)

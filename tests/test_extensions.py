@@ -382,3 +382,64 @@ def test_knn_join_exact(spark):
     # 1's nearest (excluding itself) is 2 and vice versa; 3's is 2
     assert best == {1: 2, 2: 1, 3: 2}
     assert all(0.0 <= r["cosine"] <= 1.0 for r in out)
+
+
+def test_similarity_join_tolerates_null_lead_vector(spark):
+    """Regression (ADVICE r3): a null vector in the probe row made
+    F.size return -1, which reached numpy as a negative shape. The dim
+    probe must skip nulls; null-vector rows simply produce no bands."""
+    rows = [
+        (1, None),
+        (2, [1.0, 0.0]),
+        (3, [0.95, 0.05]),
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.similarity_join(df, df, k=2, num_bands=4, planes_per_band=2)
+    got = out.collect()
+    assert all(r["left_id"] != 1 and r["right_id"] != 1 for r in got)
+    # the two near-parallel vectors must still find each other
+    assert any(
+        {r["left_id"], r["right_id"]} == {2, 3} and r["cosine"] > 0.9 for r in got
+    )
+
+
+def test_similarity_join_all_null_vectors_yields_typed_empty(spark):
+    left = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    right = spark.createDataFrame(
+        [("r1", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    out = similarity.similarity_join(left, right, k=1)
+    assert out.count() == 0
+    # empty-result schema takes each id type from its own side
+    fields = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert fields["left_id"] == "bigint"
+    assert fields["right_id"] == "string"
+
+
+def test_embedding_near_dups_tolerates_null_lead_vector(spark):
+    rows = [(1, None), (2, [1.0, 0.0, 0.0]), (3, [0.99, 0.01, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_near_dups(
+        df, threshold=0.9, num_bands=4, planes_per_band=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(2, 3)}
+
+
+def test_embedding_cosine_pairs_block_bound_is_equijoin(spark):
+    """block_size must turn the exact-pairs self-join into an
+    equi-join on the block key (linear in n) and only compare
+    same-block pairs."""
+    rows = [(i, [float(i % 7 + 1), 1.0]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bounded = dedup.embedding_cosine_pairs(df, threshold=0.0, block_size=100)
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    got = bounded.select("id_a", "id_b").collect()
+    assert all(r["id_a"] // 100 == r["id_b"] // 100 for r in got)
+    # within one block the pair set is complete
+    n_block0 = sum(1 for r in got if r["id_a"] < 100)
+    assert n_block0 == 100 * 99 // 2
