@@ -142,23 +142,39 @@ def minhash_candidates(
     num_hashes: int = 64,
     num_bands: int = 16,
     shingle_k: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
-    Plan shape: one scan → explode bands → groupBy band bucket →
-    within-bucket self-pairing via collect_list on SMALL buckets.
-    Bucket skew guard: buckets larger than 1000 ids are dropped (they
-    are near-certain boilerplate; at 100 TB a hot bucket would OOM the
-    pair expansion — standard practice is to cap and report)."""
+
+    Plan shape: one scan → explode bands → bucket-SIZE aggregate
+    (count only — map-side combinable, shuffles (band, hash, n)
+    triples) → semi-join banded rows to the ELIGIBLE buckets (2 ≤ n ≤
+    ``max_bucket``; the eligible set is duplicate buckets only, so AQE
+    broadcasts it) → collect_list + within-bucket self-pairing over
+    those rows alone.
+
+    Skew posture (r4): sizes are counted BEFORE any list is built, so
+    a hot boilerplate bucket (10M identical headers at 100 TB) costs
+    one counter per map task and is dropped without ever materializing
+    a 10M-element array in a single task — the previous shape
+    collect_list'ed every bucket first and applied the cap after,
+    which is exactly the OOM it existed to prevent. Bonus: the
+    collect_list shuffle now carries only rows from candidate buckets
+    (usually a small fraction of the corpus), not every (id, band)
+    row."""
     rows = num_hashes // num_bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     banded = (
         sigs.select("id", F.explode(lsh_bands(F.col("sig"), num_bands, rows)).alias("b"))
         .select("id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("bh"))
     )
-    buckets = banded.groupBy("band", "bh").agg(F.collect_list("id").alias("ids"))
-    small = buckets.where((F.size("ids") > 1) & (F.size("ids") <= 1000))
+    buckets = (
+        cap_buckets(banded, ["band", "bh"], max_bucket)
+        .groupBy("band", "bh")
+        .agg(F.collect_list("id").alias("ids"))
+    )
     pairs = (
-        small.select(
+        buckets.select(
             F.explode(
                 F.filter(
                     F.flatten(
@@ -178,6 +194,40 @@ def minhash_candidates(
         .distinct()
     )
     return pairs
+
+
+def cap_buckets(
+    df: DataFrame,
+    keys: list[str],
+    max_bucket: int | None,
+    min_bucket: int = 2,
+) -> DataFrame:
+    """Skew guard for within-bucket pairing: keep only rows whose
+    bucket (grouped by ``keys``) has between ``min_bucket`` and
+    ``max_bucket`` members. The size pass is a COUNT aggregate
+    (map-side combinable — shuffles one (keys, n) triple per bucket
+    per map task, never the rows), and the eligible-bucket set is
+    duplicate buckets only, so AQE broadcasts the semi-join back.
+
+    A hot bucket (10M identical boilerplate docs at 100 TB) is thus
+    dropped for the cost of a counter — it never materializes as a
+    giant collect_list array or an n² join explosion. Dropping is the
+    standard near-dup practice: a bucket that hot is boilerplate, and
+    exact dedup (X1) catches it upstream. ``max_bucket=None`` disables
+    the cap (exact-completeness harnesses); ``min_bucket=1`` keeps
+    singleton buckets (left/right joins where the other side supplies
+    the pair)."""
+    if max_bucket is None:
+        return df
+    eligible = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(
+            (F.col("__n") >= min_bucket) & (F.col("__n") <= max_bucket)
+        )
+        .select(*keys)
+    )
+    return df.join(eligible, keys)
 
 
 def ngram_jaccard(
@@ -310,10 +360,15 @@ def simhash_candidates(
     text_col: str = "text",
     max_hamming: int = 3,
     shingle_k: int = 2,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash chunk-LSH: equal 16-bit chunk → same
     bucket (any pair within Hamming ≤ 3 shares ≥1 of 4 chunks —
-    pigeonhole); verify Hamming ≤ max_hamming exactly."""
+    pigeonhole); verify Hamming ≤ max_hamming exactly.
+
+    ``max_bucket`` guards the bucket self-join against hot-chunk n²
+    explosion (see :func:`cap_buckets`); pass None for the exact
+    pigeonhole-completeness harness."""
     fp = simhash_fingerprints(df, id_col, text_col, shingle_k)
     chunks = fp.select(
         "id",
@@ -332,6 +387,7 @@ def simhash_candidates(
             )
         ).alias("c"),
     ).select("id", "fp", "c.chunk", "c.val")
+    chunks = cap_buckets(chunks, ["chunk", "val"], max_bucket)
     a = chunks.select(
         F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "chunk", "val"
     )
@@ -426,6 +482,7 @@ def embedding_near_dups(
     num_bands: int = 8,
     planes_per_band: int = 8,
     seed: int = 42,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via BANDED random-hyperplane
     LSH + exact cosine verify (see similarity.py for the signature
@@ -438,7 +495,11 @@ def embedding_near_dups(
     1-(1-0.9^8)^8 ≈ 99% — the standard LSH amplification trade
     (more bands → recall, more planes/band → precision). Candidates
     are deduped BEFORE the vectors are joined back, so the exact
-    verify runs once per pair regardless of how many bands agree."""
+    verify runs once per pair regardless of how many bands agree.
+
+    ``max_bucket`` caps per-(band, sig) bucket size before the
+    candidate self-join (hot-bucket n² guard, :func:`cap_buckets`);
+    None disables it for exact-recall harnesses."""
     from .similarity import cosine, rp_signature
 
     # null vectors are near-dups of nothing: drop them up front (they
@@ -468,6 +529,7 @@ def embedding_near_dups(
     ex = renamed.select(
         "id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ex = cap_buckets(ex, ["band", "sig"], max_bucket)
     a = ex.select(F.col("id").alias("id_a"), "band", "sig")
     b = ex.select(F.col("id").alias("id_b"), "band", "sig")
     cands = (

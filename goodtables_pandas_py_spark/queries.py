@@ -1133,7 +1133,9 @@ def _x2s(spark, sf_dir):
     d = t(spark, sf_dir, "documents", wide=True)
     src = d.select(F.col("doc_id").alias("id"), "source")
     lsh = (
-        xdedup.simhash_candidates(d, max_hamming=3)
+        # max_bucket=None: the pigeonhole-completeness claim needs the
+        # uncapped candidate set (the cap is the production default)
+        xdedup.simhash_candidates(d, max_hamming=3, max_bucket=None)
         .join(src.withColumnsRenamed({"id": "id_a", "source": "src_a"}), "id_a")
         .join(src.withColumnsRenamed({"id": "id_b", "source": "src_b"}), "id_b")
         .where(F.col("src_a") == F.col("src_b"))
@@ -1365,8 +1367,10 @@ def _x3nd(spark, sf_dir):
     blk_a = F.expr("CAST(id_a AS BIGINT) div 64")
     blk_b = F.expr("CAST(id_b AS BIGINT) div 64")
     approx = (
+        # max_bucket=None: the recall claim is over the uncapped
+        # candidate set (the cap is the production default)
         xdedup.embedding_near_dups(
-            e, threshold=0.45, num_bands=16, planes_per_band=4
+            e, threshold=0.45, num_bands=16, planes_per_band=4, max_bucket=None
         )
         .select(
             F.col("id_a").cast(_BIG).alias("id_a"),

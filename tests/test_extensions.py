@@ -443,3 +443,41 @@ def test_embedding_cosine_pairs_block_bound_is_equijoin(spark):
     # within one block the pair set is complete
     n_block0 = sum(1 for r in got if r["id_a"] < 100)
     assert n_block0 == 100 * 99 // 2
+
+
+def test_cap_buckets_drops_hot_buckets(spark):
+    """The skew guard: a hot bucket is dropped by a COUNT pass (never
+    a collect_list of its rows), small buckets survive, singletons
+    are dropped at the default min_bucket=2."""
+    rows = (
+        [(i, "hot") for i in range(50)]
+        + [(100, "small"), (101, "small")]
+        + [(200, "single")]
+    )
+    df = spark.createDataFrame(rows, "id long, bh string")
+    kept = dedup.cap_buckets(df, ["bh"], max_bucket=10)
+    got = {r["bh"] for r in kept.collect()}
+    assert got == {"small"}
+    # min_bucket=1 keeps singletons (left/right join use)
+    kept1 = dedup.cap_buckets(df, ["bh"], max_bucket=10, min_bucket=1)
+    assert {r["bh"] for r in kept1.collect()} == {"small", "single"}
+    # None disables entirely
+    assert dedup.cap_buckets(df, ["bh"], None).count() == len(rows)
+
+
+def test_minhash_candidates_hot_bucket_capped(spark):
+    """200 identical docs form one hot bucket per band; with
+    max_bucket=50 no candidate pair may come out of them, while a
+    distinct near-dup pair elsewhere still surfaces."""
+    docs = [(i, "aaa bbb ccc ddd eee fff ggg hhh") for i in range(200)]
+    docs += [
+        (500, "the quick brown fox jumps over the lazy dog today"),
+        (501, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = dedup.minhash_candidates(df, max_bucket=50).collect()
+    ids = {x for r in pairs for x in (r["id_a"], r["id_b"])}
+    assert ids == {500, 501}, ids
+    # uncapped, the boilerplate pairs flood back
+    n_uncapped = dedup.minhash_candidates(df, max_bucket=100000).count()
+    assert n_uncapped == 200 * 199 // 2 + 1

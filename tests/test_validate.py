@@ -694,3 +694,46 @@ def test_validate_package_reports_bad_descriptor_file(spark, tmp_path):
     bad.write_text("{not json")
     rep2 = gt.validate(spark, str(bad))
     assert rep2["valid"] is False
+
+
+def test_events_loader_tolerates_ts_encodings(spark, tmp_path):
+    """Regression (VERDICT r3): the driver has shipped events.parquet
+    with ts as TIMESTAMP(NANOS) (readable only as long via the legacy
+    conf) and as plain timestamp[us] across testdata regenerations.
+    t() must normalize BOTH to timestamp_ntz."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from goodtables_pandas_py_spark.queries import t
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["a", "b"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+
+    d_us = tmp_path / "us"
+    d_us.mkdir()
+    pq.write_table(
+        pa.table({**rows, "ts": pa.array([base, base], pa.timestamp("us"))}),
+        str(d_us / "events.parquet"),
+    )
+
+    d_ns = tmp_path / "ns"
+    d_ns.mkdir()
+    pq.write_table(
+        pa.table({**rows, "ts": pa.array([base, base], pa.timestamp("ns"))}),
+        str(d_ns / "events.parquet"),
+        store_schema=False,  # force physical INT64 TIMESTAMP(NANOS) read path
+    )
+
+    for d in (d_us, d_ns):
+        df = t(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz", (d, df.dtypes)
+        got = sorted(r["ts"] for r in df.select("ts").collect())
+        assert got[0] == base, (d, got)
