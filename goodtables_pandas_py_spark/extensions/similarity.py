@@ -178,6 +178,7 @@ def similarity_join(
     num_bands: int = 8,
     planes_per_band: int = 4,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k-per-left-row similarity join via BANDED
     random-hyperplane LSH: candidates are pairs sharing ANY band's
@@ -187,6 +188,12 @@ def similarity_join(
     ~(1-θ/π)^8 ≈ 43% probability; 8 bands × 4 planes give
     1-(1-0.857^4)^8 ≈ 99.8% — recall is engineered, not a coin flip
     (recall asserted in test_extensions).
+
+    ``max_bucket`` caps each side's per-(band, sig) bucket before the
+    candidate join (|L_b|·|R_b| explosion guard — dedup.cap_buckets
+    with min_bucket=1, since a singleton bucket on one side still
+    pairs with the other). Default None: the top-k contract prefers
+    full recall, and serving deployments set the cap explicitly.
 
     Plan shape: explode num_bands (band, sig) structs per row, bucket
     equi-join on (band, sig) — shuffles signature-size rows, never a
@@ -235,9 +242,16 @@ def similarity_join(
             out_id, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
         )
 
+    from .dedup import cap_buckets
+
+    lb = cap_buckets(
+        banded(l_renamed, "lv", "left_id"), ["band", "sig"], max_bucket, min_bucket=1
+    )
+    rb = cap_buckets(
+        banded(r_renamed, "rv", "right_id"), ["band", "sig"], max_bucket, min_bucket=1
+    )
     cands = (
-        banded(l_renamed, "lv", "left_id")
-        .join(banded(r_renamed, "rv", "right_id"), ["band", "sig"])
+        lb.join(rb, ["band", "sig"])
         .where(F.col("left_id") != F.col("right_id"))
         .select("left_id", "right_id")
         .distinct()

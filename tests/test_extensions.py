@@ -481,3 +481,18 @@ def test_minhash_candidates_hot_bucket_capped(spark):
     # uncapped, the boilerplate pairs flood back
     n_uncapped = dedup.minhash_candidates(df, max_bucket=100000).count()
     assert n_uncapped == 200 * 199 // 2 + 1
+
+
+def test_similarity_join_bucket_cap(spark):
+    """max_bucket bounds each side's bucket contribution; near-dup
+    pairs outside hot buckets still rank."""
+    rows = [(i, [1.0, 0.0]) for i in range(40)]  # hot: identical vectors
+    rows += [(100, [0.0, 1.0]), (101, [0.01, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.similarity_join(
+        df, df, k=1, num_bands=4, planes_per_band=2, max_bucket=10
+    ).collect()
+    pairs = {(r["left_id"], r["right_id"]) for r in out}
+    assert (100, 101) in pairs and (101, 100) in pairs
+    # the hot-bucket ids produced no candidates under the cap
+    assert all(l not in range(40) for l, _ in pairs)
