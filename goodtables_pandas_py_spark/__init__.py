@@ -70,9 +70,20 @@ def get_spark(app_name: str = "goodtables-spark", master: str | None = None):
     from pyspark.sql import SparkSession
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # local mode runs every task inside the driver JVM, whose DEFAULT
+    # heap is ~1g — 32 concurrent hash-aggregate tasks OOM there long
+    # before the machine (128 GiB) is near full (found by a 10× scale
+    # probe in r4: minhash on 100k docs died in the signature
+    # aggregate). Budget ~1.5g per core. Only effective for the
+    # process's FIRST session; a real cluster sets executor memory
+    # itself.
+    mem = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", f"{max(4, (3 * int(cpus)) // 2)}g"
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.driver.memory", mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
