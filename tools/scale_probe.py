@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Nonlinearity probe: run the heaviest pipelines at 10-20x sf0.1 on
+synthetic replicas and report per-probe wall times as ONE JSON line.
+
+The fixed-SF bench cannot distinguish "fast" from "accidentally
+quadratic but small" — round 4's probe caught two failures invisible
+at sf0.1 (default driver heap OOM at 100k docs; per-pair re-shingling
+in minhash verify, DNF >9 min). Run this after touching the dedup
+pipeline, session sizing, or validate's scan shape:
+
+    python tools/scale_probe.py [--docs-reps 20] [--li-reps 10]
+
+Linearity rule of thumb: each probe should scale ~reps x its sf0.1
+cost (see BASELINE.md round-4 table). A 10x blowup is a regression
+even if the bench is green.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/scale_probe")
+
+
+def build_data(spark, docs_reps: int, li_reps: int) -> None:
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps = spark.range(docs_reps).select(F.col("id").alias("rep"))
+    # every source doc becomes a `docs_reps`-way near-dup cluster
+    # (ids shifted, text perturbed by a suffix) — the dedup workload
+    # at its most adversarial
+    big_docs = d.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" r"), F.col("rep")).alias("text"),
+    )
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{WORK}/documents.parquet"
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    big_li = (
+        li.crossJoin(spark.range(li_reps).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("l_orderkey") + F.col("rep") * 100_000_000).alias(
+                "l_orderkey"
+            ),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .drop("rep")
+    )
+    big_li.repartition(32).write.mode("overwrite").parquet(
+        f"{WORK}/lineitem.parquet"
+    )
+
+
+def lineitem_schema():
+    from goodtables_pandas_py_spark.schema import TableSchema
+
+    return TableSchema.from_descriptor(
+        {
+            "fields": [
+                {"name": "l_orderkey", "type": "integer",
+                 "constraints": {"required": True}},
+                {"name": "l_partkey", "type": "integer"},
+                {"name": "l_suppkey", "type": "integer"},
+                {"name": "l_linenumber", "type": "integer"},
+                {"name": "l_quantity", "type": "number",
+                 "constraints": {"minimum": 0, "maximum": 50}},
+                {"name": "l_extendedprice", "type": "number"},
+                {"name": "l_discount", "type": "number",
+                 "constraints": {"minimum": 0, "maximum": 0.1}},
+                {"name": "l_tax", "type": "number"},
+                {"name": "l_returnflag", "type": "string",
+                 "constraints": {"enum": ["N", "A", "R"]}},
+                {"name": "l_linestatus", "type": "string",
+                 "constraints": {"enum": ["O", "F"]}},
+                {"name": "l_shipdate", "type": "datetime"},
+            ],
+            "primaryKey": ["l_orderkey", "l_linenumber"],
+        }
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs-reps", type=int, default=20)
+    ap.add_argument("--li-reps", type=int, default=10)
+    ap.add_argument("--skip-build", action="store_true",
+                    help="reuse existing probe parquet")
+    args = ap.parse_args()
+
+    import goodtables_pandas_py_spark as gt
+    from goodtables_pandas_py_spark.extensions import dedup as xdedup
+    from goodtables_pandas_py_spark.sources import ensure_parallelism, stringly
+    from goodtables_pandas_py_spark.validate import validate_table
+
+    spark = gt.get_spark(app_name="gt-scale-probe")
+    if not args.skip_build:
+        build_data(spark, args.docs_reps, args.li_reps)
+
+    timings: dict[str, float] = {}
+    sizes: dict[str, int] = {}
+
+    bd = spark.read.parquet(f"{WORK}/documents.parquet")
+    sizes["docs"] = bd.count()
+    # warm the plan shape at small scale (excludes one-time codegen)
+    small = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(500)
+    xdedup.minhash_dedup_pairs(small, threshold=0.5).count()
+    t0 = time.time()
+    sizes["minhash_pairs"] = xdedup.minhash_dedup_pairs(
+        bd, threshold=0.5
+    ).count()
+    timings["minhash_dedup"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    sizes["simhash_cands"] = xdedup.simhash_candidates(bd).count()
+    timings["simhash_candidates"] = round(time.time() - t0, 2)
+
+    bls = stringly(
+        ensure_parallelism(spark.read.parquet(f"{WORK}/lineitem.parquet"))
+    )
+    sizes["lineitem"] = bls.count()
+    sch = lineitem_schema()
+    t0 = time.time()
+    v = validate_table(
+        bls, sch, resource="lineitem",
+        cache_cols=["l_orderkey", "l_linenumber"],
+    )
+    timings["validate_table"] = round(time.time() - t0, 2)
+    if v.cached is not None:
+        v.cached.unpersist()
+
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_total",
+                "value": round(sum(timings.values()), 2),
+                "unit": "sec",
+                "timings": timings,
+                "sizes": sizes,
+                "docs_reps": args.docs_reps,
+                "li_reps": args.li_reps,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
