@@ -102,26 +102,36 @@ def localize_url(spark: SparkSession, url: str) -> str:
     which is the correct route for cluster-scale URL inputs.
 
     ``http(s)://`` / ``ftp://`` are downloaded ONCE driver-side to a
-    per-URL unique temp file. That local path is only visible on the
-    driver's filesystem, so this path is **explicitly local-mode
-    only**: on a real cluster (non-``local`` master) executors could
-    not read it, and we raise immediately with the remedy — stage the
-    file to a Hadoop-visible filesystem — instead of failing later
-    with an executor FileNotFoundException (VERDICT r3 §missing 4)."""
+    per-URL unique temp file. Where that file then lives depends on
+    deployment:
+
+    - **Staging dir configured** (``spark.goodtables.staging.dir`` —
+      any Hadoop-visible URI: ``hdfs://``, ``s3a://``, shared NFS
+      ``file://``): the download is copied there through the Hadoop
+      FS API and the staged URI is returned. This is the CLUSTER-REAL
+      route — every executor reads the staged copy directly.
+    - **No staging dir, local master**: the driver-local temp path is
+      returned (executors share the filesystem in local mode).
+    - **No staging dir, cluster master**: raise immediately with the
+      remedy, instead of failing later with an executor
+      FileNotFoundException (VERDICT r3 §missing 4)."""
     from urllib.parse import urlparse
 
     parsed = urlparse(url)
     if parsed.scheme == "file":
         return parsed.path
     if parsed.scheme in ("http", "https", "ftp"):
-        master = spark.sparkContext.master or ""
-        if not master.startswith("local"):
+        staging = spark.conf.get("spark.goodtables.staging.dir", None)
+        master = getattr(spark, "sparkContext", None)
+        master = (master.master or "") if master is not None else ""
+        if not staging and not master.startswith("local"):
             raise ValueError(
-                f"http/ftp resource {url!r} requires master 'local*' "
-                f"(got {master!r}): a driver-side download is invisible "
-                "to cluster executors. Stage the file to a "
-                "Hadoop-visible filesystem (hdfs://, s3a://, ...) and "
-                "point the resource path there."
+                f"http/ftp resource {url!r} on master {master!r}: a "
+                "driver-side download is invisible to cluster "
+                "executors. Set spark.goodtables.staging.dir to a "
+                "Hadoop-visible filesystem (hdfs://, s3a://, ...) to "
+                "have it staged automatically, or point the resource "
+                "path there yourself."
             )
         if url not in _URL_CACHE:
             import hashlib
@@ -135,7 +145,20 @@ def localize_url(spark: SparkSession, url: str) -> str:
             )
             if not os.path.exists(dest):
                 urllib.request.urlretrieve(url, dest)  # noqa: S310
-            _URL_CACHE[url] = dest
+            if staging:
+                jvm = spark._jvm
+                hconf = spark._jsc.hadoopConfiguration()
+                dst = jvm.org.apache.hadoop.fs.Path(
+                    f"{staging.rstrip('/')}/gt_url_{digest}_{name}"
+                )
+                fs = dst.getFileSystem(hconf)
+                if not fs.exists(dst):
+                    src = jvm.org.apache.hadoop.fs.Path(f"file://{dest}")
+                    # delSrc=False, overwrite=True
+                    fs.copyFromLocalFile(False, True, src, dst)
+                _URL_CACHE[url] = dst.toString()
+            else:
+                _URL_CACHE[url] = dest
         return _URL_CACHE[url]
     # hdfs:// s3a:// etc.: Hadoop-native schemes pass through untouched
     return url

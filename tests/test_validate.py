@@ -667,7 +667,8 @@ def test_url_localize_refuses_cluster_master(spark):
     from goodtables_pandas_py_spark import sources
 
     fake = SimpleNamespace(
-        sparkContext=SimpleNamespace(master="spark://cluster:7077")
+        sparkContext=SimpleNamespace(master="spark://cluster:7077"),
+        conf=SimpleNamespace(get=lambda key, default=None: default),
     )
     with _pytest.raises(ValueError, match="Hadoop-visible"):
         sources.localize_url(fake, "http://example.com/data.csv")
@@ -675,6 +676,39 @@ def test_url_localize_refuses_cluster_master(spark):
     assert (
         sources.localize_url(fake, "s3a://bucket/key.csv") == "s3a://bucket/key.csv"
     )
+
+
+def test_url_staging_dir_copies_via_hadoop_fs(spark, tmp_path, monkeypatch):
+    """With spark.goodtables.staging.dir set, an http download must be
+    copied to the staging filesystem through the Hadoop FS API and the
+    staged URI returned — the cluster-real route (executors read the
+    staged copy, never the driver's temp file)."""
+    import tempfile
+    import urllib.request
+
+    from goodtables_pandas_py_spark import sources
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(sources, "_URL_CACHE", {})
+    monkeypatch.setattr(
+        urllib.request,
+        "urlretrieve",
+        lambda url, dest: (open(dest, "w").write("a,b\n1,2\n"), None),
+    )
+    staging = tmp_path / "staged"
+    staging.mkdir()
+    spark.conf.set("spark.goodtables.staging.dir", f"file://{staging}")
+    try:
+        out = sources.localize_url(spark, "http://example.com/data.csv")
+        assert out.startswith("file:") and "staged" in out, out
+        staged_files = list(staging.iterdir())
+        assert len(staged_files) == 1
+        assert staged_files[0].read_text() == "a,b\n1,2\n"
+        # and Spark itself can read the staged URI
+        df = spark.read.option("header", True).csv(out)
+        assert df.count() == 1
+    finally:
+        spark.conf.unset("spark.goodtables.staging.dir")
 
 
 def test_validate_package_reports_bad_descriptor_file(spark, tmp_path):
