@@ -871,13 +871,24 @@ def _x4fp(spark, sf_dir):
 @q(
     "x4_token_counts",
     "SELECT source, CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))"
-    " AS BIGINT) AS sum_ws_tokens, CAST(count(*) AS BIGINT) AS n_docs"
+    " AS BIGINT) AS sum_ws_tokens,"
+    " CAST(sum(len(regexp_extract_all(text,"
+    " $$'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+$$)))"
+    " AS BIGINT) AS sum_bpe_tokens,"
+    " CAST(count(*) AS BIGINT) AS n_docs"
     " FROM documents GROUP BY source",
 )
 def _x4tok(spark, sf_dir):
+    """X4 token counting, BOTH tokenizers oracle-verified: whitespace
+    (regexp split) and the BPE-ish pre-tokenizer (extensions/text.py
+    BPE_TOKEN_RE — the identical regex evaluates in DuckDB via
+    regexp_extract_all, verified to agree match-for-match)."""
     d = t(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
         F.sum(xtext.token_count(F.col("text"))).cast(_BIG).alias("sum_ws_tokens"),
+        F.sum(xtext.token_count(F.col("text"), "bpe"))
+        .cast(_BIG)
+        .alias("sum_bpe_tokens"),
         F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
     )
 
