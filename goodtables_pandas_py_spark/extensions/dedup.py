@@ -3,10 +3,12 @@ n-gram Jaccard — the dedup ladder of a large-scale training-data
 pipeline (SURVEY.md §2.9), all shuffle-conscious:
 
 - exact:    one hash-groupBy on a fingerprint (map-side combine).
-- minhash:  shingle → H minhashes → B bands → groupBy(band) →
-            within-bucket candidate pairs → exact Jaccard verify.
-            Never an all-pairs join; the only shuffles are the band
-            groupBy and the (tiny) candidate join.
+- minhash:  shingle → H minhashes → B bands → bucket-size count →
+            semi-join to eligible buckets (hot-bucket cap, count-first)
+            → within-bucket candidate pairs → exact Jaccard verify on
+            per-doc shingle sets. Never an all-pairs join; the only
+            row-bearing shuffles are the signature groupBy and the
+            (tiny) candidate-bucket collect.
 - simhash:  64-bit sign-sum fingerprint via aggregate() lambda —
             JVM-side; near-dups = equal 16-bit chunk buckets (Hamming
             LSH).
