@@ -488,8 +488,8 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_bands: int = 8,
-    planes_per_band: int = 8,
+    num_bands: int = 32,
+    planes_per_band: int = 16,
     seed: int = 42,
     max_bucket: int | None = 1000,
 ) -> DataFrame:
@@ -498,18 +498,29 @@ def embedding_near_dups(
     machinery).
 
     Banding (OR over ``num_bands`` independent ``planes_per_band``-bit
-    buckets) is what makes the recall real: a single 16-plane bucket
-    catches a cosine-0.95 pair (θ≈18°) with only (1-θ/π)^16 ≈ 19%
-    probability, while 8 bands × 8 planes give
-    1-(1-0.9^8)^8 ≈ 99% — the standard LSH amplification trade
-    (more bands → recall, more planes/band → precision). Candidates
-    are deduped BEFORE the vectors are joined back, so the exact
-    verify runs once per pair regardless of how many bands agree.
+    buckets) is the standard LSH amplification trade: more bands →
+    recall, more planes/band → precision. Defaults 32×16: a
+    cosine-0.95 pair (θ≈18°, per-plane agreement p≈0.9) collides in a
+    16-plane band with p^16 ≈ 18%, and in ≥1 of 32 bands with
+    1-(1-0.18)^32 ≈ 99.8%; an UNRELATED pair (θ≈90°, p=0.5) collides
+    with 32·2⁻¹⁶ ≈ 0.05% — so candidates stay ~linear in n. The r4
+    scale probe showed why band WIDTH must scale with n: at 8-plane
+    bands (2⁸ buckets), 40k vectors produced 29.5M distinct candidates
+    (3% of ALL pairs — brute force in disguise); 16-plane bands cut
+    that ~256×, and the Arrow-batched signature matmul makes the extra
+    planes free. Candidates are deduped BEFORE the vectors are joined
+    back, so the exact verify runs once per pair regardless of how
+    many bands agree.
 
     ``max_bucket`` caps per-(band, sig) bucket size before the
     candidate self-join (hot-bucket n² guard, :func:`cap_buckets`);
-    None disables it for exact-recall harnesses."""
-    from .similarity import cosine, rp_signature
+    None disables it for exact-recall harnesses.
+
+    Signatures for ALL bands come from one Arrow-batched matmul
+    (similarity.rp_band_signatures — r4; the per-band interpreted-HOF
+    form cost ~8s/band over 40k vectors and was recomputed per plan
+    branch)."""
+    from .similarity import cosine_fixed, rp_band_signatures
 
     # null vectors are near-dups of nothing: drop them up front (they
     # would hash to the all-zero signature and collide with bucket 0;
@@ -526,18 +537,12 @@ def embedding_near_dups(
             F.lit(0.0).alias("cosine"),
         ).limit(0)
     dim = first["d"]
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            rp_signature(
-                renamed, "v", num_planes=planes_per_band, seed=seed * 1000 + b, dim=dim
-            ).alias("sig"),
-        )
-        for b in range(num_bands)
-    ]
     ex = renamed.select(
-        "id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        "id",
+        F.posexplode(
+            rp_band_signatures(F.col("v"), dim, num_bands, planes_per_band, seed)
+        ).alias("band", "sig"),
+    )
     ex = cap_buckets(ex, ["band", "sig"], max_bucket)
     a = ex.select(F.col("id").alias("id_a"), "band", "sig")
     b = ex.select(F.col("id").alias("id_b"), "band", "sig")
@@ -555,8 +560,10 @@ def embedding_near_dups(
         .select(
             "id_a",
             "id_b",
-            cosine(
-                F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")
+            cosine_fixed(
+                F.col("v_a").cast("array<double>"),
+                F.col("v_b").cast("array<double>"),
+                dim,
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)

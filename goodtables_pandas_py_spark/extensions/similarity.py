@@ -12,6 +12,8 @@ full shuffle).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -35,6 +37,44 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     d = norm(a) * norm(b)
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+# Janino compiles expanded expressions fine up to a few hundred terms;
+# past that, fall back to the HOF forms (correct, just interpreted)
+_EXPAND_DIM_CAP = 256
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product with the dimension expanded at plan-build time:
+    a[0]*b[0] + a[1]*b[1] + ... runs INSIDE whole-stage codegen,
+    unlike the aggregate/zip_with HOF form whose lambdas evaluate
+    interpreted (the r4 probe measured the verify join ~50s over 1.2M
+    64-dim pairs on HOFs; expanded it's JVM arithmetic). Left-assoc
+    addition in source order — bit-identical to the sequential HOF
+    fold, so results (and oracle hashes) are unchanged."""
+    if dim > _EXPAND_DIM_CAP:
+        return dot(a, b)
+    expr: Column | None = None
+    for i in range(dim):
+        term = a[i] * b[i]
+        expr = term if expr is None else expr + term
+    return expr if expr is not None else F.lit(0.0)
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Codegen-expanded cosine (see :func:`dot_fixed`)."""
+    if dim > _EXPAND_DIM_CAP:
+        return cosine(a, b)
+
+    def _norm(v: Column) -> Column:
+        expr: Column | None = None
+        for i in range(dim):
+            term = v[i] * v[i]
+            expr = term if expr is None else expr + term
+        return F.sqrt(expr if expr is not None else F.lit(0.0))
+
+    d = _norm(a) * _norm(b)
+    return F.when(d > 0, dot_fixed(a, b, dim) / d).otherwise(F.lit(0.0))
 
 
 def cosine_topk(
@@ -83,6 +123,54 @@ def rp_signature(
         bit = F.when(dot(F.col(vec_col).cast("array<double>"), r) > 0, 1).otherwise(0)
         sig = sig.bitwiseOR(F.shiftleft(bit.cast("long"), i))
     return sig
+
+
+def rp_band_signatures(
+    vec_col: Column,
+    dim: int,
+    num_bands: int,
+    planes_per_band: int,
+    seed: int = 42,
+) -> Column:
+    """All ``num_bands`` random-hyperplane band signatures in ONE
+    Arrow-batched numpy matmul — returns array<long> of length
+    ``num_bands``, bit-for-bit identical to calling
+    :func:`rp_signature` per band with seed ``seed*1000 + b``.
+
+    Why a pandas_udf when the module preaches Column algebra: the
+    per-band form evaluates num_planes interpreted ``aggregate``/
+    ``zip_with`` lambdas per row (HOFs run OUTSIDE whole-stage
+    codegen), which the r4 scale probe measured at ~8s per band over
+    40k×64-dim vectors — ~67s for 8 bands, recomputed per plan branch.
+    One (batch × dim) @ (dim × total_planes) BLAS matmul does the
+    whole thing in milliseconds; Arrow moves the batches. This is the
+    sanctioned vectorized-UDF exception (SURVEY.md §7.2): a UDF beats
+    interpreted HOFs ~50× here, while scalar Column code stays JVM.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    all_planes = np.concatenate(
+        [
+            np.random.RandomState(seed * 1000 + b).standard_normal(
+                (planes_per_band, dim)
+            )
+            for b in range(num_bands)
+        ]
+    )  # (num_bands * planes_per_band, dim)
+    weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(v.to_numpy())  # (batch, dim)
+        bits = (mat @ all_planes.T) > 0  # (batch, bands*planes)
+        packed = (
+            bits.reshape(len(mat), num_bands, planes_per_band) * weights
+        ).sum(axis=2)
+        return pd.Series(list(packed.astype(np.int64)))
+
+    return _sigs(vec_col.cast("array<double>"))
 
 
 def ann_topk(
@@ -175,8 +263,8 @@ def similarity_join(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     vec_col: str = "embedding",
-    num_bands: int = 8,
-    planes_per_band: int = 4,
+    num_bands: int = 32,
+    planes_per_band: int = 12,
     seed: int = 42,
     max_bucket: int | None = None,
 ) -> DataFrame:
@@ -184,10 +272,14 @@ def similarity_join(
     random-hyperplane LSH: candidates are pairs sharing ANY band's
     bucket (OR-amplification, same construction as
     dedup.embedding_near_dups), then exact cosine + rank within left
-    id. A single 8-plane bucket catches a cosine-0.9 pair with only
-    ~(1-θ/π)^8 ≈ 43% probability; 8 bands × 4 planes give
-    1-(1-0.857^4)^8 ≈ 99.8% — recall is engineered, not a coin flip
-    (recall asserted in test_extensions).
+    id. Defaults 32×12: a cosine-0.9 pair (per-plane p≈0.856)
+    collides per band with 0.856¹² ≈ 15.5% and in ≥1 of 32 bands with
+    1-(1-0.155)^32 ≈ 99.5%; an unrelated pair with 32·2⁻¹² ≈ 0.8% —
+    recall is engineered, not a coin flip (asserted in
+    test_extensions), while candidates stay near-linear in |L|+|R|
+    (the r4 probe showed narrow bands degenerate to brute force: at
+    4-plane bands HALF of all random pairs collide). The signature
+    matmul (rp_band_signatures) makes the extra planes free.
 
     ``max_bucket`` caps each side's per-(band, sig) bucket before the
     candidate join (|L_b|·|R_b| explosion guard — dedup.cap_buckets
@@ -228,18 +320,16 @@ def similarity_join(
     dim = first["d"]
 
     def banded(df: DataFrame, vcol: str, out_id: str) -> DataFrame:
-        structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                rp_signature(
-                    df, vcol, num_planes=planes_per_band,
-                    seed=seed * 1000 + b, dim=dim,
-                ).alias("sig"),
-            )
-            for b in range(num_bands)
-        ]
-        return df.select(out_id, F.explode(F.array(*structs)).alias("bs")).select(
-            out_id, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+        # all bands from one Arrow-batched matmul (see
+        # rp_band_signatures — the per-band interpreted-HOF form was
+        # the r4 scale probe's bottleneck)
+        return df.select(
+            out_id,
+            F.posexplode(
+                rp_band_signatures(
+                    F.col(vcol), dim, num_bands, planes_per_band, seed
+                )
+            ).alias("band", "sig"),
         )
 
     from .dedup import cap_buckets
@@ -262,8 +352,10 @@ def similarity_join(
         .select(
             "left_id",
             "right_id",
-            cosine(
-                F.col("lv").cast("array<double>"), F.col("rv").cast("array<double>")
+            cosine_fixed(
+                F.col("lv").cast("array<double>"),
+                F.col("rv").cast("array<double>"),
+                dim,
             ).alias("cosine"),
         )
     )

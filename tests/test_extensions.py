@@ -496,3 +496,37 @@ def test_similarity_join_bucket_cap(spark):
     assert (100, 101) in pairs and (101, 100) in pairs
     # the hot-bucket ids produced no candidates under the cap
     assert all(l not in range(40) for l, _ in pairs)
+
+
+def test_rp_band_signatures_match_per_band_form(spark):
+    """The Arrow-batched all-bands matmul must be bit-for-bit identical
+    to the per-band Column-algebra rp_signature (same seeds, same
+    packing) — the LSH bucketing contract across both code paths."""
+    import random
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["sigs"]
+        for r in df.select(
+            "vec_id",
+            similarity.rp_band_signatures(
+                F.col("embedding"), dim=16, num_bands=4, planes_per_band=8, seed=9
+            ).alias("sigs"),
+        ).collect()
+    }
+    for b in range(4):
+        per_band = {
+            r["vec_id"]: r["s"]
+            for r in df.select(
+                "vec_id",
+                similarity.rp_signature(
+                    df, "embedding", num_planes=8, seed=9 * 1000 + b, dim=16
+                ).alias("s"),
+            ).collect()
+        }
+        for vid, s in per_band.items():
+            assert got[vid][b] == s, (vid, b, got[vid][b], s)

@@ -47,6 +47,21 @@ def build_data(spark, docs_reps: int, li_reps: int) -> None:
         f"{WORK}/documents.parquet"
     )
 
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # replicate embeddings with a small deterministic per-replica
+    # perturbation so replicas are near-dups (cosine ~1), mirroring
+    # the documents replicas
+    big_e = e.crossJoin(reps.limit(max(docs_reps, 1))).select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * (1.0 + F.col("rep") / 1000.0),
+        ).alias("embedding"),
+    )
+    big_e.repartition(32).write.mode("overwrite").parquet(
+        f"{WORK}/embeddings.parquet"
+    )
+
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     big_li = (
         li.crossJoin(spark.range(li_reps).select(F.col("id").alias("rep")))
@@ -125,6 +140,14 @@ def main() -> None:
     t0 = time.time()
     sizes["simhash_cands"] = xdedup.simhash_candidates(bd).count()
     timings["simhash_candidates"] = round(time.time() - t0, 2)
+
+    be = spark.read.parquet(f"{WORK}/embeddings.parquet")
+    sizes["vectors"] = be.count()
+    t0 = time.time()
+    sizes["embedding_pairs"] = xdedup.embedding_near_dups(
+        be, threshold=0.99
+    ).count()
+    timings["embedding_near_dups"] = round(time.time() - t0, 2)
 
     bls = stringly(
         ensure_parallelism(spark.read.parquet(f"{WORK}/lineitem.parquet"))
