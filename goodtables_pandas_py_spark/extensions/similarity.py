@@ -3,8 +3,12 @@ top-k as the exact baseline, random-hyperplane LSH bucketing as the
 scale path (SURVEY.md §2.9; distributed top-k literature: REPOSE,
 ICDE 2021 — see PAPERS.md).
 
-Vector math is pure Column algebra: zip_with + aggregate dot products
-run inside whole-stage codegen — no UDF, no collect. Top-k uses
+Vector math (r4): the hot paths expand the known dimension into
+explicit a[i]*b[i] codegen arithmetic (dot_fixed/cosine_fixed) or run
+one Arrow-batched numpy matmul for all LSH bands (rp_band_signatures)
+— the generic zip_with/aggregate HOF forms remain as the
+unknown-dim fallback, but their lambdas evaluate INTERPRETED, which
+the r4 scale probe measured ~20× slower. Top-k uses
 orderBy(...).limit(k) which Spark executes as TakeOrderedAndProject
 (per-partition heap + driver merge of k·P rows — no full sort, no
 full shuffle).
@@ -91,7 +95,9 @@ def cosine_topk(
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = df.select(
         F.col(id_col),
-        cosine(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        cosine_fixed(
+            F.col(vec_col).cast("array<double>"), q, len(query)
+        ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -209,7 +215,10 @@ def ann_topk(
         )
         .where(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming)
         .select(
-            F.col(id_col), cosine(F.col("v").cast("array<double>"), q).alias("cosine")
+            F.col(id_col),
+            cosine_fixed(
+                F.col("v").cast("array<double>"), q, len(query)
+            ).alias("cosine"),
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
@@ -238,13 +247,19 @@ def knn_join(
         F.col(right_id).alias("right_id"),
         F.col(vec_col).cast("array<double>").alias("rv"),
     )
+    # codegen-expanded cosine when the dim is probe-able (null-safe
+    # probe; falls back to the HOF form on an all-null/empty left)
+    probe = l_df.where(F.col("lv").isNotNull()).select(
+        F.size("lv").alias("d")
+    ).first()
+    score = (
+        cosine_fixed(F.col("lv"), F.col("rv"), probe["d"])
+        if probe is not None
+        else cosine(F.col("lv"), F.col("rv"))
+    )
     scored = (
         l_df.join(F.broadcast(r_df), F.col("left_id") != F.col("right_id"))
-        .select(
-            "left_id",
-            "right_id",
-            cosine(F.col("lv"), F.col("rv")).alias("cosine"),
-        )
+        .select("left_id", "right_id", score.alias("cosine"))
     )
     w = Window.partitionBy("left_id").orderBy(
         F.col("cosine").desc(), F.col("right_id")
@@ -472,6 +487,8 @@ def ivf_topk(
     qlit = F.array(*[F.lit(float(x)) for x in query])
     scored = assigned.where(F.col("ivf_cid").isin(probes)).select(
         F.col(id_col),
-        cosine(F.col(vec_col).cast("array<double>"), qlit).alias("cosine"),
+        cosine_fixed(
+            F.col(vec_col).cast("array<double>"), qlit, len(query)
+        ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
