@@ -3,12 +3,15 @@ top-k as the exact baseline, random-hyperplane LSH bucketing as the
 scale path (SURVEY.md §2.9; distributed top-k literature: REPOSE,
 ICDE 2021 — see PAPERS.md).
 
-Vector math (r4): the hot paths expand the known dimension into
-explicit a[i]*b[i] codegen arithmetic (dot_fixed/cosine_fixed) or run
-one Arrow-batched numpy matmul for all LSH bands (rp_band_signatures)
-— the generic zip_with/aggregate HOF forms remain as the
-unknown-dim fallback, but their lambdas evaluate INTERPRETED, which
-the r4 scale probe measured ~20× slower. Top-k uses
+Vector math (r4, all measured): ARRAY-VS-ARRAY pair joins expand the
+known dimension into explicit a[i]*b[i] codegen arithmetic
+(dot_fixed/cosine_fixed — ~3.5× on the 1.2M-pair verify join);
+many-plane LSH signatures run as one Arrow-batched numpy matmul
+(rp_band_signatures — ~10× over per-band interpreted HOF lambdas);
+LITERAL-QUERY scans keep the generic zip_with/aggregate HOF cosine —
+Catalyst folds the query-side norm, and the HOF form measured FASTER
+than the expansion there, so each call site uses what won its own
+benchmark. Top-k uses
 orderBy(...).limit(k) which Spark executes as TakeOrderedAndProject
 (per-partition heap + driver merge of k·P rows — no full sort, no
 full shuffle).
@@ -93,11 +96,13 @@ def cosine_topk(
     codegen'd; TakeOrderedAndProject bounds driver traffic to k rows.
     Ties broken by id for determinism."""
     q = F.array(*[F.lit(float(x)) for x in query])
+    # literal-query scans keep the HOF cosine: Catalyst folds the
+    # query-side norm to a constant, and measured throughput beats the
+    # expanded form there (the expansion wins only on array-vs-array
+    # JOINS — see cosine_fixed)
     scored = df.select(
         F.col(id_col),
-        cosine_fixed(
-            F.col(vec_col).cast("array<double>"), q, len(query)
-        ).alias("cosine"),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -216,9 +221,8 @@ def ann_topk(
         .where(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming)
         .select(
             F.col(id_col),
-            cosine_fixed(
-                F.col("v").cast("array<double>"), q, len(query)
-            ).alias("cosine"),
+            # literal query: HOF form (see cosine_topk note)
+            cosine(F.col("v").cast("array<double>"), q).alias("cosine"),
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
@@ -487,8 +491,7 @@ def ivf_topk(
     qlit = F.array(*[F.lit(float(x)) for x in query])
     scored = assigned.where(F.col("ivf_cid").isin(probes)).select(
         F.col(id_col),
-        cosine_fixed(
-            F.col(vec_col).cast("array<double>"), qlit, len(query)
-        ).alias("cosine"),
+        # literal query: HOF form (see cosine_topk note)
+        cosine(F.col(vec_col).cast("array<double>"), qlit).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
