@@ -284,6 +284,39 @@ def minhash_dedup_pairs(
     )
 
 
+def near_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: keep one representative per
+    near-dup group, chosen as the row NOT named as the larger id of
+    any verified pair (min-id survivorship). Returns ``df`` minus the
+    dropped rows, schema unchanged.
+
+    Survivorship semantics: pairs are emitted with ``id_a < id_b`` and
+    every ``id_b`` is dropped. This is the standard greedy policy (one
+    broadcast-able drop set, one anti-join — no iterative
+    connected-components pass): within a fully-connected duplicate
+    cluster exactly the min id survives; across a CHAIN a—b—c where
+    a~b and b~c but a≁c, both b and c drop even though c's only link
+    was b. For near-dup thresholds ≥0.7 clusters are near-cliques and
+    the difference is marginal; pipelines needing exact
+    connected-components survivorship should iterate pairs through a
+    CC step and anti-join that instead. The drop set is DISTINCT ids
+    (≤ n rows, usually ≪): the anti-join broadcasts when small and
+    stays a hash equi-join otherwise."""
+    pairs = minhash_dedup_pairs(
+        df, id_col, text_col, threshold, num_hashes, num_bands, shingle_k
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
 # --- X2b: SimHash ---------------------------------------------------------
 
 

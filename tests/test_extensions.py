@@ -530,3 +530,21 @@ def test_rp_band_signatures_match_per_band_form(spark):
         }
         for vid, s in per_band.items():
             assert got[vid][b] == s, (vid, b, got[vid][b], s)
+
+
+def test_near_dedup_end_to_end(spark):
+    """Min-id survivorship: one representative per near-dup cluster
+    survives, distinct docs untouched, schema unchanged."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again tonight"),
+        (3, "the quick brown fox jumps over the lazy dog again today"),
+        (10, "completely different text about distributed query engines"),
+        (11, "yet another unrelated document mentioning spark catalyst"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup.near_dedup(df, threshold=0.5)
+    assert out.columns == df.columns
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 1,2,3 form one cluster -> min id 1 survives; 10 and 11 untouched
+    assert kept == [1, 10, 11], kept
