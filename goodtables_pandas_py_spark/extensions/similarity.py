@@ -56,20 +56,29 @@ def dot_fixed(a: Column, b: Column, dim: int) -> Column:
     a[0]*b[0] + a[1]*b[1] + ... runs INSIDE whole-stage codegen,
     unlike the aggregate/zip_with HOF form whose lambdas evaluate
     interpreted (the r4 probe measured the verify join ~50s over 1.2M
-    64-dim pairs on HOFs; expanded it's JVM arithmetic). Left-assoc
-    addition in source order — bit-identical to the sequential HOF
-    fold, so results (and oracle hashes) are unchanged."""
+    64-dim pairs on HOFs; expanded it's JVM arithmetic). Addition is
+    left-assoc in source order — the same sequential fold order as the
+    HOF form, so fixed-``dim`` results (and oracle hashes) are
+    unchanged.
+
+    Ragged guard (ADVICE r4): any vector whose length differs from
+    ``dim`` yields NULL — the same degradation as the HOF fold (whose
+    zip_with pads the shorter array with nulls and poisons the sum) —
+    never a silently prefix-truncated "plausible" value."""
     if dim > _EXPAND_DIM_CAP:
         return dot(a, b)
     expr: Column | None = None
     for i in range(dim):
         term = a[i] * b[i]
         expr = term if expr is None else expr + term
-    return expr if expr is not None else F.lit(0.0)
+    if expr is None:
+        return F.lit(0.0)
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), expr)
 
 
 def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
-    """Codegen-expanded cosine (see :func:`dot_fixed`)."""
+    """Codegen-expanded cosine (see :func:`dot_fixed`). Vectors whose
+    length differs from ``dim`` yield NULL (ragged guard, ADVICE r4)."""
     if dim > _EXPAND_DIM_CAP:
         return cosine(a, b)
 
@@ -81,7 +90,8 @@ def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
         return F.sqrt(expr if expr is not None else F.lit(0.0))
 
     d = _norm(a) * _norm(b)
-    return F.when(d > 0, dot_fixed(a, b, dim) / d).otherwise(F.lit(0.0))
+    raw = F.when(d > 0, dot_fixed(a, b, dim) / d).otherwise(F.lit(0.0))
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), raw)
 
 
 def cosine_topk(
@@ -145,8 +155,16 @@ def rp_band_signatures(
 ) -> Column:
     """All ``num_bands`` random-hyperplane band signatures in ONE
     Arrow-batched numpy matmul — returns array<long> of length
-    ``num_bands``, bit-for-bit identical to calling
-    :func:`rp_signature` per band with seed ``seed*1000 + b``.
+    ``num_bands``, matching :func:`rp_signature` per band with seed
+    ``seed*1000 + b`` (same hyperplanes; BLAS may sum the dot in a
+    different order than the sequential fold, so a sign bit could in
+    principle differ for a vector lying numerically ON a hyperplane —
+    irrelevant for LSH bucketing, where both variants are valid
+    signatures of the same family). Rows whose vector is null, empty,
+    or not ``dim`` long get a NULL signature array (callers posexplode,
+    which drops those rows — the same fate as the null-vector
+    pre-filter; previously a ragged batch crashed the whole job in
+    np.stack, ADVICE r4).
 
     Why a pandas_udf when the module preaches Column algebra: the
     per-band form evaluates num_planes interpreted ``aggregate``/
@@ -170,16 +188,30 @@ def rp_band_signatures(
     )  # (num_bands * planes_per_band, dim)
     weights = (1 << np.arange(planes_per_band)).astype(np.int64)
 
+    def _pack(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ all_planes.T) > 0  # (batch, bands*planes)
+        return (
+            bits.reshape(len(mat), num_bands, planes_per_band) * weights
+        ).sum(axis=2).astype(np.int64)
+
     @pandas_udf("array<long>")
     def _sigs(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        mat = np.stack(v.to_numpy())  # (batch, dim)
-        bits = (mat @ all_planes.T) > 0  # (batch, bands*planes)
-        packed = (
-            bits.reshape(len(mat), num_bands, planes_per_band) * weights
-        ).sum(axis=2)
-        return pd.Series(list(packed.astype(np.int64)))
+        arrs = v.to_numpy()
+        good = [
+            i for i, a in enumerate(arrs) if a is not None and len(a) == dim
+        ]
+        if len(good) == len(arrs):  # fast path: clean batch
+            return pd.Series(list(_pack(np.stack(arrs))))
+        out = np.empty(len(arrs), dtype=object)
+        if good:
+            packed = _pack(
+                np.stack([np.asarray(arrs[i], dtype=np.float64) for i in good])
+            )
+            for j, i in enumerate(good):
+                out[i] = packed[j]
+        return pd.Series(out)
 
     return _sigs(vec_col.cast("array<double>"))
 

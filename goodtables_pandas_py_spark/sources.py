@@ -89,8 +89,57 @@ def _is_url(path: str) -> bool:
 # one download per distinct URL per session; keyed by FULL URL and the
 # on-disk name carries a URL hash, so two URLs sharing a basename
 # (host-a/data.csv, host-b/data.csv) never collide (ADVICE/VERDICT r3 —
-# the previous SparkFiles route cached by basename alone)
+# the previous SparkFiles route cached by basename alone).
+# validate_package drives resources concurrently (ThreadPoolExecutor),
+# so the check-then-download miss path is serialized per URL: a global
+# lock guards the registry of per-URL locks, each URL's download runs
+# under its own lock — two threads localizing the SAME url wait on each
+# other; distinct urls still download in parallel (ADVICE r4).
 _URL_CACHE: dict[str, str] = {}
+import threading as _threading
+
+_URL_LOCKS_GUARD = _threading.Lock()
+_URL_LOCKS: dict[str, _threading.Lock] = {}
+
+
+def _url_lock(url: str) -> _threading.Lock:
+    with _URL_LOCKS_GUARD:
+        lock = _URL_LOCKS.get(url)
+        if lock is None:
+            lock = _URL_LOCKS[url] = _threading.Lock()
+        return lock
+
+
+def _download_atomic(url: str, dest: str) -> None:
+    """Download ``url`` to ``dest`` atomically: stream to a unique temp
+    name in the same directory, fsync, then os.replace into place — so
+    a crash or failed transfer can never leave a truncated file at
+    ``dest`` for the cross-process `os.path.exists` memo to serve as
+    if complete (ADVICE r4). On any failure the partial temp file is
+    unlinked before the exception propagates."""
+    import tempfile
+    import urllib.request
+
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(dest) + ".", suffix=".part",
+        dir=os.path.dirname(dest) or None,
+    )
+    try:
+        with os.fdopen(fd, "wb") as out, urllib.request.urlopen(url) as resp:  # noqa: S310
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+            out.flush()
+            os.fsync(out.fileno())
+        os.replace(tmp, dest)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def localize_url(spark: SparkSession, url: str) -> str:
@@ -133,10 +182,11 @@ def localize_url(spark: SparkSession, url: str) -> str:
                 "have it staged automatically, or point the resource "
                 "path there yourself."
             )
-        if url not in _URL_CACHE:
+        with _url_lock(url):
+            if url in _URL_CACHE:
+                return _URL_CACHE[url]
             import hashlib
             import tempfile
-            import urllib.request
 
             name = parsed.path.rstrip("/").rsplit("/", 1)[-1] or "resource"
             digest = hashlib.sha256(url.encode("utf-8")).hexdigest()[:12]
@@ -144,7 +194,7 @@ def localize_url(spark: SparkSession, url: str) -> str:
                 tempfile.gettempdir(), f"gt_url_{digest}_{name}"
             )
             if not os.path.exists(dest):
-                urllib.request.urlretrieve(url, dest)  # noqa: S310
+                _download_atomic(url, dest)
             if staging:
                 jvm = spark._jvm
                 hconf = spark._jsc.hadoopConfiguration()

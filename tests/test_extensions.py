@@ -532,6 +532,53 @@ def test_rp_band_signatures_match_per_band_form(spark):
             assert got[vid][b] == s, (vid, b, got[vid][b], s)
 
 
+def test_fixed_dim_kernels_null_on_ragged(spark):
+    """dot_fixed/cosine_fixed must yield NULL for vectors whose length
+    differs from the probed dim — matching the HOF fold's degradation —
+    never a silently prefix-truncated 'plausible' value (ADVICE r4)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),  # clean
+        (2, [1.0, 0.0, 0.0, 5.0], [1.0, 0.0, 0.0]),  # a too long
+        (3, [1.0, 0.0], [1.0, 0.0, 0.0]),  # a too short
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    got = {
+        r["id"]: (r["d"], r["c"])
+        for r in df.select(
+            "id",
+            similarity.dot_fixed(F.col("a"), F.col("b"), 3).alias("d"),
+            similarity.cosine_fixed(F.col("a"), F.col("b"), 3).alias("c"),
+        ).collect()
+    }
+    assert got[1] == (1.0, 1.0)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
+
+
+def test_rp_band_signatures_ragged_rows_get_null(spark):
+    """A batch containing empty/ragged/null vectors must not crash the
+    matmul (np.stack ValueError, ADVICE r4): bad rows get a NULL
+    signature array, clean rows keep their exact signatures."""
+    import random
+
+    random.seed(11)
+    clean = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(10)]
+    dirty = clean + [(100, []), (101, [1.0, 2.0]), (102, None)]
+    clean_df = spark.createDataFrame(clean, "vec_id long, embedding array<double>")
+    dirty_df = spark.createDataFrame(dirty, "vec_id long, embedding array<double>")
+    sig = lambda d: d.select(  # noqa: E731
+        "vec_id",
+        similarity.rp_band_signatures(
+            F.col("embedding"), dim=8, num_bands=2, planes_per_band=6, seed=3
+        ).alias("s"),
+    )
+    want = {r["vec_id"]: r["s"] for r in sig(clean_df).collect()}
+    got = {r["vec_id"]: r["s"] for r in sig(dirty_df.coalesce(1)).collect()}
+    for vid, s in want.items():
+        assert got[vid] == s, (vid, got[vid], s)
+    assert got[100] is None and got[101] is None and got[102] is None
+
+
 def test_near_dedup_end_to_end(spark):
     """Min-id survivorship: one representative per near-dup cluster
     survives, distinct docs untouched, schema unchanged."""

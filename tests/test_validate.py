@@ -630,7 +630,6 @@ def test_url_cache_distinct_urls_same_basename(spark, tmp_path, monkeypatch):
     distinct files (the old SparkFiles route cached by basename and
     collided — VERDICT r3)."""
     import tempfile
-    import urllib.request
 
     from goodtables_pandas_py_spark import sources
 
@@ -639,13 +638,12 @@ def test_url_cache_distinct_urls_same_basename(spark, tmp_path, monkeypatch):
 
     fetched = []
 
-    def fake_retrieve(url, dest):
+    def fake_download(url, dest):
         fetched.append(url)
         with open(dest, "w") as fh:
             fh.write(url)
-        return dest, None
 
-    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    monkeypatch.setattr(sources, "_download_atomic", fake_download)
     monkeypatch.setattr(sources, "_URL_CACHE", {})
     p1 = sources.localize_url(spark, "http://host-a.example/data.csv")
     p2 = sources.localize_url(spark, "http://host-b.example/data.csv")
@@ -655,6 +653,65 @@ def test_url_cache_distinct_urls_same_basename(spark, tmp_path, monkeypatch):
     # memoized: a repeat localize does not re-download
     sources.localize_url(spark, "http://host-a.example/data.csv")
     assert len(fetched) == 2
+
+
+def test_url_download_atomic_no_partial_on_failure(spark, tmp_path, monkeypatch):
+    """A download that dies mid-transfer must leave NOTHING at the
+    destination — neither the final name (the cross-process
+    os.path.exists memo would serve the corpse forever) nor a .part
+    temp — and a retry must actually re-download (ADVICE r4)."""
+    import tempfile
+    import urllib.request
+
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark import sources
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(sources, "_URL_CACHE", {})
+
+    class _DyingStream:
+        calls = 0
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self, n):
+            raise OSError("connection reset mid-transfer")
+
+    attempts = []
+
+    def fake_urlopen(url):
+        attempts.append(url)
+        if len(attempts) == 1:
+            return _DyingStream()
+
+        class _OK:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            _chunks = [b"a,b\n1,2\n", b""]
+
+            def read(self, n):
+                return self._chunks.pop(0)
+
+        return _OK()
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    with _pytest.raises(OSError, match="mid-transfer"):
+        sources.localize_url(spark, "http://example.com/data.csv")
+    # nothing on disk: no final file, no .part leftovers
+    assert list(tmp_path.iterdir()) == []
+    # retry re-downloads and succeeds
+    out = sources.localize_url(spark, "http://example.com/data.csv")
+    assert open(out).read() == "a,b\n1,2\n"
+    assert len(attempts) == 2
 
 
 def test_url_localize_refuses_cluster_master(spark):
@@ -684,16 +741,15 @@ def test_url_staging_dir_copies_via_hadoop_fs(spark, tmp_path, monkeypatch):
     staged URI returned — the cluster-real route (executors read the
     staged copy, never the driver's temp file)."""
     import tempfile
-    import urllib.request
 
     from goodtables_pandas_py_spark import sources
 
     monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
     monkeypatch.setattr(sources, "_URL_CACHE", {})
     monkeypatch.setattr(
-        urllib.request,
-        "urlretrieve",
-        lambda url, dest: (open(dest, "w").write("a,b\n1,2\n"), None),
+        sources,
+        "_download_atomic",
+        lambda url, dest: open(dest, "w").write("a,b\n1,2\n"),
     )
     staging = tmp_path / "staged"
     staging.mkdir()
