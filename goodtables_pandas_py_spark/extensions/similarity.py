@@ -216,6 +216,51 @@ def rp_band_signatures(
     return _sigs(vec_col.cast("array<double>"))
 
 
+def ann_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+    sig_col: str = "ann_sig",
+) -> DataFrame:
+    """``df`` + a ``sig_col`` long column: the ``num_planes``-bit
+    random-hyperplane LSH signature, computed by ONE Arrow-batched
+    numpy matmul (:func:`rp_band_signatures` with a single band — the
+    same hyperplane family the query side reproduces driver-side).
+
+    This is the assign-once serving shape (the LSH analogue of
+    ``ivf_assign``): at 100 TB run it once, persist with
+    ``sources.write_bucketed(assigned, t, ["ann_sig"])`` (or partition
+    by a signature prefix), and every subsequent :func:`ann_topk` call
+    filters the STORED column — no signature recompute, no Python, and
+    with a bucketed/partitioned table the filter becomes pruning
+    (VERDICT r4 §next 1; contrast the pre-r5 shape, which re-ran one
+    interpreted HOF fold per plane per row on every query)."""
+    if dim is None:
+        first = df.where(F.col(vec_col).isNotNull()).select(
+            F.size(F.col(vec_col)).alias("d")
+        ).first()
+        if first is None:
+            raise ValueError("no non-null vectors; pass dim= explicitly")
+        dim = first["d"]
+    sig = rp_band_signatures(F.col(vec_col), dim, 1, num_planes, seed)
+    return df.withColumn(sig_col, sig[0])
+
+
+def ann_query_signature(
+    query: list[float], num_planes: int = 12, seed: int = 42
+) -> int:
+    """Driver-side signature of a literal query vector under the SAME
+    hyperplanes :func:`ann_assign` uses (band 0 of
+    :func:`rp_band_signatures`: RandomState(seed*1000))."""
+    planes = np.random.RandomState(seed * 1000).standard_normal(
+        (num_planes, len(query))
+    )
+    bits = (planes @ np.asarray(query, dtype=np.float64)) > 0
+    return int((bits * (1 << np.arange(num_planes))).sum())
+
+
 def ann_topk(
     df: DataFrame,
     query: list[float],
@@ -225,36 +270,44 @@ def ann_topk(
     num_planes: int = 12,
     probe_hamming: int = 2,
     seed: int = 42,
+    sig_col: str | None = None,
 ) -> DataFrame:
-    """Approximate top-k: restrict the exact scan to LSH buckets
+    """Approximate top-k: restrict the exact cosine to LSH buckets
     within ``probe_hamming`` of the query's bucket (multi-probe).
-    At 100 TB the signature column should be precomputed + the table
-    bucketed/partitioned by it, turning this into partition pruning;
-    here the filter still skips the cosine for ~ (1 - coverage) of
-    rows (cheap bit_count pre-filter before the expensive aggregate)."""
-    import numpy as np
 
-    rng = np.random.RandomState(seed)
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"]
-    planes = rng.standard_normal((num_planes, dim))
-    qsig = 0
-    for i in range(num_planes):
-        if float(np.dot(query, planes[i])) > 0:
-            qsig |= 1 << i
-    sig = rp_signature(df, vec_col, num_planes=num_planes, seed=seed, dim=dim)
+    Serving shapes:
+    - ``sig_col`` names a PRECOMPUTED signature column (from
+      :func:`ann_assign`, persisted/bucketed): the plan is a pure
+      filter on the stored column — zero signature work per query,
+      partition pruning when the table is laid out by signature.
+    - otherwise the signature is computed inline via the one-matmul
+      :func:`ann_assign` (still ~num_planes× cheaper than the pre-r5
+      per-plane interpreted-HOF fold it replaced).
+
+    The bit_count pre-filter skips the exact cosine for ~(1-coverage)
+    of rows either way; dim comes from the query vector (no probe
+    job)."""
+    qsig = ann_query_signature(query, num_planes, seed)
+    if sig_col is not None:
+        if sig_col not in df.columns:
+            raise ValueError(
+                f"sig_col {sig_col!r} not in DataFrame; run ann_assign "
+                "first (and persist it) or pass sig_col=None"
+            )
+        sigged = df
+    else:
+        sig_col = "__ann_sig"
+        sigged = ann_assign(
+            df, vec_col, num_planes, seed, dim=len(query), sig_col=sig_col
+        )
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = (
-        df.select(
-            F.col(id_col),
-            F.col(vec_col).alias("v"),
-            sig.alias("sig"),
-        )
-        .where(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming)
+        sigged
+        .where(F.bit_count(F.col(sig_col).bitwiseXOR(F.lit(qsig))) <= probe_hamming)
         .select(
             F.col(id_col),
             # literal query: HOF form (see cosine_topk note)
-            cosine(F.col("v").cast("array<double>"), q).alias("cosine"),
+            cosine(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

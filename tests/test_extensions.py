@@ -236,6 +236,49 @@ def test_ann_topk_contains_self(spark, sf_dir):
     assert got[0] == 0  # query bucket always contains the query itself
 
 
+def test_ann_topk_pre_assigned_serving_path(spark, sf_dir, tmp_path):
+    """The assign-once serving shape (VERDICT r4 §next 1): ann_assign →
+    persist → ann_topk(sig_col=...) must (a) return the same rows as
+    the inline path, and (b) plan ZERO signature recompute — no
+    Arrow/Python eval node anywhere in the query plan, just a filter on
+    the stored column."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    assigned = similarity.ann_assign(emb)
+    stored = str(tmp_path / "assigned")
+    assigned.write.parquet(stored)
+    served = spark.read.parquet(stored)
+
+    plan = served.sparkSession._jsparkSession  # noqa: F841 (touch py4j lazily)
+    topk_served = similarity.ann_topk(served, q, k=5, sig_col="ann_sig")
+    explained = topk_served._jdf.queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in explained, f"signature recompute in plan: {node}"
+
+    inline = [r["vec_id"] for r in similarity.ann_topk(emb, q, k=5).collect()]
+    got = [r["vec_id"] for r in topk_served.collect()]
+    assert got == inline and got[0] == 0
+
+
+def test_ann_query_signature_matches_assign(spark):
+    """Driver-side query signature and executor-side ann_assign must
+    use the same hyperplanes: signing a vector via ann_assign equals
+    ann_query_signature of that vector."""
+    import random
+
+    random.seed(5)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(12)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["ann_sig"]
+        for r in similarity.ann_assign(df, num_planes=10, seed=7).collect()
+    }
+    for vid, vec in rows:
+        assert got[vid] == similarity.ann_query_signature(
+            vec, num_planes=10, seed=7
+        ), vid
+
+
 def test_similarity_join_topk_per_left(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").limit(50)
     out = similarity.similarity_join(emb, emb, k=2)
@@ -530,6 +573,56 @@ def test_rp_band_signatures_match_per_band_form(spark):
         }
         for vid, s in per_band.items():
             assert got[vid][b] == s, (vid, b, got[vid][b], s)
+
+
+def test_pair_components_labels_min_reachable(spark):
+    """Min-label propagation to fixpoint: chain 1-2-3 plus isolated
+    pair (10,11) → components {1,2,3}->1 and {10,11}->10; converges
+    even though 3 never pairs with 1 directly."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.pair_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_near_dedup_cc_vs_greedy_star(spark):
+    """Survivorship policies differ on a STAR (1~3, 2~3 but 1≁2):
+    greedy drops only the id_b's -> keeps {1,2}; cc collapses the
+    whole component -> keeps {1} (VERDICT r4 §next 4). Injected pairs
+    make the topology exact."""
+    df = spark.createDataFrame(
+        [(1, "hub a"), (2, "hub b"), (3, "the hub itself"), (9, "lone")],
+        "doc_id long, text string",
+    )
+    star = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    greedy = sorted(
+        r["doc_id"] for r in dedup.near_dedup(df, pairs=star).collect()
+    )
+    cc = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup(df, pairs=star, policy="cc").collect()
+    )
+    assert greedy == [1, 2, 9]
+    assert cc == [1, 9]
+
+
+def test_near_dedup_cc_chain_keeps_min(spark):
+    """A chain a~b~c (no a~c pair) keeps exactly {a} under cc — one
+    representative per connected component."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (7, "other")],
+        "doc_id long, text string",
+    )
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    cc = sorted(
+        r["doc_id"]
+        for r in dedup.near_dedup(df, pairs=chain, policy="cc").collect()
+    )
+    assert cc == [1, 7]
 
 
 def test_fixed_dim_kernels_null_on_ragged(spark):
