@@ -284,6 +284,70 @@ def minhash_dedup_pairs(
     )
 
 
+def pair_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list: returns (id, component)
+    where ``component`` is the MIN id reachable from ``id`` — min-label
+    propagation iterated to fixpoint with plain hash equi-joins (no
+    GraphFrames dependency; VERDICT r4 §next 4).
+
+    Scale shape: every iteration is one equi-join (labels ⋈ edges) +
+    one map-side-combinable MIN aggregate, all over the PAIR list —
+    which for near-dup workloads is far smaller than the corpus. The
+    lineage is truncated per iteration with localCheckpoint (eager,
+    executor-local) so the plan stays O(1) deep instead of compounding
+    per round; a 1000-executor deployment wanting fault-tolerant
+    lineage should set a checkpoint dir and swap in
+    ``df.checkpoint()``. Iterations needed = component diameter
+    (near-dup clusters are near-cliques: diameter ≤ 2-3 in practice);
+    the fixpoint test is an empty-diff check per round, and hitting
+    ``max_iter`` without convergence raises rather than silently
+    returning partial labels."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(
+                labels.withColumnRenamed("id", "src"), "src"
+            ).select(F.col("dst").alias("id"), "component")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(
+                labels.withColumnRenamed("component", "old"), "id"
+            )
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"pair_components did not converge in {max_iter} iterations — "
+        "component diameter exceeds max_iter; raise max_iter"
+    )
+
+
 def near_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -292,28 +356,47 @@ def near_dedup(
     num_hashes: int = 64,
     num_bands: int = 16,
     shingle_k: int = 3,
+    policy: str = "greedy",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: keep one representative per
-    near-dup group, chosen as the row NOT named as the larger id of
-    any verified pair (min-id survivorship). Returns ``df`` minus the
-    dropped rows, schema unchanged.
+    near-dup group. Returns ``df`` minus the dropped rows, schema
+    unchanged. ``pairs`` injects a precomputed verified pair list
+    (id_a, id_b[, ...]) — e.g. to reuse one pair computation across
+    policies, or to plug in simhash/embedding pairs; default builds
+    MinHash+LSH pairs via :func:`minhash_dedup_pairs`.
 
-    Survivorship semantics: pairs are emitted with ``id_a < id_b`` and
-    every ``id_b`` is dropped. This is the standard greedy policy (one
-    broadcast-able drop set, one anti-join — no iterative
-    connected-components pass): within a fully-connected duplicate
-    cluster exactly the min id survives; across a CHAIN a—b—c where
-    a~b and b~c but a≁c, both b and c drop even though c's only link
-    was b. For near-dup thresholds ≥0.7 clusters are near-cliques and
-    the difference is marginal; pipelines needing exact
-    connected-components survivorship should iterate pairs through a
-    CC step and anti-join that instead. The drop set is DISTINCT ids
-    (≤ n rows, usually ≪): the anti-join broadcasts when small and
-    stays a hash equi-join otherwise."""
-    pairs = minhash_dedup_pairs(
-        df, id_col, text_col, threshold, num_hashes, num_bands, shingle_k
-    )
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    ``policy="greedy"`` (default): pairs come canonical (id_a < id_b)
+    and every ``id_b`` is dropped — one broadcast-able DISTINCT drop
+    set, one anti-join, no iteration. Within a fully-connected cluster
+    exactly the min id survives. Under CHAINING (a~b, b~c, a≁c) both b
+    and c drop even though c's only link was b — and conversely a
+    star (1~3, 2~3) keeps BOTH 1 and 2 (only 3 drops), so greedy can
+    keep two docs that share a near-dup neighbor.
+
+    ``policy="cc"``: exact connected-components survivorship — the min
+    id of each component survives, every other member drops (labels
+    from :func:`pair_components`, a few equi-join rounds over the pair
+    list). One representative per component even under chaining; more
+    aggressive than greedy on stars (1~3, 2~3 keeps only 1). This is
+    the documented MinHash-dedup chaining trade-off; pick per corpus.
+
+    Either way the drop set is DISTINCT ids (≤ n rows, usually ≪):
+    the anti-join broadcasts when small and stays a hash equi-join
+    otherwise."""
+    if pairs is None:
+        pairs = minhash_dedup_pairs(
+            df, id_col, text_col, threshold, num_hashes, num_bands, shingle_k
+        )
+    if policy == "greedy":
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    elif policy == "cc":
+        labels = pair_components(pairs)
+        drop = labels.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        raise ValueError(f"unknown policy {policy!r}: use 'greedy' or 'cc'")
     return df.join(drop, id_col, "left_anti")
 
 

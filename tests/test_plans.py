@@ -236,6 +236,19 @@ def test_benched_registry_has_no_quadratic_join(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, f"{key}: {plan}"
 
 
+def test_benched_near_dedup_has_no_quadratic_join(spark):
+    """The direct-benched end-to-end near_dedup product path (r5:
+    candidates + verify + anti-join) obeys the same guard as the
+    registry-backed bench entries: equi-joins only."""
+    from goodtables_pandas_py_spark.extensions import dedup
+    from goodtables_pandas_py_spark.queries import t
+
+    d = t(spark, SF, "documents", wide=True)
+    plan = _final_plan(dedup.near_dedup(d, threshold=0.5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 # Nested-loop joins that are LINEAR, not quadratic: a broadcast
 # nested-loop against a ≤50-row bounded side (the documented exact
 # kNN baseline) costs k·n comparisons and is labeled never-a-scale-path
