@@ -132,6 +132,58 @@ def test_foreign_key_composite_self(spark):
     assert got == [(9, 9)]
 
 
+def test_foreign_key_multi_matches_per_fk_results(spark):
+    """foreign_key_violations_multi must agree with N independent
+    foreign_key_violations_df calls — including null-safe composite
+    semantics — while scanning the child once (single FileScan/scan
+    node of the child in the plan)."""
+    from goodtables_pandas_py_spark.checks.keys import (
+        foreign_key_violations_multi,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 1), (2, None), (99, 5), (None, None), (7, 7)], "a long, b long"
+    )
+    p1 = spark.createDataFrame([(1, 1), (2, None), (7, 7)], "x long, y long")
+    p2 = spark.createDataFrame([(1, 1), (99, 5)], "x long, y long")
+    multi = foreign_key_violations_multi(
+        child, ["a", "b"], {"fk1": (p1, ["x", "y"]), "fk2": (p2, ["x", "y"])}
+    )
+    got = {(r["fk"], r["a"], r["b"]) for r in multi.collect()}
+    for name, parent in [("fk1", p1), ("fk2", p2)]:
+        single = foreign_key_violations_df(child, ["a", "b"], parent, ["x", "y"])
+        want = {(name, r["a"], r["b"]) for r in single.collect()}
+        assert {g for g in got if g[0] == name} == want, (name, got)
+    # (2, None) partial-null tuple checked null-safe: violates fk2 only
+    assert ("fk2", 2, None) in got and ("fk1", 2, None) not in got
+    # fully-null tuple skipped everywhere
+    assert not any(g[1] is None and g[2] is None for g in got)
+
+
+def test_foreign_key_multi_single_child_scan(spark, sf_dir):
+    """The whole point of the multi-FK kernel: N checks, ONE child
+    scan (the r4 fk_anti_join drift was two broadcast anti-joins each
+    rescanning lineitem — ReusedExchange can't dedupe a broadcast
+    join's streamed side)."""
+    from goodtables_pandas_py_spark.checks.keys import (
+        foreign_key_violations_multi,
+    )
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    out = foreign_key_violations_multi(
+        lineitem,
+        ["l_orderkey"],
+        {
+            "clean": (orders, ["o_orderkey"]),
+            "dirty": (orders.where(F.col("o_orderkey") % 7 != 0), ["o_orderkey"]),
+        },
+        broadcast_parent=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
 def test_fk_broadcast_plan(spark, sf_dir):
     """The FK anti-join against a small parent must broadcast (AQE or
     hint), never sort-merge (SURVEY.md §4.3.3)."""
