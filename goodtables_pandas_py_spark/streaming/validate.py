@@ -88,14 +88,56 @@ def session_event_counts(
     ts_col: str,
     user_col: str,
     gap: str = "30 minutes",
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
 ) -> DataFrame:
-    """Session windows (gap-merged) per user — the streaming twin of
-    queries.py::x5_sessions. State bounded by the watermark."""
+    """Session windows (gap-merged) per user — the stateful half of
+    queries.py::x5_sessions, shared verbatim by both engines: the
+    batch registry query calls it with ``watermark=None`` (a watermark
+    is a stream-state concept) and layers the per-user rollup on top;
+    a streaming caller keeps the watermark to bound state and applies
+    the rollup to the sink (Structured Streaming does not chain two
+    stateful aggregations). One function, one compiled expression
+    tree — stream/batch equivalence is asserted end-to-end on real
+    sf0.001 rows in test_streaming."""
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
     return (
-        stream.withWatermark(ts_col, watermark)
+        stream
         .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), F.col(user_col))
         .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def windowed_event_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    window_duration: str = "10 minutes",
+) -> DataFrame:
+    """The x5_events_window rollup — tumbling windows × event type,
+    count + exact (decimal-summed) value total — as ONE function both
+    engines execute: queries.py::x5_events_window runs it on the batch
+    events table; a streaming caller runs the identical expression
+    tree over readStream (add ``withWatermark`` upstream for append
+    mode; a single aggregation, so it streams in complete mode as-is).
+    The batch↔stream row-for-row equivalence this enables is asserted
+    on real sf0.001 data in test_streaming (VERDICT r4 §next 6)."""
+    win = F.window(F.col(ts_col), window_duration)
+    return (
+        df.groupBy(win.alias("w"), F.col(type_col).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_val"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_val",
+        )
     )
 
 

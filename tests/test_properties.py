@@ -109,6 +109,105 @@ def test_parsers_total_on_arbitrary_text(spark, texts):
                 assert not r["rawnull"] and r[f"n{i}"]
 
 
+_duration_parts = st.tuples(
+    st.integers(min_value=0, max_value=200),      # years
+    st.integers(min_value=0, max_value=40),       # months
+    st.integers(min_value=0, max_value=400),      # days
+    st.integers(min_value=0, max_value=50),       # hours
+    st.integers(min_value=0, max_value=90),       # minutes
+    st.decimals(min_value=0, max_value=90, places=3),  # seconds
+)
+
+
+def _iso_duration(y, mo, d, h, mi, s):
+    """Render ISO 8601 duration, omitting zero components (PT0S when
+    everything is zero — the canonical zero duration)."""
+    date = "".join(
+        f"{v}{u}" for v, u in [(y, "Y"), (mo, "M"), (d, "D")] if v
+    )
+    time = "".join(
+        f"{v}{u}" for v, u in [(h, "H"), (mi, "M"), (s, "S")] if v
+    )
+    if not date and not time:
+        return "PT0S"
+    return f"P{date}" + (f"T{time}" if time else "")
+
+
+@FAST
+@given(st.lists(_duration_parts, min_size=1, max_size=20))
+def test_duration_roundtrip(spark, parts):
+    """P18: rendered ISO 8601 durations parse back to the exact
+    (months, seconds) decomposition — the two parsers with the most
+    hand-rolled regex surface get the hypothesis treatment (VERDICT r4
+    §next 7). Covers component omission, the T separator, fractional
+    seconds, and the M-means-months-or-minutes ambiguity."""
+    texts = [_iso_duration(*p) for p in parts]
+    rows = _parse_batch(spark, texts, Field("v", type="duration"))
+    for (y, mo, d, h, mi, s), txt, r in zip(parts, texts, rows):
+        assert not r["b"], (txt, r)
+        assert r["p"]["months"] == y * 12 + mo, (txt, r)
+        want_secs = d * 86400 + h * 3600 + mi * 60 + float(s)
+        assert r["p"]["seconds"] == pytest.approx(want_secs), (txt, r)
+
+
+@FAST
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=400),
+                          st.integers(min_value=1, max_value=53)),
+                min_size=1, max_size=20))
+def test_duration_weeks_form_roundtrip(spark, pairs):
+    """P18 weeks: PnW (and the parser's lenient PnWnD mix) decompose to
+    seconds with zero months."""
+    texts = [f"P{w}W" if d == 0 else f"P{w}W{d}D" for d, w in pairs]
+    rows = _parse_batch(spark, texts, Field("v", type="duration"))
+    for (d, w), txt, r in zip(pairs, texts, rows):
+        assert not r["b"], (txt, r)
+        assert r["p"]["months"] == 0
+        assert r["p"]["seconds"] == pytest.approx((w * 7 + d) * 86400), (txt, r)
+
+
+_lon = st.floats(min_value=-180, max_value=180, allow_nan=False)
+_lat = st.floats(min_value=-90, max_value=90, allow_nan=False)
+
+
+@FAST
+@given(st.lists(st.tuples(_lon, _lat), min_size=1, max_size=20),
+       st.sampled_from(["default", "array", "object"]))
+def test_geopoint_roundtrip_all_formats(spark, points, fmt):
+    """P19: every geopoint format round-trips in-range lon/lat exactly
+    (repr → try_cast double is lossless for binary64)."""
+    def render(lon, lat):
+        if fmt == "default":
+            return f"{lon!r}, {lat!r}"
+        if fmt == "array":
+            return f"[{lon!r}, {lat!r}]"
+        return f'{{"lon": {lon!r}, "lat": {lat!r}}}'
+
+    texts = [render(lon, lat) for lon, lat in points]
+    rows = _parse_batch(
+        spark, texts, Field("v", type="geopoint", format=fmt)
+    )
+    for (lon, lat), txt, r in zip(points, texts, rows):
+        assert not r["b"], (txt, r)
+        assert r["p"]["lon"] == lon and r["p"]["lat"] == lat, (txt, r)
+
+
+@FAST
+@given(st.lists(st.tuples(
+    st.floats(min_value=180.0001, max_value=1e6, allow_nan=False),
+    st.floats(min_value=-90, max_value=90, allow_nan=False),
+), min_size=1, max_size=10))
+def test_geopoint_out_of_range_rejected(spark, points):
+    """P19 range check: |lon| > 180 (either sign) is a
+    type-or-format-error, parsed stays null."""
+    texts = [
+        f"{lon if i % 2 == 0 else -lon!r}, {lat!r}"
+        for i, (lon, lat) in enumerate(points)
+    ]
+    rows = _parse_batch(spark, texts, Field("v", type="geopoint"))
+    for txt, r in zip(texts, rows):
+        assert r["b"] and r["p"] is None, (txt, r)
+
+
 @FAST
 @given(st.lists(st.decimals(min_value=-10**12, max_value=10**12, places=2),
                 min_size=1, max_size=20))
