@@ -145,6 +145,7 @@ def minhash_candidates(
     num_bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 1000,
+    persist_banded: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
@@ -163,13 +164,29 @@ def minhash_candidates(
     which is exactly the OOM it existed to prevent. Bonus: the
     collect_list shuffle now carries only rows from candidate buckets
     (usually a small fraction of the corpus), not every (id, band)
-    row."""
+    row.
+
+    ``persist_banded``: the banded (id, band, hash) projection is
+    consumed TWICE (bucket-size count, then join-back), so the whole
+    signature pipeline — the dominant dedup cost — runs twice per
+    action. True caches it (MEMORY_AND_DISK; docs × bands small rows,
+    far smaller than the corpus) so the second consumer reads the
+    cache; Spark's ContextCleaner drops it when the plan is released.
+    Default False: at sf0.1 the recompute and the cache fill measure
+    within noise of each other, and an unconditional persist inside a
+    library function steals executor storage memory the caller didn't
+    budget. At 100 TB, set it (or persist the signature table yourself
+    upstream)."""
     rows = num_hashes // num_bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     banded = (
         sigs.select("id", F.explode(lsh_bands(F.col("sig"), num_bands, rows)).alias("b"))
         .select("id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("bh"))
     )
+    if persist_banded:
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     buckets = (
         cap_buckets(banded, ["band", "bh"], max_bucket)
         .groupBy("band", "bh")
@@ -251,6 +268,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     num_bands: int = 16,
     shingle_k: int = 3,
+    persist_banded: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with exact-Jaccard verification ≥ threshold:
     LSH candidates (cheap, recall-oriented) → join back each doc's
@@ -265,7 +283,8 @@ def minhash_dedup_pairs(
     the pair multiplicity. Found by the r4 10× scale probe: 100k docs
     with 20-way replica clusters went from DNF (>9 min) to seconds."""
     cands = minhash_candidates(
-        df, id_col, text_col, num_hashes, num_bands, shingle_k
+        df, id_col, text_col, num_hashes, num_bands, shingle_k,
+        persist_banded=persist_banded,
     )
     sets = df.select(
         F.col(id_col).alias("id"),
@@ -358,6 +377,7 @@ def near_dedup(
     shingle_k: int = 3,
     policy: str = "greedy",
     pairs: DataFrame | None = None,
+    persist_banded: bool = False,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: keep one representative per
     near-dup group. Returns ``df`` minus the dropped rows, schema
@@ -386,7 +406,8 @@ def near_dedup(
     otherwise."""
     if pairs is None:
         pairs = minhash_dedup_pairs(
-            df, id_col, text_col, threshold, num_hashes, num_bands, shingle_k
+            df, id_col, text_col, threshold, num_hashes, num_bands, shingle_k,
+            persist_banded=persist_banded,
         )
     if policy == "greedy":
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()

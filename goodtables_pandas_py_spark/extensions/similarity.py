@@ -261,6 +261,29 @@ def ann_query_signature(
     return int((bits * (1 << np.arange(num_planes))).sum())
 
 
+def probe_signatures(
+    qsig: int, num_planes: int, probe_hamming: int
+) -> list[int]:
+    """All signatures within Hamming ``probe_hamming`` of ``qsig`` —
+    the multi-probe bucket set, enumerated driver-side
+    (Σ C(num_planes, i) for i ≤ probe_hamming values)."""
+    from itertools import combinations
+
+    out = [qsig]
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(num_planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            out.append(qsig ^ m)
+    return out
+
+
+# past this many enumerated probe buckets, an IN-list stops being a
+# pruning win and the bit_count(xor) filter is the better plan
+_PROBE_ENUM_CAP = 4096
+
+
 def ann_topk(
     df: DataFrame,
     query: list[float],
@@ -278,15 +301,26 @@ def ann_topk(
     Serving shapes:
     - ``sig_col`` names a PRECOMPUTED signature column (from
       :func:`ann_assign`, persisted/bucketed): the plan is a pure
-      filter on the stored column — zero signature work per query,
-      partition pruning when the table is laid out by signature.
+      filter on the stored column — zero signature work per query.
+      The probe set is enumerated into an IN-list
+      (:func:`probe_signatures`) rather than a ``bit_count(xor) ≤ h``
+      predicate: an In filter PUSHES DOWN to the source and prunes —
+      bucket pruning on a ``write_bucketed(..., ["ann_sig"])`` table
+      (set ``spark.sql.sources.bucketing.autoBucketedScan.enabled=
+      false`` for filter-only queries, else the planner reverts to a
+      plain scan; asserted in test_extensions), partition pruning on a
+      signature-prefix layout, row-group skipping from parquet min/max
+      everywhere else — while an arithmetic-on-column predicate forces
+      a full scan. (Enumeration falls back to bit_count past ~4k probe
+      buckets.)
     - otherwise the signature is computed inline via the one-matmul
       :func:`ann_assign` (still ~num_planes× cheaper than the pre-r5
-      per-plane interpreted-HOF fold it replaced).
+      per-plane interpreted-HOF fold it replaced), and bit_count keeps
+      the plan light — nothing to push down to.
 
-    The bit_count pre-filter skips the exact cosine for ~(1-coverage)
-    of rows either way; dim comes from the query vector (no probe
-    job)."""
+    dim comes from the query vector (no probe job)."""
+    from math import comb
+
     qsig = ann_query_signature(query, num_planes, seed)
     if sig_col is not None:
         if sig_col not in df.columns:
@@ -295,15 +329,28 @@ def ann_topk(
                 "first (and persist it) or pass sig_col=None"
             )
         sigged = df
+        n_probe = sum(comb(num_planes, h) for h in range(probe_hamming + 1))
+        if n_probe <= _PROBE_ENUM_CAP:
+            bucket_filter = F.col(sig_col).isin(
+                probe_signatures(qsig, num_planes, probe_hamming)
+            )
+        else:
+            bucket_filter = (
+                F.bit_count(F.col(sig_col).bitwiseXOR(F.lit(qsig)))
+                <= probe_hamming
+            )
     else:
         sig_col = "__ann_sig"
         sigged = ann_assign(
             df, vec_col, num_planes, seed, dim=len(query), sig_col=sig_col
         )
+        bucket_filter = (
+            F.bit_count(F.col(sig_col).bitwiseXOR(F.lit(qsig))) <= probe_hamming
+        )
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = (
         sigged
-        .where(F.bit_count(F.col(sig_col).bitwiseXOR(F.lit(qsig))) <= probe_hamming)
+        .where(bucket_filter)
         .select(
             F.col(id_col),
             # literal query: HOF form (see cosine_topk note)

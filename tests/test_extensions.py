@@ -249,15 +249,54 @@ def test_ann_topk_pre_assigned_serving_path(spark, sf_dir, tmp_path):
     assigned.write.parquet(stored)
     served = spark.read.parquet(stored)
 
-    plan = served.sparkSession._jsparkSession  # noqa: F841 (touch py4j lazily)
     topk_served = similarity.ann_topk(served, q, k=5, sig_col="ann_sig")
     explained = topk_served._jdf.queryExecution().executedPlan().toString()
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in explained, f"signature recompute in plan: {node}"
+    # the probe set is an IN-list pushed down to the parquet source
+    # (prunable), not arithmetic on the column (full scan)
+    assert "PushedFilters: [In(ann_sig" in explained, explained
 
     inline = [r["vec_id"] for r in similarity.ann_topk(emb, q, k=5).collect()]
     got = [r["vec_id"] for r in topk_served.collect()]
     assert got == inline and got[0] == 0
+
+
+def test_ann_topk_bucketed_table_prunes_buckets(spark, sf_dir, tmp_path):
+    """The full 100 TB serving layout: ann_assign → write_bucketed by
+    signature → ann_topk reads only the probe buckets
+    (SelectedBucketsCount in the scan, strictly fewer than total)."""
+    from goodtables_pandas_py_spark.sources import write_bucketed
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where("vec_id = 1").first()["embedding"]]
+    assigned = similarity.ann_assign(emb)
+    # 64 buckets vs 13 probe signatures (hamming ≤ 1 of 12 planes):
+    # at most 13 buckets can be selected — pruning is visible
+    table = write_bucketed(
+        assigned, "ann_serving_test", ["ann_sig"], num_buckets=64,
+        path=str(tmp_path / "ann_bucketed"),
+    )
+    try:
+        # filter-only queries have no join/agg for bucketing to help,
+        # so the auto-bucketed-scan rule switches to a plain scan and
+        # forfeits bucket pruning — serving deployments pin it off
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        topk = similarity.ann_topk(
+            table, q, k=5, sig_col="ann_sig", probe_hamming=1
+        )
+        plan = topk._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) <= 13 < int(m.group(2)), m.group(0)
+        assert [r["vec_id"] for r in topk.collect()][0] == 1
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS ann_serving_test")
 
 
 def test_ann_query_signature_matches_assign(spark):
