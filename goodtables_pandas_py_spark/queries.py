@@ -1163,6 +1163,71 @@ def _x2d(spark, sf_dir):
 
 
 @q(
+    "x2_near_dedup",
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS partition_ok,"
+    " TRUE AS no_intact_pair_ok, TRUE AS cc_superset_ok FROM documents",
+)
+def _x2nd_cc(spark, sf_dir):
+    """X2 end-to-end near_dedup with CONNECTED-COMPONENTS survivorship
+    (r5, VERDICT r4 §next 4), stated as falsifiable Spark-side
+    invariants (xxhash64 LSH is not SQL-expressible, so the oracle
+    pins n_docs + the invariants):
+
+    - ``partition_ok``: |kept| + |dropped| == |docs| — the anti-join
+      removes exactly the labeled drop set, nothing else.
+    - ``no_intact_pair_ok``: NO verified near-dup pair survives with
+      both endpoints kept. Under CC exactly one representative per
+      component survives, so any intact pair convicts a mislabeled
+      component (e.g. a propagation that stopped early and split one
+      component into two labels).
+    - ``cc_superset_ok``: the greedy drop set (every pair's id_b) is
+      contained in the CC drop set — a theorem of min-id labeling
+      (id_b's component contains id_a < id_b, so id_b is never its
+      component's min); a violation convicts the labeling.
+
+    The CC labels come from pair_components (min-label propagation to
+    fixpoint, hash equi-joins + localCheckpoint); pairs are persisted
+    — they feed four consumers (labels, kept, intact check, greedy
+    twin) and the propagation's eager jobs fill the cache first."""
+    d = t(spark, sf_dir, "documents", wide=True)
+    pairs = xdedup.minhash_dedup_pairs(d, threshold=0.5).persist()
+    labels = xdedup.pair_components(pairs)
+    drop_cc = labels.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = d.select("doc_id").join(drop_cc, "doc_id", "left_anti")
+    kept_ids = kept.select(F.col("doc_id").alias("kid"))
+    intact = (
+        pairs.join(kept_ids.withColumnsRenamed({"kid": "id_a"}), "id_a")
+        .join(kept_ids.withColumnsRenamed({"kid": "id_b"}), "id_b")
+        .select(F.lit("intact").alias("kind"))
+    )
+    greedy_not_in_cc = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .join(drop_cc, "doc_id", "left_anti")
+        .select(F.lit("sup").alias("kind"))
+    )
+    u = (
+        d.select(F.lit("doc").alias("kind"))
+        .unionAll(kept.select(F.lit("kept").alias("kind")))
+        .unionAll(drop_cc.select(F.lit("drop").alias("kind")))
+        .unionAll(intact)
+        .unionAll(greedy_not_in_cc)
+    )
+    return u.agg(
+        F.count_if(F.col("kind") == "doc").cast(_BIG).alias("n_docs"),
+        (
+            F.count_if(F.col("kind") == "kept")
+            + F.count_if(F.col("kind") == "drop")
+            == F.count_if(F.col("kind") == "doc")
+        ).alias("partition_ok"),
+        (F.count_if(F.col("kind") == "intact") == 0).alias("no_intact_pair_ok"),
+        (F.count_if(F.col("kind") == "sup") == 0).alias("cc_superset_ok"),
+    )
+
+
+@q(
     "x2_simhash_dups",
     "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS complete_ok"
     " FROM documents",
@@ -1242,7 +1307,7 @@ _EXACT_TOP10_SQL = (
 )
 
 
-def _topk_overlap_summary(spark, sf_dir, approx_fn, min_overlap: int):
+def _topk_overlap_summary(spark, sf_dir, approx_fn, min_overlap: int, kind: str):
     """Shared overlap@10 summary for the approximate top-k queries.
 
     The raw testdata embeddings are near-random (max pairwise cosine
@@ -1292,6 +1357,7 @@ def _topk_overlap_summary(spark, sf_dir, approx_fn, min_overlap: int):
         ).alias("best"),
     )
     return agg.select(
+        F.lit(kind).alias("kind"),
         F.lit(10).cast(_BIG).alias("k"),
         (F.col("n") >= min_overlap).alias("overlap_ok"),
         (-F.col("best.nid")).cast(_BIG).alias("top1_id"),
@@ -1300,40 +1366,36 @@ def _topk_overlap_summary(spark, sf_dir, approx_fn, min_overlap: int):
 
 
 @q(
-    "x3_ann_topk",
-    "SELECT CAST(10 AS BIGINT) AS k, TRUE AS overlap_ok,"
+    "x3_ann_ivf_topk",
+    "SELECT 'ann' AS kind, CAST(10 AS BIGINT) AS k, TRUE AS overlap_ok,"
+    " CAST(0 AS BIGINT) AS top1_id, CAST(1.0 AS DOUBLE) AS top1_cosine"
+    " UNION ALL"
+    " SELECT 'ivf' AS kind, CAST(10 AS BIGINT) AS k, TRUE AS overlap_ok,"
     " CAST(0 AS BIGINT) AS top1_id, CAST(1.0 AS DOUBLE) AS top1_cosine",
 )
-def _x3ann(spark, sf_dir):
-    """X3b multi-probe LSH ANN, restated as a DETERMINISTIC overlap@10
-    summary vs the exact top-10 (was rows-only): ≥7/10 of the true
-    neighbors must be found (fixed hyperplane seed → deterministic),
-    and the top-1 must be the query vector itself at cosine 1.0."""
-    return _topk_overlap_summary(
+def _x3ann_ivf(spark, sf_dir):
+    """X3b multi-probe LSH ANN + X3c IVF ANN (the data-independent and
+    data-adaptive index families), one labeled row each — merged r5 to
+    free a registry slot under the driver's 50-entry cap (the two
+    summaries share schema and harness; VERDICT r4 §next 5). Each is a
+    DETERMINISTIC overlap@10 vs the exact top-10: ≥7/10 true neighbors
+    recovered (fixed hyperplane seed / hash-sampled centroid seeds),
+    top-1 = the query vector itself at cosine 1.0."""
+    ann = _topk_overlap_summary(
         spark,
         sf_dir,
         lambda e, qv: xsim.ann_topk(e, qv, k=10),
         min_overlap=7,
+        kind="ann",
     )
-
-
-@q(
-    "x3_ivf_topk",
-    "SELECT CAST(10 AS BIGINT) AS k, TRUE AS overlap_ok,"
-    " CAST(0 AS BIGINT) AS top1_id, CAST(1.0 AS DOUBLE) AS top1_cosine",
-)
-def _x3ivf(spark, sf_dir):
-    """X3c IVF ANN (data-adaptive complement to the LSH path),
-    restated as a DETERMINISTIC overlap@10 summary vs the exact
-    top-10 (was rows-only): ≥7/10 true neighbors found via nprobe
-    inverted lists (deterministic hash-sampled centroid seeds), top-1
-    is the query vector at cosine 1.0."""
-    return _topk_overlap_summary(
+    ivf = _topk_overlap_summary(
         spark,
         sf_dir,
         lambda e, qv: xsim.ivf_topk(e, qv, k=10),
         min_overlap=7,
+        kind="ivf",
     )
+    return ann.unionByName(ivf)
 
 
 @q(
