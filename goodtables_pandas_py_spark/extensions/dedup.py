@@ -314,18 +314,21 @@ def pair_components(
     propagation iterated to fixpoint with plain hash equi-joins (no
     GraphFrames dependency; VERDICT r4 §next 4).
 
-    Scale shape: every iteration is one equi-join (labels ⋈ edges) +
-    one map-side-combinable MIN aggregate, all over the PAIR list —
-    which for near-dup workloads is far smaller than the corpus. The
-    lineage is truncated per iteration with localCheckpoint (eager,
-    executor-local) so the plan stays O(1) deep instead of compounding
-    per round; a 1000-executor deployment wanting fault-tolerant
-    lineage should set a checkpoint dir and swap in
-    ``df.checkpoint()``. Iterations needed = component diameter
-    (near-dup clusters are near-cliques: diameter ≤ 2-3 in practice);
-    the fixpoint test is an empty-diff check per round, and hitting
-    ``max_iter`` without convergence raises rather than silently
-    returning partial labels."""
+    Scale shape: every iteration is (a) one equi-join (labels ⋈ edges)
+    + one map-side-combinable MIN aggregate — one hop of neighbor
+    propagation — and (b) one PATH-HALVING self-join
+    (l(x) ← min(l(x), l(l(x))), the pointer-jumping step of classic
+    distributed CC), all over the PAIR list — which for near-dup
+    workloads is far smaller than the corpus. Halving makes the round
+    count O(log diameter) instead of O(diameter): a 64-node chain
+    converges in ~6 rounds where one-hop alone needs 63 (asserted in
+    test_extensions). The lineage is truncated per iteration with
+    localCheckpoint (eager, executor-local) so the plan stays O(1)
+    deep instead of compounding per round; a 1000-executor deployment
+    wanting fault-tolerant lineage should set a checkpoint dir and
+    swap in ``df.checkpoint()``. The fixpoint test is an empty-diff
+    check per round, and hitting ``max_iter`` without convergence
+    raises rather than silently returning partial labels."""
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -344,10 +347,25 @@ def pair_components(
                 labels.withColumnRenamed("id", "src"), "src"
             ).select(F.col("dst").alias("id"), "component")
         )
-        new = (
+        hopped = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # path halving: follow the label's own label one step —
+        # every component value is itself a node id (labels start as
+        # self-ids and only node ids propagate), so the self-join hits
+        parent = hopped.select(
+            F.col("id").alias("component"), F.col("component").alias("gp")
+        )
+        new = (
+            hopped.join(parent, "component", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("gp"), F.col("component"))
+                ).alias("component"),
+            )
             .localCheckpoint()
         )
         changed = (

@@ -628,6 +628,22 @@ def test_pair_components_labels_min_reachable(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_pair_components_long_chain_converges_fast(spark):
+    """Path halving makes convergence O(log diameter): a 64-node chain
+    (diameter 63) must label every node with the min id well inside
+    max_iter=25 — one-hop propagation alone would need 63 rounds and
+    raise."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.pair_components(pairs, max_iter=25).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_near_dedup_cc_vs_greedy_star(spark):
     """Survivorship policies differ on a STAR (1~3, 2~3 but 1≁2):
     greedy drops only the id_b's -> keeps {1,2}; cc collapses the
