@@ -180,6 +180,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    best: dict[str, float] = {}
 
     for name in names:
         if name in errors:
@@ -195,6 +196,7 @@ def main() -> None:
             continue
         cold[name] = round(samples[0], 3)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        best[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -204,6 +206,12 @@ def main() -> None:
         "queries": timings,
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
+        # min is the load-robust secondary stat: external host
+        # contention (shared VM) inflates samples asymmetrically —
+        # one clean sample bounds the code's true cost, while the
+        # median headline keeps cross-round comparability
+        "min_queries": best,
+        "min_total": round(sum(best.values()), 3),
         "reps": 3,
         "stat": "median",
         "sf": _sf_from_dir(sf_dir),
