@@ -1440,10 +1440,13 @@ def _x3p(spark, sf_dir):
     " CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 3",
 )
 def _x3knn(spark, sf_dir):
-    """X3d: exact top-k-per-row similarity join (brute force, window
-    rank) — the oracle-checked baseline for the LSH-bucketed
-    similarity_join (extensions/similarity.py::knn_join). Left side
-    bounded to 50 query rows so the oracle compare stays small."""
+    """X3d: exact top-k-per-row similarity join — r5: the
+    blocked-matmul distributed path (similarity.py::knn_join
+    method="blocked": broadcast query matrix + mapInPandas BLAS block
+    scores + exact per-partition top-k), oracle-checked against
+    DuckDB's cross-join QUALIFY form. Left side bounded to 50 query
+    rows only so the oracle compare stays small — the plan itself is
+    nested-loop-free and no longer needs a plan-guard exemption."""
     e = t(spark, sf_dir, "embeddings")
     out = xsim.knn_join(e.where(F.col("vec_id") < 50), e, k=3)
     return out.select(

@@ -466,6 +466,54 @@ def test_knn_join_exact(spark):
     assert all(0.0 <= r["cosine"] <= 1.0 for r in out)
 
 
+def test_knn_join_blocked_matches_loop_twin(spark):
+    """The r5 blocked-matmul exact kNN (mapInPandas + window merge)
+    must reproduce the legacy cross-join+window form row-for-row on a
+    dataset engineered with every edge the merge must get right:
+    score ties broken by id across partitions, duplicate vectors,
+    zero-norm vectors (score 0.0), null and ragged vectors on BOTH
+    sides (NULL score, sorts last, pads short lists), self-exclusion,
+    and fewer scorable rows than k."""
+    import math
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),       # duplicate of 1 → exact tie
+        (3, [0.9, 0.1]),
+        (4, [0.0, 1.0]),
+        (5, [0.0, 0.0]),       # zero-norm → cosine 0.0 everywhere
+        (6, None),             # null vector → NULL score
+        (7, [1.0, 0.0, 0.0]),  # ragged → NULL score
+        (8, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(4)
+
+    def key(r):
+        c = -2.0 if r["cosine"] is None else r["cosine"]
+        return (r["left_id"], -c, r["right_id"])
+
+    for k in (2, 7):
+        got = sorted(
+            similarity.knn_join(df, df, k=k, method="blocked").collect(), key=key
+        )
+        want = sorted(
+            similarity.knn_join(df, df, k=k, method="loop").collect(), key=key
+        )
+        assert [tuple(r) for r in got] == [
+            tuple(r) for r in want
+        ], f"k={k}: {got} != {want}"
+        # every left row (including unscorable ones) gets min(k, n-1) rows
+        per_left = {}
+        for r in got:
+            per_left[r["left_id"]] = per_left.get(r["left_id"], 0) + 1
+        assert per_left == {i: min(k, len(rows) - 1) for i in range(1, 9)}
+        assert all(
+            r["cosine"] is None or not math.isnan(r["cosine"]) for r in got
+        )
+
+
 def test_similarity_join_tolerates_null_lead_vector(spark):
     """Regression (ADVICE r3): a null vector in the probe row made
     F.size return -1, which reached numpy as a negative shape. The dim

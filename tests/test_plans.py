@@ -249,12 +249,11 @@ def test_benched_near_dedup_has_no_quadratic_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-# Nested-loop joins that are LINEAR, not quadratic: a broadcast
-# nested-loop against a ≤50-row bounded side (the documented exact
-# kNN baseline) costs k·n comparisons and is labeled never-a-scale-path
-# in its docstring. Everything else in the registry must plan
-# equi-joins only.
-_BOUNDED_NESTED_LOOP_BASELINES = {"x3_knn_join", "x3_sim_join"}
+# r5: empty — the exact kNN family moved to the blocked-matmul
+# mapInPandas path (similarity.py::knn_join method="blocked"), so no
+# registry query plans a nested loop anymore; the legacy "loop" form
+# survives only as a test-local oracle twin (test_extensions).
+_BOUNDED_NESTED_LOOP_BASELINES: set[str] = set()
 
 
 def _registry_names():
