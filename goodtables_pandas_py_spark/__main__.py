@@ -1,0 +1,89 @@
+"""Command-line entry point: validate a Frictionless data package and
+print (or write) the JSON report.
+
+    python -m goodtables_pandas_py_spark path/to/datapackage.json
+    python -m goodtables_pandas_py_spark desc.json -o report.json -q
+
+Mirrors the reference workflow's terminal usage (SURVEY.md §3: the
+reference is driven as `validate(source)` from scripts; the
+frictionless tooling it plugs into ships a `goodtables` CLI with the
+same exit-code contract). Exit codes: 0 = valid, 1 = invalid
+(validation ran, errors found), 2 = the validation itself failed
+(unreadable descriptor, etc.).
+
+Spark-first note: the CLI is a thin driver — all work happens in
+:func:`goodtables_pandas_py_spark.validate`, which compiles the whole
+package into fused single-scan Spark jobs. ``--master`` lets an
+operator point the same command at a real cluster
+(``--master spark://...`` / ``yarn``) without code changes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m goodtables_pandas_py_spark",
+        description="Validate a Frictionless data package on Spark.",
+    )
+    p.add_argument(
+        "descriptor",
+        help="path to datapackage.json (or a bare table-resource JSON)",
+    )
+    p.add_argument(
+        "-o", "--output",
+        help="write the JSON report here instead of stdout",
+    )
+    p.add_argument(
+        "--master",
+        default=None,
+        help="Spark master (default: local[$SPARK_GRAFT_CPUS])",
+    )
+    p.add_argument(
+        "--indent", type=int, default=2,
+        help="report JSON indent (default 2; 0 = compact)",
+    )
+    p.add_argument(
+        "-q", "--quiet", action="store_true",
+        help="suppress the one-line summary on stderr",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import goodtables_pandas_py_spark as gt
+
+    spark = gt.get_spark(app_name="goodtables-cli", master=args.master)
+    try:
+        report = gt.validate(spark, args.descriptor)
+    except Exception as exc:  # unreadable descriptor / engine failure
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    finally:
+        spark.stop()
+
+    indent = args.indent if args.indent > 0 else None
+    text = json.dumps(report, indent=indent, default=str)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text + "\n")
+    else:
+        print(text)
+    if not args.quiet:
+        status = "valid" if report.get("valid") else "INVALID"
+        print(
+            f"{status}: {report.get('table-count', 0)} table(s), "
+            f"{report.get('error-count', 0)} error(s)",
+            file=sys.stderr,
+        )
+    return 0 if report.get("valid") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -459,3 +459,41 @@ def write_bucketed(
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
     return df.sparkSession.table(table_name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-style partitioned parquet sink — the LAYOUT half of the
+    scale story that :func:`write_bucketed` tells for JOIN keys:
+    queries filtering on ``partition_by`` columns (ingest date, source,
+    language bucket) read only the matching directories — partition
+    PRUNING happens at file-listing time, before a single byte of data
+    is scanned. At 100 TB an unpartitioned audit table makes every
+    "yesterday's errors" query a full scan; a date-partitioned one
+    makes it a one-directory read.
+
+    ``sort_by`` sorts WITHIN each output task's files (no global
+    shuffle, no added exchange) so parquet writes tight min/max
+    row-group stats on those columns — point/range filters then skip
+    whole row groups inside the matching partitions (e.g. sort error
+    audits by resource so per-table drill-downs skip unrelated
+    groups).
+
+    ``max_records_per_file`` bounds file size so a skewed partition
+    (one hot ingest day) still yields parallel-readable files rather
+    than one giant one. Partition count hygiene is the caller's job:
+    partition on LOW-cardinality columns (dates, sources — not IDs);
+    a 10M-value partition column means 10M directories and a dead
+    file listing."""
+    writer = df
+    if sort_by:
+        writer = writer.sortWithinPartitions(*sort_by)
+    w = writer.write.mode("overwrite").partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.parquet(path)

@@ -1,0 +1,129 @@
+"""CLI (__main__.py) and partitioned-sink tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _write_package(tmp_path, rows: str) -> str:
+    csv = tmp_path / "data.csv"
+    csv.write_text("id,grade\n" + rows)
+    desc = {
+        "name": "p",
+        "resources": [
+            {
+                "name": "data",
+                "path": "data.csv",
+                "format": "csv",
+                "schema": {
+                    "fields": [
+                        {"name": "id", "type": "integer",
+                         "constraints": {"required": True}},
+                        {"name": "grade", "type": "string",
+                         "constraints": {"enum": ["A", "B"]}},
+                    ],
+                    "primaryKey": ["id"],
+                },
+            }
+        ],
+    }
+    p = tmp_path / "datapackage.json"
+    p.write_text(json.dumps(desc))
+    return str(p)
+
+
+def test_cli_valid_package_exit_0(spark, tmp_path, capsys):
+    # main() reuses the session fixture's JVM via getOrCreate — the
+    # spark fixture argument guarantees ordering (session exists
+    # before main's get_spark call, and main's spark.stop() would
+    # otherwise kill it for later tests... so monkeypatch stop out)
+    from goodtables_pandas_py_spark.__main__ import main
+
+    orig_stop = type(spark).stop
+    type(spark).stop = lambda self: None
+    try:
+        desc = _write_package(tmp_path, "1,A\n2,B\n")
+        out = tmp_path / "report.json"
+        rc = main([desc, "-o", str(out), "-q"])
+        assert rc == 0
+        report = json.loads(out.read_text())
+        assert report["valid"] is True
+        assert report["error-count"] == 0
+    finally:
+        type(spark).stop = orig_stop
+
+
+def test_cli_invalid_package_exit_1_and_stdout(spark, tmp_path, capsys):
+    from goodtables_pandas_py_spark.__main__ import main
+
+    orig_stop = type(spark).stop
+    type(spark).stop = lambda self: None
+    try:
+        desc = _write_package(tmp_path, "1,A\n1,Z\n")  # dup PK + bad enum
+        rc = main([desc, "-q", "--indent", "0"])
+        assert rc == 1
+        report = json.loads(capsys.readouterr().out)
+        assert report["valid"] is False
+        codes = {
+            e["code"] for t in report["tables"] for e in t["errors"]
+        }
+        assert "primary-key-constraint" in codes
+        assert "enumerable-constraint" in codes
+    finally:
+        type(spark).stop = orig_stop
+
+
+def test_cli_missing_descriptor_reports_not_crashes(
+    spark, tmp_path, capsys
+):
+    """Report-not-raise parity (validate.py descriptor policy): a
+    missing/unreadable descriptor yields an INVALID report carrying a
+    datapackage-error — exit 1, never a traceback. Exit 2 is reserved
+    for genuine engine failures."""
+    from goodtables_pandas_py_spark.__main__ import main
+
+    orig_stop = type(spark).stop
+    type(spark).stop = lambda self: None
+    try:
+        rc = main([str(tmp_path / "nope.json"), "-q", "--indent", "0"])
+        assert rc == 1
+        report = json.loads(capsys.readouterr().out)
+        assert report["valid"] is False
+        assert "datapackage-error" in {
+            e["code"] for e in report.get("errors", [])
+        }
+    finally:
+        type(spark).stop = orig_stop
+
+
+def test_write_partitioned_prunes_partitions(spark, tmp_path):
+    """Partition pruning must reach file listing: a filter on the
+    partition column shows PartitionFilters in the scan and reads
+    only the matching directory."""
+    from goodtables_pandas_py_spark.sources import write_partitioned
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(
+        ev, path, ["day"], sort_by=["user_id"], max_records_per_file=100_000
+    )
+    days = [d for d in os.listdir(path) if d.startswith("day=")]
+    assert len(days) > 1  # layout is genuinely hive-partitioned
+
+    one_day = days[0].split("=", 1)[1]
+    q = spark.read.parquet(path).where(F.col("day") == one_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the pruned scan must not list a second partition's directory
+    n_one = q.count()
+    per_day = (
+        ev.groupBy("day").count().where(F.col("day") == one_day).collect()
+    )
+    assert n_one == per_day[0]["count"]

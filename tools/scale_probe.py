@@ -114,6 +114,8 @@ def main() -> None:
                     help="reuse existing probe parquet")
     args = ap.parse_args()
 
+    from pyspark.sql import functions as F
+
     import goodtables_pandas_py_spark as gt
     from goodtables_pandas_py_spark.extensions import dedup as xdedup
     from goodtables_pandas_py_spark.sources import ensure_parallelism, stringly
@@ -141,6 +143,17 @@ def main() -> None:
     sizes["simhash_cands"] = xdedup.simhash_candidates(bd).count()
     timings["simhash_candidates"] = round(time.time() - t0, 2)
 
+    # r5: end-to-end near_dedup with CC survivorship — exercises
+    # pair_components' iterative equi-join rounds on a pair list whose
+    # components are docs_reps-way cliques (every source doc became a
+    # replica cluster). Rounds are O(log diameter); the probe fails
+    # loudly (RuntimeError) if propagation stops converging.
+    t0 = time.time()
+    sizes["near_dedup_cc_kept"] = xdedup.near_dedup(
+        bd, threshold=0.5, policy="cc"
+    ).count()
+    timings["near_dedup_cc"] = round(time.time() - t0, 2)
+
     be = spark.read.parquet(f"{WORK}/embeddings.parquet")
     sizes["vectors"] = be.count()
     t0 = time.time()
@@ -148,6 +161,18 @@ def main() -> None:
         be, threshold=0.99
     ).count()
     timings["embedding_near_dups"] = round(time.time() - t0, 2)
+
+    # r5: blocked-matmul exact kNN — 1k query rows against the full
+    # replicated embedding table. Cost is O(n·q) FLOPs by design;
+    # the probe checks the constant (one BLAS matmul per Arrow batch,
+    # candidates-only shuffle), not the asymptote.
+    from goodtables_pandas_py_spark.extensions import similarity as xsim
+
+    t0 = time.time()
+    sizes["knn_rows"] = xsim.knn_join(
+        be.where(F.col("vec_id") < 1000), be, k=5
+    ).count()
+    timings["knn_join_blocked"] = round(time.time() - t0, 2)
 
     bls = stringly(
         ensure_parallelism(spark.read.parquet(f"{WORK}/lineitem.parquet"))
