@@ -208,6 +208,14 @@ def foreign_key_violations_multi(
     Null semantics identical to :func:`foreign_key_violations_df`:
     fully-null child tuples are skipped, partial nulls join null-safe
     (``<=>``)."""
+    for name, (_, parent_fields) in parents.items():
+        if len(parent_fields) != len(child_fields):
+            raise ValueError(
+                f"foreign key {name!r}: parent key width "
+                f"{len(parent_fields)} != child key width "
+                f"{len(child_fields)} — a mismatched zip would silently "
+                "compare the wrong columns"
+            )
     some_notnull = None
     for c in child_fields:
         m = F.col(c).isNotNull()

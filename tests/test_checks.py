@@ -194,3 +194,20 @@ def test_fk_broadcast_plan(spark, sf_dir):
     )
     plan = viol._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_foreign_key_multi_rejects_width_mismatch(spark):
+    """A parent key narrower/wider than the child key must raise, not
+    silently zip-compare the wrong columns."""
+    import pytest
+
+    from goodtables_pandas_py_spark.checks.keys import (
+        foreign_key_violations_multi,
+    )
+
+    child = spark.createDataFrame([(1, 1)], "a long, b long")
+    parent = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="key width"):
+        foreign_key_violations_multi(
+            child, ["a", "b"], {"bad": (parent, ["x"])}
+        )
