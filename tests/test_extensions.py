@@ -791,3 +791,63 @@ def test_near_dedup_end_to_end(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     # 1,2,3 form one cluster -> min id 1 survives; 10 and 11 untouched
     assert kept == [1, 10, 11], kept
+
+
+def test_clean_corpus_rules_and_reasons(spark):
+    from goodtables_pandas_py_spark.extensions.text import clean_corpus
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank."),
+        (2, "short"),                                   # too few tokens
+        (3, "!!! ??? ;;; ### $$$ %%% ^^^ &&& *** ((("),  # punct + no words
+        (4, "a b c d e f g h i j"),                      # mean word len 1
+        (5, None),                                       # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept = clean_corpus(df)
+    assert {r["doc_id"] for r in kept.collect()} == {1}
+    assert kept.columns == df.columns  # schema unchanged
+
+    audited = clean_corpus(df, with_reasons=True)
+    by_id = {r["doc_id"]: r for r in audited.collect()}
+    assert by_id[1]["keep"] and by_id[1]["drop_reasons"] == []
+    assert not by_id[2]["keep"]
+    assert "too_few_tokens" in by_id[2]["drop_reasons"]
+    assert "too_much_punct" in by_id[3]["drop_reasons"]
+    assert "mean_word_too_short" in by_id[4]["drop_reasons"]
+    # null text fails closed with every rule as the reason
+    assert not by_id[5]["keep"] and len(by_id[5]["drop_reasons"]) > 0
+
+    # audit shape partitions the corpus: keep + drop == all
+    n_keep = audited.where("keep").count()
+    assert n_keep == 1 and audited.count() == len(rows)
+
+
+def test_clean_corpus_lang_and_stopword_gates(spark):
+    from goodtables_pandas_py_spark.extensions.text import clean_corpus
+
+    rows = [
+        (1, "the cat sat on the mat and it was happy for a while there"),
+        (2, "el perro corre por la calle y los gatos duermen en las casas"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = clean_corpus(df, allowed_langs=["en"], min_stopword_ratio=0.1)
+    assert {r["doc_id"] for r in kept.collect()} == {1}
+    audited = clean_corpus(df, allowed_langs=["en"], with_reasons=True)
+    by_id = {r["doc_id"]: r for r in audited.collect()}
+    assert "lang_not_allowed" in by_id[2]["drop_reasons"]
+
+
+def test_clean_corpus_is_single_stage_no_shuffle(spark, sf_dir):
+    """The cleaning filter must stay a map-only plan: no Exchange, no
+    Python, and column pruning reaching the scan."""
+    from goodtables_pandas_py_spark.extensions.text import clean_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        clean_corpus(d.select("doc_id", "text"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
