@@ -139,6 +139,38 @@ def frame_sample_plan(
     )
 
 
+def audio_window_plan(
+    df: DataFrame,
+    window_ms: int = 2000,
+    hop_ms: int = 1000,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Audio windowing *plan* (the audio twin of
+    :func:`frame_sample_plan`): expands each audio row into
+    overlapping (win_start_ms, win_end_ms) work items JVM-side —
+    windows of ``window_ms`` starting every ``hop_ms`` — so a decode/
+    feature UDF downstream sees fixed-size window tasks, never whole
+    audio blobs. The final partial window is clipped to the clip's
+    duration; zero/unknown duration yields one empty-range row so the
+    media id is never silently dropped from the task list."""
+    if hop_ms <= 0:
+        raise ValueError("hop_ms must be positive")
+    dur = F.coalesce(F.col("media_meta.duration_ms"), F.lit(0))
+    last_start = F.greatest(
+        dur - F.lit(1), F.lit(0)
+    )  # windows start strictly inside the clip
+    start = F.explode(
+        F.sequence(F.lit(0), last_start, F.lit(hop_ms))
+    ).alias("win_start_ms")
+    return df.select(F.col(id_col), dur.alias("__dur"), start).select(
+        id_col,
+        "win_start_ms",
+        F.least(
+            F.col("win_start_ms") + F.lit(window_ms), F.col("__dur")
+        ).alias("win_end_ms"),
+    )
+
+
 _RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

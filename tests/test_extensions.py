@@ -851,3 +851,32 @@ def test_clean_corpus_is_single_stage_no_shuffle(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_audio_window_plan_shapes(spark):
+    from goodtables_pandas_py_spark.extensions.multimodal import (
+        attach_media_metadata, audio_window_plan, demo_media_df,
+    )
+
+    media = attach_media_metadata(demo_media_df(spark, n=8))
+    plan = audio_window_plan(media, window_ms=2000, hop_ms=1000)
+    rows = plan.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    metas = {r["media_id"]: r["media_meta"] for r in media.collect()}
+    for mid, wins in by_id.items():
+        dur = metas[mid]["duration_ms"] or 0
+        # every media id yields >= 1 window row, even zero duration
+        assert len(wins) >= 1
+        for w in wins:
+            assert 0 <= w["win_start_ms"] <= max(dur - 1, 0)
+            assert w["win_end_ms"] == min(w["win_start_ms"] + 2000, dur)
+        # hop coverage: starts are exactly 0, 1000, 2000, ...
+        starts = sorted(w["win_start_ms"] for w in wins)
+        assert starts == list(range(0, (max(dur - 1, 0)) + 1, 1000))
+    assert set(by_id) == set(metas)  # no media id dropped
+
+    # the plan is JVM-side only: no Python eval in the expansion
+    p = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
