@@ -244,7 +244,9 @@ def test_benched_near_dedup_has_no_quadratic_join(spark):
     from goodtables_pandas_py_spark.queries import t
 
     d = t(spark, SF, "documents", wide=True)
-    plan = _final_plan(dedup.near_dedup(d, threshold=0.5))
+    plan = _final_plan(
+        dedup.near_dedup(d, threshold=0.5, persist_banded=True)
+    )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
