@@ -222,3 +222,54 @@ def test_number_locale_options_roundtrip(spark, xs):
     for x, r in zip(xs, rows):
         assert not r["b"], (x, r)
         assert r["p"] == pytest.approx(float(x))
+
+
+# --- dedup pipeline invariants on random corpora ---------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=12),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_minhash_pairs_subset_of_exact_jaccard(spark, corpora):
+    """On ANY random corpus: every (id_a, id_b, jaccard) the MinHash
+    pipeline emits must (a) be canonical (a < b), (b) carry the exact
+    Jaccard of the docs' 3-shingle sets as computed INDEPENDENTLY in
+    Python, and (c) clear the threshold. LSH may MISS pairs (recall
+    is probabilistic) but may never emit a wrong one — the verify
+    step makes precision exact, and this asserts it with zero Spark
+    machinery in the reference computation."""
+    from goodtables_pandas_py_spark.extensions.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    docs = [(i, " ".join(words)) for i, words in enumerate(corpora)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = minhash_dedup_pairs(df, threshold=0.5, num_hashes=32,
+                              num_bands=8).collect()
+
+    def sh(words):
+        toks = " ".join(words).lower().split()
+        return {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    sets = {i: sh(w) for i, w in enumerate(corpora)}
+    for r in got:
+        a, b, j = r["id_a"], r["id_b"], r["jaccard"]
+        assert a < b, (a, b)
+        sa, sb = sets[a], sets[b]
+        union = len(sa | sb)
+        exact = (len(sa & sb) / union) if union else 0.0
+        assert abs(j - exact) < 1e-9, (a, b, j, exact)
+        assert j >= 0.5
