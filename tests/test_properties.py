@@ -273,3 +273,54 @@ def test_minhash_pairs_subset_of_exact_jaccard(spark, corpora):
         exact = (len(sa & sb) / union) if union else 0.0
         assert abs(j - exact) < 1e-9, (a, b, j, exact)
         assert j >= 0.5
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pair_components_matches_union_find(spark, edges):
+    """pair_components on ANY random edge list must produce exactly
+    the components a plain Python union-find computes, with each
+    node labeled by its component's min id — self-loops and duplicate
+    edges included."""
+    from goodtables_pandas_py_spark.extensions.dedup import (
+        pair_components,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in pair_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {}
+    for members in comps.values():
+        m = min(members)
+        for n in members:
+            want[n] = m
+    assert got == want
