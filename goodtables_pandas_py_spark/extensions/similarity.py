@@ -579,14 +579,18 @@ def _knn_join_loop(
         F.col(vec_col).cast("array<double>").alias("rv"),
     )
     # codegen-expanded cosine when the dim is probe-able (null-safe
-    # probe; falls back to the HOF form on an all-null/empty left)
+    # probe). An all-null/empty left can't be probed; the contract
+    # (null vectors score NULL, docstring) then forces every score to
+    # NULL — the bare HOF cosine() would leak its otherwise(0.0)
+    # branch here and disagree with the blocked path (found by the
+    # hypothesis blocked-vs-loop equivalence test on vecs=[None,None])
     probe = l_df.where(F.col("lv").isNotNull()).select(
         F.size("lv").alias("d")
     ).first()
     score = (
         cosine_fixed(F.col("lv"), F.col("rv"), probe["d"])
         if probe is not None
-        else cosine(F.col("lv"), F.col("rv"))
+        else F.lit(None).cast("double")
     )
     scored = (
         l_df.join(F.broadcast(r_df), F.col("left_id") != F.col("right_id"))

@@ -324,3 +324,47 @@ def test_pair_components_matches_union_find(spark, edges):
         for n in members:
             want[n] = m
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.floats(
+                    min_value=-4, max_value=4,
+                    allow_nan=False, allow_infinity=False,
+                ),
+                min_size=4, max_size=4,
+            ),
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_knn_join_blocked_matches_loop_oracle(spark, vecs, k):
+    """The blocked-matmul exact kNN must agree pair-for-pair with the
+    legacy cross-join+window form on ANY random vector table —
+    including null vectors on either side and zero-norm vectors.
+    Scores compare to 1e-9 (both paths are float64)."""
+    from goodtables_pandas_py_spark.extensions.similarity import knn_join
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def norm(out):
+        return sorted(
+            (r["left_id"], r["right_id"],
+             None if r["cosine"] is None else round(r["cosine"], 9))
+            for r in out.collect()
+        )
+
+    got = norm(knn_join(df, df, k=k, method="blocked"))
+    want = norm(knn_join(df, df, k=k, method="loop"))
+    assert got == want
