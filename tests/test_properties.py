@@ -368,3 +368,89 @@ def test_knn_join_blocked_matches_loop_oracle(spark, vecs, k):
     got = norm(knn_join(df, df, k=k, method="blocked"))
     want = norm(knn_join(df, df, k=k, method="loop"))
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),  # few distinct texts
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_exact_dedup_keeps_min_per_group(spark, rows):
+    """exact_dedup(keep=...) on random data must keep exactly one row
+    per key group — the one with the smallest keep value — matching a
+    plain Python groupby-min."""
+    from goodtables_pandas_py_spark.extensions.dedup import exact_dedup
+
+    data = [(i, t, o) for i, (t, o) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, text string, ord long")
+    got = {
+        r["text"]: (r["ord"], r["rid"])
+        for r in exact_dedup(df, ["text"], keep="ord").collect()
+    }
+    want: dict[str, tuple[int, int]] = {}
+    for i, (t, o) in enumerate(rows):
+        cur = want.get(t)
+        if cur is None or (o, i) < cur:
+            want[t] = (o, i)
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2, max_value=2,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=6, max_size=6,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_embedding_near_dups_precision_exact(spark, vecs):
+    """Every pair embedding_near_dups emits on random vectors must be
+    canonical and carry the true cosine (float64 Python recompute,
+    1e-6 tolerance for expression-order differences) ≥ threshold.
+    Recall is probabilistic; precision is exact — this asserts it."""
+    import math
+
+    from goodtables_pandas_py_spark.extensions.dedup import (
+        embedding_near_dups,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = embedding_near_dups(df, threshold=0.9, num_bands=8,
+                              planes_per_band=4).collect()
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na * nb == 0:
+            return 0.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    for r in got:
+        a, b, c = r["id_a"], r["id_b"], r["cosine"]
+        assert a < b
+        exact = cos(vecs[a], vecs[b])
+        assert abs(c - exact) < 1e-6, (a, b, c, exact)
+        assert c >= 0.9
