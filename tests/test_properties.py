@@ -454,3 +454,62 @@ def test_embedding_near_dups_precision_exact(spark, vecs):
         exact = cos(vecs[a], vecs[b])
         assert abs(c - exact) < 1e-6, (a, b, c, exact)
         assert c >= 0.9
+
+
+# --- CSV dialect round-trip through the real reader ------------------------
+
+_CELL = st.text(
+    alphabet=st.characters(
+        whitelist_categories=["L", "N", "P", "Zs"],
+        # newlines excluded: multiline CSV is an explicit opt-in
+        # (Dialect.multiline) because it makes files non-splittable
+        blacklist_characters="\r\n",
+    ),
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.tuples(_CELL, _CELL, _CELL), min_size=1, max_size=8),
+    st.sampled_from([",", ";", "|", "\t"]),
+    st.sampled_from(['"', "'"]),
+)
+def test_csv_dialect_roundtrip_via_python_writer(
+    spark, tmp_path_factory, rows, delim, quote
+):
+    """Cells written by Python's csv module under a random dialect
+    (delimiter × quote char, doublequote escaping) must come back
+    VERBATIM through read_csv_stringly — including cells containing
+    the delimiter, the quote char, or unicode. An independent writer
+    keeps this from testing Spark-vs-Spark."""
+    import csv
+
+    from goodtables_pandas_py_spark.schema import Dialect
+    from goodtables_pandas_py_spark.sources import read_csv_stringly
+
+    d = tmp_path_factory.mktemp("csvprop")
+    path = str(d / "t.csv")
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(
+            f, delimiter=delim, quotechar=quote, quoting=csv.QUOTE_ALL,
+            doublequote=True, lineterminator="\r\n",
+        )
+        w.writerow(["c1", "c2", "c3"])
+        for r in rows:
+            w.writerow(list(r))
+
+    df = read_csv_stringly(
+        spark, path,
+        Dialect(delimiter=delim, quote_char=quote, double_quote=True),
+    )
+    assert df.columns == ["c1", "c2", "c3"]
+    got = [tuple(r) for r in df.collect()]
+    # cells round-trip VERBATIM — including quoted empty strings,
+    # which the reader's emptyValue option keeps as '' (missing-value
+    # mapping is schema policy applied later, never reader policy)
+    assert got == [tuple(r) for r in rows]
