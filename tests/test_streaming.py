@@ -229,3 +229,38 @@ def test_stateful_dedup_counts_across_batches(spark, tmp_path):
     assert dups == {"a": 2, "b": 0, "c": 2}
     # state really crossed batches: key 'a' appears in 2 output rows
     assert sum(1 for r in rows if r["key"] == "a") == 2
+
+
+def test_clean_corpus_runs_on_stream(spark, tmp_path):
+    """clean_corpus is stateless Column algebra, so the SAME call
+    works over readStream (append mode, no watermark needed) and
+    must produce exactly the batch decision for every document."""
+    from goodtables_pandas_py_spark.extensions.text import clean_corpus
+
+    from tests.conftest import SF_DIR
+
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    staged = str(tmp_path / "docs")
+    batch.write.parquet(staged)
+
+    stream = spark.readStream.schema(batch.schema).parquet(staged)
+    q = (
+        clean_corpus(stream, with_reasons=True)
+        .writeStream.format("memory")
+        .queryName("clean_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["keep"], tuple(r["drop_reasons"]))
+        for r in spark.table("clean_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["keep"], tuple(r["drop_reasons"]))
+        for r in clean_corpus(batch, with_reasons=True).collect()
+    }
+    assert got == want and len(got) == batch.count()
