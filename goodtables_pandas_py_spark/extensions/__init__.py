@@ -3,6 +3,6 @@ large-scale training-data-pipeline operations — dedup, similarity
 search, text analysis, multimodal columns. All DataFrame-first; Python
 only where genuinely needed (and then Arrow-batched)."""
 
-from . import dedup, multimodal, similarity, text
+from . import dedup, multimodal, pipeline, similarity, text
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "pipeline", "similarity", "text"]

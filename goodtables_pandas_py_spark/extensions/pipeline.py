@@ -1,0 +1,89 @@
+"""One-call corpus preparation: the composition a training-data
+pipeline actually runs — quality filter → near-duplicate removal —
+with every stage's audit trail available (SURVEY.md §2.9; composes
+:mod:`.text` and :mod:`.dedup`, adds no new Spark machinery).
+
+Scale shape is the sum of its parts: the quality filter is a map-only
+single scan (clean_corpus), dedup is banded-LSH candidates + bounded
+verify (near_dedup), and the filter runs FIRST so the expensive
+signature pipeline only ever sees documents worth keeping — on a
+boilerplate-heavy crawl the filter typically removes far more rows
+than dedup, for a fraction of its cost.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from .dedup import near_dedup
+from .text import clean_corpus
+
+
+@dataclass
+class CorpusPrep:
+    """Result of :func:`prepare_corpus`.
+
+    ``kept``: the cleaned, deduplicated documents (input schema).
+    ``quality_audit``: every input row + ``keep`` + ``drop_reasons``
+    (None unless ``audit=True``).
+    ``n_input / n_after_quality / n_after_dedup``: stage row counts
+    (None unless ``audit=True`` — counting costs a job per stage)."""
+
+    kept: DataFrame
+    quality_audit: DataFrame | None = None
+    n_input: int | None = None
+    n_after_quality: int | None = None
+    n_after_dedup: int | None = None
+
+
+def prepare_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedup_threshold: float = 0.7,
+    dedup_policy: str = "greedy",
+    persist_banded: bool = True,
+    audit: bool = False,
+    **clean_kwargs,
+) -> CorpusPrep:
+    """Quality-filter then near-dedup a documents table in one call.
+
+    ``clean_kwargs`` pass through to :func:`clean_corpus` (token
+    bounds, language allowlist, ...); ``dedup_policy`` is
+    ``"greedy"`` or ``"cc"`` (see :func:`near_dedup`).
+    ``persist_banded`` defaults ON here — unlike the low-level
+    library functions, this is the deployment entry point, and the
+    banded signature projection always has two consumers.
+
+    ``audit=True`` additionally returns the per-row quality audit
+    (keep + drop_reasons) and per-stage row counts. The audit frame is
+    the thing to ``write_partitioned(..., ["keep"])`` when a 100 TB
+    run needs "what did each rule cost us" answerable later without
+    re-running the filter.
+
+    Lazy like everything else: without ``audit`` no job runs until
+    the caller acts on ``kept``."""
+    clean_kwargs.pop("with_reasons", None)
+    cleaned = clean_corpus(df, text_col=text_col, **clean_kwargs)
+    kept = near_dedup(
+        cleaned,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=dedup_threshold,
+        policy=dedup_policy,
+        persist_banded=persist_banded,
+    )
+    if not audit:
+        return CorpusPrep(kept=kept)
+    quality_audit = clean_corpus(
+        df, text_col=text_col, with_reasons=True, **clean_kwargs
+    )
+    return CorpusPrep(
+        kept=kept,
+        quality_audit=quality_audit,
+        n_input=df.count(),
+        n_after_quality=cleaned.count(),
+        n_after_dedup=kept.count(),
+    )

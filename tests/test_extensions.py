@@ -880,3 +880,33 @@ def test_audio_window_plan_shapes(spark):
     # the plan is JVM-side only: no Python eval in the expansion
     p = plan._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_prepare_corpus_end_to_end(spark):
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        prepare_corpus,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog by the river"),
+        (2, "the quick brown fox jumps over the lazy dog by the stream"),
+        (3, "short"),  # dropped by quality
+        (4, "an entirely different document about spark query planning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prep = prepare_corpus(df, dedup_threshold=0.5, audit=True)
+
+    kept_ids = {r["doc_id"] for r in prep.kept.collect()}
+    assert 3 not in kept_ids            # quality-filtered
+    assert 4 in kept_ids                # unique survives
+    assert kept_ids & {1, 2} == {1}     # near-dups keep min id
+    assert prep.n_input == 4
+    assert prep.n_after_quality == 3
+    assert prep.n_after_dedup == 2
+    audit = {r["doc_id"]: r for r in prep.quality_audit.collect()}
+    assert not audit[3]["keep"] and audit[1]["keep"]
+    assert prep.kept.columns == df.columns
+
+    # lazy path returns without running any job and computes the same
+    lazy = prepare_corpus(df, dedup_threshold=0.5)
+    assert {r["doc_id"] for r in lazy.kept.collect()} == kept_ids
