@@ -67,7 +67,12 @@ def read_csv_stringly(
     if d.escape_char:
         reader = reader.option("escape", d.escape_char)
     elif d.double_quote:
-        reader = reader.option("escape", '"')
+        # RFC quote-doubling = escape char == the QUOTE char, whatever
+        # it is. The previous literal '"' broke non-default quote
+        # chars: a single `'` cell in a `'`-quoted file came back as
+        # `''` (found by the dialect round-trip fuzz in
+        # test_properties).
+        reader = reader.option("escape", d.quote_char)
     if d.skip_initial_space:
         reader = reader.option("ignoreLeadingWhiteSpace", True)
     if d.line_terminator not in ("\r\n", "\n", "\r"):
