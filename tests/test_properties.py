@@ -513,3 +513,43 @@ def test_csv_dialect_roundtrip_via_python_writer(
     # which the reader's emptyValue option keeps as '' (missing-value
     # mapping is schema policy applied later, never reader policy)
     assert got == [tuple(r) for r in rows]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.tuples(_CELL, _CELL), min_size=1, max_size=6),
+    st.sampled_from([",", ";", "|"]),
+)
+def test_csv_escapechar_dialect_roundtrip(
+    spark, tmp_path_factory, rows, delim
+):
+    """The escapeChar (non-doubling) dialect path: cells containing
+    quotes/backslashes written by Python's csv with escapechar='\\\\'
+    must round-trip verbatim through a Dialect(escape_char=...)."""
+    import csv
+
+    from goodtables_pandas_py_spark.schema import Dialect
+    from goodtables_pandas_py_spark.sources import read_csv_stringly
+
+    d = tmp_path_factory.mktemp("csvesc")
+    path = str(d / "t.csv")
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(
+            f, delimiter=delim, quotechar='"', quoting=csv.QUOTE_ALL,
+            doublequote=False, escapechar="\\", lineterminator="\r\n",
+        )
+        w.writerow(["c1", "c2"])
+        for r in rows:
+            w.writerow(list(r))
+
+    df = read_csv_stringly(
+        spark, path,
+        Dialect(delimiter=delim, quote_char='"', double_quote=False,
+                escape_char="\\"),
+    )
+    got = [tuple(r) for r in df.collect()]
+    assert got == [tuple(r) for r in rows]
