@@ -137,6 +137,39 @@ def lsh_bands(signature: Column, num_bands: int, rows_per_band: int) -> Column:
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The persistable LSH index side: one (``id``, ``band``, ``bh``)
+    row per document per band — exactly the projection
+    :func:`minhash_candidates` self-joins, exposed so a corpus can
+    build it ONCE and serve many lookups (the MinHash analogue of
+    similarity.ann_assign). At 100 TB: write it with
+    ``sources.write_bucketed(banded, t, ["band", "bh"])`` and every
+    incremental batch joins against it bucket-co-located — no corpus
+    re-scan, no corpus-side shuffle (streaming/dedup.py consumes this
+    shape). Parameters must match between index build and lookup —
+    signatures hash the same xxhash64 family either way."""
+    rows = num_hashes // num_bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    return (
+        sigs.select(
+            "id",
+            F.explode(lsh_bands(F.col("sig"), num_bands, rows)).alias("b"),
+        )
+        .select(
+            "id",
+            F.col("b.band").alias("band"),
+            F.col("b.band_hash").alias("bh"),
+        )
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -177,11 +210,8 @@ def minhash_candidates(
     library function steals executor storage memory the caller didn't
     budget. At 100 TB, set it (or persist the signature table yourself
     upstream)."""
-    rows = num_hashes // num_bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    banded = (
-        sigs.select("id", F.explode(lsh_bands(F.col("sig"), num_bands, rows)).alias("b"))
-        .select("id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("bh"))
+    banded = banded_signatures(
+        df, id_col, text_col, num_hashes, num_bands, shingle_k
     )
     if persist_banded:
         from pyspark import StorageLevel

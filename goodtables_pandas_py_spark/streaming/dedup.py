@@ -1,0 +1,128 @@
+"""Incremental near-duplicate filtering for streaming ingestion
+(X5/X2 composition): every micro-batch of NEW documents is deduped
+against (a) a prebuilt corpus LSH index and (b) itself, and only the
+survivors reach the caller's sink.
+
+Why not a stream-stream or stream-static join plan: near-dedup needs
+candidate generation + exact verify + anti-join — a multi-stage plan
+per batch — and the corpus index must be REUSED, not rebuilt. So the
+operator is a ``foreachBatch`` handler (the same shape as
+validate.fk_check_foreach_batch): each micro-batch runs a bounded
+batch plan against static corpus tables.
+
+100 TB posture:
+- the corpus index is ``dedup.banded_signatures(corpus)`` written
+  ONCE with ``sources.write_bucketed(banded, t, ["band", "bh"])`` —
+  each batch's lookup is then a bucket-co-located equi-join: the
+  corpus index never re-shuffles, and only buckets the batch actually
+  hits are read;
+- verify joins fetch text for CANDIDATE corpus ids only (never a
+  corpus scan);
+- per-batch state is the batch itself — nothing accumulates in the
+  stream; growing the corpus (appending kept docs + their index rows
+  between batches) is the caller's append-only write, kept outside
+  the handler so retried batches stay idempotent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..extensions.dedup import (
+    banded_signatures,
+    cap_buckets,
+    minhash_dedup_pairs,
+)
+from ..extensions.text import normalize_text, shingles, whitespace_tokens
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int):
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            shingles(whitespace_tokens(normalize_text(F.col(text_col))), k)
+        ).alias("s"),
+    )
+
+
+def incremental_near_dedup_foreach_batch(
+    corpus_docs: DataFrame,
+    corpus_banded: DataFrame,
+    on_kept: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int | None = 1000,
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` handler that drops each micro-batch's
+    near-duplicates — of the EXISTING corpus, and of earlier (min-id)
+    docs within the batch — and hands the survivors to
+    ``on_kept(kept_df, batch_id)``.
+
+    ``corpus_docs``: the existing corpus (``id_col``, ``text_col``) —
+    only candidate rows are ever fetched from it. ``corpus_banded``:
+    its prebuilt index from :func:`...dedup.banded_signatures` (same
+    num_hashes/num_bands/shingle_k as passed here — signatures must
+    come from the same hash family). ``max_bucket`` caps HOT corpus
+    buckets per lookup (boilerplate guard, same policy as
+    minhash_candidates).
+
+    Semantics: a batch doc is dropped iff its exact shingle-Jaccard
+    with a corpus doc or a smaller-id batch doc ≥ ``threshold``
+    (LSH-candidates-then-verify, so precision is exact and recall is
+    the banding guarantee). Batch docs that near-dup only EACH OTHER
+    keep exactly the min id — same greedy policy as
+    ``near_dedup``."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.persist()
+        try:
+            new_banded = banded_signatures(
+                batch, id_col, text_col, num_hashes, num_bands, shingle_k
+            )
+            hit = cap_buckets(
+                corpus_banded.withColumnRenamed("id", "cid"),
+                ["band", "bh"],
+                max_bucket,
+                min_bucket=1,
+            )
+            cands = (
+                new_banded.join(hit, ["band", "bh"])
+                .select(F.col("id"), F.col("cid"))
+                .distinct()
+            )
+            new_sets = _shingle_sets(batch, id_col, text_col, shingle_k)
+            corpus_sets = _shingle_sets(
+                corpus_docs, id_col, text_col, shingle_k
+            ).withColumnsRenamed({"id": "cid", "s": "cs"})
+            inter = F.size(F.array_intersect(F.col("s"), F.col("cs")))
+            union = F.size(F.col("s")) + F.size(F.col("cs")) - inter
+            jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+            dup_of_corpus = (
+                cands.join(new_sets, "id")
+                .join(corpus_sets, "cid")
+                .where(jac >= threshold)
+                .select(F.col("id").alias(id_col))
+                .distinct()
+            )
+            intra_drops = (
+                minhash_dedup_pairs(
+                    batch, id_col, text_col, threshold,
+                    num_hashes, num_bands, shingle_k,
+                )
+                .select(F.col("id_b").alias(id_col))
+                .distinct()
+            )
+            drops = dup_of_corpus.unionByName(intra_drops).distinct()
+            kept = batch.join(drops, id_col, "left_anti")
+            on_kept(kept, batch_id)
+        finally:
+            batch.unpersist()
+
+    return handle

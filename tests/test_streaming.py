@@ -264,3 +264,55 @@ def test_clean_corpus_runs_on_stream(spark, tmp_path):
         for r in clean_corpus(batch, with_reasons=True).collect()
     }
     assert got == want and len(got) == batch.count()
+
+
+def test_incremental_near_dedup_foreach_batch(spark, tmp_path):
+    """Streaming ingestion dedup: batch docs near-duplicating the
+    EXISTING corpus drop; intra-batch near-dup groups keep the min
+    id; unique docs survive. Corpus index built once via
+    banded_signatures (the persistable shape)."""
+    from goodtables_pandas_py_spark.extensions.dedup import (
+        banded_signatures,
+    )
+    from goodtables_pandas_py_spark.streaming import (
+        incremental_near_dedup_foreach_batch,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    other = "totally different words nothing shared here at all friend " * 5
+    corpus = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    corpus_banded = banded_signatures(corpus)
+
+    fresh = "completely novel content about spark adaptive execution " * 5
+    batch_rows = [
+        (10, base.replace("gamma", "GAMMA", 1)),  # near-dup of corpus 1
+        (11, other),                               # new cluster, min id
+        (12, other.replace("friend", "FRIEND", 1)),  # near-dup of 11
+        (13, fresh),                               # unique
+    ]
+    staged = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        batch_rows, "doc_id long, text string"
+    ).write.parquet(staged)
+
+    kept_ids: list[set] = []
+    handler = incremental_near_dedup_foreach_batch(
+        corpus, corpus_banded,
+        lambda kept, bid: kept_ids.append(
+            {r["doc_id"] for r in kept.collect()}
+        ),
+        threshold=0.5,
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(staged)
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = set().union(*kept_ids) if kept_ids else set()
+    assert got == {11, 13}
