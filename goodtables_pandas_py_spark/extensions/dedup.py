@@ -668,6 +668,46 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_banded_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bands: int = 32,
+    planes_per_band: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """The persistable random-hyperplane LSH index side: one
+    (``id``, ``band``, ``sig``) row per non-null vector per band —
+    exactly the projection :func:`embedding_near_dups` self-joins,
+    exposed (mirroring the text-side :func:`banded_signatures`) so a
+    vector corpus builds its index ONCE. At 100 TB write it with
+    ``sources.write_bucketed(ex, t, ["band", "sig"])`` and each
+    incremental batch joins bucket-co-located (streaming/dedup.py).
+    Parameters (bands × planes, seed) must match between index build
+    and lookup — the hyperplane family is seed-derived."""
+    renamed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).where(F.col("v").isNotNull())
+    if dim is None:
+        first = renamed.select(F.size("v").alias("d")).first()
+        if first is None:
+            return renamed.select(
+                "id",
+                F.lit(0).alias("band"),
+                F.lit(0).cast("long").alias("sig"),
+            ).limit(0)
+        dim = first["d"]
+    from .similarity import rp_band_signatures
+
+    return renamed.select(
+        "id",
+        F.posexplode(
+            rp_band_signatures(F.col("v"), dim, num_bands, planes_per_band, seed)
+        ).alias("band", "sig"),
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -722,11 +762,8 @@ def embedding_near_dups(
             F.lit(0.0).alias("cosine"),
         ).limit(0)
     dim = first["d"]
-    ex = renamed.select(
-        "id",
-        F.posexplode(
-            rp_band_signatures(F.col("v"), dim, num_bands, planes_per_band, seed)
-        ).alias("band", "sig"),
+    ex = embedding_banded_signatures(
+        df, id_col, vec_col, num_bands, planes_per_band, seed, dim=dim
     )
     ex = cap_buckets(ex, ["band", "sig"], max_bucket)
     a = ex.select(F.col("id").alias("id_a"), "band", "sig")

@@ -1,6 +1,9 @@
 """Streaming validation (SURVEY.md §2.9 X5)."""
 
-from .dedup import incremental_near_dedup_foreach_batch
+from .dedup import (
+    incremental_embedding_dedup_foreach_batch,
+    incremental_near_dedup_foreach_batch,
+)
 from .stateful import dedup_counts_stream
 from .validate import (
     error_rate_windows,
@@ -14,6 +17,7 @@ __all__ = [
     "dedup_counts_stream",
     "error_rate_windows",
     "fk_check_foreach_batch",
+    "incremental_embedding_dedup_foreach_batch",
     "incremental_near_dedup_foreach_batch",
     "session_event_counts",
     "validate_stream",

@@ -126,3 +126,87 @@ def incremental_near_dedup_foreach_batch(
             batch.unpersist()
 
     return handle
+
+
+def incremental_embedding_dedup_foreach_batch(
+    corpus_vecs: DataFrame,
+    corpus_banded: DataFrame,
+    on_kept: Callable[[DataFrame, int], None],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_bands: int = 32,
+    planes_per_band: int = 16,
+    seed: int = 42,
+    max_bucket: int | None = 1000,
+) -> Callable[[DataFrame, int], None]:
+    """The embedding twin of
+    :func:`incremental_near_dedup_foreach_batch`: each micro-batch of
+    new vectors is dropped where exact cosine ≥ ``threshold`` against
+    (a) the existing corpus — candidates from a prebuilt
+    ``dedup.embedding_banded_signatures`` index (write it bucketed by
+    (band, sig); batch lookups then join co-located) — or (b) a
+    smaller-id vector in the same batch (greedy, same policy as
+    ``embedding_near_dups``). Vectors are fetched from
+    ``corpus_vecs`` for candidate ids only; LSH parameters must match
+    the index build (seed-derived hyperplanes)."""
+    from ..extensions.dedup import embedding_banded_signatures
+    from ..extensions.dedup import embedding_near_dups
+    from ..extensions.similarity import cosine_fixed
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.persist()
+        try:
+            nn = batch.where(F.col(vec_col).isNotNull())
+            first = nn.select(F.size(vec_col).alias("d")).first()
+            if first is None:
+                on_kept(batch, batch_id)  # nothing scorable: keep all
+                return
+            dim = first["d"]
+            new_banded = embedding_banded_signatures(
+                batch, id_col, vec_col, num_bands, planes_per_band,
+                seed, dim=dim,
+            )
+            hit = cap_buckets(
+                corpus_banded.withColumnRenamed("id", "cid"),
+                ["band", "sig"],
+                max_bucket,
+                min_bucket=1,
+            )
+            cands = (
+                new_banded.join(hit, ["band", "sig"])
+                .select("id", "cid")
+                .distinct()
+            )
+            new_v = nn.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("nv"),
+            )
+            corpus_v = corpus_vecs.select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            )
+            dup_of_corpus = (
+                cands.join(new_v, "id")
+                .join(corpus_v, "cid")
+                .where(
+                    cosine_fixed(F.col("nv"), F.col("cv"), dim) >= threshold
+                )
+                .select(F.col("id").alias(id_col))
+                .distinct()
+            )
+            intra_drops = (
+                embedding_near_dups(
+                    batch, id_col, vec_col, threshold,
+                    num_bands, planes_per_band, seed, max_bucket,
+                )
+                .select(F.col("id_b").alias(id_col))
+                .distinct()
+            )
+            drops = dup_of_corpus.unionByName(intra_drops).distinct()
+            kept = batch.join(drops, id_col, "left_anti")
+            on_kept(kept, batch_id)
+        finally:
+            batch.unpersist()
+
+    return handle

@@ -316,3 +316,54 @@ def test_incremental_near_dedup_foreach_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = set().union(*kept_ids) if kept_ids else set()
     assert got == {11, 13}
+
+
+def test_incremental_embedding_dedup_foreach_batch(spark, tmp_path):
+    """Embedding twin of the incremental text dedup: batch vectors
+    near-duplicating the corpus (cosine >= threshold) drop; intra-batch
+    near-dup groups keep the min id; null vectors pass through."""
+    from goodtables_pandas_py_spark.extensions.dedup import (
+        embedding_banded_signatures,
+    )
+    from goodtables_pandas_py_spark.streaming import (
+        incremental_embedding_dedup_foreach_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus_banded = embedding_banded_signatures(
+        corpus, num_bands=8, planes_per_band=4
+    )
+
+    batch_rows = [
+        (10, [0.999, 0.01, 0.0, 0.0]),   # near-dup of corpus 1
+        (11, [0.0, 1.0, 0.0, 0.0]),      # new direction, min id
+        (12, [0.0, 0.999, 0.02, 0.0]),   # near-dup of 11
+        (13, [0.0, 0.0, 1.0, 0.0]),      # unique
+        (14, None),                      # null vector passes through
+    ]
+    staged = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>"
+    ).write.parquet(staged)
+
+    kept_ids: list[set] = []
+    handler = incremental_embedding_dedup_foreach_batch(
+        corpus, corpus_banded,
+        lambda kept, bid: kept_ids.append(
+            {r["vec_id"] for r in kept.collect()}
+        ),
+        threshold=0.99, num_bands=8, planes_per_band=4,
+    )
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(staged)
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = set().union(*kept_ids) if kept_ids else set()
+    assert got == {11, 13, 14}
