@@ -8,7 +8,10 @@ candidate generation + exact verify + anti-join — a multi-stage plan
 per batch — and the corpus index must be REUSED, not rebuilt. So the
 operator is a ``foreachBatch`` handler (the same shape as
 validate.fk_check_foreach_batch): each micro-batch runs a bounded
-batch plan against static corpus tables.
+batch plan against static corpus tables. The per-batch plan itself is
+a PUBLIC pure function (:func:`dedup_batch_against_corpus` /
+:func:`embedding_dedup_batch_against_corpus`) — the same call serves
+nightly incremental batch jobs, and the plan guard tests it directly.
 
 100 TB posture:
 - the corpus index is ``dedup.banded_signatures(corpus)`` written
@@ -48,10 +51,10 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int):
     )
 
 
-def incremental_near_dedup_foreach_batch(
+def dedup_batch_against_corpus(
+    batch: DataFrame,
     corpus_docs: DataFrame,
     corpus_banded: DataFrame,
-    on_kept: Callable[[DataFrame, int], None],
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
@@ -59,11 +62,12 @@ def incremental_near_dedup_foreach_batch(
     num_bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int | None = 1000,
-) -> Callable[[DataFrame, int], None]:
-    """Build a ``foreachBatch`` handler that drops each micro-batch's
-    near-duplicates — of the EXISTING corpus, and of earlier (min-id)
-    docs within the batch — and hands the survivors to
-    ``on_kept(kept_df, batch_id)``.
+) -> DataFrame:
+    """Drop ``batch`` rows that near-duplicate the EXISTING corpus or
+    a smaller-id row of the same batch; returns the survivors
+    (schema unchanged, lazy). The incremental-ingestion kernel — used
+    per micro-batch by :func:`incremental_near_dedup_foreach_batch`
+    and directly by nightly append jobs.
 
     ``corpus_docs``: the existing corpus (``id_col``, ``text_col``) —
     only candidate rows are ever fetched from it. ``corpus_banded``:
@@ -77,55 +81,148 @@ def incremental_near_dedup_foreach_batch(
     with a corpus doc or a smaller-id batch doc ≥ ``threshold``
     (LSH-candidates-then-verify, so precision is exact and recall is
     the banding guarantee). Batch docs that near-dup only EACH OTHER
-    keep exactly the min id — same greedy policy as
-    ``near_dedup``."""
+    keep exactly the min id — same greedy policy as ``near_dedup``."""
+    new_banded = banded_signatures(
+        batch, id_col, text_col, num_hashes, num_bands, shingle_k
+    )
+    hit = cap_buckets(
+        corpus_banded.withColumnRenamed("id", "cid"),
+        ["band", "bh"],
+        max_bucket,
+        min_bucket=1,
+    )
+    cands = (
+        new_banded.join(hit, ["band", "bh"])
+        .select(F.col("id"), F.col("cid"))
+        .distinct()
+    )
+    new_sets = _shingle_sets(batch, id_col, text_col, shingle_k)
+    corpus_sets = _shingle_sets(
+        corpus_docs, id_col, text_col, shingle_k
+    ).withColumnsRenamed({"id": "cid", "s": "cs"})
+    inter = F.size(F.array_intersect(F.col("s"), F.col("cs")))
+    union = F.size(F.col("s")) + F.size(F.col("cs")) - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    dup_of_corpus = (
+        cands.join(new_sets, "id")
+        .join(corpus_sets, "cid")
+        .where(jac >= threshold)
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    intra_drops = (
+        minhash_dedup_pairs(
+            batch, id_col, text_col, threshold,
+            num_hashes, num_bands, shingle_k,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    drops = dup_of_corpus.unionByName(intra_drops).distinct()
+    return batch.join(drops, id_col, "left_anti")
+
+
+def incremental_near_dedup_foreach_batch(
+    corpus_docs: DataFrame,
+    corpus_banded: DataFrame,
+    on_kept: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int | None = 1000,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` wrapper over :func:`dedup_batch_against_corpus`:
+    each micro-batch's survivors go to ``on_kept(kept_df, batch_id)``.
+    The batch is persisted for the handler's duration — its rows feed
+    the signature pipeline, the verify join, and the anti-join."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.persist()
         try:
-            new_banded = banded_signatures(
-                batch, id_col, text_col, num_hashes, num_bands, shingle_k
+            kept = dedup_batch_against_corpus(
+                batch, corpus_docs, corpus_banded, id_col, text_col,
+                threshold, num_hashes, num_bands, shingle_k, max_bucket,
             )
-            hit = cap_buckets(
-                corpus_banded.withColumnRenamed("id", "cid"),
-                ["band", "bh"],
-                max_bucket,
-                min_bucket=1,
-            )
-            cands = (
-                new_banded.join(hit, ["band", "bh"])
-                .select(F.col("id"), F.col("cid"))
-                .distinct()
-            )
-            new_sets = _shingle_sets(batch, id_col, text_col, shingle_k)
-            corpus_sets = _shingle_sets(
-                corpus_docs, id_col, text_col, shingle_k
-            ).withColumnsRenamed({"id": "cid", "s": "cs"})
-            inter = F.size(F.array_intersect(F.col("s"), F.col("cs")))
-            union = F.size(F.col("s")) + F.size(F.col("cs")) - inter
-            jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-            dup_of_corpus = (
-                cands.join(new_sets, "id")
-                .join(corpus_sets, "cid")
-                .where(jac >= threshold)
-                .select(F.col("id").alias(id_col))
-                .distinct()
-            )
-            intra_drops = (
-                minhash_dedup_pairs(
-                    batch, id_col, text_col, threshold,
-                    num_hashes, num_bands, shingle_k,
-                )
-                .select(F.col("id_b").alias(id_col))
-                .distinct()
-            )
-            drops = dup_of_corpus.unionByName(intra_drops).distinct()
-            kept = batch.join(drops, id_col, "left_anti")
             on_kept(kept, batch_id)
         finally:
             batch.unpersist()
 
     return handle
+
+
+def embedding_dedup_batch_against_corpus(
+    batch: DataFrame,
+    corpus_vecs: DataFrame,
+    corpus_banded: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_bands: int = 32,
+    planes_per_band: int = 16,
+    seed: int = 42,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """The embedding twin of :func:`dedup_batch_against_corpus`: drop
+    ``batch`` vectors whose exact cosine ≥ ``threshold`` against (a)
+    the existing corpus — candidates from a prebuilt
+    ``dedup.embedding_banded_signatures`` index (write it bucketed by
+    (band, sig); lookups then join co-located) — or (b) a smaller-id
+    vector in the same batch (greedy, same policy as
+    ``embedding_near_dups``). Null vectors pass through (near-dups of
+    nothing). Vectors are fetched from ``corpus_vecs`` for candidate
+    ids only; LSH parameters must match the index build (seed-derived
+    hyperplanes)."""
+    from ..extensions.dedup import (
+        embedding_banded_signatures,
+        embedding_near_dups,
+    )
+    from ..extensions.similarity import cosine_fixed
+
+    nn = batch.where(F.col(vec_col).isNotNull())
+    first = nn.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return batch  # nothing scorable: keep all
+    dim = first["d"]
+    new_banded = embedding_banded_signatures(
+        batch, id_col, vec_col, num_bands, planes_per_band, seed, dim=dim
+    )
+    hit = cap_buckets(
+        corpus_banded.withColumnRenamed("id", "cid"),
+        ["band", "sig"],
+        max_bucket,
+        min_bucket=1,
+    )
+    cands = (
+        new_banded.join(hit, ["band", "sig"]).select("id", "cid").distinct()
+    )
+    new_v = nn.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    corpus_v = corpus_vecs.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    dup_of_corpus = (
+        cands.join(new_v, "id")
+        .join(corpus_v, "cid")
+        .where(cosine_fixed(F.col("nv"), F.col("cv"), dim) >= threshold)
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    intra_drops = (
+        embedding_near_dups(
+            batch, id_col, vec_col, threshold,
+            num_bands, planes_per_band, seed, max_bucket,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    drops = dup_of_corpus.unionByName(intra_drops).distinct()
+    return batch.join(drops, id_col, "left_anti")
 
 
 def incremental_embedding_dedup_foreach_batch(
@@ -140,71 +237,17 @@ def incremental_embedding_dedup_foreach_batch(
     seed: int = 42,
     max_bucket: int | None = 1000,
 ) -> Callable[[DataFrame, int], None]:
-    """The embedding twin of
-    :func:`incremental_near_dedup_foreach_batch`: each micro-batch of
-    new vectors is dropped where exact cosine ≥ ``threshold`` against
-    (a) the existing corpus — candidates from a prebuilt
-    ``dedup.embedding_banded_signatures`` index (write it bucketed by
-    (band, sig); batch lookups then join co-located) — or (b) a
-    smaller-id vector in the same batch (greedy, same policy as
-    ``embedding_near_dups``). Vectors are fetched from
-    ``corpus_vecs`` for candidate ids only; LSH parameters must match
-    the index build (seed-derived hyperplanes)."""
-    from ..extensions.dedup import embedding_banded_signatures
-    from ..extensions.dedup import embedding_near_dups
-    from ..extensions.similarity import cosine_fixed
+    """``foreachBatch`` wrapper over
+    :func:`embedding_dedup_batch_against_corpus` (see there for
+    semantics)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.persist()
         try:
-            nn = batch.where(F.col(vec_col).isNotNull())
-            first = nn.select(F.size(vec_col).alias("d")).first()
-            if first is None:
-                on_kept(batch, batch_id)  # nothing scorable: keep all
-                return
-            dim = first["d"]
-            new_banded = embedding_banded_signatures(
-                batch, id_col, vec_col, num_bands, planes_per_band,
-                seed, dim=dim,
+            kept = embedding_dedup_batch_against_corpus(
+                batch, corpus_vecs, corpus_banded, id_col, vec_col,
+                threshold, num_bands, planes_per_band, seed, max_bucket,
             )
-            hit = cap_buckets(
-                corpus_banded.withColumnRenamed("id", "cid"),
-                ["band", "sig"],
-                max_bucket,
-                min_bucket=1,
-            )
-            cands = (
-                new_banded.join(hit, ["band", "sig"])
-                .select("id", "cid")
-                .distinct()
-            )
-            new_v = nn.select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).cast("array<double>").alias("nv"),
-            )
-            corpus_v = corpus_vecs.select(
-                F.col(id_col).alias("cid"),
-                F.col(vec_col).cast("array<double>").alias("cv"),
-            )
-            dup_of_corpus = (
-                cands.join(new_v, "id")
-                .join(corpus_v, "cid")
-                .where(
-                    cosine_fixed(F.col("nv"), F.col("cv"), dim) >= threshold
-                )
-                .select(F.col("id").alias(id_col))
-                .distinct()
-            )
-            intra_drops = (
-                embedding_near_dups(
-                    batch, id_col, vec_col, threshold,
-                    num_bands, planes_per_band, seed, max_bucket,
-                )
-                .select(F.col("id_b").alias(id_col))
-                .distinct()
-            )
-            drops = dup_of_corpus.unionByName(intra_drops).distinct()
-            kept = batch.join(drops, id_col, "left_anti")
             on_kept(kept, batch_id)
         finally:
             batch.unpersist()

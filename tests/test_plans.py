@@ -296,3 +296,40 @@ def test_embedding_near_dups_join_is_not_cartesian(spark):
     plan = _final_plan(out)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_dedup_batch_plans_are_equi_join_only(spark):
+    """The per-batch incremental-dedup kernels (text + embedding) obey
+    the registry guard: equi-joins only, no nested loop — asserted on
+    the PUBLIC batch functions the foreachBatch handlers wrap."""
+    from goodtables_pandas_py_spark.extensions.dedup import (
+        banded_signatures,
+        embedding_banded_signatures,
+    )
+    from goodtables_pandas_py_spark.queries import t
+    from goodtables_pandas_py_spark.streaming.dedup import (
+        dedup_batch_against_corpus,
+        embedding_dedup_batch_against_corpus,
+    )
+
+    docs = t(spark, SF, "documents", wide=True)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    plan = _final_plan(
+        dedup_batch_against_corpus(
+            batch, corpus, banded_signatures(corpus), threshold=0.5
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    emb = t(spark, SF, "embeddings")
+    vc = emb.where(F.col("vec_id") % 2 == 0)
+    vb = emb.where(F.col("vec_id") % 2 == 1)
+    eplan = _final_plan(
+        embedding_dedup_batch_against_corpus(
+            vb, vc, embedding_banded_signatures(vc)
+        )
+    )
+    assert "CartesianProduct" not in eplan, eplan
+    assert "BroadcastNestedLoopJoin" not in eplan, eplan
