@@ -122,9 +122,19 @@ def dedup_batch_against_corpus(
     return batch.join(drops, id_col, "left_anti")
 
 
+def _resolve(df_or_fn):
+    """Corpus arguments may be DataFrames (static corpus) or zero-arg
+    callables returning DataFrames — a GROWING corpus needs the
+    callable form: a plain ``spark.read.parquet(path)`` DataFrame
+    snapshots its file listing at creation, so corpus rows appended by
+    ``on_kept`` between micro-batches would be invisible to later
+    batches. A callable re-resolves the path each batch."""
+    return df_or_fn() if callable(df_or_fn) else df_or_fn
+
+
 def incremental_near_dedup_foreach_batch(
-    corpus_docs: DataFrame,
-    corpus_banded: DataFrame,
+    corpus_docs: DataFrame | Callable[[], DataFrame],
+    corpus_banded: DataFrame | Callable[[], DataFrame],
     on_kept: Callable[[DataFrame, int], None],
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -137,13 +147,20 @@ def incremental_near_dedup_foreach_batch(
     """``foreachBatch`` wrapper over :func:`dedup_batch_against_corpus`:
     each micro-batch's survivors go to ``on_kept(kept_df, batch_id)``.
     The batch is persisted for the handler's duration — its rows feed
-    the signature pipeline, the verify join, and the anti-join."""
+    the signature pipeline, the verify join, and the anti-join.
+
+    ``corpus_docs`` / ``corpus_banded`` accept zero-arg callables for
+    a GROWING corpus (re-resolved per batch — see :func:`_resolve`);
+    with plain DataFrames the corpus is the fixed snapshot taken at
+    handler build time, and intra-stream dedup happens only within
+    each batch."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.persist()
         try:
             kept = dedup_batch_against_corpus(
-                batch, corpus_docs, corpus_banded, id_col, text_col,
+                batch, _resolve(corpus_docs), _resolve(corpus_banded),
+                id_col, text_col,
                 threshold, num_hashes, num_bands, shingle_k, max_bucket,
             )
             on_kept(kept, batch_id)
@@ -226,8 +243,8 @@ def embedding_dedup_batch_against_corpus(
 
 
 def incremental_embedding_dedup_foreach_batch(
-    corpus_vecs: DataFrame,
-    corpus_banded: DataFrame,
+    corpus_vecs: DataFrame | Callable[[], DataFrame],
+    corpus_banded: DataFrame | Callable[[], DataFrame],
     on_kept: Callable[[DataFrame, int], None],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -239,13 +256,15 @@ def incremental_embedding_dedup_foreach_batch(
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` wrapper over
     :func:`embedding_dedup_batch_against_corpus` (see there for
-    semantics)."""
+    semantics); corpus arguments accept zero-arg callables for a
+    growing corpus (see :func:`_resolve`)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.persist()
         try:
             kept = embedding_dedup_batch_against_corpus(
-                batch, corpus_vecs, corpus_banded, id_col, vec_col,
+                batch, _resolve(corpus_vecs), _resolve(corpus_banded),
+                id_col, vec_col,
                 threshold, num_bands, planes_per_band, seed, max_bucket,
             )
             on_kept(kept, batch_id)

@@ -367,3 +367,73 @@ def test_incremental_embedding_dedup_foreach_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = set().union(*kept_ids) if kept_ids else set()
     assert got == {11, 13, 14}
+
+
+def test_incremental_dedup_growing_corpus_across_batches(spark, tmp_path):
+    """The full ingestion protocol: on_kept appends survivors to the
+    corpus store, corpus args are CALLABLES re-resolved per batch —
+    so a batch-2 doc near-duplicating a batch-1 SURVIVOR drops, which
+    a static corpus snapshot would miss."""
+    from goodtables_pandas_py_spark.extensions.dedup import (
+        banded_signatures,
+    )
+    from goodtables_pandas_py_spark.streaming import (
+        incremental_near_dedup_foreach_batch,
+    )
+
+    seed_doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, seed_doc)], "doc_id long, text string"
+    ).write.parquet(corpus_dir)
+
+    novel = "fresh new content about adaptive query execution plans " * 5
+    incoming = str(tmp_path / "incoming")
+    # file 1 → batch 1: a novel doc (survives, joins the corpus)
+    spark.createDataFrame(
+        [(10, novel)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(incoming)
+    # file 2 → batch 2: near-dup of batch 1's survivor + one unique
+    unique2 = "entirely separate subject matter goes right here folks " * 5
+    spark.createDataFrame(
+        [(20, novel.replace("fresh", "FRESH", 1)), (21, unique2)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(incoming)
+
+    corpus = lambda: spark.read.parquet(corpus_dir)  # noqa: E731
+
+    kept_log: dict[int, set] = {}
+
+    def on_kept(kept, batch_id):
+        rows = kept.collect()
+        kept_log[batch_id] = {r["doc_id"] for r in rows}
+        if rows:  # grow the corpus store
+            spark.createDataFrame(
+                rows, kept.schema
+            ).write.mode("append").parquet(corpus_dir)
+
+    handler = incremental_near_dedup_foreach_batch(
+        corpus, lambda: banded_signatures(corpus()), on_kept,
+        threshold=0.5,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    all_kept = set().union(*kept_log.values()) if kept_log else set()
+    assert 10 in all_kept          # novel doc survived batch 1
+    assert 20 not in all_kept      # dup of batch-1 survivor dropped
+    assert 21 in all_kept          # unique batch-2 doc survived
+    # corpus store ends with seed + the two survivors
+    final = {
+        r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
+    }
+    assert final == {1, 10, 21}
