@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""End-to-end training-data pipeline example, runnable against the
+bundled testdata:
+
+    python examples/training_data_pipeline.py [sf_dir] [out_dir]
+
+Stages (each a lazy Spark plan until the final writes):
+1. VALIDATE the raw tables against a Frictionless descriptor
+   (single-scan parse + constraints + keys; errors to a report).
+2. PREPARE the documents corpus: quality filter (C4/Gopher-style
+   rules, map-only) then MinHash near-dedup (banded LSH + exact
+   verify) via the one-call prepare_corpus API.
+3. INDEX the kept corpus for incremental ingestion: persist the
+   banded LSH signatures — later batches dedup against this index
+   without rescanning the corpus (see streaming/dedup.py).
+4. WRITE the audit trail hive-partitioned by keep flag so "what did
+   each rule cost us" is a pruned read, not a recompute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import goodtables_pandas_py_spark as gt
+from goodtables_pandas_py_spark.extensions.dedup import banded_signatures
+from goodtables_pandas_py_spark.extensions.pipeline import prepare_corpus
+from goodtables_pandas_py_spark.sources import write_partitioned
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/gt_pipeline_out"
+    spark = gt.get_spark("training-data-pipeline")
+
+    # 1. validate the relational side
+    descriptor = {
+        "name": "pipeline-input",
+        "resources": [
+            {
+                "name": "orders",
+                "path": f"{sf_dir}/orders.parquet",
+                "format": "parquet",
+                "schema": {
+                    "fields": [
+                        {"name": "o_orderkey", "type": "integer",
+                         "constraints": {"required": True}},
+                        {"name": "o_custkey", "type": "integer"},
+                        {"name": "o_orderstatus", "type": "string",
+                         "constraints": {"enum": ["F", "P", "O"]}},
+                        {"name": "o_totalprice", "type": "number",
+                         "constraints": {"minimum": 0}},
+                        {"name": "o_orderdate", "type": "datetime"},
+                        {"name": "o_orderpriority", "type": "string",
+                         "constraints": {"pattern": "[1-5]-[A-Z ]+"}},
+                    ],
+                    "primaryKey": ["o_orderkey"],
+                },
+            }
+        ],
+    }
+    report = gt.validate(spark, descriptor)
+    print(
+        f"validate: valid={report['valid']} "
+        f"errors={report['error-count']}"
+    )
+
+    # 2. quality-filter + near-dedup the documents corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prep = prepare_corpus(
+        docs, dedup_threshold=0.5, audit=True, min_tokens=5
+    )
+    print(
+        f"corpus: {prep.n_input} in → {prep.n_after_quality} after "
+        f"quality → {prep.n_after_dedup} after dedup"
+    )
+
+    # 3. persist corpus + LSH index for incremental ingestion
+    prep.kept.write.mode("overwrite").parquet(f"{out}/corpus.parquet")
+    banded_signatures(prep.kept).write.mode("overwrite").parquet(
+        f"{out}/corpus_lsh_index.parquet"
+    )
+    # (at real scale use sources.write_bucketed(..., ["band", "bh"])
+    # so incremental lookups join bucket-co-located)
+
+    # 4. audit trail, partitioned for pruned drill-downs
+    write_partitioned(
+        prep.quality_audit.withColumn(
+            "keep_part", prep.quality_audit["keep"].cast("string")
+        ),
+        f"{out}/quality_audit.parquet",
+        ["keep_part"],
+    )
+
+    with open(f"{out}/summary.json", "w") as f:
+        json.dump(
+            {
+                "valid": report["valid"],
+                "error_count": report["error-count"],
+                "n_input": prep.n_input,
+                "n_after_quality": prep.n_after_quality,
+                "n_after_dedup": prep.n_after_dedup,
+            },
+            f,
+        )
+    print(f"artifacts in {out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
