@@ -472,6 +472,7 @@ def write_partitioned(
     partition_by: list[str],
     sort_by: list[str] | None = None,
     max_records_per_file: int | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Hive-style partitioned parquet sink — the LAYOUT half of the
     scale story that :func:`write_bucketed` tells for JOIN keys:
@@ -494,11 +495,12 @@ def write_partitioned(
     than one giant one. Partition count hygiene is the caller's job:
     partition on LOW-cardinality columns (dates, sources — not IDs);
     a 10M-value partition column means 10M directories and a dead
-    file listing."""
+    file listing. ``mode="append"`` suits incremental audit sinks
+    (each run adds files inside the partition dirs it touches)."""
     writer = df
     if sort_by:
         writer = writer.sortWithinPartitions(*sort_by)
-    w = writer.write.mode("overwrite").partitionBy(*partition_by)
+    w = writer.write.mode(mode).partitionBy(*partition_by)
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", int(max_records_per_file))
     w.parquet(path)
