@@ -553,3 +553,64 @@ def test_csv_escapechar_dialect_roundtrip(
     )
     got = [tuple(r) for r in df.collect()]
     assert got == [tuple(r) for r in rows]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=["L", "N", "P", "Zs"],
+                max_codepoint=0x2FF,  # Latin + extensions: keeps the
+                # Python reference's char classes aligned with the
+                # ASCII-oriented punct regex
+            ),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_clean_corpus_matches_python_reference(spark, texts):
+    """clean_corpus decisions on arbitrary text must match an
+    independent pure-Python implementation of the same rules
+    (token count, mean word length, punct ratio) — catches drift
+    between the Spark Column expressions and the documented rule
+    definitions."""
+    import re
+
+    from goodtables_pandas_py_spark.extensions.text import clean_corpus
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["keep"], set(r["drop_reasons"]))
+        for r in clean_corpus(df, with_reasons=True).collect()
+    }
+
+    punct_re = re.compile(r"[!-/:-@\[-`{-~]")
+    for i, t in enumerate(texts):
+        toks = t.split()
+        n_tok = len(toks)
+        n_chars = len(t)
+        mean_wl = n_chars / max(n_tok, 1)
+        punct_ratio = len(punct_re.findall(t)) / max(n_chars, 1)
+        want_reasons = set()
+        if n_tok < 5:
+            want_reasons.add("too_few_tokens")
+        if n_tok > 100_000:
+            want_reasons.add("too_many_tokens")
+        if mean_wl < 2.0:
+            want_reasons.add("mean_word_too_short")
+        if mean_wl > 15.0:
+            want_reasons.add("mean_word_too_long")
+        if punct_ratio > 0.3:
+            want_reasons.add("too_much_punct")
+        assert got[i] == (not want_reasons, want_reasons), (
+            i, repr(t), got[i], want_reasons,
+        )
