@@ -1,8 +1,11 @@
-"""Extension operators beyond the reference (SURVEY.md §2.9 X1-X6):
+"""Extension operators beyond the reference (SURVEY.md §2.9 X1-X7):
 large-scale training-data-pipeline operations — dedup, similarity
-search, text analysis, multimodal columns. All DataFrame-first; Python
-only where genuinely needed (and then Arrow-batched)."""
+search, text analysis, multimodal columns, dataset splitting /
+sequence packing. All DataFrame-first; Python only where genuinely
+needed (and then Arrow-batched)."""
 
-from . import dedup, multimodal, pipeline, similarity, text
+from . import dedup, multimodal, pipeline, similarity, splits, text
 
-__all__ = ["dedup", "multimodal", "pipeline", "similarity", "text"]
+__all__ = [
+    "dedup", "multimodal", "pipeline", "similarity", "splits", "text",
+]

@@ -1,0 +1,186 @@
+"""Dataset splitting & sequence packing for training-data pipelines
+(SURVEY.md §2.9 family — not in the reference; the operations a
+100 TB corpus needs between "cleaned/deduped" and "fed to a trainer").
+
+Three operators, all pure Column algebra (whole-stage codegen, zero
+UDFs, zero shuffles for the splits; one window shuffle for packing):
+
+- :func:`hash_split` — deterministic train/val/test assignment from a
+  salted md5 of the id. Engine-portable by construction (md5 of the
+  utf-8 string renders identically in Spark, DuckDB, Python), so the
+  same row lands in the same split on ANY engine — reproducibility
+  across reruns, engines, and cluster sizes, unlike ``randomSplit``
+  (which is seed- AND partitioning-dependent).
+- :func:`grouped_hash_split` — leakage-safe variant: near-duplicate
+  documents must not straddle a train/eval boundary (a classic
+  eval-contamination bug), so the split unit becomes the connected
+  component of the near-dup pair graph (via
+  :func:`~..dedup.pair_components`), not the document.
+- :func:`sequence_offsets` — token-stream packing: lay documents
+  end-to-end per stream and compute each document's byte… er, TOKEN
+  offset and the fixed-length training-sequence ids it spans
+  (``first_seq``/``last_seq``). One window aggregate per stream key;
+  at scale the stream key (``part_col``) keeps every window a
+  partition-local sort instead of a single global one.
+
+Scale posture: hash_split is map-only (survives any scale-up
+untouched); grouped_hash_split costs one broadcast-or-shuffle join
+against the (pairs-sized, corpus-small) component map;
+sequence_offsets shuffles once on the stream key — choose a key with
+enough cardinality (source, shard, lang) and the sort stays local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import pair_components
+
+#: default corpus split
+DEFAULT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+_HEX_SPACE = 16**8  # we bucket on the first 8 hex chars of md5
+
+
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """First 8 hex chars of ``md5(salt || id)`` — a uniform,
+    deterministic, engine-portable bucket label (lowercase hex, fixed
+    width, so LEXICAL comparison == numeric comparison)."""
+    rendered = F.concat(F.lit(salt), id_col.cast("string"))
+    return F.substring(F.md5(rendered.cast("binary")), 1, 8)
+
+
+def split_boundaries(
+    weights: dict[str, float] | None = None,
+) -> list[tuple[str, str | None]]:
+    """Normalize ``weights`` into ``[(name, upper_hex_exclusive)]``;
+    the last split's bound is ``None`` (it takes the remainder, so
+    rounding never orphans a bucket)."""
+    if weights is None:
+        weights = DEFAULT_WEIGHTS
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive number")
+    out: list[tuple[str, str | None]] = []
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        out.append((name, format(min(int(cum * _HEX_SPACE), _HEX_SPACE - 1), "08x")))
+    out.append((names[-1], None))
+    return out
+
+
+def split_expr(
+    id_col: Column, weights: dict[str, float] | None = None, salt: str = ""
+) -> Column:
+    """The split label as a Column — chained fixed-width hex
+    comparisons over :func:`hash_bucket` (codegen; no UDF)."""
+    bucket = hash_bucket(id_col, salt)
+    bounds = split_boundaries(weights)
+    expr: Column | None = None
+    for name, hi in bounds[:-1]:
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(bounds[-1][0])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic ``split_col`` ('train'/'val'/'test' by
+    default) keyed on a salted hash of ``id_col``.
+
+    Map-only: no shuffle, no job, survives any scale-up. ``salt``
+    versions the assignment — changing it reshuffles every row's
+    split, so pin it per dataset release.
+    """
+    return df.withColumn(split_col, split_expr(F.col(id_col), weights, salt))
+
+
+def grouped_hash_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Leakage-safe :func:`hash_split`: all documents connected by
+    ``pairs`` (e.g. the verified near-duplicate pairs from
+    ``minhash_dedup_pairs`` / ``embedding_cosine_pairs``) land in the
+    SAME split, because the hash is taken over the connected
+    component's representative (its min id) rather than the document
+    id. Documents in no pair hash on their own id — identical to
+    plain ``hash_split`` for them.
+
+    Cost at scale: ``pair_components`` over the PAIR list (corpus-small
+    for near-dup workloads) + one left join of the corpus against the
+    component map (component map ≪ corpus → broadcast-eligible; AQE
+    picks it up when under threshold).
+    """
+    comp = pair_components(pairs, *pair_cols).withColumnRenamed("id", id_col)
+    joined = df.join(comp, id_col, "left")
+    unit = F.coalesce(F.col("component"), F.col(id_col))
+    return joined.withColumn(split_col, split_expr(unit, weights, salt)).drop(
+        "component"
+    )
+
+
+def sequence_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    part_col: str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Token-stream packing bookkeeping: documents are laid end-to-end
+    (per ``part_col`` stream, ordered by ``order_col`` — default the
+    id), and each gets
+
+    - ``offset``    — its first token's position in the stream,
+    - ``first_seq`` — index of the ``budget``-token training sequence
+      its first token falls in,
+    - ``last_seq``  — index of the sequence its last token falls in
+      (== ``first_seq`` when the document fits in one sequence;
+      documents LONGER than the remaining room straddle — the
+      concat-then-chunk convention of LM pretraining, where sequence
+      boundaries cut documents rather than padding them out).
+
+    Deterministic given (stream key, order), and expressible as one
+    windowed cumulative sum — both here and in ANSI SQL, which is what
+    the registry oracle checks. ``part_col=None`` packs ONE global
+    stream (single-partition window — fine for a shard, wrong for a
+    100 TB corpus; pass a stream key and each window stays a
+    partition-local sort after one hash shuffle).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    order = order_col or id_col
+    part = [part_col] if part_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(order))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tokens = F.col(token_col).cast("long")
+    cum = F.sum(tokens).over(w)
+    offset = (cum - tokens).alias("offset")
+    first_seq = F.floor((cum - tokens) / budget).cast("long").alias("first_seq")
+    last_seq = (
+        F.when(tokens > 0, F.floor((cum - 1) / budget))
+        .otherwise(F.floor((cum - tokens) / budget))
+        .cast("long")
+        .alias("last_seq")
+    )
+    return df.select("*", offset, first_seq, last_seq)

@@ -125,20 +125,52 @@ def _h2(spark, sf_dir):
 
 
 @q(
-    "p7_parse_integer",
-    "SELECT count(*) FILTER (WHERE FALSE) AS n_bad,"
-    " CAST(sum(l_orderkey) AS BIGINT) AS sum_parsed FROM lineitem",
+    "p7_p8_int_bool",
+    "SELECT 'integer' AS variant, count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(sum(l_orderkey) AS BIGINT) AS sum_parsed,"
+    " CAST(NULL AS BIGINT) AS n_true, CAST(NULL AS BIGINT) AS n_false"
+    " FROM lineitem"
+    " UNION ALL"
+    " SELECT 'boolean' AS variant, count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(NULL AS BIGINT) AS sum_parsed,"
+    " count(*) FILTER (WHERE l_returnflag = 'R') AS n_true,"
+    " count(*) FILTER (WHERE l_returnflag <> 'R') AS n_false"
+    " FROM lineitem",
 )
-def _p7(spark, sf_dir):
-    """P7 integer parse of stringified keys; oracle sums the original
-    typed column (independent ground truth)."""
+def _p7_p8(spark, sf_dir):
+    """P7 integer + P8 boolean in one labeled query (50-entry registry
+    cap — merged r5 to make room for the x7 split/packing operators).
+    'integer' parses stringified keys, oracle sums the original typed
+    column; 'boolean' parses trueValues/falseValues lexicals built
+    from l_returnflag. Out-of-variant columns are typed NULLs."""
     li = t(spark, sf_dir, "lineitem")
-    fld = Field("v", type="integer")
-    pf = parse_field(F.col("l_orderkey").cast("string"), fld)
-    return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+    nul = F.lit(None).cast(_BIG)
+
+    pf_i = parse_field(
+        F.col("l_orderkey").cast("string"), Field("v", type="integer")
+    )
+    integer = li.select(pf_i.parsed.alias("p"), pf_i.bad.alias("b")).agg(
+        F.lit("integer").alias("variant"),
         F.count_if(F.col("b")).alias("n_bad"),
         F.sum("p").cast(_BIG).alias("sum_parsed"),
+        nul.alias("n_true"),
+        nul.alias("n_false"),
     )
+
+    raw = (
+        F.when(F.col("l_returnflag") == "R", F.lit("TRUE"))
+        .when(F.col("l_returnflag") == "A", F.lit("false"))
+        .otherwise(F.lit("0"))
+    )
+    pf_b = parse_field(raw, Field("v", type="boolean"))
+    boolean = li.select(pf_b.parsed.alias("p"), pf_b.bad.alias("b")).agg(
+        F.lit("boolean").alias("variant"),
+        F.count_if(F.col("b")).alias("n_bad"),
+        nul.alias("sum_parsed"),
+        F.count_if(F.col("p") == True).cast(_BIG).alias("n_true"),  # noqa: E712
+        F.count_if(F.col("p") == False).cast(_BIG).alias("n_false"),  # noqa: E712
+    )
+    return integer.unionByName(boolean)
 
 
 @q(
@@ -181,28 +213,6 @@ def _p6(spark, sf_dir):
         F.sum(dec2(F.col("p"))).cast("double").alias("sum_parsed"),
     )
     return default.unionByName(options)
-
-
-@q(
-    "p8_parse_boolean",
-    "SELECT count(*) FILTER (WHERE l_returnflag = 'R') AS n_true,"
-    " count(*) FILTER (WHERE l_returnflag <> 'R') AS n_false,"
-    " count(*) FILTER (WHERE FALSE) AS n_bad FROM lineitem",
-)
-def _p8(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
-    raw = (
-        F.when(F.col("l_returnflag") == "R", F.lit("TRUE"))
-        .when(F.col("l_returnflag") == "A", F.lit("false"))
-        .otherwise(F.lit("0"))
-    )
-    fld = Field("v", type="boolean")
-    pf = parse_field(raw, fld)
-    return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
-        F.count_if(F.col("p") == True).alias("n_true"),  # noqa: E712
-        F.count_if(F.col("p") == False).alias("n_false"),  # noqa: E712
-        F.count_if(F.col("b")).alias("n_bad"),
-    )
 
 
 @q(
@@ -265,36 +275,54 @@ def _p11(spark, sf_dir):
 
 
 @q(
-    "p12_parse_time",
-    "SELECT CAST(sum(EXTRACT(hour FROM ts) * 3600 + EXTRACT(minute FROM ts)"
+    "p12_p13_time_datetime",
+    "SELECT 'time' AS variant,"
+    " CAST(sum(EXTRACT(hour FROM ts) * 3600 + EXTRACT(minute FROM ts)"
     " * 60 + FLOOR(EXTRACT(second FROM ts))) AS BIGINT) AS sum_secs,"
-    " count(*) FILTER (WHERE FALSE) AS n_bad FROM events",
-)
-def _p12(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    raw = F.date_format("ts", "HH:mm:ss")
-    pf = parse_field(raw, Field("v", type="time"))
-    return ev.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
-        F.sum("p").cast(_BIG).alias("sum_secs"),
-        F.count_if(F.col("b")).alias("n_bad"),
-    )
-
-
-@q(
-    "p13_parse_datetime",
-    "SELECT strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_ts,"
+    " count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(NULL AS VARCHAR) AS min_ts, CAST(NULL AS VARCHAR) AS max_ts,"
+    " CAST(NULL AS BIGINT) AS n FROM events"
+    " UNION ALL"
+    " SELECT 'datetime' AS variant, CAST(NULL AS BIGINT) AS sum_secs,"
+    " CAST(NULL AS BIGINT) AS n_bad,"
+    " strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_ts,"
     " strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_ts,"
     " CAST(count(o_orderdate) AS BIGINT) AS n FROM orders",
 )
-def _p13(spark, sf_dir):
+def _p12_p13(spark, sf_dir):
+    """P12 time + P13 datetime in one labeled query (50-entry registry
+    cap — merged r5 to make room for the x7 split/packing operators).
+    'time' parses HH:mm:ss lexicals into secs-of-day; 'datetime'
+    parses ISO 'T' timestamps. Out-of-variant columns are typed
+    NULLs."""
+    nul = F.lit(None).cast(_BIG)
+    nus = F.lit(None).cast("string")
+
+    ev = t(spark, sf_dir, "events")
+    pf_t = parse_field(F.date_format("ts", "HH:mm:ss"), Field("v", type="time"))
+    time_row = ev.select(pf_t.parsed.alias("p"), pf_t.bad.alias("b")).agg(
+        F.lit("time").alias("variant"),
+        F.sum("p").cast(_BIG).alias("sum_secs"),
+        F.count_if(F.col("b")).alias("n_bad"),
+        nus.alias("min_ts"),
+        nus.alias("max_ts"),
+        nul.alias("n"),
+    )
+
     o = t(spark, sf_dir, "orders")
-    raw = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss")
-    pf = parse_field(raw, Field("v", type="datetime"))
-    return o.select(pf.parsed.alias("p")).agg(
+    pf_d = parse_field(
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"),
+        Field("v", type="datetime"),
+    )
+    dt_row = o.select(pf_d.parsed.alias("p")).agg(
+        F.lit("datetime").alias("variant"),
+        nul.alias("sum_secs"),
+        nul.alias("n_bad"),
         F.date_format(F.min("p"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
         F.date_format(F.max("p"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
         F.count("p").cast(_BIG).alias("n"),
     )
+    return time_row.unionByName(dt_row)
 
 
 @q(
@@ -1811,4 +1839,86 @@ def _dq2(spark, sf_dir):
         F.count_if(F.col("label") == "flag:required-constraint")
         .cast(_BIG)
         .alias("n_missing_flag"),
+    )
+
+
+# ===================== X7: dataset splitting / packing ====================
+
+
+@q(
+    "x7_hash_split",
+    "SELECT CASE"
+    " WHEN substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'"
+    " THEN 'train'"
+    " WHEN substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'"
+    " THEN 'val' ELSE 'test' END AS split,"
+    " CAST(count(*) AS BIGINT) AS n,"
+    " CAST(min(doc_id) AS BIGINT) AS min_id,"
+    " CAST(max(doc_id) AS BIGINT) AS max_id"
+    " FROM documents GROUP BY 1",
+)
+def _x7_split(spark, sf_dir):
+    """X7 deterministic hash split (extensions/splits.py): the oracle
+    recomputes the SAME salted-md5 bucketing in DuckDB — md5 of the
+    utf-8 id string is engine-portable by construction, so this checks
+    the exact per-row assignment (via per-split min/max/count), not
+    just the split sizes."""
+    from .extensions import splits as xsplits
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        xsplits.hash_split(d, "doc_id", salt="v1")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast(_BIG).alias("n"),
+            F.min("doc_id").cast(_BIG).alias("min_id"),
+            F.max("doc_id").cast(_BIG).alias("max_id"),
+        )
+    )
+
+
+@q(
+    "x7_pack_sequences",
+    "WITH toks AS ("
+    " SELECT doc_id, source,"
+    " len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens"
+    " FROM documents"
+    "), seq AS ("
+    " SELECT source, n_tokens,"
+    " sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum"
+    " FROM toks)"
+    " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(max(CASE WHEN n_tokens > 0 THEN (cum - 1) // 512"
+    " ELSE (cum - n_tokens) // 512 END) + 1 AS BIGINT) AS n_seqs,"
+    " CAST(count(*) FILTER (WHERE n_tokens > 0"
+    " AND (cum - 1) // 512 > (cum - n_tokens) // 512) AS BIGINT)"
+    " AS n_straddlers,"
+    " CAST(sum(n_tokens) AS BIGINT) AS sum_tokens"
+    " FROM seq GROUP BY source",
+)
+def _x7_pack(spark, sf_dir):
+    """X7 token-stream sequence packing (extensions/splits.py
+    sequence_offsets): documents laid end-to-end per source stream,
+    chunked into 512-token training sequences; the oracle re-derives
+    offset/first_seq/last_seq from a windowed cumulative sum in ANSI
+    SQL. Checks per-stream sequence counts AND the straddler count
+    (documents cut by a sequence boundary) — the exact bookkeeping a
+    concat-then-chunk LM data loader needs."""
+    from .extensions import splits as xsplits
+    from .extensions import text as xtext
+
+    d = t(spark, sf_dir, "documents", wide=True).select(
+        "doc_id", "source", xtext.token_count(F.col("text")).alias("n_tokens")
+    )
+    seq = xsplits.sequence_offsets(
+        d, "doc_id", "n_tokens", budget=512, part_col="source"
+    )
+    return seq.groupBy("source").agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
+        (F.max("last_seq") + 1).cast(_BIG).alias("n_seqs"),
+        F.count_if(F.col("last_seq") > F.col("first_seq"))
+        .cast(_BIG)
+        .alias("n_straddlers"),
+        F.sum("n_tokens").cast(_BIG).alias("sum_tokens"),
     )

@@ -1,0 +1,159 @@
+"""extensions/splits.py — deterministic splits + sequence packing.
+
+The contract under test is REPRODUCIBILITY: the split assignment must
+equal an independent Python md5 re-derivation row-for-row (engine
+portability is the whole point of choosing md5 over xxhash64), the
+grouped variant must never let a near-dup pair straddle train/eval,
+and sequence_offsets must agree with a pure-Python token-stream
+packer on arbitrary corpora.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from goodtables_pandas_py_spark.extensions.splits import (
+    grouped_hash_split,
+    hash_split,
+    sequence_offsets,
+    split_boundaries,
+)
+from tests.conftest import load
+
+
+def _py_split(key, salt="", bounds=None):
+    bounds = bounds or split_boundaries(None)
+    h = hashlib.md5((salt + str(key)).encode()).hexdigest()[:8]
+    for name, hi in bounds[:-1]:
+        if h < hi:
+            return name
+    return bounds[-1][0]
+
+
+def test_split_boundaries_normalize_and_order():
+    b = split_boundaries({"train": 8, "val": 1, "test": 1})
+    assert [n for n, _ in b] == ["train", "val", "test"]
+    assert b[0][1] == "cccccccc" and b[1][1] == "e6666666"
+    assert b[-1][1] is None
+    with pytest.raises(ValueError):
+        split_boundaries({})
+    with pytest.raises(ValueError):
+        split_boundaries({"a": 0.0})
+
+
+def test_hash_split_matches_python_md5(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    rows = hash_split(docs, "doc_id", salt="s1").select("doc_id", "split").collect()
+    assert rows, "empty documents table"
+    for r in rows:
+        assert r["split"] == _py_split(r["doc_id"], "s1"), r
+
+
+def test_hash_split_salt_reshuffles_but_each_is_deterministic(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in
+         hash_split(docs, "doc_id", salt="a").select("doc_id", "split").collect()}
+    a2 = {r["doc_id"]: r["split"] for r in
+          hash_split(docs, "doc_id", salt="a").select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         hash_split(docs, "doc_id", salt="b").select("doc_id", "split").collect()}
+    assert a == a2
+    assert a != b  # overwhelmingly likely for 500 docs
+
+
+def test_hash_split_is_map_only(spark, sf_dir):
+    plan = hash_split(
+        load(spark, sf_dir, "documents"), "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_grouped_hash_split_keeps_components_together(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    # chain 0-1-2 plus pair (10,11): both components must be split-pure
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = grouped_hash_split(docs, pairs, "doc_id", salt="v9")
+    got = {r["doc_id"]: r["split"] for r in
+           out.where(F.col("doc_id").isin(0, 1, 2, 10, 11))
+              .select("doc_id", "split").collect()}
+    assert got[0] == got[1] == got[2] == _py_split(0, "v9")
+    assert got[10] == got[11] == _py_split(10, "v9")
+
+
+def test_grouped_hash_split_unpaired_rows_match_plain_split(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    grouped = {r["doc_id"]: r["split"] for r in
+               grouped_hash_split(docs, pairs, "doc_id", salt="z")
+               .select("doc_id", "split").collect()}
+    plain = {r["doc_id"]: r["split"] for r in
+             hash_split(docs, "doc_id", salt="z")
+             .select("doc_id", "split").collect()}
+    assert set(grouped) == set(plain)  # left join drops no rows
+    for k in plain:
+        if k not in (0, 1):
+            assert grouped[k] == plain[k]
+
+
+def _py_pack(rows, budget):
+    """Pure-Python token-stream packer: rows = [(id, part, tokens)]."""
+    out = {}
+    streams: dict = {}
+    for i, p, n in sorted(rows):
+        off = streams.get(p, 0)
+        first = off // budget
+        last = (off + n - 1) // budget if n > 0 else first
+        out[i] = (off, first, last)
+        streams[p] = off + n
+    return out
+
+
+def test_sequence_offsets_matches_python_packer(spark):
+    rows = [
+        (1, "a", 100), (2, "a", 250), (3, "a", 0), (4, "a", 400),
+        (5, "b", 512), (6, "b", 1), (7, "b", 511), (8, "b", 513),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, part string, n_tokens long")
+    got = {
+        r["doc_id"]: (r["offset"], r["first_seq"], r["last_seq"])
+        for r in sequence_offsets(
+            df, "doc_id", "n_tokens", budget=512, part_col="part"
+        ).collect()
+    }
+    assert got == _py_pack(rows, 512)
+
+
+def test_sequence_offsets_straddler_semantics(spark):
+    # 300 + 300 over a 512 budget: second doc straddles seq 0 -> 1
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300)], "doc_id long, n_tokens long"
+    )
+    got = {r["doc_id"]: r for r in
+           sequence_offsets(df, "doc_id", "n_tokens", budget=512).collect()}
+    assert (got[1]["first_seq"], got[1]["last_seq"]) == (0, 0)
+    assert got[2]["offset"] == 300
+    assert (got[2]["first_seq"], got[2]["last_seq"]) == (0, 1)
+
+
+def test_sequence_offsets_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        sequence_offsets(df, budget=0)
+
+
+def test_sequence_offsets_partitioned_window_single_shuffle(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("n_tokens")
+    )
+    plan = sequence_offsets(
+        docs, "doc_id", "n_tokens", budget=512, part_col="source"
+    )._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange on the stream key, then a partition-local sort —
+    # never a single-partition global sort
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" not in plan, plan
