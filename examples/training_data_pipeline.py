@@ -15,6 +15,10 @@ Stages (each a lazy Spark plan until the final writes):
    without rescanning the corpus (see streaming/dedup.py).
 4. WRITE the audit trail hive-partitioned by keep flag so "what did
    each rule cost us" is a pruned read, not a recompute.
+5. SPLIT deterministically into train/val/test (salted-md5 hash
+   split — reproducible across engines and cluster sizes) and pack
+   each source's documents into fixed-length training sequences
+   (token offsets + sequence ids), written partitioned by split.
 """
 
 from __future__ import annotations
@@ -97,6 +101,35 @@ def main() -> int:
         ["keep_part"],
     )
 
+    # 5. deterministic train/val/test split + sequence packing: the
+    # split is a salted-md5 hex-range compare (map-only; the same doc
+    # lands in the same split on any engine or cluster size — pin the
+    # salt per dataset release), and sequence_offsets lays each
+    # source's documents end-to-end into 2048-token training
+    # sequences. grouped_hash_split is the leakage-safe variant when
+    # sub-threshold near-dup pairs should never straddle train/eval.
+    from pyspark.sql import functions as F
+
+    from goodtables_pandas_py_spark.extensions.splits import (
+        hash_split,
+        sequence_offsets,
+    )
+    from goodtables_pandas_py_spark.extensions.text import token_count
+
+    packed = sequence_offsets(
+        hash_split(prep.kept, "doc_id", salt="release-2026-08").withColumn(
+            "n_tokens", token_count(F.col("text"))
+        ),
+        budget=2048,
+        part_col="source",
+    )
+    write_partitioned(packed, f"{out}/packed.parquet", ["split"])
+    split_counts = {
+        r["split"]: r["n"]
+        for r in packed.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    print(f"splits: {split_counts}")
+
     with open(f"{out}/summary.json", "w") as f:
         json.dump(
             {
@@ -105,6 +138,7 @@ def main() -> int:
                 "n_input": prep.n_input,
                 "n_after_quality": prep.n_after_quality,
                 "n_after_dedup": prep.n_after_dedup,
+                "split_counts": split_counts,
             },
             f,
         )

@@ -348,56 +348,82 @@ def validate_table(
     #   typed-only   → rebuild mask on the CACHED typed columns
     #   lexical/type → recompute from the source with column pruning
     #                  (only the one field's parse survives pruning)
+    # each violated check samples via its own CollectLimit action
+    # (early-exit: the scan stops as soon as the cap is reached —
+    # folding the branches into one union job demotes CollectLimit to
+    # GlobalLimit and re-scans everything, measured ~12% slower on the
+    # bench package), but the actions are SUBMITTED concurrently so k
+    # violated checks overlap their driver round trips instead of
+    # serializing them
     fields_by_name = {f.name: f for f in schema.fields}
-    for i, ck in enumerate(checks):
-        n = int(row[f"__c{i}"])
-        if not n:
-            continue
-        ids: list[int] = []
+
+    def _sample_one(i: int, ck: _CompiledCheck) -> list[tuple[str, int | None]]:
         if row_ids:
             # row addressing: sample (value, position) pairs from the
             # wide projection (it carries __row_id)
-            sample_rows = (
-                wide.where(F.col(ck.mask_col))
+            return [
+                (r["v"], int(r["__row_id"]))
+                for r in wide.where(F.col(ck.mask_col))
                 .select(
                     F.col(ck.report_col).cast(T.StringType()).alias("v"),
                     F.col("__row_id"),
                 )
                 .limit(VALUE_SAMPLE_CAP)
                 .collect()
-            )
-            seen: dict = {}
-            for r in sample_rows:
-                seen.setdefault(r["v"], None)
-                ids.append(int(r["__row_id"]))
-            values: list = list(seen)
-        elif ck.sample_from == "none":
-            values = [None]
-        else:
-            if (
-                ck.sample_from == "cached"
-                and wide_cached is not None
-                and ck.field in wide_cached.columns
-            ):
-                fld = fields_by_name[ck.field]
-                cc = next(
-                    c
-                    for c in compile_constraints(fld, F.col(ck.field), None)
-                    if c.constraint == ck.cname
-                )
-                src, mask, rep = wide_cached, cc.mask, cc.report_col
-            else:
-                src = wide
-                mask = F.col(ck.mask_col)
-                rep = F.col(ck.report_col)
-            values = [
-                r["v"]
-                for r in src.where(mask)
-                .select(rep.cast(T.StringType()).alias("v"))
-                .distinct()
-                .limit(VALUE_SAMPLE_CAP)
-                .collect()
             ]
+        if (
+            ck.sample_from == "cached"
+            and wide_cached is not None
+            and ck.field in wide_cached.columns
+        ):
+            fld = fields_by_name[ck.field]
+            cc = next(
+                c
+                for c in compile_constraints(fld, F.col(ck.field), None)
+                if c.constraint == ck.cname
+            )
+            src, mask, rep = wide_cached, cc.mask, cc.report_col
+        else:
+            src = wide
+            mask = F.col(ck.mask_col)
+            rep = F.col(ck.report_col)
+        return [
+            (r["v"], None)
+            for r in src.where(mask)
+            .select(rep.cast(T.StringType()).alias("v"))
+            .distinct()
+            .limit(VALUE_SAMPLE_CAP)
+            .collect()
+        ]
+
+    to_sample = [
+        (i, ck)
+        for i, ck in enumerate(checks)
+        if int(row[f"__c{i}"]) and (row_ids or ck.sample_from != "none")
+    ]
+    samples_by_check: dict[int, list] = {}
+    if to_sample:
+        with ThreadPoolExecutor(max_workers=min(8, len(to_sample))) as pool:
+            futs = {
+                i: pool.submit(_sample_one, i, ck) for i, ck in to_sample
+            }
+            for i, fut in futs.items():
+                samples_by_check[i] = fut.result()
+
+    for i, ck in enumerate(checks):
+        n = int(row[f"__c{i}"])
+        if not n:
+            continue
+        ids: list[int] = []
+        if i in samples_by_check:
+            seen: dict = {}
+            for v, rid in samples_by_check[i]:
+                seen.setdefault(v, None)
+                if rid is not None:
+                    ids.append(int(rid))
+            values: list = list(seen)
+        else:  # sample_from == 'none' without row addressing
+            values = [None]
         errors.append(
             Error(
                 code=ck.code,
@@ -445,23 +471,42 @@ def validate_table(
             return False
         return True
 
+    # independent key checks submit concurrently (same rationale as the
+    # per-table pool in validate_package: threads only SUBMIT jobs, so
+    # the PK groupBy overlaps the unique-key groupBys instead of
+    # serializing driver round trips); errors append in declaration
+    # order so reports stay deterministic
+    key_tasks: list[tuple[list[str], str, str | None]] = []
     for fld in schema.fields:
         if fld.constraints.get("unique") and fld.name in typed_names:
-            res = check_unique_key(key_view([fld.name]), [fld.name])
-            if not res.ok:
-                err = res.to_error(resource, [fld.name], "unique")
-                err.code = "unique-constraint"  # field-level C2 code
-                errors.append(err)
+            key_tasks.append(([fld.name], "unique", "unique-constraint"))
     if schema.primary_key and _key_cols_present(schema.primary_key, "primaryKey"):
-        res = check_primary_key(key_view(schema.primary_key), schema.primary_key)
-        if not res.ok:
-            errors.append(res.to_error(resource, schema.primary_key, "primaryKey"))
+        key_tasks.append((schema.primary_key, "primaryKey", None))
     for key in schema.unique_keys:
-        if not _key_cols_present(key, "uniqueKeys"):
-            continue
-        res = check_unique_key(key_view(key), key)
-        if not res.ok:
-            errors.append(res.to_error(resource, key, "uniqueKeys"))
+        if _key_cols_present(key, "uniqueKeys"):
+            key_tasks.append((key, "uniqueKeys", None))
+    if key_tasks:
+        with ThreadPoolExecutor(max_workers=min(4, len(key_tasks))) as pool:
+            futs = [
+                (
+                    cols,
+                    kind,
+                    code,
+                    pool.submit(
+                        check_primary_key if kind == "primaryKey" else check_unique_key,
+                        key_view(cols),
+                        cols,
+                    ),
+                )
+                for cols, kind, code in key_tasks
+            ]
+            for cols, kind, code, fut in futs:
+                res = fut.result()
+                if not res.ok:
+                    err = res.to_error(resource, cols, kind)
+                    if code:
+                        err.code = code  # field-level C2 code
+                    errors.append(err)
 
     return TableValidation(
         resource=resource,

@@ -157,3 +157,58 @@ def test_sequence_offsets_partitioned_window_single_shuffle(spark, sf_dir):
     # never a single-partition global sort
     assert plan.count("Exchange") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+# --- property tests (hypothesis) -----------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_SPLIT_FAST = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_SPLIT_FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),   # doc id
+            st.sampled_from(["a", "b", "c"]),            # stream key
+            st.integers(min_value=0, max_value=5000),    # token count
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=2048),
+)
+def test_sequence_offsets_property_matches_python(spark, rows, budget):
+    df = spark.createDataFrame(rows, "doc_id long, part string, n_tokens long")
+    got = {
+        r["doc_id"]: (r["offset"], r["first_seq"], r["last_seq"])
+        for r in sequence_offsets(
+            df, "doc_id", "n_tokens", budget=budget, part_col="part"
+        ).collect()
+    }
+    assert got == _py_pack(rows, budget)
+
+
+@_SPLIT_FAST
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1,
+             max_size=40, unique=True),
+    st.text(min_size=0, max_size=8),
+    st.dictionaries(
+        st.sampled_from(["train", "val", "test", "holdout"]),
+        st.floats(min_value=0.01, max_value=10.0, allow_nan=False),
+        min_size=1, max_size=4,
+    ),
+)
+def test_hash_split_property_matches_python(spark, ids, salt, weights):
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    bounds = split_boundaries(weights)
+    got = {r["doc_id"]: r["split"] for r in
+           hash_split(df, "doc_id", weights=weights, salt=salt).collect()}
+    assert got == {i: _py_split(i, salt, bounds) for i in ids}
