@@ -437,3 +437,43 @@ def test_incremental_dedup_growing_corpus_across_batches(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()
     }
     assert final == {1, 10, 21}
+
+
+def test_hash_split_runs_on_stream(spark, tmp_path):
+    """hash_split is stateless map-only Column algebra, so the SAME
+    call assigns splits at streaming ingestion (append mode, no
+    watermark, no state) and must agree with the batch assignment
+    row-for-row — a pipeline can route train/val/test from the
+    ingest stream without a second pass."""
+    from goodtables_pandas_py_spark.extensions.splits import hash_split
+
+    from tests.conftest import SF_DIR
+
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    staged = str(tmp_path / "docs_split")
+    batch.write.parquet(staged)
+
+    stream = spark.readStream.schema(batch.schema).parquet(staged)
+    q = (
+        hash_split(stream, "doc_id", salt="r5")
+        .select("doc_id", "split")
+        .writeStream.format("memory")
+        .queryName("split_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["split"]
+        for r in spark.table("split_stream").collect()
+    }
+    want = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(batch, "doc_id", salt="r5")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert got == want and len(got) == batch.count()

@@ -174,6 +174,34 @@ def main() -> None:
     ).count()
     timings["knn_join_blocked"] = round(time.time() - t0, 2)
 
+    # r5: split + sequence packing at 20x. hash_split is map-only (the
+    # probe checks the md5+compare constant); sequence_offsets windows
+    # per source — with only ~20 sources the window partitions are
+    # docs/20 rows each, the worst realistic skew for the sort, so a
+    # super-linear blowup here means the window shape regressed.
+    from goodtables_pandas_py_spark.extensions import splits as xsplits
+    from goodtables_pandas_py_spark.extensions import text as xtext
+
+    t0 = time.time()
+    sizes["split_rows"] = (
+        xsplits.hash_split(bd, "doc_id").groupBy("split").count().count()
+    )
+    timings["hash_split"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    packed = xsplits.sequence_offsets(
+        bd.select(
+            "doc_id", "source",
+            xtext.token_count(F.col("text")).alias("n_tokens"),
+        ),
+        budget=2048,
+        part_col="source",
+    )
+    sizes["packed_seqs"] = packed.agg(
+        F.sum(F.col("last_seq") - F.col("first_seq") + 1)
+    ).first()[0]
+    timings["sequence_offsets"] = round(time.time() - t0, 2)
+
     bls = stringly(
         ensure_parallelism(spark.read.parquet(f"{WORK}/lineitem.parquet"))
     )
