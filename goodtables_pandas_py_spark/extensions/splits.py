@@ -2,8 +2,11 @@
 (SURVEY.md §2.9 family — not in the reference; the operations a
 100 TB corpus needs between "cleaned/deduped" and "fed to a trainer").
 
-Three operators, all pure Column algebra (whole-stage codegen, zero
-UDFs, zero shuffles for the splits; one window shuffle for packing):
+Operators (splits and chunk-packing are pure Column algebra —
+whole-stage codegen, zero UDFs, zero shuffles for the splits, one
+window shuffle for chunk-packing; bin-packing is the one
+Arrow-batched applyInPandas, because first-fit is inherently
+sequential within a packing group):
 
 - :func:`hash_split` — deterministic train/val/test assignment from a
   salted md5 of the id. Engine-portable by construction (md5 of the
@@ -22,6 +25,10 @@ UDFs, zero shuffles for the splits; one window shuffle for packing):
   (``first_seq``/``last_seq``). One window aggregate per stream key;
   at scale the stream key (``part_col``) keeps every window a
   partition-local sort instead of a single global one.
+- :func:`pack_bins` — no-straddle first-fit-decreasing bin packing
+  (whole documents + padding per sequence, the SFT convention):
+  salted-hash shard into independent packing buckets, FFD per bucket
+  in ``applyInPandas``.
 
 Scale posture: hash_split is map-only (survives any scale-up
 untouched); grouped_hash_split costs one broadcast-or-shuffle join
@@ -184,3 +191,88 @@ def sequence_offsets(
         .alias("last_seq")
     )
     return df.select("*", offset, first_seq, last_seq)
+
+
+def pack_bins(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    num_buckets: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """No-straddle bin packing: assign each document to a ``bin_id``
+    such that every bin's token total stays within ``budget`` and no
+    document is ever split — the packing an instruction-tuning /
+    SFT loader wants (each sequence = whole documents + padding),
+    complementing :func:`sequence_offsets`'s concat-then-chunk
+    convention. Documents longer than ``budget`` get a dedicated bin
+    and ``oversize=true`` (the caller decides: truncate, split
+    upstream, or drop).
+
+    Distributed shape: documents hash (salted md5, same family as
+    :func:`hash_split`) into ``num_buckets`` independent packing
+    groups; ONE shuffle on the bucket key, then first-fit-decreasing
+    runs per bucket in an Arrow-batched ``applyInPandas`` (FFD is
+    inherently sequential, so the parallel unit is the bucket, not
+    the row — the classic shard-then-pack compromise; FFD within a
+    bucket uses ≤ 11/9·OPT + 1 bins, and bucketing costs at most a
+    few percent more padding for realistic doc/budget ratios).
+    Deterministic: bucket from the salted hash, FFD order is
+    (tokens desc, id), so reruns and engines agree. Size
+    ``num_buckets`` so a bucket's rows fit one task comfortably
+    (≈ corpus_rows / num_buckets; at 100 TB raise it — buckets are
+    independent, so more buckets = more parallelism, slightly more
+    padding).
+
+    Returns ``df`` + ``bin_id`` (globally unique: bucket << 32 |
+    local bin) + ``oversize``.
+    """
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if num_buckets <= 0:
+        raise ValueError("num_buckets must be positive")
+
+    bucket = F.pmod(
+        F.conv(hash_bucket(F.col(id_col), salt), 16, 10).cast("long"),
+        F.lit(num_buckets),
+    ).alias("__bucket")
+    out_schema = df.schema.add("bin_id", "long").add("oversize", "boolean")
+
+    id_name, tok_name = id_col, token_col
+
+    def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(pdf["__bucket"].iloc[0]) << 32
+        order = pdf.sort_values(
+            [tok_name, id_name], ascending=[False, True]
+        ).index
+        bins: list[int] = []  # remaining capacity per local bin
+        bin_ids = pd.Series(0, index=pdf.index, dtype="int64")
+        oversize = pd.Series(False, index=pdf.index, dtype="bool")
+        for idx in order:
+            n = int(pdf.at[idx, tok_name])
+            if n > budget:
+                bins.append(0)  # dedicated, already full
+                bin_ids.at[idx] = b | (len(bins) - 1)
+                oversize.at[idx] = True
+                continue
+            for j, rem in enumerate(bins):
+                if rem >= n:
+                    bins[j] = rem - n
+                    bin_ids.at[idx] = b | j
+                    break
+            else:
+                bins.append(budget - n)
+                bin_ids.at[idx] = b | (len(bins) - 1)
+        out = pdf.drop(columns=["__bucket"]).copy()
+        out["bin_id"] = bin_ids
+        out["oversize"] = oversize
+        return out
+
+    return (
+        df.withColumn("__bucket", bucket)
+        .groupBy("__bucket")
+        .applyInPandas(_ffd, schema=out_schema)
+    )

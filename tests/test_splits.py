@@ -212,3 +212,96 @@ def test_hash_split_property_matches_python(spark, ids, salt, weights):
     got = {r["doc_id"]: r["split"] for r in
            hash_split(df, "doc_id", weights=weights, salt=salt).collect()}
     assert got == {i: _py_split(i, salt, bounds) for i in ids}
+
+
+# --- pack_bins (no-straddle FFD) -----------------------------------------
+
+from goodtables_pandas_py_spark.extensions.splits import pack_bins  # noqa: E402
+
+
+def _py_pack_bins(rows, budget, num_buckets, salt=""):
+    """Pure-Python mirror of pack_bins: rows = [(id, tokens)]."""
+    buckets: dict = {}
+    for i, n in rows:
+        h = int(hashlib.md5((salt + str(i)).encode()).hexdigest()[:8], 16)
+        buckets.setdefault(h % num_buckets, []).append((i, n))
+    out = {}
+    for b, docs in buckets.items():
+        bins = []
+        for i, n in sorted(docs, key=lambda t: (-t[1], t[0])):
+            if n > budget:
+                bins.append(0)
+                out[i] = (b << 32 | (len(bins) - 1), True)
+                continue
+            for j, rem in enumerate(bins):
+                if rem >= n:
+                    bins[j] = rem - n
+                    out[i] = (b << 32 | j, False)
+                    break
+            else:
+                bins.append(budget - n)
+                out[i] = (b << 32 | (len(bins) - 1), False)
+    return out
+
+
+def test_pack_bins_matches_python_ffd(spark):
+    rows = [(i, (i * 137) % 900 + 1) for i in range(200)] + [(1000, 5000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r["doc_id"]: (r["bin_id"], r["oversize"]) for r in
+           pack_bins(df, budget=2048, num_buckets=8, salt="s").collect()}
+    assert got == _py_pack_bins(rows, 2048, 8, "s")
+
+
+def test_pack_bins_respects_budget_and_covers_all(spark):
+    rows = [(i, (i * 997) % 2048 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_bins(df, budget=2048, num_buckets=4).collect()
+    assert len(out) == len(rows)  # every doc assigned exactly once
+    per_bin: dict = {}
+    for r in out:
+        assert not r["oversize"]
+        per_bin[r["bin_id"]] = per_bin.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(tot <= 2048 for tot in per_bin.values())
+    # FFD efficiency: bins used is within 2x the token lower bound
+    # (guarantee is 11/9 OPT + 1 per bucket; 2x absorbs bucketing loss)
+    lower = sum(n for _, n in rows) / 2048
+    assert len(per_bin) <= 2 * lower + 4
+
+
+def test_pack_bins_oversize_gets_dedicated_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 10_000), (2, 100), (3, 200)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r for r in
+           pack_bins(df, budget=1024, num_buckets=1).collect()}
+    assert out[1]["oversize"] is True
+    assert not out[2]["oversize"] and not out[3]["oversize"]
+    assert out[1]["bin_id"] not in (out[2]["bin_id"], out[3]["bin_id"])
+    assert out[2]["bin_id"] == out[3]["bin_id"]  # 300 fits one bin
+
+
+def test_pack_bins_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        pack_bins(df, budget=0)
+    with pytest.raises(ValueError):
+        pack_bins(df, num_buckets=0)
+
+
+@_SPLIT_FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=1, max_value=3000),
+        ),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=64, max_value=2048),
+    st.integers(min_value=1, max_value=8),
+)
+def test_pack_bins_property_matches_python(spark, rows, budget, nb):
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r["doc_id"]: (r["bin_id"], r["oversize"]) for r in
+           pack_bins(df, budget=budget, num_buckets=nb).collect()}
+    assert got == _py_pack_bins(rows, budget, nb)
