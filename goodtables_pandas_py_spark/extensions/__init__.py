@@ -4,8 +4,17 @@ search, text analysis, multimodal columns, dataset splitting /
 sequence packing. All DataFrame-first; Python only where genuinely
 needed (and then Arrow-batched)."""
 
-from . import dedup, multimodal, pipeline, similarity, splits, text
+from . import (
+    decontam,
+    dedup,
+    multimodal,
+    pipeline,
+    similarity,
+    splits,
+    text,
+)
 
 __all__ = [
-    "dedup", "multimodal", "pipeline", "similarity", "splits", "text",
+    "decontam", "dedup", "multimodal", "pipeline", "similarity",
+    "splits", "text",
 ]

@@ -649,35 +649,56 @@ def _c3_c4(spark, sf_dir):
 
 
 @q(
-    "c5_enum",
-    "SELECT o_orderstatus AS status, count(*) AS n,"
-    " o_orderstatus IN ('F','P','O') AS is_valid"
-    " FROM orders GROUP BY o_orderstatus",
+    "c5_c6_enum_pattern",
+    "SELECT 'enum' AS variant, o_orderstatus AS label,"
+    " CAST(count(*) AS BIGINT) AS n,"
+    " o_orderstatus IN ('F','P','O') AS flag"
+    " FROM orders GROUP BY o_orderstatus"
+    " UNION ALL"
+    " SELECT 'pattern' AS variant, 'match' AS label,"
+    " count(*) FILTER (WHERE regexp_matches(p_brand, '^(?:Brand#[0-9]+)$'))"
+    " AS n, TRUE AS flag FROM part"
+    " UNION ALL"
+    " SELECT 'pattern' AS variant, 'violation' AS label,"
+    " count(*) FILTER (WHERE NOT regexp_matches(p_brand,"
+    " '^(?:Brand#[0-9]+)$')) AS n, FALSE AS flag FROM part",
 )
-def _c5(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
-    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max(F.col("o_orderstatus").isin("F", "P", "O")).alias("is_valid"),
-    )
-
-
-@q(
-    "c6_pattern",
-    "SELECT count(*) FILTER (WHERE regexp_matches(p_brand, '^(?:Brand#[0-9]+)$'))"
-    " AS n_match, count(*) FILTER (WHERE NOT regexp_matches(p_brand,"
-    " '^(?:Brand#[0-9]+)$')) AS n_violation FROM part",
-)
-def _c6(spark, sf_dir):
+def _c5_c6(spark, sf_dir):
+    """C5 enum + C6 pattern in one labeled query (50-entry registry
+    cap — merged r5 to make room for x7_contamination). 'enum' rows
+    label each o_orderstatus value with its in-vocabulary flag;
+    'pattern' rows count full-match vs violation of the
+    fullmatch-anchored C6 compiler on p_brand."""
     from .checks.constraints import compile_constraints
+
+    o = t(spark, sf_dir, "orders")
+    enum_rows = o.groupBy(F.col("o_orderstatus").alias("label")).agg(
+        F.lit("enum").alias("variant"),
+        F.count(F.lit(1)).cast(_BIG).alias("n"),
+        F.max(F.col("o_orderstatus").isin("F", "P", "O")).alias("flag"),
+    ).select("variant", "label", "n", "flag")
 
     p = t(spark, sf_dir, "part")
     fld = Field("p_brand", constraints={"pattern": "Brand#[0-9]+"})
     (ck,) = compile_constraints(fld, F.col("p_brand"), F.col("p_brand"))
-    return p.agg(
-        F.count_if(~ck.mask).alias("n_match"),
-        F.count_if(ck.mask).alias("n_violation"),
+    counts = p.agg(
+        F.count_if(~ck.mask).cast(_BIG).alias("n_match"),
+        F.count_if(ck.mask).cast(_BIG).alias("n_violation"),
     )
+    pat_rows = counts.select(
+        F.lit("pattern").alias("variant"),
+        F.lit("match").alias("label"),
+        F.col("n_match").alias("n"),
+        F.lit(True).alias("flag"),
+    ).unionByName(
+        counts.select(
+            F.lit("pattern").alias("variant"),
+            F.lit("violation").alias("label"),
+            F.col("n_violation").alias("n"),
+            F.lit(False).alias("flag"),
+        )
+    )
+    return enum_rows.unionByName(pat_rows)
 
 
 # ===================== K: keys ============================================
@@ -1921,4 +1942,48 @@ def _x7_pack(spark, sf_dir):
         .cast(_BIG)
         .alias("n_straddlers"),
         F.sum("n_tokens").cast(_BIG).alias("sum_tokens"),
+    )
+
+
+@q(
+    "x7_contamination",
+    "WITH toks AS ("
+    " SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),"
+    " '\\s+', ' ', 'g')), ' ') AS w FROM documents),"
+    " sh AS ("
+    " SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3"
+    " THEN list_transform(range(1, len(w) - 1),"
+    " i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+    " ELSE CAST([] AS VARCHAR[]) END) AS s FROM toks),"
+    " ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0"
+    " AND len(s) > 0)"
+    " SELECT CAST(co.doc_id AS BIGINT) AS corpus_id,"
+    " CAST(ev.eval_id AS BIGINT) AS eval_id,"
+    " CAST(len(list_intersect(co.s, ev.s)) AS BIGINT) AS n_matched,"
+    " CAST(len(ev.s) AS BIGINT) AS n_eval,"
+    " ROUND(CAST(len(list_intersect(co.s, ev.s)) AS DOUBLE)"
+    " / CAST(len(ev.s) AS DOUBLE), 6) AS ratio"
+    " FROM sh co JOIN ev ON co.doc_id <> ev.eval_id"
+    " WHERE CAST(len(list_intersect(co.s, ev.s)) AS DOUBLE)"
+    " / CAST(len(ev.s) AS DOUBLE) >= 0.2",
+)
+def _x7_contam(spark, sf_dir):
+    """X7 eval-set decontamination (extensions/decontam.py): the eval
+    'benchmark' is the doc_id % 50 == 0 slice of documents, scanned
+    against the full corpus for ≥20%-of-eval-doc 3-gram overlap; the
+    oracle recomputes exact n-gram intersection with DuckDB list ops.
+    Self-pairs excluded (the eval slice is drawn from the corpus).
+    The product path broadcasts the eval n-gram set so the corpus
+    side never shuffles (map-side join + partial-agg counts)."""
+    from .extensions import decontam as xdec
+
+    d = t(spark, sf_dir, "documents", wide=True)
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    scan = xdec.contamination_scan(d, ev, ngram=3, min_ratio=0.2)
+    return scan.where(F.col("corpus_id") != F.col("eval_id")).select(
+        F.col("corpus_id").cast(_BIG),
+        F.col("eval_id").cast(_BIG),
+        F.col("n_matched").cast(_BIG),
+        F.col("n_eval").cast(_BIG),
+        F.round("ratio", 6).alias("ratio"),
     )

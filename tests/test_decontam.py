@@ -1,0 +1,101 @@
+"""extensions/decontam.py — eval-set contamination scanning.
+
+Contract: exact n-gram overlap, ratio relative to the EVAL document,
+corpus side never shuffles (the eval n-gram set broadcasts), and the
+drop-set composes with an anti-join to produce a clean corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goodtables_pandas_py_spark.extensions.decontam import (
+    contaminated_ids,
+    contamination_scan,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely unrelated text about spark physical plans here"),
+        (3, "the quick brown fox jumps over something else entirely"),
+        (4, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def evals(spark):
+    rows = [
+        (100, "quick brown fox jumps over the lazy dog"),
+        (200, "no overlap with anything in this corpus at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scan_finds_exact_window_overlap(corpus, evals):
+    got = {
+        (r["corpus_id"], r["eval_id"]): (r["n_matched"], r["n_eval"], r["ratio"])
+        for r in contamination_scan(corpus, evals, ngram=8).collect()
+    }
+    # eval 100 has 8 tokens -> one 8-gram; doc 1 contains it verbatim
+    assert (1, 100) in got
+    n_matched, n_eval, ratio = got[(1, 100)]
+    assert (n_matched, n_eval, ratio) == (1, 1, 1.0)
+    # doc 3 shares only a 6-word prefix -> no 8-gram match
+    assert all(cid != 3 for cid, _ in got)
+    # eval 200 matches nothing
+    assert all(eid != 200 for _, eid in got)
+
+
+def test_scan_ratio_is_relative_to_eval_doc(corpus, evals):
+    got = {
+        (r["corpus_id"], r["eval_id"]): r["ratio"]
+        for r in contamination_scan(corpus, evals, ngram=3).collect()
+    }
+    # eval 100: 8 tokens -> 6 distinct 3-grams; doc 1 contains all 6
+    assert got[(1, 100)] == 1.0
+    # doc 3 shares 'quick brown fox', 'brown fox jumps',
+    # 'fox jumps over' -> 3/6
+    assert got[(3, 100)] == pytest.approx(3 / 6)
+
+
+def test_min_ratio_and_min_matched_filters(corpus, evals):
+    full = contamination_scan(corpus, evals, ngram=3)
+    assert full.where(F.col("ratio") <= 0.5).count() > 0
+    strict = contamination_scan(corpus, evals, ngram=3, min_ratio=0.9)
+    assert {r["corpus_id"] for r in strict.collect()} == {1}
+    many = contamination_scan(corpus, evals, ngram=3, min_matched=5)
+    assert {r["corpus_id"] for r in many.collect()} == {1}
+
+
+def test_contaminated_ids_anti_join_composes(corpus, evals):
+    drop = contaminated_ids(corpus, evals, ngram=3, min_ratio=0.6)
+    clean = corpus.join(
+        drop, corpus["doc_id"] == F.col("corpus_id"), "left_anti"
+    )
+    assert {r["doc_id"] for r in clean.collect()} == {2, 3, 4}
+
+
+def test_eval_side_broadcasts_corpus_never_shuffles(spark, corpus, evals):
+    plan = (
+        contamination_scan(corpus, evals, ngram=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_short_docs_and_empty_eval_are_safe(spark, corpus):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert contamination_scan(corpus, empty).count() == 0
+    shorts = spark.createDataFrame(
+        [(9, "tiny")], "doc_id long, text string"
+    )
+    # eval doc shorter than the ngram window contributes no n-grams
+    assert contamination_scan(corpus, shorts, ngram=8).count() == 0
