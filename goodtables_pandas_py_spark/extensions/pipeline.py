@@ -1,22 +1,25 @@
 """One-call corpus preparation: the composition a training-data
-pipeline actually runs — quality filter → near-duplicate removal —
-with every stage's audit trail available (SURVEY.md §2.9; composes
-:mod:`.text` and :mod:`.dedup`, adds no new Spark machinery).
+pipeline actually runs — quality filter → near-duplicate removal →
+eval-set decontamination — with every stage's audit trail available
+(SURVEY.md §2.9; composes :mod:`.text`, :mod:`.dedup` and
+:mod:`.decontam`, adds no new Spark machinery).
 
 Scale shape is the sum of its parts: the quality filter is a map-only
 single scan (clean_corpus), dedup is banded-LSH candidates + bounded
-verify (near_dedup), and the filter runs FIRST so the expensive
-signature pipeline only ever sees documents worth keeping — on a
-boilerplate-heavy crawl the filter typically removes far more rows
-than dedup, for a fraction of its cost.
+verify (near_dedup), decontamination is a broadcast n-gram join
+(corpus side never shuffles), and the filter runs FIRST so the
+expensive signature pipeline only ever sees documents worth keeping —
+on a boilerplate-heavy crawl the filter typically removes far more
+rows than dedup, for a fraction of its cost.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
+from .decontam import contaminated_ids
 from .dedup import near_dedup
 from .text import clean_corpus
 
@@ -36,6 +39,7 @@ class CorpusPrep:
     n_input: int | None = None
     n_after_quality: int | None = None
     n_after_dedup: int | None = None
+    n_after_decontam: int | None = None
 
 
 def prepare_corpus(
@@ -45,10 +49,14 @@ def prepare_corpus(
     dedup_threshold: float = 0.7,
     dedup_policy: str = "greedy",
     persist_banded: bool = True,
+    eval_sets: DataFrame | None = None,
+    decontam_ngram: int = 8,
+    decontam_ratio: float = 0.5,
     audit: bool = False,
     **clean_kwargs,
 ) -> CorpusPrep:
-    """Quality-filter then near-dedup a documents table in one call.
+    """Quality-filter, near-dedup, and (optionally) decontaminate a
+    documents table in one call.
 
     ``clean_kwargs`` pass through to :func:`clean_corpus` (token
     bounds, language allowlist, ...); ``dedup_policy`` is
@@ -56,6 +64,12 @@ def prepare_corpus(
     ``persist_banded`` defaults ON here — unlike the low-level
     library functions, this is the deployment entry point, and the
     banded signature projection always has two consumers.
+
+    ``eval_sets`` (same ``id_col``/``text_col`` schema) drops every
+    kept document whose exact ``decontam_ngram``-word overlap covers
+    ≥ ``decontam_ratio`` of any eval document (see
+    :func:`~.decontam.contaminated_ids`) — decontamination runs LAST
+    so the broadcast n-gram join scans the already-shrunk corpus.
 
     ``audit=True`` additionally returns the per-row quality audit
     (keep + drop_reasons) and per-stage row counts. The audit frame is
@@ -67,7 +81,7 @@ def prepare_corpus(
     the caller acts on ``kept``."""
     clean_kwargs.pop("with_reasons", None)
     cleaned = clean_corpus(df, text_col=text_col, **clean_kwargs)
-    kept = near_dedup(
+    deduped = near_dedup(
         cleaned,
         id_col=id_col,
         text_col=text_col,
@@ -75,6 +89,21 @@ def prepare_corpus(
         policy=dedup_policy,
         persist_banded=persist_banded,
     )
+    kept = deduped
+    if eval_sets is not None:
+        drop = contaminated_ids(
+            deduped,
+            eval_sets,
+            id_col=id_col,
+            text_col=text_col,
+            eval_id_col=id_col,
+            eval_text_col=text_col,
+            ngram=decontam_ngram,
+            min_ratio=decontam_ratio,
+        )
+        kept = deduped.join(
+            drop, deduped[id_col] == F.col("corpus_id"), "left_anti"
+        )
     if not audit:
         return CorpusPrep(kept=kept)
     quality_audit = clean_corpus(
@@ -85,5 +114,6 @@ def prepare_corpus(
         quality_audit=quality_audit,
         n_input=df.count(),
         n_after_quality=cleaned.count(),
-        n_after_dedup=kept.count(),
+        n_after_dedup=deduped.count(),
+        n_after_decontam=kept.count() if eval_sets is not None else None,
     )

@@ -910,3 +910,39 @@ def test_prepare_corpus_end_to_end(spark):
     # lazy path returns without running any job and computes the same
     lazy = prepare_corpus(df, dedup_threshold=0.5)
     assert {r["doc_id"] for r in lazy.kept.collect()} == kept_ids
+
+
+def test_prepare_corpus_decontaminates_against_eval_sets(spark):
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        prepare_corpus,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog by the river"),
+        (4, "an entirely different document about spark query planning"),
+        (5, "totally fresh content with no relation to any benchmark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    prep = prepare_corpus(
+        df,
+        dedup_threshold=0.5,
+        eval_sets=evals,
+        decontam_ngram=3,
+        decontam_ratio=0.9,
+        audit=True,
+    )
+    kept_ids = {r["doc_id"] for r in prep.kept.collect()}
+    assert 1 not in kept_ids  # contains the full eval doc -> dropped
+    assert kept_ids == {4, 5}
+    assert prep.n_after_dedup == 3
+    assert prep.n_after_decontam == 2
+    assert prep.kept.columns == df.columns
+
+    # without eval_sets the count stays None and nothing is dropped
+    plain = prepare_corpus(df, dedup_threshold=0.5, audit=True)
+    assert plain.n_after_decontam is None
+    assert {r["doc_id"] for r in plain.kept.collect()} == {1, 4, 5}
