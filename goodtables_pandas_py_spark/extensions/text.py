@@ -259,3 +259,76 @@ def clean_corpus(
     for _, cond in rules:
         keep = ~cond if keep is None else (keep & ~cond)
     return df.where(keep if keep is not None else F.lit(True))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 10,
+    min_chars: int = 6,
+) -> DataFrame:
+    """C4-style cross-document line deduplication: a line whose
+    trimmed form appears in MORE than ``max_docs`` distinct documents
+    is boilerplate (nav bars, cookie banners, license headers) and is
+    removed from EVERY document; each document's remaining lines are
+    reassembled in their original order into ``text_col``. Lines
+    shorter than ``min_chars`` never count (blank lines, lone braces —
+    ubiquitous but not boilerplate evidence) and are always kept.
+
+    Scale shape, in three stages:
+
+    1. boilerplate discovery — explode lines, DISTINCT (line, doc)
+       pairs (map-side combine collapses within-doc repeats), count
+       docs per line: one shuffle whose volume is distinct lines, not
+       text;
+    2. filter — broadcast anti-join of the exploded lines against the
+       (small, by definition: boilerplate is the head of the line
+       frequency distribution) offender set — map-side, no corpus
+       shuffle;
+    3. reassembly — groupBy(id) + order-preserving array_sort on
+       (pos, line) structs: the one full-text shuffle. For inputs
+       bucketed/pre-partitioned by ``id_col`` (sources.write_bucketed)
+       this stage is shuffle-free.
+
+    A document consisting ENTIRELY of removed lines is itself dropped
+    (it was pure boilerplate); documents keeping any line — including
+    blank/short ones — survive with the removed lines stripped.
+    Deterministic; no UDFs anywhere.
+    """
+    if max_docs <= 0:
+        raise ValueError("max_docs must be positive")
+    others = [c for c in df.columns if c != text_col]
+    lines = df.select(
+        *others,
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "__pos", "__line"
+        ),
+    )
+    key = F.trim(F.col("__line"))
+    offenders = (
+        lines.where(F.length(key) >= min_chars)
+        .select(key.alias("__key"), F.col(id_col).alias("__oid"))
+        .distinct()
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+        .where(F.col("__n_docs") > max_docs)
+        .select("__key")
+    )
+    kept = lines.join(
+        F.broadcast(offenders),
+        (key == F.col("__key")) & (F.length(key) >= min_chars),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(*others).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    return rebuilt.select(*df.columns)

@@ -99,3 +99,69 @@ def test_short_docs_and_empty_eval_are_safe(spark, corpus):
     )
     # eval doc shorter than the ngram window contributes no n-grams
     assert contamination_scan(corpus, shorts, ngram=8).count() == 0
+
+
+# --- remove_boilerplate_lines (text.py, same corpus-hygiene family) ------
+
+from goodtables_pandas_py_spark.extensions.text import (  # noqa: E402
+    remove_boilerplate_lines,
+)
+
+
+def _boiler_corpus(spark, n_docs=8):
+    banner = "accept all cookies to continue"
+    rows = []
+    for i in range(n_docs):
+        body = f"unique content of document number {i} goes right here"
+        rows.append((i, f"{banner}\n{body}\n\nfooter {i} fine"))
+    rows.append((100, banner))  # pure-boilerplate doc
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_lines_removed_everywhere(spark):
+    df = _boiler_corpus(spark)
+    out = {r["doc_id"]: r["text"] for r in
+           remove_boilerplate_lines(df, max_docs=3).collect()}
+    assert 100 not in out  # pure boilerplate -> dropped
+    for i in range(8):
+        assert "cookies" not in out[i]
+        assert f"unique content of document number {i}" in out[i]
+        # original line order preserved
+        assert out[i] == (
+            f"unique content of document number {i} goes right here"
+            f"\n\nfooter {i} fine"
+        )
+
+
+def test_rare_lines_survive(spark):
+    df = _boiler_corpus(spark)
+    out = remove_boilerplate_lines(df, max_docs=50)
+    # threshold above corpus size: nothing removed, texts identical
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    want = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert got == want
+
+
+def test_short_lines_never_count_as_boilerplate(spark):
+    rows = [(i, "{\nlong enough unique line %d\n}" % i) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           remove_boilerplate_lines(df, max_docs=2, min_chars=6).collect()}
+    # '{' and '}' appear in all 20 docs but are under min_chars -> kept
+    assert all(t.startswith("{") and t.endswith("}") for t in out.values())
+    assert len(out) == 20
+
+
+def test_boilerplate_rejects_bad_threshold(spark):
+    df = _boiler_corpus(spark)
+    with pytest.raises(ValueError):
+        remove_boilerplate_lines(df, max_docs=0)
+
+
+def test_boilerplate_offender_join_broadcasts(spark):
+    df = _boiler_corpus(spark)
+    plan = (
+        remove_boilerplate_lines(df, max_docs=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan

@@ -202,6 +202,22 @@ def main() -> None:
     ).first()[0]
     timings["sequence_offsets"] = round(time.time() - t0, 2)
 
+    # r5: decontamination at 20x — 100k-doc corpus vs a 500-doc eval
+    # slice. The corpus side must stay a map-side broadcast join; the
+    # cost to watch is the shingle explode (same machinery as minhash)
+    # plus matched-n-gram shuffle rows, which the dup-heavy replicas
+    # make adversarially large.
+    from goodtables_pandas_py_spark.extensions import decontam as xdec
+
+    ev = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    t0 = time.time()
+    sizes["contaminated"] = xdec.contaminated_ids(
+        bd, ev, ngram=3, min_ratio=0.8
+    ).count()
+    timings["contamination_scan"] = round(time.time() - t0, 2)
+
     bls = stringly(
         ensure_parallelism(spark.read.parquet(f"{WORK}/lineitem.parquet"))
     )
