@@ -446,34 +446,43 @@ def _p18(spark, sf_dir):
 
 
 @q(
-    "p19_parse_geopoint",
-    "SELECT CAST(sum((p_partkey % 360) - 180) AS BIGINT) AS sum_lon,"
+    "p19_p20_geo",
+    "SELECT 'geopoint' AS variant,"
+    " CAST(sum((p_partkey % 360) - 180) AS BIGINT) AS sum_lon,"
     " CAST(sum((p_size % 90) - 45) AS BIGINT) AS sum_lat,"
-    " count(*) FILTER (WHERE FALSE) AS n_bad FROM part",
+    " CAST(count(*) AS BIGINT) AS n_valid,"
+    " count(*) FILTER (WHERE FALSE) AS n_bad FROM part"
+    " UNION ALL"
+    " SELECT 'geojson' AS variant, CAST(NULL AS BIGINT) AS sum_lon,"
+    " CAST(NULL AS BIGINT) AS sum_lat,"
+    " count(*) FILTER (WHERE p_partkey % 9 <> 0) AS n_valid,"
+    " count(*) FILTER (WHERE p_partkey % 9 = 0) AS n_bad FROM part",
 )
-def _p19(spark, sf_dir):
+def _p19_p20(spark, sf_dir):
+    """P19 geopoint + P20 geojson in one labeled query (50-entry
+    registry cap — merged r5 to make room for x4_boilerplate).
+    'geopoint' parses 'lon, lat' lexicals into struct<lon,lat> and
+    sums both components; 'geojson' validates JSON + GeoJSON type
+    member with a modulo-synthesized invalid share. Out-of-variant
+    columns are typed NULLs."""
     p = t(spark, sf_dir, "part")
-    raw = F.concat(
+    nul = F.lit(None).cast(_BIG)
+
+    raw_gp = F.concat(
         ((F.col("p_partkey") % 360) - 180).cast("string"),
         F.lit(", "),
         ((F.col("p_size") % 90) - 45).cast("string"),
     )
-    pf = parse_field(raw, Field("v", type="geopoint"))
-    return p.select(pf.parsed.alias("g"), pf.bad.alias("b")).agg(
+    pf_gp = parse_field(raw_gp, Field("v", type="geopoint"))
+    gp = p.select(pf_gp.parsed.alias("g"), pf_gp.bad.alias("b")).agg(
+        F.lit("geopoint").alias("variant"),
         F.sum("g.lon").cast(_BIG).alias("sum_lon"),
         F.sum("g.lat").cast(_BIG).alias("sum_lat"),
+        F.count("g").cast(_BIG).alias("n_valid"),
         F.count_if(F.col("b")).alias("n_bad"),
     )
 
-
-@q(
-    "p20_parse_geojson",
-    "SELECT count(*) FILTER (WHERE p_partkey % 9 <> 0) AS n_valid,"
-    " count(*) FILTER (WHERE p_partkey % 9 = 0) AS n_invalid FROM part",
-)
-def _p20(spark, sf_dir):
-    p = t(spark, sf_dir, "part")
-    raw = F.when(
+    raw_gj = F.when(
         F.col("p_partkey") % 9 != 0,
         F.concat(
             F.lit('{"type": "Point", "coordinates": ['),
@@ -481,11 +490,15 @@ def _p20(spark, sf_dir):
             F.lit(", 10]}"),
         ),
     ).otherwise(F.lit('{"type": "Nope"}'))
-    pf = parse_field(raw, Field("v", type="geojson"))
-    return p.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+    pf_gj = parse_field(raw_gj, Field("v", type="geojson"))
+    gj = p.select(pf_gj.parsed.alias("p"), pf_gj.bad.alias("b")).agg(
+        F.lit("geojson").alias("variant"),
+        nul.alias("sum_lon"),
+        nul.alias("sum_lat"),
         F.count("p").cast(_BIG).alias("n_valid"),
-        F.count_if(F.col("b")).alias("n_invalid"),
+        F.count_if(F.col("b")).alias("n_bad"),
     )
+    return gp.unionByName(gj)
 
 
 @q(
@@ -1986,4 +1999,39 @@ def _x7_contam(spark, sf_dir):
         F.col("n_matched").cast(_BIG),
         F.col("n_eval").cast(_BIG),
         F.round("ratio", 6).alias("ratio"),
+    )
+
+
+@q(
+    "x4_boilerplate",
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(length(text)) AS BIGINT) AS sum_chars,"
+    " min(md5(text)) AS min_md5, max(md5(text)) AS max_md5"
+    " FROM documents GROUP BY source",
+)
+def _x4_boiler(spark, sf_dir):
+    """X4 cross-document boilerplate line removal
+    (extensions/text.py::remove_boilerplate_lines), self-verifying by
+    construction: a banner line is INJECTED at the top of every
+    document (so it recurs corpus-wide, far over max_docs), the
+    operator strips it, and the oracle is simply the UNTOUCHED
+    corpus's per-source stats — count, char volume, and min/max
+    md5(text). The md5 bounds make the check byte-exact: any
+    over-removal, under-removal, or line-order scrambling in
+    reassembly changes a document hash and fails the compare."""
+    from .extensions import text as xtext_mod
+
+    d = t(spark, sf_dir, "documents", wide=True).select(
+        "doc_id", "source", "text"
+    )
+    injected = d.withColumn(
+        "text", F.concat(F.lit("## injected boilerplate banner ##\n"),
+                         F.col("text"))
+    )
+    cleaned = xtext_mod.remove_boilerplate_lines(injected, max_docs=5)
+    return cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
+        F.sum(F.length("text")).cast(_BIG).alias("sum_chars"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
+        F.max(F.md5(F.col("text").cast("binary"))).alias("max_md5"),
     )
