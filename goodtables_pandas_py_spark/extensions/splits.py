@@ -20,7 +20,7 @@ sequential within a packing group):
   component of the near-dup pair graph (via
   :func:`~..dedup.pair_components`), not the document.
 - :func:`sequence_offsets` — token-stream packing: lay documents
-  end-to-end per stream and compute each document's byte… er, TOKEN
+  end-to-end per stream and compute each document's token
   offset and the fixed-length training-sequence ids it spans
   (``first_seq``/``last_seq``). One window aggregate per stream key;
   at scale the stream key (``part_col``) keeps every window a
@@ -276,3 +276,23 @@ def pack_bins(
         .groupBy("__bucket")
         .applyInPandas(_ffd, schema=out_schema)
     )
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on the salted id hash —
+    the reproducible sibling of ``df.sample()`` (which is seed- and
+    partitioning-dependent): the same row is in or out on any engine,
+    cluster size, or rerun, and samples with the same salt NEST
+    (a 1% sample is a subset of the 10% sample — shrink or grow a
+    debug corpus without resampling). Map-only, no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    bound = format(min(int(fraction * _HEX_SPACE), _HEX_SPACE), "08x")
+    if fraction >= 1.0:
+        return df
+    return df.where(hash_bucket(F.col(id_col), salt) < F.lit(bound))

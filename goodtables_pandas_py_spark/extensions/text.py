@@ -332,3 +332,67 @@ def remove_boilerplate_lines(
         ).alias(text_col)
     )
     return rebuilt.select(*df.columns)
+
+
+# --- PII scrubbing --------------------------------------------------------
+
+#: conservative, RE2-compatible (no lookaround/backrefs) patterns so
+#: the SAME regex runs in Spark (Java regex), DuckDB (RE2), and Python
+#: — redaction must be reproducible across engines, like hash_split.
+#: Unanchored variants of the patterns.py format regexes where one
+#: exists.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+",
+    "ipv4": r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b",
+    "phone": r"\+?[0-9][0-9()\-\. ]{6,}[0-9]\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "credit_card": r"\b(?:[0-9][ -]?){15}[0-9]\b",
+}
+
+#: redaction order matters: wider/more-specific patterns first so e.g.
+#: a credit card is not half-eaten by the phone pattern.
+PII_ORDER = ["email", "credit_card", "ssn", "ipv4", "phone"]
+
+
+def redact_pii(
+    text: Column,
+    kinds: list[str] | None = None,
+    token: str = "<{kind}>",
+) -> Column:
+    """Replace PII spans with ``token`` (``{kind}`` substituted):
+    chained ``regexp_replace`` — map-only, codegen, no UDF, and
+    engine-reproducible because every pattern is RE2-compatible.
+    These are pattern heuristics (the public-corpus standard), NOT a
+    guarantee: format-free PII (names, addresses) needs an NER pass,
+    which belongs behind the multimodal-style pluggable UDF surface.
+    """
+    order = [k for k in PII_ORDER if kinds is None or k in kinds]
+    unknown = set(kinds or []) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    out = text
+    for kind in order:
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], token.format(kind=kind)
+        )
+    return out
+
+
+def pii_counts(text: Column, kinds: list[str] | None = None) -> Column:
+    """Struct of per-kind PII match counts (``regexp_count`` — one
+    scan, all kinds): the audit/reporting twin of :func:`redact_pii`.
+    Counts are taken on the SAME text independently per kind, so
+    overlapping patterns (a credit card that also matches the phone
+    shape) count under each kind they match."""
+    order = [k for k in PII_ORDER if kinds is None or k in kinds]
+    unknown = set(kinds or []) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    return F.struct(
+        *[
+            F.coalesce(
+                F.regexp_count(text, F.lit(PII_PATTERNS[k])), F.lit(0)
+            ).alias(k)
+            for k in order
+        ]
+    )

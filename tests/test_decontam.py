@@ -165,3 +165,74 @@ def test_boilerplate_offender_join_broadcasts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+# --- PII redaction (text.py, same corpus-hygiene family) -----------------
+
+from goodtables_pandas_py_spark.extensions.text import (  # noqa: E402
+    PII_PATTERNS,
+    pii_counts,
+    redact_pii,
+)
+
+_PII_DOC = (
+    "contact john.doe+spam@example.co.uk or call +1 (555) 123-4567; "
+    "server 192.168.1.254, ssn 123-45-6789, card 4111 1111 1111 1111."
+)
+
+
+def test_redact_pii_scrubs_every_kind(spark):
+    df = spark.createDataFrame([(1, _PII_DOC)], "doc_id long, text string")
+    out = df.select(redact_pii(F.col("text")).alias("t")).first()["t"]
+    assert "example.co.uk" not in out and "@" not in out
+    assert "555" not in out and "4111" not in out
+    assert "192.168.1.254" not in out and "123-45-6789" not in out
+    for kind in ("email", "phone", "ipv4", "ssn", "credit_card"):
+        assert f"<{kind}>" in out, (kind, out)
+    # non-PII text survives
+    assert out.startswith("contact ") and "server" in out
+
+
+def test_pii_counts_per_kind(spark):
+    df = spark.createDataFrame(
+        [(1, _PII_DOC), (2, "no pii here at all")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["c"] for r in
+            df.select("doc_id", pii_counts(F.col("text")).alias("c")).collect()}
+    assert rows[1]["email"] == 1 and rows[1]["ipv4"] == 1
+    assert rows[1]["ssn"] == 1 and rows[1]["credit_card"] == 1
+    assert rows[1]["phone"] >= 1  # card/ssn digits may also match phone
+    assert all(rows[2][k] == 0 for k in rows[2].asDict())
+
+
+def test_redact_pii_kind_subset_and_unknown(spark):
+    df = spark.createDataFrame([(1, _PII_DOC)], "doc_id long, text string")
+    out = df.select(
+        redact_pii(F.col("text"), kinds=["email"]).alias("t")
+    ).first()["t"]
+    assert "<email>" in out and "192.168.1.254" in out  # ipv4 untouched
+    with pytest.raises(ValueError):
+        df.select(redact_pii(F.col("text"), kinds=["dna"]))
+    with pytest.raises(ValueError):
+        df.select(pii_counts(F.col("text"), kinds=["dna"]))
+
+
+def test_pii_patterns_are_engine_portable(spark):
+    """The reproducibility contract: every pattern must match the SAME
+    spans in DuckDB's RE2 engine as in Spark's Java regex."""
+    import duckdb
+
+    df = spark.createDataFrame([(1, _PII_DOC)], "doc_id long, text string")
+    spark_counts = df.select(pii_counts(F.col("text")).alias("c")).first()["c"]
+    con = duckdb.connect()
+    for kind, pat in PII_PATTERNS.items():
+        [(n,)] = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [_PII_DOC, pat]
+        ).fetchall()
+        assert n == spark_counts[kind], (kind, n, spark_counts[kind])
+
+
+def test_redact_pii_null_safe(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert df.select(redact_pii(F.col("text")).alias("t")).first()["t"] is None

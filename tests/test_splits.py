@@ -305,3 +305,37 @@ def test_pack_bins_property_matches_python(spark, rows, budget, nb):
     got = {r["doc_id"]: (r["bin_id"], r["oversize"]) for r in
            pack_bins(df, budget=budget, num_buckets=nb).collect()}
     assert got == _py_pack_bins(rows, budget, nb)
+
+
+# --- hash_sample ---------------------------------------------------------
+
+from goodtables_pandas_py_spark.extensions.splits import hash_sample  # noqa: E402
+
+
+def test_hash_sample_deterministic_and_nested(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    s10 = {r["doc_id"] for r in hash_sample(docs, 0.10, salt="v").collect()}
+    s10b = {r["doc_id"] for r in hash_sample(docs, 0.10, salt="v").collect()}
+    s50 = {r["doc_id"] for r in hash_sample(docs, 0.50, salt="v").collect()}
+    assert s10 == s10b
+    assert s10 <= s50  # nesting: smaller fraction is a subset
+    n = docs.count()
+    assert 0 < len(s10) < len(s50) < n
+    assert {r["doc_id"] for r in hash_sample(docs, 1.0).collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    assert hash_sample(docs, 0.0).count() == 0
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_hash_sample_matches_python_md5(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    got = {r["doc_id"] for r in hash_sample(docs, 0.25, salt="q").collect()}
+    want = {
+        r["doc_id"]
+        for r in docs.select("doc_id").collect()
+        if hashlib.md5(("q" + str(r["doc_id"])).encode()).hexdigest()[:8]
+        < format(int(0.25 * 16**8), "08x")
+    }
+    assert got == want
