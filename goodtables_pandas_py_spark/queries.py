@@ -376,7 +376,7 @@ def _p14_p15(spark, sf_dir):
 
 
 @q(
-    "p16_p17_year_month",
+    "p16_p18_temporal",
     "SELECT 'year' AS kind, count(*) FILTER (WHERE FALSE) AS n_bad,"
     " CAST(min(year(l_shipdate)) AS BIGINT) AS min_v,"
     " CAST(max(year(l_shipdate)) AS BIGINT) AS max_v,"
@@ -387,12 +387,21 @@ def _p14_p15(spark, sf_dir):
     " CAST(min(year(l_shipdate) * 100 + month(l_shipdate)) AS BIGINT) AS min_v,"
     " CAST(max(year(l_shipdate) * 100 + month(l_shipdate)) AS BIGINT) AS max_v,"
     " CAST(count(DISTINCT year(l_shipdate) * 100 + month(l_shipdate))"
-    " AS BIGINT) AS n_distinct FROM lineitem",
+    " AS BIGINT) AS n_distinct FROM lineitem"
+    " UNION ALL"
+    " SELECT 'duration' AS kind, count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(sum((l_partkey % 5) * 12) AS BIGINT) AS min_v,"
+    " CAST(sum(l_linenumber * 86400 + (l_suppkey % 24) * 3600) AS BIGINT)"
+    " AS max_v, CAST(0 AS BIGINT) AS n_distinct FROM lineitem",
 )
-def _p16_p17(spark, sf_dir):
-    """P16 year + P17 yearmonth parsers in one query (50-entry
-    registry cap). The yearmonth struct<year,month> is pinned via
-    year*100+month min/max/distinct aggregates."""
+def _p16_p18(spark, sf_dir):
+    """P16 year + P17 yearmonth + P18 duration parsers in one labeled
+    query (50-entry registry cap — P18 folded in r5 to make room for
+    x4_pii). The yearmonth struct<year,month> is pinned via
+    year*100+month min/max/distinct aggregates; the 'duration' row
+    reuses the stat columns as labeled sums (min_v=sum of months,
+    max_v=sum of seconds, n_distinct=0) over ISO-8601 lexicals built
+    from modulo rules the oracle recomputes arithmetically."""
     li = t(spark, sf_dir, "lineitem")
 
     pf_y = parse_field(F.date_format("l_shipdate", "yyyy"), Field("v", type="year"))
@@ -417,18 +426,8 @@ def _p16_p17(spark, sf_dir):
         F.max("c").alias("max_v"),
         F.count_distinct("c").alias("n_distinct"),
     )
-    return yr.unionByName(ym)
 
-
-@q(
-    "p18_parse_duration",
-    "SELECT CAST(sum((l_partkey % 5) * 12) AS BIGINT) AS sum_months,"
-    " CAST(sum(l_linenumber * 86400 + (l_suppkey % 24) * 3600) AS DOUBLE)"
-    " AS sum_seconds, count(*) FILTER (WHERE FALSE) AS n_bad FROM lineitem",
-)
-def _p18(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
-    raw = F.concat(
+    raw_dur = F.concat(
         F.lit("P"),
         (F.col("l_partkey") % 5).cast("string"),
         F.lit("Y"),
@@ -437,12 +436,15 @@ def _p18(spark, sf_dir):
         (F.col("l_suppkey") % 24).cast("string"),
         F.lit("H"),
     )
-    pf = parse_field(raw, Field("v", type="duration"))
-    return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
-        F.sum("p.months").cast(_BIG).alias("sum_months"),
-        F.sum("p.seconds").cast("double").alias("sum_seconds"),
+    pf_d = parse_field(raw_dur, Field("v", type="duration"))
+    dur = li.select(pf_d.parsed.alias("p"), pf_d.bad.alias("b")).agg(
+        F.lit("duration").alias("kind"),
         F.count_if(F.col("b")).alias("n_bad"),
+        F.sum("p.months").cast(_BIG).alias("min_v"),
+        F.sum("p.seconds").cast(_BIG).alias("max_v"),
+        F.lit(0).cast(_BIG).alias("n_distinct"),
     )
+    return yr.unionByName(ym).unionByName(dur)
 
 
 @q(
@@ -2034,4 +2036,66 @@ def _x4_boiler(spark, sf_dir):
         F.sum(F.length("text")).cast(_BIG).alias("sum_chars"),
         F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
         F.max(F.md5(F.col("text").cast("binary"))).alias("max_md5"),
+    )
+
+
+@q(
+    "x4_pii",
+    "SELECT source,"
+    " count(*) FILTER (WHERE doc_id % 7 = 0) AS n_email,"
+    " count(*) FILTER (WHERE doc_id % 11 = 0) AS n_ipv4,"
+    " count(*) FILTER (WHERE doc_id % 13 = 0) AS n_ssn,"
+    " count(*) FILTER (WHERE FALSE) AS n_leftover"
+    " FROM documents GROUP BY source",
+)
+def _x4_pii(spark, sf_dir):
+    """X4 PII redaction (extensions/text.py::redact_pii),
+    self-verifying by construction: synthetic PII spans are INJECTED
+    into documents by modulo rules on doc_id (an email for %7, an IPv4
+    for %11, an SSN for %13 — the raw corpus itself is PII-free, which
+    the all-zero pii_counts scan asserts via n_leftover), redact_pii
+    scrubs them, and the query counts redaction tokens per source plus
+    any UN-redacted leftovers. The oracle recomputes the expected
+    counts ARITHMETICALLY from the modulo rules — an independent
+    ground truth — and pins leftovers at zero."""
+    from .extensions import text as xtext_mod
+
+    d = t(spark, sf_dir, "documents", wide=True)
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" mail bob"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" host 10.0."),
+                         (F.col("doc_id") % 200).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" ssn 123-45-6789"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    red = injected.select(
+        "source",
+        xtext_mod.redact_pii(
+            F.col("text"), kinds=["email", "ipv4", "ssn"]
+        ).alias("rt"),
+    )
+    leftover = xtext_mod.pii_counts(
+        F.col("rt"), kinds=["email", "ipv4", "ssn"]
+    )
+    return red.groupBy("source").agg(
+        F.sum(F.regexp_count(F.col("rt"), F.lit("<email>"))).cast(_BIG)
+        .alias("n_email"),
+        F.sum(F.regexp_count(F.col("rt"), F.lit("<ipv4>"))).cast(_BIG)
+        .alias("n_ipv4"),
+        F.sum(F.regexp_count(F.col("rt"), F.lit("<ssn>"))).cast(_BIG)
+        .alias("n_ssn"),
+        F.sum(
+            leftover["email"] + leftover["ipv4"] + leftover["ssn"]
+        ).cast(_BIG).alias("n_leftover"),
     )
