@@ -8,8 +8,10 @@ Stages (each a lazy Spark plan until the final writes):
 1. VALIDATE the raw tables against a Frictionless descriptor
    (single-scan parse + constraints + keys; errors to a report).
 2. PREPARE the documents corpus: quality filter (C4/Gopher-style
-   rules, map-only) then MinHash near-dedup (banded LSH + exact
-   verify) via the one-call prepare_corpus API.
+   rules, map-only), MinHash near-dedup (banded LSH + exact verify),
+   and eval-holdout decontamination (a deterministic hash_sample
+   slice becomes the eval set; training docs overlapping it by
+   n-grams are dropped) via the one-call prepare_corpus API.
 3. INDEX the kept corpus for incremental ingestion: persist the
    banded LSH signatures — later batches dedup against this index
    without rescanning the corpus (see streaming/dedup.py).
@@ -74,14 +76,31 @@ def main() -> int:
         f"errors={report['error-count']}"
     )
 
-    # 2. quality-filter + near-dedup the documents corpus
+    # 2. quality-filter + near-dedup + eval decontamination in one
+    # call: a deterministic 2% slice is carved out as the held-out
+    # eval set, and every training document whose 3-gram overlap
+    # covers an eval doc is dropped (the holdout-decontamination
+    # workflow — eval docs and their near-matches never reach train)
+    from goodtables_pandas_py_spark.extensions.splits import hash_sample
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    prep = prepare_corpus(
-        docs, dedup_threshold=0.5, audit=True, min_tokens=5
+    evals = hash_sample(docs, 0.02, salt="eval-holdout").select(
+        "doc_id", "text"
     )
+    prep = prepare_corpus(
+        docs,
+        dedup_threshold=0.5,
+        eval_sets=evals,
+        decontam_ngram=3,
+        decontam_ratio=0.8,
+        audit=True,
+        min_tokens=5,
+    )
+    evals.write.mode("overwrite").parquet(f"{out}/eval_holdout.parquet")
     print(
         f"corpus: {prep.n_input} in → {prep.n_after_quality} after "
-        f"quality → {prep.n_after_dedup} after dedup"
+        f"quality → {prep.n_after_dedup} after dedup → "
+        f"{prep.n_after_decontam} after eval decontamination"
     )
 
     # 3. persist corpus + LSH index for incremental ingestion
@@ -138,6 +157,7 @@ def main() -> int:
                 "n_input": prep.n_input,
                 "n_after_quality": prep.n_after_quality,
                 "n_after_dedup": prep.n_after_dedup,
+                "n_after_decontam": prep.n_after_decontam,
                 "split_counts": split_counts,
             },
             f,
