@@ -236,3 +236,122 @@ def test_pii_patterns_are_engine_portable(spark):
 def test_redact_pii_null_safe(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     assert df.select(redact_pii(F.col("text")).alias("t")).first()["t"] is None
+
+
+# --- property tests (hypothesis) -----------------------------------------
+
+import hashlib  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_HYGIENE_FAST = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "kappa"]
+_line = st.lists(
+    st.sampled_from(_WORDS), min_size=0, max_size=5
+).map(" ".join)
+_doc = st.lists(_line, min_size=1, max_size=6).map("\n".join)
+
+
+def _py_boilerplate(docs, max_docs, min_chars):
+    """Pure-Python mirror of remove_boilerplate_lines.
+    docs = {id: text}."""
+    from collections import Counter
+
+    freq = Counter()
+    for text in docs.values():
+        keys = {
+            ln.strip()
+            for ln in text.split("\n")
+            if len(ln.strip()) >= min_chars
+        }
+        freq.update(keys)
+    bad = {k for k, n in freq.items() if n > max_docs}
+    out = {}
+    for i, text in docs.items():
+        kept = [
+            ln
+            for ln in text.split("\n")
+            if not (len(ln.strip()) >= min_chars and ln.strip() in bad)
+        ]
+        if kept:
+            out[i] = "\n".join(kept)
+    return out
+
+
+@_HYGIENE_FAST
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=200), _doc, min_size=1, max_size=25
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=12),
+)
+def test_boilerplate_property_matches_python(spark, docs, max_docs, min_chars):
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(
+            df, max_docs=max_docs, min_chars=min_chars
+        ).collect()
+    }
+    assert got == _py_boilerplate(docs, max_docs, min_chars)
+
+
+def _py_contamination(corpus, evals, ngram):
+    """Pure-Python mirror of contamination_scan (no thresholds)."""
+    import re
+
+    def grams(text):
+        toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        toks = [t for t in toks if t != ""]
+        return {
+            " ".join(toks[i : i + ngram])
+            for i in range(len(toks) - ngram + 1)
+        }
+
+    ev = {i: grams(t) for i, t in evals.items()}
+    out = {}
+    for ci, ct in corpus.items():
+        cg = grams(ct)
+        for ei, eg in ev.items():
+            m = len(cg & eg)
+            if m and eg:
+                out[(ci, ei)] = (m, len(eg), m / len(eg))
+    return out
+
+
+@_HYGIENE_FAST
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=100),
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join),
+        min_size=1, max_size=15,
+    ),
+    st.dictionaries(
+        st.integers(min_value=200, max_value=250),
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(" ".join),
+        min_size=1, max_size=5,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_contamination_property_matches_python(spark, corpus, evals, ngram):
+    cdf = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        list(evals.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["corpus_id"], r["eval_id"]): (r["n_matched"], r["n_eval"])
+        for r in contamination_scan(cdf, edf, ngram=ngram).collect()
+    }
+    want = {k: (m, ne) for k, (m, ne, _) in
+            _py_contamination(corpus, evals, ngram).items()}
+    assert got == want
