@@ -232,7 +232,7 @@ class Resource:
     schema: TableSchema | None = None
     dialect: Dialect = dc_field(default_factory=Dialect)
     encoding: str = "utf-8"
-    format: str | None = None  # csv | parquet | inline
+    format: str | None = None  # csv | parquet | json | ndjson/jsonl | inline
     #: inline data [SPEC data-package §resource.data]: array of objects
     #: or array of arrays (first row = header when dialect.header)
     data: Any = None

@@ -827,3 +827,77 @@ def test_events_loader_tolerates_ts_encodings(spark, tmp_path):
         assert dict(df.dtypes)["ts"] == "timestamp_ntz", (d, df.dtypes)
         got = sorted(r["ts"] for r in df.select("ts").collect())
         assert got[0] == base, (d, got)
+
+
+def test_ndjson_resource_validates(spark, tmp_path):
+    """format: ndjson — line-delimited JSON through the all-string
+    reader; nested values re-render as canonical JSON for P14/P15."""
+    import json
+
+    from goodtables_pandas_py_spark.schema import (
+        Field, Resource, TableSchema,
+    )
+    from goodtables_pandas_py_spark.sources import read_resource
+    from goodtables_pandas_py_spark.validate import validate_table
+
+    p = tmp_path / "rows.ndjson"
+    with open(p, "w") as f:
+        for i in range(6):
+            f.write(json.dumps({
+                "id": i,
+                "name": f"row{i}",
+                "score": i * 1.5,
+                "ok": i % 2 == 0,
+                "tags": [i, i + 1],
+            }) + "\n")
+        f.write(json.dumps({"id": None, "name": "bad", "score": "x",
+                            "ok": True, "tags": []}) + "\n")
+    res = Resource(name="r", path=str(p), format="ndjson")
+    df = read_resource(spark, res)
+    assert [t for _, t in df.dtypes] == ["string"] * 5
+    schema = TableSchema(fields=[
+        Field("id", type="integer", constraints={"required": True}),
+        Field("name", type="string"),
+        Field("score", type="number"),
+        Field("ok", type="boolean"),
+        Field("tags", type="array"),
+    ])
+    v = validate_table(df, schema, resource="r")
+    codes = {e.code for e in v.errors}
+    assert "required-constraint" in codes       # null id row
+    assert "type-or-format-error" in codes      # score 'x'
+    assert v.row_count == 7
+    good = v.parsed.where(v.parsed["id"].isNotNull())
+    assert good.count() == 6
+    assert {r["tags"] for r in good.select("tags").collect()} == {
+        f"[{i},{i + 1}]" for i in range(6)
+    }
+
+
+def test_json_table_resource_array_of_objects(spark, tmp_path):
+    import json
+
+    from goodtables_pandas_py_spark.schema import Resource
+    from goodtables_pandas_py_spark.sources import read_resource
+
+    p = tmp_path / "table.json"
+    with open(p, "w") as f:
+        json.dump([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}], f)
+    df = read_resource(spark, Resource(name="r", path=str(p), format="json"))
+    assert df.columns == ["a", "b"]
+    assert [t for _, t in df.dtypes] == ["string", "string"]
+    assert {tuple(r) for r in df.collect()} == {("1", "x"), ("2", "y")}
+
+
+def test_json_table_resource_array_of_arrays_header(spark, tmp_path):
+    import json
+
+    from goodtables_pandas_py_spark.schema import Resource
+    from goodtables_pandas_py_spark.sources import read_resource
+
+    p = tmp_path / "aoa.json"
+    with open(p, "w") as f:
+        json.dump([["id", "name"], [1, "ann"], [2, "bob"]], f)
+    df = read_resource(spark, Resource(name="r", path=str(p), format="json"))
+    assert df.columns == ["id", "name"]
+    assert {tuple(r) for r in df.collect()} == {("1", "ann"), ("2", "bob")}
