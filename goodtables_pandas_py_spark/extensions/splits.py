@@ -235,11 +235,22 @@ def pack_bins(
     if num_buckets <= 0:
         raise ValueError("num_buckets must be positive")
 
+    from pyspark.sql import types as T
+
     bucket = F.pmod(
         F.conv(hash_bucket(F.col(id_col), salt), 16, 10).cast("long"),
         F.lit(num_buckets),
     ).alias("__bucket")
-    out_schema = df.schema.add("bin_id", "long").add("oversize", "boolean")
+    # build a NEW StructType: df.schema returns the DataFrame's cached
+    # schema object and StructType.add mutates in place — appending to
+    # it would corrupt the caller's df.schema with phantom fields
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("oversize", T.BooleanType()),
+        ]
+    )
 
     id_name, tok_name = id_col, token_col
 
@@ -252,7 +263,12 @@ def pack_bins(
         bin_ids = pd.Series(0, index=pdf.index, dtype="int64")
         oversize = pd.Series(False, index=pdf.index, dtype="bool")
         for idx in order:
-            n = int(pdf.at[idx, tok_name])
+            raw = pdf.at[idx, tok_name]
+            # Arrow renders a long column with nulls as float64 NaN in
+            # the pandas batch; treat a null count as 0 tokens (the doc
+            # joins a bin without consuming capacity) instead of
+            # crashing the job
+            n = 0 if pd.isna(raw) else int(raw)
             if n > budget:
                 bins.append(0)  # dedicated, already full
                 bin_ids.at[idx] = b | (len(bins) - 1)

@@ -700,19 +700,27 @@ def _c5_c6(spark, sf_dir):
         F.count_if(~ck.mask).cast(_BIG).alias("n_match"),
         F.count_if(ck.mask).cast(_BIG).alias("n_violation"),
     )
+    # one aggregate exploded into the two labeled rows — referencing
+    # `counts` from two union branches would re-run the full part scan
+    # per branch
     pat_rows = counts.select(
-        F.lit("pattern").alias("variant"),
-        F.lit("match").alias("label"),
-        F.col("n_match").alias("n"),
-        F.lit(True).alias("flag"),
-    ).unionByName(
-        counts.select(
-            F.lit("pattern").alias("variant"),
-            F.lit("violation").alias("label"),
-            F.col("n_violation").alias("n"),
-            F.lit(False).alias("flag"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("pattern").alias("variant"),
+                    F.lit("match").alias("label"),
+                    F.col("n_match").alias("n"),
+                    F.lit(True).alias("flag"),
+                ),
+                F.struct(
+                    F.lit("pattern").alias("variant"),
+                    F.lit("violation").alias("label"),
+                    F.col("n_violation").alias("n"),
+                    F.lit(False).alias("flag"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.variant", "r.label", "r.n", "r.flag")
     return enum_rows.unionByName(pat_rows)
 
 
@@ -940,7 +948,7 @@ def _x4fp(spark, sf_dir):
 
 @q(
     "x4_token_counts",
-    "SELECT source, CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))"
+    "SELECT source, CAST(sum((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END))"
     " AS BIGINT) AS sum_ws_tokens,"
     " CAST(sum(len(regexp_extract_all(text,"
     " $$'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+$$)))"
@@ -967,7 +975,7 @@ def _x4tok(spark, sf_dir):
     "x4_text_profile",
     "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
     " CAST(sum(length(text)) AS BIGINT) AS sum_chars,"
-    " CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)"
+    " CAST(sum((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)) AS BIGINT)"
     " AS sum_tokens FROM documents GROUP BY lang",
 )
 def _x4q(spark, sf_dir):
@@ -1917,7 +1925,7 @@ def _x7_split(spark, sf_dir):
     "x7_pack_sequences",
     "WITH toks AS ("
     " SELECT doc_id, source,"
-    " len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens"
+    " (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens"
     " FROM documents"
     "), seq AS ("
     " SELECT source, n_tokens,"

@@ -395,7 +395,9 @@ def read_resource(spark: SparkSession, resource: Resource) -> DataFrame:
         field_order = (
             resource.schema.field_names if resource.schema else None
         )
-        return read_ndjson_stringly(spark, path, field_order)
+        return read_ndjson_stringly(
+            spark, path, field_order, resource.encoding
+        )
     if fmt == "json":
         # Data Package JSON table: ONE document holding the whole
         # table (array of objects, or array of arrays with a header
@@ -404,9 +406,16 @@ def read_resource(spark: SparkSession, resource: Resource) -> DataFrame:
         # driver-side load is correct; NDJSON is the at-scale format
         import json as _json
 
-        local = path[7:] if path.startswith("file://") else path
-        with open(local, encoding=resource.encoding or "utf-8") as fh:
-            data = _json.load(fh)
+        if "://" in path and not path.startswith("file://"):
+            # hadoop-scheme paths (s3a://, hdfs://, including staged
+            # http resources) are not open()-able on the driver — read
+            # the single document through Spark's Hadoop FS text reader
+            (row,) = spark.read.text(path, wholetext=True).limit(1).collect()
+            data = _json.loads(row[0])
+        else:
+            local = path[7:] if path.startswith("file://") else path
+            with open(local, encoding=resource.encoding or "utf-8") as fh:
+                data = _json.load(fh)
         import dataclasses
 
         return read_inline(
@@ -416,27 +425,63 @@ def read_resource(spark: SparkSession, resource: Resource) -> DataFrame:
 
 
 def read_ndjson_stringly(
-    spark: SparkSession, path: str, field_order: list[str] | None = None
+    spark: SparkSession,
+    path: str,
+    field_order: list[str] | None = None,
+    encoding: str | None = None,
 ) -> DataFrame:
     """Newline-delimited JSON (the training-data interchange format)
     as ALL-STRING columns, so the identical parse pipeline applies
     (S2 semantics: the engine's parsers are the referee, not Spark's
-    schema inference — a column of mixed tokens stays lexical and our
-    parsers decide). Scalars render via string cast (numbers/booleans
-    keep their JSON canonical form; columns with any non-numeric
-    token infer as string and keep the raw lexical); nested arrays/
-    objects re-render via ``to_json`` so P14/P15 fields validate
-    their canonical JSON form with element types intact. NDJSON is
-    line-splittable — this path scales like the CSV reader (one task
-    per split), unlike single-document ``format: json``.
+    schema inference). NDJSON is line-splittable — this path scales
+    like the CSV reader (one task per split), unlike single-document
+    ``format: json``.
 
-    JSON objects are UNORDERED, but Spark's inference surfaces keys
+    Two plans, both yielding only string columns:
+
+    - ``field_order`` given (a schema is declared — the validation
+      norm): ONE pass with a pinned all-string schema, which is also
+      the highest-fidelity read — Spark's JSON parser captures the
+      RAW token text per field (scalars keep their exact lexical
+      form, ``"07"`` stays ``07``; nested arrays/objects arrive as
+      their raw JSON text for P14/P15). The column set comes from the
+      schema ∪ the FIRST record's keys (sniffed like the CSV header
+      — one tiny job), so H1 still sees missing and extra fields;
+      keys first appearing in later records are not discovered —
+      NDJSON has no header, the first record plays that role.
+    - no schema: fall back to full inference (an extra pass over the
+      data — fine for exploration, not the 100 TB path), cast
+      scalars to string, ``to_json`` nested values.
+
+    JSON objects are UNORDERED, but Spark surfaces keys
     alphabetically — which would trip H1's positional
     ``non-matching-header`` check built for CSV. ``field_order``
-    (the schema's field names) restores a canonical order: schema
-    fields first in schema order, then extras (still reported as
-    ``extra-header``); missing schema fields are still missing."""
-    df = spark.read.json(path)
+    restores a canonical order: schema fields first in schema order,
+    then extras."""
+    import json as _json
+
+    reader = spark.read
+    if encoding and encoding.lower() not in ("utf-8", "utf8"):
+        reader = reader.option("encoding", encoding).option("lineSep", "\n")
+
+    if field_order is not None:
+        sniffed: list[str] | None = None
+        try:
+            first = spark.read.text(path).limit(1).collect()
+            rec = _json.loads(first[0][0]) if first else None
+            if isinstance(rec, dict):
+                sniffed = list(rec)
+        except Exception:
+            sniffed = None  # corrupt first line → inference fallback
+        if sniffed is not None:
+            pos = {name: i for i, name in enumerate(field_order)}
+            names = sorted(sniffed, key=lambda k: (pos.get(k, len(pos)), k))
+            pinned = T.StructType(
+                [T.StructField(n, T.StringType()) for n in names]
+            )
+            return reader.schema(pinned).json(path)
+
+    df = reader.json(path)
     fields = [
         f for f in df.schema.fields
         if not f.name.startswith("_corrupt_record")

@@ -339,3 +339,37 @@ def test_hash_sample_matches_python_md5(spark, sf_dir):
         < format(int(0.25 * 16**8), "08x")
     }
     assert got == want
+
+
+def test_pack_bins_does_not_mutate_caller_schema(spark):
+    """Regression: StructType.add mutates in place — building the
+    applyInPandas output schema from df.schema.add() corrupted the
+    CALLER's cached schema with phantom bin_id/oversize fields."""
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    before = df.schema.fieldNames()
+    out1 = pack_bins(df, budget=10, num_buckets=1)
+    assert df.schema.fieldNames() == before
+    # second call on the same frame must work and produce one set of
+    # output columns, not accumulate duplicates
+    out2 = pack_bins(df, budget=10, num_buckets=1)
+    assert out1.columns == out2.columns == [*before, "bin_id", "oversize"]
+    assert out2.count() == 1
+
+
+def test_pack_bins_null_token_count_is_zero(spark):
+    """Arrow renders a long column with nulls as float64 NaN in the
+    pandas batch; a null count must pack as 0 tokens, not crash."""
+    df = spark.createDataFrame(
+        [(1, 100), (2, None), (3, 50)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r for r in
+           pack_bins(df, budget=128, num_buckets=1).collect()}
+    assert len(out) == 3
+    assert not out[2]["oversize"]
+    # null-token doc consumes no capacity: 100 + 50 + 0 fit... 100+50
+    # exceeds 128, so doc 1 and doc 3 split; doc 2 joins the first bin
+    sums = {}
+    for r in out.values():
+        sums.setdefault(r["bin_id"], 0)
+        sums[r["bin_id"]] += r["n_tokens"] or 0
+    assert all(s <= 128 for s in sums.values())

@@ -874,6 +874,38 @@ def test_ndjson_resource_validates(spark, tmp_path):
     }
 
 
+def test_ndjson_declared_schema_single_pass_raw_lexicals(spark, tmp_path):
+    """With a declared schema the reader pins an all-string schema:
+    ONE pass (no inference scan), raw lexical fidelity ('07' stays
+    '07', nested values keep their source text), and H1 still sees
+    missing/extra fields via the first-record key sniff."""
+    import json
+
+    from goodtables_pandas_py_spark.schema import (
+        Field, Resource, TableSchema,
+    )
+    from goodtables_pandas_py_spark.sources import read_resource
+    from goodtables_pandas_py_spark.validate import check_header
+
+    p = tmp_path / "pinned.ndjson"
+    with open(p, "w") as f:
+        f.write(json.dumps({"id": "07", "tags": [1, 2], "surplus": 5}) + "\n")
+        f.write(json.dumps({"id": "08", "tags": [3, 4], "surplus": 6}) + "\n")
+    schema = TableSchema(fields=[
+        Field("id", type="string"),
+        Field("tags", type="array"),
+        Field("ghost", type="integer"),
+    ])
+    res = Resource(name="r", path=str(p), format="ndjson", schema=schema)
+    df = read_resource(spark, res)
+    # schema-ordered columns: declared-present first, extras after
+    assert df.columns == ["id", "tags", "surplus"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["07"]["tags"] == "[1, 2]"  # raw source text, not re-rendered
+    errs = {e.code for e in check_header(df.columns, schema, "r")}
+    assert errs == {"missing-header", "extra-header"}
+
+
 def test_json_table_resource_array_of_objects(spark, tmp_path):
     import json
 
