@@ -373,3 +373,33 @@ def test_pack_bins_null_token_count_is_zero(spark):
         sums.setdefault(r["bin_id"], 0)
         sums[r["bin_id"]] += r["n_tokens"] or 0
     assert all(s <= 128 for s in sums.values())
+
+
+def test_grouped_split_with_real_minhash_pairs_no_leakage(spark, sf_dir):
+    """Integration: near-dup pairs from the real MinHash pipeline must
+    never straddle a split boundary under grouped_hash_split — the
+    leakage guarantee, end to end on the testdata documents."""
+    from goodtables_pandas_py_spark.extensions.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    assert pairs.count() > 0, "testdata should contain near-dups"
+    out = grouped_hash_split(docs, pairs, "doc_id", salt="leak")
+    split_of = out.select("doc_id", "split")
+    straddlers = (
+        pairs.join(
+            split_of.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("split", "split_a"),
+            "id_a",
+        )
+        .join(
+            split_of.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("split", "split_b"),
+            "id_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert straddlers == 0
