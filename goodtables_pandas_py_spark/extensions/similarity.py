@@ -826,3 +826,39 @@ def ivf_topk(
         cosine(F.col(vec_col).cast("array<double>"), qlit).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+# --- storage quantization -------------------------------------------------
+
+
+def quantize_embedding(vec: Column, scale_to: float = 127.0) -> Column:
+    """Symmetric per-vector int8 quantization for embedding STORAGE:
+    struct(scale: float, q: array<tinyint>) with q[i] =
+    round(v[i] / scale * 127), scale = max(|v|). 4× smaller than
+    float32 (16× vs the float64 Spark arrays), which at 100 TB is the
+    difference between an embedding table that fits the cluster and
+    one that doesn't. Pure Column algebra (codegen) — quantize on
+    write, :func:`dequantize_embedding` on read; cosine on the
+    dequantized values is within ~1% of the original for typical
+    embedding distributions (asserted in tests). Null/empty vectors
+    quantize to null."""
+    mx = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    safe = F.when(mx > 0, mx).otherwise(F.lit(1.0))
+    q = F.transform(
+        vec, lambda x: F.round(x / safe * scale_to).cast("tinyint")
+    )
+    return F.when(
+        vec.isNotNull() & (F.size(vec) > 0),
+        F.struct(safe.cast("float").alias("scale"), q.alias("q")),
+    )
+
+
+def dequantize_embedding(qstruct: Column, scale_to: float = 127.0) -> Column:
+    """Inverse of :func:`quantize_embedding`: array<float> ≈ the
+    original vector (quantization error ≤ scale/254 per component)."""
+    return F.transform(
+        qstruct["q"],
+        lambda x: (
+            x.cast("double") * qstruct["scale"] / F.lit(scale_to)
+        ).cast("float"),
+    )

@@ -312,3 +312,26 @@ def hash_sample(
     if fraction >= 1.0:
         return df
     return df.where(hash_bucket(F.col(id_col), salt) < F.lit(bound))
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sample with row-specific keep
+    probability ``weight`` (a Column in [0, 1] — e.g. a quality score,
+    or a per-source rate joined on): keep row ⇔ hash(id) < weight.
+    The quality-weighted corpus selection step ("sample high-quality
+    docs preferentially") as a reproducible map-only filter — same
+    decisions on any engine/rerun, and monotone in the weight: raising
+    a row's weight can only ever ADD it to the sample, so curriculum
+    re-weighting between releases yields nested-ish corpora instead of
+    a full reshuffle. Weights outside [0, 1] clamp."""
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    frac = (
+        F.conv(hash_bucket(F.col(id_col), salt), 16, 10).cast("double")
+        / F.lit(float(_HEX_SPACE))
+    )
+    return df.where(frac < w)

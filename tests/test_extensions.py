@@ -946,3 +946,34 @@ def test_prepare_corpus_decontaminates_against_eval_sets(spark):
     plain = prepare_corpus(df, dedup_threshold=0.5, audit=True)
     assert plain.n_after_decontam is None
     assert {r["doc_id"] for r in plain.kept.collect()} == {1, 4, 5}
+
+
+def test_embedding_quantization_roundtrip_cosine(spark, sf_dir):
+    """int8 quantize/dequantize: 4x smaller storage, cosine within 1%
+    of the original on the real embeddings table; null/empty vectors
+    quantize to null."""
+    from goodtables_pandas_py_spark.extensions.similarity import (
+        cosine,
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    vec = F.col("embedding").cast("array<double>")
+    q = emb.select(
+        "vec_id",
+        vec.alias("v"),
+        dequantize_embedding(quantize_embedding(vec)).alias("dq"),
+    )
+    err = q.select(
+        cosine(
+            F.col("v"), F.col("dq").cast("array<double>")
+        ).alias("cos")
+    ).agg(F.min("cos").alias("worst")).first()["worst"]
+    assert err > 0.99, err
+
+    edge = spark.createDataFrame(
+        [(1, None), (2, [])], "id long, v array<double>"
+    )
+    got = edge.select(quantize_embedding(F.col("v")).alias("q")).collect()
+    assert all(r["q"] is None for r in got)

@@ -403,3 +403,38 @@ def test_grouped_split_with_real_minhash_pairs_no_leakage(spark, sf_dir):
         .count()
     )
     assert straddlers == 0
+
+
+# --- weighted_hash_sample ------------------------------------------------
+
+from goodtables_pandas_py_spark.extensions.splits import (  # noqa: E402
+    weighted_hash_sample,
+)
+
+
+def test_weighted_hash_sample_matches_python_and_is_monotone(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (1.0 / (1 + F.col("doc_id") % 10)).alias("w")
+    )
+    got = {r["doc_id"] for r in
+           weighted_hash_sample(docs, F.col("w"), salt="wq").collect()}
+    want = set()
+    for r in docs.collect():
+        frac = int(hashlib.md5(("wq" + str(r["doc_id"])).encode())
+                   .hexdigest()[:8], 16) / 16**8
+        if frac < r["w"]:
+            want.add(r["doc_id"])
+    assert got == want and 0 < len(got) < docs.count()
+    # monotone: doubling every weight only adds rows
+    more = {r["doc_id"] for r in weighted_hash_sample(
+        docs, F.least(F.col("w") * 2, F.lit(1.0)), salt="wq").collect()}
+    assert got <= more
+
+
+def test_weighted_hash_sample_clamps_weights(spark):
+    df = spark.createDataFrame(
+        [(1, -0.5), (2, 2.0)], "doc_id long, w double"
+    )
+    got = {r["doc_id"] for r in
+           weighted_hash_sample(df, F.col("w")).collect()}
+    assert got == {2}  # w<=0 never kept; w>=1 always kept
