@@ -841,7 +841,11 @@ def quantize_embedding(vec: Column, scale_to: float = 127.0) -> Column:
     write, :func:`dequantize_embedding` on read; cosine on the
     dequantized values is within ~1% of the original for typical
     embedding distributions (asserted in tests). Null/empty vectors
-    quantize to null."""
+    quantize to null. ``scale_to`` must fit int8 (≤ 127) — larger
+    values would wrap in the tinyint cast and silently flip the sign
+    of the largest components."""
+    if not 0 < scale_to <= 127:
+        raise ValueError("scale_to must be in (0, 127]")
     mx = F.array_max(F.transform(vec, lambda x: F.abs(x)))
     safe = F.when(mx > 0, mx).otherwise(F.lit(1.0))
     q = F.transform(

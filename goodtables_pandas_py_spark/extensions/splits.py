@@ -328,8 +328,14 @@ def weighted_hash_sample(
     decisions on any engine/rerun, and monotone in the weight: raising
     a row's weight can only ever ADD it to the sample, so curriculum
     re-weighting between releases yields nested-ish corpora instead of
-    a full reshuffle. Weights outside [0, 1] clamp."""
-    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    a full reshuffle. Weights outside [0, 1] clamp; a NULL weight
+    means keep-probability 0 (the row is dropped) — ``coalesce`` a
+    default rate upstream if rows missing from a joined rate table
+    should survive."""
+    w = F.least(
+        F.greatest(F.coalesce(weight.cast("double"), F.lit(0.0)), F.lit(0.0)),
+        F.lit(1.0),
+    )
     frac = (
         F.conv(hash_bucket(F.col(id_col), salt), 16, 10).cast("double")
         / F.lit(float(_HEX_SPACE))

@@ -409,9 +409,17 @@ def read_resource(spark: SparkSession, resource: Resource) -> DataFrame:
         if "://" in path and not path.startswith("file://"):
             # hadoop-scheme paths (s3a://, hdfs://, including staged
             # http resources) are not open()-able on the driver — read
-            # the single document through Spark's Hadoop FS text reader
-            (row,) = spark.read.text(path, wholetext=True).limit(1).collect()
-            data = _json.loads(row[0])
+            # the single document's BYTES through the Hadoop FS binary
+            # reader and decode with the declared encoding ourselves
+            # (spark.read.text would hardwire UTF-8)
+            rows = spark.sparkContext.binaryFiles(path).take(1)
+            if not rows:
+                raise ValueError(
+                    f"resource {resource.name!r}: empty JSON table at {path}"
+                )
+            data = _json.loads(
+                rows[0][1].decode(resource.encoding or "utf-8")
+            )
         else:
             local = path[7:] if path.startswith("file://") else path
             with open(local, encoding=resource.encoding or "utf-8") as fh:
@@ -440,16 +448,20 @@ def read_ndjson_stringly(
     Two plans, both yielding only string columns:
 
     - ``field_order`` given (a schema is declared — the validation
-      norm): ONE pass with a pinned all-string schema, which is also
-      the highest-fidelity read — Spark's JSON parser captures the
-      RAW token text per field (scalars keep their exact lexical
-      form, ``"07"`` stays ``07``; nested arrays/objects arrive as
-      their raw JSON text for P14/P15). The column set comes from the
-      schema ∪ the FIRST record's keys (sniffed like the CSV header
-      — one tiny job), so H1 still sees missing and extra fields;
-      keys first appearing in later records are not discovered —
-      NDJSON has no header, the first record plays that role.
-    - no schema: fall back to full inference (an extra pass over the
+      norm) and the file is UTF-8: ONE pass with a pinned all-string
+      schema, which is also the highest-fidelity read — Spark's JSON
+      parser captures the RAW token text per field (scalars keep
+      their exact lexical form, ``"07"`` stays ``07``; nested arrays/
+      objects arrive as their raw JSON text for P14/P15). The column
+      set is the DECLARED fields ∪ the first record's keys (sniffed
+      like the CSV header — one tiny job): every declared field is
+      always pinned, so a field absent from sparse early records
+      still reads (absent keys are null — keyed formats have no
+      positional header, missing data surfaces through ``required``
+      rather than ``missing-header``); extra keys first appearing
+      AFTER the first record are not discovered.
+    - no schema (or a non-UTF-8 encoding, where a text-based key
+      sniff can't be trusted): full inference (an extra pass over the
       data — fine for exploration, not the 100 TB path), cast
       scalars to string, ``to_json`` nested values.
 
@@ -461,10 +473,11 @@ def read_ndjson_stringly(
     import json as _json
 
     reader = spark.read
-    if encoding and encoding.lower() not in ("utf-8", "utf8"):
+    utf8 = not encoding or encoding.lower() in ("utf-8", "utf8")
+    if not utf8:
         reader = reader.option("encoding", encoding).option("lineSep", "\n")
 
-    if field_order is not None:
+    if field_order is not None and utf8:
         sniffed: list[str] | None = None
         try:
             first = spark.read.text(path).limit(1).collect()
@@ -475,7 +488,10 @@ def read_ndjson_stringly(
             sniffed = None  # corrupt first line → inference fallback
         if sniffed is not None:
             pos = {name: i for i, name in enumerate(field_order)}
-            names = sorted(sniffed, key=lambda k: (pos.get(k, len(pos)), k))
+            names = list(field_order) + [
+                k for k in sniffed if k not in pos
+            ]
+            names.sort(key=lambda k: (pos.get(k, len(pos)), k))
             pinned = T.StructType(
                 [T.StructField(n, T.StringType()) for n in names]
             )

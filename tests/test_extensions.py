@@ -977,3 +977,14 @@ def test_embedding_quantization_roundtrip_cosine(spark, sf_dir):
     )
     got = edge.select(quantize_embedding(F.col("v")).alias("q")).collect()
     assert all(r["q"] is None for r in got)
+
+
+def test_quantize_embedding_rejects_unrepresentable_scale(spark):
+    from goodtables_pandas_py_spark.extensions.similarity import (
+        quantize_embedding,
+    )
+
+    with pytest.raises(ValueError):
+        quantize_embedding(F.lit(None), scale_to=255.0)
+    with pytest.raises(ValueError):
+        quantize_embedding(F.lit(None), scale_to=0.0)

@@ -438,3 +438,12 @@ def test_weighted_hash_sample_clamps_weights(spark):
     got = {r["doc_id"] for r in
            weighted_hash_sample(df, F.col("w")).collect()}
     assert got == {2}  # w<=0 never kept; w>=1 always kept
+
+
+def test_weighted_hash_sample_null_weight_drops_documentedly(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 1.0)], "doc_id long, w double"
+    )
+    got = {r["doc_id"] for r in
+           weighted_hash_sample(df, F.col("w")).collect()}
+    assert got == {2}

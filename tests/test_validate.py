@@ -877,8 +877,10 @@ def test_ndjson_resource_validates(spark, tmp_path):
 def test_ndjson_declared_schema_single_pass_raw_lexicals(spark, tmp_path):
     """With a declared schema the reader pins an all-string schema:
     ONE pass (no inference scan), raw lexical fidelity ('07' stays
-    '07', nested values keep their source text), and H1 still sees
-    missing/extra fields via the first-record key sniff."""
+    '07', nested values keep their source text). EVERY declared field
+    is pinned — one absent from the (sparse) first record still reads
+    from later records instead of being dropped — and extras sniffed
+    from the first record surface for H1."""
     import json
 
     from goodtables_pandas_py_spark.schema import (
@@ -889,21 +891,27 @@ def test_ndjson_declared_schema_single_pass_raw_lexicals(spark, tmp_path):
 
     p = tmp_path / "pinned.ndjson"
     with open(p, "w") as f:
+        # 'sparse' is ABSENT from the first record — regression: the
+        # pinned schema once came from the sniffed keys only, which
+        # silently dropped the column for the whole file
         f.write(json.dumps({"id": "07", "tags": [1, 2], "surplus": 5}) + "\n")
-        f.write(json.dumps({"id": "08", "tags": [3, 4], "surplus": 6}) + "\n")
+        f.write(json.dumps({"id": "08", "tags": [3, 4], "surplus": 6,
+                            "sparse": "late"}) + "\n")
     schema = TableSchema(fields=[
         Field("id", type="string"),
         Field("tags", type="array"),
-        Field("ghost", type="integer"),
+        Field("sparse", type="string"),
     ])
     res = Resource(name="r", path=str(p), format="ndjson", schema=schema)
     df = read_resource(spark, res)
-    # schema-ordered columns: declared-present first, extras after
-    assert df.columns == ["id", "tags", "surplus"]
+    # schema-ordered columns (all declared fields), extras after
+    assert df.columns == ["id", "tags", "sparse", "surplus"]
     rows = {r["id"]: r for r in df.collect()}
     assert rows["07"]["tags"] == "[1, 2]"  # raw source text, not re-rendered
+    assert rows["07"]["sparse"] is None
+    assert rows["08"]["sparse"] == "late"
     errs = {e.code for e in check_header(df.columns, schema, "r")}
-    assert errs == {"missing-header", "extra-header"}
+    assert errs == {"extra-header"}
 
 
 def test_json_table_resource_array_of_objects(spark, tmp_path):
