@@ -200,6 +200,10 @@ def clean_corpus(
     max_punct_ratio: float = 0.3,
     min_stopword_ratio: float | None = None,
     allowed_langs: list[str] | None = None,
+    max_dup_line_frac: float | None = None,
+    max_dup_line_char_frac: float | None = None,
+    max_dup_2gram_frac: float | None = None,
+    max_dup_3gram_frac: float | None = None,
     with_reasons: bool = False,
 ) -> DataFrame:
     """C4/Gopher-style corpus cleaning in ONE scan: compose the text
@@ -222,7 +226,13 @@ def clean_corpus(
     ``min_stopword_ratio`` defaults off because it is an
     ENGLISH-ONLY signal — enable it together with
     ``allowed_langs=["en"]``; a corpus-wide stopword floor silently
-    drops every non-English document."""
+    drops every non-English document.
+
+    The ``max_dup_*`` thresholds enable Gopher's WITHIN-document
+    repetition rules (:func:`repetition_features`) — e.g.
+    ``max_dup_line_frac=0.3, max_dup_3gram_frac=0.18`` in the
+    published Gopher ranges. Off by default: they add array ops per
+    document, and the right thresholds are corpus-dependent."""
     t = F.col(text_col)
     q = quality_features(t)
     rules: list[tuple[str, Column]] = [
@@ -240,6 +250,18 @@ def clean_corpus(
         rules.append(
             ("lang_not_allowed", ~lang_id(t).isin(*allowed_langs))
         )
+    rep_rules = [
+        ("too_many_dup_lines", "dup_line_frac", max_dup_line_frac),
+        ("too_many_dup_line_chars", "dup_line_char_frac",
+         max_dup_line_char_frac),
+        ("too_many_dup_2grams", "dup_2gram_frac", max_dup_2gram_frac),
+        ("too_many_dup_3grams", "dup_3gram_frac", max_dup_3gram_frac),
+    ]
+    if any(thresh is not None for _, _, thresh in rep_rules):
+        rep = repetition_features(t)
+        for name, field, thresh in rep_rules:
+            if thresh is not None:
+                rules.append((name, rep[field] > thresh))
     # null text fails closed: every rule comparison is null on null
     # input, so fold the null case into an explicit reason
     rules = [(name, F.coalesce(cond, t.isNull())) for name, cond in rules]
@@ -395,4 +417,67 @@ def pii_counts(text: Column, kinds: list[str] | None = None) -> Column:
             ).alias(k)
             for k in order
         ]
+    )
+
+
+# --- intra-document repetition (Gopher repetition rules) ------------------
+
+
+def repetition_features(text: Column) -> Column:
+    """Struct of Gopher-style WITHIN-document repetition signals —
+    the complement of the cross-document filters (near-dup,
+    boilerplate): a single spammy page repeating one paragraph 50
+    times is unique corpus-wide yet worthless. All pure Column
+    algebra over array ops (no shuffle, no UDF):
+
+    - ``dup_line_frac``       — fraction of non-blank lines that are
+      repeats of an earlier line;
+    - ``dup_line_char_frac``  — fraction of non-blank-line CHARACTERS
+      inside such repeated lines (Gopher weighs by mass, so one
+      repeated 5-char line can't condemn a long document);
+    - ``dup_2gram_frac`` / ``dup_3gram_frac`` — fraction of word
+      2-/3-gram occurrences that are repeats (1 − distinct/total).
+
+    Empty/short inputs yield 0.0 for every signal (nothing repeats)."""
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), "\n"),
+                    lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(
+        n_lines > 0, (n_lines - n_dist) / n_lines
+    ).otherwise(F.lit(0.0))
+
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"),
+        lambda acc, ln: acc + F.length(ln),
+    )
+    # chars inside duplicate occurrences = total - chars of one copy
+    # of each distinct line... Gopher counts ALL occurrences of a
+    # duplicated line; we count the repeats beyond the first (same
+    # shape as dup_line_frac, mass-weighted)
+    dist_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"),
+        lambda acc, ln: acc + F.length(ln),
+    )
+    dup_line_char_frac = F.when(
+        total_chars > 0, (total_chars - dist_chars) / total_chars
+    ).otherwise(F.lit(0.0))
+
+    toks = whitespace_tokens(normalize_text(text))
+
+    def dup_ngram(k: int) -> Column:
+        sh = shingles(toks, k)
+        n = F.size(sh)
+        return F.when(
+            n > 0, (n - F.size(F.array_distinct(sh))) / n
+        ).otherwise(F.lit(0.0))
+
+    return F.struct(
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        dup_ngram(2).alias("dup_2gram_frac"),
+        dup_ngram(3).alias("dup_3gram_frac"),
     )

@@ -988,3 +988,50 @@ def test_quantize_embedding_rejects_unrepresentable_scale(spark):
         quantize_embedding(F.lit(None), scale_to=255.0)
     with pytest.raises(ValueError):
         quantize_embedding(F.lit(None), scale_to=0.0)
+
+
+def test_repetition_features_values(spark):
+    from goodtables_pandas_py_spark.extensions.text import (
+        repetition_features,
+    )
+
+    rows = [
+        # 4 non-blank lines, "spam me" (7 chars) repeated 3x -> 2/4
+        # dup lines; chars: total 7*3+25=46, distinct 7+25=32 -> 14/46
+        (1, "spam me\nspam me\nspam me\na much longer unique line"),
+        (2, "all lines\nare different\nhere entirely"),
+        (3, ""),
+        (4, None),
+        # "a b a b a b": 2-grams [ab,ba,ab,ba,ab] -> 5 total 2 distinct
+        (5, "a b a b a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["rep"] for r in df.select(
+        "doc_id", repetition_features(F.col("text")).alias("rep")
+    ).collect()}
+    assert got[1]["dup_line_frac"] == pytest.approx(2 / 4)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(14 / 46)
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["dup_line_frac"] == 0.0 and got[3]["dup_2gram_frac"] == 0.0
+    assert got[4]["dup_line_frac"] == 0.0
+    assert got[5]["dup_2gram_frac"] == pytest.approx(3 / 5)
+    assert got[5]["dup_line_frac"] == 0.0
+
+
+def test_clean_corpus_repetition_rules(spark):
+    from goodtables_pandas_py_spark.extensions.text import clean_corpus
+
+    spammy = "buy now click here\n" * 20 + "ok some real content exists"
+    clean = "\n".join(
+        f"genuinely different sentence number {i} talks about topic {i*7}"
+        for i in range(10)
+    )
+    df = spark.createDataFrame(
+        [(1, spammy), (2, clean)], "doc_id long, text string"
+    )
+    # repetition rules off by default: both kept
+    assert clean_corpus(df).count() == 2
+    out = clean_corpus(df, max_dup_line_frac=0.3, with_reasons=True)
+    got = {r["doc_id"]: (r["keep"], list(r["drop_reasons"])) for r in out.collect()}
+    assert got[1] == (False, ["too_many_dup_lines"])
+    assert got[2][0] is True

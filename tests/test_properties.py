@@ -594,8 +594,14 @@ def test_clean_corpus_matches_python_reference(spark, texts):
     }
 
     punct_re = re.compile(r"[!-/:-@\[-`{-~]")
+    # the ENGINE whitespace contract is ASCII \s (Java regex in Spark,
+    # RE2 in the DuckDB oracles) — Python's str.split() additionally
+    # splits on Unicode spaces like \xa0, so mirror the engine exactly:
+    # trim ASCII spaces, then split on ASCII whitespace runs
+    ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
     for i, t in enumerate(texts):
-        toks = t.split()
+        trimmed = t.strip(" ")
+        toks = [] if trimmed == "" else ascii_ws.split(trimmed)
         n_tok = len(toks)
         n_chars = len(t)
         mean_wl = n_chars / max(n_tok, 1)
