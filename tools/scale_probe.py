@@ -218,6 +218,17 @@ def main() -> None:
     ).count()
     timings["contamination_scan"] = round(time.time() - t0, 2)
 
+    # r5: cross-document boilerplate line removal at 20x — the one
+    # text op with a full-text shuffle (reassembly). Watch the
+    # distinct-(line,doc) count stage and the groupBy(id) rebuild.
+    from goodtables_pandas_py_spark.extensions import text as xtext
+
+    t0 = time.time()
+    sizes["boiler_docs"] = xtext.remove_boilerplate_lines(
+        bd, max_docs=30
+    ).count()
+    timings["remove_boilerplate"] = round(time.time() - t0, 2)
+
     bls = stringly(
         ensure_parallelism(spark.read.parquet(f"{WORK}/lineitem.parquet"))
     )
