@@ -477,3 +477,49 @@ def test_hash_split_runs_on_stream(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == batch.count()
+
+
+def test_streaming_decontamination_foreach_batch(spark, tmp_path):
+    """Streaming ingestion decontamination: each micro-batch anti-joins
+    against contaminated_ids vs a STATIC eval set — the eval n-grams
+    broadcast per batch, no stream-stream join, no state. Batch docs
+    containing an eval doc drop; clean docs pass."""
+    from pyspark.sql import functions as F
+
+    from goodtables_pandas_py_spark.extensions.decontam import (
+        contaminated_ids,
+    )
+
+    evals = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    batch_rows = [
+        (1, "intro text then the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated discussion of catalyst optimizer rules"),
+    ]
+    staged = str(tmp_path / "incoming_decontam")
+    spark.createDataFrame(
+        batch_rows, "doc_id long, text string"
+    ).write.parquet(staged)
+
+    kept_ids: list[set] = []
+
+    def handler(batch_df, batch_id):
+        drop = contaminated_ids(batch_df, evals, ngram=3, min_ratio=0.9)
+        kept = batch_df.join(
+            drop, batch_df["doc_id"] == F.col("corpus_id"), "left_anti"
+        )
+        kept_ids.append({r["doc_id"] for r in kept.collect()})
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(staged)
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = set().union(*kept_ids) if kept_ids else set()
+    assert got == {2}
