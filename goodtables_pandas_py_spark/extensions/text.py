@@ -202,8 +202,8 @@ def clean_corpus(
     allowed_langs: list[str] | None = None,
     max_dup_line_frac: float | None = None,
     max_dup_line_char_frac: float | None = None,
-    max_dup_2gram_frac: float | None = None,
-    max_dup_3gram_frac: float | None = None,
+    max_top_2gram_char_frac: float | None = None,
+    max_top_3gram_char_frac: float | None = None,
     with_reasons: bool = False,
 ) -> DataFrame:
     """C4/Gopher-style corpus cleaning in ONE scan: compose the text
@@ -228,11 +228,13 @@ def clean_corpus(
     ``allowed_langs=["en"]``; a corpus-wide stopword floor silently
     drops every non-English document.
 
-    The ``max_dup_*`` thresholds enable Gopher's WITHIN-document
-    repetition rules (:func:`repetition_features`) — e.g.
-    ``max_dup_line_frac=0.3, max_dup_3gram_frac=0.18`` in the
-    published Gopher ranges. Off by default: they add array ops per
-    document, and the right thresholds are corpus-dependent."""
+    The ``max_dup_*`` / ``max_top_*`` thresholds enable Gopher's
+    WITHIN-document repetition rules (:func:`repetition_features`,
+    computed to Gopher's definitions so its published ranges apply
+    directly) — e.g. ``max_dup_line_frac=0.30,
+    max_dup_line_char_frac=0.20, max_top_2gram_char_frac=0.20,
+    max_top_3gram_char_frac=0.18``. Off by default: they add array
+    ops per document, and thresholds deserve corpus-level review."""
     t = F.col(text_col)
     q = quality_features(t)
     rules: list[tuple[str, Column]] = [
@@ -254,8 +256,10 @@ def clean_corpus(
         ("too_many_dup_lines", "dup_line_frac", max_dup_line_frac),
         ("too_many_dup_line_chars", "dup_line_char_frac",
          max_dup_line_char_frac),
-        ("too_many_dup_2grams", "dup_2gram_frac", max_dup_2gram_frac),
-        ("too_many_dup_3grams", "dup_3gram_frac", max_dup_3gram_frac),
+        ("top_2gram_too_dominant", "top_2gram_char_frac",
+         max_top_2gram_char_frac),
+        ("top_3gram_too_dominant", "top_3gram_char_frac",
+         max_top_3gram_char_frac),
     ]
     if any(thresh is not None for _, _, thresh in rep_rules):
         rep = repetition_features(t)
@@ -327,7 +331,11 @@ def remove_boilerplate_lines(
             "__pos", "__line"
         ),
     )
-    key = F.trim(F.col("__line"))
+    # whitespace-trimmed match key (regex trim: F.trim strips only
+    # ASCII spaces, which would make the same banner line mismatch
+    # between LF and CRLF documents via a trailing '\r'); the raw
+    # __line is what reassembles, so output bytes are untouched
+    key = F.regexp_replace(F.col("__line"), r"^\s+|\s+$", "")
     offenders = (
         lines.where(F.length(key) >= min_chars)
         .select(key.alias("__key"), F.col(id_col).alias("__oid"))
@@ -423,61 +431,115 @@ def pii_counts(text: Column, kinds: list[str] | None = None) -> Column:
 # --- intra-document repetition (Gopher repetition rules) ------------------
 
 
+def _sorted_run_stats(sorted_arr: Column) -> Column:
+    """Over a SORTED string array, one fold computing
+    struct(dup_n, dup_chars, top_chars):
+
+    - ``dup_n``     — total occurrences of items appearing > 1 time
+      (ALL occurrences, the Gopher counting convention);
+    - ``dup_chars`` — characters across those occurrences;
+    - ``top_chars`` — characters across all occurrences of the single
+      most frequent item (count × length).
+
+    Equal items are adjacent after array_sort, so duplicate runs fall
+    out of a linear scan — no per-item grouping needed."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup_n"),
+        F.lit(0).cast("long").alias("dup_chars"),
+        F.lit(0).cast("long").alias("top_chars"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        same = acc["prev"].isNotNull() & (g == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        flush = (~same) & (acc["run"] > 1)  # a duplicate run just ended
+        dup_n = acc["dup_n"] + F.when(flush, acc["run"]).otherwise(0)
+        dup_chars = acc["dup_chars"] + F.when(
+            flush, acc["run"] * F.length(acc["prev"])
+        ).otherwise(0)
+        top = F.greatest(acc["top_chars"], run * F.length(g))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            dup_n.alias("dup_n"),
+            dup_chars.alias("dup_chars"),
+            top.alias("top_chars"),
+        )
+
+    def finish(acc: Column) -> Column:
+        last = acc["run"] > 1
+        return F.struct(
+            (acc["dup_n"] + F.when(last, acc["run"]).otherwise(0)).alias(
+                "dup_n"
+            ),
+            (
+                acc["dup_chars"]
+                + F.when(last, acc["run"] * F.length(acc["prev"])).otherwise(0)
+            ).alias("dup_chars"),
+            acc["top_chars"].alias("top_chars"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
 def repetition_features(text: Column) -> Column:
-    """Struct of Gopher-style WITHIN-document repetition signals —
-    the complement of the cross-document filters (near-dup,
-    boilerplate): a single spammy page repeating one paragraph 50
-    times is unique corpus-wide yet worthless. All pure Column
-    algebra over array ops (no shuffle, no UDF):
+    """Struct of Gopher WITHIN-document repetition signals — the
+    complement of the cross-document filters (near-dup, boilerplate):
+    a single spammy page repeating one paragraph 50 times is unique
+    corpus-wide yet worthless. All pure Column algebra over array ops
+    (no shuffle, no UDF), computed to GOPHER'S definitions so its
+    published thresholds calibrate directly:
 
-    - ``dup_line_frac``       — fraction of non-blank lines that are
-      repeats of an earlier line;
+    - ``dup_line_frac``       — fraction of non-blank lines that
+      belong to a duplicated line (ALL occurrences counted — Gopher's
+      convention; its published range is ~0.30);
     - ``dup_line_char_frac``  — fraction of non-blank-line CHARACTERS
-      inside such repeated lines (Gopher weighs by mass, so one
-      repeated 5-char line can't condemn a long document);
-    - ``dup_2gram_frac`` / ``dup_3gram_frac`` — fraction of word
-      2-/3-gram occurrences that are repeats (1 − distinct/total).
+      inside duplicated lines (~0.20);
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac`` — fraction of
+      normalized-text characters covered by all occurrences of the
+      single most frequent word 2-/3-gram (count × gram length /
+      text length; Gopher's top-n-gram rule, ~0.20 / ~0.18).
 
-    Empty/short inputs yield 0.0 for every signal (nothing repeats)."""
+    Lines split on ``\\r?\\n`` and blank means whitespace-only (a
+    CRLF or tab-indented blank line is NOT a duplicated line).
+    Empty/short inputs yield 0.0 for every signal."""
+    raw_lines = F.split(F.coalesce(text, F.lit("")), r"\r?\n")
     lines = F.filter(
-        F.transform(F.split(F.coalesce(text, F.lit("")), "\n"),
-                    lambda ln: F.trim(ln)),
+        F.transform(
+            raw_lines,
+            lambda ln: F.regexp_replace(ln, r"^\s+|\s+$", ""),
+        ),
         lambda ln: ln != "",
     )
     n_lines = F.size(lines)
-    n_dist = F.size(F.array_distinct(lines))
-    dup_line_frac = F.when(
-        n_lines > 0, (n_lines - n_dist) / n_lines
-    ).otherwise(F.lit(0.0))
-
+    line_stats = _sorted_run_stats(F.array_sort(lines))
     total_chars = F.aggregate(
         lines, F.lit(0).cast("long"),
         lambda acc, ln: acc + F.length(ln),
     )
-    # chars inside duplicate occurrences = total - chars of one copy
-    # of each distinct line... Gopher counts ALL occurrences of a
-    # duplicated line; we count the repeats beyond the first (same
-    # shape as dup_line_frac, mass-weighted)
-    dist_chars = F.aggregate(
-        F.array_distinct(lines), F.lit(0).cast("long"),
-        lambda acc, ln: acc + F.length(ln),
-    )
+    dup_line_frac = F.when(
+        n_lines > 0, line_stats["dup_n"] / n_lines
+    ).otherwise(F.lit(0.0))
     dup_line_char_frac = F.when(
-        total_chars > 0, (total_chars - dist_chars) / total_chars
+        total_chars > 0, line_stats["dup_chars"] / total_chars
     ).otherwise(F.lit(0.0))
 
-    toks = whitespace_tokens(normalize_text(text))
+    normed = normalize_text(text)
+    toks = whitespace_tokens(normed)
+    n_chars = F.greatest(F.length(F.coalesce(normed, F.lit(""))), F.lit(1))
 
-    def dup_ngram(k: int) -> Column:
+    def top_ngram_char_frac(k: int) -> Column:
         sh = shingles(toks, k)
-        n = F.size(sh)
         return F.when(
-            n > 0, (n - F.size(F.array_distinct(sh))) / n
+            F.size(sh) > 0,
+            _sorted_run_stats(F.array_sort(sh))["top_chars"] / n_chars,
         ).otherwise(F.lit(0.0))
 
     return F.struct(
         dup_line_frac.alias("dup_line_frac"),
         dup_line_char_frac.alias("dup_line_char_frac"),
-        dup_ngram(2).alias("dup_2gram_frac"),
-        dup_ngram(3).alias("dup_3gram_frac"),
+        top_ngram_char_frac(2).alias("top_2gram_char_frac"),
+        top_ngram_char_frac(3).alias("top_3gram_char_frac"),
     )

@@ -996,26 +996,34 @@ def test_repetition_features_values(spark):
     )
 
     rows = [
-        # 4 non-blank lines, "spam me" (7 chars) repeated 3x -> 2/4
-        # dup lines; chars: total 7*3+25=46, distinct 7+25=32 -> 14/46
+        # 4 non-blank lines, "spam me" (7 chars) repeated 3x.
+        # Gopher counts ALL occurrences of duplicated lines: 3/4 dup
+        # lines; chars 21 of 46 inside duplicated lines
         (1, "spam me\nspam me\nspam me\na much longer unique line"),
         (2, "all lines\nare different\nhere entirely"),
         (3, ""),
         (4, None),
-        # "a b a b a b": 2-grams [ab,ba,ab,ba,ab] -> 5 total 2 distinct
+        # "a b a b a b": normalized len 11; top 2-gram "a b" occurs
+        # 3x of 5 -> 3*3/11 chars
         (5, "a b a b a b"),
+        # CRLF document with blank lines: '\r' remnants are
+        # whitespace-only, NOT duplicated lines (regression)
+        (6, "first real line\r\n\r\nsecond real line\r\n\r\nthird one\r\n"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["rep"] for r in df.select(
         "doc_id", repetition_features(F.col("text")).alias("rep")
     ).collect()}
-    assert got[1]["dup_line_frac"] == pytest.approx(2 / 4)
-    assert got[1]["dup_line_char_frac"] == pytest.approx(14 / 46)
+    assert got[1]["dup_line_frac"] == pytest.approx(3 / 4)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(21 / 46)
     assert got[2]["dup_line_frac"] == 0.0
-    assert got[3]["dup_line_frac"] == 0.0 and got[3]["dup_2gram_frac"] == 0.0
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["top_2gram_char_frac"] == 0.0
     assert got[4]["dup_line_frac"] == 0.0
-    assert got[5]["dup_2gram_frac"] == pytest.approx(3 / 5)
+    assert got[5]["top_2gram_char_frac"] == pytest.approx(9 / 11)
     assert got[5]["dup_line_frac"] == 0.0
+    assert got[6]["dup_line_frac"] == 0.0
+    assert got[6]["dup_line_char_frac"] == 0.0
 
 
 def test_clean_corpus_repetition_rules(spark):

@@ -520,6 +520,9 @@ def test_streaming_decontamination_foreach_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
+    if not finished:
+        q.stop()  # don't leak a running query into the shared session
+    assert finished, "stream did not finish within the timeout"
     got = set().union(*kept_ids) if kept_ids else set()
     assert got == {2}

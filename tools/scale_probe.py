@@ -221,8 +221,6 @@ def main() -> None:
     # r5: cross-document boilerplate line removal at 20x — the one
     # text op with a full-text shuffle (reassembly). Watch the
     # distinct-(line,doc) count stage and the groupBy(id) rebuild.
-    from goodtables_pandas_py_spark.extensions import text as xtext
-
     t0 = time.time()
     sizes["boiler_docs"] = xtext.remove_boilerplate_lines(
         bd, max_docs=30
