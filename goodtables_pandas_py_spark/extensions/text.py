@@ -184,6 +184,7 @@ def analyze_documents(
         token_count(t, "bpe").alias("n_bpe_tokens"),
         quality_features(t).alias("quality"),
         quality_score(t).alias("quality_score"),
+        repetition_features(t).alias("repetition"),
         lang_id(t).alias("lang_pred"),
         fingerprint_md5(t).alias("fp_md5"),
         rolling_fingerprint(t).alias("fp_rolling"),

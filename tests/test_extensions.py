@@ -1043,3 +1043,18 @@ def test_clean_corpus_repetition_rules(spark):
     got = {r["doc_id"]: (r["keep"], list(r["drop_reasons"])) for r in out.collect()}
     assert got[1] == (False, ["too_many_dup_lines"])
     assert got[2][0] is True
+
+
+def test_analyze_documents_single_projection_with_repetition(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    prof = text.analyze_documents(docs)
+    assert {"n_tokens", "quality", "repetition", "lang_pred"} <= set(
+        prof.columns
+    )
+    row = prof.limit(1).collect()[0]
+    assert set(row["repetition"].asDict()) == {
+        "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+    }
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one map-only projection, no shuffle
