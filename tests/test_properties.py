@@ -620,3 +620,82 @@ def test_clean_corpus_matches_python_reference(spark, texts):
         assert got[i] == (not want_reasons, want_reasons), (
             i, repr(t), got[i], want_reasons,
         )
+
+
+def _py_repetition(t: str) -> tuple:
+    """Pure-Python mirror of text.repetition_features (engine ASCII
+    whitespace contract)."""
+    import re
+    from collections import Counter
+
+    ascii_ws = r"[ \t\n\x0b\f\r]"
+    lines = [
+        re.sub(f"^{ascii_ws}+|{ascii_ws}+$", "", ln)
+        for ln in re.split(r"\r?\n", t or "")
+    ]
+    lines = [ln for ln in lines if ln != ""]
+    n_lines = len(lines)
+    counts = Counter(lines)
+    dup_n = sum(c for c in counts.values() if c > 1)
+    dup_chars = sum(len(k) * c for k, c in counts.items() if c > 1)
+    total_chars = sum(len(ln) for ln in lines)
+    dup_line_frac = dup_n / n_lines if n_lines else 0.0
+    dup_line_char_frac = dup_chars / total_chars if total_chars else 0.0
+
+    normed = re.sub(ascii_ws + "+", " ", (t or "").lower()).strip(" ")
+    toks = [] if normed == "" else normed.split(" ")
+
+    def top_frac(k):
+        if len(toks) < k:
+            return 0.0
+        grams = Counter(
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+        )
+        top = max(len(g) * c for g, c in grams.items())
+        return top / max(len(normed), 1)
+
+    return (dup_line_frac, dup_line_char_frac, top_frac(2), top_frac(3))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("ab x") + ["\t", "\n", "\r", "\x0b", "\f"]
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_repetition_features_match_python_reference(spark, texts):
+    """The sorted-run fold behind repetition_features (dup counts,
+    top-gram chars) must agree with a straightforward Counter-based
+    Python implementation on whitespace-adversarial inputs."""
+    from goodtables_pandas_py_spark.extensions.text import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["rep"]["dup_line_frac"],
+            r["rep"]["dup_line_char_frac"],
+            r["rep"]["top_2gram_char_frac"],
+            r["rep"]["top_3gram_char_frac"],
+        )
+        for r in df.select(
+            "doc_id", repetition_features(F.col("text")).alias("rep")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want = _py_repetition(t)
+        assert got[i] == pytest.approx(want), (i, repr(t), got[i], want)
