@@ -12,9 +12,10 @@ from . import (
     similarity,
     splits,
     text,
+    web,
 )
 
 __all__ = [
     "decontam", "dedup", "multimodal", "pipeline", "similarity",
-    "splits", "text",
+    "splits", "text", "web",
 ]

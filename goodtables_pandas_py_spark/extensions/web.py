@@ -1,0 +1,100 @@
+"""URL/domain operators for web-corpus curation (SURVEY.md §2.9
+family — not in the reference): the blocklist-and-attribution steps a
+crawl-derived training corpus runs before anything else. All pure
+Column algebra over Spark's built-in ``parse_url`` — map-only, no
+UDF; the blocklist join broadcasts (blocklists are thousands of
+domains, the corpus is the big side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: common multi-label public suffixes for the registered-domain
+#: heuristic (a small, public, stable subset — NOT the full Public
+#: Suffix List; see :func:`registered_domain`)
+CC_SLDS = [
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "co.nz", "net.nz", "org.nz",
+    "co.za", "org.za", "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+]
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of a URL (``try_parse_url(url, 'HOST')`` —
+    the fail-soft form: a crawl always contains malformed URLs, and
+    they must become null, not kill the job). Scheme-less inputs
+    ('example.com/x') have no host per RFC parsing — normalize
+    upstream if the corpus mixes bare domains in."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable domain of a host — the unit blocklists target
+    ('foo.bar.example.co.uk' → 'example.co.uk', 'a.b.example.com' →
+    'example.com'). Heuristic: last two labels, or last three when
+    the two-label tail is a known multi-label suffix (:data:`CC_SLDS`
+    — a small public subset, not the full Public Suffix List; hosts
+    under exotic suffixes resolve one label short, which for
+    BLOCKING is the conservative direction: it blocks the wider
+    group). Null/IP-looking hosts pass through unchanged."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    is_ip = host.rlike(r"^[0-9.]+$")
+    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+    last3 = F.concat_ws(".", F.slice(labels, -3, 3))
+    two_label_suffix = last2.isin(*CC_SLDS)
+    return (
+        F.when(host.isNull() | is_ip | (n <= 2), host)
+        .when(two_label_suffix & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable domain straight from a URL column."""
+    return registered_domain(url_host(url))
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: DataFrame | list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose URL's registrable domain appears in
+    ``blocked`` (a one-column DataFrame or a plain list of domains,
+    lowercased). One broadcast anti-join — the corpus never shuffles.
+    Rows with unparseable URLs (null domain) are KEPT (join misses on
+    null); filter ``url_domain(col).isNotNull()`` first to quarantine
+    them instead."""
+    spark = df.sparkSession
+    if isinstance(blocked, list):
+        blocked_df = spark.createDataFrame(
+            [(d.lower(),) for d in blocked], "__blocked_domain string"
+        )
+    else:
+        (col,) = blocked.columns
+        blocked_df = blocked.select(
+            F.lower(F.col(col)).alias("__blocked_domain")
+        )
+    dom = url_domain(F.col(url_col))
+    return df.join(
+        F.broadcast(blocked_df),
+        dom == F.col("__blocked_domain"),
+        "left_anti",
+    )
+
+
+def domain_counts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(domain, n_docs) rollup — the corpus-composition report every
+    crawl release publishes. One map-side-combinable aggregate."""
+    return (
+        df.select(url_domain(F.col(url_col)).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

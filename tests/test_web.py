@@ -1,0 +1,80 @@
+"""extensions/web.py — URL/domain curation operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from goodtables_pandas_py_spark.extensions.web import (
+    domain_counts,
+    filter_blocked_domains,
+    registered_domain,
+    url_domain,
+    url_host,
+)
+
+
+def test_url_host_and_domain(spark):
+    rows = [
+        (1, "https://Blog.Example.COM/post/1?q=x"),
+        (2, "http://deep.sub.example.co.uk/page"),
+        (3, "https://example.com"),
+        (4, "not a url"),
+        (5, None),
+        (6, "http://192.168.0.1/admin"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"]: (r["h"], r["d"]) for r in df.select(
+        "id",
+        url_host(F.col("url")).alias("h"),
+        url_domain(F.col("url")).alias("d"),
+    ).collect()}
+    assert got[1] == ("blog.example.com", "example.com")
+    assert got[2] == ("deep.sub.example.co.uk", "example.co.uk")
+    assert got[3] == ("example.com", "example.com")
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
+    assert got[6] == ("192.168.0.1", "192.168.0.1")  # IPs pass through
+
+
+def test_registered_domain_short_hosts(spark):
+    df = spark.createDataFrame(
+        [("localhost",), ("example.com",), ("co.uk",)], "h string"
+    )
+    got = [r["d"] for r in df.select(
+        registered_domain(F.col("h")).alias("d")
+    ).collect()]
+    assert got == ["localhost", "example.com", "co.uk"]
+
+
+def test_filter_blocked_domains_list_and_df(spark):
+    rows = [
+        (1, "https://spam.example.com/a"),      # blocked (example.com)
+        (2, "https://fine.example.org/b"),      # kept
+        (3, "https://x.bad.co.uk/c"),           # blocked (bad.co.uk)
+        (4, "garbage"),                          # null domain -> kept
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    blocked = ["Example.COM", "bad.co.uk"]
+    kept = {r["id"] for r in
+            filter_blocked_domains(df, blocked).collect()}
+    assert kept == {2, 4}
+    blocked_df = spark.createDataFrame(
+        [(d,) for d in blocked], "domain string"
+    )
+    kept2 = {r["id"] for r in
+             filter_blocked_domains(df, blocked_df).collect()}
+    assert kept2 == kept
+    plan = filter_blocked_domains(df, blocked)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Broadcast" in plan and "SortMergeJoin" not in plan
+
+
+def test_domain_counts(spark):
+    rows = [
+        (1, "https://a.example.com/1"),
+        (2, "https://b.example.com/2"),
+        (3, "https://other.org/3"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["domain"]: r["n_docs"] for r in domain_counts(df).collect()}
+    assert got == {"example.com": 2, "other.org": 1}
