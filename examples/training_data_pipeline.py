@@ -142,11 +142,19 @@ def main() -> int:
         budget=2048,
         part_col="source",
     )
-    write_partitioned(packed, f"{out}/packed.parquet", ["split"])
-    split_counts = {
-        r["split"]: r["n"]
-        for r in packed.groupBy("split").agg(F.count("*").alias("n")).collect()
-    }
+    from goodtables_pandas_py_spark.extensions.pipeline import write_release
+
+    release_manifest = write_release(
+        packed,
+        f"{out}/release",
+        manifest_extra={
+            "split_salt": "release-2026-08",
+            "dedup_threshold": 0.5,
+            "decontam": {"ngram": 3, "min_ratio": 0.8},
+            "pack_budget": 2048,
+        },
+    )
+    split_counts = release_manifest["row_counts"]
     print(f"splits: {split_counts}")
 
     with open(f"{out}/summary.json", "w") as f:

@@ -117,3 +117,49 @@ def prepare_corpus(
         n_after_dedup=deduped.count(),
         n_after_decontam=kept.count() if eval_sets is not None else None,
     )
+
+
+def write_release(
+    df: DataFrame,
+    out_dir: str,
+    split_col: str | None = "split",
+    manifest_extra: dict | None = None,
+) -> dict:
+    """Write a corpus release: parquet (hive-partitioned by
+    ``split_col`` when the column exists — downstream trainers then
+    prune to their split at the file level) plus a ``manifest.json``
+    recording row counts per split, the schema, and any caller
+    metadata (salts, thresholds, eval-set ids — everything needed to
+    reproduce or audit the release). Returns the manifest dict.
+
+    The manifest is driver-side by design: it holds per-release
+    aggregates (a handful of rows), never data. One count job per
+    split partition, one write job."""
+    import json
+    import os
+
+    from ..sources import write_partitioned
+
+    has_split = split_col is not None and split_col in df.columns
+    if has_split:
+        write_partitioned(df, f"{out_dir}/data.parquet", [split_col])
+        counts = {
+            r[split_col]: r["n"]
+            for r in df.groupBy(split_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    else:
+        df.write.mode("overwrite").parquet(f"{out_dir}/data.parquet")
+        counts = {"all": df.count()}
+    manifest = {
+        "row_counts": counts,
+        "n_rows": int(sum(counts.values())),
+        "schema": df.schema.jsonValue(),
+        "partitioned_by": [split_col] if has_split else [],
+        **(manifest_extra or {}),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

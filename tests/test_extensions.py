@@ -1058,3 +1058,35 @@ def test_analyze_documents_single_projection_with_repetition(spark, sf_dir):
     }
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # one map-only projection, no shuffle
+
+
+def test_write_release_manifest_and_partitioning(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        write_release,
+    )
+    from goodtables_pandas_py_spark.extensions.splits import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "release")
+    rel = hash_split(docs.select("doc_id", "text"), salt="rel1")
+    manifest = write_release(
+        rel, out, manifest_extra={"salt": "rel1", "release": "r5-test"}
+    )
+    assert manifest["n_rows"] == docs.count()
+    assert set(manifest["row_counts"]) == {"train", "val", "test"}
+    assert manifest["salt"] == "rel1"
+    # hive layout by split + manifest on disk
+    assert sorted(
+        d for d in os.listdir(f"{out}/data.parquet") if d.startswith("split=")
+    ) == ["split=test", "split=train", "split=val"]
+    with open(f"{out}/manifest.json") as f:
+        assert json.load(f) == manifest
+    # read-back parity
+    back = spark.read.parquet(f"{out}/data.parquet")
+    assert back.count() == manifest["n_rows"]
+    # no split column: single dataset + 'all' count
+    m2 = write_release(docs.select("doc_id"), str(tmp_path / "r2"))
+    assert m2["row_counts"] == {"all": docs.count()}
