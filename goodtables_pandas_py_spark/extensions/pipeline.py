@@ -133,33 +133,54 @@ def write_release(
     reproduce or audit the release). Returns the manifest dict.
 
     The manifest is driver-side by design: it holds per-release
-    aggregates (a handful of rows), never data. One count job per
-    split partition, one write job."""
+    aggregates (a handful of rows), never data. Counts come from
+    READING BACK the written parquet — exact for what's on disk (the
+    upstream plan is not re-executed, so a non-deterministic or
+    since-changed source can't make the manifest lie) and far cheaper
+    than re-running the pipeline. The manifest writes through the
+    Hadoop FS API, so ``out_dir`` may be any scheme the cluster can
+    reach (s3a://, hdfs://, local). Computed manifest keys WIN over
+    ``manifest_extra`` collisions — it is an audit artifact."""
     import json
-    import os
 
     from ..sources import write_partitioned
 
+    spark = df.sparkSession
+    data_path = f"{out_dir}/data.parquet"
     has_split = split_col is not None and split_col in df.columns
     if has_split:
-        write_partitioned(df, f"{out_dir}/data.parquet", [split_col])
+        write_partitioned(df, data_path, [split_col])
+    else:
+        df.write.mode("overwrite").parquet(data_path)
+
+    back = spark.read.parquet(data_path)
+    if has_split:
         counts = {
-            r[split_col]: r["n"]
-            for r in df.groupBy(split_col)
+            # a null split (e.g. a user-joined assignment with misses)
+            # lands in the hive default partition; name it explicitly
+            # rather than crashing json.dump on a None key
+            (r[split_col] if r[split_col] is not None else "__null__"): r["n"]
+            for r in back.groupBy(split_col)
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
     else:
-        df.write.mode("overwrite").parquet(f"{out_dir}/data.parquet")
-        counts = {"all": df.count()}
+        counts = {"all": back.count()}
     manifest = {
+        **(manifest_extra or {}),
         "row_counts": counts,
         "n_rows": int(sum(counts.values())),
         "schema": df.schema.jsonValue(),
         "partitioned_by": [split_col] if has_split else [],
-        **(manifest_extra or {}),
     }
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+
+    payload = json.dumps(manifest, indent=2, sort_keys=True)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/manifest.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(payload.encode("utf-8")))
+    finally:
+        stream.close()
     return manifest

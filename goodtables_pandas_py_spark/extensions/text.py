@@ -439,8 +439,10 @@ def _sorted_run_stats(sorted_arr: Column) -> Column:
     - ``dup_n``     — total occurrences of items appearing > 1 time
       (ALL occurrences, the Gopher counting convention);
     - ``dup_chars`` — characters across those occurrences;
-    - ``top_chars`` — characters across all occurrences of the single
-      most frequent item (count × length).
+    - ``top_chars`` — count × length of the MOST FREQUENT item
+      (Gopher's top-n-gram is selected by frequency; ties break
+      toward the larger character mass so the result is
+      order-independent).
 
     Equal items are adjacent after array_sort, so duplicate runs fall
     out of a linear scan — no per-item grouping needed."""
@@ -449,6 +451,7 @@ def _sorted_run_stats(sorted_arr: Column) -> Column:
         F.lit(0).cast("long").alias("run"),
         F.lit(0).cast("long").alias("dup_n"),
         F.lit(0).cast("long").alias("dup_chars"),
+        F.lit(0).cast("long").alias("top_run"),
         F.lit(0).cast("long").alias("top_chars"),
     )
 
@@ -460,13 +463,19 @@ def _sorted_run_stats(sorted_arr: Column) -> Column:
         dup_chars = acc["dup_chars"] + F.when(
             flush, acc["run"] * F.length(acc["prev"])
         ).otherwise(0)
-        top = F.greatest(acc["top_chars"], run * F.length(g))
+        chars = run * F.length(g)
+        better = (run > acc["top_run"]) | (
+            (run == acc["top_run"]) & (chars > acc["top_chars"])
+        )
         return F.struct(
             g.alias("prev"),
             run.alias("run"),
             dup_n.alias("dup_n"),
             dup_chars.alias("dup_chars"),
-            top.alias("top_chars"),
+            F.when(better, run).otherwise(acc["top_run"]).alias("top_run"),
+            F.when(better, chars).otherwise(acc["top_chars"]).alias(
+                "top_chars"
+            ),
         )
 
     def finish(acc: Column) -> Column:

@@ -30,8 +30,13 @@ def url_host(url: Column) -> Column:
     the fail-soft form: a crawl always contains malformed URLs, and
     they must become null, not kill the job). Scheme-less inputs
     ('example.com/x') have no host per RFC parsing — normalize
-    upstream if the corpus mixes bare domains in."""
-    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+    upstream if the corpus mixes bare domains in. A trailing dot
+    (RFC-legal FQDN form, 'example.com.') is stripped — otherwise
+    every downstream domain comparison silently misses, which for a
+    BLOCKLIST means trivial evasion."""
+    return F.regexp_replace(
+        F.lower(F.try_parse_url(url, F.lit("HOST"))), r"\.$", ""
+    )
 
 
 def registered_domain(host: Column) -> Column:
@@ -51,7 +56,7 @@ def registered_domain(host: Column) -> Column:
     two_label_suffix = last2.isin(*CC_SLDS)
     return (
         F.when(host.isNull() | is_ip | (n <= 2), host)
-        .when(two_label_suffix & (n >= 3), last3)
+        .when(two_label_suffix, last3)  # n >= 3 here by construction
         .otherwise(last2)
     )
 
@@ -67,21 +72,28 @@ def filter_blocked_domains(
     url_col: str = "url",
 ) -> DataFrame:
     """Drop rows whose URL's registrable domain appears in
-    ``blocked`` (a one-column DataFrame or a plain list of domains,
-    lowercased). One broadcast anti-join — the corpus never shuffles.
+    ``blocked`` (a one-column DataFrame or a plain list, lowercased).
+    Blocklist entries are themselves normalized through
+    :func:`registered_domain` — real-world lists (hosts files,
+    URLhaus) mix full hosts like 'www.evil.example.com' with bare
+    domains, and an un-normalized host entry would silently match
+    nothing. One broadcast anti-join — the corpus never shuffles.
     Rows with unparseable URLs (null domain) are KEPT (join misses on
     null); filter ``url_domain(col).isNotNull()`` first to quarantine
     them instead."""
     spark = df.sparkSession
     if isinstance(blocked, list):
-        blocked_df = spark.createDataFrame(
-            [(d.lower(),) for d in blocked], "__blocked_domain string"
+        raw = spark.createDataFrame(
+            [(d,) for d in blocked], "__blocked_raw string"
         )
     else:
         (col,) = blocked.columns
-        blocked_df = blocked.select(
-            F.lower(F.col(col)).alias("__blocked_domain")
-        )
+        raw = blocked.select(F.col(col).alias("__blocked_raw"))
+    blocked_df = raw.select(
+        registered_domain(
+            F.regexp_replace(F.lower(F.col("__blocked_raw")), r"\.$", "")
+        ).alias("__blocked_domain")
+    ).distinct()
     dom = url_domain(F.col(url_col))
     return df.join(
         F.broadcast(blocked_df),

@@ -1090,3 +1090,27 @@ def test_write_release_manifest_and_partitioning(spark, sf_dir, tmp_path):
     # no split column: single dataset + 'all' count
     m2 = write_release(docs.select("doc_id"), str(tmp_path / "r2"))
     assert m2["row_counts"] == {"all": docs.count()}
+
+
+def test_write_release_null_split_and_extra_collision(spark, tmp_path):
+    """Regressions: a null split key must not crash the manifest dump
+    (it lands under '__null__'), and manifest_extra cannot overwrite
+    the audited computed keys."""
+    import json
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        write_release,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "train"), (2, None), (3, "val")], "doc_id long, split string"
+    )
+    out = str(tmp_path / "rel_null")
+    manifest = write_release(
+        df, out, manifest_extra={"n_rows": -999, "note": "kept"}
+    )
+    assert manifest["row_counts"] == {"train": 1, "__null__": 1, "val": 1}
+    assert manifest["n_rows"] == 3      # computed key wins over extra
+    assert manifest["note"] == "kept"
+    with open(f"{out}/manifest.json") as f:
+        assert json.load(f)["n_rows"] == 3

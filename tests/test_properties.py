@@ -651,7 +651,12 @@ def _py_repetition(t: str) -> tuple:
         grams = Counter(
             " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
         )
-        top = max(len(g) * c for g, c in grams.items())
+        # Gopher: the MOST FREQUENT gram (ties -> larger char mass),
+        # chars = count * len — implemented from the spec, not by
+        # mirroring the engine's fold
+        c, top = max(
+            ((c, len(g) * c) for g, c in grams.items()),
+        )
         return top / max(len(normed), 1)
 
     return (dup_line_frac, dup_line_char_frac, top_frac(2), top_frac(3))

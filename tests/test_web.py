@@ -78,3 +78,33 @@ def test_domain_counts(spark):
     df = spark.createDataFrame(rows, "id long, url string")
     got = {r["domain"]: r["n_docs"] for r in domain_counts(df).collect()}
     assert got == {"example.com": 2, "other.org": 1}
+
+
+def test_trailing_dot_fqdn_cannot_evade_blocklist(spark):
+    """Regression: 'https://example.com./x' (RFC-legal trailing dot)
+    once resolved to registrable domain 'com.' and sailed past any
+    blocklist."""
+    df = spark.createDataFrame(
+        [(1, "https://spam.example.com./a"), (2, "https://ok.org/b")],
+        "id long, url string",
+    )
+    doms = {r["id"]: r["d"] for r in df.select(
+        "id", url_domain(F.col("url")).alias("d")).collect()}
+    assert doms[1] == "example.com"
+    kept = {r["id"] for r in
+            filter_blocked_domains(df, ["example.com"]).collect()}
+    assert kept == {2}
+
+
+def test_blocklist_host_entries_normalize_to_domains(spark):
+    """Real blocklists mix full hosts with bare domains; host entries
+    must still block (regression: they silently matched nothing)."""
+    df = spark.createDataFrame(
+        [(1, "https://anything.evil.example.com/x"),
+         (2, "https://clean.example.org/y")],
+        "id long, url string",
+    )
+    kept = {r["id"] for r in filter_blocked_domains(
+        df, ["www.Evil.example.COM."]  # host-style, cased, trailing dot
+    ).collect()}
+    assert kept == {2}
