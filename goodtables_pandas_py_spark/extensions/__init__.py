@@ -11,11 +11,12 @@ from . import (
     pipeline,
     similarity,
     splits,
+    temporal,
     text,
     web,
 )
 
 __all__ = [
     "decontam", "dedup", "multimodal", "pipeline", "similarity",
-    "splits", "text", "web",
+    "splits", "temporal", "text", "web",
 ]
