@@ -599,17 +599,41 @@ def _c1(spark, sf_dir):
 
 
 @q(
-    "c2_unique_violations",
-    "SELECT CAST(l_orderkey AS BIGINT) AS orderkey, count(*) AS n"
-    " FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1",
+    "c2_w1_dups",
+    "SELECT 'c2' AS kind, CAST(l_orderkey AS BIGINT) AS orderkey,"
+    " count(*) AS n"
+    " FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1"
+    " UNION ALL"
+    " SELECT 'w1' AS kind, CAST(l_orderkey AS BIGINT) AS orderkey,"
+    " CAST(count(*) - 1 AS BIGINT) AS n FROM lineitem"
+    " GROUP BY l_orderkey HAVING count(*) > 1",
 )
-def _c2(spark, sf_dir):
+def _c2_w1(spark, sf_dir):
+    """C2 unique-violation counting (groupBy kernel) + W1 duplicate
+    row numbering (ranking-window kernel) in one labeled query
+    (50-entry registry cap — merged r5 to make room for x7_asof).
+    Same dup population, two deliberately different physical
+    implementations, both oracle-checked: 'c2' rows carry the dup
+    count, 'w1' rows the extra-occurrence count derived from
+    row_number."""
+    from pyspark.sql import Window
+
     li = t(spark, sf_dir, "lineitem")
-    return (
+    c2 = (
         li.groupBy(F.col("l_orderkey").cast(_BIG).alias("orderkey"))
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
+        .select(F.lit("c2").alias("kind"), "orderkey", "n")
     )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    w1 = (
+        li.withColumn("rn", F.row_number().over(w))
+        .groupBy(F.col("l_orderkey").cast(_BIG).alias("orderkey"))
+        .agg((F.max("rn") - 1).cast(_BIG).alias("n"))
+        .where(F.col("n") > 0)
+        .select(F.lit("w1").alias("kind"), "orderkey", "n")
+    )
+    return c2.unionByName(w1)
 
 
 @q(
@@ -840,27 +864,6 @@ def _a1(spark, sf_dir):
         F.sum(dec2(F.col("l_extendedprice")) * dec2(1 - F.col("l_discount")))
         .cast("double")
         .alias("sum_disc_price"),
-    )
-
-
-@q(
-    "w1_extra_lines",
-    "SELECT CAST(l_orderkey AS BIGINT) AS orderkey,"
-    " CAST(count(*) - 1 AS BIGINT) AS n_extra FROM lineitem"
-    " GROUP BY l_orderkey HAVING count(*) > 1",
-)
-def _w1(spark, sf_dir):
-    """W1: duplicate-row accounting via a ranking window (the oracle
-    states it as GROUP BY — same result, exercises the window op)."""
-    from pyspark.sql import Window
-
-    li = t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-    return (
-        li.withColumn("rn", F.row_number().over(w))
-        .groupBy(F.col("l_orderkey").cast(_BIG).alias("orderkey"))
-        .agg((F.max("rn") - 1).cast(_BIG).alias("n_extra"))
-        .where(F.col("n_extra") > 0)
     )
 
 
@@ -2106,4 +2109,46 @@ def _x4_pii(spark, sf_dir):
         F.sum(
             leftover["email"] + leftover["ipv4"] + leftover["ssn"]
         ).cast(_BIG).alias("n_leftover"),
+    )
+
+
+@q(
+    "x7_asof",
+    "WITH p AS ("
+    " SELECT user_id, ts, max(value) AS pval FROM events"
+    " WHERE event_type = 'purchase' GROUP BY user_id, ts)"
+    " SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,"
+    " CAST(count(p.pval) AS BIGINT) AS n_matched,"
+    " min(p.pval) AS min_match, max(p.pval) AS max_match,"
+    " strftime(max(p.ts), '%Y-%m-%d %H:%M:%S') AS max_match_ts"
+    " FROM events e ASOF LEFT JOIN p"
+    " ON e.user_id = p.user_id AND e.ts >= p.ts"
+    " GROUP BY e.event_type",
+)
+def _x7_asof(spark, sf_dir):
+    """X7 as-of join (extensions/temporal.py): every event enriched
+    with the user's most recent at-or-before purchase, checked
+    against DuckDB's NATIVE ASOF JOIN — an independent engine
+    implementing the same published semantics, the strongest oracle
+    in the registry. Purchases dedupe to one per (user, ts) first
+    (same-instant winners are implementation-defined on both
+    engines). min/max aggregates keep the compare float-exact
+    (sums would be order-dependent)."""
+    from .extensions.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    en = asof_join(ev, purchases, by=["user_id"])
+    return en.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n_events"),
+        F.count("pval_right").cast(_BIG).alias("n_matched"),
+        F.min("pval_right").alias("min_match"),
+        F.max("pval_right").alias("max_match"),
+        F.date_format(F.max("ts_right"), "yyyy-MM-dd HH:mm:ss").alias(
+            "max_match_ts"
+        ),
     )
