@@ -1,7 +1,9 @@
 """Temporal join operators (SURVEY.md §2.9 family — operators Spark
 lacks natively, re-expressed Spark-first): AS-OF JOIN, the
 time-series/event-enrichment primitive ("each event gets the most
-recent dimension row at or before its timestamp").
+recent dimension row at or before its timestamp"), and RANGE JOIN
+(point-in-interval), the lookup-table primitive ("which validity
+interval / session window / IP block does this row fall in").
 
 Architecture — NOT a join at all: a naive as-of as a range join plans
 as a nested loop (quadratic per key); the classic sort-merge
@@ -107,3 +109,146 @@ def asof_join(
         F.col("__match")[c].alias(f"{c}{suffix}") for c in right_cols
     ]
     return matched.select(*out_cols)
+
+
+def _range_domain(dtype) -> tuple:
+    """(to_num, unit_scale, integral) for a point/bound column type.
+    ``to_num`` maps the column into an orderable numeric domain used
+    ONLY for bin assignment — the range predicate itself always
+    compares the original columns, so the mapping just has to be
+    monotone (it is: unix_micros / datediff / identity)."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return (lambda c: F.unix_micros(c.cast("timestamp")), 1_000_000, True)
+    if isinstance(dtype, DateType):
+        return (lambda c: F.datediff(c, F.lit("1970-01-01")), 1, True)
+    return (lambda c: c, 1, False)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str = "ts",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    bin_width: float | None = None,
+    how: str = "inner",
+    bounds: str = "closed",
+    suffix: str = "_right",
+    max_bins_per_interval: int = 4096,
+) -> DataFrame:
+    """Join each ``points`` row to every ``intervals`` row whose
+    ``[lo, hi]`` contains its ``point_col`` (matching within ``by``
+    keys) — the point-in-interval join Spark plans as a
+    BroadcastNestedLoopJoin (quadratic) when written directly.
+
+    Spark-first shape — BINNED EQUI-JOIN: pick a bin width ``w``,
+    explode each interval into the bins it covers
+    (``sequence(floor(lo/w), floor(hi/w))``), compute each point's
+    single bin, hash-join on ``(by…, bin)``, then apply the exact
+    range predicate as the join's residual condition. Each
+    (point, interval) pair can meet in at most ONE bin (the point's),
+    so no dedup pass is needed. Shuffle volume is
+    ``points + Σ interval_span/w`` rows — linear, and the join is a
+    plain shuffled hash/sort-merge join that AQE can skew-split.
+    This is the same strategy Databricks' range-join optimization
+    and DataFusion's interval libraries use.
+
+    ``bin_width`` is in the point column's units (seconds for
+    timestamps, days for dates); ``None`` estimates it from the mean
+    interval span (one tiny agg job). Pick it near the TYPICAL span:
+    too small explodes wide intervals into many bins (guarded by
+    ``max_bins_per_interval`` — exceeding it raises at runtime rather
+    than silently dropping matches), too large degrades toward
+    everything-in-one-bucket. ``bounds``: "closed" ``[lo,hi]``,
+    "left_closed" ``[lo,hi)``, "right_closed" ``(lo,hi]``, "open".
+    ``how``: "inner" or "left" (unmatched points survive with null
+    interval columns). Intervals with null or inverted bounds match
+    nothing and are dropped; null ``by`` keys never match (plain SQL
+    join-key semantics).
+    """
+    by = by or []
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    cmp_lo = {"closed": ">=", "left_closed": ">=",
+              "right_closed": ">", "open": ">"}.get(bounds)
+    if cmp_lo is None:
+        raise ValueError(f"unknown bounds {bounds!r}")
+    cmp_hi = "<=" if bounds in ("closed", "right_closed") else "<"
+    missing = [c for c in [*by, lo_col, hi_col] if c not in intervals.columns]
+    if missing:
+        raise ValueError(f"intervals side lacks columns {missing}")
+    if right_cols is None:
+        right_cols = [
+            c for c in intervals.columns if c not in {*by, lo_col, hi_col}
+        ]
+
+    to_num, unit_scale, integral = _range_domain(
+        points.schema[point_col].dataType
+    )
+    if bin_width is None:
+        span = intervals.agg(
+            F.avg(to_num(F.col(hi_col)) - to_num(F.col(lo_col)))
+        ).first()[0]
+        w_num = float(span) if span else 1.0
+    else:
+        w_num = float(bin_width) * unit_scale
+    if integral:
+        w = max(1, int(round(w_num)))
+    else:
+        w = max(w_num, 1e-12)
+
+    iv = intervals.where(
+        F.col(lo_col).isNotNull()
+        & F.col(hi_col).isNotNull()
+        & (F.col(lo_col) <= F.col(hi_col))
+    ).select(
+        *[F.col(k).alias(f"__k_{k}") for k in by],
+        F.col(lo_col).alias("__lo"),
+        F.col(hi_col).alias("__hi"),
+        *[F.col(c).alias(f"__p_{c}") for c in right_cols],
+        F.floor(to_num(F.col(lo_col)) / F.lit(w)).alias("__blo"),
+        F.floor(to_num(F.col(hi_col)) / F.lit(w)).alias("__bhi"),
+    )
+    # raise_error (NullType, coerces into the array branch) rather
+    # than a droppable assert column: column pruning cannot elide it
+    iv = iv.withColumn(
+        "__bin",
+        F.explode(
+            F.when(
+                F.col("__bhi") - F.col("__blo") < F.lit(max_bins_per_interval),
+                F.sequence("__blo", "__bhi"),
+            ).otherwise(
+                F.raise_error(F.concat(
+                    F.lit(
+                        "range_join: interval spans more than "
+                        f"{max_bins_per_interval} bins of width "
+                        f"{w / unit_scale!r} — pass a larger bin_width "
+                        "or raise max_bins_per_interval (interval ["
+                    ),
+                    F.col("__lo").cast("string"), F.lit(", "),
+                    F.col("__hi").cast("string"), F.lit("])"),
+                ))
+            ),
+        ),
+    ).drop("__blo", "__bhi")
+
+    pt = points.withColumn(
+        "__pbin", F.floor(to_num(F.col(point_col)) / F.lit(w))
+    )
+    cond = pt["__pbin"] == iv["__bin"]
+    for k in by:
+        cond = cond & (pt[k] == iv[f"__k_{k}"])
+    p = pt[point_col]
+    lo_ok = p > iv["__lo"] if cmp_lo == ">" else p >= iv["__lo"]
+    hi_ok = p < iv["__hi"] if cmp_hi == "<" else p <= iv["__hi"]
+    joined = pt.join(iv, cond & lo_ok & hi_ok, how)
+    return joined.select(
+        *[pt[c] for c in points.columns],
+        iv["__lo"].alias(f"{lo_col}{suffix}"),
+        iv["__hi"].alias(f"{hi_col}{suffix}"),
+        *[iv[f"__p_{c}"].alias(f"{c}{suffix}") for c in right_cols],
+    )

@@ -611,7 +611,7 @@ def _c1(spark, sf_dir):
 def _c2_w1(spark, sf_dir):
     """C2 unique-violation counting (groupBy kernel) + W1 duplicate
     row numbering (ranking-window kernel) in one labeled query
-    (50-entry registry cap — merged r5 to make room for x7_asof).
+    (50-entry registry cap — merged r5 to make room for x7_temporal).
     Same dup population, two deliberately different physical
     implementations, both oracle-checked: 'c2' rows carry the dup
     count, 'w1' rows the extra-occurrence count derived from
@@ -2113,28 +2113,52 @@ def _x4_pii(spark, sf_dir):
 
 
 @q(
-    "x7_asof",
+    "x7_temporal",
     "WITH p AS ("
     " SELECT user_id, ts, max(value) AS pval FROM events"
-    " WHERE event_type = 'purchase' GROUP BY user_id, ts)"
-    " SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,"
+    " WHERE event_type = 'purchase' GROUP BY user_id, ts),"
+    " w AS (SELECT user_id, ts AS lo, ts + INTERVAL 1 HOUR AS hi, pval"
+    " FROM p)"
+    " SELECT 'asof' AS kind, e.event_type,"
+    " CAST(count(*) AS BIGINT) AS n_rows,"
     " CAST(count(p.pval) AS BIGINT) AS n_matched,"
     " min(p.pval) AS min_match, max(p.pval) AS max_match,"
     " strftime(max(p.ts), '%Y-%m-%d %H:%M:%S') AS max_match_ts"
     " FROM events e ASOF LEFT JOIN p"
     " ON e.user_id = p.user_id AND e.ts >= p.ts"
+    " GROUP BY e.event_type"
+    " UNION ALL"
+    " SELECT 'range' AS kind, e.event_type,"
+    " CAST(count(*) AS BIGINT) AS n_rows,"
+    " CAST(count(w.pval) AS BIGINT) AS n_matched,"
+    " min(w.pval) AS min_match, max(w.pval) AS max_match,"
+    " strftime(max(w.lo), '%Y-%m-%d %H:%M:%S') AS max_match_ts"
+    " FROM events e LEFT JOIN w"
+    " ON e.user_id = w.user_id AND e.ts >= w.lo AND e.ts <= w.hi"
     " GROUP BY e.event_type",
 )
-def _x7_asof(spark, sf_dir):
-    """X7 as-of join (extensions/temporal.py): every event enriched
-    with the user's most recent at-or-before purchase, checked
-    against DuckDB's NATIVE ASOF JOIN — an independent engine
-    implementing the same published semantics, the strongest oracle
-    in the registry. Purchases dedupe to one per (user, ts) first
-    (same-instant winners are implementation-defined on both
-    engines). min/max aggregates keep the compare float-exact
-    (sums would be order-dependent)."""
-    from .extensions.temporal import asof_join
+def _x7_temporal(spark, sf_dir):
+    """X7 temporal joins (extensions/temporal.py), both checked
+    against DuckDB running the NATIVE formulation of the same
+    semantics — an independent engine as oracle, the strongest
+    check in the registry:
+
+    - 'asof' rows: every event enriched with the user's most recent
+      at-or-before purchase via ``asof_join`` (union + window, zero
+      join nodes) vs DuckDB's built-in ASOF JOIN.
+    - 'range' rows: every event attributed to the 1-hour
+      post-purchase window(s) it falls in via ``range_join`` (binned
+      equi-join, never a nested loop; bin_width = the 3600 s window
+      span, so each interval explodes into ≤ 2 bins) vs DuckDB's
+      native inequality join. n_rows counts the joined rows, so
+      overlapping windows legitimately multiply — both engines
+      count identically.
+
+    Purchases dedupe to one per (user, ts) first (same-instant
+    winners are implementation-defined on both engines). min/max
+    aggregates keep the compare float-exact (sums would be
+    order-dependent)."""
+    from .extensions.temporal import asof_join, range_join
 
     ev = t(spark, sf_dir, "events")
     purchases = (
@@ -2143,12 +2167,33 @@ def _x7_asof(spark, sf_dir):
         .agg(F.max("value").alias("pval"))
     )
     en = asof_join(ev, purchases, by=["user_id"])
-    return en.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast(_BIG).alias("n_events"),
+    asof_part = en.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n_rows"),
         F.count("pval_right").cast(_BIG).alias("n_matched"),
         F.min("pval_right").alias("min_match"),
         F.max("pval_right").alias("max_match"),
         F.date_format(F.max("ts_right"), "yyyy-MM-dd HH:mm:ss").alias(
             "max_match_ts"
         ),
+    ).select(F.lit("asof").alias("kind"), "*")
+
+    windows = purchases.select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+        "pval",
     )
+    rj = range_join(
+        ev, windows, "ts", "lo", "hi", by=["user_id"],
+        how="left", bin_width=3600.0,
+    )
+    range_part = rj.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n_rows"),
+        F.count("pval_right").cast(_BIG).alias("n_matched"),
+        F.min("pval_right").alias("min_match"),
+        F.max("pval_right").alias("max_match"),
+        F.date_format(F.max("lo_right"), "yyyy-MM-dd HH:mm:ss").alias(
+            "max_match_ts"
+        ),
+    ).select(F.lit("range").alias("kind"), "*")
+    return asof_part.unionByName(range_part)

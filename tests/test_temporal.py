@@ -148,3 +148,162 @@ def test_asof_join_rejects_missing_columns(spark, trades):
     bad = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError):
         asof_join(trades, bad, by=["sym"])
+
+
+# ---------------------------------------------------------------- range_join
+
+from goodtables_pandas_py_spark.extensions.temporal import range_join  # noqa: E402
+
+
+@pytest.fixture()
+def ip_blocks(spark):
+    # keyed interval table with overlaps, touching bounds, an
+    # inverted interval, and a null bound
+    rows = [
+        ("us", 0, 10, "a"), ("us", 10, 20, "b"), ("us", 5, 6, "c"),
+        ("eu", 0, 100, "d"), ("eu", 50, 40, "bad"), ("eu", None, 10, "nul"),
+    ]
+    return spark.createDataFrame(
+        rows, "region string, lo long, hi long, block string"
+    )
+
+
+@pytest.fixture()
+def lookups(spark):
+    rows = [
+        ("us", 10, 1), ("us", 5, 2), ("us", 21, 3),
+        ("eu", 45, 4), ("xx", 5, 5), ("us", None, 6),
+    ]
+    return spark.createDataFrame(rows, "region string, v long, qid long")
+
+
+def _duck_range(ldf, rdf, how, lo_cmp=">=", hi_cmp="<="):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("p", ldf.toPandas())
+    con.register("iv", rdf.toPandas())
+    join = "JOIN" if how == "inner" else "LEFT JOIN"
+    return {
+        tuple(r)
+        for r in con.execute(
+            f"SELECT p.qid, iv.lo, iv.hi, iv.block FROM p {join} iv"
+            f" ON p.region = iv.region AND p.v {lo_cmp} iv.lo"
+            f" AND p.v {hi_cmp} iv.hi"
+        ).fetchall()
+    }
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.parametrize("bin_width", [None, 1, 3, 1000])
+def test_range_join_matches_duckdb(spark, lookups, ip_blocks, how, bin_width):
+    """Engine-grade oracle: DuckDB's native inequality join, across
+    bin widths (results must be bin-width-invariant) and join modes."""
+    got = {
+        (r["qid"], r["lo_right"], r["hi_right"], r["block_right"])
+        for r in range_join(
+            lookups, ip_blocks, "v", "lo", "hi", by=["region"],
+            how=how, bin_width=bin_width,
+        ).collect()
+    }
+    assert got == _duck_range(lookups, ip_blocks, how)
+
+
+@pytest.mark.parametrize(
+    "bounds,lo_cmp,hi_cmp",
+    [("closed", ">=", "<="), ("left_closed", ">=", "<"),
+     ("right_closed", ">", "<="), ("open", ">", "<")],
+)
+def test_range_join_bounds_modes(spark, lookups, ip_blocks, bounds, lo_cmp,
+                                 hi_cmp):
+    got = {
+        (r["qid"], r["lo_right"], r["hi_right"], r["block_right"])
+        for r in range_join(
+            lookups, ip_blocks, "v", "lo", "hi", by=["region"],
+            bounds=bounds, bin_width=2,
+        ).collect()
+    }
+    assert got == _duck_range(lookups, ip_blocks, "inner", lo_cmp, hi_cmp)
+
+
+def test_range_join_property_matches_duckdb(spark):
+    """Randomized parity incl. negative values and double points."""
+    import random
+
+    rng = random.Random(7)
+    pts = [
+        (f"k{rng.randrange(4)}", rng.uniform(-50, 150), i) for i in range(150)
+    ]
+    ivs = []
+    for j in range(60):
+        lo = rng.uniform(-60, 140)
+        ivs.append((f"k{rng.randrange(4)}", lo, lo + rng.uniform(0, 30), j))
+    ldf = spark.createDataFrame(pts, "region string, v double, qid long")
+    rdf = spark.createDataFrame(ivs, "region string, lo double, hi double, block long")
+    got = {
+        (r["qid"], r["lo_right"], r["hi_right"], r["block_right"])
+        for r in range_join(
+            ldf, rdf, "v", "lo", "hi", by=["region"], how="left"
+        ).collect()
+    }
+    assert got == _duck_range(ldf, rdf, "left")
+
+
+def test_range_join_timestamp_domain(spark):
+    """Timestamp points/bounds: bin_width is seconds; predicate
+    compares real timestamps (no float drift)."""
+    from datetime import datetime
+
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1)
+    pts = [(base + timedelta(seconds=s), s) for s in (0, 30, 90, 200)]
+    ivs = [
+        (datetime(2024, 1, 1, 0, 0, 0), datetime(2024, 1, 1, 0, 1, 0), "w1"),
+        (datetime(2024, 1, 1, 0, 1, 30), datetime(2024, 1, 1, 0, 3, 0), "w2"),
+    ]
+    ldf = spark.createDataFrame(pts, "ts timestamp, qid long")
+    rdf = spark.createDataFrame(ivs, "lo timestamp, hi timestamp, name string")
+    got = {
+        (r["qid"], r["name_right"])
+        for r in range_join(
+            ldf, rdf, "ts", "lo", "hi", bin_width=45.0
+        ).collect()
+    }
+    assert got == {(0, "w1"), (30, "w1"), (90, "w2")}
+
+
+def test_range_join_plans_hash_join_not_nested_loop(spark, lookups, ip_blocks):
+    """The whole point: the physical plan must be a shuffled
+    hash/sort-merge equi-join, never BroadcastNestedLoopJoin or
+    CartesianProduct."""
+    plan = (
+        range_join(lookups, ip_blocks, "v", "lo", "hi", by=["region"],
+                   bin_width=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+
+
+def test_range_join_wide_interval_raises(spark, lookups):
+    wide = spark.createDataFrame(
+        [("us", 0, 10_000_000, "huge")],
+        "region string, lo long, hi long, block string",
+    )
+    with pytest.raises(Exception, match="range_join: interval spans"):
+        range_join(
+            lookups, wide, "v", "lo", "hi", by=["region"], bin_width=1,
+            max_bins_per_interval=100,
+        ).collect()
+
+
+def test_range_join_rejects_bad_args(spark, lookups, ip_blocks):
+    with pytest.raises(ValueError, match="how"):
+        range_join(lookups, ip_blocks, "v", "lo", "hi", how="outer")
+    with pytest.raises(ValueError, match="bounds"):
+        range_join(lookups, ip_blocks, "v", "lo", "hi", bounds="sideways")
+    with pytest.raises(ValueError, match="lacks columns"):
+        range_join(lookups, lookups, "v", "lo", "hi")
