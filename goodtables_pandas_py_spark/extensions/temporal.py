@@ -252,3 +252,148 @@ def range_join(
         iv["__hi"].alias(f"{hi_col}{suffix}"),
         *[iv[f"__p_{c}"].alias(f"{c}{suffix}") for c in right_cols],
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str] = ("lo", "hi"),
+    right_bounds: tuple[str, str] = ("lo", "hi"),
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    bin_width: float | None = None,
+    how: str = "inner",
+    left_id: str | None = None,
+    bounds: str = "closed",
+    suffix: str = "_right",
+    max_bins_per_interval: int = 4096,
+) -> DataFrame:
+    """Interval-OVERLAP join: each ``left`` interval row joins every
+    ``right`` interval row it overlaps (within ``by`` keys) —
+    sessions × outages, spans × spans. Directly written this is a
+    nested loop; here it is the same binned equi-join as
+    ``range_join`` plus the classic FIRST-COMMON-BIN dedup: both
+    sides explode into their covered bins, pairs hash-join on
+    ``(by…, bin)``, and a pair is emitted only in bin
+    ``greatest(floor(l_lo/w), floor(r_lo/w))`` — the first bin the
+    two intervals share — so each overlapping pair appears exactly
+    once with no distinct pass.
+
+    ``bounds="closed"`` counts touching endpoints
+    (``l_lo <= r_hi AND r_lo <= l_hi``); ``"open"`` requires strict
+    interior overlap. ``how``: "inner", or "left" which REQUIRES
+    ``left_id`` — a column unique per left row — because left-outer
+    over exploded bins would emit one null row per non-matching bin;
+    instead unmatched lefts (incl. null/inverted bounds) return via a
+    hash anti-join on ``left_id``. Shuffle volume is Σ span/w over
+    both sides.
+    """
+    by = by or []
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how == "left":
+        if left_id is None:
+            raise ValueError(
+                "how='left' requires left_id (a column unique per left "
+                "row) to identify unmatched intervals"
+            )
+        if left_id not in left.columns:
+            raise ValueError(f"left side lacks left_id column {left_id!r}")
+    if bounds not in ("closed", "open"):
+        raise ValueError(f"bounds must be 'closed' or 'open', got {bounds!r}")
+    l_lo, l_hi = left_bounds
+    r_lo, r_hi = right_bounds
+    for df, cols, side in ((left, [*by, l_lo, l_hi], "left"),
+                           (right, [*by, r_lo, r_hi], "right")):
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"{side} side lacks columns {missing}")
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in {*by, r_lo, r_hi}
+        ]
+
+    to_num, unit_scale, integral = _range_domain(left.schema[l_lo].dataType)
+    if bin_width is None:
+        span = right.agg(
+            F.avg(to_num(F.col(r_hi)) - to_num(F.col(r_lo)))
+        ).first()[0]
+        w_num = float(span) if span else 1.0
+    else:
+        w_num = float(bin_width) * unit_scale
+    w = max(1, int(round(w_num))) if integral else max(w_num, 1e-12)
+
+    def binned(df: DataFrame, lo: str, hi: str, prefix: str,
+               payload: list) -> DataFrame:
+        valid = (
+            F.col(lo).isNotNull() & F.col(hi).isNotNull()
+            & (F.col(lo) <= F.col(hi))
+        )
+        blo = F.floor(to_num(F.col(lo)) / F.lit(w))
+        bhi = F.floor(to_num(F.col(hi)) / F.lit(w))
+        # valid+fits -> bins; valid+too-wide -> raise; invalid -> null
+        # (explode drops the row — unmatched lefts come back via the
+        # anti-join branch below, never via explode_outer: left-outer
+        # on EXPLODED rows would emit one null row per non-matching
+        # bin instead of one per interval)
+        seq = F.when(
+            valid & (bhi - blo < F.lit(max_bins_per_interval)),
+            F.sequence(blo, bhi),
+        ).when(
+            valid,
+            F.raise_error(F.concat(
+                F.lit(
+                    "interval_join: interval spans more than "
+                    f"{max_bins_per_interval} bins of width "
+                    f"{w / unit_scale!r} — pass a larger bin_width "
+                    "or raise max_bins_per_interval (interval ["
+                ),
+                F.col(lo).cast("string"), F.lit(", "),
+                F.col(hi).cast("string"), F.lit("])"),
+            )).cast("array<bigint>"),
+        )
+        cols = [
+            *[F.col(k).alias(f"{prefix}k_{k}") for k in by],
+            F.col(lo).alias(f"{prefix}lo"),
+            F.col(hi).alias(f"{prefix}hi"),
+            F.floor(to_num(F.col(lo)) / F.lit(w)).alias(f"{prefix}blo"),
+            *[F.col(c).alias(f"{prefix}p_{c}") for c in payload],
+        ]
+        return df.select(*cols, F.explode(seq).alias(f"{prefix}bin"))
+
+    li = binned(left, l_lo, l_hi, "__l", left.columns)
+    ri = binned(right, r_lo, r_hi, "__r", right_cols)
+
+    cond = li["__lbin"] == ri["__rbin"]
+    for k in by:
+        cond = cond & (li[f"__lk_{k}"] == ri[f"__rk_{k}"])
+    if bounds == "closed":
+        overlap = (li["__llo"] <= ri["__rhi"]) & (ri["__rlo"] <= li["__lhi"])
+    else:
+        overlap = (li["__llo"] < ri["__rhi"]) & (ri["__rlo"] < li["__lhi"])
+    first_common = li["__lbin"] == F.greatest(li["__lblo"], ri["__rblo"])
+    inner = li.join(ri, cond & overlap & first_common, "inner").select(
+        *[li[f"__lp_{c}"].alias(c) for c in left.columns],
+        ri["__rlo"].alias(f"{r_lo}{suffix}"),
+        ri["__rhi"].alias(f"{r_hi}{suffix}"),
+        *[ri[f"__rp_{c}"].alias(f"{c}{suffix}") for c in right_cols],
+    )
+    if how == "inner":
+        return inner
+    # left-outer: one null row per UNMATCHED left row — identified by
+    # left_id (hash anti-join), since the exploded inner join has no
+    # per-interval identity to dedupe null rows on
+    matched_ids = inner.select(F.col(left_id).alias("__mid")).distinct()
+    unmatched = left.join(
+        matched_ids, left[left_id] == matched_ids["__mid"], "left_anti"
+    )
+    null_right = unmatched.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(None).cast(right.schema[r_lo].dataType).alias(
+            f"{r_lo}{suffix}"),
+        F.lit(None).cast(right.schema[r_hi].dataType).alias(
+            f"{r_hi}{suffix}"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in right_cols],
+    )
+    return inner.unionByName(null_right)

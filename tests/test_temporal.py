@@ -307,3 +307,127 @@ def test_range_join_rejects_bad_args(spark, lookups, ip_blocks):
         range_join(lookups, ip_blocks, "v", "lo", "hi", bounds="sideways")
     with pytest.raises(ValueError, match="lacks columns"):
         range_join(lookups, lookups, "v", "lo", "hi")
+
+
+# -------------------------------------------------------------- interval_join
+
+from goodtables_pandas_py_spark.extensions.temporal import interval_join  # noqa: E402
+
+
+@pytest.fixture()
+def sessions(spark):
+    rows = [
+        ("u1", 0, 10, 1), ("u1", 5, 25, 2), ("u1", 40, 41, 3),
+        ("u2", 0, 100, 4), ("u2", 50, 40, 5),   # inverted -> matches nothing
+    ]
+    return spark.createDataFrame(rows, "user string, lo long, hi long, sid long")
+
+
+@pytest.fixture()
+def outages(spark):
+    rows = [
+        ("u1", 8, 12, "o1"), ("u1", 24, 30, "o2"), ("u1", 41, 50, "o3"),
+        ("u2", 99, 200, "o4"), ("u2", None, 5, "onull"),
+    ]
+    return spark.createDataFrame(rows, "user string, lo long, hi long, oid string")
+
+
+def _duck_overlap(ldf, rdf, how, op="<="):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("l", ldf.toPandas())
+    con.register("r", rdf.toPandas())
+    join = "JOIN" if how == "inner" else "LEFT JOIN"
+    return {
+        tuple(t)
+        for t in con.execute(
+            f"SELECT l.sid, r.oid FROM l {join} r"
+            f" ON l.user = r.user AND l.lo {op} r.hi AND r.lo {op} l.hi"
+        ).fetchall()
+    }
+
+
+@pytest.mark.parametrize("bin_width", [None, 1, 7, 1000])
+def test_interval_join_matches_duckdb(spark, sessions, outages, bin_width):
+    """Each overlapping pair exactly once, across bin widths — the
+    first-common-bin dedup at work (session u1#2 spans bins shared
+    with o1 under small widths)."""
+    rows = interval_join(
+        sessions, outages, ("lo", "hi"), ("lo", "hi"), by=["user"],
+        bin_width=bin_width,
+    ).collect()
+    got = [(r["sid"], r["oid_right"]) for r in rows]
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+    assert set(got) == _duck_overlap(sessions, outages, "inner")
+
+
+def test_interval_join_left_semantics(spark, sessions, outages):
+    """how='left': every left row exactly once when unmatched —
+    including multi-bin unmatched intervals and invalid bounds."""
+    rows = interval_join(
+        sessions, outages, ("lo", "hi"), ("lo", "hi"), by=["user"],
+        how="left", left_id="sid", bin_width=2,
+    ).collect()
+    got = {(r["sid"], r["oid_right"]) for r in rows}
+    assert got == _duck_overlap(sessions, outages, "left")
+    # the inverted-bounds session survives as unmatched, exactly once
+    assert sum(1 for r in rows if r["sid"] == 5) == 1
+
+
+def test_interval_join_open_bounds(spark, sessions, outages):
+    got = {
+        (r["sid"], r["oid_right"])
+        for r in interval_join(
+            sessions, outages, ("lo", "hi"), ("lo", "hi"), by=["user"],
+            bounds="open", bin_width=3,
+        ).collect()
+    }
+    assert got == _duck_overlap(sessions, outages, "inner", op="<")
+    # touching endpoints (session 40-41 vs outage 41-50) excluded
+    assert (3, "o3") not in got
+
+
+def test_interval_join_property_matches_duckdb(spark):
+    import random
+
+    rng = random.Random(11)
+    ls, rs = [], []
+    for i in range(80):
+        lo = rng.uniform(-40, 90)
+        ls.append((f"k{rng.randrange(3)}", lo, lo + rng.uniform(0, 25), i))
+    for j in range(60):
+        lo = rng.uniform(-50, 100)
+        rs.append((f"k{rng.randrange(3)}", lo, lo + rng.uniform(0, 10), f"o{j}"))
+    ldf = spark.createDataFrame(ls, "user string, lo double, hi double, sid long")
+    rdf = spark.createDataFrame(rs, "user string, lo double, hi double, oid string")
+    got = [
+        (r["sid"], r["oid_right"])
+        for r in interval_join(
+            ldf, rdf, ("lo", "hi"), ("lo", "hi"), by=["user"],
+            how="left", left_id="sid",
+        ).collect()
+    ]
+    assert len(got) == len(set(got))
+    assert set(got) == _duck_overlap(ldf, rdf, "left")
+
+
+def test_interval_join_plans_hash_join(spark, sessions, outages):
+    plan = (
+        interval_join(sessions, outages, ("lo", "hi"), ("lo", "hi"),
+                      by=["user"], bin_width=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_join_rejects_bad_args(spark, sessions, outages):
+    with pytest.raises(ValueError, match="left_id"):
+        interval_join(sessions, outages, ("lo", "hi"), ("lo", "hi"),
+                      how="left")
+    with pytest.raises(ValueError, match="lacks left_id"):
+        interval_join(sessions, outages, ("lo", "hi"), ("lo", "hi"),
+                      how="left", left_id="nope")
+    with pytest.raises(ValueError, match="lacks columns"):
+        interval_join(sessions, outages, ("lo", "wrong"), ("lo", "hi"))
