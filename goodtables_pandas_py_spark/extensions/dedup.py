@@ -352,24 +352,34 @@ def pair_components(
     workloads is far smaller than the corpus. Halving makes the round
     count O(log diameter) instead of O(diameter): a 64-node chain
     converges in ~6 rounds where one-hop alone needs 63 (asserted in
-    test_extensions). The lineage is truncated per iteration with
-    localCheckpoint (eager, executor-local) so the plan stays O(1)
-    deep instead of compounding per round; a 1000-executor deployment
-    wanting fault-tolerant lineage should set a checkpoint dir and
-    swap in ``df.checkpoint()``. The fixpoint test is an empty-diff
-    check per round, and hitting ``max_iter`` without convergence
-    raises rather than silently returning partial labels."""
+    test_extensions). The lineage is truncated per iteration so the
+    plan stays O(1) deep instead of compounding per round — with
+    RELIABLE ``checkpoint()`` when the context has a checkpoint dir
+    configured (``sc.setCheckpointDir``; executor loss mid-fixpoint
+    recovers from storage), else executor-local ``localCheckpoint()``
+    (fine on local[_]; docs/TUNING.md tells cluster deployments to
+    set the dir). The fixpoint test is an empty-diff check per round,
+    and hitting ``max_iter`` without convergence raises rather than
+    silently returning partial labels."""
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable \
+            else df.localCheckpoint()
+
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint()
-    labels = (
+    edges = _truncate(
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    labels = _truncate(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         prop = (
@@ -388,7 +398,7 @@ def pair_components(
         parent = hopped.select(
             F.col("id").alias("component"), F.col("component").alias("gp")
         )
-        new = (
+        new = _truncate(
             hopped.join(parent, "component", "left")
             .select(
                 "id",
@@ -396,7 +406,6 @@ def pair_components(
                     F.col("component"), F.coalesce(F.col("gp"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
         changed = (
             new.join(

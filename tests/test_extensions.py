@@ -1114,3 +1114,35 @@ def test_write_release_null_split_and_extra_collision(spark, tmp_path):
     assert manifest["note"] == "kept"
     with open(f"{out}/manifest.json") as f:
         assert json.load(f)["n_rows"] == 3
+
+
+def test_pair_components_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """docs/TUNING.md promise: with sc.setCheckpointDir configured,
+    lineage truncation goes through reliable checkpoint() (survives
+    executor loss) — verified by checkpoint files landing in the dir;
+    results identical to the localCheckpoint path."""
+    import os
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.pair_components(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        ckpt_files = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(ckpt) for f in files
+        ]
+        assert ckpt_files, "no reliable checkpoint files written"
+    finally:
+        # restore: other tests assume the local-checkpoint path
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )

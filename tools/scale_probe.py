@@ -227,6 +227,39 @@ def main() -> None:
     ).count()
     timings["remove_boilerplate"] = round(time.time() - t0, 2)
 
+    # r5: temporal joins at scale — 2M points x 100k dim/interval rows
+    # over 1k keys (deterministic hash timestamps, domain 1e8).
+    # asof_join is one hash shuffle + partition-local sort (~2.1k
+    # rows/key here); range_join's exploded side is ~2 bins/interval
+    # at bin_width=span, so shuffle volume stays ~points + 2*intervals.
+    # Super-linear time here means the union+window or binning shape
+    # regressed.
+    from goodtables_pandas_py_spark.extensions import temporal as xtemp
+
+    pts = spark.range(2_000_000).select(
+        (F.col("id") % 1000).alias("uid"),
+        F.pmod(F.xxhash64("id"), F.lit(100_000_000)).alias("ts"),
+        F.col("id").alias("pid"),
+    )
+    dim = spark.range(100_000).select(
+        (F.col("id") % 1000).alias("uid"),
+        F.pmod(F.xxhash64(F.col("id") + 7), F.lit(100_000_000)).alias("ts"),
+        F.col("id").alias("did"),
+    )
+    t0 = time.time()
+    sizes["asof_rows"] = xtemp.asof_join(pts, dim, by=["uid"]).count()
+    timings["asof_join"] = round(time.time() - t0, 2)
+
+    iv = dim.select(
+        "uid", F.col("ts").alias("lo"), (F.col("ts") + 2000).alias("hi"),
+        "did",
+    )
+    t0 = time.time()
+    sizes["range_matches"] = xtemp.range_join(
+        pts, iv, "ts", "lo", "hi", by=["uid"], bin_width=2000
+    ).count()
+    timings["range_join"] = round(time.time() - t0, 2)
+
     bls = stringly(
         ensure_parallelism(spark.read.parquet(f"{WORK}/lineitem.parquet"))
     )
