@@ -341,3 +341,68 @@ def weighted_hash_sample(
         / F.lit(float(_HEX_SPACE))
     )
     return df.where(frac < w)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: list[str] | None = None,
+    prune_salts: int | None = None,
+) -> DataFrame:
+    """Keep the best ``k`` rows per group — the corpus-curation
+    selection step ("top 10k docs per domain by quality score").
+    One ranking window (`row_number`, so exactly ≤ k rows per group
+    even on ties) over a single hash shuffle on ``group_cols``.
+
+    ``tiebreak`` columns (e.g. a unique id) make the selection
+    deterministic under equal scores — without them, tied rows at the
+    cut are plan-order-dependent (documented, same as SQL).
+
+    Hot-group posture: a window sorts each group inside ONE task, so
+    a 10⁹-row group serializes on one core. ``prune_salts=S`` adds a
+    pre-phase — row_number within (group, hash-salt-of-tiebreak) and
+    keep ≤ k per salted subgroup — cutting the exact phase's input to
+    ≤ k·S rows per group while provably preserving the answer: any
+    row in the TRUE top-k is in the top-k of its own subgroup (fewer
+    competitors there), so the prune never drops a winner. The salt
+    hashes the tiebreak columns (required with ``prune_salts``) —
+    deterministic, engine-portable, no RNG.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if prune_salts is not None and not tiebreak:
+        raise ValueError(
+            "prune_salts requires tiebreak columns (the salt hashes "
+            "them; row-position salts would not be deterministic)"
+        )
+    from pyspark.sql import Window
+
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc(),
+        *[F.col(t) for t in (tiebreak or [])],
+    ]
+    out = df
+    if prune_salts is not None and prune_salts > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(t) for t in tiebreak]), F.lit(prune_salts)
+        )
+        w_pre = Window.partitionBy(
+            *[F.col(c) for c in group_cols], F.col("__salt")
+        ).orderBy(*order)
+        out = (
+            out.withColumn("__salt", salt)
+            .withColumn("__prn", F.row_number().over(w_pre))
+            .where(F.col("__prn") <= k)
+            .drop("__salt", "__prn")
+        )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

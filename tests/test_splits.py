@@ -447,3 +447,98 @@ def test_weighted_hash_sample_null_weight_drops_documentedly(spark):
     got = {r["doc_id"] for r in
            weighted_hash_sample(df, F.col("w")).collect()}
     assert got == {2}
+
+
+# ------------------------------------------------------------ top_k_per_group
+
+def test_top_k_per_group_matches_duckdb(spark):
+    """Oracle parity with DuckDB's ROW_NUMBER window, deterministic
+    via tiebreak id."""
+    import random
+
+    import duckdb
+
+    from goodtables_pandas_py_spark.extensions.splits import top_k_per_group
+
+    rng = random.Random(3)
+    rows = [
+        (f"d{rng.randrange(5)}", rng.randrange(20) / 10.0, i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "domain string, score double, id long")
+    got = {
+        (r["domain"], r["id"])
+        for r in top_k_per_group(
+            df, ["domain"], "score", 7, tiebreak=["id"]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {
+        tuple(r)
+        for r in con.execute(
+            "SELECT domain, id FROM (SELECT domain, id, row_number()"
+            " OVER (PARTITION BY domain ORDER BY score DESC, id) AS rn"
+            " FROM t) WHERE rn <= 7"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_top_k_per_group_salted_prune_preserves_answer(spark):
+    """The two-phase hot-group path returns EXACTLY the same set as
+    the single-window path (the prune provably keeps every true
+    winner), and ascending order works."""
+    import random
+
+    from goodtables_pandas_py_spark.extensions.splits import top_k_per_group
+
+    rng = random.Random(9)
+    rows = [
+        ("hot" if i < 900 else f"d{i % 7}", float(rng.randrange(1000)), i)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "domain string, score double, id long")
+    for desc in (True, False):
+        plain = {
+            (r["domain"], r["id"])
+            for r in top_k_per_group(
+                df, ["domain"], "score", 10, descending=desc,
+                tiebreak=["id"],
+            ).collect()
+        }
+        salted = {
+            (r["domain"], r["id"])
+            for r in top_k_per_group(
+                df, ["domain"], "score", 10, descending=desc,
+                tiebreak=["id"], prune_salts=8,
+            ).collect()
+        }
+        assert salted == plain
+
+
+def test_top_k_per_group_caps_group_size(spark):
+    from goodtables_pandas_py_spark.extensions.splits import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1.0, i) for i in range(50)] + [("b", 1.0, 99)],
+        "domain string, score double, id long",
+    )
+    got = top_k_per_group(df, ["domain"], "score", 3, tiebreak=["id"])
+    counts = {r["domain"]: r["n"] for r in
+              got.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 3, "b": 1}
+
+
+def test_top_k_per_group_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions.splits import top_k_per_group
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "d string, s double, i long")
+    with _pytest.raises(ValueError, match="k must"):
+        top_k_per_group(df, ["d"], "s", 0)
+    with _pytest.raises(ValueError, match="group_cols"):
+        top_k_per_group(df, [], "s", 1)
+    with _pytest.raises(ValueError, match="tiebreak"):
+        top_k_per_group(df, ["d"], "s", 1, prune_salts=4)
