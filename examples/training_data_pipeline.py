@@ -93,6 +93,11 @@ def main() -> int:
         eval_sets=evals,
         decontam_ngram=3,
         decontam_ratio=0.8,
+        # domain balancing: at most 400 docs per source, longest
+        # first (deterministic via doc_id tiebreak)
+        cap_per_group=400,
+        cap_group_cols=["source"],
+        cap_order_col="n_chars",
         audit=True,
         min_tokens=5,
     )
@@ -100,6 +105,7 @@ def main() -> int:
     print(
         f"corpus: {prep.n_input} in → {prep.n_after_quality} after "
         f"quality → {prep.n_after_dedup} after dedup → "
+        f"{prep.n_after_cap} after per-source cap → "
         f"{prep.n_after_decontam} after eval decontamination"
     )
 

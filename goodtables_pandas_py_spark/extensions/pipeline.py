@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .decontam import contaminated_ids
 from .dedup import near_dedup
+from .splits import top_k_per_group
 from .text import clean_corpus
 
 
@@ -39,6 +40,7 @@ class CorpusPrep:
     n_input: int | None = None
     n_after_quality: int | None = None
     n_after_dedup: int | None = None
+    n_after_cap: int | None = None
     n_after_decontam: int | None = None
 
 
@@ -52,6 +54,9 @@ def prepare_corpus(
     eval_sets: DataFrame | None = None,
     decontam_ngram: int = 8,
     decontam_ratio: float = 0.5,
+    cap_per_group: int | None = None,
+    cap_group_cols: list[str] | None = None,
+    cap_order_col: str | None = None,
     audit: bool = False,
     **clean_kwargs,
 ) -> CorpusPrep:
@@ -64,6 +69,14 @@ def prepare_corpus(
     ``persist_banded`` defaults ON here — unlike the low-level
     library functions, this is the deployment entry point, and the
     banded signature projection always has two consumers.
+
+    ``cap_per_group`` keeps only the best ``cap_per_group`` rows per
+    ``cap_group_cols`` group ordered by ``cap_order_col`` descending
+    (domain balancing: "at most N docs per source, best first" — see
+    :func:`~.splits.top_k_per_group`; tiebreak on ``id_col`` keeps it
+    deterministic). Runs after dedup (so survivors are unique) and
+    before decontamination (so the broadcast n-gram join scans the
+    capped corpus).
 
     ``eval_sets`` (same ``id_col``/``text_col`` schema) drops every
     kept document whose exact ``decontam_ngram``-word overlap covers
@@ -90,9 +103,19 @@ def prepare_corpus(
         persist_banded=persist_banded,
     )
     kept = deduped
+    if cap_per_group is not None:
+        if not cap_group_cols or cap_order_col is None:
+            raise ValueError(
+                "cap_per_group requires cap_group_cols and cap_order_col"
+            )
+        kept = top_k_per_group(
+            kept, cap_group_cols, cap_order_col, cap_per_group,
+            tiebreak=[id_col],
+        )
+    capped = kept
     if eval_sets is not None:
         drop = contaminated_ids(
-            deduped,
+            capped,
             eval_sets,
             id_col=id_col,
             text_col=text_col,
@@ -101,8 +124,8 @@ def prepare_corpus(
             ngram=decontam_ngram,
             min_ratio=decontam_ratio,
         )
-        kept = deduped.join(
-            drop, deduped[id_col] == F.col("corpus_id"), "left_anti"
+        kept = capped.join(
+            drop, capped[id_col] == F.col("corpus_id"), "left_anti"
         )
     if not audit:
         return CorpusPrep(kept=kept)
@@ -115,6 +138,7 @@ def prepare_corpus(
         n_input=df.count(),
         n_after_quality=cleaned.count(),
         n_after_dedup=deduped.count(),
+        n_after_cap=capped.count() if cap_per_group is not None else None,
         n_after_decontam=kept.count() if eval_sets is not None else None,
     )
 

@@ -1146,3 +1146,36 @@ def test_pair_components_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.apply(None)
         )
+
+
+def test_prepare_corpus_cap_per_group(spark):
+    """cap_per_group bounds each group to its best-k AFTER dedup:
+    unique docs per source with distinct lengths -> exactly k longest
+    survive per source; stage count exposed under audit."""
+    from goodtables_pandas_py_spark.extensions.pipeline import prepare_corpus
+
+    rows = [
+        (i, f"s{i % 2}", " ".join(f"w{i}x{j}" for j in range(30 + i)), 30 + i)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    prep = prepare_corpus(
+        df, dedup_threshold=0.9, min_tokens=1,
+        cap_per_group=2, cap_group_cols=["source"], cap_order_col="n_chars",
+        audit=True,
+    )
+    kept = prep.kept.collect()
+    per_src = {}
+    for r in kept:
+        per_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 2 for v in per_src.values()), per_src
+    # best-first: the two largest n_chars ids per source (8,9 % 2)
+    assert sorted(per_src["s0"]) == [6, 8]
+    assert sorted(per_src["s1"]) == [7, 9]
+    assert prep.n_after_cap == 4
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cap_per_group requires"):
+        prepare_corpus(df, cap_per_group=2)
