@@ -6,6 +6,7 @@ from .dedup import (
 )
 from .stateful import dedup_counts_stream
 from .validate import (
+    asof_enrich_foreach_batch,
     error_rate_windows,
     fk_check_foreach_batch,
     session_event_counts,
@@ -14,6 +15,7 @@ from .validate import (
 )
 
 __all__ = [
+    "asof_enrich_foreach_batch",
     "dedup_counts_stream",
     "error_rate_windows",
     "fk_check_foreach_batch",

@@ -162,3 +162,36 @@ def fk_check_foreach_batch(
         on_violations(viol, batch_id)
 
     return handle
+
+
+def asof_enrich_foreach_batch(
+    dimension: DataFrame,
+    ts_col: str = "ts",
+    by: list[str] | None = None,
+    on_batch: Callable[[DataFrame, int], None] | None = None,
+    **asof_kwargs,
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function that as-of-enriches each
+    micro-batch against a (slowly-changing) dimension snapshot:
+    every event in the batch gets the latest dimension row at or
+    before its timestamp (:func:`~..extensions.temporal.asof_join`),
+    and the enriched frame goes to ``on_batch(enriched_df, batch_id)``.
+
+    The streaming twin of the FK pattern above — state stays OUT of
+    the stream: the as-of runs per micro-batch as one bounded
+    union+window job (batch rows + dimension rows shuffled on ``by``),
+    never as a stream-stream join with unbounded state. For large
+    dimensions at high batch rates, pre-filter the snapshot to the
+    keys seen recently or load it from a bucketed table
+    (``sources.write_bucketed``) so the per-batch shuffle stays small.
+    """
+    from ..extensions.temporal import asof_join
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = asof_join(
+            batch_df, dimension, ts_col=ts_col, by=by, **asof_kwargs
+        )
+        if on_batch is not None:
+            on_batch(enriched, batch_id)
+
+    return handle

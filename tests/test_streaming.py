@@ -526,3 +526,47 @@ def test_streaming_decontamination_foreach_batch(spark, tmp_path):
     assert finished, "stream did not finish within the timeout"
     got = set().union(*kept_ids) if kept_ids else set()
     assert got == {2}
+
+
+def test_stream_asof_enrich_foreach_batch(spark, event_stream_dir):
+    """Streamed events as-of-enriched against a static dimension per
+    micro-batch: results must equal the batch asof_join on the full
+    data (state never lives in the stream)."""
+    from goodtables_pandas_py_spark.extensions.temporal import asof_join
+
+    batch = spark.read.parquet(event_stream_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(event_stream_dir)
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [
+            (u, base + dt.timedelta(minutes=m), float(m))
+            for u in range(7)
+            for m in (0, 300)
+        ],
+        "user_id long, ts timestamp, tier double",
+    )
+
+    got: dict[int, float | None] = {}
+
+    def on_batch(enriched, batch_id):
+        for r in enriched.collect():
+            got[r["event_id"]] = r["tier_right"]
+
+    handler = xstream.asof_enrich_foreach_batch(
+        dim, by=["user_id"], on_batch=on_batch
+    )
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = {
+        r["event_id"]: r["tier_right"]
+        for r in asof_join(batch, dim, by=["user_id"]).collect()
+    }
+    assert got == want
+    assert len(got) == 200 and set(want.values()) == {0.0, 300.0}
