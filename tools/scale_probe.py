@@ -260,6 +260,21 @@ def main() -> None:
     ).count()
     timings["range_join"] = round(time.time() - t0, 2)
 
+    # interval-overlap join: 500k left spans (width ~4000) x the same
+    # 100k intervals — both sides explode (~3 + 2 bins/row), pairs
+    # dedup via first-common-bin, so time should track the exploded
+    # row counts, not left x right
+    spans = spark.range(500_000).select(
+        (F.col("id") % 1000).alias("uid"),
+        F.pmod(F.xxhash64(F.col("id") + 99), F.lit(100_000_000)).alias("lo"),
+        F.col("id").alias("sid"),
+    ).withColumn("hi", F.col("lo") + 4000)
+    t0 = time.time()
+    sizes["interval_matches"] = xtemp.interval_join(
+        spans, iv, ("lo", "hi"), ("lo", "hi"), by=["uid"], bin_width=2000
+    ).count()
+    timings["interval_join"] = round(time.time() - t0, 2)
+
     bls = stringly(
         ensure_parallelism(spark.read.parquet(f"{WORK}/lineitem.parquet"))
     )
