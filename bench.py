@@ -140,6 +140,9 @@ BENCH_QUERIES: dict[str, tuple[str, str]] = {
     "fk_anti_join": ("k3_fk_violations", "count"),
     "cosine_topk": ("x3_cosine_topk", "collect"),
     "events_window": ("x5_events_window", "count"),
+    # asof (union+window, no join node) + range (binned equi-join)
+    # over events — the r5 temporal-join product paths
+    "temporal_joins": ("x7_temporal", "collect"),
 }
 
 # direct product-path entries (not registry-backed): name -> callable

@@ -397,3 +397,54 @@ def interval_join(
           for c in right_cols],
     )
     return inner.unionByName(null_right)
+
+
+def session_ids(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: list[str] | None = None,
+    gap: Column | float = 1800.0,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Row-level batch sessionization: assign every row a session id
+    such that rows of the same ``by`` key whose timestamps are within
+    ``gap`` of the previous row share a session — the event-level
+    companion to the AGGREGATED session rollup
+    (:func:`~..streaming.validate.session_event_counts`, which uses
+    ``session_window`` and yields one row per session, losing the
+    row-to-session mapping a pipeline needs to enrich events).
+
+    Classic two-window formulation, ONE hash shuffle on the keys and
+    a partition-local sort shared by both windows (lag and the
+    running sum use the same (partition, order) spec, so Catalyst
+    plans a single Window exchange+sort): ``new = (ts - lag(ts)) >
+    gap``; ``session_index = sum(new) over (unbounded preceding)``.
+    The id is ``(key..., session_index)`` rendered as a struct — 
+    globally unique WITHIN a key; combine with the key columns for a
+    cross-key identifier (done here via the struct).
+
+    ``gap``: seconds (number) for numeric/timestamp ts, or any
+    interval-typed Column. Nulls in ``ts_col`` sort first and join
+    the first session of their key.
+    """
+    by = by or []
+    to_num, unit_scale, _ = _range_domain(df.schema[ts_col].dataType)
+    w = Window.partitionBy(*by).orderBy(F.col(ts_col))
+    if isinstance(gap, Column):
+        # interval-typed gap: diff on the ORIGINAL column (timestamp
+        # subtraction yields an interval, comparable to gap directly)
+        diff = F.col(ts_col) - F.lag(F.col(ts_col)).over(w)
+        new_session = (diff > gap).cast("int")
+    else:
+        ts_n = to_num(F.col(ts_col))
+        new_session = (
+            ts_n - F.lag(ts_n).over(w) > F.lit(float(gap) * unit_scale)
+        ).cast("int")
+    idx = F.sum(F.coalesce(new_session, F.lit(0))).over(
+        Window.partitionBy(*by).orderBy(F.col(ts_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = F.struct(
+        *[F.col(k).alias(f"k_{k}") for k in by], idx.alias("n")
+    )
+    return df.withColumn(out_col, sid)

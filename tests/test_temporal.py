@@ -431,3 +431,107 @@ def test_interval_join_rejects_bad_args(spark, sessions, outages):
                       how="left", left_id="nope")
     with pytest.raises(ValueError, match="lacks columns"):
         interval_join(sessions, outages, ("lo", "wrong"), ("lo", "hi"))
+
+
+# ---------------------------------------------------------------- session_ids
+
+from goodtables_pandas_py_spark.extensions.temporal import session_ids  # noqa: E402
+
+
+def test_session_ids_basic(spark):
+    rows = [
+        ("u1", 0, 0), ("u1", 100, 1), ("u1", 2000, 2), ("u1", 2100, 3),
+        ("u2", 50, 4),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts long, eid long")
+    got = {
+        r["eid"]: (r["session_id"]["k_user"], r["session_id"]["n"])
+        for r in session_ids(df, "ts", by=["user"], gap=500).collect()
+    }
+    assert got[0] == ("u1", 0) and got[1] == ("u1", 0)   # within gap
+    assert got[2] == ("u1", 1) and got[3] == ("u1", 1)   # new session
+    assert got[4] == ("u2", 0)
+
+
+def test_session_ids_matches_duckdb(spark):
+    """Parity with the classic SQL two-window formulation in DuckDB."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(5)
+    rows = [
+        (f"u{rng.randrange(4)}", rng.randrange(10_000), i) for i in range(300)
+    ]
+    # unique (user, ts): equal timestamps make lag order ambiguous on
+    # both engines
+    seen, uniq = set(), []
+    for u, ts, i in rows:
+        if (u, ts) not in seen:
+            seen.add((u, ts))
+            uniq.append((u, ts, i))
+    df = spark.createDataFrame(uniq, "user string, ts long, eid long")
+    got = {
+        r["eid"]: r["session_id"]["n"]
+        for r in session_ids(df, "ts", by=["user"], gap=300).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT eid, sum(new) OVER (PARTITION BY user ORDER BY ts"
+            " ROWS UNBOUNDED PRECEDING) AS sid FROM ("
+            " SELECT eid, user, ts, CASE WHEN ts - lag(ts) OVER"
+            " (PARTITION BY user ORDER BY ts) > 300 THEN 1 ELSE 0 END AS new"
+            " FROM t)"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_session_ids_timestamp_and_interval_gap(spark):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [(base + timedelta(minutes=m), m) for m in (0, 10, 60, 65)]
+    df = spark.createDataFrame(rows, "ts timestamp, eid long")
+    # numeric gap: seconds
+    got_num = {
+        r["eid"]: r["session_id"]["n"]
+        for r in session_ids(df, "ts", gap=1800.0).collect()
+    }
+    # interval gap column: same semantics
+    got_iv = {
+        r["eid"]: r["session_id"]["n"]
+        for r in session_ids(
+            df, "ts", gap=F.expr("INTERVAL 30 MINUTES")
+        ).collect()
+    }
+    assert got_num == got_iv == {0: 0, 10: 0, 60: 1, 65: 1}
+
+
+def test_session_ids_single_shuffle(spark):
+    df = spark.createDataFrame(
+        [("u1", 0, 0), ("u1", 100, 1)], "user string, ts long, eid long"
+    )
+    plan = (
+        session_ids(df, "ts", by=["user"], gap=500)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # lag and the running sum share (partition, order): ONE exchange
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_range_join_keyless(spark):
+    """by=[] — global interval lookup (e.g. a one-dimensional
+    threshold table) still plans and matches DuckDB."""
+    pts = spark.createDataFrame([(5, 1), (15, 2), (99, 3)], "v long, qid long")
+    iv = spark.createDataFrame(
+        [(0, 10, "low"), (10, 20, "mid")], "lo long, hi long, tier string"
+    )
+    got = {
+        (r["qid"], r["tier_right"])
+        for r in range_join(pts, iv, "v", "lo", "hi", bin_width=5).collect()
+    }
+    assert got == {(1, "low"), (2, "mid")}
