@@ -704,3 +704,78 @@ def test_repetition_features_match_python_reference(spark, texts):
     for i, t in enumerate(texts):
         want = _py_repetition(t)
         assert got[i] == pytest.approx(want), (i, repr(t), got[i], want)
+
+
+# ------------------------------------------------------- temporal operators
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=1, max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1100, 1100),
+                  st.integers(0, 200)),
+        min_size=0, max_size=25,
+    ),
+)
+def test_range_join_matches_python_reference(spark, pts, ivs):
+    """range_join == the O(n·m) pure-Python definition on arbitrary
+    keyed integer inputs (hypothesis shrinks any divergence to a
+    minimal counterexample)."""
+    from goodtables_pandas_py_spark.extensions.temporal import range_join
+
+    pdf = spark.createDataFrame(
+        [(f"k{k}", v, i) for i, (k, v) in enumerate(pts)],
+        "key string, v long, pid long",
+    )
+    idf = spark.createDataFrame(
+        [(f"k{k}", lo, lo + span, j) for j, (k, lo, span) in enumerate(ivs)],
+        "key string, lo long, hi long, iid long",
+    )
+    got = {
+        (r["pid"], r["iid_right"])
+        for r in range_join(
+            pdf, idf, "v", "lo", "hi", by=["key"], bin_width=37
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (pk, v) in enumerate(pts)
+        for j, (ik, lo, span) in enumerate(ivs)
+        if pk == ik and lo <= v <= lo + span
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 5000)),
+             min_size=1, max_size=60, unique=True),
+    st.integers(1, 400),
+)
+def test_session_ids_properties(spark, events, gap):
+    """Invariants on arbitrary inputs: session index is 0-based,
+    non-decreasing in time per key, increments exactly when the gap
+    to the previous event exceeds `gap`."""
+    from goodtables_pandas_py_spark.extensions.temporal import session_ids
+
+    df = spark.createDataFrame(
+        [(f"u{k}", ts, i) for i, (k, ts) in enumerate(events)],
+        "user string, ts long, eid long",
+    )
+    rows = session_ids(df, "ts", by=["user"], gap=gap).collect()
+    per_user: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["user"], r["ts"])):
+        per_user.setdefault(r["user"], []).append(
+            (r["ts"], r["session_id"]["n"])
+        )
+    for u, seq in per_user.items():
+        assert seq[0][1] == 0, (u, seq)
+        for (t0, s0), (t1, s1) in zip(seq, seq[1:]):
+            expect_new = (t1 - t0) > gap
+            assert s1 == s0 + (1 if expect_new else 0), (u, seq)
