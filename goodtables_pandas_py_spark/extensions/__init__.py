@@ -9,6 +9,7 @@ from . import (
     dedup,
     multimodal,
     pipeline,
+    profiling,
     similarity,
     splits,
     temporal,
@@ -17,6 +18,6 @@ from . import (
 )
 
 __all__ = [
-    "decontam", "dedup", "multimodal", "pipeline", "similarity",
-    "splits", "temporal", "text", "web",
+    "decontam", "dedup", "multimodal", "pipeline", "profiling",
+    "similarity", "splits", "temporal", "text", "web",
 ]

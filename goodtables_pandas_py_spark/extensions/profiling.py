@@ -1,0 +1,142 @@
+"""Table profiling & drift detection (A4 family, SURVEY.md §2.6 —
+beyond the reference, the data-quality feature a 100 TB pipeline runs
+nightly: profile every snapshot in ONE scan, then compare profiles
+across runs to catch silent upstream changes before they reach
+training).
+
+Scale shape: ``column_profile`` is a single wide aggregate (one scan,
+map-side partial agg — cost independent of column count beyond the
+expression width); drift comparison joins two tiny profile frames
+(one row per column). Nothing here collects data to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import NumericType
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One row per column: ``column, n, n_null, approx_distinct``,
+    plus ``mean, stddev, min_v, max_v`` for numeric columns (null
+    otherwise). ONE job, one scan — all metrics ride a single wide
+    ``agg`` and unpivot via a literal explode (no shuffle beyond the
+    final single-partition agg).
+
+    ``approx_distinct`` is HyperLogLog++ (`approx_count_distinct`,
+    default rsd ~5%) — the 100 TB-safe choice; exact distincts would
+    shuffle every value.
+    """
+    cols = cols or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    per_col = []
+    for c in cols:
+        numeric = isinstance(df.schema[c].dataType, NumericType)
+        v = F.col(c)
+        dv = v.cast("double") if numeric else F.lit(None).cast("double")
+        per_col.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(v.isNull()).alias("n_null"),
+                F.approx_count_distinct(v).alias("approx_distinct"),
+                F.avg(dv).alias("mean"),
+                F.stddev_samp(dv).alias("stddev"),
+                F.min(dv).alias("min_v"),
+                F.max(dv).alias("max_v"),
+            ).alias(f"__p_{c}")
+        )
+    row = df.agg(*per_col)
+    return row.select(
+        F.explode(F.array(*[F.col(f"__p_{c}") for c in cols])).alias("p")
+    ).select("p.*")
+
+
+def profile_drift(
+    before: DataFrame,
+    after: DataFrame,
+    max_null_rate_delta: float = 0.01,
+    max_mean_shift_stddevs: float = 3.0,
+    max_distinct_ratio_change: float = 0.5,
+    min_rows_ratio: float = 0.5,
+    max_rows_ratio: float = 2.0,
+) -> DataFrame:
+    """Compare two :func:`column_profile` frames (before/after
+    snapshots of the same table): one row per column with the deltas
+    and boolean drift flags, ``drifted`` true when any flag fires.
+
+    Flags (deequ-style anomaly checks, moment-based so the comparison
+    needs only the two tiny profile frames — never the data):
+
+    - ``null_rate_drift``: |null_rate_after − null_rate_before| >
+      ``max_null_rate_delta``.
+    - ``mean_drift``: |mean_after − mean_before| >
+      ``max_mean_shift_stddevs`` × stddev_before (numeric columns;
+      constant columns use the absolute difference vs 0 → any change
+      flags).
+    - ``distinct_drift``: approx-distinct ratio leaves
+      [1−r, 1/(1−r)] for r = ``max_distinct_ratio_change``.
+    - ``row_count_drift``: n_after/n_before outside
+      [``min_rows_ratio``, ``max_rows_ratio``].
+
+    Columns present in only one profile appear with ``drifted`` true
+    and ``schema_change`` flagging the add/remove.
+    """
+    b = before.select(
+        F.col("column"),
+        *[F.col(c).alias(f"{c}_before")
+          for c in ("n", "n_null", "approx_distinct", "mean", "stddev",
+                    "min_v", "max_v")],
+    )
+    a = after.select(
+        F.col("column"),
+        *[F.col(c).alias(f"{c}_after")
+          for c in ("n", "n_null", "approx_distinct", "mean", "stddev",
+                    "min_v", "max_v")],
+    )
+    j = b.join(a, "column", "full_outer")
+    null_rate_b = F.col("n_null_before") / F.col("n_before")
+    null_rate_a = F.col("n_null_after") / F.col("n_after")
+    null_flag = (
+        F.abs(null_rate_a - null_rate_b) > F.lit(max_null_rate_delta)
+    )
+    mean_flag = (
+        F.abs(F.col("mean_after") - F.col("mean_before"))
+        > F.lit(max_mean_shift_stddevs)
+        * F.greatest(F.col("stddev_before"), F.lit(0.0))
+    )
+    ratio = F.col("approx_distinct_after") / F.col("approx_distinct_before")
+    r = float(max_distinct_ratio_change)
+    distinct_flag = (ratio < F.lit(1.0 - r)) | (ratio > F.lit(1.0 / (1.0 - r)))
+    rows_ratio = F.col("n_after") / F.col("n_before")
+    rows_flag = (
+        (rows_ratio < F.lit(min_rows_ratio))
+        | (rows_ratio > F.lit(max_rows_ratio))
+    )
+    schema_change = F.when(
+        F.col("n_before").isNull(), F.lit("added")
+    ).when(F.col("n_after").isNull(), F.lit("removed"))
+    flags = {
+        "null_rate_drift": F.coalesce(null_flag, F.lit(False)),
+        "mean_drift": F.coalesce(mean_flag, F.lit(False)),
+        "distinct_drift": F.coalesce(distinct_flag, F.lit(False)),
+        "row_count_drift": F.coalesce(rows_flag, F.lit(False)),
+    }
+    out = j.select(
+        "column",
+        F.col("n_before"), F.col("n_after"),
+        (null_rate_a - null_rate_b).alias("null_rate_delta"),
+        (F.col("mean_after") - F.col("mean_before")).alias("mean_delta"),
+        ratio.alias("distinct_ratio"),
+        rows_ratio.alias("rows_ratio"),
+        *[c.alias(name) for name, c in flags.items()],
+        schema_change.alias("schema_change"),
+    )
+    any_flag = F.lit(False)
+    for name in flags:
+        any_flag = any_flag | F.col(name)
+    return out.withColumn(
+        "drifted", any_flag | F.col("schema_change").isNotNull()
+    )

@@ -313,3 +313,120 @@ def load_package(source: str | dict[str, Any]) -> Package:
     (profile check + this fallback) as structured errors."""
     descriptor, base_dir = load_descriptor(source)
     return Package.from_descriptor(descriptor, base_dir=base_dir)
+
+
+def schema_diff(old: "TableSchema", new: "TableSchema") -> list[dict]:
+    """Schema-evolution report: every difference between two
+    TableSchema versions as ``{kind, field, detail, breaking}`` dicts
+    (driver-side — schemas are tiny). ``breaking`` means existing
+    data valid under ``old`` may FAIL validation under ``new``
+    (reader-compatibility view):
+
+    - field removed / type / format changed → breaking
+    - field added → breaking only if its constraints include
+      ``required`` (old rows lack the column entirely)
+    - constraint added or TIGHTENED (required added, enum narrowed,
+      minimum raised, maximum lowered, minLength raised, maxLength
+      lowered, pattern changed) → breaking; loosened → compatible
+    - primaryKey / uniqueKeys / foreignKeys changed → breaking
+      (new uniqueness/reference demands on existing data)
+
+    Use in CI: fail a descriptor change when any ``breaking`` entry
+    exists unless the change is explicitly acknowledged.
+    """
+    out: list[dict] = []
+    ofields = {f.name: f for f in old.fields}
+    nfields = {f.name: f for f in new.fields}
+
+    for name in ofields.keys() - nfields.keys():
+        out.append({"kind": "field-removed", "field": name,
+                    "detail": None, "breaking": True})
+    for name in nfields.keys() - ofields.keys():
+        req = bool(nfields[name].constraints.get("required"))
+        out.append({"kind": "field-added", "field": name,
+                    "detail": "required" if req else None,
+                    "breaking": req})
+
+    # constraint tightening rules: (key, tighter-predicate)
+    def tightened(key, ov, nv) -> bool | None:
+        """True = tightened (breaking), False = loosened/equal,
+        None = not comparable (treat any change as breaking)."""
+        if key in ("minimum", "minLength"):
+            try:
+                return nv > ov
+            except TypeError:
+                return None
+        if key in ("maximum", "maxLength"):
+            try:
+                return nv < ov
+            except TypeError:
+                return None
+        if key == "enum":
+            try:
+                return not set(map(str, ov)) <= set(map(str, nv))
+            except TypeError:
+                return None
+        if key == "required":
+            return bool(nv) and not bool(ov)
+        if key == "unique":
+            return bool(nv) and not bool(ov)
+        return None  # pattern and anything else: change = breaking
+
+    for name in ofields.keys() & nfields.keys():
+        of, nf = ofields[name], nfields[name]
+        if of.type != nf.type:
+            out.append({"kind": "type-changed", "field": name,
+                        "detail": f"{of.type} -> {nf.type}",
+                        "breaking": True})
+        elif of.format != nf.format:
+            out.append({"kind": "format-changed", "field": name,
+                        "detail": f"{of.format} -> {nf.format}",
+                        "breaking": True})
+        for key in of.constraints.keys() | nf.constraints.keys():
+            ov = of.constraints.get(key)
+            nv = nf.constraints.get(key)
+            if ov == nv:
+                continue
+            if key not in nf.constraints:
+                out.append({"kind": "constraint-removed", "field": name,
+                            "detail": key, "breaking": False})
+                continue
+            if key not in of.constraints:
+                # adding required/unique or any bound = new demand;
+                # adding is tightening unless it cannot invalidate
+                # rows (it always can, except enum superset of ... no:
+                # a fresh constraint always restricts)
+                out.append({"kind": "constraint-added", "field": name,
+                            "detail": key, "breaking": True})
+                continue
+            t = tightened(key, ov, nv)
+            out.append({
+                "kind": "constraint-tightened" if t
+                else ("constraint-loosened" if t is False
+                      else "constraint-changed"),
+                "field": name,
+                "detail": f"{key}: {ov!r} -> {nv!r}",
+                "breaking": t is not False,
+            })
+
+    if old.primary_key != new.primary_key:
+        out.append({"kind": "primary-key-changed", "field": None,
+                    "detail": f"{old.primary_key} -> {new.primary_key}",
+                    "breaking": True})
+    if old.unique_keys != new.unique_keys:
+        out.append({"kind": "unique-keys-changed", "field": None,
+                    "detail": f"{old.unique_keys} -> {new.unique_keys}",
+                    "breaking": True})
+    o_fk = [(fk.fields, fk.reference_resource, fk.reference_fields)
+            for fk in old.foreign_keys]
+    n_fk = [(fk.fields, fk.reference_resource, fk.reference_fields)
+            for fk in new.foreign_keys]
+    if o_fk != n_fk:
+        out.append({"kind": "foreign-keys-changed", "field": None,
+                    "detail": f"{o_fk} -> {n_fk}", "breaking": True})
+    if old.missing_values != new.missing_values:
+        out.append({"kind": "missing-values-changed", "field": None,
+                    "detail": f"{old.missing_values} -> "
+                              f"{new.missing_values}",
+                    "breaking": True})
+    return out

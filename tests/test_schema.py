@@ -207,3 +207,62 @@ def test_profile_bool_is_not_integer():
     assert not _type_ok(True, "integer")
     assert _type_ok(3, "number")
     assert not _type_ok(True, "number")
+
+
+# ---------------------------------------------------------------- schema_diff
+
+def test_schema_diff_classifies_breaking_changes():
+    from goodtables_pandas_py_spark.schema import (
+        Field, ForeignKey, TableSchema, schema_diff,
+    )
+
+    old = TableSchema(
+        fields=[
+            Field("id", type="integer", constraints={"required": True}),
+            Field("status", constraints={"enum": ["A", "B", "C"]}),
+            Field("amt", type="number", constraints={"minimum": 0}),
+            Field("note"),
+        ],
+        primary_key=["id"],
+    )
+    new = TableSchema(
+        fields=[
+            Field("id", type="integer", constraints={"required": True}),
+            Field("status", constraints={"enum": ["A", "B"]}),       # narrowed
+            Field("amt", type="number", constraints={"minimum": 10}),  # raised
+            Field("note", constraints={"maxLength": 10}),             # added
+            Field("extra"),                                           # added, optional
+        ],
+        primary_key=["id"],
+        foreign_keys=[ForeignKey(["id"], "other", ["oid"])],
+    )
+    diff = {(d["kind"], d["field"]): d for d in schema_diff(old, new)}
+    assert diff[("constraint-tightened", "status")]["breaking"]
+    assert diff[("constraint-tightened", "amt")]["breaking"]
+    assert diff[("constraint-added", "note")]["breaking"]
+    assert diff[("field-added", "extra")]["breaking"] is False
+    assert diff[("foreign-keys-changed", None)]["breaking"]
+    assert len(diff) == 5
+
+
+def test_schema_diff_loosening_is_compatible():
+    from goodtables_pandas_py_spark.schema import Field, TableSchema, schema_diff
+
+    old = TableSchema(fields=[
+        Field("s", constraints={"enum": ["A"], "minLength": 5}),
+        Field("n", type="number", constraints={"maximum": 10}),
+    ])
+    new = TableSchema(fields=[
+        Field("s", constraints={"enum": ["A", "B"], "minLength": 2}),
+        Field("n", type="number"),
+    ])
+    diff = schema_diff(old, new)
+    assert diff and all(not d["breaking"] for d in diff), diff
+
+
+def test_schema_diff_identical_is_empty():
+    from goodtables_pandas_py_spark.schema import Field, TableSchema, schema_diff
+
+    s = TableSchema(fields=[Field("a"), Field("b", type="integer")],
+                    primary_key=["a"])
+    assert schema_diff(s, s) == []
