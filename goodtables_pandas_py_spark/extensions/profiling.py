@@ -140,3 +140,62 @@ def profile_drift(
     return out.withColumn(
         "drifted", any_flag | F.col("schema_change").isNotNull()
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+) -> DataFrame:
+    """Fixed-bound equi-width histogram: ``(bucket, n)`` rows with
+    bucket 0 = underflow (< lo), 1..bins = in-range, bins+1 =
+    overflow (> hi) — `width_bucket` semantics. One groupBy on a
+    small key domain (map-side combine collapses everything to ≤
+    bins+2 rows before the shuffle). Bounds are CALLER-FIXED so two
+    snapshots bucket identically — take them from the BEFORE
+    profile's min/max when comparing (bins drift otherwise).
+    Nulls are excluded (profile them via ``column_profile``).
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not lo < hi:
+        raise ValueError("need lo < hi")
+    v = F.col(col).cast("double")
+    return (
+        df.where(v.isNotNull())
+        .select(
+            F.width_bucket(v, F.lit(float(lo)), F.lit(float(hi)),
+                           F.lit(bins)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def population_stability_index(
+    before: DataFrame,
+    after: DataFrame,
+    epsilon: float = 1e-6,
+) -> float:
+    """PSI between two :func:`value_histogram` frames over the SAME
+    bounds/bins: Σ (p_a − p_b) · ln(p_a / p_b) with ``epsilon``
+    flooring for empty buckets. Driver-side single-row result (the
+    histograms are ≤ bins+2 rows). Common reading: < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 population changed.
+    """
+    tb = before.agg(F.sum("n")).first()[0] or 0
+    ta = after.agg(F.sum("n")).first()[0] or 0
+    if tb == 0 or ta == 0:
+        raise ValueError("empty histogram (no non-null rows)")
+    b = before.select(F.col("bucket"), (F.col("n") / F.lit(float(tb))).alias("pb"))
+    a = after.select(F.col("bucket"), (F.col("n") / F.lit(float(ta))).alias("pa"))
+    j = b.join(a, "bucket", "full_outer").select(
+        F.greatest(F.coalesce(F.col("pb"), F.lit(0.0)), F.lit(epsilon)).alias("pb"),
+        F.greatest(F.coalesce(F.col("pa"), F.lit(0.0)), F.lit(epsilon)).alias("pa"),
+    )
+    row = j.agg(
+        F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")))
+    ).first()
+    return float(row[0])

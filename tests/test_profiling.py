@@ -100,3 +100,69 @@ def test_profile_drift_schema_change(spark, snap_a):
 def test_column_profile_rejects_unknown_columns(spark, snap_a):
     with pytest.raises(ValueError, match="not in DataFrame"):
         column_profile(snap_a, ["nope"])
+
+
+# --------------------------------------------------------- histogram + PSI
+
+def test_value_histogram_matches_duckdb(spark, snap_a):
+    import duckdb
+
+    from goodtables_pandas_py_spark.extensions.profiling import value_histogram
+
+    got = {
+        r["bucket"]: r["n"]
+        for r in value_histogram(snap_a, "x", 0.0, 10.0, bins=5).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", snap_a.toPandas())
+    # DuckDB has no width_bucket; replicate the semantics in SQL:
+    # underflow 0, overflow (incl. x == hi) bins+1, else linear bucket
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT CASE WHEN x < 0.0 THEN 0 WHEN x >= 10.0 THEN 6"
+            " ELSE CAST(floor((x - 0.0) / 10.0 * 5) AS BIGINT) + 1 END AS b,"
+            " count(*) FROM t WHERE x IS NOT NULL GROUP BY b"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_psi_detects_shift(spark, snap_a):
+    from goodtables_pandas_py_spark.extensions.profiling import (
+        population_stability_index,
+        value_histogram,
+    )
+    import pyspark.sql.functions as F
+
+    h0 = value_histogram(snap_a, "x", 0.0, 10.0, bins=10)
+    same = population_stability_index(h0, h0)
+    assert abs(same) < 1e-9
+
+    shifted = snap_a.select((F.col("x") + 4.0).alias("x"))
+    h1 = value_histogram(shifted, "x", 0.0, 10.0, bins=10)
+    moved = population_stability_index(h0, h1)
+    assert moved > 0.25, moved   # "population changed" band
+
+    # PSI vs a pure-Python recomputation on the same histograms
+    import math
+
+    hb = {r["bucket"]: r["n"] for r in h0.collect()}
+    ha = {r["bucket"]: r["n"] for r in h1.collect()}
+    tb, ta = sum(hb.values()), sum(ha.values())
+    eps = 1e-6
+    want = 0.0
+    for k in set(hb) | set(ha):
+        pb = max(hb.get(k, 0) / tb, eps)
+        pa = max(ha.get(k, 0) / ta, eps)
+        want += (pa - pb) * math.log(pa / pb)
+    assert abs(moved - want) < 1e-9
+
+
+def test_histogram_rejects_bad_args(spark, snap_a):
+    from goodtables_pandas_py_spark.extensions.profiling import value_histogram
+
+    with pytest.raises(ValueError, match="bins"):
+        value_histogram(snap_a, "x", 0.0, 1.0, bins=0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        value_histogram(snap_a, "x", 5.0, 5.0)
