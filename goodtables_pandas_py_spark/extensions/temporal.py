@@ -425,7 +425,10 @@ def session_ids(
 
     ``gap``: seconds (number) for numeric/timestamp ts, or any
     interval-typed Column. Nulls in ``ts_col`` sort first and join
-    the first session of their key.
+    the first session of their key. Rows tied on (key, ts) always
+    share a session (zero gap), but which of them the window visits
+    first is plan-order-dependent — irrelevant here since a tie can
+    never open a new session.
     """
     by = by or []
     to_num, unit_scale, _ = _range_domain(df.schema[ts_col].dataType)
