@@ -27,7 +27,9 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     default rsd ~5%) — the 100 TB-safe choice; exact distincts would
     shuffle every value.
     """
-    cols = cols or df.columns
+    cols = cols if cols is not None else df.columns
+    if not cols:
+        raise ValueError("no columns to profile")
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in DataFrame: {missing}")

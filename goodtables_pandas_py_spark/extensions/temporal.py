@@ -189,6 +189,8 @@ def range_join(
     to_num, unit_scale, integral = _range_domain(
         points.schema[point_col].dataType
     )
+    if bin_width is not None and bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
     if bin_width is None:
         span = intervals.agg(
             F.avg(to_num(F.col(hi_col)) - to_num(F.col(lo_col)))
@@ -314,6 +316,8 @@ def interval_join(
         ]
 
     to_num, unit_scale, integral = _range_domain(left.schema[l_lo].dataType)
+    if bin_width is not None and bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
     if bin_width is None:
         span = right.agg(
             F.avg(to_num(F.col(r_hi)) - to_num(F.col(r_lo)))

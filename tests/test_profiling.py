@@ -166,3 +166,10 @@ def test_histogram_rejects_bad_args(spark, snap_a):
         value_histogram(snap_a, "x", 0.0, 1.0, bins=0)
     with pytest.raises(ValueError, match="lo < hi"):
         value_histogram(snap_a, "x", 5.0, 5.0)
+
+
+def test_column_profile_rejects_empty_column_list(spark, snap_a):
+    from goodtables_pandas_py_spark.extensions.profiling import column_profile
+
+    with pytest.raises(ValueError, match="no columns"):
+        column_profile(snap_a, [])

@@ -535,3 +535,11 @@ def test_range_join_keyless(spark):
         for r in range_join(pts, iv, "v", "lo", "hi", bin_width=5).collect()
     }
     assert got == {(1, "low"), (2, "mid")}
+
+
+def test_binned_joins_reject_nonpositive_bin_width(spark, lookups, ip_blocks):
+    with pytest.raises(ValueError, match="bin_width"):
+        range_join(lookups, ip_blocks, "v", "lo", "hi", bin_width=0)
+    with pytest.raises(ValueError, match="bin_width"):
+        interval_join(ip_blocks, ip_blocks, ("lo", "hi"), ("lo", "hi"),
+                      bin_width=-3.0)
