@@ -86,6 +86,11 @@ def profile_drift(
     Columns present in only one profile appear with ``drifted`` true
     and ``schema_change`` flagging the add/remove.
     """
+    if not 0.0 < max_distinct_ratio_change < 1.0:
+        raise ValueError(
+            "max_distinct_ratio_change must be in (0, 1), got "
+            f"{max_distinct_ratio_change!r}"
+        )
     b = before.select(
         F.col("column"),
         *[F.col(c).alias(f"{c}_before")
@@ -99,8 +104,11 @@ def profile_drift(
                     "min_v", "max_v")],
     )
     j = b.join(a, "column", "full_outer")
-    null_rate_b = F.col("n_null_before") / F.col("n_before")
-    null_rate_a = F.col("n_null_after") / F.col("n_after")
+    # try_divide: zero denominators (empty snapshot, all-null column)
+    # yield null -> flags coalesce to False instead of the job dying
+    # with DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    null_rate_b = F.try_divide(F.col("n_null_before"), F.col("n_before"))
+    null_rate_a = F.try_divide(F.col("n_null_after"), F.col("n_after"))
     null_flag = (
         F.abs(null_rate_a - null_rate_b) > F.lit(max_null_rate_delta)
     )
@@ -109,10 +117,12 @@ def profile_drift(
         > F.lit(max_mean_shift_stddevs)
         * F.greatest(F.col("stddev_before"), F.lit(0.0))
     )
-    ratio = F.col("approx_distinct_after") / F.col("approx_distinct_before")
+    ratio = F.try_divide(
+        F.col("approx_distinct_after"), F.col("approx_distinct_before")
+    )
     r = float(max_distinct_ratio_change)
     distinct_flag = (ratio < F.lit(1.0 - r)) | (ratio > F.lit(1.0 / (1.0 - r)))
-    rows_ratio = F.col("n_after") / F.col("n_before")
+    rows_ratio = F.try_divide(F.col("n_after"), F.col("n_before"))
     rows_flag = (
         (rows_ratio < F.lit(min_rows_ratio))
         | (rows_ratio > F.lit(max_rows_ratio))
@@ -153,12 +163,17 @@ def value_histogram(
 ) -> DataFrame:
     """Fixed-bound equi-width histogram: ``(bucket, n)`` rows with
     bucket 0 = underflow (< lo), 1..bins = in-range, bins+1 =
-    overflow (> hi) — `width_bucket` semantics. One groupBy on a
+    overflow (``>= hi`` — `width_bucket` puts values EQUAL to hi in
+    the overflow bucket, so when taking bounds from a before
+    profile, the max value itself lands in overflow on both sides —
+    consistent bucketing, which is all PSI needs). One groupBy on a
     small key domain (map-side combine collapses everything to ≤
     bins+2 rows before the shuffle). Bounds are CALLER-FIXED so two
     snapshots bucket identically — take them from the BEFORE
     profile's min/max when comparing (bins drift otherwise).
-    Nulls are excluded (profile them via ``column_profile``).
+    Nulls and NaNs are excluded (NaN would bucket to null and make
+    a join-unmatchable histogram row; profile null rates via
+    ``column_profile``).
     """
     if bins < 1:
         raise ValueError("bins must be >= 1")
@@ -166,7 +181,7 @@ def value_histogram(
         raise ValueError("need lo < hi")
     v = F.col(col).cast("double")
     return (
-        df.where(v.isNotNull())
+        df.where(v.isNotNull() & ~F.isnan(v))
         .select(
             F.width_bucket(v, F.lit(float(lo)), F.lit(float(hi)),
                            F.lit(bins)).alias("bucket")
@@ -187,17 +202,19 @@ def population_stability_index(
     histograms are ≤ bins+2 rows). Common reading: < 0.1 stable,
     0.1-0.25 moderate shift, > 0.25 population changed.
     """
-    tb = before.agg(F.sum("n")).first()[0] or 0
-    ta = after.agg(F.sum("n")).first()[0] or 0
+    import math
+
+    # the histograms are <= bins+2 rows: collect each ONCE and finish
+    # in Python — chaining Spark jobs here would re-evaluate the full
+    # (lazy) histogram lineage per action, re-scanning the base table
+    hb = {r["bucket"]: r["n"] for r in before.collect()}
+    ha = {r["bucket"]: r["n"] for r in after.collect()}
+    tb, ta = sum(hb.values()), sum(ha.values())
     if tb == 0 or ta == 0:
         raise ValueError("empty histogram (no non-null rows)")
-    b = before.select(F.col("bucket"), (F.col("n") / F.lit(float(tb))).alias("pb"))
-    a = after.select(F.col("bucket"), (F.col("n") / F.lit(float(ta))).alias("pa"))
-    j = b.join(a, "bucket", "full_outer").select(
-        F.greatest(F.coalesce(F.col("pb"), F.lit(0.0)), F.lit(epsilon)).alias("pb"),
-        F.greatest(F.coalesce(F.col("pa"), F.lit(0.0)), F.lit(epsilon)).alias("pa"),
-    )
-    row = j.agg(
-        F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")))
-    ).first()
-    return float(row[0])
+    psi = 0.0
+    for k in hb.keys() | ha.keys():
+        pb = max(hb.get(k, 0) / tb, epsilon)
+        pa = max(ha.get(k, 0) / ta, epsilon)
+        psi += (pa - pb) * math.log(pa / pb)
+    return psi

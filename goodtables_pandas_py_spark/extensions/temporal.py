@@ -54,13 +54,24 @@ def asof_join(
     rows sharing the same key AND timestamp the winner is
     plan-order-dependent — disambiguate upstream if right has
     same-instant duplicates.
+
+    SCALE CAVEAT: with ``by=[]`` the window has no partition keys —
+    Spark moves everything to ONE task for the sort. Fine for small
+    frames; at scale always supply ``by`` (the one-shuffle cost
+    claim assumes keyed partitioning).
     """
     by = by or []
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in {*by, ts_col}]
+    # the matched timestamp is always exported as <ts_col><suffix>;
+    # keeping ts_col in right_cols would emit a duplicate column
+    right_cols = [c for c in right_cols if c != ts_col]
     missing = [c for c in [*by, ts_col] if c not in right.columns]
     if missing:
         raise ValueError(f"right side lacks columns {missing}")
+    missing_l = [c for c in [*by, ts_col] if c not in left.columns]
+    if missing_l:
+        raise ValueError(f"left side lacks columns {missing_l}")
 
     payload = F.struct(
         F.col(ts_col).alias(f"__rts"),
@@ -181,6 +192,9 @@ def range_join(
     missing = [c for c in [*by, lo_col, hi_col] if c not in intervals.columns]
     if missing:
         raise ValueError(f"intervals side lacks columns {missing}")
+    missing_p = [c for c in [*by, point_col] if c not in points.columns]
+    if missing_p:
+        raise ValueError(f"points side lacks columns {missing_p}")
     if right_cols is None:
         right_cols = [
             c for c in intervals.columns if c not in {*by, lo_col, hi_col}
@@ -192,7 +206,12 @@ def range_join(
     if bin_width is not None and bin_width <= 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
     if bin_width is None:
-        span = intervals.agg(
+        # estimate from VALID intervals only — inverted/null rows are
+        # dropped below and must not poison the average span
+        span = intervals.where(
+            F.col(lo_col).isNotNull() & F.col(hi_col).isNotNull()
+            & (F.col(lo_col) <= F.col(hi_col))
+        ).agg(
             F.avg(to_num(F.col(hi_col)) - to_num(F.col(lo_col)))
         ).first()[0]
         w_num = float(span) if span else 1.0
@@ -319,7 +338,10 @@ def interval_join(
     if bin_width is not None and bin_width <= 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
     if bin_width is None:
-        span = right.agg(
+        span = right.where(
+            F.col(r_lo).isNotNull() & F.col(r_hi).isNotNull()
+            & (F.col(r_lo) <= F.col(r_hi))
+        ).agg(
             F.avg(to_num(F.col(r_hi)) - to_num(F.col(r_lo)))
         ).first()[0]
         w_num = float(span) if span else 1.0
@@ -427,9 +449,12 @@ def session_ids(
     globally unique WITHIN a key; combine with the key columns for a
     cross-key identifier (done here via the struct).
 
-    ``gap``: seconds (number) for numeric/timestamp ts, or any
+    ``gap`` (number): in the ts column's native units — SECONDS for
+    timestamps, DAYS for dates, the column's own units for numerics
+    (same convention as ``range_join``'s bin_width); or any
     interval-typed Column. Nulls in ``ts_col`` sort first and join
-    the first session of their key. Rows tied on (key, ts) always
+    the first session of their key. With ``by=[]`` the window is a
+    single-task global sort — supply keys at scale. Rows tied on (key, ts) always
     share a session (zero gap), but which of them the window visits
     first is plan-order-dependent — irrelevant here since a tie can
     never open a new session.

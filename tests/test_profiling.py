@@ -173,3 +173,47 @@ def test_column_profile_rejects_empty_column_list(spark, snap_a):
 
     with pytest.raises(ValueError, match="no columns"):
         column_profile(snap_a, [])
+
+
+# --------------------------------------------- review-finding regressions
+
+def test_profile_drift_survives_empty_and_all_null_snapshots(spark, snap_a):
+    """ANSI-mode divide-by-zero regression: an empty before-snapshot
+    or an all-null column must yield null ratios (flags False), not
+    kill the job."""
+    from goodtables_pandas_py_spark.extensions.profiling import (
+        column_profile, profile_drift,
+    )
+
+    empty = snap_a.where(F.lit(False))
+    rows = profile_drift(
+        column_profile(empty), column_profile(snap_a)
+    ).collect()
+    assert len(rows) == 4          # completes; no DIVIDE_BY_ZERO
+    all_null = snap_a.select(F.lit(None).cast("double").alias("x"))
+    rows2 = profile_drift(
+        column_profile(all_null),
+        column_profile(snap_a.select("x")),
+    ).collect()
+    assert len(rows2) == 1
+
+
+def test_profile_drift_validates_ratio_threshold(spark, snap_a):
+    from goodtables_pandas_py_spark.extensions.profiling import (
+        column_profile, profile_drift,
+    )
+
+    prof = column_profile(snap_a)
+    with pytest.raises(ValueError, match="max_distinct_ratio_change"):
+        profile_drift(prof, prof, max_distinct_ratio_change=1.0)
+
+
+def test_value_histogram_excludes_nan(spark):
+    from goodtables_pandas_py_spark.extensions.profiling import value_histogram
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (2.0,), (None,)], "x double"
+    )
+    rows = value_histogram(df, "x", 0.0, 10.0, bins=5).collect()
+    assert sum(r["n"] for r in rows) == 2
+    assert all(r["bucket"] is not None for r in rows)

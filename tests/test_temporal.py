@@ -543,3 +543,52 @@ def test_binned_joins_reject_nonpositive_bin_width(spark, lookups, ip_blocks):
     with pytest.raises(ValueError, match="bin_width"):
         interval_join(ip_blocks, ip_blocks, ("lo", "hi"), ("lo", "hi"),
                       bin_width=-3.0)
+
+
+def test_range_join_estimate_ignores_inverted_intervals(spark, lookups):
+    """bin_width=None must estimate from VALID intervals only — an
+    inverted interval previously drove the average span negative,
+    collapsing w to 1e-12 and raising on every valid interval."""
+    iv = spark.createDataFrame(
+        [("us", 0, 10, "ok"), ("us", 1000, 0, "inverted")],
+        "region string, lo long, hi long, block string",
+    )
+    got = {
+        (r["qid"], r["block_right"])
+        for r in range_join(
+            lookups, iv, "v", "lo", "hi", by=["region"]
+        ).collect()
+    }
+    assert got == {(1, "ok"), (2, "ok")}
+    # interval_join twin
+    spans = spark.createDataFrame(
+        [("us", 5, 8, 1)], "region string, lo long, hi long, sid long"
+    )
+    got2 = {
+        (r["sid"], r["block_right"])
+        for r in interval_join(
+            spans, iv, ("lo", "hi"), ("lo", "hi"), by=["region"]
+        ).collect()
+    }
+    assert got2 == {(1, "ok")}
+
+
+def test_asof_join_no_duplicate_ts_column(spark, trades, quotes):
+    """right_cols explicitly naming ts_col must not duplicate
+    <ts>_right (it is always exported from the match struct)."""
+    out = asof_join(
+        trades, quotes.distinct(), by=["sym"], right_cols=["ts", "px"]
+    )
+    assert out.columns.count("ts_right") == 1, out.columns
+    assert "px_right" in out.columns
+
+
+def test_range_join_validates_point_side_columns(spark, lookups, ip_blocks):
+    with pytest.raises(ValueError, match="points side lacks"):
+        range_join(lookups, ip_blocks, "typo", "lo", "hi", by=["region"])
+    with pytest.raises(ValueError, match="left side lacks"):
+        asof_join(
+            spark.createDataFrame([(1,)], "x long"), ip_blocks.select(
+                F.col("region"), F.col("lo").alias("ts"), "block"
+            ), by=["region"],
+        )
