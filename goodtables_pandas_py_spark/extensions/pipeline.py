@@ -125,7 +125,7 @@ def prepare_corpus(
             min_ratio=decontam_ratio,
         )
         kept = capped.join(
-            drop, capped[id_col] == F.col("corpus_id"), "left_anti"
+            drop, capped[id_col] == drop["corpus_id"], "left_anti"
         )
     if not audit:
         return CorpusPrep(kept=kept)
@@ -177,7 +177,17 @@ def write_release(
     else:
         df.write.mode("overwrite").parquet(data_path)
 
-    back = spark.read.parquet(data_path)
+    try:
+        back = spark.read.parquet(data_path)
+    except Exception as exc:  # UNABLE_TO_INFER_SCHEMA
+        # a partitioned overwrite of ZERO rows writes only _SUCCESS
+        # (no parquet footers to infer from) — an empty release is a
+        # legitimate dev/filtered-everything outcome and must still
+        # produce a manifest, matching the non-partitioned branch
+        # (whose empty part file reads back fine)
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
+        back = spark.createDataFrame([], df.schema)
     if has_split:
         counts = {
             # a null split (e.g. a user-joined assignment with misses)

@@ -68,6 +68,9 @@ def split_boundaries(
         weights = DEFAULT_WEIGHTS
     if not weights:
         raise ValueError("weights must be non-empty")
+    negative = {k: v for k, v in weights.items() if v < 0}
+    if negative:
+        raise ValueError(f"weights must be non-negative, got {negative}")
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive number")
@@ -85,15 +88,17 @@ def split_expr(
     id_col: Column, weights: dict[str, float] | None = None, salt: str = ""
 ) -> Column:
     """The split label as a Column — chained fixed-width hex
-    comparisons over :func:`hash_bucket` (codegen; no UDF)."""
+    comparisons over :func:`hash_bucket` (codegen; no UDF). A NULL
+    id yields a NULL split (visible, filterable) — it must NOT
+    silently ride the remainder split, which would concentrate the
+    junkiest rows in one split (and ``hash_sample`` already treats
+    null ids as non-members)."""
     bucket = hash_bucket(id_col, salt)
     bounds = split_boundaries(weights)
-    expr: Column | None = None
+    expr = F.when(id_col.isNull(), F.lit(None).cast("string"))
     for name, hi in bounds[:-1]:
-        cond = bucket < F.lit(hi)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    last = F.lit(bounds[-1][0])
-    return last if expr is None else expr.otherwise(last)
+        expr = expr.when(bucket < F.lit(hi), F.lit(name))
+    return expr.otherwise(F.lit(bounds[-1][0]))
 
 
 def hash_split(
@@ -135,11 +140,15 @@ def grouped_hash_split(
     component map (component map ≪ corpus → broadcast-eligible; AQE
     picks it up when under threshold).
     """
-    comp = pair_components(pairs, *pair_cols).withColumnRenamed("id", id_col)
+    comp = (
+        pair_components(pairs, *pair_cols)
+        .withColumnRenamed("id", id_col)
+        .withColumnRenamed("component", "__component")
+    )
     joined = df.join(comp, id_col, "left")
-    unit = F.coalesce(F.col("component"), F.col(id_col))
+    unit = F.coalesce(F.col("__component"), F.col(id_col))
     return joined.withColumn(split_col, split_expr(unit, weights, salt)).drop(
-        "component"
+        "__component"
     )
 
 
@@ -270,7 +279,10 @@ def pack_bins(
             # crashing the job
             n = 0 if pd.isna(raw) else int(raw)
             if n > budget:
-                bins.append(0)  # dedicated, already full
+                # -1 (not 0): a later zero-token doc satisfies
+                # rem >= 0 and would ride the dedicated bin,
+                # breaking the "oversize bins are alone" contract
+                bins.append(-1)
                 bin_ids.at[idx] = b | (len(bins) - 1)
                 oversize.at[idx] = True
                 continue
@@ -308,9 +320,12 @@ def hash_sample(
     debug corpus without resampling). Map-only, no shuffle."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    bound = format(min(int(fraction * _HEX_SPACE), _HEX_SPACE), "08x")
-    if fraction >= 1.0:
+    units = int(fraction * _HEX_SPACE)
+    if units >= _HEX_SPACE:
         return df
+    # fixed 8-hex-char bound: units < 2^32 here, so the lexical
+    # compare stays aligned (a 9-char bound would break it)
+    bound = format(units, "08x")
     return df.where(hash_bucket(F.col(id_col), salt) < F.lit(bound))
 
 
@@ -380,8 +395,6 @@ def top_k_per_group(
             "prune_salts requires tiebreak columns (the salt hashes "
             "them; row-position salts would not be deterministic)"
         )
-    from pyspark.sql import Window
-
     order = [
         F.col(order_col).desc() if descending else F.col(order_col).asc(),
         *[F.col(t) for t in (tiebreak or [])],

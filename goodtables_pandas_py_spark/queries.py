@@ -1895,6 +1895,7 @@ def _dq2(spark, sf_dir):
 @q(
     "x7_hash_split",
     "SELECT CASE"
+    " WHEN doc_id IS NULL THEN NULL"
     " WHEN substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'"
     " THEN 'train'"
     " WHEN substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'"

@@ -36,11 +36,27 @@ from ..schema import TableSchema
 
 
 def validate_stream(
-    stream: DataFrame, schema: TableSchema, assume_typed: bool = True
+    stream: DataFrame, schema: TableSchema, assume_typed: bool = True,
+    allow_missing_fields: bool = False,
 ) -> DataFrame:
     """Augment a streaming DataFrame with one boolean ``__viol__*``
     column per check (same naming as the batch engine). Pure stateless
-    projection — no shuffle, survives any output mode."""
+    projection — no shuffle, survives any output mode.
+
+    Schema fields absent from the stream raise at PLAN TIME (the
+    batch engine reports missing-header for the same situation —
+    silently skipping would let producer-side schema drift validate
+    clean forever, the exact failure streaming validation exists to
+    catch). Pass ``allow_missing_fields=True`` to opt into partial
+    validation of a narrower stream.
+    """
+    absent = [f.name for f in schema.fields if f.name not in stream.columns]
+    if absent and not allow_missing_fields:
+        raise ValueError(
+            f"stream lacks schema fields {absent} (batch validation "
+            "reports missing-header here); pass "
+            "allow_missing_fields=True for partial validation"
+        )
     cols = [F.col(c) for c in stream.columns]
     for fld in schema.fields:
         if fld.name not in stream.columns:
@@ -166,16 +182,19 @@ def fk_check_foreach_batch(
 
 def asof_enrich_foreach_batch(
     dimension: DataFrame,
+    on_batch: Callable[[DataFrame, int], None],
     ts_col: str = "ts",
     by: list[str] | None = None,
-    on_batch: Callable[[DataFrame, int], None] | None = None,
     **asof_kwargs,
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` function that as-of-enriches each
     micro-batch against a (slowly-changing) dimension snapshot:
     every event in the batch gets the latest dimension row at or
     before its timestamp (:func:`~..extensions.temporal.asof_join`),
-    and the enriched frame goes to ``on_batch(enriched_df, batch_id)``.
+    and the enriched frame goes to ``on_batch(enriched_df, batch_id)``
+    — REQUIRED, since foreachBatch commits offsets whether or not
+    anyone acts on the batch (a defaulted no-op callback would
+    silently consume the stream).
 
     The streaming twin of the FK pattern above — state stays OUT of
     the stream: the as-of runs per micro-batch as one bounded
@@ -188,10 +207,10 @@ def asof_enrich_foreach_batch(
     from ..extensions.temporal import asof_join
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        enriched = asof_join(
-            batch_df, dimension, ts_col=ts_col, by=by, **asof_kwargs
+        on_batch(
+            asof_join(batch_df, dimension, ts_col=ts_col, by=by,
+                      **asof_kwargs),
+            batch_id,
         )
-        if on_batch is not None:
-            on_batch(enriched, batch_id)
 
     return handle

@@ -1179,3 +1179,38 @@ def test_prepare_corpus_cap_per_group(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cap_per_group requires"):
         prepare_corpus(df, cap_per_group=2)
+
+
+def test_write_release_empty_partitioned_frame_still_writes_manifest(
+    spark, tmp_path
+):
+    """A split-partitioned overwrite of ZERO rows writes no parquet
+    footers; write_release must still produce a manifest (matching
+    the non-partitioned branch) instead of dying on read-back."""
+    import json
+
+    from goodtables_pandas_py_spark.extensions.pipeline import write_release
+
+    df = spark.createDataFrame(
+        [], "doc_id long, text string, split string"
+    )
+    man = write_release(df, str(tmp_path / "rel"))
+    assert man["n_rows"] == 0 and man["row_counts"] == {}
+    with open(tmp_path / "rel" / "manifest.json") as f:
+        assert json.load(f)["n_rows"] == 0
+
+
+def test_prepare_corpus_tolerates_corpus_id_column(spark):
+    """Input corpora shaped for decontam workflows may already carry
+    a corpus_id column; the anti-join must not become ambiguous."""
+    from goodtables_pandas_py_spark.extensions.pipeline import prepare_corpus
+
+    rows = [(i, i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, corpus_id long, text string")
+    evals = df.where(F.col("doc_id") == 0).select("doc_id", "text")
+    prep = prepare_corpus(
+        df, dedup_threshold=0.9, min_tokens=1,
+        eval_sets=evals, decontam_ngram=3, decontam_ratio=0.5,
+    )
+    kept_ids = {r["doc_id"] for r in prep.kept.collect()}
+    assert 0 not in kept_ids and len(kept_ids) == 5

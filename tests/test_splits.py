@@ -542,3 +542,61 @@ def test_top_k_per_group_rejects_bad_args(spark):
         top_k_per_group(df, [], "s", 1)
     with _pytest.raises(ValueError, match="tiebreak"):
         top_k_per_group(df, ["d"], "s", 1, prune_salts=4)
+
+
+# --------------------------------------------- review-finding regressions
+
+def test_split_expr_null_id_gets_null_split(spark):
+    from goodtables_pandas_py_spark.extensions.splits import hash_split
+
+    df = spark.createDataFrame([(1,), (None,), (2,)], "doc_id long")
+    got = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert got[None] is None            # visible, not silently 'test'
+    assert got[1] is not None and got[2] is not None
+
+
+def test_split_boundaries_reject_negative_weights():
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions.splits import split_boundaries
+
+    with _pytest.raises(ValueError, match="non-negative"):
+        split_boundaries({"a": -0.5, "b": 1.5})
+
+
+def test_hash_sample_fraction_just_under_one_keeps_everything(spark):
+    import math
+
+    from goodtables_pandas_py_spark.extensions.splits import hash_sample
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    frac = math.nextafter(1.0, 0.0)
+    kept = hash_sample(df, frac).count()
+    assert kept >= 195          # ~100%, not ~6% (9-hex-char bound bug)
+
+
+def test_grouped_hash_split_tolerates_component_column(spark):
+    from goodtables_pandas_py_spark.extensions.splits import grouped_hash_split
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "doc_id long, component string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = grouped_hash_split(df, pairs)
+    rows = {r["doc_id"]: (r["component"], r["split"]) for r in out.collect()}
+    assert rows[1][0] == "x"            # user column intact
+    assert rows[1][1] == rows[2][1]     # pair still splits together
+
+
+def test_pack_bins_zero_token_doc_never_rides_oversize_bin(spark):
+    from goodtables_pandas_py_spark.extensions.splits import pack_bins
+
+    df = spark.createDataFrame(
+        [(1, 5000), (2, 0), (3, None)], "doc_id long, n_tokens long"
+    )
+    rows = {r["doc_id"]: r for r in
+            pack_bins(df, budget=100, num_buckets=1).collect()}
+    assert rows[1]["oversize"]
+    assert rows[2]["bin_id"] != rows[1]["bin_id"]
+    assert rows[3]["bin_id"] != rows[1]["bin_id"]
+    assert rows[2]["bin_id"] == rows[3]["bin_id"]   # both fit a normal bin

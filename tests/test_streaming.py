@@ -570,3 +570,17 @@ def test_stream_asof_enrich_foreach_batch(spark, event_stream_dir):
     }
     assert got == want
     assert len(got) == 200 and set(want.values()) == {0.0, 300.0}
+
+
+def test_validate_stream_raises_on_missing_schema_fields(spark, event_stream_dir):
+    """Producer-side schema drift must fail at plan time, not
+    validate clean forever (batch reports missing-header here)."""
+    batch = spark.read.parquet(event_stream_dir).drop("value")
+    stream = spark.readStream.schema(batch.schema).parquet(event_stream_dir)
+    with pytest.raises(ValueError, match="missing-header"):
+        xstream.validate_stream(stream, SCHEMA)
+    # explicit opt-in still allows partial validation
+    checked = xstream.validate_stream(
+        stream, SCHEMA, allow_missing_fields=True
+    )
+    assert not any("value" in c for c in checked.columns if "__viol__" in c)
