@@ -779,3 +779,40 @@ def test_session_ids_properties(spark, events, gap):
         for (t0, s0), (t1, s1) in zip(seq, seq[1:]):
             expect_new = (t1 - t0) > gap
             assert s1 == s0 + (1 if expect_new else 0), (u, seq)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(0, 1), st.integers(-500, 500),
+                       st.integers(0, 60)), min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 1), st.integers(-550, 550),
+                       st.integers(0, 40)), min_size=0, max_size=20),
+)
+def test_interval_join_matches_python_reference(spark, ls, rs):
+    """interval_join == the O(n·m) overlap definition on arbitrary
+    keyed integer spans, each pair exactly once."""
+    from goodtables_pandas_py_spark.extensions.temporal import interval_join
+
+    ldf = spark.createDataFrame(
+        [(f"k{k}", lo, lo + w, i) for i, (k, lo, w) in enumerate(ls)],
+        "key string, lo long, hi long, sid long",
+    )
+    rdf = spark.createDataFrame(
+        [(f"k{k}", lo, lo + w, j) for j, (k, lo, w) in enumerate(rs)],
+        "key string, lo long, hi long, oid long",
+    )
+    got = [
+        (r["sid"], r["oid_right"])
+        for r in interval_join(
+            ldf, rdf, ("lo", "hi"), ("lo", "hi"), by=["key"], bin_width=23
+        ).collect()
+    ]
+    assert len(got) == len(set(got))
+    want = {
+        (i, j)
+        for i, (lk, llo, lw) in enumerate(ls)
+        for j, (rk, rlo, rw) in enumerate(rs)
+        if lk == rk and llo <= rlo + rw and rlo <= llo + lw
+    }
+    assert set(got) == want
