@@ -56,10 +56,12 @@ def duplicate_keys_df(df: DataFrame, key: list[str]) -> DataFrame:
     """Shared kernel of K1/K2/C2: key tuples appearing more than once,
     with multiplicities. One hash-aggregate shuffle on the key —
     partial (map-side) aggregation is automatic (SURVEY.md §4.2)."""
+    # count column is __-prefixed: a KEY FIELD literally named "n"
+    # must not make the filter ambiguous
     return (
         df.groupBy(*_tuple_col(df, key))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
     )
 
 
@@ -73,7 +75,7 @@ def _dup_count_and_sample(dups: DataFrame, key: list[str]) -> tuple[int, list]:
     dups = dups.persist()
     try:
         extra = dups.select(
-            F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("extra")
+            F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("extra")
         ).first()["extra"]
         sample: list = []
         if extra:
@@ -102,19 +104,19 @@ def check_primary_key(df: DataFrame, key: list[str]) -> KeyCheckResult:
 
     viol = (
         df.groupBy(null_mask.alias("__isnull"), *_tuple_col(df, key))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("__isnull") | (F.col("n") > 1))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__isnull") | (F.col("__n") > 1))
         .persist()  # violations only — tiny; sample is then a cache read
     )
     try:
         row = viol.agg(
             F.coalesce(
-                F.sum(F.when(F.col("__isnull"), F.col("n")).otherwise(F.lit(0))),
+                F.sum(F.when(F.col("__isnull"), F.col("__n")).otherwise(F.lit(0))),
                 F.lit(0),
             ).alias("nulls"),
             F.coalesce(
                 F.sum(
-                    F.when(~F.col("__isnull"), F.greatest(F.col("n") - 1, F.lit(0)))
+                    F.when(~F.col("__isnull"), F.greatest(F.col("__n") - 1, F.lit(0)))
                 ),
                 F.lit(0),
             ).alias("extra"),
@@ -122,11 +124,14 @@ def check_primary_key(df: DataFrame, key: list[str]) -> KeyCheckResult:
         nulls, extra = int(row["nulls"]), int(row["extra"])
 
         sample: list = []
-        if extra:
-            dups = viol.where(~F.col("__isnull") & (F.col("n") > 1))
+        if nulls + extra:
+            # violating groups: duplicated tuples AND null-component
+            # tuples — a PK violated only by nulls must still carry a
+            # sample (count>0 with empty values reads as a bug)
+            bad = viol.where(F.col("__isnull") | (F.col("__n") > 1))
             sample = [
                 tuple(r[c] for c in key)
-                for r in dups.limit(VALUE_SAMPLE_CAP).collect()
+                for r in bad.limit(VALUE_SAMPLE_CAP).collect()
             ]
         return KeyCheckResult(
             code="primary-key-constraint", count=nulls + extra, values=sample

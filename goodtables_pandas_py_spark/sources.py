@@ -77,8 +77,16 @@ def read_csv_stringly(
         reader = reader.option("ignoreLeadingWhiteSpace", True)
     if d.line_terminator not in ("\r\n", "\n", "\r"):
         # Spark auto-detects the standard terminators; only exotic
-        # single-char terminators need an explicit lineSep
-        reader = reader.option("lineSep", d.line_terminator[:1])
+        # SINGLE-char terminators are supported as lineSep —
+        # truncating a multi-char one would split rows mid-cell at
+        # every occurrence of its first character
+        if len(d.line_terminator) != 1:
+            raise ValueError(
+                "unsupported lineTerminator "
+                f"{d.line_terminator!r}: Spark's lineSep must be one "
+                "character (or the standard \\r\\n / \\n / \\r)"
+            )
+        reader = reader.option("lineSep", d.line_terminator)
     if column_names is not None:
         schema = T.StructType([T.StructField(c, T.StringType()) for c in column_names])
         return reader.schema(schema).csv(path)
@@ -173,7 +181,9 @@ def localize_url(spark: SparkSession, url: str) -> str:
 
     parsed = urlparse(url)
     if parsed.scheme == "file":
-        return parsed.path
+        from urllib.parse import unquote
+
+        return unquote(parsed.path)
     if parsed.scheme in ("http", "https", "ftp"):
         staging = spark.conf.get("spark.goodtables.staging.dir", None)
         master = getattr(spark, "sparkContext", None)
@@ -316,7 +326,7 @@ def sniff_csv_header(
             line = _read_first_line(spark, first, encoding, line_sep)
         except Exception:  # FS quirks: fall back to Spark's own columns
             return None
-    line = line.rstrip("\r\n")
+    line = line.rstrip("\r\n").lstrip("\ufeff")
     reader = csv.reader(
         io.StringIO(line),
         delimiter=d.delimiter,
@@ -363,11 +373,17 @@ def read_inline(spark: SparkSession, resource: Resource) -> DataFrame:
 
 
 def _lex(v) -> str | None:
-    """Lexical render of an inline value (JSON-ish scalars)."""
+    """Lexical render of an inline value (JSON-ish scalars; nested
+    dicts/lists render as JSON so object/array parsers accept them —
+    Python str() would produce single-quoted non-JSON)."""
+    import json as _json
+
     if v is None:
         return None
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, (dict, list)):
+        return _json.dumps(v)
     return str(v)
 
 
@@ -386,10 +402,19 @@ def read_resource(spark: SparkSession, resource: Resource) -> DataFrame:
     if fmt == "parquet":
         return read_parquet(spark, path)
     if fmt == "csv":
-        # do NOT pin schema field names: header mismatches must be
-        # observed by H1, so the file's own header drives the columns
+        # With a header row, do NOT pin schema field names: header
+        # mismatches must be observed by H1, so the file's own header
+        # drives the columns. A HEADERLESS file has no names to
+        # observe — columns are positional and take the schema's
+        # names (else Spark invents _c0.._cN and every check
+        # dies on missing-header).
+        d = resource.dialect or Dialect()
+        names = None
+        if not d.header and resource.schema is not None:
+            names = resource.schema.field_names
         return read_csv_stringly(
-            spark, path, resource.dialect, resource.encoding
+            spark, path, resource.dialect, resource.encoding,
+            column_names=names,
         )
     if fmt in ("ndjson", "jsonl"):
         field_order = (

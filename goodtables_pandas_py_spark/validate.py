@@ -589,12 +589,24 @@ def validate_package(
     validations: dict[str, TableValidation] = {}
     pending: list[tuple[str, DataFrame, TableSchema, list[str] | None]] = []
     for res in package.resources:
+        if res.schema is None:
+            # a schema-less attachment is skipped entirely — reading
+            # it first would crash package validation on unsupported
+            # formats (and waste loads) for a resource we discard
+            continue
         header = None
         if dataframes and res.name in dataframes:
             df = dataframes[res.name]
         else:
             df = read_resource(spark, res)
             if assume_typed is False and res.format == "parquet":
+                if row_ids:
+                    # row addresses must reflect SOURCE order — attach
+                    # them before the widening repartition shuffles
+                    # rows (validate_table skips re-adding the column)
+                    df = df.withColumn(
+                        "__row_id", F.monotonically_increasing_id()
+                    )
                 # widen BEFORE the lexical cast: the string render is
                 # the expensive step, so it must run at full session
                 # parallelism, and the shuffle moves compact typed rows
@@ -607,8 +619,6 @@ def validate_package(
                 header = sniff_csv_header(
                     spark, res.path, res.dialect, res.encoding
                 )
-        if res.schema is None:
-            continue
         pending.append((res.name, df, res.schema, header))
 
     # independent resources validate concurrently: each thread only
@@ -763,7 +773,19 @@ def partition_valid(
         df, schema, assume_typed, custom_checks
     )
     if not checks:
-        return wide.select(*typed_names), wide.select(*typed_names).limit(0)
+        # keep the invalid branch's schema IDENTICAL to the checked
+        # path (raw columns + __failed_checks) so dead-letter sinks
+        # can append either outcome without a schema mismatch
+        raw_cols0 = [
+            F.col(f"__raw__{c}").alias(c)
+            if f"__raw__{c}" in wide.columns else F.col(c)
+            for c in typed_names
+        ]
+        empty_invalid = wide.select(
+            *raw_cols0,
+            F.array().cast("array<string>").alias("__failed_checks"),
+        ).limit(0)
+        return wide.select(*typed_names), empty_invalid
 
     labels = F.array_compact(
         F.array(

@@ -211,3 +211,30 @@ def test_foreign_key_multi_rejects_width_mismatch(spark):
         foreign_key_violations_multi(
             child, ["a", "b"], {"bad": (parent, ["x"])}
         )
+
+
+# --------------------------------------------- review-finding regressions
+
+def test_key_checks_tolerate_field_named_n(spark):
+    """A key field literally named 'n' must not collide with the
+    internal count column."""
+    from goodtables_pandas_py_spark.checks.keys import (
+        check_primary_key, check_unique_key,
+    )
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "n long")
+    assert check_unique_key(df, ["n"]).count == 1
+    assert check_primary_key(df, ["n"]).count == 1
+
+
+def test_primary_key_null_only_violations_carry_sample(spark):
+    """A PK violated solely by null components must sample the
+    offending tuples (count>0 with empty values reads as a bug)."""
+    from goodtables_pandas_py_spark.checks.keys import check_primary_key
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c")], "id long, x string"
+    )
+    res = check_primary_key(df, ["id"])
+    assert res.count == 2
+    assert res.values and all(t == (None,) for t in res.values)

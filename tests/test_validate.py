@@ -941,3 +941,134 @@ def test_json_table_resource_array_of_arrays_header(spark, tmp_path):
     df = read_resource(spark, Resource(name="r", path=str(p), format="json"))
     assert df.columns == ["id", "name"]
     assert {tuple(r) for r in df.collect()} == {("1", "ann"), ("2", "bob")}
+
+
+# --------------------------------------------- review-finding regressions
+
+def test_headerless_csv_validates_positionally(spark, tmp_path):
+    """dialect.header=false: columns take the schema's names
+    positionally — previously Spark named them _c0.._cN and every
+    field died on missing-header."""
+    import json
+
+    p = tmp_path / "t.csv"
+    p.write_text("1,F\n2,Z\n")
+    desc = {
+        "name": "p", "resources": [{
+            "name": "t", "path": str(p),
+            "dialect": {"header": False},
+            "schema": {"fields": [
+                {"name": "id", "type": "integer"},
+                {"name": "status", "type": "string",
+                 "constraints": {"enum": ["F", "P"]}},
+            ]},
+        }],
+    }
+    import goodtables_pandas_py_spark as gt
+
+    rep = gt.validate(spark, desc)
+    codes = {e["code"] for t in rep["tables"] for e in t["errors"]}
+    assert "missing-header" not in codes
+    assert codes == {"enumerable-constraint"}      # the Z row, nothing else
+
+
+def test_inline_object_values_render_as_json(spark):
+    """Nested dicts in inline data must reach the object parser as
+    JSON (str() produced single-quoted non-JSON -> false errors)."""
+    import goodtables_pandas_py_spark as gt
+
+    desc = {
+        "name": "p", "resources": [{
+            "name": "t",
+            "data": [{"meta": {"a": 1}, "tags": [1, 2]}],
+            "schema": {"fields": [
+                {"name": "meta", "type": "object"},
+                {"name": "tags", "type": "array"},
+            ]},
+        }],
+    }
+    rep = gt.validate(spark, desc)
+    assert rep["valid"] is True, rep
+
+
+def test_schemaless_unsupported_resource_is_skipped(spark, tmp_path):
+    """A schema-less attachment in an unsupported format must be
+    skipped, not crash package validation."""
+    import goodtables_pandas_py_spark as gt
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("id\n1\n")
+    desc = {
+        "name": "p", "resources": [
+            {"name": "notes", "path": "notes.xlsx", "format": "xlsx"},
+            {"name": "t", "path": str(csv),
+             "schema": {"fields": [{"name": "id", "type": "integer"}]}},
+        ],
+    }
+    rep = gt.validate(spark, desc)
+    assert rep["valid"] is True, rep
+
+
+def test_bom_header_matches(spark, tmp_path):
+    """Excel 'CSV UTF-8' BOM must not produce spurious header errors."""
+    import goodtables_pandas_py_spark as gt
+
+    p = tmp_path / "t.csv"
+    p.write_bytes(b"\xef\xbb\xbfid,name\n1,a\n")
+    desc = {
+        "name": "p", "resources": [{
+            "name": "t", "path": str(p),
+            "schema": {"fields": [
+                {"name": "id", "type": "integer"},
+                {"name": "name", "type": "string"},
+            ]},
+        }],
+    }
+    rep = gt.validate(spark, desc)
+    codes = {e["code"] for t in rep["tables"] for e in t["errors"]}
+    assert "missing-header" not in codes and "extra-header" not in codes, rep
+
+
+def test_multichar_line_terminator_rejected(spark, tmp_path):
+    import pytest
+
+    from goodtables_pandas_py_spark.schema import Dialect
+    from goodtables_pandas_py_spark.sources import read_csv_stringly
+
+    p = tmp_path / "t.csv"
+    p.write_text("a|~b")
+    with pytest.raises(ValueError, match="lineTerminator"):
+        read_csv_stringly(
+            spark, str(p), Dialect(line_terminator="|~")
+        ).collect()
+
+
+def test_file_url_percent_decoding(spark, tmp_path):
+    from goodtables_pandas_py_spark.sources import localize_url
+
+    p = tmp_path / "my file.csv"
+    p.write_text("id\n1\n")
+    url = "file://" + str(tmp_path).replace(" ", "%20") + "/my%20file.csv"
+    assert localize_url(spark, url) == str(p)
+
+
+def test_partition_valid_no_checks_schema_matches(spark):
+    """The no-checks branch must emit the same invalid schema
+    (__failed_checks included) as the checked branch."""
+    from goodtables_pandas_py_spark.schema import TableSchema
+    from goodtables_pandas_py_spark.validate import partition_valid
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    sch_none = TableSchema.from_descriptor(
+        {"fields": [{"name": "id", "type": "integer"},
+                    {"name": "name", "type": "string"}]}
+    )
+    sch_some = TableSchema.from_descriptor(
+        {"fields": [{"name": "id", "type": "integer",
+                     "constraints": {"minimum": 0}},
+                    {"name": "name", "type": "string"}]}
+    )
+    _, inv_none = partition_valid(df, sch_none, assume_typed=True)
+    _, inv_some = partition_valid(df, sch_some, assume_typed=True)
+    assert inv_none.columns == inv_some.columns
+    assert "__failed_checks" in inv_none.columns
