@@ -24,6 +24,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..parsers import parse_constraint_value
+
+
+def _const_lit(v):
+    """Constraint literal as a Column: yearmonth tuples become struct
+    literals (struct comparison is field-order lexicographic —
+    (year, month) orders correctly); everything else F.lit."""
+    if isinstance(v, tuple):
+        return F.struct(
+            F.lit(int(v[0])).alias("year"), F.lit(int(v[1])).alias("month")
+        )
+    return F.lit(v)
 from ..schema import Field
 
 #: constraint name -> goodtables data-quality-spec error code
@@ -97,17 +108,26 @@ def compile_constraints(
 
     if "minimum" in cons:
         v = parse_constraint_value(cons["minimum"], field)
-        add("minimum", v, parsed < F.lit(v), parsed)
+        add("minimum", v, parsed < _const_lit(v), parsed)
     if "maximum" in cons:
         v = parse_constraint_value(cons["maximum"], field)
-        add("maximum", v, parsed > F.lit(v), parsed)
+        add("maximum", v, parsed > _const_lit(v), parsed)
 
     if "enum" in cons:
         values = [parse_constraint_value(v, field) for v in cons["enum"]]
         # C5: literal IN-list; Catalyst turns long lists into a hash-set
         # probe. (Huge enum → broadcast-join variant lives in keys.py as
-        # an FK against a literal parent.)
-        add("enum", values, parsed.isNotNull() & ~parsed.isin(values), parsed)
+        # an FK against a literal parent.) Struct-typed literals
+        # (yearmonth tuples) fold to an OR of equalities instead.
+        if any(isinstance(v, tuple) for v in values):
+            hit = None
+            for v in values:
+                eq = parsed == _const_lit(v)
+                hit = eq if hit is None else (hit | eq)
+            mask = parsed.isNotNull() & ~F.coalesce(hit, F.lit(False))
+        else:
+            mask = parsed.isNotNull() & ~parsed.isin(values)
+        add("enum", values, mask, parsed)
 
     if "pattern" in cons:
         p = str(cons["pattern"])

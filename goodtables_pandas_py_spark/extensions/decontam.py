@@ -33,8 +33,9 @@ def ngram_sets(
     df: DataFrame, id_col: str, text_col: str, ngram: int
 ) -> DataFrame:
     """(id, ngram) rows: distinct space-joined word n-grams of the
-    normalized text. Shared by both sides of the scan so the match is
-    exact by construction."""
+    normalized text, per INPUT ROW (array_distinct — no shuffle; ids
+    must be unique per row, the corpus contract at 100 TB). Shared by
+    both sides of the scan so the match is exact by construction."""
     toks = whitespace_tokens(normalize_text(F.col(text_col)))
     return df.select(
         F.col(id_col).alias("id"),
@@ -64,7 +65,13 @@ def contamination_scan(
     containment-style decisions, ``min_matched`` for any-overlap
     auditing.
     """
-    ev = ngram_sets(eval_df, eval_id_col, eval_text_col, ngram)
+    # the eval side is small and broadcast anyway: a cross-row
+    # distinct is cheap and makes multi-row-per-id eval sets (e.g.
+    # prompt + answer rows sharing an id) count each n-gram once —
+    # without it both n_eval and n_matched inflate and ratios skew.
+    # The CORPUS side stays per-row distinct only (a global distinct
+    # would shuffle 100 TB); corpus ids must be unique per row.
+    ev = ngram_sets(eval_df, eval_id_col, eval_text_col, ngram).distinct()
     ev_sized = ev.groupBy(F.col("id").alias("eval_id")).agg(
         F.count(F.lit(1)).alias("n_eval")
     )

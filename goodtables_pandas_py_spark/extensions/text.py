@@ -56,14 +56,28 @@ def quality_features(text: Column) -> Column:
     n_chars = F.length(text)
     n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
     n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
-    # token occurrences (not distinct types): filter, don't intersect
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    # stopword occurrences: match case-insensitively with edge
+    # punctuation stripped ("The" / "the," are stopword hits — raw
+    # token matching systematically undercounted prose)
+    n_stop = F.size(F.filter(
+        toks,
+        lambda t: F.lower(
+            F.regexp_replace(t, r"^[^A-Za-z]+|[^A-Za-z]+$", "")
+        ).isin(*EN_STOPWORDS),
+    ))
     safe_tok = F.greatest(n_tok, F.lit(1))
     safe_chars = F.greatest(n_chars, F.lit(1))
+    # Gopher mean word length = mean TOKEN length: whitespace must
+    # not count (total-length/n_tok inflated it by ~1 char/word).
+    # Non-whitespace chars == sum of token lengths under the ASCII-\s
+    # tokenizer contract, and stays whole-stage codegen.
+    n_tok_chars = F.length(
+        F.regexp_replace(text, r"[ \t\n\x0B\f\r]", "")
+    )
     return F.struct(
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
-        (n_chars / safe_tok).alias("mean_word_len"),
+        (n_tok_chars / safe_tok).alias("mean_word_len"),
         (n_punct / safe_chars).alias("punct_ratio"),
         (n_stop / safe_tok).alias("stopword_ratio"),
         (n_upper / safe_chars).alias("upper_ratio"),

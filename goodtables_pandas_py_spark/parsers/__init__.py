@@ -93,11 +93,23 @@ def _parse_string(raw: Column, field: Field) -> ParsedField:
 # --- numbers (P6, P7) -----------------------------------------------------
 
 
-def _strip_bare_number(col: Column) -> Column:
+def _strip_bare_number(col: Column, field: Field | None = None) -> Column:
     """bareNumber=false: trim non-numeric prefix/suffix around the
-    numeric token [SPEC table-schema §number]."""
+    numeric token [SPEC table-schema §number]. The token's interior
+    character class includes the field's DECLARED groupChar /
+    decimalChar — a field with groupChar '_' must not have '1_500'
+    truncated to '1' (silently wrong value)."""
+    import re as _re
+
+    extra = ""
+    if field is not None:
+        for ch in {field.group_char, field.decimal_char} - {"", "."}:
+            extra += _re.escape(ch)
     token = F.regexp_extract(
-        col, r"([+-]?(?:[0-9][0-9.,  ']*)?[0-9](?:[eE][+-]?[0-9]+)?|[+-]?[0-9])", 1
+        col,
+        r"([+-]?(?:[0-9][0-9.,  '" + extra
+        + r"]*)?[0-9](?:[eE][+-]?[0-9]+)?|[+-]?[0-9])",
+        1,
     )
     return F.when(token == "", F.lit(None)).otherwise(token)
 
@@ -105,7 +117,7 @@ def _strip_bare_number(col: Column) -> Column:
 def _normalize_number(raw: Column, field: Field) -> Column:
     s = raw
     if not field.bare_number:
-        s = _strip_bare_number(s)
+        s = _strip_bare_number(s, field)
     if field.group_char:
         s = F.replace(s, F.lit(field.group_char), F.lit(""))
     if field.decimal_char != ".":
@@ -126,7 +138,7 @@ def _parse_number(raw: Column, field: Field) -> ParsedField:
 
 
 def _parse_integer(raw: Column, field: Field) -> ParsedField:
-    s = raw if field.bare_number else _strip_bare_number(raw)
+    s = raw if field.bare_number else _strip_bare_number(raw, field)
     # regex first rejects floats ('1.0'); try_cast catches int64 overflow
     parsed = F.when(s.rlike(INTEGER_RE), s.try_cast(T.LongType()))
     return ParsedField(field.name, parsed, _bad(raw, parsed))
@@ -156,13 +168,24 @@ def _pandas_any_datetime(raw: Column) -> Column:
     def any_dt(s: pd.Series) -> pd.Series:
         from dateutil import parser as du
 
+        import datetime as dt
+
+        # deterministic default: missing components (e.g. the year in
+        # "June 5") must not come from the CURRENT date — the same
+        # file would validate differently across runs/executors
+        anchor = dt.datetime(1970, 1, 1)
+
         def one(v):
             if v is None:
                 return None
             try:
-                d = du.parse(v)
+                d = du.parse(v, default=anchor)
             except (ValueError, OverflowError):
                 return None
+            if d.tzinfo is not None:
+                # same canonicalization as the explicit-format path:
+                # offset inputs become UTC wall time, THEN drop tz
+                d = d.astimezone(dt.timezone.utc)
             return d.replace(tzinfo=None)
 
         return s.map(one)
@@ -220,7 +243,13 @@ def _parse_time(raw: Column, field: Field) -> ParsedField:
         ts = F.try_to_timestamp(
             F.concat(F.lit("1970-01-01 "), raw), F.lit("yyyy-MM-dd HH:mm:ss")
         )
-        parsed = F.when(raw.rlike(TIME_RE), ts.cast(T.LongType())).cast(T.IntegerType())
+        # hour/minute/second arithmetic, NOT ts.cast(long): the epoch
+        # cast is only seconds-of-day when the session tz is UTC —
+        # parse_field is public and must not depend on session tz
+        parsed = F.when(
+            raw.rlike(TIME_RE),
+            F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts),
+        ).cast(T.IntegerType())
     elif fmt == "any":
         ts = _pandas_any_datetime(raw)
         parsed = (F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)).cast(
@@ -424,13 +453,33 @@ def parse_constraint_value(value, field: Field):
             return value
         return dt.date.fromisoformat(value)
     if t == "datetime":
-        if isinstance(value, dt.datetime):
-            return value
-        return dt.datetime.fromisoformat(value.replace("Z", "+00:00")).replace(
-            tzinfo=None
+        d = value if isinstance(value, dt.datetime) else (
+            dt.datetime.fromisoformat(value.replace("Z", "+00:00"))
         )
+        if d.tzinfo is not None:
+            # same canonicalization as the parsed column: offset
+            # literals become UTC wall time before dropping tz —
+            # plain tz-strip compared the wrong instant
+            d = d.astimezone(dt.timezone.utc)
+        return d.replace(tzinfo=None)
+    if t == "yearmonth":
+        if isinstance(value, (list, tuple)) and len(value) == 2:
+            return (int(value[0]), int(value[1]))
+        import re as _re
+
+        m = _re.fullmatch(r"(\d{4})-(\d{2})", str(value))
+        if not m:
+            raise ValueError(f"bad yearmonth constraint literal {value!r}")
+        return (int(m.group(1)), int(m.group(2)))
     if t == "time":
         tm = dt.time.fromisoformat(value) if isinstance(value, str) else value
         return tm.hour * 3600 + tm.minute * 60 + tm.second
+    # JSON-typed fields keep their lexical string physical form:
+    # render dict/list literals as JSON so the comparison literal is
+    # a string (F.lit(dict) crashes), documented compare-lexical
+    if isinstance(value, (dict, list)):
+        import json as _json
+
+        return _json.dumps(value)
     # string family and the rest compare lexically
     return value

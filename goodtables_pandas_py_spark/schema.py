@@ -87,6 +87,21 @@ class Field:
         for k in self.constraints:
             if k not in CONSTRAINT_KEYS:
                 raise SchemaError(f"field {self.name!r}: unknown constraint {k!r}")
+        # minimum/maximum need a totally-ordered physical type
+        # [SPEC table-schema §constraints: applies to numeric, date,
+        # time, datetime, year, yearmonth]; a struct/JSON/string type
+        # would otherwise die at plan time with an opaque
+        # DATATYPE_MISMATCH deep inside the checks
+        ORDERED = {"integer", "number", "year", "yearmonth",
+                   "date", "time", "datetime"}
+        for k in ("minimum", "maximum"):
+            if k in self.constraints and self.type not in ORDERED:
+                raise SchemaError(
+                    f"field {self.name!r}: constraint {k!r} is not "
+                    f"supported for type {self.type!r} (applies to "
+                    "numeric/temporal types; use minLength/maxLength "
+                    "for strings and collections)"
+                )
 
     @classmethod
     def from_descriptor(cls, d: dict[str, Any]) -> "Field":

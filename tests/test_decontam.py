@@ -355,3 +355,20 @@ def test_contamination_property_matches_python(spark, corpus, evals, ngram):
     want = {k: (m, ne) for k, (m, ne, _) in
             _py_contamination(corpus, evals, ngram).items()}
     assert got == want
+
+
+def test_contamination_scan_multi_row_eval_ids_count_once(spark):
+    """Eval sets stored as several rows per id (prompt + answer) must
+    not double-count shared n-grams in n_eval/n_matched."""
+    from goodtables_pandas_py_spark.extensions.decontam import contamination_scan
+
+    text = "alpha beta gamma delta"
+    ev_split = spark.createDataFrame(
+        [("q1", text), ("q1", text)], "doc_id string, text string"
+    )
+    ev_one = ev_split.limit(1)
+    corpus = spark.createDataFrame([("c1", text)], "doc_id string, text string")
+    r_split = contamination_scan(corpus, ev_split, ngram=3).first()
+    r_one = contamination_scan(corpus, ev_one, ngram=3).first()
+    assert (r_split["n_eval"], r_split["n_matched"], r_split["ratio"]) == (
+        r_one["n_eval"], r_one["n_matched"], r_one["ratio"])

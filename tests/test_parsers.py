@@ -389,3 +389,109 @@ def test_missing_values(spark):
     rows = df.select(pf.parsed.alias("p"), pf.bad.alias("b")).collect()
     assert [r["p"] for r in rows] == [None, None, 5, None]
     assert [r["b"] for r in rows] == [False, False, False, True]
+
+
+# --------------------------------------------- review-finding regressions
+
+def test_yearmonth_min_max_constraints(spark):
+    """minimum/maximum on yearmonth must compare as (year, month)
+    structs, not crash on a string literal vs struct column."""
+    from goodtables_pandas_py_spark.checks.constraints import compile_constraints
+    from goodtables_pandas_py_spark.parsers import parse_field
+    from goodtables_pandas_py_spark.schema import Field
+
+    fld = Field("ym", type="yearmonth",
+                constraints={"minimum": "2024-01", "maximum": "2024-06"})
+    df = spark.createDataFrame(
+        [("2023-12",), ("2024-03",), ("2024-07",)], "raw string"
+    )
+    pf = parse_field(F.col("raw"), fld, [""])
+    checks = {c.constraint: c.mask
+              for c in compile_constraints(fld, pf.parsed, F.col("raw"))}
+    got = df.select(
+        checks["minimum"].alias("lo"), checks["maximum"].alias("hi")
+    ).collect()
+    assert [(r["lo"], r["hi"]) for r in got] == [
+        (True, False), (False, False), (False, True)]
+
+
+def test_min_max_rejected_for_unorderable_types():
+    from goodtables_pandas_py_spark.schema import Field, SchemaError
+
+    with pytest.raises(SchemaError, match="not.*supported for type"):
+        Field("d", type="duration", constraints={"minimum": "P1Y"})
+    with pytest.raises(SchemaError, match="not.*supported for type"):
+        Field("g", type="geopoint", constraints={"maximum": "1,1"})
+
+
+def test_datetime_constraint_offset_normalizes_to_utc(spark):
+    """An offset constraint literal must compare on the same UTC wall
+    time the parsed column canonicalizes to."""
+    from goodtables_pandas_py_spark.checks.constraints import compile_constraints
+    from goodtables_pandas_py_spark.parsers import parse_field
+    from goodtables_pandas_py_spark.schema import Field
+
+    # minimum 12:00+05:00 == 07:00 UTC; data 08:00Z is ABOVE it
+    fld = Field("ts", type="datetime",
+                constraints={"minimum": "2024-01-01T12:00:00+05:00"})
+    df = spark.createDataFrame([("2024-01-01T08:00:00Z",)], "raw string")
+    pf = parse_field(F.col("raw"), fld, [""])
+    checks = {c.constraint: c.mask
+              for c in compile_constraints(fld, pf.parsed, F.col("raw"))}
+    assert df.select(checks["minimum"].alias("m")).first()["m"] is False
+
+
+def test_any_format_deterministic_and_utc(spark):
+    """format='any': missing components anchor to 1970-01-01 (never
+    the current date), and offsets canonicalize to UTC wall time."""
+    from goodtables_pandas_py_spark.parsers import parse_field
+    from goodtables_pandas_py_spark.schema import Field
+
+    df = spark.createDataFrame(
+        [("June 5",), ("2024-06-01T12:00:00+05:00",)], "raw string"
+    )
+    pf = parse_field(F.col("raw"), Field("d", type="datetime", format="any"), [""])
+    vals = [r["p"] for r in df.select(pf.parsed.alias("p")).collect()]
+    assert vals[0].year == 1970 and vals[0].month == 6 and vals[0].day == 5
+    assert vals[1].hour == 7     # 12:00+05:00 == 07:00 UTC
+
+
+def test_bare_number_honors_declared_group_char(spark):
+    from goodtables_pandas_py_spark.parsers import parse_field
+    from goodtables_pandas_py_spark.schema import Field
+
+    fld = Field("v", type="number", bare_number=False, group_char="_")
+    df = spark.createDataFrame([("1_500 EUR",)], "raw string")
+    pf = parse_field(F.col("raw"), fld, [""])
+    assert df.select(pf.parsed.alias("p")).first()["p"] == 1500.0
+
+
+def test_object_enum_dict_literals_render_as_json(spark):
+    from goodtables_pandas_py_spark.checks.constraints import compile_constraints
+    from goodtables_pandas_py_spark.parsers import parse_field
+    from goodtables_pandas_py_spark.schema import Field
+
+    fld = Field("o", type="object", constraints={"enum": [{"a": 1}]})
+    df = spark.createDataFrame([('{"a": 1}',), ('{"b": 2}',)], "raw string")
+    pf = parse_field(F.col("raw"), fld, [""])
+    checks = {c.constraint: c.mask
+              for c in compile_constraints(fld, pf.parsed, F.col("raw"))}
+    got = [r["m"] for r in df.select(checks["enum"].alias("m")).collect()]
+    assert got == [False, True]   # exact lexical JSON match; no crash
+
+
+def test_parse_time_seconds_of_day_is_timezone_independent(spark):
+    """The default time path must not derive seconds-of-day from an
+    epoch cast (correct only under UTC sessions)."""
+    from goodtables_pandas_py_spark.parsers import parse_field
+    from goodtables_pandas_py_spark.schema import Field
+
+    df = spark.createDataFrame([("12:34:56",)], "raw string")
+    pf = parse_field(F.col("raw"), Field("t", type="time"), [""])
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        v = df.select(pf.parsed.alias("p")).first()["p"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert v == 12 * 3600 + 34 * 60 + 56

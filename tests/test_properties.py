@@ -604,7 +604,8 @@ def test_clean_corpus_matches_python_reference(spark, texts):
         toks = [] if trimmed == "" else ascii_ws.split(trimmed)
         n_tok = len(toks)
         n_chars = len(t)
-        mean_wl = n_chars / max(n_tok, 1)
+        n_tok_chars = len(re.sub(r"[ \t\n\x0b\f\r]", "", t))
+        mean_wl = n_tok_chars / max(n_tok, 1)
         punct_ratio = len(punct_re.findall(t)) / max(n_chars, 1)
         want_reasons = set()
         if n_tok < 5:
