@@ -51,13 +51,20 @@ def exact_dedup(
     return agg.select(*out_cols)
 
 
-def duplicate_groups(df: DataFrame, fingerprint: Column) -> DataFrame:
+def duplicate_groups(
+    df: DataFrame, fingerprint: Column, id_col: str | None = None
+) -> DataFrame:
     """Audit variant (A3): fingerprint groups with >1 member, with
-    multiplicity and the surviving (min) id when present."""
+    multiplicity — plus the surviving (min) id as ``keep_id`` when
+    ``id_col`` is given (matching exact_dedup's min-survivorship)."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if id_col is not None:
+        aggs.append(F.min(F.col(id_col)).alias("keep_id"))
     return (
-        df.select(fingerprint.alias("fp"))
+        df.select(fingerprint.alias("fp"),
+                  *([F.col(id_col)] if id_col else []))
         .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(*aggs)
         .where(F.col("n") > 1)
     )
 
@@ -155,6 +162,19 @@ def banded_signatures(
     re-scan, no corpus-side shuffle (streaming/dedup.py consumes this
     shape). Parameters must match between index build and lookup —
     signatures hash the same xxhash64 family either way."""
+    if num_bands < 1 or num_bands > num_hashes:
+        raise ValueError(
+            f"num_bands={num_bands} must be in [1, num_hashes="
+            f"{num_hashes}] (more bands than hashes would bucket "
+            "every document together)"
+        )
+    if num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide evenly into "
+            f"num_bands={num_bands} bands — a remainder silently "
+            "discards trailing hashes and shifts the effective "
+            "Jaccard threshold"
+        )
     rows = num_hashes // num_bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     return (
@@ -222,21 +242,28 @@ def minhash_candidates(
         .groupBy("band", "bh")
         .agg(F.collect_list("id").alias("ids"))
     )
+    # pair generation: sort the bucket's ids once, then pair each
+    # element only with the SLICE AFTER it — materializes exactly the
+    # n(n-1)/2 kept pairs (the previous full n x n struct array built
+    # ~50 MB per capped bucket row before filtering half away)
+    sorted_ids = F.array_sort(F.col("ids"))
     pairs = (
         buckets.select(
             F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("ids"),
-                            lambda a: F.transform(
-                                F.col("ids"),
-                                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                F.flatten(F.transform(
+                    sorted_ids,
+                    lambda a, i: F.transform(
+                        F.slice(
+                            sorted_ids, i + 2,
+                            F.greatest(
+                                F.size(sorted_ids) - i - 1, F.lit(0)
                             ),
-                        )
+                        ),
+                        lambda b: F.struct(
+                            a.alias("id_a"), b.alias("id_b")
+                        ),
                     ),
-                    lambda p: p["id_a"] < p["id_b"],
-                )
+                ))
             ).alias("p")
         )
         .select("p.id_a", "p.id_b")
@@ -567,11 +594,20 @@ def simhash_candidates(
 ) -> DataFrame:
     """Near-dup pairs by SimHash chunk-LSH: equal 16-bit chunk → same
     bucket (any pair within Hamming ≤ 3 shares ≥1 of 4 chunks —
-    pigeonhole); verify Hamming ≤ max_hamming exactly.
+    pigeonhole); verify Hamming ≤ max_hamming exactly. The 4×16-bit
+    chunk LSH is COMPLETE only for max_hamming ≤ 3 (pigeonhole: 4+
+    differing bits can straddle all four chunks), so larger values
+    raise rather than silently missing qualifying pairs.
 
     ``max_bucket`` guards the bucket self-join against hot-chunk n²
     explosion (see :func:`cap_buckets`); pass None for the exact
     pigeonhole-completeness harness."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk LSH's "
+            "completeness bound (3): qualifying pairs could share no "
+            "chunk and be silently missed"
+        )
     fp = simhash_fingerprints(df, id_col, text_col, shingle_k)
     chunks = fp.select(
         "id",
@@ -649,7 +685,29 @@ def embedding_cosine_pairs(
     )
     if block_size is not None:
         normed = normed.withColumn(
-            "blk", F.expr(f"CAST(id AS BIGINT) div {int(block_size)}")
+            # contiguous-range blocking needs numeric ids (block
+            # count scales with n, keeping the pair space linear); a
+            # non-castable id must raise loudly, not NULL out of the
+            # equi-join into a silently empty result — and a fixed
+            # hash-block count would be quadratic, so there is no
+            # honest fallback (use the banded-LSH path for string
+            # ids). try_cast + the assert keeps ANSI mode happy.
+            "blk",
+            F.floor(
+                F.coalesce(
+                    F.expr("TRY_CAST(id AS BIGINT)"),
+                    F.raise_error(F.concat(
+                        F.lit(
+                            "embedding_cosine_pairs: block_size "
+                            "requires numeric-castable ids "
+                            "(contiguous-range blocking); got id "
+                        ),
+                        F.col("id").cast("string"),
+                        F.lit(" — use embedding_near_dups (banded "
+                              "LSH) for arbitrary ids"),
+                    )).cast("bigint"),
+                ) / F.lit(int(block_size))
+            ),
         )
     a = normed.select(
         F.col("id").alias("id_a"),
@@ -699,7 +757,10 @@ def embedding_banded_signatures(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).where(F.col("v").isNotNull())
     if dim is None:
-        first = renamed.select(F.size("v").alias("d")).first()
+        from .similarity import _probe_dim
+
+        d = _probe_dim(renamed, "v")
+        first = None if d is None else {"d": d}
         if first is None:
             return renamed.select(
                 "id",
@@ -763,7 +824,10 @@ def embedding_near_dups(
     renamed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).where(
         F.col("v").isNotNull()
     )
-    first = renamed.select(F.size("v").alias("d")).first()
+    from .similarity import _probe_dim
+
+    d = _probe_dim(renamed, "v")
+    first = None if d is None else {"d": d}
     if first is None:
         return renamed.select(
             F.col("id").alias("id_a"),

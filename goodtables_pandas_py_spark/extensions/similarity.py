@@ -118,6 +118,19 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def _probe_dim(df: DataFrame, vec_col: str):
+    """First NON-EMPTY vector's length, or None when there is none.
+    Probing an arbitrary first row let one empty/ragged vector
+    silently null every signature (order-dependent recall collapse);
+    the ragged guard then degrades only the genuinely ragged rows."""
+    row = (
+        df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    return None if row is None else int(row["d"])
+
+
 def rp_signature(
     df: DataFrame,
     vec_col: str,
@@ -133,10 +146,11 @@ def rp_signature(
     import numpy as np
 
     if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
-            raise ValueError("empty DataFrame; pass dim= explicitly")
-        dim = first["d"]
+        dim = _probe_dim(df, vec_col)
+        if dim is None:
+            raise ValueError(
+                "no non-empty vectors to probe; pass dim= explicitly"
+            )
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((num_planes, dim))
     sig = F.lit(0).cast("long")
@@ -239,12 +253,11 @@ def ann_assign(
     (VERDICT r4 §next 1; contrast the pre-r5 shape, which re-ran one
     interpreted HOF fold per plane per row on every query)."""
     if dim is None:
-        first = df.where(F.col(vec_col).isNotNull()).select(
-            F.size(F.col(vec_col)).alias("d")
-        ).first()
-        if first is None:
-            raise ValueError("no non-null vectors; pass dim= explicitly")
-        dim = first["d"]
+        dim = _probe_dim(df, vec_col)
+        if dim is None:
+            raise ValueError(
+                "no non-empty vectors to probe; pass dim= explicitly"
+            )
     sig = rp_band_signatures(F.col(vec_col), dim, 1, num_planes, seed)
     return df.withColumn(sig_col, sig[0])
 
@@ -584,12 +597,10 @@ def _knn_join_loop(
     # NULL — the bare HOF cosine() would leak its otherwise(0.0)
     # branch here and disagree with the blocked path (found by the
     # hypothesis blocked-vs-loop equivalence test on vecs=[None,None])
-    probe = l_df.where(F.col("lv").isNotNull()).select(
-        F.size("lv").alias("d")
-    ).first()
+    d = _probe_dim(l_df, "lv")
     score = (
-        cosine_fixed(F.col("lv"), F.col("rv"), probe["d"])
-        if probe is not None
+        cosine_fixed(F.col("lv"), F.col("rv"), d)
+        if d is not None
         else F.lit(None).cast("double")
     )
     scored = (
@@ -656,7 +667,8 @@ def similarity_join(
         F.col(right_id).alias("right_id"), F.col(vec_col).alias("rv")
     ).where(F.col("rv").isNotNull())
     # empty-result schema takes each id's type from its own side
-    first = l_renamed.select(F.size("lv").alias("d")).first()
+    d = _probe_dim(l_renamed, "lv")
+    first = None if d is None else {"d": d}
     if first is None:
         return (
             l_renamed.select("left_id")
@@ -722,13 +734,31 @@ def similarity_join(
 # --- IVF (inverted-file) ANN ----------------------------------------------
 
 
+def _l2_normalized(vec: Column) -> Column:
+    """Unit-length copy (zero vectors pass through unchanged). IVF
+    probes by L2 distance but RANKS by cosine; on the unit sphere
+    ||a-b||² = 2 - 2·cos, so normalizing for training/assignment
+    makes the probe metric agree with the ranking metric — with
+    unnormalized embeddings the top-cosine match could live in a
+    never-probed list (systematic recall loss, not bounded
+    approximation)."""
+    n = norm(vec)
+    return F.when(
+        n > 0, F.transform(vec.cast("array<double>"), lambda x: x / n)
+    ).otherwise(vec.cast("array<double>"))
+
+
 def _centroid_rows(df: DataFrame, vec_col: str, nlist: int, refine: int = 1):
-    """Coarse quantizer centroids: deterministic hash-sample seed +
+    """Coarse quantizer centroids over L2-NORMALIZED vectors (see
+    :func:`_l2_normalized`): deterministic hash-sample seed +
     ``refine`` Lloyd iterations, all as DataFrame jobs (posexplode →
     per-dimension mean). Only the nlist×dim centroid matrix is ever
     collected — the training data never moves to the driver."""
     seed_rows = (
-        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(vec_col).cast("array<string>")).alias("h"))
+        df.select(
+            _l2_normalized(F.col(vec_col)).alias("v"),
+            F.xxhash64(F.col(vec_col).cast("array<string>")).alias("h"),
+        )
         .orderBy("h")
         .limit(nlist)
         .select(F.monotonically_increasing_id().alias("cid"), "v")
@@ -736,7 +766,8 @@ def _centroid_rows(df: DataFrame, vec_col: str, nlist: int, refine: int = 1):
     cents = [list(r["v"]) for r in seed_rows.collect()]
     for _ in range(refine):
         assigned = df.select(
-            F.col(vec_col).alias("v"), _nearest_cid(F.col(vec_col), cents).alias("cid")
+            _l2_normalized(F.col(vec_col)).alias("v"),
+            _nearest_cid(_l2_normalized(F.col(vec_col)), cents).alias("cid"),
         )
         new = (
             assigned.select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
@@ -755,6 +786,10 @@ def _nearest_cid(vec: Column, centroids: list[list[float]]) -> Column:
     """argmin_c ||v - c||² as a literal-folded expression: one struct
     per centroid (distance, cid), array_min picks the closest — all
     inside codegen, centroids behave like a broadcast."""
+    if not centroids:
+        raise ValueError(
+            "no centroids (empty training DataFrame?) — cannot assign"
+        )
     v = vec.cast("array<double>")
     scored = []
     for cid, c in enumerate(centroids):
@@ -778,7 +813,12 @@ def ivf_assign(
     is computed once and the table is written partitioned/bucketed by
     ``ivf_cid`` so probes become partition pruning."""
     cents = _centroid_rows(df, vec_col, nlist, refine)
-    return df.withColumn("ivf_cid", _nearest_cid(F.col(vec_col), cents)), cents
+    return (
+        df.withColumn(
+            "ivf_cid", _nearest_cid(_l2_normalized(F.col(vec_col)), cents)
+        ),
+        cents,
+    )
 
 
 def ivf_topk(
@@ -812,10 +852,13 @@ def ivf_topk(
             assigned = df
         else:
             assigned = df.withColumn(
-                "ivf_cid", _nearest_cid(F.col(vec_col), cents)
+                "ivf_cid", _nearest_cid(_l2_normalized(F.col(vec_col)), cents)
             )
+    # probe in the same normalized space the lists were built in
+    qn = sum(x * x for x in query) ** 0.5
+    qv = [x / qn for x in query] if qn > 0 else list(query)
     qd = [
-        (sum((q - c) ** 2 for q, c in zip(query, cent)), cid)
+        (sum((q - c) ** 2 for q, c in zip(qv, cent)), cid)
         for cid, cent in enumerate(cents)
     ]
     probes = [cid for _, cid in sorted(qd)[:nprobe]]

@@ -198,11 +198,12 @@ def embedding_dedup_batch_against_corpus(
     )
     from ..extensions.similarity import cosine_fixed
 
+    from ..extensions.similarity import _probe_dim
+
     nn = batch.where(F.col(vec_col).isNotNull())
-    first = nn.select(F.size(vec_col).alias("d")).first()
-    if first is None:
+    dim = _probe_dim(nn, vec_col)
+    if dim is None:
         return batch  # nothing scorable: keep all
-    dim = first["d"]
     new_banded = embedding_banded_signatures(
         batch, id_col, vec_col, num_bands, planes_per_band, seed, dim=dim
     )

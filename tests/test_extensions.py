@@ -138,10 +138,14 @@ def test_simhash_fingerprints_match_column_form(spark, near_dup_docs):
 
 
 def test_simhash_near_dup_distance(spark, near_dup_docs):
-    cands = dedup.simhash_candidates(near_dup_docs, max_hamming=8)
+    cands = dedup.simhash_candidates(near_dup_docs, max_hamming=3)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in cands.collect()}
     assert got[(1, 2)] == 0  # identical docs, identical fingerprint
     assert (1, 4) not in got
+    # beyond the 4-chunk completeness bound the function must refuse
+    # rather than silently missing qualifying pairs
+    with pytest.raises(ValueError, match="completeness bound"):
+        dedup.simhash_candidates(near_dup_docs, max_hamming=8)
 
 
 def test_ngram_jaccard(spark):
@@ -1214,3 +1218,63 @@ def test_prepare_corpus_tolerates_corpus_id_column(spark):
     )
     kept_ids = {r["doc_id"] for r in prep.kept.collect()}
     assert 0 not in kept_ids and len(kept_ids) == 5
+
+
+# ------------------------------------------- fifth-review regressions
+
+
+def test_dim_probe_skips_empty_vectors(spark):
+    """An empty vector in the first-scanned row must not null every
+    signature (order-dependent recall collapse)."""
+    from goodtables_pandas_py_spark.extensions import similarity as sim
+
+    rows = [(0, []), (1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = df.coalesce(1)  # pin scan order: the empty vector IS first
+    pairs = dedup.embedding_near_dups(df, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    # ann_assign probes past the empty vector too
+    out = sim.ann_assign(df)
+    assert out.where(F.col("ann_sig").isNotNull()).count() == 3
+
+
+def test_banded_signatures_rejects_bad_band_counts(spark, near_dup_docs):
+    with pytest.raises(ValueError, match="must be in"):
+        dedup.banded_signatures(near_dup_docs, num_hashes=64, num_bands=100)
+    with pytest.raises(ValueError, match="divide evenly"):
+        dedup.banded_signatures(near_dup_docs, num_hashes=64, num_bands=24)
+
+
+def test_embedding_cosine_pairs_blocks_reject_string_ids(spark):
+    """Non-numeric ids must raise loudly, not NULL out of the
+    equi-join into a silently empty result (numeric ids still work,
+    and a fixed hash-block fallback would be quadratic)."""
+    rows = [(f"doc_{i}", [1.0, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    with pytest.raises(Exception, match="numeric-castable ids"):
+        dedup.embedding_cosine_pairs(
+            df, id_col="vec_id", threshold=0.99, block_size=2
+        ).count()
+
+
+def test_duplicate_groups_optional_keep_id(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string"
+    )
+    got = dedup.duplicate_groups(df, F.col("text"), id_col="doc_id").collect()
+    assert len(got) == 1 and got[0]["keep_id"] == 1 and got[0]["n"] == 2
+
+
+def test_ivf_probes_by_cosine_not_magnitude(spark):
+    """Mixed-magnitude embeddings: the top-cosine match must be
+    reachable even when its raw-L2-nearest centroid differs (lists
+    are built and probed in normalized space)."""
+    from goodtables_pandas_py_spark.extensions import similarity as sim
+
+    rows = [(0, [1000.0, 0.0]), (1, [999.0, 1.0]), (2, [998.0, 2.0])]
+    rows += [(i, [0.0, float(i)]) for i in range(3, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = sim.ivf_topk(
+        df, [1.0, 0.0], k=2, nlist=4, nprobe=1
+    ).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] > 0.999
