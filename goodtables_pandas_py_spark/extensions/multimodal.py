@@ -106,7 +106,12 @@ def extract_features(
                 try:
                     feats.append(fn(bytes(blob)) if blob is not None else None)
                     oks.append(blob is not None)
-                except NotImplementedError:
+                except Exception:
+                    # per-row fail-soft is the CONTRACT: one corrupt
+                    # blob among billions must set decode_ok=False,
+                    # not fail the task 4x and abort the job (real
+                    # decoders raise OSError/ValueError, not just the
+                    # stub's NotImplementedError)
                     feats.append(None)
                     oks.append(False)
             yield pd.DataFrame(
@@ -126,13 +131,19 @@ def frame_sample_plan(
     """Video frame-sampling *plan*: expands each media row into frame
     timestamps JVM-side (sequence + explode) so the expensive decode
     only sees (media_id, frame_ts) work items — the shuffle unit is a
-    frame task, not a video blob."""
+    frame task, not a video blob. Timestamps stay STRICTLY inside the
+    clip ([0, duration)): an inclusive bound emitted ts == duration,
+    one past the end, for clips whose length is a multiple of
+    ``every_ms`` (the audio twin already capped starts at dur-1)."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+    dur = F.coalesce(F.col("media_meta.duration_ms"), F.lit(0))
     return df.select(
         F.col(id_col),
         F.explode(
             F.sequence(
                 F.lit(0),
-                F.coalesce(F.col("media_meta.duration_ms"), F.lit(0)),
+                F.greatest(dur - 1, F.lit(0)),
                 F.lit(every_ms),
             )
         ).alias("frame_ts_ms"),
@@ -224,7 +235,7 @@ def resize_images(
                     else:
                         blobs.append(fn(bytes(blob), width, height))
                         oks.append(True)
-                except NotImplementedError:
+                except Exception:  # per-row fail-soft, as above
                     blobs.append(None)
                     oks.append(False)
             yield pd.DataFrame(

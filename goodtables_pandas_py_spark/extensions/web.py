@@ -66,21 +66,50 @@ def url_domain(url: Column) -> Column:
     return registered_domain(url_host(url))
 
 
+def _normalize_block_entry(raw: Column) -> Column:
+    """Blocklist entry → host: full URLs (URLhaus publishes URLs, not
+    hosts) go through url_host; bare hosts are lowercased with any
+    trailing dot stripped — the SAME normalization url_host applies
+    to the corpus side, so the two cannot drift."""
+    return F.when(
+        raw.contains("://"), url_host(raw)
+    ).otherwise(F.regexp_replace(F.lower(F.trim(raw)), r"\.$", ""))
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host: a.b.example.com →
+    [a.b.example.com, b.example.com, example.com, com]. Bounded by
+    the label count (hosts have a handful), and turns suffix matching
+    into an EQUI-join (an endswith join condition would plan a
+    BroadcastNestedLoopJoin)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+    )
+
+
 def filter_blocked_domains(
     df: DataFrame,
     blocked: DataFrame | list[str],
     url_col: str = "url",
 ) -> DataFrame:
-    """Drop rows whose URL's registrable domain appears in
-    ``blocked`` (a one-column DataFrame or a plain list, lowercased).
-    Blocklist entries are themselves normalized through
-    :func:`registered_domain` — real-world lists (hosts files,
-    URLhaus) mix full hosts like 'www.evil.example.com' with bare
-    domains, and an un-normalized host entry would silently match
-    nothing. One broadcast anti-join — the corpus never shuffles.
-    Rows with unparseable URLs (null domain) are KEPT (join misses on
-    null); filter ``url_domain(col).isNotNull()`` first to quarantine
-    them instead."""
+    """Drop rows whose URL's host equals a blocklist entry OR lives
+    under one (suffix match on label boundaries): entry 'evil.com'
+    blocks evil.com and www.evil.com; entry
+    'evil-bucket.s3.amazonaws.com' blocks that bucket WITHOUT taking
+    down every amazonaws.com URL (the previous registered_domain
+    normalization over-blocked whole platforms from one tenant
+    entry). Entries may be bare hosts, hosts with trailing dots, or
+    full URLs (URLhaus form) — each normalizes to its host.
+
+    Plan: the URL's host explodes into its dot-suffix chain (a few
+    rows per URL) and anti-joins the (broadcast) entry set — a plain
+    hash join; an endswith condition would be a nested loop. Rows
+    with unparseable URLs (null host) are KEPT; filter
+    ``url_host(col).isNotNull()`` first to quarantine them instead.
+    Don't put bare TLDs ('com') in the list unless you mean them."""
     spark = df.sparkSession
     if isinstance(blocked, list):
         raw = spark.createDataFrame(
@@ -90,15 +119,29 @@ def filter_blocked_domains(
         (col,) = blocked.columns
         raw = blocked.select(F.col(col).alias("__blocked_raw"))
     blocked_df = raw.select(
-        registered_domain(
-            F.regexp_replace(F.lower(F.col("__blocked_raw")), r"\.$", "")
-        ).alias("__blocked_domain")
-    ).distinct()
-    dom = url_domain(F.col(url_col))
+        _normalize_block_entry(F.col("__blocked_raw")).alias("__blocked_host")
+    ).where(F.col("__blocked_host").isNotNull()).distinct()
+    # blocked URL VALUES (tiny: the fraction that matches) rather
+    # than blocked rows — lets the final anti-join key on the url
+    # column alone instead of distinct-ing full text rows
+    sufs = F.explode(
+        host_suffixes(url_host(F.col(url_col)))
+    ).alias("__suf")
+    hit_urls = (
+        df.select(F.col(url_col).alias("__u"), sufs)
+        .join(
+            F.broadcast(blocked_df),
+            F.col("__suf") == F.col("__blocked_host"),
+            "left_semi",
+        )
+        .select("__u")
+        .distinct()
+    )
+    # hit_urls = the MATCHED url values only — small for any sane
+    # blocklist (if a list drops half the corpus, materialize the
+    # flag instead); broadcast keeps the whole path shuffle-free
     return df.join(
-        F.broadcast(blocked_df),
-        dom == F.col("__blocked_domain"),
-        "left_anti",
+        F.broadcast(hit_urls), df[url_col] == hit_urls["__u"], "left_anti"
     )
 
 

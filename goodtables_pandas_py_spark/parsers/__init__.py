@@ -41,6 +41,7 @@ from ..patterns import (
     YEAR_RE,
     YEARMONTH_RE,
     strptime_to_spark,
+    two_digit_year_correction,
 )
 from ..schema import Field
 
@@ -213,9 +214,8 @@ def _parse_date(raw: Column, field: Field) -> ParsedField:
     elif fmt == "any":
         parsed = _pandas_any_datetime(raw).cast(T.DateType())
     else:
-        parsed = F.try_to_timestamp(raw, F.lit(strptime_to_spark(fmt))).cast(
-            T.DateType()
-        )
+        ts = F.try_to_timestamp(raw, F.lit(strptime_to_spark(fmt)))
+        parsed = two_digit_year_correction(ts, fmt).cast(T.DateType())
     return ParsedField(field.name, parsed, _bad(raw, parsed))
 
 
@@ -228,7 +228,8 @@ def _parse_datetime(raw: Column, field: Field) -> ParsedField:
     elif fmt == "any":
         parsed = _pandas_any_datetime(raw)
     else:
-        parsed = F.try_to_timestamp(raw, F.lit(strptime_to_spark(fmt))).cast(
+        ts = F.try_to_timestamp(raw, F.lit(strptime_to_spark(fmt)))
+        parsed = two_digit_year_correction(ts, fmt).cast(
             T.TimestampNTZType()
         )
     return ParsedField(field.name, parsed, _bad(raw, parsed))

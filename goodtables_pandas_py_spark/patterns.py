@@ -68,7 +68,10 @@ _STRPTIME_TO_SPARK = {
     "%M": "mm",
     "%S": "ss",
     "%f": "SSSSSS",
-    "%z": "XX",
+    # optional-section pair accepts BOTH '+02:30' and '+0230' (and
+    # Z) — Python strptime takes both; bare 'XX' rejected the colon
+    # form while the guard regex accepted it
+    "%z": "[XXX][XX]",
     "%Z": "zzz",
     "%p": "a",
     "%j": "DDD",
@@ -149,3 +152,18 @@ def strptime_guard_regex(fmt: str) -> str | None:
             i += 1
     out.append("$")
     return "".join(out)
+
+
+def two_digit_year_correction(ts, fmt: str):
+    """Python strptime pivots 2-digit years at 69 (69-99 → 1969-1999,
+    00-68 → 2000-2068); java.time 'yy' uses base 2000 (69 → 2069).
+    When ``fmt`` uses %y (and not %Y), shift parsed years ≥ 2069 back
+    a century so the Spark parse agrees with the reference semantics.
+    Column-level, codegen-friendly; no-op for other formats."""
+    from pyspark.sql import functions as F
+
+    if "%y" not in fmt or "%Y" in fmt:
+        return ts
+    return F.when(
+        F.year(ts) >= 2069, ts - F.expr("INTERVAL 100 YEARS")
+    ).otherwise(ts)

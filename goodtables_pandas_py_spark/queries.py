@@ -1765,7 +1765,8 @@ def _x6(spark, sf_dir):
 @q(
     "x6_frame_sample",
     "SELECT CAST(doc_id AS BIGINT) AS media_id,"
-    " unnest(generate_series(0, CAST(n_chars AS BIGINT), 500)) AS frame_ts_ms"
+    " unnest(generate_series(0, greatest(CAST(n_chars AS BIGINT) - 1, 0), 500))"
+    " AS frame_ts_ms"
     " FROM documents",
 )
 def _x6f(spark, sf_dir):

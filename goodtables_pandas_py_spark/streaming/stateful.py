@@ -84,7 +84,9 @@ def dedup_counts_stream(
             state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame(
             {
-                "key": [str(key[0])],
+                # preserve SQL NULL keys: str() would render 'None',
+                # colliding with a genuine "None" string key
+                "key": [None if key[0] is None else str(key[0])],
                 "n_new": [n_new],
                 "n_dup": [dup_delta],
                 "total_seen": [n_seen],

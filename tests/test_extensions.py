@@ -1278,3 +1278,40 @@ def test_ivf_probes_by_cosine_not_magnitude(spark):
         df, [1.0, 0.0], k=2, nlist=4, nprobe=1
     ).collect()
     assert top[0]["vec_id"] == 0 and top[0]["cosine"] > 0.999
+
+
+def test_extract_features_fail_soft_on_any_decoder_exception(spark):
+    """A production decoder raising OSError on one corrupt blob must
+    set decode_ok=False for that row, never abort the job."""
+    from goodtables_pandas_py_spark.extensions import multimodal as mm
+
+    df = mm.demo_media_df(spark, n=4)
+
+    def decoder(blob: bytes):
+        if len(blob) % 2 == 0:
+            raise OSError("truncated image")
+        return [float(len(blob))]
+
+    rows = mm.extract_features(df, extractor=decoder).collect()
+    assert any(not r["decode_ok"] for r in rows)
+    assert any(r["decode_ok"] for r in rows)
+    assert len(rows) == 4
+
+
+def test_frame_sample_plan_stays_inside_clip(spark):
+    from goodtables_pandas_py_spark.extensions import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, ("video", None, None, None, 2000, 2000))],
+        "media_id long, media_meta struct<media_type:string,mime:string,"
+        "width:int,height:int,duration_ms:bigint,n_bytes:bigint>",
+    )
+    ts = sorted(
+        r["frame_ts_ms"]
+        for r in mm.frame_sample_plan(df, every_ms=1000).collect()
+    )
+    assert ts == [0, 1000]          # 2000 == duration: excluded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every_ms"):
+        mm.frame_sample_plan(df, every_ms=0)

@@ -495,3 +495,43 @@ def test_parse_time_seconds_of_day_is_timezone_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert v == 12 * 3600 + 34 * 60 + 56
+
+
+def test_two_digit_year_pivots_like_strptime(spark):
+    """%y: Python strptime maps 69-99 to 19xx; java.time 'yy' alone
+    would give 20xx (silent century shift)."""
+    from goodtables_pandas_py_spark.parsers import parse_field
+    from goodtables_pandas_py_spark.schema import Field
+
+    df = spark.createDataFrame(
+        [("31/12/99",), ("01/01/68",), ("15/06/69",)], "raw string"
+    )
+    pf = parse_field(
+        F.col("raw"), Field("d", type="date", format="%d/%m/%y"), [""]
+    )
+    years = [r["p"].year for r in df.select(pf.parsed.alias("p")).collect()]
+    import datetime as dt
+
+    want = [dt.datetime.strptime(v, "%d/%m/%y").year
+            for v in ("31/12/99", "01/01/68", "15/06/69")]
+    assert years == want == [1999, 2068, 1969]
+
+
+def test_offset_pattern_accepts_colon_and_compact(spark):
+    """%z: Python strptime accepts both '+02:30' and '+0230'; the
+    translated pattern must too (the guard regex always did)."""
+    from goodtables_pandas_py_spark.parsers import parse_field
+    from goodtables_pandas_py_spark.schema import Field
+
+    df = spark.createDataFrame(
+        [("2024-01-01T00:00:00+02:30",), ("2024-01-01T00:00:00+0230",)],
+        "raw string",
+    )
+    pf = parse_field(
+        F.col("raw"),
+        Field("t", type="datetime", format="%Y-%m-%dT%H:%M:%S%z"),
+        [""],
+    )
+    vals = [r["p"] for r in df.select(pf.parsed.alias("p")).collect()]
+    assert vals[0] == vals[1]           # same instant, both parse
+    assert vals[0].hour == 21           # 00:00+02:30 == 21:30 UTC prev day

@@ -96,15 +96,22 @@ def test_trailing_dot_fqdn_cannot_evade_blocklist(spark):
     assert kept == {2}
 
 
-def test_blocklist_host_entries_normalize_to_domains(spark):
-    """Real blocklists mix full hosts with bare domains; host entries
-    must still block (regression: they silently matched nothing)."""
+def test_blocklist_host_entries_block_self_and_subdomains(spark):
+    """Host-style entries (cased, trailing dot) block themselves and
+    their subdomains — and ONLY those: a tenant-specific entry must
+    not take down sibling subdomains via the registrable domain
+    (platform over-blocking), and URL-form entries (URLhaus publishes
+    URLs) must normalize to their host rather than silently matching
+    nothing."""
     df = spark.createDataFrame(
-        [(1, "https://anything.evil.example.com/x"),
-         (2, "https://clean.example.org/y")],
+        [(1, "https://www.evil.example.com/x"),
+         (2, "https://clean.example.org/y"),
+         (3, "https://deep.www.evil.example.com/z"),
+         (4, "https://anything.evil.example.com/w"),   # SIBLING: kept
+         (5, "https://bad.site.io/p")],
         "id long, url string",
     )
     kept = {r["id"] for r in filter_blocked_domains(
-        df, ["www.Evil.example.COM."]  # host-style, cased, trailing dot
+        df, ["www.Evil.example.COM.", "https://bad.site.io/some/path"]
     ).collect()}
-    assert kept == {2}
+    assert kept == {2, 4}
