@@ -57,12 +57,38 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
+    # pre-load driver-side (no Spark): an unreadable descriptor is an
+    # INFRASTRUCTURE failure and must exit 2 per the documented
+    # contract — validate() would convert it into an invalid report
+    # (exit 1), making missing-file indistinguishable from bad data
+    import os
+
+    from goodtables_pandas_py_spark.schema import load_descriptor
+
+    try:
+        desc, base_dir = load_descriptor(args.descriptor)
+    except Exception as exc:
+        print(f"error: cannot load descriptor: {exc}", file=sys.stderr)
+        return 2
+    if "resources" not in desc and ("path" in desc or "data" in desc):
+        # bare table-resource JSON: wrap into a one-resource package,
+        # resolving its relative path against the descriptor's dir
+        # (the wrap loses the file-derived base_dir otherwise)
+        res = dict(desc)
+        rp = res.get("path")
+        if isinstance(rp, str) and not os.path.isabs(rp) and "://" not in rp:
+            res["path"] = os.path.join(base_dir, rp)
+        desc = {"name": res.get("name", "resource"), "resources": [res]}
+    elif not isinstance(args.descriptor, dict):
+        # keep path-relative resolution by passing the original source
+        desc = args.descriptor
+
     import goodtables_pandas_py_spark as gt
 
     spark = gt.get_spark(app_name="goodtables-cli", master=args.master)
     try:
-        report = gt.validate(spark, args.descriptor)
-    except Exception as exc:  # unreadable descriptor / engine failure
+        report = gt.validate(spark, desc)
+    except Exception as exc:  # engine failure
         print(f"error: {exc}", file=sys.stderr)
         return 2
     finally:

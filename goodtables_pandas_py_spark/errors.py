@@ -94,6 +94,7 @@ def errors_to_spark_df(spark, errors: list[Error]):
             T.StructField("constraint", T.StringType()),
             T.StructField("values", T.ArrayType(T.StringType())),
             T.StructField("count", T.LongType()),
+            T.StructField("row_ids", T.ArrayType(T.LongType())),
         ]
     )
     rows = [
@@ -102,8 +103,11 @@ def errors_to_spark_df(spark, errors: list[Error]):
             e.resource,
             e.field,
             None if e.constraint is None else str(e.constraint),
-            [str(_jsonable(v)) for v in e.values],
+            # None placeholders (sample_from='none') must not become
+            # the literal string 'None' in the audit table
+            [str(_jsonable(v)) for v in e.values if v is not None],
             e.count,
+            list(e.row_ids) if e.row_ids else None,
         )
         for e in errors
     ]
@@ -111,20 +115,30 @@ def errors_to_spark_df(spark, errors: list[Error]):
 
 
 def write_report_errors(spark, report: dict, path: str, mode: str = "overwrite") -> None:
-    """S4 audit sink: persist every table's errors as parquet — the
-    scale-safe report artifact (value samples are already capped, so
-    rows are small and bounded by check count, not data size)."""
-    errors = [
-        Error(
+    """S4 audit sink: persist every error in the report as parquet —
+    the scale-safe artifact (value samples are already capped, so
+    rows are small and bounded by check count, not data size).
+    Covers BOTH per-table errors and package-level errors (descriptor
+    failures put everything in report['errors'] with tables=[] —
+    previously those wrote an empty audit trail, reading as a clean
+    run for a package that failed outright). Row addresses collected
+    via validate(row_ids=True) persist in the ``row_ids`` column."""
+
+    def mk(e: dict, resource):
+        return Error(
             code=e.get("code", ""),
-            resource=tbl["source"],
+            resource=resource,
             field=e.get("field"),
             constraint=None if e.get("constraint") is None else str(e["constraint"]),
             values=e.get("values", []),
             count=e.get("count", 0),
             message=e.get("message", ""),
+            row_ids=e.get("row-ids") or [],
         )
+
+    errors = [
+        mk(e, tbl["source"])
         for tbl in report.get("tables", [])
         for e in tbl.get("errors", [])
-    ]
+    ] + [mk(e, None) for e in report.get("errors", [])]
     errors_to_spark_df(spark, errors).write.mode(mode).parquet(path)

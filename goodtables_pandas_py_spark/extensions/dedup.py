@@ -326,6 +326,7 @@ def minhash_dedup_pairs(
     num_bands: int = 16,
     shingle_k: int = 3,
     persist_banded: bool = False,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs with exact-Jaccard verification ≥ threshold:
     LSH candidates (cheap, recall-oriented) → join back each doc's
@@ -341,7 +342,7 @@ def minhash_dedup_pairs(
     with 20-way replica clusters went from DNF (>9 min) to seconds."""
     cands = minhash_candidates(
         df, id_col, text_col, num_hashes, num_bands, shingle_k,
-        persist_banded=persist_banded,
+        max_bucket=max_bucket, persist_banded=persist_banded,
     )
     sets = df.select(
         F.col(id_col).alias("id"),

@@ -179,9 +179,12 @@ def check_descriptor(descriptor: Any) -> list[Error]:
     _walk(PACKAGE_PROFILE, descriptor, "", problems)
     errors = []
     for p in problems:
-        code = "schema-error" if "/schema/" in p or p.startswith("schema") else (
-            "datapackage-error"
-        )
+        # the path is everything before ': '; a violation AT the
+        # schema node ('resources/0/schema: missing ...') is a Table
+        # Schema problem too — substring '/schema/' alone missed it
+        path = p.split(":", 1)[0]
+        segs = path.split("/")
+        code = "schema-error" if "schema" in segs else "datapackage-error"
         errors.append(Error(code=code, message=p, count=1))
     return errors
 

@@ -85,8 +85,16 @@ def dedup_batch_against_corpus(
     new_banded = banded_signatures(
         batch, id_col, text_col, num_hashes, num_bands, shingle_k
     )
+    # restrict the corpus index to the buckets THIS batch hits before
+    # any counting: a full-index groupBy per micro-batch re-aggregated
+    # the whole corpus; the semi-join keeps bucket sizes exact for the
+    # hit buckets (all corpus rows of those buckets survive it) and,
+    # on a (band, bh)-bucketed index table, becomes bucket pruning
+    hit_buckets = new_banded.select("band", "bh").distinct()
     hit = cap_buckets(
-        corpus_banded.withColumnRenamed("id", "cid"),
+        corpus_banded.withColumnRenamed("id", "cid").join(
+            F.broadcast(hit_buckets), ["band", "bh"], "left_semi"
+        ),
         ["band", "bh"],
         max_bucket,
         min_bucket=1,
@@ -97,8 +105,13 @@ def dedup_batch_against_corpus(
         .distinct()
     )
     new_sets = _shingle_sets(batch, id_col, text_col, shingle_k)
+    # shingle only the corpus docs that are actually candidates —
+    # shingling the full corpus per batch contradicted the
+    # "only candidate rows are ever fetched" contract
+    cand_cids = cands.select(F.col("cid").alias(id_col)).distinct()
     corpus_sets = _shingle_sets(
-        corpus_docs, id_col, text_col, shingle_k
+        corpus_docs.join(cand_cids, id_col, "left_semi"),
+        id_col, text_col, shingle_k,
     ).withColumnsRenamed({"id": "cid", "s": "cs"})
     inter = F.size(F.array_intersect(F.col("s"), F.col("cs")))
     union = F.size(F.col("s")) + F.size(F.col("cs")) - inter
@@ -114,6 +127,7 @@ def dedup_batch_against_corpus(
         minhash_dedup_pairs(
             batch, id_col, text_col, threshold,
             num_hashes, num_bands, shingle_k,
+            max_bucket=max_bucket,
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()
@@ -181,6 +195,7 @@ def embedding_dedup_batch_against_corpus(
     planes_per_band: int = 16,
     seed: int = 42,
     max_bucket: int | None = 1000,
+    dim: int | None = None,
 ) -> DataFrame:
     """The embedding twin of :func:`dedup_batch_against_corpus`: drop
     ``batch`` vectors whose exact cosine ≥ ``threshold`` against (a)
@@ -201,7 +216,12 @@ def embedding_dedup_batch_against_corpus(
     from ..extensions.similarity import _probe_dim
 
     nn = batch.where(F.col(vec_col).isNotNull())
-    dim = _probe_dim(nn, vec_col)
+    if dim is None:
+        # probing the BATCH is a fallback: pass the corpus index's
+        # build dim explicitly — a malformed leading batch vector
+        # would otherwise null every correct signature and let
+        # near-dups of the corpus sail through
+        dim = _probe_dim(nn, vec_col)
     if dim is None:
         return batch  # nothing scorable: keep all
     new_banded = embedding_banded_signatures(
@@ -248,6 +268,7 @@ def incremental_embedding_dedup_foreach_batch(
     corpus_banded: DataFrame | Callable[[], DataFrame],
     on_kept: Callable[[DataFrame, int], None],
     id_col: str = "vec_id",
+    dim: int | None = None,
     vec_col: str = "embedding",
     threshold: float = 0.95,
     num_bands: int = 32,
@@ -267,6 +288,7 @@ def incremental_embedding_dedup_foreach_batch(
                 batch, _resolve(corpus_vecs), _resolve(corpus_banded),
                 id_col, vec_col,
                 threshold, num_bands, planes_per_band, seed, max_bucket,
+                dim=dim,
             )
             on_kept(kept, batch_id)
         finally:

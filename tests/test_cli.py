@@ -78,27 +78,21 @@ def test_cli_invalid_package_exit_1_and_stdout(spark, tmp_path, capsys):
         type(spark).stop = orig_stop
 
 
-def test_cli_missing_descriptor_reports_not_crashes(
+def test_cli_missing_descriptor_exits_2_cleanly(
     spark, tmp_path, capsys
 ):
-    """Report-not-raise parity (validate.py descriptor policy): a
-    missing/unreadable descriptor yields an INVALID report carrying a
-    datapackage-error — exit 1, never a traceback. Exit 2 is reserved
-    for genuine engine failures."""
+    """The DOCUMENTED exit contract: 2 = the validation itself failed
+    (unreadable descriptor) — scripts must be able to distinguish
+    infrastructure failure from data invalidity. Clean stderr line,
+    never a traceback; the LIBRARY (gt.validate) still returns a
+    report for the same input (report-not-raise is the library
+    policy, the exit code is the CLI's)."""
     from goodtables_pandas_py_spark.__main__ import main
 
-    orig_stop = type(spark).stop
-    type(spark).stop = lambda self: None
-    try:
-        rc = main([str(tmp_path / "nope.json"), "-q", "--indent", "0"])
-        assert rc == 1
-        report = json.loads(capsys.readouterr().out)
-        assert report["valid"] is False
-        assert "datapackage-error" in {
-            e["code"] for e in report.get("errors", [])
-        }
-    finally:
-        type(spark).stop = orig_stop
+    rc = main([str(tmp_path / "nope.json"), "-q", "--indent", "0"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "cannot load descriptor" in err and "Traceback" not in err
 
 
 def test_write_partitioned_prunes_partitions(spark, tmp_path):
@@ -127,3 +121,40 @@ def test_write_partitioned_prunes_partitions(spark, tmp_path):
         ev.groupBy("day").count().where(F.col("day") == one_day).collect()
     )
     assert n_one == per_day[0]["count"]
+
+
+# --------------------------------------------- review-finding regressions
+
+def test_cli_unreadable_descriptor_exits_2(tmp_path):
+    """The documented contract: exit 2 = validation itself failed
+    (previously the missing file became an invalid report -> exit 1)."""
+    from goodtables_pandas_py_spark.__main__ import main
+
+    rc = main([str(tmp_path / "nope.json")])
+    assert rc == 2
+
+
+def test_cli_bare_resource_json(spark, tmp_path):
+    """The help text promises bare table-resource JSON works; it must
+    wrap into a one-resource package with paths resolved against the
+    descriptor's directory."""
+    import json
+
+    from goodtables_pandas_py_spark.__main__ import main
+
+    orig_stop = type(spark).stop
+    type(spark).stop = lambda self: None   # keep the shared session
+    try:
+        (tmp_path / "t.csv").write_text("id\n1\n2\n")
+        res = {
+            "name": "t", "path": "t.csv",
+            "schema": {"fields": [{"name": "id", "type": "integer"}]},
+        }
+        rp = tmp_path / "resource.json"
+        rp.write_text(json.dumps(res))
+        out = tmp_path / "report.json"
+        rc = main([str(rp), "-o", str(out), "-q"])
+        rep = json.loads(out.read_text())
+        assert rc == 0 and rep["valid"] is True, rep
+    finally:
+        type(spark).stop = orig_stop

@@ -584,3 +584,31 @@ def test_validate_stream_raises_on_missing_schema_fields(spark, event_stream_dir
         stream, SCHEMA, allow_missing_fields=True
     )
     assert not any("value" in c for c in checked.columns if "__viol__" in c)
+
+
+def test_embedding_corpus_dedup_pins_index_dim(spark):
+    """A malformed leading batch vector must not disable corpus dedup
+    when the index-build dim is pinned explicitly."""
+    from goodtables_pandas_py_spark.extensions.dedup import (
+        embedding_banded_signatures,
+    )
+    from goodtables_pandas_py_spark.streaming.dedup import (
+        embedding_dedup_batch_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    index = embedding_banded_signatures(corpus, dim=2)
+    batch = spark.createDataFrame(
+        [(1, [9.9, 9.9, 9.9]),            # malformed 3-dim leads
+         (2, [1.0, 0.0])],                 # exact dup of corpus 100
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    kept = embedding_dedup_batch_against_corpus(
+        batch, corpus, index, threshold=0.99, dim=2
+    )
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert 2 not in ids            # corpus dup dropped
+    assert 1 in ids                # ragged row passes through

@@ -1072,3 +1072,37 @@ def test_partition_valid_no_checks_schema_matches(spark):
     _, inv_some = partition_valid(df, sch_some, assume_typed=True)
     assert inv_none.columns == inv_some.columns
     assert "__failed_checks" in inv_none.columns
+
+
+def test_schema_node_violations_classified_schema_error():
+    from goodtables_pandas_py_spark.profile import check_descriptor
+
+    errs = check_descriptor({"resources": [{"name": "t", "schema": {}}]})
+    assert errs and all(e.code == "schema-error" for e in errs), [
+        (e.code, e.message) for e in errs
+    ]
+
+
+def test_write_report_errors_covers_package_level_and_row_ids(spark, tmp_path):
+    """Descriptor-failure reports (tables=[]) must not write an empty
+    audit trail, and opted-in row addresses must persist."""
+    from goodtables_pandas_py_spark.errors import write_report_errors
+
+    report = {
+        "valid": False,
+        "errors": [{"code": "datapackage-error", "message": "boom",
+                    "count": 1}],
+        "tables": [
+            {"source": "t", "errors": [
+                {"code": "minimum-constraint", "field": "x",
+                 "values": ["-1", None], "count": 2, "row-ids": [4, 9]},
+            ]},
+        ],
+    }
+    path = str(tmp_path / "audit")
+    write_report_errors(spark, report, path)
+    rows = {r["code"]: r for r in spark.read.parquet(path).collect()}
+    assert rows["datapackage-error"]["resource"] is None
+    assert rows["minimum-constraint"]["row_ids"] == [4, 9]
+    # None placeholder samples never become the string 'None'
+    assert rows["minimum-constraint"]["values"] == ["-1"]
