@@ -18,10 +18,11 @@ from pyspark.sql.types import NumericType
 
 def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """One row per column: ``column, n, n_null, approx_distinct``,
-    plus ``mean, stddev, min_v, max_v`` for numeric columns (null
-    otherwise). ONE job, one scan — all metrics ride a single wide
-    ``agg`` and unpivot via a literal explode (no shuffle beyond the
-    final single-partition agg).
+    plus ``mean, stddev, min_v, max_v, p50, p95`` for numeric columns
+    (null otherwise; quantiles via the percentile_approx sketch —
+    one-pass, mergeable, the 100 TB-safe choice). ONE job, one scan —
+    all metrics ride a single wide ``agg`` and unpivot via a literal
+    explode (no shuffle beyond the final single-partition agg).
 
     ``approx_distinct`` is HyperLogLog++ (`approx_count_distinct`,
     default rsd ~5%) — the 100 TB-safe choice; exact distincts would
@@ -48,6 +49,8 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                 F.stddev_samp(dv).alias("stddev"),
                 F.min(dv).alias("min_v"),
                 F.max(dv).alias("max_v"),
+                F.percentile_approx(dv, 0.5).alias("p50"),
+                F.percentile_approx(dv, 0.95).alias("p95"),
             ).alias(f"__p_{c}")
         )
     row = df.agg(*per_col)
@@ -95,13 +98,13 @@ def profile_drift(
         F.col("column"),
         *[F.col(c).alias(f"{c}_before")
           for c in ("n", "n_null", "approx_distinct", "mean", "stddev",
-                    "min_v", "max_v")],
+                    "min_v", "max_v", "p50", "p95")],
     )
     a = after.select(
         F.col("column"),
         *[F.col(c).alias(f"{c}_after")
           for c in ("n", "n_null", "approx_distinct", "mean", "stddev",
-                    "min_v", "max_v")],
+                    "min_v", "max_v", "p50", "p95")],
     )
     j = b.join(a, "column", "full_outer")
     # try_divide: zero denominators (empty snapshot, all-null column)
@@ -141,6 +144,7 @@ def profile_drift(
         F.col("n_before"), F.col("n_after"),
         (null_rate_a - null_rate_b).alias("null_rate_delta"),
         (F.col("mean_after") - F.col("mean_before")).alias("mean_delta"),
+        (F.col("p50_after") - F.col("p50_before")).alias("p50_delta"),
         ratio.alias("distinct_ratio"),
         rows_ratio.alias("rows_ratio"),
         *[c.alias(name) for name, c in flags.items()],

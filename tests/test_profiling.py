@@ -217,3 +217,20 @@ def test_value_histogram_excludes_nan(spark):
     rows = value_histogram(df, "x", 0.0, 10.0, bins=5).collect()
     assert sum(r["n"] for r in rows) == 2
     assert all(r["bucket"] is not None for r in rows)
+
+
+def test_column_profile_quantiles_near_duckdb_exact(spark, snap_a):
+    import duckdb
+
+    from goodtables_pandas_py_spark.extensions.profiling import column_profile
+
+    prof = {r["column"]: r for r in column_profile(snap_a).collect()}
+    con = duckdb.connect()
+    con.register("t", snap_a.toPandas())
+    p50, p95 = con.execute(
+        "SELECT quantile_cont(x, 0.5), quantile_cont(x, 0.95) FROM t"
+    ).fetchone()
+    # percentile_approx is a sketch: assert within one bucket width
+    assert abs(prof["x"]["p50"] - p50) <= 1.0
+    assert abs(prof["x"]["p95"] - p95) <= 1.0
+    assert prof["cat"]["p50"] is None
