@@ -1058,7 +1058,8 @@ SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
              CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
          AS jaccard
 FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+WHERE len(a.s) > 0 AND len(b.s) > 0
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.1""",
 )
 def _x2j(spark, sf_dir):
@@ -1101,7 +1102,8 @@ sh AS (
 ex AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+  WHERE len(a.s) > 0 AND len(b.s) > 0
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5)
 SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
        TRUE AS containment_ok, TRUE AS recall_ok""",
@@ -1263,7 +1265,11 @@ def _x2nd_cc(spark, sf_dir):
     The CC labels come from pair_components (min-label propagation to
     fixpoint, hash equi-joins + localCheckpoint); pairs are persisted
     — they feed four consumers (labels, kept, intact check, greedy
-    twin) and the propagation's eager jobs fill the cache first."""
+    twin) and the propagation's eager jobs fill the cache first. The
+    cache is released by Spark's ContextCleaner once the driver drops
+    the returned plan (an in-builder unpersist would force the later
+    consumers to recompute the whole minhash pipeline); at oracle
+    scale the frame is a few thousand rows."""
     d = t(spark, sf_dir, "documents", wide=True)
     pairs = xdedup.minhash_dedup_pairs(d, threshold=0.5).persist()
     labels = xdedup.pair_components(pairs)
@@ -1955,7 +1961,6 @@ def _x7_pack(spark, sf_dir):
     (documents cut by a sequence boundary) — the exact bookkeeping a
     concat-then-chunk LM data loader needs."""
     from .extensions import splits as xsplits
-    from .extensions import text as xtext
 
     d = t(spark, sf_dir, "documents", wide=True).select(
         "doc_id", "source", xtext.token_count(F.col("text")).alias("n_tokens")
@@ -2034,7 +2039,6 @@ def _x4_boiler(spark, sf_dir):
     md5(text). The md5 bounds make the check byte-exact: any
     over-removal, under-removal, or line-order scrambling in
     reassembly changes a document hash and fails the compare."""
-    from .extensions import text as xtext_mod
 
     d = t(spark, sf_dir, "documents", wide=True).select(
         "doc_id", "source", "text"
@@ -2043,7 +2047,7 @@ def _x4_boiler(spark, sf_dir):
         "text", F.concat(F.lit("## injected boilerplate banner ##\n"),
                          F.col("text"))
     )
-    cleaned = xtext_mod.remove_boilerplate_lines(injected, max_docs=5)
+    cleaned = xtext.remove_boilerplate_lines(injected, max_docs=5)
     return cleaned.groupBy("source").agg(
         F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
         F.sum(F.length("text")).cast(_BIG).alias("sum_chars"),
@@ -2071,7 +2075,6 @@ def _x4_pii(spark, sf_dir):
     any UN-redacted leftovers. The oracle recomputes the expected
     counts ARITHMETICALLY from the modulo rules — an independent
     ground truth — and pins leftovers at zero."""
-    from .extensions import text as xtext_mod
 
     d = t(spark, sf_dir, "documents", wide=True)
     injected = d.withColumn(
@@ -2094,11 +2097,11 @@ def _x4_pii(spark, sf_dir):
     )
     red = injected.select(
         "source",
-        xtext_mod.redact_pii(
+        xtext.redact_pii(
             F.col("text"), kinds=["email", "ipv4", "ssn"]
         ).alias("rt"),
     )
-    leftover = xtext_mod.pii_counts(
+    leftover = xtext.pii_counts(
         F.col("rt"), kinds=["email", "ipv4", "ssn"]
     )
     return red.groupBy("source").agg(

@@ -393,7 +393,9 @@ def schema_diff(old: "TableSchema", new: "TableSchema") -> list[dict]:
             out.append({"kind": "type-changed", "field": name,
                         "detail": f"{of.type} -> {nf.type}",
                         "breaking": True})
-        elif of.format != nf.format:
+        if of.format != nf.format:
+            # report independently of a type change — the docstring
+            # promises EVERY difference (elif hid the format entry)
             out.append({"kind": "format-changed", "field": name,
                         "detail": f"{of.format} -> {nf.format}",
                         "breaking": True})
@@ -407,12 +409,12 @@ def schema_diff(old: "TableSchema", new: "TableSchema") -> list[dict]:
                             "detail": key, "breaking": False})
                 continue
             if key not in of.constraints:
-                # adding required/unique or any bound = new demand;
-                # adding is tightening unless it cannot invalidate
-                # rows (it always can, except enum superset of ... no:
-                # a fresh constraint always restricts)
+                # a fresh constraint restricts — EXCEPT an explicitly
+                # falsy required/unique, which merely spells out the
+                # default and cannot invalidate any row
+                noop = key in ("required", "unique") and not bool(nv)
                 out.append({"kind": "constraint-added", "field": name,
-                            "detail": key, "breaking": True})
+                            "detail": key, "breaking": not noop})
                 continue
             t = tightened(key, ov, nv)
             out.append({

@@ -266,3 +266,18 @@ def test_schema_diff_identical_is_empty():
     s = TableSchema(fields=[Field("a"), Field("b", type="integer")],
                     primary_key=["a"])
     assert schema_diff(s, s) == []
+
+
+def test_schema_diff_falsy_added_and_combined_changes():
+    from goodtables_pandas_py_spark.schema import Field, TableSchema, schema_diff
+
+    old = TableSchema(fields=[Field("a", type="string", format="uuid")])
+    new = TableSchema(fields=[
+        Field("a", type="integer",
+              constraints={"required": False}),
+    ])
+    diff = {d["kind"]: d for d in schema_diff(old, new)}
+    # required: False spelled out = no new demand
+    assert diff["constraint-added"]["breaking"] is False
+    # type AND format both changed: both reported (elif hid format)
+    assert "type-changed" in diff and "format-changed" in diff
