@@ -339,15 +339,33 @@ def minhash_dedup_pairs(
     and re-shingling per pair side (the pre-r4 shape, via
     ngram_jaccard on raw token arrays) multiplied the verify cost by
     the pair multiplicity. Found by the r4 10× scale probe: 100k docs
-    with 20-way replica clusters went from DNF (>9 min) to seconds."""
+    with 20-way replica clusters went from DNF (>9 min) to seconds.
+
+    The verify payload is HASHED: each distinct shingle string becomes
+    one xxhash64 long, so the candidate join shuffles array<long>
+    (8 B/shingle) instead of array<string> (~20-40 B for k-word
+    n-grams) — the r5 60× probe identified verify-join shuffle volume
+    (pairs × two set payloads) as the one above-linear scale entry,
+    and the set ops themselves (array_intersect/union) compare longs
+    instead of strings. Jaccard over hashed sets equals Jaccard over
+    string sets unless two distinct shingles of the SAME candidate
+    pair collide in 64 bits (P ≈ s²·2⁻⁶⁵ per pair, ~1e-12 at 10k
+    shingles/doc) — and any such flip is caught by the registry's
+    independent string-based recheck (x2_minhash_dedup
+    jaccard_recheck_ok)."""
     cands = minhash_candidates(
         df, id_col, text_col, num_hashes, num_bands, shingle_k,
         max_bucket=max_bucket, persist_banded=persist_banded,
     )
     sets = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(
-            shingles(whitespace_tokens(normalize_text(F.col(text_col))), shingle_k)
+        F.transform(
+            F.array_distinct(
+                shingles(
+                    whitespace_tokens(normalize_text(F.col(text_col))), shingle_k
+                )
+            ),
+            lambda sh: F.xxhash64(sh),
         ).alias("s"),
     )
     inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
