@@ -1900,8 +1900,10 @@ def _dq2(spark, sf_dir):
 
 
 @q(
-    "x7_hash_split",
-    "SELECT CASE"
+    "x7_splits_pack",
+    "SELECT 'split' AS kind, split AS key, n AS n_rows,"
+    " min_id AS m1, max_id AS m2, CAST(NULL AS BIGINT) AS m3 FROM ("
+    " SELECT CASE"
     " WHEN doc_id IS NULL THEN NULL"
     " WHEN substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'"
     " THEN 'train'"
@@ -1910,31 +1912,11 @@ def _dq2(spark, sf_dir):
     " CAST(count(*) AS BIGINT) AS n,"
     " CAST(min(doc_id) AS BIGINT) AS min_id,"
     " CAST(max(doc_id) AS BIGINT) AS max_id"
-    " FROM documents GROUP BY 1",
-)
-def _x7_split(spark, sf_dir):
-    """X7 deterministic hash split (extensions/splits.py): the oracle
-    recomputes the SAME salted-md5 bucketing in DuckDB — md5 of the
-    utf-8 id string is engine-portable by construction, so this checks
-    the exact per-row assignment (via per-split min/max/count), not
-    just the split sizes."""
-    from .extensions import splits as xsplits
-
-    d = t(spark, sf_dir, "documents")
-    return (
-        xsplits.hash_split(d, "doc_id", salt="v1")
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).cast(_BIG).alias("n"),
-            F.min("doc_id").cast(_BIG).alias("min_id"),
-            F.max("doc_id").cast(_BIG).alias("max_id"),
-        )
-    )
-
-
-@q(
-    "x7_pack_sequences",
-    "WITH toks AS ("
+    " FROM documents GROUP BY 1)"
+    " UNION ALL"
+    " SELECT 'pack' AS kind, source AS key, n_docs AS n_rows,"
+    " n_seqs AS m1, n_straddlers AS m2, sum_tokens AS m3 FROM ("
+    " WITH toks AS ("
     " SELECT doc_id, source,"
     " (CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens"
     " FROM documents"
@@ -1950,32 +1932,68 @@ def _x7_split(spark, sf_dir):
     " AND (cum - 1) // 512 > (cum - n_tokens) // 512) AS BIGINT)"
     " AS n_straddlers,"
     " CAST(sum(n_tokens) AS BIGINT) AS sum_tokens"
-    " FROM seq GROUP BY source",
+    " FROM seq GROUP BY source)",
 )
-def _x7_pack(spark, sf_dir):
-    """X7 token-stream sequence packing (extensions/splits.py
-    sequence_offsets): documents laid end-to-end per source stream,
-    chunked into 512-token training sequences; the oracle re-derives
-    offset/first_seq/last_seq from a windowed cumulative sum in ANSI
-    SQL. Checks per-stream sequence counts AND the straddler count
-    (documents cut by a sequence boundary) — the exact bookkeeping a
-    concat-then-chunk LM data loader needs."""
+def _x7_splits_pack(spark, sf_dir):
+    """X7 dataset splits + sequence packing, merged as LABELED rows
+    (r5 — the former x7_hash_split and x7_pack_sequences rows,
+    union'd under generic (kind, key, n_rows, m1, m2, m3) columns to
+    free registry slots under the 50-row cap; both checks unchanged).
+
+    ``kind='split'`` — deterministic hash split
+    (extensions/splits.py::hash_split): the oracle recomputes the SAME
+    salted-md5 bucketing in DuckDB — md5 of the utf-8 id string is
+    engine-portable by construction, so this checks the exact per-row
+    assignment via per-split (count, min_id, max_id) = (n_rows, m1,
+    m2); m3 is null.
+
+    ``kind='pack'`` — token-stream sequence packing
+    (extensions/splits.py::sequence_offsets): documents laid
+    end-to-end per source stream, chunked into 512-token training
+    sequences; the oracle re-derives offset/first_seq/last_seq from a
+    windowed cumulative sum in ANSI SQL. Per source: (n_docs, n_seqs,
+    n_straddlers, sum_tokens) = (n_rows, m1, m2, m3) — sequence
+    counts AND straddlers (documents cut by a sequence boundary), the
+    exact bookkeeping a concat-then-chunk LM data loader needs."""
     from .extensions import splits as xsplits
 
-    d = t(spark, sf_dir, "documents", wide=True).select(
+    d = t(spark, sf_dir, "documents")
+    split_rows = (
+        xsplits.hash_split(d, "doc_id", salt="v1")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast(_BIG).alias("n_rows"),
+            F.min("doc_id").cast(_BIG).alias("m1"),
+            F.max("doc_id").cast(_BIG).alias("m2"),
+        )
+        .select(
+            F.lit("split").alias("kind"), F.col("split").alias("key"),
+            "n_rows", "m1", "m2", F.lit(None).cast(_BIG).alias("m3"),
+        )
+    )
+
+    dt = t(spark, sf_dir, "documents", wide=True).select(
         "doc_id", "source", xtext.token_count(F.col("text")).alias("n_tokens")
     )
     seq = xsplits.sequence_offsets(
-        d, "doc_id", "n_tokens", budget=512, part_col="source"
+        dt, "doc_id", "n_tokens", budget=512, part_col="source"
     )
-    return seq.groupBy("source").agg(
-        F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
-        (F.max("last_seq") + 1).cast(_BIG).alias("n_seqs"),
-        F.count_if(F.col("last_seq") > F.col("first_seq"))
-        .cast(_BIG)
-        .alias("n_straddlers"),
-        F.sum("n_tokens").cast(_BIG).alias("sum_tokens"),
+    pack_rows = (
+        seq.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast(_BIG).alias("n_rows"),
+            (F.max("last_seq") + 1).cast(_BIG).alias("m1"),
+            F.count_if(F.col("last_seq") > F.col("first_seq"))
+            .cast(_BIG)
+            .alias("m2"),
+            F.sum("n_tokens").cast(_BIG).alias("m3"),
+        )
+        .select(
+            F.lit("pack").alias("kind"), F.col("source").alias("key"),
+            "n_rows", "m1", "m2", "m3",
+        )
     )
+    return split_rows.unionByName(pack_rows)
 
 
 @q(
@@ -2023,14 +2041,23 @@ def _x7_contam(spark, sf_dir):
 
 
 @q(
-    "x4_boilerplate",
+    "x4_hygiene",
     "SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
     " CAST(sum(length(text)) AS BIGINT) AS sum_chars,"
-    " min(md5(text)) AS min_md5, max(md5(text)) AS max_md5"
+    " min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,"
+    " count(*) FILTER (WHERE doc_id % 7 = 0) AS n_email,"
+    " count(*) FILTER (WHERE doc_id % 11 = 0) AS n_ipv4,"
+    " count(*) FILTER (WHERE doc_id % 13 = 0) AS n_ssn,"
+    " count(*) FILTER (WHERE FALSE) AS n_leftover"
     " FROM documents GROUP BY source",
 )
-def _x4_boiler(spark, sf_dir):
-    """X4 cross-document boilerplate line removal
+def _x4_hygiene(spark, sf_dir):
+    """X4 corpus hygiene: boilerplate removal + PII redaction, merged
+    per-source (r5 — the former x4_boilerplate and x4_pii rows, joined
+    on source to free registry slots for x8_profile/x7_sessions under
+    the 50-row cap; both arms' checks are unchanged).
+
+    Boilerplate arm
     (extensions/text.py::remove_boilerplate_lines), self-verifying by
     construction: a banner line is INJECTED at the top of every
     document (so it recurs corpus-wide, far over max_docs), the
@@ -2038,45 +2065,34 @@ def _x4_boiler(spark, sf_dir):
     corpus's per-source stats — count, char volume, and min/max
     md5(text). The md5 bounds make the check byte-exact: any
     over-removal, under-removal, or line-order scrambling in
-    reassembly changes a document hash and fails the compare."""
+    reassembly changes a document hash and fails the compare.
 
-    d = t(spark, sf_dir, "documents", wide=True).select(
-        "doc_id", "source", "text"
-    )
-    injected = d.withColumn(
+    PII arm (extensions/text.py::redact_pii), self-verifying by
+    construction: synthetic PII spans are INJECTED into documents by
+    modulo rules on doc_id (an email for %7, an IPv4 for %11, an SSN
+    for %13 — the raw corpus itself is PII-free, which the all-zero
+    pii_counts scan asserts via n_leftover), redact_pii scrubs them,
+    and the query counts redaction tokens per source plus any
+    UN-redacted leftovers. The oracle recomputes the expected counts
+    ARITHMETICALLY from the modulo rules — an independent ground
+    truth — and pins leftovers at zero.
+
+    The two arms meet in one hash equi-join on ``source`` (two
+    ~|sources|-row aggregates — never a nested loop; plan-guarded like
+    every registry entry)."""
+
+    d = t(spark, sf_dir, "documents", wide=True)
+    injected_b = d.select("doc_id", "source", "text").withColumn(
         "text", F.concat(F.lit("## injected boilerplate banner ##\n"),
                          F.col("text"))
     )
-    cleaned = xtext.remove_boilerplate_lines(injected, max_docs=5)
-    return cleaned.groupBy("source").agg(
+    cleaned = xtext.remove_boilerplate_lines(injected_b, max_docs=5)
+    boiler = cleaned.groupBy("source").agg(
         F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
         F.sum(F.length("text")).cast(_BIG).alias("sum_chars"),
         F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
         F.max(F.md5(F.col("text").cast("binary"))).alias("max_md5"),
     )
-
-
-@q(
-    "x4_pii",
-    "SELECT source,"
-    " count(*) FILTER (WHERE doc_id % 7 = 0) AS n_email,"
-    " count(*) FILTER (WHERE doc_id % 11 = 0) AS n_ipv4,"
-    " count(*) FILTER (WHERE doc_id % 13 = 0) AS n_ssn,"
-    " count(*) FILTER (WHERE FALSE) AS n_leftover"
-    " FROM documents GROUP BY source",
-)
-def _x4_pii(spark, sf_dir):
-    """X4 PII redaction (extensions/text.py::redact_pii),
-    self-verifying by construction: synthetic PII spans are INJECTED
-    into documents by modulo rules on doc_id (an email for %7, an IPv4
-    for %11, an SSN for %13 — the raw corpus itself is PII-free, which
-    the all-zero pii_counts scan asserts via n_leftover), redact_pii
-    scrubs them, and the query counts redaction tokens per source plus
-    any UN-redacted leftovers. The oracle recomputes the expected
-    counts ARITHMETICALLY from the modulo rules — an independent
-    ground truth — and pins leftovers at zero."""
-
-    d = t(spark, sf_dir, "documents", wide=True)
     injected = d.withColumn(
         "text",
         F.concat(
@@ -2104,7 +2120,7 @@ def _x4_pii(spark, sf_dir):
     leftover = xtext.pii_counts(
         F.col("rt"), kinds=["email", "ipv4", "ssn"]
     )
-    return red.groupBy("source").agg(
+    pii = red.groupBy("source").agg(
         F.sum(F.regexp_count(F.col("rt"), F.lit("<email>"))).cast(_BIG)
         .alias("n_email"),
         F.sum(F.regexp_count(F.col("rt"), F.lit("<ipv4>"))).cast(_BIG)
@@ -2115,6 +2131,7 @@ def _x4_pii(spark, sf_dir):
             leftover["email"] + leftover["ipv4"] + leftover["ssn"]
         ).cast(_BIG).alias("n_leftover"),
     )
+    return boiler.join(pii, "source")
 
 
 @q(
@@ -2202,3 +2219,166 @@ def _x7_temporal(spark, sf_dir):
         ),
     ).select(F.lit("range").alias("kind"), "*")
     return asof_part.unionByName(range_part)
+
+
+# ===================== X8: table profiling ================================
+
+
+@q(
+    "x8_profile",
+    "SELECT * FROM ("
+    " SELECT 'l_quantity' AS column, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(count(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT) AS n_null,"
+    " CAST(count(DISTINCT l_quantity) AS BIGINT) AS exact_distinct,"
+    " ROUND(avg(l_quantity), 6) AS mean,"
+    " ROUND(stddev_samp(l_quantity), 6) AS stddev,"
+    " CAST(min(l_quantity) AS DOUBLE) AS min_v,"
+    " CAST(max(l_quantity) AS DOUBLE) AS max_v,"
+    " TRUE AS distinct_ok, TRUE AS quantile_ok FROM lineitem"
+    " UNION ALL"
+    " SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),"
+    " CAST(count(*) FILTER (WHERE l_extendedprice IS NULL) AS BIGINT),"
+    " CAST(count(DISTINCT l_extendedprice) AS BIGINT),"
+    " ROUND(avg(l_extendedprice), 6), ROUND(stddev_samp(l_extendedprice), 6),"
+    " CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),"
+    " TRUE, TRUE FROM lineitem"
+    " UNION ALL"
+    " SELECT 'l_discount', CAST(count(*) AS BIGINT),"
+    " CAST(count(*) FILTER (WHERE l_discount IS NULL) AS BIGINT),"
+    " CAST(count(DISTINCT l_discount) AS BIGINT),"
+    " ROUND(avg(l_discount), 6), ROUND(stddev_samp(l_discount), 6),"
+    " CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),"
+    " TRUE, TRUE FROM lineitem"
+    " UNION ALL"
+    " SELECT 'l_returnflag', CAST(count(*) AS BIGINT),"
+    " CAST(count(*) FILTER (WHERE l_returnflag IS NULL) AS BIGINT),"
+    " CAST(count(DISTINCT l_returnflag) AS BIGINT),"
+    " CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+    " CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+    " TRUE, TRUE FROM lineitem)",
+)
+def _x8_profile(spark, sf_dir):
+    """X8 one-scan table profiling
+    (extensions/profiling.py::column_profile): n / n_null / mean /
+    stddev / min / max compared VALUE-EXACT against DuckDB (floats
+    rounded to 6 decimals — the registry's standard float-sum
+    mitigation), plus two FALSIFIABLE invariants for the
+    sketch-backed metrics the oracle cannot reproduce:
+
+    - ``distinct_ok``: HyperLogLog++ ``approx_distinct`` within ±15%
+      of the EXACT per-column distinct count (3× the sketch's
+      documented ~5% rsd — catches a swapped column or a broken
+      sketch, not sketch noise). The exact count rides the same
+      profile scan as one extra aggregate per column (oracle-only
+      machinery; the product path keeps HLL exactly because exact
+      distincts don't scale).
+    - ``quantile_ok``: the percentile_approx sketch outputs satisfy
+      min ≤ p50 ≤ p95 ≤ max for numeric columns and are NULL for
+      string columns — catches a mis-wired quantile column without
+      demanding cross-engine sketch equality.
+
+    String columns profile to NULL numeric stats on both sides
+    (l_returnflag row)."""
+    from .extensions.profiling import column_profile
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+    li = t(spark, sf_dir, "lineitem")
+    prof = column_profile(li, cols)
+    exact = li.agg(
+        *[F.count_distinct(F.col(c)).alias(c) for c in cols]
+    ).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(c).cast(_BIG).alias("exact_distinct"),
+                )
+                for c in cols
+            ])
+        ).alias("e")
+    ).select("e.*")
+    dist_ok = (
+        F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+        <= 0.15 * F.col("exact_distinct")
+    )
+    quant_ok = F.when(
+        F.col("min_v").isNotNull(),
+        (F.col("min_v") <= F.col("p50"))
+        & (F.col("p50") <= F.col("p95"))
+        & (F.col("p95") <= F.col("max_v")),
+    ).otherwise(F.col("p50").isNull() & F.col("p95").isNull())
+    return prof.join(exact, "column").select(
+        "column",
+        F.col("n").cast(_BIG).alias("n"),
+        F.col("n_null").cast(_BIG).alias("n_null"),
+        F.col("exact_distinct"),
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
+        dist_ok.alias("distinct_ok"),
+        quant_ok.alias("quantile_ok"),
+    )
+
+
+# ===================== X7c: row-level sessionization ======================
+
+
+@q(
+    "x7_sessions_rows",
+    "WITH s AS ("
+    " SELECT user_id, ts,"
+    " CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+    " > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s"
+    " FROM events),"
+    " i AS ("
+    " SELECT user_id,"
+    " sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess"
+    " FROM s),"
+    " per_sess AS ("
+    " SELECT user_id, sess, count(*) AS n FROM i GROUP BY user_id, sess)"
+    " SELECT CAST(user_id AS BIGINT) AS user_id,"
+    " CAST(sum(n) AS BIGINT) AS n_events,"
+    " CAST(count(*) AS BIGINT) AS n_sessions,"
+    " CAST(max(n) AS BIGINT) AS largest_session"
+    " FROM per_sess GROUP BY user_id",
+)
+def _x7_sessions_rows(spark, sf_dir):
+    """X7c ROW-LEVEL sessionization
+    (extensions/temporal.py::session_ids) — the event-to-session
+    mapping a pipeline needs to enrich individual events, vs
+    x5_sessions' AGGREGATED session_window rollup (one row per
+    session; also note the deliberate semantic difference:
+    session_ids gap test is strict ``>``, session_window's is
+    half-open ``>=``). The oracle restates the same two-window
+    formulation (lag-gap flag → running sum) as gaps-and-islands SQL
+    and compares per-user (n_events, n_sessions, largest_session) —
+    ``largest_session`` convicts a mis-assignment that happens to
+    preserve session COUNTS (e.g. an off-by-one that moves a boundary
+    row between adjacent sessions).
+
+    Engine parity notes: ties on (user_id, ts) can't open a session
+    (diff 0 under any tie order, so the nondeterministic tie ORDER is
+    harmless). Null ts would NOT be portable — Spark sorts nulls
+    first (the block would glue to the first session), DuckDB last
+    (the last session), shifting largest_session — but the events
+    table carries no null ts (verified at sf0.01 and sf0.1); if the
+    generator ever ships one, this query fails loudly on the hash
+    compare rather than silently diverging."""
+    from .extensions.temporal import session_ids
+
+    ev = t(spark, sf_dir, "events")
+    s = session_ids(
+        ev.select("user_id", "ts"), "ts", by=["user_id"], gap=1800.0
+    )
+    per_sess = s.groupBy(
+        "user_id", F.col("session_id")["n"].alias("sess")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return per_sess.groupBy(
+        F.col("user_id").cast(_BIG).alias("user_id")
+    ).agg(
+        F.sum("n").cast(_BIG).alias("n_events"),
+        F.count(F.lit(1)).cast(_BIG).alias("n_sessions"),
+        F.max("n").cast(_BIG).alias("largest_session"),
+    )
