@@ -327,6 +327,7 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
     persist_banded: bool = False,
     max_bucket: int | None = 1000,
+    persist_sets: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with exact-Jaccard verification ≥ threshold:
     LSH candidates (cheap, recall-oriented) → join back each doc's
@@ -352,7 +353,16 @@ def minhash_dedup_pairs(
     pair collide in 64 bits (P ≈ s²·2⁻⁶⁵ per pair, ~1e-12 at 10k
     shingles/doc) — and any such flip is caught by the registry's
     independent string-based recheck (x2_minhash_dedup
-    jaccard_recheck_ok)."""
+    jaccard_recheck_ok).
+
+    ``persist_sets``: the hashed set frame is joined TWICE (id_a side,
+    id_b side), so the normalize→tokenize→shingle→hash build runs
+    twice per action. True caches it (MEMORY_AND_DISK, one array<long>
+    row per doc) so the second join reads the cache — same contract
+    and default rationale as ``persist_banded``: off by default
+    because a library function shouldn't steal executor storage memory
+    the caller didn't budget; set BOTH at 100 TB (or persist the
+    signature/set tables yourself upstream)."""
     cands = minhash_candidates(
         df, id_col, text_col, num_hashes, num_bands, shingle_k,
         max_bucket=max_bucket, persist_banded=persist_banded,
@@ -368,6 +378,10 @@ def minhash_dedup_pairs(
             lambda sh: F.xxhash64(sh),
         ).alias("s"),
     )
+    if persist_sets:
+        from pyspark import StorageLevel
+
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
     union = F.size(F.array_union(F.col("s_a"), F.col("s_b")))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -481,6 +495,7 @@ def near_dedup(
     policy: str = "greedy",
     pairs: DataFrame | None = None,
     persist_banded: bool = False,
+    persist_sets: bool = False,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: keep one representative per
     near-dup group. Returns ``df`` minus the dropped rows, schema
@@ -510,7 +525,7 @@ def near_dedup(
     if pairs is None:
         pairs = minhash_dedup_pairs(
             df, id_col, text_col, threshold, num_hashes, num_bands, shingle_k,
-            persist_banded=persist_banded,
+            persist_banded=persist_banded, persist_sets=persist_sets,
         )
     if policy == "greedy":
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()

@@ -110,6 +110,29 @@ def test_minhash_finds_near_dups(spark, near_dup_docs):
     assert all(4 not in p for p in got)  # unrelated doc never pairs
 
 
+def test_minhash_persist_knobs_same_pairs(spark, near_dup_docs):
+    """persist_banded/persist_sets are pure caching knobs: identical
+    pair output, and the cached frames actually land in the cache
+    manager (so the second consumer reads memory, not a recompute)."""
+    base = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.minhash_dedup_pairs(
+            near_dup_docs, threshold=0.5
+        ).collect()
+    }
+    cached = dedup.minhash_dedup_pairs(
+        near_dup_docs, threshold=0.5, persist_banded=True, persist_sets=True
+    )
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in cached.collect()
+    }
+    assert got == base
+    # both intermediate frames registered with the cache manager
+    jsc = spark._jsc.sc()
+    assert not jsc.getPersistentRDDs().isEmpty()
+
+
 def test_minhash_signatures_match_column_form(spark, near_dup_docs):
     """The codegen scale path and the Column form must agree."""
     fast = {
