@@ -51,6 +51,7 @@ def prepare_corpus(
     dedup_threshold: float = 0.7,
     dedup_policy: str = "greedy",
     persist_banded: bool = True,
+    persist_sets: bool = True,
     eval_sets: DataFrame | None = None,
     decontam_ngram: int = 8,
     decontam_ratio: float = 0.5,
@@ -66,9 +67,11 @@ def prepare_corpus(
     ``clean_kwargs`` pass through to :func:`clean_corpus` (token
     bounds, language allowlist, ...); ``dedup_policy`` is
     ``"greedy"`` or ``"cc"`` (see :func:`near_dedup`).
-    ``persist_banded`` defaults ON here — unlike the low-level
-    library functions, this is the deployment entry point, and the
-    banded signature projection always has two consumers.
+    ``persist_banded``/``persist_sets`` default ON here — unlike the
+    low-level library functions, this is the deployment entry point,
+    and the banded signature projection and the hashed verify-set
+    frame each always have two consumers (both knobs on measured
+    1.85× on the 60× dedup probe, BASELINE.md §persist).
 
     ``cap_per_group`` keeps only the best ``cap_per_group`` rows per
     ``cap_group_cols`` group ordered by ``cap_order_col`` descending
@@ -101,6 +104,7 @@ def prepare_corpus(
         threshold=dedup_threshold,
         policy=dedup_policy,
         persist_banded=persist_banded,
+        persist_sets=persist_sets,
     )
     kept = deduped
     if cap_per_group is not None:
