@@ -250,6 +250,18 @@ def main() -> None:
     sizes["asof_rows"] = xtemp.asof_join(pts, dim, by=["uid"]).count()
     timings["asof_join"] = round(time.time() - t0, 2)
 
+    # r5 continuation: row-level sessionization over the same 2M-point
+    # frame (1k keys -> ~2k rows/key window partitions). One hash
+    # shuffle + partition-local sort shared by both windows; time
+    # should track asof_join's (same exchange shape).
+    t0 = time.time()
+    sizes["session_rows"] = (
+        xtemp.session_ids(pts, "ts", by=["uid"], gap=5000.0)
+        .select("session_id")
+        .count()
+    )
+    timings["session_ids"] = round(time.time() - t0, 2)
+
     iv = dim.select(
         "uid", F.col("ts").alias("lo"), (F.col("ts") + 2000).alias("hi"),
         "did",
@@ -274,6 +286,19 @@ def main() -> None:
         spans, iv, ("lo", "hi"), ("lo", "hi"), by=["uid"], bin_width=2000
     ).count()
     timings["interval_join"] = round(time.time() - t0, 2)
+
+    # r5 continuation: one-scan table profile over the replicated
+    # lineitem (6M+ rows x 4 columns). Single wide agg -> tiny explode;
+    # anything super-linear here means the single-HashAggregate plan
+    # regressed into per-column scans.
+    from goodtables_pandas_py_spark.extensions.profiling import column_profile
+
+    bli = spark.read.parquet(f"{WORK}/lineitem.parquet")
+    t0 = time.time()
+    sizes["profile_cols"] = column_profile(
+        bli, ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+    ).count()
+    timings["column_profile"] = round(time.time() - t0, 2)
 
     bls = stringly(
         ensure_parallelism(spark.read.parquet(f"{WORK}/lineitem.parquet"))
