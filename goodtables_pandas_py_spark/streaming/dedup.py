@@ -43,10 +43,17 @@ from ..extensions.text import normalize_text, shingles, whitespace_tokens
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int):
+    # xxhash64'd shingle sets (array<long>, not array<string>) — the
+    # same verify-payload representation as minhash_dedup_pairs: the
+    # candidate join ships 8 B/shingle and intersects longs; Jaccard
+    # is unchanged absent a 64-bit collision within one pair's sets
     return df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(
-            shingles(whitespace_tokens(normalize_text(F.col(text_col))), k)
+        F.transform(
+            F.array_distinct(
+                shingles(whitespace_tokens(normalize_text(F.col(text_col))), k)
+            ),
+            lambda sh: F.xxhash64(sh),
         ).alias("s"),
     )
 
@@ -227,8 +234,18 @@ def embedding_dedup_batch_against_corpus(
     new_banded = embedding_banded_signatures(
         batch, id_col, vec_col, num_bands, planes_per_band, seed, dim=dim
     )
+    # restrict the corpus index to the buckets THIS batch hits BEFORE
+    # any counting — same fix as the text kernel above: without the
+    # semi-join, cap_buckets' groupBy re-aggregates the ENTIRE corpus
+    # index every micro-batch; with it (and a (band, sig)-bucketed
+    # index table) the lookup prunes to hit buckets only, and bucket
+    # sizes stay exact for those buckets (all their corpus rows
+    # survive the semi-join)
+    hit_buckets = new_banded.select("band", "sig").distinct()
     hit = cap_buckets(
-        corpus_banded.withColumnRenamed("id", "cid"),
+        corpus_banded.withColumnRenamed("id", "cid").join(
+            F.broadcast(hit_buckets), ["band", "sig"], "left_semi"
+        ),
         ["band", "sig"],
         max_bucket,
         min_bucket=1,
