@@ -32,15 +32,23 @@ from .text import normalize_text, shingles, whitespace_tokens
 def ngram_sets(
     df: DataFrame, id_col: str, text_col: str, ngram: int
 ) -> DataFrame:
-    """(id, ngram) rows: distinct space-joined word n-grams of the
+    """(id, g) rows: distinct space-joined word n-grams of the
     normalized text, per INPUT ROW (array_distinct — no shuffle; ids
-    must be unique per row, the corpus contract at 100 TB). Shared by
-    both sides of the scan so the match is exact by construction."""
+    must be unique per row, the corpus contract at 100 TB), with each
+    n-gram XXHASH64'D to a long. Shared by both sides of the scan so
+    the match is exact by construction EITHER WAY — hashing just makes
+    the join key a long: the broadcast eval map becomes Spark's
+    specialized long-keyed hashed relation (~6× smaller than the
+    8-word-string map — 8 B vs ~50 B per key — and long-equality
+    probes), the n-gram counts are unchanged absent a 64-bit collision
+    within one (corpus doc, eval doc) comparison (P ≈ s²·2⁻⁶⁵), and
+    the oracle's exact string-side recompute (x7_contamination) would
+    fail loudly on any flip."""
     toks = whitespace_tokens(normalize_text(F.col(text_col)))
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(toks, ngram))).alias("g"),
-    )
+    ).select("id", F.xxhash64(F.col("g")).alias("g"))
 
 
 def contamination_scan(
