@@ -317,20 +317,30 @@ def remove_boilerplate_lines(
     shorter than ``min_chars`` never count (blank lines, lone braces —
     ubiquitous but not boilerplate evidence) and are always kept.
 
-    Scale shape, in three stages:
+    Scale shape, in four stages:
 
-    1. boilerplate discovery — explode lines, DISTINCT (line, doc)
-       pairs (map-side combine collapses within-doc repeats), count
-       docs per line: one shuffle whose volume is distinct lines, not
-       text;
-    2. filter — broadcast anti-join of the exploded lines against the
+    1. candidate discovery — explode lines, DISTINCT (xxhash64(line),
+       doc) pairs (map-side combine collapses within-doc repeats),
+       count docs per line HASH: the shuffle carries 16 B per distinct
+       pair instead of the line text. Hash collisions can only
+       OVERCOUNT (two lines sharing a hash pool their doc counts), so
+       the candidate set is a superset of the true offenders — never
+       a miss;
+    2. exact verification — re-count docs per line STRING, restricted
+       (broadcast semi-join on the hash) to candidate lines only: the
+       full-text shuffle now carries boilerplate-frequency lines plus
+       the odd collision, not the corpus. Output equality is decided
+       on strings, so a collision costs shuffle bytes, never a wrongly
+       removed line (the byte-exact contract the x4_hygiene oracle
+       pins);
+    3. filter — broadcast anti-join of the exploded lines against the
        (small, by definition: boilerplate is the head of the line
-       frequency distribution) offender set — map-side, no corpus
-       shuffle;
-    3. reassembly — groupBy(id) + order-preserving array_sort on
-       (pos, line) structs: the one full-text shuffle. For inputs
-       bucketed/pre-partitioned by ``id_col`` (sources.write_bucketed)
-       this stage is shuffle-free.
+       frequency distribution) exact offender set — map-side, no
+       corpus shuffle;
+    4. reassembly — groupBy(id) + order-preserving array_sort on
+       (pos, line) structs: the one remaining full-text shuffle. For
+       inputs bucketed/pre-partitioned by ``id_col``
+       (sources.write_bucketed) this stage is shuffle-free.
 
     A document consisting ENTIRELY of removed lines is itself dropped
     (it was pure boilerplate); documents keeping any line — including
@@ -351,8 +361,22 @@ def remove_boilerplate_lines(
     # between LF and CRLF documents via a trailing '\r'); the raw
     # __line is what reassembles, so output bytes are untouched
     key = F.regexp_replace(F.col("__line"), r"^\s+|\s+$", "")
+    eligible = lines.where(F.length(key) >= min_chars)
+    cand_hashes = (
+        eligible.select(
+            F.xxhash64(key).alias("__kh"), F.col(id_col).alias("__oid")
+        )
+        .distinct()
+        .groupBy("__kh")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+        .where(F.col("__n_docs") > max_docs)
+        .select("__kh")
+    )
     offenders = (
-        lines.where(F.length(key) >= min_chars)
+        eligible.join(
+            F.broadcast(cand_hashes), F.xxhash64(key) == F.col("__kh"),
+            "left_semi",
+        )
         .select(key.alias("__key"), F.col(id_col).alias("__oid"))
         .distinct()
         .groupBy("__key")
