@@ -122,12 +122,16 @@ def bench_near_dedup(spark, sf_dir):
     from goodtables_pandas_py_spark.queries import t
 
     d = t(spark, sf_dir, "documents", wide=True)
-    # persist_banded: the banded signature projection feeds both the
-    # bucket-size count and the join-back; caching it halves the
-    # dominant signature cost (interleaved A/B at sf0.1: 1.94s vs
-    # 2.40s best-of-3). It is what a real deployment sets (the
-    # library default stays False — see minhash_candidates).
-    return xdedup.near_dedup(d, threshold=0.5, persist_banded=True).count()
+    # persist_banded/persist_sets: the banded signature projection and
+    # the hashed verify-set frame each feed two consumers; caching
+    # them halves the dominant signature/shingle cost (banded A/B at
+    # sf0.1: 1.94s vs 2.40s best-of-3; both knobs at 60x: 99.8s vs
+    # 184.9s, BASELINE.md §persist). They are what a real deployment
+    # sets — prepare_corpus defaults both ON (the low-level library
+    # defaults stay False — see minhash_candidates).
+    return xdedup.near_dedup(
+        d, threshold=0.5, persist_banded=True, persist_sets=True
+    ).count()
 
 
 # Benched registry queries (bench name -> (registry key, action)).
