@@ -344,6 +344,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S3b: typed ORC resource — Spark-native columnar format with the
+    same pushdown/pruning story as parquet (vectorized reader, min/max
+    stripe skipping); same all-typed contract as :func:`read_parquet`
+    (validate stringifies downstream)."""
+    return spark.read.orc(path)
+
+
 def read_inline(spark: SparkSession, resource: Resource) -> DataFrame:
     """Inline ``data`` resources [SPEC data-package §resource.data]:
     array of objects, or array of arrays whose first row is the header
@@ -401,6 +409,8 @@ def read_resource(spark: SparkSession, resource: Resource) -> DataFrame:
     fmt = (resource.format or "csv").lower()
     if fmt == "parquet":
         return read_parquet(spark, path)
+    if fmt == "orc":
+        return read_orc(spark, path)
     if fmt == "csv":
         # With a header row, do NOT pin schema field names: header
         # mismatches must be observed by H1, so the file's own header

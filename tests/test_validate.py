@@ -1106,3 +1106,35 @@ def test_write_report_errors_covers_package_level_and_row_ids(spark, tmp_path):
     assert rows["minimum-constraint"]["row_ids"] == [4, 9]
     # None placeholder samples never become the string 'None'
     assert rows["minimum-constraint"]["values"] == ["-1"]
+
+
+def test_orc_resource_validates(spark, tmp_path):
+    """format: orc — Spark-native columnar read; the typed columns go
+    through the same stringly + parse pipeline as parquet (S3b)."""
+    from goodtables_pandas_py_spark.schema import (
+        Field, Resource, TableSchema,
+    )
+    from goodtables_pandas_py_spark.sources import read_resource, stringly
+    from goodtables_pandas_py_spark.validate import validate_table
+
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (2, "c", -1.0)],
+        "id: long, name: string, score: double",
+    )
+    p = str(tmp_path / "t.orc")
+    src.write.orc(p)
+    res = Resource(name="r", path=p, format="orc")
+    df = stringly(read_resource(spark, res))
+    assert [t for _, t in df.dtypes] == ["string"] * 3
+    schema = TableSchema(
+        fields=[
+            Field("id", type="integer", constraints={"unique": True}),
+            Field("name", type="string"),
+            Field("score", type="number", constraints={"minimum": 0}),
+        ],
+    )
+    v = validate_table(df, schema, resource="r")
+    codes = {e.code for e in v.errors}
+    assert "unique-constraint" in codes         # duplicate id 2
+    assert "minimum-constraint" in codes        # score -1.0
+    assert v.row_count == 3
