@@ -1338,3 +1338,105 @@ def test_frame_sample_plan_stays_inside_clip(spark):
 
     with _pytest.raises(ValueError, match="every_ms"):
         mm.frame_sample_plan(df, every_ms=0)
+
+
+def test_release_diff_statuses(spark):
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        release_diff,
+        release_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", "s1"), (2, "b", "s1"), (3, "c", "s2"), (4, None, "s2")],
+        "doc_id: long, text: string, source: string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "s1"), (3, "C", "s2"), (4, None, "s2"), (5, "e", "s1")],
+        "doc_id: long, text: string, source: string",
+    )
+    got = {r["doc_id"]: r["status"] for r in release_diff(old, new).collect()}
+    assert got == {
+        1: "removed", 2: "unchanged", 3: "changed",
+        4: "unchanged", 5: "added",
+    }
+    summ = {
+        r["status"]: r["n"]
+        for r in release_diff_summary(old, new).collect()
+    }
+    assert summ == {"added": 1, "removed": 1, "changed": 1, "unchanged": 2}
+    by = {
+        (r["source"], r["status"]): r["n"]
+        for r in release_diff_summary(old, new, by=["source"]).collect()
+    }
+    # removed row 1 has no new-side source: falls back to old's s1
+    assert by[("s1", "removed")] == 1
+    assert by[("s2", "changed")] == 1
+
+
+def test_release_diff_null_sentinel_and_position(spark):
+    """null vs the string 'null' differ; swapping values across
+    columns differs (xxhash64 skips null args, so these need the
+    sentinel/prefix construction to hold)."""
+    from goodtables_pandas_py_spark.extensions.pipeline import release_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "x"), (2, "x", None)], "doc_id: long, a: string, b: string"
+    )
+    new = spark.createDataFrame(
+        [(1, "null", "x"), (2, None, "x")], "doc_id: long, a: string, b: string"
+    )
+    got = {r["doc_id"]: r["status"] for r in release_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_release_diff_duckdb_parity(spark, tmp_path):
+    """Statuses match a DuckDB full-outer raw-value comparison on a
+    mixed add/remove/change/unchange population."""
+    import duckdb
+
+    from goodtables_pandas_py_spark.extensions.pipeline import release_diff
+
+    rows_old = [(i, f"t{i}", float(i)) for i in range(0, 80)]
+    rows_new = (
+        [(i, f"t{i}", float(i)) for i in range(20, 60)]          # unchanged
+        + [(i, f"T{i}", float(i)) for i in range(60, 80)]        # changed
+        + [(i, f"t{i}", float(i)) for i in range(80, 100)]       # added
+    )
+    old = spark.createDataFrame(rows_old, "doc_id: long, text: string, w: double")
+    new = spark.createDataFrame(rows_new, "doc_id: long, text: string, w: double")
+    old.write.mode("overwrite").parquet(str(tmp_path / "old.parquet"))
+    new.write.mode("overwrite").parquet(str(tmp_path / "new.parquet"))
+    got = {
+        r["doc_id"]: r["status"]
+        for r in release_diff(old, new).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW o AS SELECT * FROM '{tmp_path}/old.parquet/*.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW n AS SELECT * FROM '{tmp_path}/new.parquet/*.parquet'"
+    )
+    exp = dict(con.execute(
+        """SELECT COALESCE(o.doc_id, n.doc_id) AS id,
+                  CASE WHEN o.doc_id IS NULL THEN 'added'
+                       WHEN n.doc_id IS NULL THEN 'removed'
+                       WHEN o.text IS NOT DISTINCT FROM n.text
+                        AND o.w IS NOT DISTINCT FROM n.w THEN 'unchanged'
+                       ELSE 'changed' END AS status
+           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+    ).fetchall())
+    assert got == exp
+
+
+def test_release_diff_requires_comparable_columns(spark):
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions.pipeline import release_diff
+
+    old = spark.createDataFrame([(1, "a")], "doc_id: long, only_old: string")
+    new = spark.createDataFrame([(1, "b")], "doc_id: long, only_new: string")
+    with _pytest.raises(ValueError, match="no columns to compare"):
+        release_diff(old, new)
+    with _pytest.raises(ValueError, match="lacks columns"):
+        release_diff(old, new, compare_cols=["only_new"])
