@@ -822,3 +822,72 @@ def test_interval_join_matches_python_reference(spark, ls, rs):
         if lk == rk and llo <= rlo + rw and rlo <= llo + lw
     }
     assert set(got) == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                [
+                    "the quick brown fox jumps",
+                    "cookie banner accept all",
+                    "short",
+                    "lorem ipsum dolor sit amet",
+                    "x" * 7,
+                    "",
+                ]
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_remove_boilerplate_matches_python_reference(spark, docs, max_docs):
+    """remove_boilerplate_lines (two-phase hash-count + exact string
+    verify) must reproduce an independent pure-Python implementation
+    byte-exactly on random corpora built from a small line vocabulary
+    (small vocab = lines recur across docs, exercising the offender
+    path; min_chars default 6 keeps 'short' and '' as never-counted)."""
+    texts = ["\n".join(lines) for lines in docs]
+    min_chars = 6
+
+    # pure-Python reference
+    from collections import defaultdict
+
+    line_docs = defaultdict(set)
+    for i, t in enumerate(texts):
+        for ln in t.split("\n"):
+            if len(ln.strip()) >= min_chars:
+                line_docs[ln.strip()].add(i)
+    offenders = {ln for ln, ds in line_docs.items() if len(ds) > max_docs}
+    expected = {}
+    for i, t in enumerate(texts):
+        kept = [
+            ln for ln in t.split("\n") if ln.strip() not in offenders
+            or len(ln.strip()) < min_chars
+        ]
+        if kept:
+            expected[i] = "\n".join(kept)
+
+    from goodtables_pandas_py_spark.extensions.text import (
+        remove_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(
+            df, max_docs=max_docs, min_chars=min_chars
+        ).collect()
+    }
+    assert got == expected
