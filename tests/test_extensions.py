@@ -1440,3 +1440,77 @@ def test_release_diff_requires_comparable_columns(spark):
         release_diff(old, new)
     with _pytest.raises(ValueError, match="lacks columns"):
         release_diff(old, new, compare_cols=["only_new"])
+
+
+def test_sniff_image_meta_real_headers(spark):
+    """Real container headers parse to real dimensions: PNG/GIF/BMP
+    fixed offsets, JPEG SOF scan past APP0; junk stays null-typed."""
+    import struct
+    import zlib
+
+    from goodtables_pandas_py_spark.extensions.multimodal import (
+        sniff_image_meta,
+    )
+
+    def tiny_png(w, h):
+        ihdr = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr))
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+        )
+
+    def tiny_gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+    def tiny_bmp(w, h):
+        # 14-byte file header + BITMAPINFOHEADER with signed dims
+        return (
+            b"BM" + b"\x00" * 16
+            + struct.pack("<ii", w, -h)  # top-down bitmap: negative h
+            + b"\x00" * 8
+        )
+
+    def tiny_jpeg(w, h):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (
+            b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+        )
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    rows = [
+        (1, tiny_png(640, 480)),
+        (2, tiny_gif(13, 7)),
+        (3, tiny_bmp(800, 600)),
+        (4, tiny_jpeg(1024, 768)),
+        (5, b"not an image at all"),
+        (6, None),
+    ]
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]),
+    )
+    got = {
+        r["media_id"]: (
+            r["media_meta"]["mime"],
+            r["media_meta"]["width"],
+            r["media_meta"]["height"],
+            r["media_meta"]["media_type"],
+            r["media_meta"]["n_bytes"],
+        )
+        for r in sniff_image_meta(df).collect()
+    }
+    assert got[1] == ("image/png", 640, 480, "image", len(rows[0][1]))
+    assert got[2] == ("image/gif", 13, 7, "image", len(rows[1][1]))
+    assert got[3] == ("image/bmp", 800, 600, "image", len(rows[2][1]))
+    assert got[4] == ("image/jpeg", 1024, 768, "image", len(rows[3][1]))
+    assert got[5] == (None, None, None, None, 19)
+    assert got[6][:4] == (None, None, None, None)
