@@ -320,38 +320,86 @@ def _parse_image_header(b) -> tuple:
     return (None, None, None)
 
 
-def sniff_image_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+def _parse_wav_header(b) -> tuple:
+    """(sample_rate, channels, duration_ms) from a RIFF/WAVE header —
+    chunk walk to the fmt and data chunks (fmt is usually but not
+    always first). Malformed/truncated -> (None, None, None)."""
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return (None, None, None)
+    b = bytes(b)
+    i, n = 12, len(b)
+    rate = channels = byte_rate = data_size = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+        elif cid == b"data":
+            data_size = size
+        if rate is not None and data_size is not None:
+            break
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    dur = (
+        int(data_size * 1000 // byte_rate)
+        if byte_rate and data_size is not None
+        else None
+    )
+    return (rate, channels, dur)
+
+
+def sniff_media_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     """``df`` + a ``media_meta`` struct (MEDIA_META_SCHEMA) whose
-    mime/width/height come from :func:`_parse_image_header` — REAL
-    header parsing over the binary column via an Arrow-batched pandas
-    UDF (headers are fixed-offset reads / a bounded marker scan, so
-    per-row cost is independent of blob size; only the byte columns'
-    Arrow transfer is paid, same as every mapInPandas step here).
-    Unrecognized blobs keep a null-typed struct with just n_bytes —
-    the same contract as :func:`attach_media_metadata`, which remains
-    the zero-Python fallback."""
+    mime/width/height/duration_ms come from REAL header parsing —
+    :func:`_parse_image_header` for PNG/GIF/BMP/JPEG and
+    :func:`_parse_wav_header` for RIFF/WAVE — over the binary column
+    via an Arrow-batched pandas UDF (headers are fixed-offset reads /
+    a bounded chunk walk, so per-row cost is independent of blob
+    size). Unrecognized blobs keep a null-typed struct with just
+    n_bytes — the same contract as :func:`attach_media_metadata`,
+    which remains the zero-Python fallback."""
     from pyspark.sql.pandas.functions import pandas_udf
 
-    meta_t = "mime: string, width: int, height: int"
+    meta_t = (
+        "media_type: string, mime: string, width: int, height: int,"
+        " duration_ms: long"
+    )
 
     @pandas_udf(meta_t)
     def _sniff(blobs: pd.Series) -> pd.DataFrame:
-        rows = [_parse_image_header(b) for b in blobs]
-        return pd.DataFrame(rows, columns=["mime", "width", "height"])
+        rows = []
+        for b in blobs:
+            mime, w, h = _parse_image_header(b)
+            if mime is not None:
+                rows.append(("image", mime, w, h, None))
+                continue
+            rate, _ch, dur = _parse_wav_header(b)
+            if rate is not None:
+                rows.append(("audio", "audio/wav", None, None, dur))
+            else:
+                rows.append((None, None, None, None, None))
+        return pd.DataFrame(
+            rows,
+            columns=["media_type", "mime", "width", "height", "duration_ms"],
+        )
 
     s = _sniff(F.col(blob_col))
     return df.withColumn(
         "media_meta",
         F.struct(
-            F.when(s["mime"].isNotNull(), F.lit("image"))
-            .alias("media_type"),
+            s["media_type"].alias("media_type"),
             s["mime"].alias("mime"),
             s["width"].alias("width"),
             s["height"].alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            s["duration_ms"].alias("duration_ms"),
             F.length(F.col(blob_col)).cast("long").alias("n_bytes"),
         ),
     )
+
+
+#: former name (image-only era) — same function, images + WAV now
+sniff_image_meta = sniff_media_meta
 
 
 def demo_media_df(spark: SparkSession, n: int = 64) -> DataFrame:

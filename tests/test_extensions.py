@@ -1514,3 +1514,50 @@ def test_sniff_image_meta_real_headers(spark):
     assert got[4] == ("image/jpeg", 1024, 768, "image", len(rows[3][1]))
     assert got[5] == (None, None, None, None, 19)
     assert got[6][:4] == (None, None, None, None)
+
+
+def test_sniff_media_meta_wav(spark):
+    """RIFF/WAVE chunk walk: sample-rate/byte-rate from fmt, duration
+    from data size; word-aligned odd chunks; truncated RIFF -> nulls."""
+    import struct
+
+    from goodtables_pandas_py_spark.extensions.multimodal import (
+        sniff_media_meta,
+    )
+
+    def tiny_wav(rate, channels, n_data, extra_first=False):
+        fmt = (
+            b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * 2, channels * 2, 16)
+        )
+        data = b"data" + struct.pack("<I", n_data) + b"\x00" * n_data
+        junk = b"JUNK" + struct.pack("<I", 3) + b"abc\x00"  # odd, padded
+        body = (junk if extra_first else b"") + fmt + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    rows = [
+        (1, tiny_wav(16000, 1, 32000)),              # 1s mono 16k s16
+        (2, tiny_wav(8000, 2, 8000, extra_first=True)),  # 0.25s stereo
+        (3, b"RIFF\x00\x00\x00\x00NOPE"),            # not WAVE
+    ]
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]),
+    )
+    got = {
+        r["media_id"]: (
+            r["media_meta"]["media_type"],
+            r["media_meta"]["mime"],
+            r["media_meta"]["duration_ms"],
+        )
+        for r in sniff_media_meta(df).collect()
+    }
+    assert got[1] == ("audio", "audio/wav", 1000)
+    assert got[2] == ("audio", "audio/wav", 250)
+    assert got[3] == (None, None, None)
