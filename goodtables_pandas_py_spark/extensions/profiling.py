@@ -12,7 +12,7 @@ expression width); drift comparison joins two tiny profile frames
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import NumericType
 
 
@@ -222,3 +222,62 @@ def population_stability_index(
         pa = max(ha.get(k, 0) / ta, epsilon)
         psi += (pa - pb) * math.log(pa / pb)
     return psi
+
+
+def top_values(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    k: int = 10,
+    prune_salts: int | None = None,
+) -> DataFrame:
+    """Most-frequent values per column — the classic profiler
+    companion to :func:`column_profile` (deequ/pandas-profiling both
+    ship it): (column, value, n, rank) for the top ``k`` values of
+    each profiled column, count-descending with value-ascending
+    tiebreak (deterministic). Values render as strings (one uniform
+    output schema across column types); nulls count as a value and
+    appear as NULL.
+
+    Scale shape: ONE scan exploding each row into (column, value)
+    structs + ONE hash shuffle for the (column, value) count — not a
+    groupBy per column — then the top-k selection reuses
+    :func:`~..splits.top_k_per_group` (ranking window; pass
+    ``prune_salts`` to pre-prune columns whose distinct-value count is
+    itself huge — the window sorts each column's distinct values in
+    one task otherwise)."""
+    cols = cols if cols is not None else df.columns
+    if not cols:
+        raise ValueError("no columns to profile")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .splits import top_k_per_group
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    counts = pairs.groupBy("column", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    top = top_k_per_group(
+        counts, ["column"], "n", k,
+        tiebreak=["value"], prune_salts=prune_salts,
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("column").orderBy(
+            F.col("n").desc(), F.asc_nulls_first("value")
+        )
+    )
+    return top.select("column", "value", "n", rank.alias("rank"))

@@ -234,3 +234,64 @@ def test_column_profile_quantiles_near_duckdb_exact(spark, snap_a):
     assert abs(prof["x"]["p50"] - p50) <= 1.0
     assert abs(prof["x"]["p95"] - p95) <= 1.0
     assert prof["cat"]["p50"] is None
+
+
+def test_top_values_basic(spark):
+    from goodtables_pandas_py_spark.extensions.profiling import top_values
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 1), ("b", None), (None, 1)],
+        "s: string, x: int",
+    )
+    got = {
+        (r["column"], r["value"]): (r["n"], r["rank"])
+        for r in top_values(df, k=2).collect()
+    }
+    # s: b x3? no -> a:2, b:3... recount: s values a,a,b,b,b,None -> b:3, a:2
+    assert got[("s", "b")] == (3, 1)
+    assert got[("s", "a")] == (2, 2)
+    # x values 1,2,1,1,None,1 -> "1":4, then tie None(1) vs "2"(1):
+    # nulls-first tiebreak ranks NULL second
+    assert got[("x", "1")] == (4, 1)
+    assert got[("x", None)] == (1, 2)
+    assert ("x", "2") not in got  # cut at k=2
+    assert all(r[1] <= 2 for r in got.values())
+
+
+def test_top_values_duckdb_parity(spark, tmp_path):
+    import duckdb
+
+    from goodtables_pandas_py_spark.extensions.profiling import top_values
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = {
+        (r["column"], r["value"], r["n"], r["rank"])
+        for r in top_values(
+            li, ["l_returnflag", "l_quantity"], k=3
+        ).collect()
+    }
+    exp = set()
+    con = duckdb.connect()
+    for col in ["l_returnflag", "l_quantity"]:
+        rows = con.execute(
+            f"""SELECT CAST({col} AS VARCHAR) v, count(*) n
+                FROM '/root/testdata/sf0.001/lineitem.parquet'
+                GROUP BY 1 ORDER BY n DESC, v ASC NULLS FIRST LIMIT 3"""
+        ).fetchall()
+        for i, (v, n) in enumerate(rows):
+            exp.add((col, v, n, i + 1))
+    # value render parity: Spark casts doubles like 1.0 -> '1.0';
+    # DuckDB CAST(1.0 AS VARCHAR) -> '1.0' as well for DOUBLE
+    assert got == exp
+
+
+def test_top_values_validates_args(spark):
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions.profiling import top_values
+
+    df = spark.createDataFrame([("a",)], "s: string")
+    with _pytest.raises(ValueError, match="not in DataFrame"):
+        top_values(df, ["nope"])
+    with _pytest.raises(ValueError, match="k must be"):
+        top_values(df, ["s"], k=0)
