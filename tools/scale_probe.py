@@ -287,6 +287,25 @@ def main() -> None:
     ).count()
     timings["interval_join"] = round(time.time() - t0, 2)
 
+    # r5 continuation: release diff over two 100k-doc "releases" —
+    # each side reduces to (id, 8 B fingerprint) before one full-outer
+    # equi-join, so time should track two text scans + an id-sized
+    # shuffle, never text through the join.
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        release_diff_summary,
+    )
+
+    new_rel = bd.where(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" edited"))).otherwise(
+            F.col("text")
+        ),
+    )
+    t0 = time.time()
+    sizes["diff_statuses"] = release_diff_summary(bd, new_rel).count()
+    timings["release_diff"] = round(time.time() - t0, 2)
+
     # r5 continuation: one-scan table profile over the replicated
     # lineitem (6M+ rows x 4 columns). Single wide agg -> tiny explode;
     # anything super-linear here means the single-HashAggregate plan
