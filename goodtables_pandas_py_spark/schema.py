@@ -119,6 +119,29 @@ class Field:
             false_values=list(d.get("falseValues", DEFAULT_FALSE_VALUES)),
         )
 
+    def to_descriptor(self) -> dict[str, Any]:
+        """Table Schema field dict — the inverse of
+        :func:`from_descriptor` (round-trips exactly). Defaults are
+        omitted so the JSON stays minimal and spec-idiomatic."""
+        d: dict[str, Any] = {"name": self.name}
+        if self.type != "string" or self.format != "default":
+            d["type"] = self.type
+        if self.format != "default":
+            d["format"] = self.format
+        if self.constraints:
+            d["constraints"] = dict(self.constraints)
+        if self.decimal_char != ".":
+            d["decimalChar"] = self.decimal_char
+        if self.group_char:
+            d["groupChar"] = self.group_char
+        if not self.bare_number:
+            d["bareNumber"] = False
+        if self.true_values != list(DEFAULT_TRUE_VALUES):
+            d["trueValues"] = list(self.true_values)
+        if self.false_values != list(DEFAULT_FALSE_VALUES):
+            d["falseValues"] = list(self.false_values)
+        return d
+
 
 @dataclass
 class ForeignKey:
@@ -145,6 +168,16 @@ class ForeignKey:
             reference_resource=ref.get("resource", ""),
             reference_fields=rfields,
         )
+
+    def to_descriptor(self) -> dict[str, Any]:
+        """Inverse of :func:`from_descriptor` (round-trips exactly)."""
+        return {
+            "fields": list(self.fields),
+            "reference": {
+                "resource": self.reference_resource,
+                "fields": list(self.reference_fields),
+            },
+        }
 
 
 @dataclass
@@ -203,6 +236,25 @@ class TableSchema:
                 ForeignKey.from_descriptor(fk) for fk in d.get("foreignKeys", [])
             ],
         )
+
+    def to_descriptor(self) -> dict[str, Any]:
+        """Table Schema dict — the inverse of :func:`from_descriptor`
+        (round-trips exactly; json.dump it into a datapackage.json).
+        Completes the infer-then-save loop: ``infer_schema(df)``
+        proposes a TableSchema, this serializes it. Defaults
+        (missingValues [""], empty keys) are omitted."""
+        d: dict[str, Any] = {
+            "fields": [f.to_descriptor() for f in self.fields]
+        }
+        if self.missing_values != list(DEFAULT_MISSING_VALUES):
+            d["missingValues"] = list(self.missing_values)
+        if self.primary_key:
+            d["primaryKey"] = list(self.primary_key)
+        if self.unique_keys:
+            d["uniqueKeys"] = [list(k) for k in self.unique_keys]
+        if self.foreign_keys:
+            d["foreignKeys"] = [fk.to_descriptor() for fk in self.foreign_keys]
+        return d
 
 
 @dataclass

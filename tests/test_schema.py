@@ -281,3 +281,54 @@ def test_schema_diff_falsy_added_and_combined_changes():
     assert diff["constraint-added"]["breaking"] is False
     # type AND format both changed: both reported (elif hid format)
     assert "type-changed" in diff and "format-changed" in diff
+
+
+def test_schema_descriptor_roundtrip():
+    """to_descriptor is the exact inverse of from_descriptor, and the
+    output is json-serializable — completes the infer-then-save loop
+    (infer_schema -> to_descriptor -> datapackage.json)."""
+    import json
+
+    from goodtables_pandas_py_spark.schema import TableSchema
+
+    desc = {
+        "fields": [
+            {"name": "id", "type": "integer",
+             "constraints": {"required": True}},
+            {"name": "email", "type": "string", "format": "email"},
+            {"name": "amt", "type": "number", "decimalChar": ",",
+             "groupChar": ".", "bareNumber": False},
+            {"name": "ok", "type": "boolean", "trueValues": ["yes"],
+             "falseValues": ["no"]},
+            {"name": "note"},
+        ],
+        "missingValues": ["", "NA"],
+        "primaryKey": ["id"],
+        "uniqueKeys": [["email"]],
+        "foreignKeys": [
+            {"fields": ["id"],
+             "reference": {"resource": "other", "fields": ["oid"]}},
+        ],
+    }
+    s = TableSchema.from_descriptor(desc)
+    out = s.to_descriptor()
+    json.dumps(out)  # serializable
+    assert TableSchema.from_descriptor(out) == s
+    # defaults are omitted, not spelled out
+    assert "missingValues" not in TableSchema(
+        fields=s.fields
+    ).to_descriptor()
+    assert out["fields"][4] == {"name": "note"}
+
+
+def test_infer_then_serialize(spark):
+    """infer_schema's proposal serializes straight to a descriptor
+    that parses back to the same schema."""
+    from goodtables_pandas_py_spark.inference import infer_schema
+    from goodtables_pandas_py_spark.schema import TableSchema
+
+    df = spark.createDataFrame(
+        [("1", "2024-01-02", "x")], "a: string, b: string, c: string"
+    )
+    s = infer_schema(df)
+    assert TableSchema.from_descriptor(s.to_descriptor()) == s
