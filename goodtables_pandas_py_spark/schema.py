@@ -289,6 +289,27 @@ class Dialect:
             multiline=bool(d.get("multiline", False)),
         )
 
+    def to_descriptor(self) -> dict[str, Any]:
+        """Inverse of :func:`from_descriptor`; defaults omitted."""
+        d: dict[str, Any] = {}
+        if self.delimiter != ",":
+            d["delimiter"] = self.delimiter
+        if self.quote_char != '"':
+            d["quoteChar"] = self.quote_char
+        if not self.double_quote:
+            d["doubleQuote"] = False
+        if self.escape_char is not None:
+            d["escapeChar"] = self.escape_char
+        if self.line_terminator != "\r\n":
+            d["lineTerminator"] = self.line_terminator
+        if not self.header:
+            d["header"] = False
+        if self.skip_initial_space:
+            d["skipInitialSpace"] = True
+        if self.multiline:
+            d["multiline"] = True
+        return d
+
 
 @dataclass
 class Resource:
@@ -333,6 +354,29 @@ class Resource:
             data=data,
         )
 
+    def to_descriptor(self) -> dict[str, Any]:
+        """Resource dict — re-parses to an equivalent Resource (paths
+        are emitted as held, so round-trip with base_dir=".").
+        ``format`` is kept explicit (from_descriptor would re-sniff
+        from the extension, but explicit beats implicit in a saved
+        artifact); the inline sentinel format is dropped since
+        ``data``'s presence already implies it."""
+        d: dict[str, Any] = {"name": self.name}
+        if self.path is not None:
+            d["path"] = self.path
+        if self.data is not None:
+            d["data"] = self.data
+        if self.schema is not None:
+            d["schema"] = self.schema.to_descriptor()
+        dialect = self.dialect.to_descriptor()
+        if dialect:
+            d["dialect"] = dialect
+        if self.encoding != "utf-8":
+            d["encoding"] = self.encoding
+        if self.format is not None and self.format != "inline":
+            d["format"] = self.format
+        return d
+
 
 @dataclass
 class Package:
@@ -356,6 +400,18 @@ class Package:
         if len(set(names)) != len(names):
             raise SchemaError(f"duplicate resource names: {names}")
         return cls(resources=resources, name=d.get("name", ""))
+
+    def to_descriptor(self) -> dict[str, Any]:
+        """Data Package dict — json.dump it as ``datapackage.json``.
+        Together with the schema/dialect serializers this closes the
+        authoring loop: build or infer Resources programmatically,
+        save the package, re-validate from the saved file."""
+        d: dict[str, Any] = {
+            "resources": [r.to_descriptor() for r in self.resources]
+        }
+        if self.name:
+            d["name"] = self.name
+        return d
 
 
 def _is_url(path: str) -> bool:

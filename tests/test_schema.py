@@ -332,3 +332,44 @@ def test_infer_then_serialize(spark):
     )
     s = infer_schema(df)
     assert TableSchema.from_descriptor(s.to_descriptor()) == s
+
+
+def test_package_descriptor_roundtrip_and_revalidate(spark, tmp_path):
+    """Package.to_descriptor closes the authoring loop: save a
+    programmatically-built package as datapackage.json, reload it via
+    the descriptor PATH, and validate — same report."""
+    import json
+
+    from goodtables_pandas_py_spark.schema import Package
+    import goodtables_pandas_py_spark as gt
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("id;status\n1;ok\n2;hm\n")
+    desc = {
+        "name": "authored",
+        "resources": [{
+            "name": "t",
+            "path": str(csv),
+            "dialect": {"delimiter": ";"},
+            "schema": {
+                "fields": [
+                    {"name": "id", "type": "integer",
+                     "constraints": {"required": True}},
+                    {"name": "status", "type": "string",
+                     "constraints": {"enum": ["ok"]}},
+                ],
+                "primaryKey": ["id"],
+            },
+        }],
+    }
+    pkg = Package.from_descriptor(desc)
+    out = pkg.to_descriptor()
+    json.dumps(out)
+    assert Package.from_descriptor(out) == pkg
+    # save -> validate from the saved FILE (S1 path semantics)
+    path = tmp_path / "datapackage.json"
+    path.write_text(json.dumps(out))
+    rep = gt.validate(spark, str(path))
+    assert rep["valid"] is False  # the 'hm' enum violation
+    codes = {e["code"] for t in rep["tables"] for e in t["errors"]}
+    assert codes == {"enumerable-constraint"}
