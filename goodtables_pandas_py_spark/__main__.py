@@ -51,11 +51,76 @@ def build_parser() -> argparse.ArgumentParser:
         "-q", "--quiet", action="store_true",
         help="suppress the one-line summary on stderr",
     )
+    p.add_argument(
+        "--infer", action="store_true",
+        help="treat the argument as a DATA file (csv/parquet/orc/"
+        "ndjson) and print an inferred datapackage.json instead of "
+        "validating — the authoring companion to the validate mode",
+    )
+    p.add_argument(
+        "--sample-rows", type=int, default=10_000,
+        help="rows sampled for --infer type proposal (default 10000)",
+    )
     return p
+
+
+def infer_main(args) -> int:
+    """--infer: data file -> inferred datapackage.json on stdout/-o.
+    The emitted descriptor validates the same file cleanly by
+    construction (inference only proposes a type when the sample
+    parses without errors) — tested end-to-end in test_cli."""
+    import os
+
+    import goodtables_pandas_py_spark as gt
+    from goodtables_pandas_py_spark.inference import infer_schema
+    from goodtables_pandas_py_spark.schema import Resource
+    from goodtables_pandas_py_spark.sources import read_resource, stringly
+
+    name = os.path.splitext(os.path.basename(args.descriptor))[0]
+    spark = gt.get_spark(app_name="goodtables-infer", master=args.master)
+    try:
+        res = Resource.from_descriptor(
+            {"name": name, "path": os.path.abspath(args.descriptor)}
+        )
+        df = stringly(read_resource(spark, res))
+        schema = infer_schema(df, sample_rows=args.sample_rows)
+        desc = {
+            "name": name,
+            "resources": [
+                {
+                    "name": name,
+                    "path": args.descriptor,
+                    **({"format": res.format} if res.format else {}),
+                    "schema": schema.to_descriptor(),
+                }
+            ],
+        }
+    except Exception as exc:
+        print(f"error: cannot infer schema: {exc}", file=sys.stderr)
+        return 2
+    finally:
+        spark.stop()
+
+    indent = args.indent if args.indent > 0 else None
+    text = json.dumps(desc, indent=indent)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text + "\n")
+    else:
+        print(text)
+    if not args.quiet:
+        types = ", ".join(
+            f"{f.name}:{f.type}" for f in schema.fields
+        )
+        print(f"inferred {len(schema.fields)} field(s): {types}",
+              file=sys.stderr)
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.infer:
+        return infer_main(args)
 
     # pre-load driver-side (no Spark): an unreadable descriptor is an
     # INFRASTRUCTURE failure and must exit 2 per the documented

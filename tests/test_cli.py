@@ -158,3 +158,42 @@ def test_cli_bare_resource_json(spark, tmp_path):
         assert rc == 0 and rep["valid"] is True, rep
     finally:
         type(spark).stop = orig_stop
+
+
+def test_cli_infer_then_validate_roundtrip(spark, tmp_path, capsys):
+    """--infer prints a datapackage.json for a raw CSV; validating
+    that descriptor over the same file comes back valid (inference
+    only proposes types the sample parses cleanly)."""
+    import json
+
+    from goodtables_pandas_py_spark.__main__ import main
+
+    csv = tmp_path / "people.csv"
+    csv.write_text(
+        "id,joined,score,active\n"
+        "1,2024-01-02,3.5,true\n"
+        "2,2024-02-03,4.25,false\n"
+    )
+    out = tmp_path / "dp.json"
+    rc = main(["--infer", str(csv), "-o", str(out), "-q"])
+    assert rc == 0
+    desc = json.loads(out.read_text())
+    fields = {
+        f["name"]: f.get("type", "string")
+        for f in desc["resources"][0]["schema"]["fields"]
+    }
+    assert fields["id"] == "integer"
+    assert fields["joined"] == "date"
+    assert fields["score"] == "number"
+    assert fields["active"] == "boolean"
+    rc2 = main([str(out), "-q", "--indent", "0"])
+    captured = capsys.readouterr()
+    assert rc2 == 0, captured.out
+    assert json.loads(captured.out.strip().splitlines()[-1])["valid"] is True
+
+
+def test_cli_infer_unreadable_exits_2(tmp_path):
+    from goodtables_pandas_py_spark.__main__ import main
+
+    rc = main(["--infer", str(tmp_path / "nope.csv"), "-q"])
+    assert rc == 2
