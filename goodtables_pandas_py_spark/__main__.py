@@ -64,6 +64,27 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _acquire_spark(app_name: str, master: str | None):
+    """Return ``(spark, owns)``: adopt a live session when one exists
+    (``owns=False`` — the CLI must NOT stop a session it did not
+    create, e.g. when ``main()`` is called programmatically inside a
+    host application or a test harness), else build one via
+    :func:`get_spark` (``owns=True`` — the CLI stops it on exit)."""
+    from pyspark.sql import SparkSession
+
+    existing = SparkSession.getActiveSession()
+    if existing is None:
+        # getActiveSession is per-thread; fall back to the
+        # process-wide default session if another thread made one
+        existing = getattr(SparkSession, "_instantiatedSession", None)
+    if existing is not None and existing.sparkContext._jsc is not None:
+        return existing, False
+
+    import goodtables_pandas_py_spark as gt
+
+    return gt.get_spark(app_name=app_name, master=master), True
+
+
 def infer_main(args) -> int:
     """--infer: data file -> inferred datapackage.json on stdout/-o.
     The emitted descriptor validates the same file cleanly by
@@ -71,13 +92,12 @@ def infer_main(args) -> int:
     parses without errors) — tested end-to-end in test_cli."""
     import os
 
-    import goodtables_pandas_py_spark as gt
     from goodtables_pandas_py_spark.inference import infer_schema
     from goodtables_pandas_py_spark.schema import Resource
     from goodtables_pandas_py_spark.sources import read_resource, stringly
 
     name = os.path.splitext(os.path.basename(args.descriptor))[0]
-    spark = gt.get_spark(app_name="goodtables-infer", master=args.master)
+    spark, owns = _acquire_spark("goodtables-infer", args.master)
     try:
         res = Resource.from_descriptor(
             {"name": name, "path": os.path.abspath(args.descriptor)}
@@ -99,7 +119,8 @@ def infer_main(args) -> int:
         print(f"error: cannot infer schema: {exc}", file=sys.stderr)
         return 2
     finally:
-        spark.stop()
+        if owns:
+            spark.stop()
 
     indent = args.indent if args.indent > 0 else None
     text = json.dumps(desc, indent=indent)
@@ -150,14 +171,15 @@ def main(argv: list[str] | None = None) -> int:
 
     import goodtables_pandas_py_spark as gt
 
-    spark = gt.get_spark(app_name="goodtables-cli", master=args.master)
+    spark, owns = _acquire_spark("goodtables-cli", args.master)
     try:
         report = gt.validate(spark, desc)
     except Exception as exc:  # engine failure
         print(f"error: {exc}", file=sys.stderr)
         return 2
     finally:
-        spark.stop()
+        if owns:
+            spark.stop()
 
     indent = args.indent if args.indent > 0 else None
     text = json.dumps(report, indent=indent, default=str)

@@ -38,44 +38,34 @@ def _write_package(tmp_path, rows: str) -> str:
 
 
 def test_cli_valid_package_exit_0(spark, tmp_path, capsys):
-    # main() reuses the session fixture's JVM via getOrCreate — the
-    # spark fixture argument guarantees ordering (session exists
-    # before main's get_spark call, and main's spark.stop() would
-    # otherwise kill it for later tests... so monkeypatch stop out)
+    # the spark fixture argument guarantees the shared session exists;
+    # main() adopts it (owns=False) and must NOT stop it — asserted
+    # implicitly by every later test file reusing the same session
     from goodtables_pandas_py_spark.__main__ import main
 
-    orig_stop = type(spark).stop
-    type(spark).stop = lambda self: None
-    try:
-        desc = _write_package(tmp_path, "1,A\n2,B\n")
-        out = tmp_path / "report.json"
-        rc = main([desc, "-o", str(out), "-q"])
-        assert rc == 0
-        report = json.loads(out.read_text())
-        assert report["valid"] is True
-        assert report["error-count"] == 0
-    finally:
-        type(spark).stop = orig_stop
+    desc = _write_package(tmp_path, "1,A\n2,B\n")
+    out = tmp_path / "report.json"
+    rc = main([desc, "-o", str(out), "-q"])
+    assert rc == 0
+    report = json.loads(out.read_text())
+    assert report["valid"] is True
+    assert report["error-count"] == 0
+    assert spark.sparkContext._jsc is not None  # session survived
 
 
 def test_cli_invalid_package_exit_1_and_stdout(spark, tmp_path, capsys):
     from goodtables_pandas_py_spark.__main__ import main
 
-    orig_stop = type(spark).stop
-    type(spark).stop = lambda self: None
-    try:
-        desc = _write_package(tmp_path, "1,A\n1,Z\n")  # dup PK + bad enum
-        rc = main([desc, "-q", "--indent", "0"])
-        assert rc == 1
-        report = json.loads(capsys.readouterr().out)
-        assert report["valid"] is False
-        codes = {
-            e["code"] for t in report["tables"] for e in t["errors"]
-        }
-        assert "primary-key-constraint" in codes
-        assert "enumerable-constraint" in codes
-    finally:
-        type(spark).stop = orig_stop
+    desc = _write_package(tmp_path, "1,A\n1,Z\n")  # dup PK + bad enum
+    rc = main([desc, "-q", "--indent", "0"])
+    assert rc == 1
+    report = json.loads(capsys.readouterr().out)
+    assert report["valid"] is False
+    codes = {
+        e["code"] for t in report["tables"] for e in t["errors"]
+    }
+    assert "primary-key-constraint" in codes
+    assert "enumerable-constraint" in codes
 
 
 def test_cli_missing_descriptor_exits_2_cleanly(
@@ -142,22 +132,17 @@ def test_cli_bare_resource_json(spark, tmp_path):
 
     from goodtables_pandas_py_spark.__main__ import main
 
-    orig_stop = type(spark).stop
-    type(spark).stop = lambda self: None   # keep the shared session
-    try:
-        (tmp_path / "t.csv").write_text("id\n1\n2\n")
-        res = {
-            "name": "t", "path": "t.csv",
-            "schema": {"fields": [{"name": "id", "type": "integer"}]},
-        }
-        rp = tmp_path / "resource.json"
-        rp.write_text(json.dumps(res))
-        out = tmp_path / "report.json"
-        rc = main([str(rp), "-o", str(out), "-q"])
-        rep = json.loads(out.read_text())
-        assert rc == 0 and rep["valid"] is True, rep
-    finally:
-        type(spark).stop = orig_stop
+    (tmp_path / "t.csv").write_text("id\n1\n2\n")
+    res = {
+        "name": "t", "path": "t.csv",
+        "schema": {"fields": [{"name": "id", "type": "integer"}]},
+    }
+    rp = tmp_path / "resource.json"
+    rp.write_text(json.dumps(res))
+    out = tmp_path / "report.json"
+    rc = main([str(rp), "-o", str(out), "-q"])
+    rep = json.loads(out.read_text())
+    assert rc == 0 and rep["valid"] is True, rep
 
 
 def test_cli_infer_then_validate_roundtrip(spark, tmp_path, capsys):
