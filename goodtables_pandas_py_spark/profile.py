@@ -96,6 +96,8 @@ PACKAGE_PROFILE: dict[str, Any] = {
                     "path": {"type": "string"},
                     "format": {"type": "string"},
                     "encoding": {"type": "string"},
+                    # engine extension: XML row element (sources.read_xml_stringly)
+                    "rowTag": {"type": "string"},
                     "dialect": {
                         "type": "object",
                         "properties": {

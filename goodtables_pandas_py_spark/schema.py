@@ -320,10 +320,14 @@ class Resource:
     schema: TableSchema | None = None
     dialect: Dialect = dc_field(default_factory=Dialect)
     encoding: str = "utf-8"
-    format: str | None = None  # csv | parquet | json | ndjson/jsonl | inline
+    format: str | None = None  # csv | parquet | orc | json | ndjson/jsonl | xml | inline
     #: inline data [SPEC data-package §resource.data]: array of objects
     #: or array of arrays (first row = header when dialect.header)
     data: Any = None
+    #: XML only (descriptor key ``rowTag``, an engine extension — the
+    #: Data Package spec does not define XML options): the element
+    #: that delimits one table row. Default "row".
+    row_tag: str | None = None
 
     @classmethod
     def from_descriptor(cls, d: dict[str, Any], base_dir: str = ".") -> "Resource":
@@ -352,6 +356,7 @@ class Resource:
             encoding=d.get("encoding", "utf-8"),
             format=fmt,
             data=data,
+            row_tag=d.get("rowTag"),
         )
 
     def to_descriptor(self) -> dict[str, Any]:
@@ -375,6 +380,8 @@ class Resource:
             d["encoding"] = self.encoding
         if self.format is not None and self.format != "inline":
             d["format"] = self.format
+        if self.row_tag is not None:
+            d["rowTag"] = self.row_tag
         return d
 
 

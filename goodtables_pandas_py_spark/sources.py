@@ -352,6 +352,55 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml_stringly(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    field_order: list[str] | None = None,
+    encoding: str | None = None,
+) -> DataFrame:
+    """S3c: XML table resource via Spark 4's BUILT-IN xml datasource
+    (the spark-xml module merged into core — no external jar), read
+    ALL-STRING (``inferSchema=false``) so the engine's parsers stay
+    the referee and lexical forms survive (``<id>01</id>`` reads as
+    ``"01"``, not long 1). One ``row_tag`` element per table row;
+    attributes surface with the default ``_`` prefix (``id="7"`` →
+    column ``_id``); NESTED child elements arrive as structs/arrays
+    even under inferSchema=false and are rendered to their JSON text
+    (same fallback as the NDJSON reader) so P14/P15 object/array
+    fields parse them. XML files are splittable on the row tag, so
+    this path scales like the CSV reader.
+
+    XML attributes/elements are keyed, not positional, and Spark
+    surfaces the columns name-sorted — ``field_order`` (the declared
+    schema's names) restores a canonical order for H1, exactly like
+    the NDJSON path."""
+    reader = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("inferSchema", "false")
+    )
+    if encoding and encoding.lower() not in ("utf-8", "utf8"):
+        reader = reader.option("charset", encoding)
+    df = reader.load(path)
+    fields = [
+        f for f in df.schema.fields
+        if not f.name.startswith("_corrupt_record")
+    ]
+    if field_order:
+        pos = {name: i for i, name in enumerate(field_order)}
+        fields.sort(key=lambda f: (pos.get(f.name, len(pos)), f.name))
+    cols = []
+    for f in fields:
+        if isinstance(f.dataType, T.StringType):
+            cols.append(F.col(f.name))
+        elif isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name).cast("string").alias(f.name))
+    return df.select(*cols)
+
+
 def read_inline(spark: SparkSession, resource: Resource) -> DataFrame:
     """Inline ``data`` resources [SPEC data-package §resource.data]:
     array of objects, or array of arrays whose first row is the header
@@ -432,6 +481,16 @@ def read_resource(spark: SparkSession, resource: Resource) -> DataFrame:
         )
         return read_ndjson_stringly(
             spark, path, field_order, resource.encoding
+        )
+    if fmt == "xml":
+        return read_xml_stringly(
+            spark,
+            path,
+            row_tag=resource.row_tag or "row",
+            field_order=(
+                resource.schema.field_names if resource.schema else None
+            ),
+            encoding=resource.encoding,
         )
     if fmt == "json":
         # Data Package JSON table: ONE document holding the whole

@@ -599,7 +599,11 @@ def validate_package(
             df = dataframes[res.name]
         else:
             df = read_resource(spark, res)
-            if assume_typed is False and res.format == "parquet":
+            # TYPED columnar formats arrive with real types and must be
+            # rendered lexically before the parse pipeline (orc joined
+            # parquet here in r5 — previously an ORC resource reached
+            # validate_table typed and broke the all-string contract)
+            if assume_typed is False and res.format in ("parquet", "orc"):
                 if row_ids:
                     # row addresses must reflect SOURCE order — attach
                     # them before the widening repartition shuffles

@@ -1138,3 +1138,112 @@ def test_orc_resource_validates(spark, tmp_path):
     assert "unique-constraint" in codes         # duplicate id 2
     assert "minimum-constraint" in codes        # score -1.0
     assert v.row_count == 3
+
+
+def test_orc_resource_through_validate_package(spark, tmp_path):
+    """An ORC resource must be STRINGLIED inside validate_package like
+    parquet (regression: the typed-format branch matched only
+    'parquet', so ORC reached validate_table typed and broke the
+    all-string contract)."""
+    import json
+
+    import goodtables_pandas_py_spark as gt
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c")], "id: long, name: string"
+    )
+    p = str(tmp_path / "t.orc")
+    src.write.orc(p)
+    desc = {
+        "resources": [{
+            "name": "t",
+            "path": p,
+            "format": "orc",
+            "schema": {
+                "fields": [
+                    {"name": "id", "type": "integer",
+                     "constraints": {"unique": True}},
+                    {"name": "name", "type": "string"},
+                ],
+            },
+        }],
+    }
+    dp = tmp_path / "datapackage.json"
+    dp.write_text(json.dumps(desc))
+    rep = gt.validate(spark, str(dp))
+    assert rep["valid"] is False
+    codes = {e["code"] for t in rep["tables"] for e in t["errors"]}
+    assert codes == {"unique-constraint"}
+    assert rep["tables"][0]["row-count"] == 3
+
+
+def test_xml_resource_validates(spark, tmp_path):
+    """format: xml (S3c) — Spark 4 built-in XML datasource, read
+    all-string (lexical fidelity: <id>01</id> stays "01"); nested
+    elements render as JSON text so object/array fields parse them;
+    attributes surface with the default underscore prefix."""
+    import json
+
+    import goodtables_pandas_py_spark as gt
+
+    xml = tmp_path / "t.xml"
+    xml.write_text(
+        "<rows>"
+        "<row kind=\"k1\"><id>01</id><name>a</name>"
+        "<tags><tag>x</tag><tag>y</tag></tags></row>"
+        "<row kind=\"k2\"><id>2</id><name>b</name></row>"
+        "<row kind=\"k1\"><id>2</id><name>c</name></row>"
+        "</rows>"
+    )
+    desc = {
+        "resources": [{
+            "name": "t",
+            "path": str(xml),
+            "format": "xml",
+            "schema": {
+                "fields": [
+                    {"name": "id", "type": "integer",
+                     "constraints": {"unique": True}},
+                    {"name": "name", "type": "string"},
+                    {"name": "tags", "type": "object"},
+                    {"name": "_kind", "type": "string",
+                     "constraints": {"enum": ["k1", "k2"]}},
+                ],
+            },
+        }],
+    }
+    dp = tmp_path / "datapackage.json"
+    dp.write_text(json.dumps(desc))
+    rep = gt.validate(spark, str(dp))
+    codes = {e["code"] for t in rep["tables"] for e in t["errors"]}
+    # ids parse 1,2,2 ("01" -> 1): one duplicate pair, nothing else
+    assert codes == {"unique-constraint"}
+    assert rep["tables"][0]["row-count"] == 3
+
+
+def test_xml_custom_row_tag_and_field_order(spark, tmp_path):
+    """rowTag descriptor key reaches the reader; declared schema order
+    restores canonical column order (Spark surfaces XML columns
+    name-sorted, like JSON)."""
+    from goodtables_pandas_py_spark.schema import Resource
+    from goodtables_pandas_py_spark.sources import read_resource
+
+    xml = tmp_path / "cat.xml"
+    xml.write_text(
+        "<catalog><item><zz>1</zz><aa>x</aa></item>"
+        "<item><zz>2</zz><aa>y</aa></item></catalog>"
+    )
+    res = Resource.from_descriptor({
+        "name": "c",
+        "path": str(xml),
+        "format": "xml",
+        "rowTag": "item",
+        "schema": {"fields": [{"name": "zz"}, {"name": "aa"}]},
+    })
+    assert res.row_tag == "item"
+    df = read_resource(spark, res)
+    assert df.columns == ["zz", "aa"]  # schema order, not name-sorted
+    assert [t for _, t in df.dtypes] == ["string", "string"]
+    assert df.count() == 2
+    # descriptor round-trip keeps rowTag
+    assert res.to_descriptor()["rowTag"] == "item"
