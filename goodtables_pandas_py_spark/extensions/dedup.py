@@ -897,3 +897,216 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# --- X3c: semantic dedup (SemDeDup) ----------------------------------------
+
+
+def semantic_dedup_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    refine: int = 1,
+    centroids: list[list[float]] | None = None,
+    max_cluster: int = 4096,
+    keep: str = "far",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication audit (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then find
+    near-duplicate GROUPS within each cluster (pairwise cosine ≥
+    ``threshold``, connected components) and keep one representative
+    per group. Complements :func:`embedding_near_dups` (banded LSH):
+    LSH is data-independent with engineered recall; SemDeDup adapts
+    the candidate scope to the data distribution and never compares
+    across clusters — the published trade for web-scale corpora.
+
+    Returns one row per input row: ``(id_col, cluster, component,
+    centroid_cos, kept)`` — ``component`` is the duplicate group's min
+    id, ``centroid_cos`` the row's cosine to its cluster centroid,
+    ``kept`` the survivorship verdict. Rows whose vector is null,
+    empty, or ragged are KEPT with null cluster (near-dups of nothing;
+    same null posture as embedding_near_dups).
+
+    ``keep="far"`` follows the paper: within each duplicate group the
+    member with the LOWEST centroid similarity survives (retaining the
+    example that adds the most diversity); ties break to the lower id.
+    ``keep="min_id"`` keeps the smallest id (deterministic, metric-free
+    — matches near_dedup's survivorship).
+
+    Scale shape: cluster assignment reuses :func:`~.similarity.ivf_assign`
+    (pass ``centroids`` + a pre-assigned ``ivf_cid`` column to launch
+    ZERO training jobs — the 100 TB call shape, same as ivf_topk); one
+    small groupBy counts cluster sizes; clusters larger than
+    ``max_cluster`` are hash-SALTED into sub-blocks (a documented
+    recall trade on oversized clusters — raise ``nlist`` so clusters
+    stay under the cap, the paper's regime); ONE shuffle groups rows
+    by (cluster, salt); the per-group kernel is an Arrow-batched numpy
+    matmul (n×dim @ dim×n, n ≤ max_cluster) + vectorized min-label
+    propagation — O(n²) FLOPs per cluster by construction, never
+    across clusters. The centroid matrix ships once per executor as a
+    Spark broadcast (nlist × dim doubles)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .similarity import _probe_dim, ivf_assign
+
+    if keep not in ("far", "min_id"):
+        raise ValueError(f"keep must be 'far' or 'min_id', got {keep!r}")
+    if max_cluster < 2:
+        raise ValueError("max_cluster must be >= 2")
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("component", id_type),
+            T.StructField("centroid_cos", T.DoubleType()),
+            T.StructField("kept", T.BooleanType()),
+        ]
+    )
+
+    renamed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    dim = _probe_dim(renamed, "v")
+
+    def passthrough(rows: DataFrame) -> DataFrame:
+        return rows.select(
+            F.col("id").alias(id_col),
+            F.lit(None).cast("int").alias("cluster"),
+            F.col("id").alias("component"),
+            F.lit(None).cast("double").alias("centroid_cos"),
+            F.lit(True).alias("kept"),
+        )
+
+    if dim is None:  # empty input or no usable vectors: everything kept
+        return passthrough(renamed)
+
+    ok = F.col("v").isNotNull() & (F.size(F.col("v")) == dim)
+    good, bad = renamed.where(ok), renamed.where(~ok | F.col("v").isNull())
+
+    if centroids is not None and "ivf_cid" in df.columns:
+        # pre-assigned serving shape: reuse the stored assignment
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.col("ivf_cid").cast("int").alias("cid"),
+        ).where(ok)
+        cents = centroids
+    elif centroids is None:
+        adf, cents = ivf_assign(good, vec_col="v", nlist=nlist, refine=refine)
+        assigned = adf.select(
+            "id", "v", F.col("ivf_cid").cast("int").alias("cid")
+        )
+    else:
+        # centroids given but no stored assignment: assign inline
+        # (no training jobs — the centroid argmin is a folded literal)
+        from .similarity import _l2_normalized, _nearest_cid
+
+        cents = centroids
+        assigned = good.select(
+            "id", "v",
+            _nearest_cid(_l2_normalized(F.col("v")), cents)
+            .cast("int").alias("cid"),
+        )
+
+    spark = df.sparkSession
+    C = np.asarray(cents, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    Cn = C / np.where(cn > 0, cn, 1.0)[:, None]  # unit centroids
+    bc = spark.sparkContext.broadcast(Cn)
+    thr = float(threshold)
+    keep_far = keep == "far"
+
+    # hash-salt oversized clusters into <= max_cluster sub-blocks: the
+    # counts side is nlist rows -> broadcast hash join, no extra shuffle
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
+    salted = assigned.join(F.broadcast(counts), "cid").withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64(F.col("id").cast("string")),
+            F.greatest(F.ceil(F.col("__n") / max_cluster), F.lit(1)),
+        ).cast("int"),
+    ).drop("__n")
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="stable").reset_index(drop=True)
+        n = len(pdf)
+        cid = int(pdf["cid"].iloc[0])
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        Vn = V / np.where(norms > 0, norms, 1.0)[:, None]
+        Cn_b = bc.value
+        ccos = Vn @ Cn_b[cid] if cid < len(Cn_b) else np.zeros(n)
+        S = (Vn @ Vn.T).astype(np.float32)
+        adj = S >= thr
+        np.fill_diagonal(adj, False)
+        # vectorized min-label propagation over row index (rows are
+        # id-sorted, so min index == min id); converges in O(graph
+        # diameter) sweeps, each one O(n^2) numpy
+        labels = np.arange(n)
+        big = np.iinfo(np.int64).max
+        while True:
+            neigh = np.where(adj, labels[None, :], big).min(axis=1)
+            new = np.minimum(labels, neigh)
+            # two-hop: pull each row's label through its current root
+            new = new[new]
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        kept = np.zeros(n, dtype=bool)
+        order = (
+            np.lexsort((np.arange(n), ccos))  # min ccos, then min idx
+            if keep_far
+            else np.arange(n)
+        )
+        seen: set = set()
+        for i in order:
+            root = labels[i]
+            if root not in seen:
+                seen.add(root)
+                kept[i] = True
+        comp = pdf["id"].to_numpy()[labels]
+        return pd.DataFrame(
+            {
+                id_col: pdf["id"],
+                "cluster": np.full(n, cid, dtype=np.int32),
+                "component": comp,
+                "centroid_cos": ccos,
+                "kept": kept,
+            }
+        )
+
+    audited = salted.groupBy("cid", "salt").applyInPandas(
+        _kernel, out_schema
+    )
+    return audited.unionByName(passthrough(bad))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    refine: int = 1,
+    centroids: list[list[float]] | None = None,
+    max_cluster: int = 4096,
+    keep: str = "far",
+) -> DataFrame:
+    """End-to-end SemDeDup: ``df`` minus semantically-duplicate rows,
+    schema unchanged (the embedding analogue of :func:`near_dedup`).
+    See :func:`semantic_dedup_audit` for the algorithm, survivorship
+    options, and the 100 TB call shape; the drop set is DISTINCT ids
+    (broadcast-able when small), applied with one anti-join."""
+    audit = semantic_dedup_audit(
+        df, id_col, vec_col, threshold, nlist, refine,
+        centroids, max_cluster, keep,
+    )
+    drop = audit.where(~F.col("kept")).select(id_col).distinct()
+    return df.join(drop, id_col, "left_anti")

@@ -1561,3 +1561,123 @@ def test_sniff_media_meta_wav(spark):
     assert got[1] == ("audio", "audio/wav", 1000)
     assert got[2] == ("audio", "audio/wav", 250)
     assert got[3] == (None, None, None)
+
+
+# --- X3c: semantic dedup (SemDeDup) ----------------------------------------
+
+
+def _semdedup_df(spark):
+    # two well-separated clusters; a1/a2 are near-dups (cos ~ 0.989),
+    # a3 is in cluster 0 but below the 0.95 threshold vs a1/a2
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),        # a1: centroid_cos 1.0
+        (2, [0.98, 0.15, 0.0, 0.0]),      # a2: dup of a1, ccos ~0.988
+        (3, [0.8, 0.6, 0.0, 0.0]),        # a3: distinct (cos 0.80 to a1, ~0.88 to a2)
+        (4, [0.0, 1.0, 0.0, 0.0]),        # b1
+        (5, [0.0, 0.9, 0.43, 0.0]),       # b2: cos 0.90 to b1, distinct
+    ]
+    return spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+
+_SEM_CENTS = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+
+def test_semantic_dedup_keep_far(spark):
+    """SemDeDup survivorship: within the duplicate group the member
+    FARTHEST from the centroid survives (the paper's diversity rule);
+    non-duplicates all survive."""
+    df = _semdedup_df(spark)
+    audit = dedup.semantic_dedup_audit(
+        df, threshold=0.95, centroids=_SEM_CENTS, keep="far"
+    )
+    rows = {r["doc_id"]: r for r in audit.collect()}
+    assert len(rows) == 5
+    # a1 (ccos 1.0) dropped, a2 (ccos ~0.988 < 1.0) kept
+    assert rows[1]["kept"] is False and rows[2]["kept"] is True
+    assert rows[1]["component"] == rows[2]["component"] == 1  # min id
+    assert rows[1]["cluster"] == rows[2]["cluster"] == 0
+    for i in (3, 4, 5):
+        assert rows[i]["kept"] is True
+    assert rows[4]["cluster"] == 1
+    assert rows[1]["centroid_cos"] == pytest.approx(1.0)
+    # end-to-end: df minus dropped, schema unchanged
+    kept = dedup.semantic_dedup(
+        df, threshold=0.95, centroids=_SEM_CENTS, keep="far"
+    )
+    assert kept.columns == df.columns
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4, 5]
+
+
+def test_semantic_dedup_min_id_and_salting(spark):
+    """keep='min_id' keeps the smallest id; a max_cluster below the
+    cluster size forces the hash-salt split and still completes with
+    at least one survivor per duplicate group."""
+    df = _semdedup_df(spark)
+    kept = dedup.semantic_dedup(
+        df, threshold=0.95, centroids=_SEM_CENTS, keep="min_id"
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4, 5]
+    # salted: sub-blocks may separate the dup pair (recall trade), but
+    # every input row appears exactly once in the audit and >= 4 survive
+    audit = dedup.semantic_dedup_audit(
+        df, threshold=0.95, centroids=_SEM_CENTS, max_cluster=2
+    )
+    rows = audit.collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3, 4, 5]
+    assert sum(r["kept"] for r in rows) >= 4
+
+
+def test_semantic_dedup_null_ragged_kept(spark):
+    """Null/ragged vectors are near-dups of nothing: kept, null
+    cluster (the embedding_near_dups posture)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),
+        (3, None),
+        (4, [1.0, 0.0]),  # ragged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    audit = dedup.semantic_dedup_audit(
+        df, threshold=0.95, centroids=_SEM_CENTS
+    )
+    got = {r["doc_id"]: r for r in audit.collect()}
+    assert len(got) == 4
+    assert got[3]["kept"] is True and got[3]["cluster"] is None
+    assert got[4]["kept"] is True and got[4]["cluster"] is None
+    # the real dup pair still resolved
+    assert {got[1]["kept"], got[2]["kept"]} == {True, False}
+
+
+def test_semantic_dedup_preassigned_no_training(spark, monkeypatch):
+    """The 100 TB call shape: with centroids= and a stored ivf_cid
+    column, semantic_dedup launches zero training and zero
+    re-assignment jobs (both poisoned to prove it)."""
+    df = _semdedup_df(spark)
+    assigned, cents = similarity.ivf_assign(
+        df, vec_col="embedding", nlist=2, refine=1
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError("semantic_dedup retrained/re-assigned")
+
+    monkeypatch.setattr(similarity, "_centroid_rows", _boom)
+    monkeypatch.setattr(similarity, "_nearest_cid", _boom)
+    audit = dedup.semantic_dedup_audit(
+        assigned, threshold=0.95, centroids=cents
+    )
+    rows = audit.collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3, 4, 5]
+    # exactly one of the dup pair dropped
+    dropped = [r["doc_id"] for r in rows if not r["kept"]]
+    assert len(dropped) == 1 and dropped[0] in (1, 2)
+
+
+def test_semantic_dedup_empty_and_all_null(spark):
+    df = spark.createDataFrame(
+        [(1, None)], "doc_id long, embedding array<double>"
+    )
+    audit = dedup.semantic_dedup_audit(df, centroids=_SEM_CENTS)
+    rows = audit.collect()
+    assert len(rows) == 1 and rows[0]["kept"] is True
+    empty = df.limit(0)
+    assert dedup.semantic_dedup_audit(empty, centroids=_SEM_CENTS).count() == 0

@@ -162,6 +162,17 @@ def main() -> None:
     ).count()
     timings["embedding_near_dups"] = round(time.time() - t0, 2)
 
+    # r5 continuation: SemDeDup — cluster-scoped dedup. nlist scales
+    # with the table so clusters stay under max_cluster and the
+    # per-cluster O(n^2) kernel is the bounded constant it claims;
+    # the probe watches the kernel, not the (one-off) training pass.
+    t0 = time.time()
+    sizes["semantic_kept"] = xdedup.semantic_dedup(
+        be, id_col="vec_id", threshold=0.99,
+        nlist=max(16, sizes["vectors"] // 2000), refine=1,
+    ).count()
+    timings["semantic_dedup"] = round(time.time() - t0, 2)
+
     # r5: blocked-matmul exact kNN — 1k query rows against the full
     # replicated embedding table. Cost is O(n·q) FLOPs by design;
     # the probe checks the constant (one BLAS matmul per Arrow batch,
