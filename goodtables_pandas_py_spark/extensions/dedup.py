@@ -1004,15 +1004,15 @@ def semantic_dedup_audit(
             "id", "v", F.col("ivf_cid").cast("int").alias("cid")
         )
     else:
-        # centroids given but no stored assignment: assign inline
-        # (no training jobs — the centroid argmin is a folded literal)
-        from .similarity import _l2_normalized, _nearest_cid
+        # centroids given but no stored assignment: assign inline (no
+        # training jobs — codegen argmin expression for small nlist,
+        # Arrow-batched matmul past _ASSIGN_EXPR_MAX_NLIST)
+        from .similarity import _assign_cids
 
         cents = centroids
         assigned = good.select(
             "id", "v",
-            _nearest_cid(_l2_normalized(F.col("v")), cents)
-            .cast("int").alias("cid"),
+            _assign_cids(F.col("v"), cents).cast("int").alias("cid"),
         )
 
     spark = df.sparkSession

@@ -767,7 +767,7 @@ def _centroid_rows(df: DataFrame, vec_col: str, nlist: int, refine: int = 1):
     for _ in range(refine):
         assigned = df.select(
             _l2_normalized(F.col(vec_col)).alias("v"),
-            _nearest_cid(_l2_normalized(F.col(vec_col)), cents).alias("cid"),
+            _assign_cids(F.col(vec_col), cents).alias("cid"),
         )
         new = (
             assigned.select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
@@ -803,6 +803,66 @@ def _nearest_cid(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(F.array(*scored))["cid"]
 
 
+# past this many centroids the literal-folded argmin expression stops
+# being a codegen win: _nearest_cid evaluates one interpreted
+# aggregate/zip_with fold PER CENTROID per row (HOF lambdas run
+# outside whole-stage codegen), so assignment cost is n × nlist
+# interpreted folds — measured 109s for 80k×64-dim rows at nlist=40,
+# growing with nlist. One Arrow-batched (batch × dim) @ (dim × nlist)
+# BLAS matmul per batch does the same argmin in milliseconds — the
+# same interpreted-HOF-to-matmul move as rp_band_signatures (r4).
+_ASSIGN_EXPR_MAX_NLIST = 16
+
+
+def _assign_cids(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id for a RAW vector column (normalization
+    happens inside — matching ``_nearest_cid(_l2_normalized(v), c)``):
+    the codegen literal expression for small ``nlist``, an
+    Arrow-batched numpy matmul beyond :data:`_ASSIGN_EXPR_MAX_NLIST`.
+    Null/ragged/empty vectors get a NULL cid on the matmul path (the
+    expression path nulls them through the HOF fold the same way).
+    Ties break to the lowest cid on both paths (first argmin /
+    lexicographic struct min); near-tie float divergence between the
+    sequential fold and BLAS summation can pick either side of an
+    exact tie — both are valid assignments of the same quantizer."""
+    if not centroids:
+        raise ValueError(
+            "no centroids (empty training DataFrame?) — cannot assign"
+        )
+    if len(centroids) <= _ASSIGN_EXPR_MAX_NLIST:
+        return _nearest_cid(_l2_normalized(vec), centroids)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # nlist × dim
+    c2 = (C * C).sum(axis=1)
+    dim = C.shape[1]
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="Int32")
+        arrs = v.to_numpy()
+        good = [
+            i for i, a in enumerate(arrs) if a is not None and len(a) == dim
+        ]
+        out = np.full(len(arrs), None, dtype=object)
+        if good:
+            V = np.stack(
+                [np.asarray(arrs[i], dtype=np.float64) for i in good]
+            )
+            n = np.linalg.norm(V, axis=1)
+            Vn = V / np.where(n > 0, n, 1.0)[:, None]
+            # argmin ||v_n - c||² = argmin(c² - 2·v_n·c); first argmin
+            # = lowest cid, matching the struct-min tiebreak
+            cids = np.argmin(c2[None, :] - 2.0 * (Vn @ C.T), axis=1)
+            for j, i in enumerate(good):
+                out[i] = int(cids[j])
+        return pd.Series(out)
+
+    return _assign(vec.cast("array<double>"))
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -811,12 +871,12 @@ def ivf_assign(
 ) -> tuple[DataFrame, list[list[float]]]:
     """(df + ``ivf_cid`` column, centroids). At 100 TB the assignment
     is computed once and the table is written partitioned/bucketed by
-    ``ivf_cid`` so probes become partition pruning."""
+    ``ivf_cid`` so probes become partition pruning. Assignment runs
+    via :func:`_assign_cids` (codegen expression for small ``nlist``,
+    Arrow-batched matmul past :data:`_ASSIGN_EXPR_MAX_NLIST`)."""
     cents = _centroid_rows(df, vec_col, nlist, refine)
     return (
-        df.withColumn(
-            "ivf_cid", _nearest_cid(_l2_normalized(F.col(vec_col)), cents)
-        ),
+        df.withColumn("ivf_cid", _assign_cids(F.col(vec_col), cents)),
         cents,
     )
 
@@ -852,7 +912,7 @@ def ivf_topk(
             assigned = df
         else:
             assigned = df.withColumn(
-                "ivf_cid", _nearest_cid(_l2_normalized(F.col(vec_col)), cents)
+                "ivf_cid", _assign_cids(F.col(vec_col), cents)
             )
     # probe in the same normalized space the lists were built in
     qn = sum(x * x for x in query) ** 0.5
