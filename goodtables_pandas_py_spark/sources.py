@@ -720,3 +720,104 @@ def write_partitioned(
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", int(max_records_per_file))
     w.parquet(path)
+
+
+# --- Z-order layout ---------------------------------------------------------
+
+
+def zorder_boundaries(
+    df: DataFrame, cols: list[str], bits: int = 6
+) -> dict[str, list[float]]:
+    """Per-column quantile boundaries (2^bits - 1 cut points each) for
+    :func:`zorder_key`, from ONE approx-quantile pass (Greenwald-Khanna
+    sketch — no sort, no shuffle; the boundary lists are tiny and live
+    on the driver). Quantile bucketing rank-normalizes skew: uniform
+    bucket POPULATIONS regardless of the value distribution, which is
+    what makes the interleaved key balance its dimensions."""
+    if not 1 <= bits <= 8:
+        raise ValueError("bits must be in [1, 8]")
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    qs = df.approxQuantile(
+        [c for c in cols], probs, 0.001
+    )
+    return {c: qs[i] for i, c in enumerate(cols)}
+
+
+def _bucket_search(col: Column, bnds: list[float], lo: int, hi: int) -> Column:
+    """#boundaries <= col, as a BINARY-SEARCH when-tree (depth
+    log2(#bnds), pure codegen — an aggregate() over a literal array
+    would run one interpreted lambda per boundary per row)."""
+    if lo >= hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    return (
+        F.when(col >= F.lit(float(bnds[mid])),
+               _bucket_search(col, bnds, mid + 1, hi))
+        .otherwise(_bucket_search(col, bnds, lo, mid))
+    )
+
+
+def zorder_key(
+    boundaries: dict[str, list[float]], bits: int = 6
+) -> Column:
+    """Z-order (Morton) key over the ``boundaries`` columns: each
+    column quantile-bucketed to ``bits`` bits (binary-search when-tree,
+    codegen), bucket bits INTERLEAVED so that sorting by the key
+    clusters rows that are close in EVERY dimension at once — the
+    multi-dimensional analogue of ``sort_by`` min/max clustering, and
+    the same layout trick behind Delta/Iceberg OPTIMIZE ZORDER
+    (public). NULL values bucket to 0 (they sort first, as in a plain
+    sort). Column order in ``boundaries`` decides bit significance
+    ties only; locality is symmetric across dimensions."""
+    cols = list(boundaries)
+    ndim = len(cols)
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    z = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        bnds = boundaries[c]
+        b = _bucket_search(
+            F.col(c).cast("double"), bnds, 0, len(bnds)
+        ).cast("long")
+        b = F.coalesce(b, F.lit(0).cast("long"))
+        for k in range(bits):
+            bit = F.shiftright(b, k).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, k * ndim + d))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 6,
+    num_files: int | None = None,
+    max_records_per_file: int | None = None,
+) -> dict[str, list[float]]:
+    """Z-ordered parquet sink — the MULTI-dimensional member of the
+    layout trio (:func:`write_partitioned` prunes directories,
+    :func:`write_bucketed` co-locates join keys, this clusters row
+    groups for range filters on SEVERAL columns at once). Rows are
+    range-partitioned and sorted by the interleaved
+    :func:`zorder_key`, so every output file's parquet min/max stats
+    are tight in EVERY z-ordered column simultaneously — a filter on
+    any one (or several) of them skips most files/row groups, where a
+    single-column sort gives tight stats on the leading column only.
+    One quantile pass + ONE range shuffle at write time; reads pay
+    nothing. Returns the boundaries used (persist them to z-order
+    later increments identically)."""
+    bounds = zorder_boundaries(df, cols, bits)
+    z = df.withColumn("__z", zorder_key(bounds, bits))
+    n = num_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    w = (
+        z.repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+    )
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.parquet(path)
+    return bounds

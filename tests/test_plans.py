@@ -333,3 +333,86 @@ def test_incremental_dedup_batch_plans_are_equi_join_only(spark):
     )
     assert "CartesianProduct" not in eplan, eplan
     assert "BroadcastNestedLoopJoin" not in eplan, eplan
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """zorder_key's bucket-then-interleave agrees with a direct Python
+    Morton encode on known boundaries."""
+    from goodtables_pandas_py_spark.sources import zorder_key
+
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        [(0.1, 0.9), (3.5, 1.0), (2.0, 2.0), (9.9, 0.0), (5.0, 7.5)]
+    )]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    bounds = {"x": [2.5, 5.0, 7.5], "y": [2.5, 5.0, 7.5]}  # 2 bits/dim
+
+    def bucket(v, bnds):
+        return sum(1 for b in bnds if v >= b)
+
+    def morton(bx, by, bits=2):
+        z = 0
+        for k in range(bits):
+            z |= ((bx >> k) & 1) << (k * 2 + 0)
+            z |= ((by >> k) & 1) << (k * 2 + 1)
+        return z
+
+    got = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", zorder_key(bounds, bits=2).alias("z")
+        ).collect()
+    }
+    for i, x, y in rows:
+        assert got[i] == morton(bucket(x, bounds["x"]), bucket(y, bounds["y"])), (i, x, y)
+    # nulls bucket to 0 (sort first), never null keys
+    ndf = spark.createDataFrame([(1, None, 9.0)], "id long, x double, y double")
+    z = ndf.select(zorder_key(bounds, bits=2).alias("z")).first()["z"]
+    assert z == morton(0, 3)
+
+
+def test_write_zordered_tightens_stats_on_both_columns(spark, tmp_path):
+    """The point of z-ordering: after write_zordered on (x, y), every
+    output file's min/max span is a small slice of the domain in BOTH
+    columns at once — a random layout's per-file spans cover ~the whole
+    domain. This is exactly what parquet row-group/file skipping sees."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from goodtables_pandas_py_spark.sources import write_zordered
+
+    n = 8000
+    df = spark.range(n).selectExpr(
+        "id",
+        "cast(pmod(hash(id, 1), 1000) as double) as x",
+        "cast(pmod(hash(id, 2), 1000) as double) as y",
+    )
+
+    def mean_spans(path):
+        sx, sy, files = 0.0, 0.0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            lo_x = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+            hi_x = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+            lo_y = min(md.row_group(i).column(2).statistics.min for i in range(md.num_row_groups))
+            hi_y = max(md.row_group(i).column(2).statistics.max for i in range(md.num_row_groups))
+            sx += hi_x - lo_x
+            sy += hi_y - lo_y
+            files += 1
+        assert files >= 8, f"expected >=8 files, got {files}"
+        return sx / files, sy / files
+
+    plain = str(tmp_path / "plain")
+    df.repartition(16).write.parquet(plain)  # round-robin: no locality
+    zpath = str(tmp_path / "z")
+    bounds = write_zordered(df, zpath, ["x", "y"], bits=4, num_files=16)
+    assert set(bounds) == {"x", "y"} and len(bounds["x"]) == 15
+
+    px, py = mean_spans(plain)
+    zx, zy = mean_spans(zpath)
+    # random layout spans ~the whole 0..999 domain per file; z-ordered
+    # files must be at least 2x tighter in BOTH dimensions at once
+    assert zx < px / 2, (zx, px)
+    assert zy < py / 2, (zy, py)
+    # nothing lost: same rows round-trip
+    assert spark.read.parquet(zpath).count() == n
