@@ -419,3 +419,105 @@ def top_k_per_group(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    weights: dict,
+    by: str = "source",
+    total: int | None = None,
+) -> dict:
+    """Per-domain sampling rates that turn ``df`` into a corpus with
+    the TARGET domain proportions ``weights`` (value → proportion;
+    normalized here, so {"web": 2, "code": 1} works). One tiny
+    count aggregate; everything else is driver arithmetic.
+
+    ``total`` is the target output row count. Default: the LARGEST
+    total reachable without repeating any row — min over domains of
+    n_domain / weight_domain, the standard "one epoch of the scarcest
+    domain" bound. Rates above 1 mean the domain must repeat
+    (:func:`mixture_sample` handles that with ``allow_upsample``).
+    Domains absent from ``weights`` (or weighted 0) rate to 0."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-empty and non-negative")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights sum to 0")
+    norm = {k: w / wsum for k, w in weights.items()}
+    counts = {
+        r["k"]: r["n"]
+        for r in df.groupBy(F.col(by).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing = [k for k, w in norm.items() if w > 0 and not counts.get(k)]
+    if missing:
+        raise ValueError(
+            f"domains {missing} have weight > 0 but no rows in {by!r}"
+        )
+    if total is None:
+        total = int(min(counts[k] / w for k, w in norm.items() if w > 0))
+    return {
+        k: (norm.get(k, 0.0) * total / counts[k]) for k in counts
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict,
+    by: str = "source",
+    id_col: str = "doc_id",
+    total: int | None = None,
+    salt: str = "",
+    allow_upsample: bool = False,
+) -> DataFrame:
+    """Deterministic domain-mixture sample: re-weight a corpus so each
+    ``by`` domain contributes its ``weights`` proportion of the output
+    — the data-mixing step of LLM corpus assembly (mixture weights per
+    source/language are a published lever: e.g. the Pile's and
+    LLaMA's per-source sampling proportions; DoReMi tunes them).
+
+    Per-domain rates come from :func:`mixture_rates`; rows keep/drop
+    by the salted id hash (same machinery as :func:`hash_sample`:
+    reproducible on any engine/partitioning, and nested across
+    compatible calls). With ``allow_upsample=False`` (default) any
+    rate > 1 raises — pick a smaller ``total`` or allow repeats. With
+    ``allow_upsample=True`` the output gains an ``epoch`` int column
+    (0-based copy index): each row emits floor(rate) full copies plus
+    one more with probability frac(rate) — deterministic per id, so a
+    domain at rate 2.3 contributes each row 2 times plus a 30%
+    hash-chosen third copy. Epoch explosion is a ``sequence`` explode
+    (no shuffle; the only shuffle anywhere is the tiny count agg).
+
+    Scale shape: counts agg (domains rows) → driver rates → literal
+    CASE on ``by`` (no rate-table join needed below ~thousands of
+    domains) → map-only filter/explode."""
+    rates = mixture_rates(df, weights, by, total)
+    if not allow_upsample:
+        over = {k: round(r, 3) for k, r in rates.items() if r > 1.0}
+        if over:
+            raise ValueError(
+                f"domains need upsampling (rate > 1): {over} — lower "
+                "total= or pass allow_upsample=True"
+            )
+    # literal rate lookup: CASE chain over domain values (domains are
+    # low-cardinality by contract; a broadcast-join rate table would
+    # add a join for no pruning gain)
+    rate: Column = F.lit(0.0)
+    for k, r in rates.items():
+        rate = F.when(F.col(by) == F.lit(k), F.lit(float(r))).otherwise(rate)
+    frac = (
+        F.conv(hash_bucket(F.col(id_col), salt), 16, 10).cast("double")
+        / F.lit(float(_HEX_SPACE))
+    )
+    if not allow_upsample:
+        return df.where(frac < rate)
+    n_copies = (
+        F.floor(rate) + F.when(frac < rate - F.floor(rate), 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .where(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )

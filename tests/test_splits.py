@@ -600,3 +600,83 @@ def test_pack_bins_zero_token_doc_never_rides_oversize_bin(spark):
     assert rows[2]["bin_id"] != rows[1]["bin_id"]
     assert rows[3]["bin_id"] != rows[1]["bin_id"]
     assert rows[2]["bin_id"] == rows[3]["bin_id"]   # both fit a normal bin
+
+
+# --- mixture sampling -------------------------------------------------------
+
+from goodtables_pandas_py_spark.extensions.splits import (  # noqa: E402
+    mixture_rates,
+    mixture_sample,
+)
+
+
+def _mixture_df(spark):
+    # skewed corpus: 6000 web / 3000 code / 1000 books
+    return spark.range(10_000).selectExpr(
+        "id as doc_id",
+        "case when id < 6000 then 'web' "
+        "when id < 9000 then 'code' else 'books' end as source",
+    )
+
+
+def test_mixture_rates_default_total_is_scarcest_epoch(spark):
+    df = _mixture_df(spark)
+    rates = mixture_rates(df, {"web": 0.2, "code": 0.3, "books": 0.5}, "source")
+    # books is scarcest: total = 1000/0.5 = 2000 -> 400/600/1000 rows
+    assert rates["books"] == pytest.approx(1.0)
+    assert rates["web"] == pytest.approx(400 / 6000)
+    assert rates["code"] == pytest.approx(600 / 3000)
+
+
+def test_mixture_sample_hits_proportions_and_is_deterministic(spark):
+    df = _mixture_df(spark)
+    w = {"web": 0.2, "code": 0.3, "books": 0.5}
+    out = mixture_sample(df, w, "source").cache()
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # expected 400/600/1000 within Bernoulli noise (books is rate 1.0,
+    # so exact)
+    assert counts["books"] == 1000
+    assert abs(counts["web"] - 400) < 80
+    assert abs(counts["code"] - 600) < 100
+    # deterministic: identical id sets on a rerun
+    again = mixture_sample(df, w, "source")
+    assert out.select("doc_id").subtract(again.select("doc_id")).count() == 0
+    assert again.select("doc_id").subtract(out.select("doc_id")).count() == 0
+    # schema unchanged (no epoch column without upsampling)
+    assert out.columns == df.columns
+
+
+def test_mixture_sample_upsample_epochs(spark):
+    df = _mixture_df(spark)
+    w = {"web": 0.2, "code": 0.3, "books": 0.5}
+    # total 4000 -> books rate 2.0 (needs repeats), web 800/6000, code 1200/3000
+    with pytest.raises(ValueError, match="upsampling"):
+        mixture_sample(df, w, "source", total=4000)
+    out = mixture_sample(
+        df, w, "source", total=4000, allow_upsample=True
+    ).cache()
+    assert "epoch" in out.columns
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["books"] == 2000          # rate exactly 2.0: two epochs
+    assert abs(counts["web"] - 800) < 110
+    assert abs(counts["code"] - 1200) < 130
+    # every (id, epoch) unique; epochs dense from 0
+    n = out.count()
+    assert out.select("doc_id", "epoch").distinct().count() == n
+    assert out.agg(F.min("epoch")).first()[0] == 0
+    books_epochs = out.where("source = 'books'").groupBy("doc_id").count()
+    assert books_epochs.where("count != 2").count() == 0
+
+
+def test_mixture_sample_unknown_domain_dropped_and_missing_raises(spark):
+    df = _mixture_df(spark)
+    # domain not in weights -> contributes nothing
+    out = mixture_sample(df, {"books": 1.0}, "source")
+    assert out.where("source != 'books'").count() == 0
+    assert out.count() == 1000
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_rates(df, {"martian": 1.0}, "source")
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_rates(df, {"web": -1.0}, "source")
