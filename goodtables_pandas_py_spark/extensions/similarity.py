@@ -748,12 +748,39 @@ def _l2_normalized(vec: Column) -> Column:
     ).otherwise(vec.cast("array<double>"))
 
 
-def _centroid_rows(df: DataFrame, vec_col: str, nlist: int, refine: int = 1):
+def _centroid_rows(
+    df: DataFrame,
+    vec_col: str,
+    nlist: int,
+    refine: int = 1,
+    train_cap: int | None = 131_072,
+):
     """Coarse quantizer centroids over L2-NORMALIZED vectors (see
     :func:`_l2_normalized`): deterministic hash-sample seed +
     ``refine`` Lloyd iterations, all as DataFrame jobs (posexplode →
     per-dimension mean). Only the nlist×dim centroid matrix is ever
-    collected — the training data never moves to the driver."""
+    collected — the training data never moves to the driver.
+
+    ``train_cap`` bounds the TRAINING set: when the table exceeds it,
+    Lloyd runs on a deterministic hash-sample of ~train_cap rows (the
+    standard IVF practice — FAISS trains its quantizer on a bounded
+    sample, ~39-256 points per centroid suffices statistically).
+    Without the cap each refine pass posexplodes the ENTIRE table
+    (n × dim rows through a shuffle) — at 100 TB that is a larger job
+    than every query the index will ever serve. The final ASSIGNMENT
+    still covers every row (ivf_assign); only centroid FITTING
+    samples. None disables the cap."""
+    if train_cap is not None and train_cap >= nlist:
+        n = df.count()
+        if n > train_cap:
+            every = int(n // train_cap) + 1
+            df = df.where(
+                F.pmod(
+                    F.xxhash64(F.col(vec_col).cast("array<string>")),
+                    F.lit(every),
+                )
+                == 0
+            )
     seed_rows = (
         df.select(
             _l2_normalized(F.col(vec_col)).alias("v"),
@@ -868,13 +895,16 @@ def ivf_assign(
     vec_col: str = "embedding",
     nlist: int = 16,
     refine: int = 1,
+    train_cap: int | None = 131_072,
 ) -> tuple[DataFrame, list[list[float]]]:
     """(df + ``ivf_cid`` column, centroids). At 100 TB the assignment
     is computed once and the table is written partitioned/bucketed by
     ``ivf_cid`` so probes become partition pruning. Assignment runs
     via :func:`_assign_cids` (codegen expression for small ``nlist``,
-    Arrow-batched matmul past :data:`_ASSIGN_EXPR_MAX_NLIST`)."""
-    cents = _centroid_rows(df, vec_col, nlist, refine)
+    Arrow-batched matmul past :data:`_ASSIGN_EXPR_MAX_NLIST`);
+    centroid FITTING samples down to ``train_cap`` rows (see
+    :func:`_centroid_rows`) while assignment covers every row."""
+    cents = _centroid_rows(df, vec_col, nlist, refine, train_cap)
     return (
         df.withColumn("ivf_cid", _assign_cids(F.col(vec_col), cents)),
         cents,

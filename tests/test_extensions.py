@@ -1681,3 +1681,28 @@ def test_semantic_dedup_empty_and_all_null(spark):
     assert len(rows) == 1 and rows[0]["kept"] is True
     empty = df.limit(0)
     assert dedup.semantic_dedup_audit(empty, centroids=_SEM_CENTS).count() == 0
+
+
+def test_ivf_train_cap_samples_training_not_assignment(spark):
+    """With train_cap below the table size, centroid fitting runs on a
+    deterministic hash-sample but ASSIGNMENT still labels every row;
+    quality stays usable (own-vector recall intact)."""
+    import numpy as np
+    from goodtables_pandas_py_spark.extensions import similarity as xsim
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((1000, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(1000)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = xsim.ivf_assign(df, nlist=4, refine=1, train_cap=200)
+    assert len(cents) == 4
+    assert assigned.where("ivf_cid is null").count() == 0
+    assert assigned.count() == 1000
+    # deterministic: same cap -> same centroids
+    _, cents2 = xsim.ivf_assign(df, nlist=4, refine=1, train_cap=200)
+    assert cents == cents2
+    q = [float(x) for x in vecs[7]]
+    out = xsim.ivf_topk(assigned, q, k=3, centroids=cents).collect()
+    assert out[0]["vec_id"] == 7
