@@ -17,10 +17,13 @@ Stages (each a lazy Spark plan until the final writes):
    without rescanning the corpus (see streaming/dedup.py).
 4. WRITE the audit trail hive-partitioned by keep flag so "what did
    each rule cost us" is a pruned read, not a recompute.
-5. SPLIT deterministically into train/val/test (salted-md5 hash
-   split — reproducible across engines and cluster sizes) and pack
-   each source's documents into fixed-length training sequences
-   (token offsets + sequence ids), written partitioned by split.
+5. MIX the domains to target proportions (mixture_sample — the
+   per-source sampling-weights step of corpus assembly, deterministic
+   hash keep/drop), then SPLIT deterministically into train/val/test
+   (salted-md5 hash split — reproducible across engines and cluster
+   sizes) and pack each source's documents into fixed-length training
+   sequences (token offsets + sequence ids), written partitioned by
+   split.
 """
 
 from __future__ import annotations
@@ -137,12 +140,29 @@ def main() -> int:
 
     from goodtables_pandas_py_spark.extensions.splits import (
         hash_split,
+        mixture_sample,
         sequence_offsets,
     )
     from goodtables_pandas_py_spark.extensions.text import token_count
 
+    # domain mixing: equal target proportions per source (in a real
+    # recipe these weights come from the data strategy — the Pile /
+    # LLaMA per-source proportions); deterministic per doc_id, so the
+    # mixture is itself reproducible release-to-release
+    src_values = [
+        r["source"] for r in prep.kept.select("source").distinct().collect()
+    ]
+    mixed = mixture_sample(
+        prep.kept,
+        {s: 1.0 for s in src_values},
+        by="source",
+        salt="mix-2026-08",
+    )
+    print(f"mixture: {prep.n_after_decontam} → {mixed.count()} docs "
+          f"(equal-weight over {len(src_values)} sources)")
+
     packed = sequence_offsets(
-        hash_split(prep.kept, "doc_id", salt="release-2026-08").withColumn(
+        hash_split(mixed, "doc_id", salt="release-2026-08").withColumn(
             "n_tokens", token_count(F.col("text"))
         ),
         budget=2048,
