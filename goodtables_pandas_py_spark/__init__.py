@@ -41,6 +41,7 @@ from .sources import (
 )
 from .validate import (
     CustomCheck,
+    DatasetCheck,
     TableValidation,
     assemble_report,
     check_header,
@@ -122,6 +123,7 @@ __all__ = [
     "read_resource",
     "stringly",
     "CustomCheck",
+    "DatasetCheck",
     "validate",
     "validate_package",
     "validate_table",

@@ -31,6 +31,10 @@ VALUE_CODES = {
     "pattern-constraint",
 }
 KEY_CODES = {"primary-key-constraint", "unique-key-constraint", "foreign-key-error"}
+#: table-level statistics verdicts (validate.DatasetCheck — an engine
+#: extension; deequ-style aggregate unit tests, not in the goodtables
+#: spec)
+DATASET_CODES = {"dataset-constraint"}
 #: descriptor-level codes: the descriptor itself failed its profile
 #: ([R validate.py::validate] profile validation; goodtables codes)
 SCHEMA_CODES = {"schema-error", "datapackage-error"}

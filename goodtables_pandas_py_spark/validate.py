@@ -65,6 +65,34 @@ class CustomCheck:
 
 
 @dataclass
+class DatasetCheck:
+    """Dataset-LEVEL statistics check (deequ-style unit test for
+    data): an aggregate ``metric`` over the typed columns plus a
+    driver-side ``ok`` verdict — "avg(price) within 10% of spec",
+    "null fraction below 1e-4", "approx distinct count near expected".
+    Row-level checks (C1-C6, :class:`CustomCheck`) convict individual
+    cells; these convict the TABLE.
+
+    ``metric`` receives ``{field_name: typed Column}`` (same contract
+    as ``CustomCheck.mask``) and must return ONE aggregate expression
+    — e.g. ``lambda c: F.avg(c["o_totalprice"])`` or
+    ``F.approx_count_distinct(...)``. All dataset metrics ride the
+    SAME single-scan Observation pass as the row-check counters:
+    adding one adds zero Spark jobs. ``ok`` receives the computed
+    value (None when the table is empty or the metric is
+    all-null) and returns truthy for pass; a raising ``ok`` reports a
+    dataset-error instead of crashing the run (report-not-raise).
+    Failures surface as ``dataset-constraint`` errors carrying the
+    metric value."""
+
+    name: str  # constraint label in the report
+    metric: Callable[[dict[str, Column]], Column]
+    ok: Callable[[Any], bool]
+    field: str = ""
+    message: str = ""
+
+
+@dataclass
 class _CompiledCheck:
     """Internal: one countable mask with reporting metadata."""
 
@@ -268,6 +296,7 @@ def validate_table(
     header: list[str] | None = None,
     row_ids: bool = False,
     custom_checks: list[CustomCheck] | None = None,
+    dataset_checks: list[DatasetCheck] | None = None,
 ) -> TableValidation:
     """Validate one table (header + parse + constraints + PK/unique
     keys). FK checks live at package level (they need sibling tables).
@@ -321,6 +350,33 @@ def validate_table(
     for i, ck in enumerate(checks):
         aggs.append(F.count_if(F.col(ck.mask_col)).alias(f"__c{i}"))
 
+    # dataset-level metrics (DatasetCheck) ride the SAME observe pass:
+    # one more aggregate expression each, zero extra jobs. A metric
+    # builder that fails to compile (bad column name) reports instead
+    # of raising, like every other descriptor-shaped problem.
+    ds_checks = list(dataset_checks or [])
+    ds_live: list[tuple[int, DatasetCheck]] = []
+    if ds_checks:
+        tcols = {n: F.col(n) for n in typed_names}
+        for i, dck in enumerate(ds_checks):
+            try:
+                aggs.append(dck.metric(tcols).alias(f"__ds{i}"))
+                ds_live.append((i, dck))
+            except Exception as exc:
+                errors.append(
+                    Error(
+                        code="dataset-constraint",
+                        resource=resource,
+                        field=dck.field or None,
+                        constraint=dck.name,
+                        count=1,
+                        message=(
+                            f"dataset check {dck.name!r} metric failed "
+                            f"to build: {exc}"
+                        ),
+                    )
+                )
+
     cache_sel = [
         c
         for c in (typed_names if cache_cols is None else cache_cols)
@@ -341,6 +397,33 @@ def validate_table(
         row = wide.agg(*aggs).first().asDict()
         n_rows = int(row["__rows"])
         wide_cached = None
+
+    # dataset-level verdicts: driver-side on the observed metric values
+    for idx, dck in ds_live:
+        val = row.get(f"__ds{idx}")
+        try:
+            passed = bool(dck.ok(val))
+            msg = ""
+        except Exception as exc:
+            passed = False
+            msg = f"dataset check {dck.name!r} verdict raised: {exc}"
+        if not passed:
+            errors.append(
+                Error(
+                    code="dataset-constraint",
+                    resource=resource,
+                    field=dck.field or None,
+                    constraint=dck.name,
+                    values=[None if val is None else str(val)],
+                    count=1,
+                    message=msg
+                    or dck.message
+                    or (
+                        f"dataset check {dck.name!r} failed: "
+                        f"metric value {val!r}"
+                    ),
+                )
+            )
 
     # --- (c) bounded samples for violated checks only ----------------
     # cheapest source that can produce the offending values:
@@ -524,13 +607,16 @@ def validate_package(
     assume_typed: bool = False,
     row_ids: bool = False,
     custom_checks: dict[str, list[CustomCheck]] | None = None,
+    dataset_checks: dict[str, list[DatasetCheck]] | None = None,
 ) -> dict:
     """E1 public API ([R validate.py::validate]): validate a whole Data
     Package (descriptor path or dict). ``dataframes`` overrides
     resource paths with pre-loaded DataFrames (name-keyed) — the
     parquet/testdata path. ``custom_checks`` maps resource name →
     extra :class:`CustomCheck` list (X6 plugin surface), fused into
-    that table's single validation scan.
+    that table's single validation scan; ``dataset_checks`` likewise
+    maps resource name → :class:`DatasetCheck` list (aggregate
+    statistics verdicts riding the same scan's Observation).
 
     Descriptor problems never raise here: the raw descriptor is
     profile-checked first ([R validate.py::validate] profile
@@ -641,6 +727,7 @@ def validate_package(
                 header=header,
                 row_ids=row_ids,
                 custom_checks=(custom_checks or {}).get(name),
+                dataset_checks=(dataset_checks or {}).get(name),
             )
             for name, df, schema, header in pending
         }

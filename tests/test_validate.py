@@ -1247,3 +1247,124 @@ def test_xml_custom_row_tag_and_field_order(spark, tmp_path):
     assert df.count() == 2
     # descriptor round-trip keeps rowTag
     assert res.to_descriptor()["rowTag"] == "item"
+
+
+def test_dataset_checks_ride_the_single_scan(spark):
+    """DatasetCheck: aggregate metrics with driver verdicts — failures
+    become dataset-constraint errors carrying the metric value; passes
+    add nothing; all metrics ride the same Observation pass (no
+    separate agg job is needed for them to resolve)."""
+    from pyspark.sql import functions as F
+
+    import goodtables_pandas_py_spark as gt
+    from goodtables_pandas_py_spark.schema import Field, TableSchema
+
+    df = spark.createDataFrame(
+        [("1", "10.0"), ("2", "20.0"), ("3", "990.0")],
+        "id: string, amt: string",
+    )
+    schema = TableSchema(
+        fields=[Field("id", type="integer"), Field("amt", type="number")]
+    )
+    checks = [
+        gt.DatasetCheck(
+            name="avg_amt_sane",
+            metric=lambda c: F.avg(c["amt"]),
+            ok=lambda v: v is not None and v < 100,
+            field="amt",
+        ),
+        gt.DatasetCheck(
+            name="rows_at_least_3",
+            metric=lambda c: F.count(F.lit(1)),
+            ok=lambda v: v >= 3,
+        ),
+    ]
+    v = gt.validate_table(df, schema, resource="t", dataset_checks=checks)
+    codes = [(e.code, e.constraint) for e in v.errors]
+    assert ("dataset-constraint", "avg_amt_sane") in codes
+    assert ("dataset-constraint", "rows_at_least_3") not in codes
+    err = next(e for e in v.errors if e.constraint == "avg_amt_sane")
+    assert err.values and abs(float(err.values[0]) - 340.0) < 1e-9
+    assert err.field == "amt"
+    # non-persist path evaluates identically
+    v2 = gt.validate_table(
+        df, schema, resource="t", persist=False, dataset_checks=checks
+    )
+    assert ("dataset-constraint", "avg_amt_sane") in [
+        (e.code, e.constraint) for e in v2.errors
+    ]
+
+
+def test_dataset_checks_report_not_raise(spark):
+    """A metric that fails to build (bad column) and a verdict that
+    raises both surface as report errors, never exceptions; an empty
+    table hands the verdict None."""
+    from pyspark.sql import functions as F
+
+    import goodtables_pandas_py_spark as gt
+    from goodtables_pandas_py_spark.schema import Field, TableSchema
+
+    df = spark.createDataFrame([("1",)], "id: string")
+    schema = TableSchema(fields=[Field("id", type="integer")])
+    v = gt.validate_table(
+        df, schema, resource="t",
+        dataset_checks=[
+            gt.DatasetCheck(
+                name="bad_col",
+                metric=lambda c: F.avg(c["nope"]),
+                ok=lambda v: True,
+            ),
+            gt.DatasetCheck(
+                name="raising_verdict",
+                metric=lambda c: F.count(F.lit(1)),
+                ok=lambda v: 1 / 0,
+            ),
+        ],
+    )
+    cons = {e.constraint for e in v.errors if e.code == "dataset-constraint"}
+    assert cons == {"bad_col", "raising_verdict"}
+    # empty table: verdict receives None (avg of nothing)
+    empty = df.limit(0)
+    v3 = gt.validate_table(
+        empty, schema, resource="t",
+        dataset_checks=[
+            gt.DatasetCheck(
+                name="avg_none_ok",
+                metric=lambda c: F.avg(c["id"]),
+                ok=lambda val: val is None,
+            ),
+        ],
+    )
+    assert not [e for e in v3.errors if e.code == "dataset-constraint"]
+
+
+def test_dataset_checks_through_validate_package(spark, tmp_path):
+    """dataset_checks= maps resource name -> checks, fused into that
+    table's validation scan."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    import goodtables_pandas_py_spark as gt
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("id,amt\n1,5\n2,6\n")
+    dp = tmp_path / "datapackage.json"
+    dp.write_text(json.dumps({"resources": [{
+        "name": "t", "path": str(csv),
+        "schema": {"fields": [
+            {"name": "id", "type": "integer"},
+            {"name": "amt", "type": "number"}]},
+    }]}))
+    rep = gt.validate(spark, str(dp), dataset_checks={
+        "t": [gt.DatasetCheck(
+            name="total_amt_floor",
+            metric=lambda c: F.sum(c["amt"]),
+            ok=lambda v: v is not None and v >= 100,
+            message="sum(amt) must reach 100",
+        )],
+    })
+    assert rep["valid"] is False
+    errs = [e for t in rep["tables"] for e in t["errors"]]
+    assert errs[0]["code"] == "dataset-constraint"
+    assert errs[0]["message"] == "sum(amt) must reach 100"
