@@ -591,3 +591,72 @@ def repetition_features(text: Column) -> Column:
         top_ngram_char_frac(2).alias("top_2gram_char_frac"),
         top_ngram_char_frac(3).alias("top_3gram_char_frac"),
     )
+
+
+# --- document chunking ------------------------------------------------------
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 256,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sliding-window WORD chunking: split each document into chunks
+    of at most ``max_tokens`` whitespace tokens, windows starting
+    every ``stride`` tokens (default ``max_tokens`` — disjoint
+    chunks; smaller stride = overlapping windows, the RAG/embedding
+    prep shape). Output one row per chunk:
+    ``(id_col, chunk_id, chunk_text, n_tokens)`` — ``chunk_id``
+    0-based in document order, ``n_tokens`` the chunk's actual token
+    count (< max_tokens only for the final window).
+
+    Contrast :func:`~.splits.sequence_offsets`, which packs MANY docs
+    end-to-end into fixed-length training sequences; this splits ONE
+    doc into windows and never mixes documents.
+
+    Scale shape: pure Column algebra — split once, window starts as a
+    ``sequence``, each chunk an ``array_join(slice(...))``, one
+    posexplode. Map-only: no shuffle, no UDF; a 1M-token document
+    costs memory proportional to its own size times the overlap
+    factor (max_tokens/stride), never a driver visit. Trailing
+    windows that would start at-or-past the end are not emitted;
+    an empty/whitespace-only document yields zero chunks (its token
+    array is empty); a null text yields zero chunks (sequence of
+    null explodes to nothing)."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    stride = max_tokens if stride is None else stride
+    if not 1 <= stride <= max_tokens:
+        raise ValueError(
+            f"stride must be in [1, max_tokens={max_tokens}], got {stride}"
+        )
+    toks = whitespace_tokens(F.col(text_col))
+    n = F.size(toks)
+    # last window START: the largest multiple of stride < n (for n>0);
+    # also never beyond n - max_tokens rounded UP to a stride multiple
+    # — windows past that are suffixes of the previous window
+    last_full = F.ceil((n - F.lit(max_tokens)) / F.lit(stride)) * stride
+    last_start = F.greatest(
+        F.least(last_full, ((n - 1) / F.lit(stride)).cast("long") * stride),
+        F.lit(0).cast("long"),
+    )
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride).cast("long")),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("__start").cast("int") + 1, max_tokens
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )

@@ -1706,3 +1706,51 @@ def test_ivf_train_cap_samples_training_not_assignment(spark):
     q = [float(x) for x in vecs[7]]
     out = xsim.ivf_topk(assigned, q, k=3, centroids=cents).collect()
     assert out[0]["vec_id"] == 7
+
+
+# --- chunk_text -------------------------------------------------------------
+
+
+def test_chunk_text_disjoint_and_overlap(spark):
+    """Default stride = disjoint cover; smaller stride = sliding
+    windows; final partial window carries the remainder; chunks
+    reassemble the document exactly (disjoint case)."""
+    doc = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+
+    out = {r["chunk_id"]: r for r in
+           text.chunk_text(df, max_tokens=4).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[2]["chunk_text"] == "w8 w9" and out[2]["n_tokens"] == 2
+    assert " ".join(out[i]["chunk_text"] for i in sorted(out)) == doc
+
+    over = {r["chunk_id"]: r for r in
+            text.chunk_text(df, max_tokens=6, stride=2).collect()}
+    # starts 0,2: [0..6),[2..8)? no — last start covers the end:
+    # ceil((10-6)/2)*2 = 4 -> starts 0,2,4
+    assert sorted(over) == [0, 1, 2]
+    assert over[0]["chunk_text"].startswith("w0 w1")
+    assert over[2]["chunk_text"] == "w4 w5 w6 w7 w8 w9"
+    assert all(r["n_tokens"] == 6 for r in over.values())
+
+
+def test_chunk_text_edges(spark):
+    """Short/empty/null docs and invalid params."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None), (4, "   "), (5, "solo")],
+        "doc_id long, text string",
+    )
+    rows = text.chunk_text(df, max_tokens=4).collect()
+    got = {(r["doc_id"], r["chunk_id"]): r for r in rows}
+    assert set(got) == {(1, 0), (5, 0)}  # empty/null/blank yield nothing
+    assert got[(1, 0)]["chunk_text"] == "a b" and got[(1, 0)]["n_tokens"] == 2
+    # a doc exactly max_tokens long yields ONE chunk, no empty suffix
+    df2 = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    assert text.chunk_text(df2, max_tokens=4).count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        text.chunk_text(df, max_tokens=4, stride=5)
+    with _pytest.raises(ValueError, match="max_tokens"):
+        text.chunk_text(df, max_tokens=0)
