@@ -891,3 +891,42 @@ def test_remove_boilerplate_matches_python_reference(spark, docs, max_docs):
         ).collect()
     }
     assert got == expected
+
+
+@FAST
+@given(
+    n_tokens=st.integers(min_value=0, max_value=40),
+    max_tokens=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+)
+def test_chunk_text_windows_match_python_reference(
+    spark, n_tokens, max_tokens, data
+):
+    """chunk_text == a direct Python sliding-window chunker for every
+    (doc length, max_tokens, stride) combination: same chunk count,
+    same texts, same order."""
+    from goodtables_pandas_py_spark.extensions.text import chunk_text
+
+    stride = data.draw(st.integers(min_value=1, max_value=max_tokens))
+    toks = [f"t{i}" for i in range(n_tokens)]
+    doc = " ".join(toks)
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    got = [
+        (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_text(
+            df, max_tokens=max_tokens, stride=stride
+        ).orderBy("chunk_id").collect()
+    ]
+
+    # reference: starts at stride multiples; stop once a window
+    # reaches the end (no redundant suffix windows)
+    expected = []
+    if n_tokens > 0:
+        s = 0
+        while True:
+            w = toks[s:s + max_tokens]
+            expected.append((len(expected), " ".join(w), len(w)))
+            if s + max_tokens >= n_tokens:
+                break
+            s += stride
+    assert got == expected
