@@ -1043,7 +1043,12 @@ def semantic_dedup_audit(
         Vn = V / np.where(norms > 0, norms, 1.0)[:, None]
         Cn_b = bc.value
         ccos = Vn @ Cn_b[cid] if cid < len(Cn_b) else np.zeros(n)
-        S = (Vn @ Vn.T).astype(np.float32)
+        # float32 for the n×n similarity block: halves the kernel's
+        # peak (the matmul output is the biggest allocation — 67 MB at
+        # max_cluster=4096 vs 134 in float64); threshold comparisons
+        # are ~1e-7-accurate, far inside any sane dedup threshold
+        Vn32 = Vn.astype(np.float32)
+        S = Vn32 @ Vn32.T
         adj = S >= thr
         np.fill_diagonal(adj, False)
         # vectorized min-label propagation over row index (rows are
