@@ -346,7 +346,14 @@ class Resource:
         if fmt is None and data is not None:
             fmt = "inline"
         if fmt is None and path:
-            ext = os.path.splitext(path)[1].lstrip(".").lower()
+            stem, ext = os.path.splitext(path)
+            ext = ext.lstrip(".").lower()
+            # compressed text resources: data.csv.gz / events.ndjson.bz2
+            # — Spark's text readers decompress these transparently, so
+            # the FORMAT is the inner extension (the codec is a storage
+            # detail, not a dialect)
+            if ext in ("gz", "gzip", "bz2", "zst", "zstd", "deflate"):
+                ext = os.path.splitext(stem)[1].lstrip(".").lower()
             fmt = ext or None
         return cls(
             name=name,

@@ -315,8 +315,21 @@ def sniff_csv_header(
         path = localize_url(spark, path)
     line: str | None = None
     if os.path.isfile(path):
-        with open(path, encoding=encoding, newline="") as fh:
-            line = fh.readline()
+        # compressed text resources (data.csv.gz): Spark's reader
+        # decompresses transparently, so the header sniff must too
+        lower = path.lower()
+        if lower.endswith((".gz", ".gzip")):
+            import gzip as _opener
+        elif lower.endswith(".bz2"):
+            import bz2 as _opener
+        else:
+            _opener = None
+        if _opener is not None:
+            with _opener.open(path, "rt", encoding=encoding, newline="") as fh:
+                line = fh.readline()
+        else:
+            with open(path, encoding=encoding, newline="") as fh:
+                line = fh.readline()
     else:  # glob / directory / hadoop-scheme path
         line_sep = d.line_terminator if d.line_terminator else "\r\n"
         try:

@@ -1368,3 +1368,42 @@ def test_dataset_checks_through_validate_package(spark, tmp_path):
     errs = [e for t in rep["tables"] for e in t["errors"]]
     assert errs[0]["code"] == "dataset-constraint"
     assert errs[0]["message"] == "sum(amt) must reach 100"
+
+
+def test_gzipped_csv_and_ndjson_resources(spark, tmp_path):
+    """data.csv.gz / data.ndjson.gz: the format sniffs through the
+    compression suffix (codec is a storage detail) and Spark's text
+    readers decompress transparently."""
+    import gzip
+    import json
+
+    import goodtables_pandas_py_spark as gt
+    from goodtables_pandas_py_spark.schema import Resource
+
+    csv_gz = tmp_path / "t.csv.gz"
+    with gzip.open(csv_gz, "wt") as f:
+        f.write("id,amt\n1,5\n2,-1\n")
+    nd_gz = tmp_path / "e.ndjson.gz"
+    with gzip.open(nd_gz, "wt") as f:
+        f.write('{"id": "1"}\n{"id": "1"}\n')
+
+    assert Resource.from_descriptor({"name": "a", "path": str(csv_gz)}).format == "csv"
+    assert Resource.from_descriptor({"name": "b", "path": str(nd_gz)}).format == "ndjson"
+
+    dp = tmp_path / "datapackage.json"
+    dp.write_text(json.dumps({"resources": [
+        {"name": "t", "path": str(csv_gz),
+         "schema": {"fields": [
+             {"name": "id", "type": "integer"},
+             {"name": "amt", "type": "number",
+              "constraints": {"minimum": 0}}]}},
+        {"name": "e", "path": str(nd_gz),
+         "schema": {"fields": [
+             {"name": "id", "type": "integer",
+              "constraints": {"unique": True}}]}},
+    ]}))
+    rep = gt.validate(spark, str(dp))
+    by_src = {t["source"]: {e["code"] for e in t["errors"]} for t in rep["tables"]}
+    assert by_src["t"] == {"minimum-constraint"}
+    assert by_src["e"] == {"unique-constraint"}
+    assert {t["row-count"] for t in rep["tables"]} == {2}
