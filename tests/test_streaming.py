@@ -612,3 +612,39 @@ def test_embedding_corpus_dedup_pins_index_dim(spark):
     ids = {r["vec_id"] for r in kept.collect()}
     assert 2 not in ids            # corpus dup dropped
     assert 1 in ids                # ragged row passes through
+
+
+def test_chunk_text_runs_on_stream(spark, tmp_path):
+    """chunk_text is stateless map-only Column algebra (sequence +
+    slice + posexplode), so the SAME call chunks documents at
+    streaming ingestion and must agree with the batch chunks
+    row-for-row — RAG/embedding prep can ride the ingest stream."""
+    from goodtables_pandas_py_spark.extensions.text import chunk_text
+
+    from tests.conftest import SF_DIR
+
+    batch = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    staged = str(tmp_path / "docs_chunk")
+    batch.write.parquet(staged)
+
+    stream = spark.readStream.schema(batch.schema).parquet(staged)
+    q = (
+        chunk_text(stream, max_tokens=64, stride=32)
+        .writeStream.format("memory")
+        .queryName("chunk_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in spark.table("chunk_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_text(batch, max_tokens=64, stride=32).collect()
+    }
+    assert got == want and len(got) > 0
