@@ -98,6 +98,24 @@ PACKAGE_PROFILE: dict[str, Any] = {
                     "encoding": {"type": "string"},
                     # engine extension: XML row element (sources.read_xml_stringly)
                     "rowTag": {"type": "string"},
+                    # engine extension: dataset-level statistics checks
+                    # (validate.compile_dataset_checks)
+                    "datasetChecks": {
+                        "type": "array",
+                        "items": {
+                            "type": "object",
+                            "required": ["metric", "field"],
+                            "properties": {
+                                "name": {"type": "string"},
+                                "metric": {"type": "string"},
+                                "field": {"type": "string"},
+                                "min": {"type": "number"},
+                                "max": {"type": "number"},
+                                "allowNull": {"type": "boolean"},
+                                "message": {"type": "string"},
+                            },
+                        },
+                    },
                     "dialect": {
                         "type": "object",
                         "properties": {

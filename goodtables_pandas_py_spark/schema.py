@@ -328,6 +328,12 @@ class Resource:
     #: Data Package spec does not define XML options): the element
     #: that delimits one table row. Default "row".
     row_tag: str | None = None
+    #: dataset-level statistics checks (descriptor key
+    #: ``datasetChecks``, an engine extension): raw spec dicts,
+    #: compiled by validate.compile_dataset_checks at validation time
+    #: (structurally checked at parse time so malformed specs fail as
+    #: SchemaError like any other descriptor problem).
+    dataset_checks: list = dc_field(default_factory=list)
 
     @classmethod
     def from_descriptor(cls, d: dict[str, Any], base_dir: str = ".") -> "Resource":
@@ -355,6 +361,19 @@ class Resource:
             if ext in ("gz", "gzip", "bz2", "zst", "zstd", "deflate"):
                 ext = os.path.splitext(stem)[1].lstrip(".").lower()
             fmt = ext or None
+        ds_specs = d.get("datasetChecks", [])
+        if ds_specs:
+            if not isinstance(ds_specs, list) or not all(
+                isinstance(x, dict) for x in ds_specs
+            ):
+                raise SchemaError(
+                    "datasetChecks must be a list of objects"
+                )
+            # structural check now (SchemaError like any descriptor
+            # problem); actual compilation happens at validation time
+            from .validate import compile_dataset_checks
+
+            compile_dataset_checks(ds_specs)
         return cls(
             name=name,
             path=path,
@@ -364,6 +383,7 @@ class Resource:
             format=fmt,
             data=data,
             row_tag=d.get("rowTag"),
+            dataset_checks=list(ds_specs),
         )
 
     def to_descriptor(self) -> dict[str, Any]:
@@ -389,6 +409,8 @@ class Resource:
             d["format"] = self.format
         if self.row_tag is not None:
             d["rowTag"] = self.row_tag
+        if self.dataset_checks:
+            d["datasetChecks"] = [dict(x) for x in self.dataset_checks]
         return d
 
 

@@ -92,6 +92,82 @@ class DatasetCheck:
     message: str = ""
 
 
+#: descriptor-spec metric name -> aggregate builder over one column
+_DATASET_METRICS: dict[str, Callable[[Column], Column]] = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "stddev": F.stddev,
+    "count": F.count,
+    "countDistinct": F.count_distinct,
+    "nullFraction": lambda c: F.avg(
+        F.when(c.isNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    ),
+}
+
+
+def compile_dataset_checks(specs: list[dict]) -> list[DatasetCheck]:
+    """Descriptor-driven :class:`DatasetCheck`\\s — the JSON-expressible
+    subset, so table-level statistics checks work from a plain
+    ``datapackage.json`` (resource key ``datasetChecks``, an engine
+    extension) and therefore from the CLI, no Python lambdas needed::
+
+        {"datasetChecks": [
+          {"metric": "avg", "field": "amt", "min": 0, "max": 100},
+          {"metric": "nullFraction", "field": "email", "max": 0.01},
+          {"metric": "countDistinct", "field": "lang", "min": 2}
+        ]}
+
+    ``metric`` ∈ avg/sum/min/max/stddev/count/countDistinct/
+    nullFraction over ``field``; ``min``/``max`` bound the value
+    (either optional, at least one required). The verdict fails on a
+    None metric (empty table / all-null column) unless the spec sets
+    ``"allowNull": true``. ``name`` defaults to ``metric(field)``."""
+    out: list[DatasetCheck] = []
+    for spec in specs:
+        metric = spec.get("metric")
+        fld = spec.get("field")
+        if metric not in _DATASET_METRICS:
+            raise SchemaError(
+                f"datasetChecks: unknown metric {metric!r} "
+                f"(choose from {sorted(_DATASET_METRICS)})"
+            )
+        if not fld or not isinstance(fld, str):
+            raise SchemaError(
+                f"datasetChecks: metric {metric!r} needs a 'field'"
+            )
+        lo, hi = spec.get("min"), spec.get("max")
+        if lo is None and hi is None:
+            raise SchemaError(
+                f"datasetChecks: {metric}({fld}) needs 'min' and/or 'max'"
+            )
+        allow_null = bool(spec.get("allowNull", False))
+        agg = _DATASET_METRICS[metric]
+
+        def _ok(v, lo=lo, hi=hi, allow_null=allow_null):
+            if v is None:
+                return allow_null
+            return (lo is None or v >= lo) and (hi is None or v <= hi)
+
+        bounds = []
+        if lo is not None:
+            bounds.append(f">= {lo}")
+        if hi is not None:
+            bounds.append(f"<= {hi}")
+        out.append(
+            DatasetCheck(
+                name=spec.get("name") or f"{metric}({fld})",
+                metric=(lambda cols, agg=agg, fld=fld: agg(cols[fld])),
+                ok=_ok,
+                field=fld,
+                message=spec.get("message")
+                or f"{metric}({fld}) must be {' and '.join(bounds)}",
+            )
+        )
+    return out
+
+
 @dataclass
 class _CompiledCheck:
     """Internal: one countable mask with reporting metadata."""
@@ -674,6 +750,13 @@ def validate_package(
 
     validations: dict[str, TableValidation] = {}
     pending: list[tuple[str, DataFrame, TableSchema, list[str] | None]] = []
+    # descriptor-declared dataset checks (resource key datasetChecks):
+    # structurally validated at parse time, compiled here
+    desc_ds = {
+        res.name: compile_dataset_checks(res.dataset_checks)
+        for res in package.resources
+        if res.dataset_checks
+    }
     for res in package.resources:
         if res.schema is None:
             # a schema-less attachment is skipped entirely — reading
@@ -727,7 +810,8 @@ def validate_package(
                 header=header,
                 row_ids=row_ids,
                 custom_checks=(custom_checks or {}).get(name),
-                dataset_checks=(dataset_checks or {}).get(name),
+                dataset_checks=desc_ds.get(name, [])
+                + list((dataset_checks or {}).get(name) or []),
             )
             for name, df, schema, header in pending
         }

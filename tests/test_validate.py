@@ -1407,3 +1407,58 @@ def test_gzipped_csv_and_ndjson_resources(spark, tmp_path):
     assert by_src["t"] == {"minimum-constraint"}
     assert by_src["e"] == {"unique-constraint"}
     assert {t["row-count"] for t in rep["tables"]} == {2}
+
+
+def test_descriptor_dataset_checks_end_to_end(spark, tmp_path):
+    """datasetChecks in the descriptor (engine extension): JSON specs
+    compile to DatasetChecks and ride the validation scan — usable
+    from a plain datapackage.json (and therefore the CLI), no Python.
+    Malformed specs fail at parse time as SchemaError."""
+    import json
+
+    import goodtables_pandas_py_spark as gt
+    from goodtables_pandas_py_spark.schema import Resource, SchemaError
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("id,amt,email\n1,50,a@x.com\n2,900,\n3,10,c@x.com\n")
+    desc = {
+        "resources": [{
+            "name": "t",
+            "path": str(csv),
+            "schema": {"fields": [
+                {"name": "id", "type": "integer"},
+                {"name": "amt", "type": "number"},
+                {"name": "email", "type": "string"}]},
+            "datasetChecks": [
+                {"metric": "avg", "field": "amt", "max": 100},
+                {"metric": "nullFraction", "field": "email", "max": 0.5},
+                {"metric": "countDistinct", "field": "id", "min": 3},
+            ],
+        }],
+    }
+    dp = tmp_path / "datapackage.json"
+    dp.write_text(json.dumps(desc))
+    rep = gt.validate(spark, str(dp))
+    errs = [e for t_ in rep["tables"] for e in t_["errors"]]
+    assert rep["valid"] is False
+    assert len(errs) == 1  # only the avg bound fails (avg=320 > 100)
+    assert errs[0]["code"] == "dataset-constraint"
+    assert errs[0]["constraint"] == "avg(amt)"
+    assert errs[0]["message"] == "avg(amt) must be <= 100"
+    assert float(errs[0]["values"][0]) == 320.0
+    # round-trip keeps the specs
+    pkg_res = Resource.from_descriptor(desc["resources"][0])
+    assert pkg_res.to_descriptor()["datasetChecks"] == desc["resources"][0]["datasetChecks"]
+    # malformed specs are SchemaErrors at parse time
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaError, match="unknown metric"):
+        Resource.from_descriptor({
+            "name": "t", "path": str(csv),
+            "datasetChecks": [{"metric": "median", "field": "amt", "min": 1}],
+        })
+    with _pytest.raises(SchemaError, match="needs 'min'"):
+        Resource.from_descriptor({
+            "name": "t", "path": str(csv),
+            "datasetChecks": [{"metric": "avg", "field": "amt"}],
+        })
