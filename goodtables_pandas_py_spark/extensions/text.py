@@ -101,6 +101,111 @@ def quality_score(text: Column) -> Column:
     return score.alias("quality_score")
 
 
+# --- unigram LM scoring (CCNet-style) --------------------------------------
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """Corpus unigram table ``(token STRING, n BIGINT)``: whitespace
+    tokens (lowercased by default), occurrence counts. One explode +
+    one groupBy with map-side combine — the shuffle carries one row
+    per DISTINCT token per partition, not per occurrence."""
+    t = F.col(text_col)
+    toks = whitespace_tokens(F.lower(t) if lowercase else t)
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    freqs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    head_vocab: int = 100_000,
+) -> DataFrame:
+    """Per-document unigram cross-entropy — the language-model
+    quality signal of CCNet (Wenzek et al., arXiv:1911.00359, which
+    scores with a KenLM 5-gram and buckets the corpus into
+    head/middle/tail by perplexity; this is the unigram proxy a
+    Spark-native pipeline can train ON THE CORPUS ITSELF in one
+    pass). Low cross-entropy = repetitive/common-word text; high =
+    rare-token soup; both tails are filter candidates.
+
+    Returns ``(id_col, n_tokens BIGINT, xent_milli BIGINT, xent
+    DOUBLE)`` where each token contributes
+    ``round((ln(N) - ln(c)) * 1000)`` milli-nats (c = corpus count of
+    the token, N = total tokens) to ``xent_milli``, and
+    ``xent = xent_milli / 1000 / n_tokens`` is mean nats/token.
+    Summing INTEGER milli-nats makes the result exactly reproducible
+    across engines and partitionings (float sums are
+    order-dependent); the 0.0005 nats/token max quantization error is
+    noise at filtering scale. Documents with zero tokens surface with
+    ``n_tokens = 0`` and null scores.
+
+    ``freqs`` defaults to :func:`token_frequencies` over ``df``
+    itself (self-scoring — no OOV by construction). Pass a frequency
+    table trained on a clean reference corpus for CCNet's actual
+    shape (score crawl text against Wikipedia-ish counts); tokens
+    absent from it score as count 1 (maximum surprise).
+
+    Scale shape — the token join is Zipf-skewed by nature ("the"
+    matches millions of exploded rows), so it runs as a TWO-PATH
+    join: the ``head_vocab`` most frequent tokens resolve through a
+    broadcast map-side join (no shuffle, no skew — the head IS the
+    skew), and only the miss rows (rare-token occurrences, near-
+    uniform by construction) take the shuffled join against the full
+    frequency table. One final groupBy(id) rolls up per-doc sums."""
+    t = F.col(text_col)
+    toks = whitespace_tokens(F.lower(t) if lowercase else t)
+    if freqs is None:
+        freqs = token_frequencies(df, text_col, lowercase)
+    freqs = freqs.select("token", F.col("n").cast("bigint").alias("n"))
+    total = freqs.agg(F.sum("n")).collect()[0][0] or 1  # one scalar
+    ln_total = F.log(F.lit(float(total)))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    head = freqs.orderBy(F.col("n").desc(), "token").limit(head_vocab)
+    with_head = exploded.join(F.broadcast(head), "token", "left")
+    hits = with_head.where(F.col("n").isNotNull())
+    misses = (
+        with_head.where(F.col("n").isNull())
+        .drop("n")
+        .join(freqs, "token", "left")
+    )
+    milli = F.floor(
+        (ln_total - F.log(F.coalesce(F.col("n"), F.lit(1)).cast("double")))
+        * 1000
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = hits.unionByName(misses).select(
+        id_col, milli.alias("__m")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("__m").cast("bigint").alias("xent_milli"),
+    )
+    # docs with zero tokens (empty/null text) have no exploded rows
+    all_ids = df.select(id_col).distinct()
+    out = all_ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias(
+            "n_tokens"
+        ),
+        "xent_milli",
+    )
+    return out.withColumn(
+        "xent",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("xent_milli") / 1000.0 / F.col("n_tokens"),
+        ),
+    )
+
+
 # --- language ID ----------------------------------------------------------
 
 #: tiny per-language function-word profiles (public knowledge); the

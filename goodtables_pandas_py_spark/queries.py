@@ -936,41 +936,29 @@ def _x1(spark, sf_dir):
 
 
 @q(
-    "x4_fingerprint_md5",
+    "x4_doc_stats",
     "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
-    " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp"
+    " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,"
+    " CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+    " AS BIGINT) AS ws_tokens,"
+    " CAST(len(regexp_extract_all(text,"
+    " $$'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+$$))"
+    " AS BIGINT) AS bpe_tokens"
     " FROM documents",
 )
-def _x4fp(spark, sf_dir):
+def _x4stats(spark, sf_dir):
+    """X4 per-document stats (merged r5: the former x4_fingerprint_md5
+    + x4_token_counts, consolidated PER-DOC — strictly finer than the
+    old per-source token sums, under the 50-row registry cap): md5
+    fingerprint plus BOTH tokenizers' counts, each column value-hashed
+    against DuckDB (the BPE-ish regex evaluates identically there via
+    regexp_extract_all). One scan, map-only."""
     d = t(spark, sf_dir, "documents")
     return d.select(
         F.col("doc_id").cast(_BIG).alias("doc_id"),
         xtext.fingerprint_md5(F.col("text")).alias("fp"),
-    )
-
-
-@q(
-    "x4_token_counts",
-    "SELECT source, CAST(sum((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END))"
-    " AS BIGINT) AS sum_ws_tokens,"
-    " CAST(sum(len(regexp_extract_all(text,"
-    " $$'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+$$)))"
-    " AS BIGINT) AS sum_bpe_tokens,"
-    " CAST(count(*) AS BIGINT) AS n_docs"
-    " FROM documents GROUP BY source",
-)
-def _x4tok(spark, sf_dir):
-    """X4 token counting, BOTH tokenizers oracle-verified: whitespace
-    (regexp split) and the BPE-ish pre-tokenizer (extensions/text.py
-    BPE_TOKEN_RE — the identical regex evaluates in DuckDB via
-    regexp_extract_all, verified to agree match-for-match)."""
-    d = t(spark, sf_dir, "documents")
-    return d.groupBy("source").agg(
-        F.sum(xtext.token_count(F.col("text"))).cast(_BIG).alias("sum_ws_tokens"),
-        F.sum(xtext.token_count(F.col("text"), "bpe"))
-        .cast(_BIG)
-        .alias("sum_bpe_tokens"),
-        F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
+        xtext.token_count(F.col("text")).cast(_BIG).alias("ws_tokens"),
+        xtext.token_count(F.col("text"), "bpe").cast(_BIG).alias("bpe_tokens"),
     )
 
 
@@ -1041,53 +1029,7 @@ def _x4lang(spark, sf_dir):
 
 
 @q(
-    "x2_jaccard_pairs",
-    """WITH toks AS (
-  SELECT doc_id, source,
-         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-  FROM documents),
-sh AS (
-  SELECT doc_id, source,
-         list_distinct(CASE WHEN len(w) >= 3
-           THEN list_transform(range(1, len(w) - 1),
-                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-           ELSE CAST([] AS VARCHAR[]) END) AS s
-  FROM toks)
-SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
-       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
-         AS jaccard
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(a.s) > 0 AND len(b.s) > 0
-  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-      CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.1""",
-)
-def _x2j(spark, sf_dir):
-    """X2: exact 3-gram Jaccard over same-source pairs (bounded
-    pair space — the LSH variants handle the unbounded case)."""
-    d = t(spark, sf_dir, "documents", wide=True)
-    toks = d.select(
-        F.col("doc_id").cast(_BIG).alias("doc_id"),
-        "source",
-        xtext.whitespace_tokens(xtext.normalize_text(F.col("text"))).alias("w"),
-    )
-    a = toks.select(
-        F.col("doc_id").alias("id_a"), F.col("source"), F.col("w").alias("wa")
-    )
-    b = toks.select(
-        F.col("doc_id").alias("id_b"), F.col("source"), F.col("w").alias("wb")
-    )
-    jac = xdedup.ngram_jaccard(F.col("wa"), F.col("wb"), 3)
-    return (
-        a.join(b, "source")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= 0.1)
-    )
-
-
-@q(
-    "x2_minhash_pairs",
+    "x2_pair_checks",
     """WITH toks AS (
   SELECT doc_id, source,
          regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
@@ -1099,46 +1041,42 @@ sh AS (
                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
            ELSE CAST([] AS VARCHAR[]) END) AS s
   FROM toks),
-ex AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+jac AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
   FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-  WHERE len(a.s) > 0 AND len(b.s) > 0
-    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5)
-SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
-       TRUE AS containment_ok, TRUE AS recall_ok""",
+  WHERE len(a.s) > 0 AND len(b.s) > 0)
+SELECT 'jaccard' AS kind, CAST(id_a AS BIGINT) AS a,
+       CAST(id_b AS BIGINT) AS b, ROUND(j, 6) AS x
+FROM jac WHERE j >= 0.1
+UNION ALL
+SELECT 'minhash_summary' AS kind,
+       (SELECT CAST(count(*) AS BIGINT) FROM jac WHERE j >= 0.5) AS a,
+       CAST(1 AS BIGINT) AS b, CAST(1.0 AS DOUBLE) AS x""",
 )
-def _x2m(spark, sf_dir):
-    """X2 MinHash+LSH near-dup, as a DETERMINISTIC summary against a
-    BOUNDED exact twin: the oracle computes the exact-Jaccard pair
-    count over SAME-SOURCE pairs only (equi-join on ``source`` — the
-    bound that kept r2's ``x2_jaccard_pairs`` cheap, vs the unbounded
-    ``id_a < id_b`` nested-loop that hung BENCH_r02, VERDICT r2 §wrong
-    1); Spark computes the LSH+verify pairs (the 100 TB path, run on
-    the FULL table) and the same bounded exact set, then asserts
-    containment and recall ≥ 0.9 on the bounded subspace. Both stats
-    stay meaningful: containment/recall restricted to a subspace of
-    pairs are still exact statements about those pairs.
+def _x2pc(spark, sf_dir):
+    """X2 pairwise checks, labeled rows (merged r5 round: the former
+    x2_jaccard_pairs + x2_minhash_pairs — every original check
+    preserved; slot freed for x2_dup_spans under the 50-row cap):
 
-    Perf posture: the shingle arrays are computed ONCE PER DOC before
-    the pair join (n arrays, not n² evaluations — r2 rebuilt both
-    sides per pair via interpreted HOF lambdas), and the join is an
-    equi-join on ``source`` (shuffled hash join, ~p·(n/p)² pairs),
-    never a BroadcastNestedLoopJoin (plan-guard-tested)."""
+    - 'jaccard' rows: exact 3-gram Jaccard >= 0.1 over SAME-SOURCE
+      pairs (bounded pair space — equi-join on ``source``, never a
+      BroadcastNestedLoopJoin; the LSH variants handle the unbounded
+      case), every pair VALUE-hashed against DuckDB's list algebra.
+    - 'minhash_summary' row: MinHash+LSH+verify pairs (the 100 TB
+      path, run on the FULL table) vs the bounded exact twin at
+      threshold 0.5 — a = the exact pair count (DuckDB recomputes
+      it), b = containment (LSH+verify ⊆ exact, as 1/0), x = recall
+      >= 0.9 on the bounded subspace (integer arithmetic, not HALF_UP
+      rounding — ADVICE r3), as 1.0/0.0.
+
+    Perf posture (both halves): shingle arrays computed ONCE PER DOC
+    before the pair join (n arrays, not n² evaluations — r2 rebuilt
+    both sides per pair via interpreted HOF lambdas); joins are
+    equi-joins on ``source`` (shuffled hash join, ~p·(n/p)² pairs),
+    plan-guard-tested."""
     d = t(spark, sf_dir, "documents", wide=True)
-    src = d.select(F.col("doc_id").cast(_BIG).alias("id"), "source")
-    approx = (
-        xdedup.minhash_dedup_pairs(d, threshold=0.5)
-        .select(
-            F.col("id_a").cast(_BIG).alias("id_a"),
-            F.col("id_b").cast(_BIG).alias("id_b"),
-        )
-        # restrict to the same bounded pair space as the exact twin
-        .join(src.withColumnsRenamed({"id": "id_a", "source": "src_a"}), "id_a")
-        .join(src.withColumnsRenamed({"id": "id_b", "source": "src_b"}), "id_b")
-        .where(F.col("src_a") == F.col("src_b"))
-        .select("id_a", "id_b", F.lit(1).alias("in_a"))
-    )
     sh = d.select(
         F.col("doc_id").cast(_BIG).alias("id"),
         "source",
@@ -1155,24 +1093,48 @@ def _x2m(spark, sf_dir):
         union > 0,
         F.size(F.array_intersect(F.col("sa"), F.col("sb"))) / union,
     ).otherwise(F.lit(0.0))
-    exact = (
+    bounded = (
         a.join(b, "source")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(jac >= 0.5)
-        .select("id_a", "id_b", F.lit(1).alias("in_e"))
+        .where((F.size("sa") > 0) & (F.size("sb") > 0))
+        .select("id_a", "id_b", jac.alias("j"))
+    )
+    jaccard_rows = bounded.where(F.col("j") >= 0.1).select(
+        F.lit("jaccard").alias("kind"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.round("j", 6).alias("x"),
+    )
+    src = d.select(F.col("doc_id").cast(_BIG).alias("id"), "source")
+    approx = (
+        xdedup.minhash_dedup_pairs(d, threshold=0.5)
+        .select(
+            F.col("id_a").cast(_BIG).alias("id_a"),
+            F.col("id_b").cast(_BIG).alias("id_b"),
+        )
+        # restrict to the same bounded pair space as the exact twin
+        .join(src.withColumnsRenamed({"id": "id_a", "source": "src_a"}), "id_a")
+        .join(src.withColumnsRenamed({"id": "id_b", "source": "src_b"}), "id_b")
+        .where(F.col("src_a") == F.col("src_b"))
+        .select("id_a", "id_b", F.lit(1).alias("in_a"))
+    )
+    exact = bounded.where(F.col("j") >= 0.5).select(
+        "id_a", "id_b", F.lit(1).alias("in_e")
     )
     j = exact.join(approx, ["id_a", "id_b"], "full")
-    return j.agg(
+    summary = j.agg(
         F.count_if(F.col("in_e").isNotNull()).alias("ne"),
         F.count_if(F.col("in_a").isNotNull() & F.col("in_e").isNull()).alias("extra"),
         F.count_if(F.col("in_a").isNotNull() & F.col("in_e").isNotNull()).alias("common"),
     ).select(
-        F.col("ne").cast(_BIG).alias("n_exact"),
-        (F.col("extra") == 0).alias("containment_ok"),
-        # integer arithmetic, not HALF_UP rounding: round(0.9*ne) accepts
+        F.lit("minhash_summary").alias("kind"),
+        F.col("ne").cast(_BIG).alias("a"),
+        (F.col("extra") == 0).cast(_BIG).alias("b"),
+        # integer arithmetic, not HALF_UP rounding: 9*ne/10 accepts
         # e.g. common=6 of ne=7 (recall .857) — ADVICE r3
-        (F.col("common") * 10 >= F.col("ne") * 9).alias("recall_ok"),
+        (F.col("common") * 10 >= F.col("ne") * 9).cast("double").alias("x"),
     )
+    return jaccard_rows.unionByName(summary)
 
 
 @q(
@@ -2507,4 +2469,105 @@ def _x7_sessions_rows(spark, sf_dir):
         F.sum("n").cast(_BIG).alias("n_events"),
         F.count(F.lit(1)).cast(_BIG).alias("n_sessions"),
         F.max("n").cast(_BIG).alias("largest_session"),
+    )
+
+
+# ===================== X2c: exact-substring span dedup ====================
+
+
+@q(
+    "x2_dup_spans",
+    """WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+wins AS (
+  SELECT doc_id, CAST(u.s AS BIGINT) AS start,
+         array_to_string(w[u.s+1 : u.s+20], ' ') AS wstr
+  FROM toks, UNNEST(range(0, greatest(len(w) - 20 + 1, 0))) AS u(s)),
+hot AS (SELECT wstr FROM wins GROUP BY wstr HAVING count(*) >= 2),
+occ AS (SELECT doc_id, start FROM wins WHERE wstr IN (SELECT wstr FROM hot)),
+isl AS (
+  SELECT doc_id, start,
+         CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+                   OR start > lag(start) OVER (PARTITION BY doc_id ORDER BY start) + 20
+              THEN 1 ELSE 0 END AS brk
+  FROM occ),
+grp AS (
+  SELECT doc_id, start,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(start) AS BIGINT) AS span_start,
+       CAST(max(start) + 20 AS BIGINT) AS span_end
+FROM grp GROUP BY doc_id, g""",
+)
+def _x2sp(spark, sf_dir):
+    """X2c ExactSubstr-style span dedup (Lee et al., arXiv:2107.06499)
+    at k=20 whitespace tokens, corpus-scope occurrence counting: every
+    maximal duplicated token span per document, value-hashed against
+    DuckDB's independent window-string formulation (the Spark path
+    counts xxhash64'd windows first and re-verifies candidates on
+    exact strings — extensions/spans.py; the oracle counts strings
+    directly, so a hash-phase bug OR a collision mishandling breaks
+    the row). Output is exact integer token coordinates.
+
+    Perf posture: per-token hashes materialized once per doc, window
+    hashes are k array lookups inside the row, the explode carries
+    (id, start, whash) only, the hash count has map-side combine,
+    token arrays re-ship only for candidate docs, interval merge is
+    one shuffle on the doc id — plan-guard-tested (no nested loop,
+    all equi-joins)."""
+    from .extensions import spans as xspans
+
+    d = t(spark, sf_dir, "documents", wide=True)
+    return xspans.dup_spans(d, k=20).select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        "span_start",
+        "span_end",
+    )
+
+
+# ===================== X4d: CCNet-style unigram LM quality ================
+
+
+@q(
+    "x4_ccnet_quality",
+    """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM docs WHERE text IS NOT NULL AND trim(text) <> ''),
+freq AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+scored AS (
+  SELECT doc_id,
+         CAST(floor((ln((SELECT n FROM tot)) - ln(CAST(c AS DOUBLE))) * 1000 + 0.5)
+              AS BIGINT) AS m
+  FROM toks JOIN freq USING (token)),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(m) AS BIGINT) AS xent_milli
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, p.xent_milli
+FROM docs d LEFT JOIN per p USING (doc_id)""",
+)
+def _x4cc(spark, sf_dir):
+    """X4d unigram LM quality scores (CCNet-style, arXiv:1911.00359 —
+    the KenLM perplexity signal's Spark-native unigram proxy),
+    self-trained on the corpus in the same job: per-doc token count
+    and EXACT integer milli-nat cross-entropy sum, value-hashed
+    against DuckDB recomputing the whole model independently.
+    Integer milli-nat summation makes the float-free of
+    order-dependence (the reason the row can hash-match at all);
+    ln() of exact integer counts agrees across engines' libm to
+    far below the 0.5 milli rounding step.
+
+    Perf posture: Zipf-skew-immune two-path token join (broadcast
+    head vocabulary resolves the skewed mass map-side; only rare-token
+    occurrences shuffle), map-side-combined frequency count, one
+    per-doc rollup — extensions/text.py::unigram_logprob."""
+    d = t(spark, sf_dir, "documents", wide=True)
+    return xtext.unigram_logprob(d).select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        "n_tokens",
+        "xent_milli",
     )

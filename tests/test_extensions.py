@@ -1754,3 +1754,138 @@ def test_chunk_text_edges(spark):
         text.chunk_text(df, max_tokens=4, stride=5)
     with _pytest.raises(ValueError, match="max_tokens"):
         text.chunk_text(df, max_tokens=0)
+
+
+# --- X2c: exact-substring span dedup (spans.py) ---------------------------
+
+
+def _spans_df(spark):
+    """Corpus with a known shared 6-token run, an intra-doc repeat,
+    and clean docs."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"{shared} one two three"),
+        (2, f"zero {shared} tail tokens here"),
+        (3, "completely unrelated text with no duplicate runs at all"),
+        (4, f"rep rep2 rep3 rep4 rep5 rep6 filler rep rep2 rep3 rep4 rep5 rep6"),
+        (5, ""),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_spans_cross_and_intra_doc(spark):
+    """A k-window shared by two docs is found in both at the right
+    token offsets; a window repeated WITHIN one doc counts toward
+    min_count (corpus-scope semantics); clean/empty/null docs yield
+    no spans."""
+    from goodtables_pandas_py_spark.extensions import spans as xspans
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in xspans.dup_spans(_spans_df(spark), k=6).collect()
+    }
+    # doc1 tokens 0..6, doc2 tokens 1..7 share the 6-token run;
+    # doc4 repeats its 6-token run at 0 and 7
+    assert got == {(1, 0, 6), (2, 1, 7), (4, 0, 6), (4, 7, 13)}
+
+
+def test_dup_spans_merges_overlapping_windows(spark):
+    """A duplicated run LONGER than k yields one merged span, not
+    L-k+1 window rows; contiguous spans merge too."""
+    from goodtables_pandas_py_spark.extensions import spans as xspans
+
+    run = " ".join(f"t{i}" for i in range(10))  # 10-token shared run
+    df = spark.createDataFrame(
+        [(1, f"{run} x y z"), (2, f"a b {run}")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in xspans.dup_spans(df, k=4).collect()
+    }
+    assert got == {(1, 0, 10), (2, 2, 12)}
+
+
+def test_mask_dup_spans_rebuilds_text(spark):
+    """Masking removes exactly the duplicated tokens from every
+    occurrence, keeps other columns, and leaves clean docs' token
+    streams untouched; null text stays null."""
+    from goodtables_pandas_py_spark.extensions import spans as xspans
+
+    df = _spans_df(spark)
+    out = {r["doc_id"]: r["text"] for r in
+           xspans.mask_dup_spans(df, k=6).collect()}
+    assert out[1] == "one two three"
+    assert out[2] == "zero tail tokens here"
+    assert out[3] == "completely unrelated text with no duplicate runs at all"
+    assert out[4] == "filler"
+    assert out[5] == "" and out[6] is None
+    # precomputed spans are accepted verbatim
+    spans = xspans.dup_spans(df, k=6)
+    out2 = xspans.mask_dup_spans(df, spans=spans).collect()
+    assert {r["doc_id"]: r["text"] for r in out2} == out
+
+
+def test_dup_spans_verify_kills_hash_collisions(spark):
+    """verify=True recounts on exact strings: the verified span set
+    is a subset of the hash-only one, and on collision-free data the
+    two agree (the superset/subset contract the docstring states)."""
+    from goodtables_pandas_py_spark.extensions import spans as xspans
+
+    df = _spans_df(spark)
+    v = {(r["doc_id"], r["span_start"], r["span_end"])
+         for r in xspans.dup_spans(df, k=6, verify=True).collect()}
+    h = {(r["doc_id"], r["span_start"], r["span_end"])
+         for r in xspans.dup_spans(df, k=6, verify=False).collect()}
+    assert v == h  # no collisions in a 20-token corpus
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_count"):
+        xspans.dup_spans(df, min_count=1)
+    with _pytest.raises(ValueError, match="k must"):
+        xspans.window_hashes(df, k=0)
+
+
+def test_unigram_logprob_self_scored(spark):
+    """Self-trained unigram cross-entropy: exact milli-nat sums match
+    a hand computation; rarer tokens raise xent; zero-token docs
+    surface with n_tokens=0 and null scores."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b b"), (3, "c d"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=6, b=2, c=1, d=1, N=10
+    rows = {r["doc_id"]: r for r in text.unigram_logprob(df).collect()}
+    m = lambda c: math.floor((math.log(10.0) - math.log(float(c))) * 1000 + 0.5)
+    assert rows[1]["n_tokens"] == 4 and rows[1]["xent_milli"] == 4 * m(6)
+    assert rows[2]["xent_milli"] == 2 * m(6) + 2 * m(2)
+    assert rows[3]["xent_milli"] == 2 * m(1)
+    assert rows[1]["xent"] < rows[2]["xent"] < rows[3]["xent"]
+    assert rows[4]["n_tokens"] == 0 and rows[4]["xent"] is None
+    assert rows[5]["n_tokens"] == 0 and rows[5]["xent_milli"] is None
+
+
+def test_unigram_logprob_external_freqs_and_oov(spark):
+    """Scoring against an external reference table: OOV tokens score
+    as count 1 (max surprise); the head-vocab broadcast path and the
+    shuffled tail path produce identical totals (head_vocab=1 forces
+    most tokens down the tail path)."""
+    import math
+
+    ref = spark.createDataFrame(
+        [("the", 90), ("cat", 9), ("sat", 1)], "token string, n long"
+    )
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the zyzzyva")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           text.unigram_logprob(df, freqs=ref).collect()}
+    m = lambda c: math.floor((math.log(100.0) - math.log(float(c))) * 1000 + 0.5)
+    assert out[1]["xent_milli"] == m(90) + m(9) + m(1)
+    assert out[2]["xent_milli"] == m(90) + m(1)  # zyzzyva -> OOV -> count 1
+    narrow = {r["doc_id"]: r["xent_milli"] for r in
+              text.unigram_logprob(df, freqs=ref, head_vocab=1).collect()}
+    assert narrow == {k: v["xent_milli"] for k, v in out.items()}

@@ -930,3 +930,70 @@ def test_chunk_text_windows_match_python_reference(
                 break
             s += stride
     assert got == expected
+
+
+# --- exact-substring span dedup vs a pure-Python reference ----------------
+
+
+def _py_dup_spans(texts: dict[int, str], k: int, min_count: int = 2):
+    """Sequential reference for spans.dup_spans: count every k-token
+    window corpus-wide, keep docs' duplicated window starts, merge
+    overlapping/touching intervals."""
+    from collections import Counter, defaultdict
+
+    cnt: Counter = Counter()
+    occ: list[tuple[int, int, str]] = []
+    for i, t in texts.items():
+        w = (t or "").split()
+        for s in range(0, len(w) - k + 1):
+            ws = " ".join(w[s : s + k])
+            cnt[ws] += 1
+            occ.append((i, s, ws))
+    starts = defaultdict(list)
+    for i, s, ws in occ:
+        if cnt[ws] >= min_count:
+            starts[i].append(s)
+    out = set()
+    for i, ss in starts.items():
+        ss.sort()
+        merged: list[list[int]] = []
+        for s in ss:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], s + k)
+            else:
+                merged.append([s, s + k])
+        for a, b in merged:
+            out.add((i, a, b))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_dup_spans_matches_python_reference(spark, docs, k):
+    """dup_spans over tiny random corpora (4-token alphabet forces
+    dense duplication, within- and cross-doc) equals the sequential
+    reference exactly — spans, offsets, merging."""
+    from goodtables_pandas_py_spark.extensions import spans as xspans
+
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in xspans.dup_spans(df, k=k).collect()
+    }
+    assert got == _py_dup_spans(texts, k)
