@@ -1825,18 +1825,35 @@ def _p1_p21(spark, sf_dir):
 
 
 @q(
-    "x6_media_features",
-    "SELECT CAST(doc_id AS BIGINT) AS media_id,"
-    " CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
-    " 16 AS feature_dim, TRUE AS decode_ok FROM documents",
+    "x6_media",
+    "SELECT 'features' AS kind, CAST(doc_id AS BIGINT) AS media_id,"
+    " CAST(octet_length(encode(text)) AS BIGINT) AS v1,"
+    " CAST(16 AS BIGINT) AS v2 FROM documents"
+    " UNION ALL"
+    " SELECT 'frame' AS kind, CAST(doc_id AS BIGINT) AS media_id,"
+    " unnest(generate_series(0, greatest(CAST(n_chars AS BIGINT) - 1, 0), 500))"
+    " AS v1, CAST(NULL AS BIGINT) AS v2"
+    " FROM documents",
 )
 def _x6(spark, sf_dir):
-    """X-multimodal (SURVEY.md §2.1 S5): opaque binary column + typed
-    metadata + Arrow-batched mapInPandas feature extraction. Blobs are
-    the utf-8 bytes of documents.text (deterministic stand-in — real
-    image/audio decode is stubbed, extensions/multimodal.py). The
-    oracle independently checks the metadata path (byte length) and
-    the batch contract (fixed feature_dim, decode_ok)."""
+    """X-multimodal, labeled rows (merged r5 round: the former
+    x6_media_features + x6_frame_sample — every original check
+    preserved; slot freed for x7_dsir under the 50-row cap):
+
+    - 'features' rows (SURVEY.md §2.1 S5): opaque binary column +
+      typed metadata + Arrow-batched mapInPandas feature extraction.
+      Blobs are the utf-8 bytes of documents.text (deterministic
+      stand-in — real image/audio decode is stubbed,
+      extensions/multimodal.py). v1 = blob byte length (metadata
+      path), v2 = feature_dim IF decode_ok else -1 (batch contract:
+      the oracle pins 16, so a decode failure or dim drift breaks
+      the row).
+    - 'frame' rows: the frame-sampling plan — sequence+explode
+      expands each media row into per-frame work items JVM-side, so
+      a video decoder only ever sees (media_id, frame_ts) tasks; the
+      shuffle unit is a frame, not a blob
+      (extensions/multimodal.py::frame_sample_plan). duration_ms is
+      faked as n_chars (no media libs in container); v1 = frame ts."""
     from .extensions import multimodal as xmulti
 
     d = t(spark, sf_dir, "documents", wide=True)
@@ -1848,31 +1865,16 @@ def _x6(spark, sf_dir):
     )
     feats = xmulti.extract_features(media)
     meta = media.select("media_id", F.col("media_meta.n_bytes").alias("n_bytes"))
-    return feats.join(meta, "media_id").select(
-        "media_id",
-        "n_bytes",
-        F.size("feature").alias("feature_dim"),
-        "decode_ok",
+    features = feats.join(meta, "media_id").select(
+        F.lit("features").alias("kind"),
+        F.col("media_id"),
+        F.col("n_bytes").cast(_BIG).alias("v1"),
+        F.when(F.col("decode_ok"), F.size("feature"))
+        .otherwise(F.lit(-1))
+        .cast(_BIG)
+        .alias("v2"),
     )
-
-
-@q(
-    "x6_frame_sample",
-    "SELECT CAST(doc_id AS BIGINT) AS media_id,"
-    " unnest(generate_series(0, greatest(CAST(n_chars AS BIGINT) - 1, 0), 500))"
-    " AS frame_ts_ms"
-    " FROM documents",
-)
-def _x6f(spark, sf_dir):
-    """X-multimodal frame-sampling plan: sequence+explode expands each
-    media row into per-frame work items JVM-side, so a video decoder
-    only ever sees (media_id, frame_ts) tasks — the shuffle unit is a
-    frame, not a blob (extensions/multimodal.py::frame_sample_plan).
-    duration_ms is faked as n_chars (no media libs in container)."""
-    from .extensions import multimodal as xmulti
-
-    d = t(spark, sf_dir, "documents")
-    media = d.select(
+    vid = t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast(_BIG).alias("media_id"),
         F.struct(
             F.lit("video").alias("media_type"),
@@ -1883,9 +1885,13 @@ def _x6f(spark, sf_dir):
             F.col("n_chars").cast(_BIG).alias("n_bytes"),
         ).alias("media_meta"),
     )
-    return xmulti.frame_sample_plan(media, every_ms=500).select(
-        "media_id", F.col("frame_ts_ms").cast(_BIG).alias("frame_ts_ms")
+    frames = xmulti.frame_sample_plan(vid, every_ms=500).select(
+        F.lit("frame").alias("kind"),
+        "media_id",
+        F.col("frame_ts_ms").cast(_BIG).alias("v1"),
+        F.lit(None).cast(_BIG).alias("v2"),
     )
+    return features.unionByName(frames)
 
 
 # ===================== A4: profiling aggregates ===========================
@@ -2570,4 +2576,65 @@ def _x4cc(spark, sf_dir):
         F.col("doc_id").cast(_BIG).alias("doc_id"),
         "n_tokens",
         "xent_milli",
+    )
+
+
+# ===================== X7d: DSIR importance weights =======================
+
+
+@q(
+    "x7_dsir",
+    """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t, lang FROM documents),
+toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(t), '\\s+') AS w
+  FROM docs WHERE t IS NOT NULL AND trim(t) <> ''),
+feats AS (
+  SELECT doc_id, lang, u.g FROM toks, UNNEST(w) AS u(g)
+  UNION ALL
+  SELECT doc_id, lang, w[CAST(u.i AS BIGINT)] || ' ' || w[CAST(u.i AS BIGINT) + 1] AS g
+  FROM toks, UNNEST(range(1, len(w))) AS u(i)),
+fb AS (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % 1000 AS BIGINT) AS bucket
+  FROM feats),
+tgt AS (SELECT bucket, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+raw AS (SELECT bucket, count(*) AS cr FROM fb GROUP BY 1),
+nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS v FROM tgt),
+nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS v FROM raw),
+model AS (
+  SELECT r.bucket,
+         CAST(floor((ln(CAST(coalesce(t.ct, 0) AS DOUBLE) + 1.0)
+                     - ln((SELECT v FROM nt) + 1000)
+                     - ln(CAST(r.cr AS DOUBLE) + 1.0)
+                     + ln((SELECT v FROM nr) + 1000)) * 1000 + 0.5) AS BIGINT) AS m
+  FROM raw r LEFT JOIN tgt t USING (bucket)),
+per AS (
+  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(m) AS BIGINT) AS logw_milli
+  FROM fb JOIN model USING (bucket) GROUP BY 1)
+SELECT d.doc_id, coalesce(p.n_feats, 0) AS n_feats, p.logw_milli
+FROM docs d LEFT JOIN per p USING (doc_id)""",
+)
+def _x7dsir(spark, sf_dir):
+    """X7d DSIR importance weights (Xie et al., arXiv:2302.03169):
+    hashed uni+bigram bag features (engine-portable md5 buckets,
+    B=1000), target = the corpus's lang='en' slice, raw = the full
+    corpus, Laplace +1 — per-doc log importance weights in EXACT
+    integer milli-nats, value-hashed against DuckDB recomputing the
+    entire model (featurization, both multinomials, the log-ratio
+    table, and the per-doc sums) independently.
+
+    Perf posture: the fitted model is <= num_buckets rows BY
+    CONSTRUCTION (feature hashing's point) and broadcast to the
+    scoring join, so the Zipf-skewed bucket ids never shuffle;
+    fits are one explode + map-side-combined groupBy each —
+    extensions/dsir.py."""
+    from .extensions import dsir as xdsir
+
+    d = t(spark, sf_dir, "documents", wide=True)
+    target = d.where(F.col("lang") == "en")
+    return xdsir.dsir_logweights(d, target, num_buckets=1000).select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        "n_feats",
+        "logw_milli",
     )

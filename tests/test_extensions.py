@@ -1889,3 +1889,63 @@ def test_unigram_logprob_external_freqs_and_oov(spark):
     narrow = {r["doc_id"]: r["xent_milli"] for r in
               text.unigram_logprob(df, freqs=ref, head_vocab=1).collect()}
     assert narrow == {k: v["xent_milli"] for k, v in out.items()}
+
+
+# --- X7d: DSIR importance resampling (dsir.py) -----------------------------
+
+
+def test_dsir_logweights_favor_target_like_docs(spark):
+    """Self-evident direction check: docs drawn from the target slice
+    score higher than off-target docs; weights are exact integers,
+    stable across partitionings; zero-feature docs get null weights."""
+    from goodtables_pandas_py_spark.extensions import dsir as xdsir
+
+    rows = [(i, "the cat sat on the mat", "tgt") for i in range(6)]
+    rows += [(10 + i, "zzz qqq vvv kkk jjj www", "other") for i in range(6)]
+    rows += [(99, "", "other"), (100, None, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    target = df.where(F.col("grp") == "tgt")
+    w = xdsir.dsir_logweights(df, target, num_buckets=256)
+    got = {r["doc_id"]: r for r in w.collect()}
+    assert got[0]["logw_milli"] > got[10]["logw_milli"]
+    assert got[99]["n_feats"] == 0 and got[99]["logw_milli"] is None
+    assert got[100]["logw"] is None
+    # bag semantics: "the" twice and the bigrams all count
+    assert got[0]["n_feats"] == 6 + 5
+    # partitioning-independence (integer milli sums)
+    w2 = {r["doc_id"]: r["logw_milli"]
+          for r in xdsir.dsir_logweights(
+              df.repartition(13), target, num_buckets=256).collect()}
+    assert w2 == {k: v["logw_milli"] for k, v in got.items()}
+
+
+def test_dsir_sample_deterministic_and_weighted(spark):
+    """Gumbel-top-k: deterministic across partitionings and engines
+    (md5-derived noise), biased toward target-like docs, k exact;
+    fraction path returns ~fraction of rows; zero-feature docs are
+    never selected; bad args raise."""
+    from goodtables_pandas_py_spark.extensions import dsir as xdsir
+
+    rows = [(i, "the cat sat on the mat plus word%d" % i, "tgt")
+            for i in range(20)]
+    rows += [(100 + i, "zzz qqq vvv kkk jjj www uuu%d" % i, "other")
+             for i in range(20)]
+    rows += [(999, "", "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    target = df.where(F.col("grp") == "tgt")
+    s1 = sorted(r["doc_id"] for r in
+                xdsir.dsir_sample(df, target, k=10, num_buckets=256).collect())
+    s2 = sorted(r["doc_id"] for r in
+                xdsir.dsir_sample(df.repartition(7), target, k=10,
+                                  num_buckets=256).collect())
+    assert s1 == s2 and len(s1) == 10 and 999 not in s1
+    n_target_like = sum(1 for i in s1 if i < 100)
+    assert n_target_like >= 7  # importance weights dominate the noise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        xdsir.dsir_sample(df, target)
+    with _pytest.raises(ValueError, match="exactly one"):
+        xdsir.dsir_sample(df, target, k=5, fraction=0.5)
+    fr = xdsir.dsir_sample(df, target, fraction=0.25, num_buckets=256)
+    assert 5 <= fr.count() <= 16  # ~10 of 41, quantile-cut approximate

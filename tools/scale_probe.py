@@ -238,6 +238,34 @@ def main() -> None:
     ).count()
     timings["remove_boilerplate"] = round(time.time() - t0, 2)
 
+    # r5 round: ExactSubstr span dedup at 20x — the replica corpus is
+    # the ADVERSARIAL case: every window outside the perturbed tail is
+    # duplicated docs_reps ways, so the candidate set is ~the whole
+    # window table and the hot-hash semi-join must hold up WITHOUT a
+    # broadcast (the design reason dup_spans never broadcasts it).
+    # Watch: window explode (~n_tokens rows), candidate-doc token
+    # re-ship, island merge shuffle. Super-linear time or executor
+    # OOM here means the lean-explode contract regressed.
+    from goodtables_pandas_py_spark.extensions import spans as xspans
+
+    t0 = time.time()
+    sizes["masked_docs"] = xspans.mask_dup_spans(bd, k=20).where(
+        F.length("text") > 0
+    ).count()
+    timings["dup_span_mask"] = round(time.time() - t0, 2)
+
+    # r5 round: unigram LM scoring at 20x — Zipf-skew stress: the
+    # replica corpus multiplies every head token's occurrence count by
+    # docs_reps. The head-vocab broadcast path must absorb ALL of the
+    # skewed mass (the shuffled tail join sees only rare tokens); a
+    # blowup here means the two-path join collapsed into one skewed
+    # shuffle.
+    t0 = time.time()
+    sizes["scored_docs"] = xtext.unigram_logprob(bd).where(
+        F.col("xent_milli").isNotNull()  # forces the milli-nat rollup
+    ).count()
+    timings["unigram_logprob"] = round(time.time() - t0, 2)
+
     # r5: temporal joins at scale — 2M points x 100k dim/interval rows
     # over 1k keys (deterministic hash timestamps, domain 1e8).
     # asof_join is one hash shuffle + partition-local sort (~2.1k
