@@ -73,20 +73,30 @@ def hashed_ngram_buckets(
 ) -> Column:
     """array<bigint> of hashed n-gram bucket ids, one per n-gram
     OCCURRENCE (a bag, not a set — DSIR counts multiplicity), over
-    lowercased whitespace tokens. Pure Column algebra."""
+    lowercased whitespace tokens. Pure Column algebra.
+
+    Plan-shape note: n-grams are built with ``zip_with`` over shifted
+    ``slice``s of the token array — zip_with's operands are evaluated
+    ONCE per row. The tempting alternative (``transform(sequence(...),
+    i -> concat_ws(' ', slice(toks, i+1, n)))``) closes over the
+    ``toks`` EXPRESSION, which Catalyst inlines into the lambda and
+    re-evaluates the whitespace split per element — measured O(n²)
+    per document (review r5: 1.5→4.4→17.9→68 s for 500/1k/2k/4k
+    tokens; flat after this rewrite)."""
     toks = whitespace_tokens(F.lower(text))
     parts = []
     for n in ngrams:
         if n == 1:
             grams = toks
         else:
-            sz = F.size(toks)
-            grams = F.when(sz < n, F.array().cast("array<string>")).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), sz - n),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+            grams = F.slice(toks, 1, m)
+            for j in range(1, n):
+                grams = F.zip_with(
+                    grams,
+                    F.slice(toks, j + 1, m),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
                 )
-            )
         parts.append(grams)
     allg = parts[0] if len(parts) == 1 else F.concat(*parts)
     return F.transform(allg, lambda g: _bucket(g, num_buckets))
@@ -99,13 +109,19 @@ def bucket_counts(
     ngrams: tuple[int, ...] = (1, 2),
 ) -> DataFrame:
     """Fit half of the DSIR model: ``(bucket BIGINT, cnt BIGINT)``
-    occurrence counts over a corpus — at most ``num_buckets`` rows."""
+    occurrence counts over a corpus — at most ``num_buckets`` rows.
+    explode_outer + null filter, NOT plain explode: the inferred
+    ``size(...) > 0`` pushdown filter for a non-outer generate
+    re-evaluates the whole featurization per row (see
+    :func:`~.spans.window_hashes`); generated-column filters are
+    free. A real bucket id is never null (md5 of a non-null token)."""
     return (
         df.select(
-            F.explode(
+            F.explode_outer(
                 hashed_ngram_buckets(F.col(text_col), num_buckets, ngrams)
             ).alias("bucket")
         )
+        .where(F.col("bucket").isNotNull())
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
@@ -115,7 +131,7 @@ def dsir_logratio_model(
     target_counts: DataFrame,
     raw_counts: DataFrame,
     num_buckets: int = 10_000,
-) -> DataFrame:
+) -> tuple[DataFrame, int, int]:
     """Per-bucket log importance ratios in exact integer milli-nats —
     returns ``(model_df, n_target, n_raw)`` where ``model_df`` is
     ``(bucket BIGINT, milli BIGINT)`` with
@@ -169,11 +185,17 @@ def dsir_logweights(
     Feature occurrences that miss the model table (possible only when
     scoring documents OUTSIDE the raw corpus the model was fit on)
     contribute the smoothed unseen-unseen constant
-    ``ln(Nr+B) - ln(Nt+B)``."""
-    tc = bucket_counts(target, text_col, num_buckets, ngrams)
+    ``ln(Nr+B) - ln(Nt+B)``.
+
+    The two count frames are persisted before the model math: each is
+    consumed twice (the total-collect and the full-outer model join),
+    and un-persisted that would re-run the corpus featurization scans
+    — the most expensive stage — 2-3x (review r5). The persisted
+    frames are <= num_buckets rows each."""
+    tc = bucket_counts(target, text_col, num_buckets, ngrams).persist()
     rc = raw_counts
     if rc is None:
-        rc = bucket_counts(df, text_col, num_buckets, ngrams)
+        rc = bucket_counts(df, text_col, num_buckets, ngrams).persist()
     model, nt, nr = dsir_logratio_model(tc, rc, num_buckets)
     unseen_milli = int(
         math.floor(
@@ -184,10 +206,10 @@ def dsir_logweights(
     )
     feats = df.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             hashed_ngram_buckets(F.col(text_col), num_buckets, ngrams)
         ).alias("bucket"),
-    )
+    ).where(F.col("bucket").isNotNull())
     scored = feats.join(F.broadcast(model), "bucket", "left").select(
         id_col,
         F.coalesce("milli", F.lit(unseen_milli)).alias("__m"),
@@ -268,6 +290,8 @@ def dsir_sample(
     else:
         if not 0.0 < fraction <= 1.0:
             raise ValueError("fraction must be in (0, 1]")
-        cut = keyed.approxQuantile("__key", [1.0 - fraction], 1e-4)[0]
-        picked = keyed.where(F.col("__key") >= cut)
+        qs = keyed.approxQuantile("__key", [1.0 - fraction], 1e-4)
+        if not qs:  # every doc weightless (empty/null text) or df empty
+            return df.where(F.lit(False))
+        picked = keyed.where(F.col("__key") >= qs[0])
     return df.join(picked.select(id_col), id_col, "left_semi")

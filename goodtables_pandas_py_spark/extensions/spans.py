@@ -66,25 +66,6 @@ from .text import whitespace_tokens
 __all__ = ["window_hashes", "dup_spans", "mask_dup_spans"]
 
 
-def _token_window_hashes(toks: Column, k: int) -> Column:
-    """array<long> of per-window hashes: element i is xxhash64 over
-    the k per-token hashes starting at token i (0-based). Null when
-    the doc has fewer than k tokens. Cost per doc: n xxhash64(token)
-    + (n-k+1) xxhash64(k longs) — O(n*k) long ops, zero strings."""
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(toks)
-    starts = F.sequence(F.lit(0), n - k)
-    return F.when(
-        n >= k,
-        F.transform(
-            starts,
-            lambda s: F.xxhash64(
-                *[F.element_at(th, s + j + 1) for j in range(k)]
-            ),
-        ),
-    )
-
-
 def window_hashes(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -92,20 +73,60 @@ def window_hashes(
     k: int = 20,
 ) -> DataFrame:
     """One row per k-token window: ``(id_col, start, whash)`` with
-    ``start`` the 0-based token offset. Documents with fewer than k
-    tokens (or null text) yield no rows. The per-token hash array is
-    materialized once per doc INSIDE the row, so the exploded rows
-    carry three scalars — never the token array."""
+    ``start`` the 0-based token offset and ``whash`` the xxhash64 over
+    the window's k per-token hashes. Documents with fewer than k
+    tokens (or null text) yield no rows.
+
+    Two plan-shape traps, both measured quadratic before the fix
+    (review r5: 97 s for twenty 500-token docs; linear after):
+
+    - the per-token hash array MUST be a materialized column of its
+      own projection before the window pass references it — a
+      lambda-closure reference to the ``transform(toks, xxhash64)``
+      expression is inlined k times into the window lambda and
+      re-evaluated per element (O(n²·k) per doc). As an attribute
+      reference each ``element_at`` is an O(1) lookup, and
+      CollapseProject keeps the projections separate because the
+      alias is referenced more than once and is non-cheap;
+    - the explode must be ``posexplode_outer`` + a cheap null filter
+      on the GENERATED columns: for plain ``posexplode``, Spark's
+      InferFiltersFromGenerate injects ``size(__whs) > 0`` and
+      PushDownPredicates substitutes the alias chain all the way back
+      to raw text — one filter evaluation then rebuilds the whole
+      window array with the un-materialized O(n²·k) form. Outer
+      generate infers no filter; empty/short docs surface as one
+      null row dropped post-generate.
+
+    Net cost per doc: n token hashes + (n-k+1)·k long lookups, zero
+    strings; the exploded rows carry three scalars — never the token
+    array."""
     if k < 1:
         raise ValueError("k must be >= 1")
     toks = whitespace_tokens(F.col(text_col))
-    base = df.select(
-        F.col(id_col), _token_window_hashes(toks, k).alias("__whs")
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
     )
-    return base.select(
-        id_col, F.posexplode("__whs").alias("start", "whash")
-    ).select(
-        id_col, F.col("start").cast("bigint").alias("start"), "whash"
+    n = F.size("__th")
+    th = F.col("__th")
+    whs = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda s: F.xxhash64(
+                *[F.element_at(th, s + j + 1) for j in range(k)]
+            ),
+        ),
+    )
+    base = hashed.select(F.col(id_col), whs.alias("__whs"))
+    return (
+        base.select(
+            id_col, F.posexplode_outer("__whs").alias("start", "whash")
+        )
+        .where(F.col("start").isNotNull())
+        .select(
+            id_col, F.col("start").cast("bigint").alias("start"), "whash"
+        )
     )
 
 
@@ -116,6 +137,7 @@ def dup_spans(
     k: int = 20,
     min_count: int = 2,
     verify: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """Maximal duplicated token spans per document:
     ``(id_col, span_start, span_end)`` — 0-based token coordinates,
@@ -123,10 +145,20 @@ def dup_spans(
     every k-token window inside it occurs >= ``min_count`` times in
     the corpus (exact string equality when ``verify=True``; 64-bit
     hash equality otherwise — collisions can only ADD spans, so the
-    verified output is always a subset of the unverified one)."""
+    verified output is always a subset of the unverified one).
+
+    ``persist`` caches the two frames the plan consumes twice — the
+    window table (hot-hash count AND candidate semi-join) and the
+    candidate window strings (string count AND occurrence filter) —
+    so one call costs one tokenize+hash+explode scan, not ~4
+    (review r5). Both are lean: ~20 B/window and candidates-only
+    strings. Turn off only when the caller wraps the whole thing in
+    its own persist scope."""
     if min_count < 2:
         raise ValueError("min_count must be >= 2")
     wins = window_hashes(df, id_col, text_col, k)
+    if persist:
+        wins = wins.persist()
     hot = (
         wins.groupBy("whash")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -150,6 +182,8 @@ def dup_spans(
                 " ", F.slice("__toks", F.col("start").cast("int") + 1, k)
             ).alias("__wstr"),
         )
+        if persist:
+            strs = strs.persist()
         good = (
             strs.groupBy("__wstr")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -192,6 +226,7 @@ def mask_dup_spans(
     k: int = 20,
     min_count: int = 2,
     verify: bool = True,
+    persist: bool = True,
 ) -> DataFrame:
     """Remove every duplicated span from every document: ``text_col``
     is rebuilt from the surviving tokens (single-space joined — the
@@ -212,7 +247,7 @@ def mask_dup_spans(
     token filter is per-row Column algebra — each token checks the
     few merged spans of its own document."""
     if spans is None:
-        spans = dup_spans(df, id_col, text_col, k, min_count, verify)
+        spans = dup_spans(df, id_col, text_col, k, min_count, verify, persist)
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(

@@ -113,8 +113,12 @@ def token_frequencies(
     per DISTINCT token per partition, not per occurrence."""
     t = F.col(text_col)
     toks = whitespace_tokens(F.lower(t) if lowercase else t)
+    # explode_outer + null filter: plain explode makes the optimizer
+    # infer a size(...)>0 filter that re-evaluates the tokenization
+    # per row (see spans.window_hashes); a real token is never null
     return (
-        df.select(F.explode(toks).alias("token"))
+        df.select(F.explode_outer(toks).alias("token"))
+        .where(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
@@ -163,11 +167,16 @@ def unigram_logprob(
     t = F.col(text_col)
     toks = whitespace_tokens(F.lower(t) if lowercase else t)
     if freqs is None:
-        freqs = token_frequencies(df, text_col, lowercase)
+        # persist: the table is consumed three times (total collect,
+        # head limit, tail join); un-persisted each consumer would
+        # re-run the full explode-every-token fit scan (review r5)
+        freqs = token_frequencies(df, text_col, lowercase).persist()
     freqs = freqs.select("token", F.col("n").cast("bigint").alias("n"))
     total = freqs.agg(F.sum("n")).collect()[0][0] or 1  # one scalar
     ln_total = F.log(F.lit(float(total)))
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(toks).alias("token")
+    ).where(F.col("token").isNotNull())
     head = freqs.orderBy(F.col("n").desc(), "token").limit(head_vocab)
     with_head = exploded.join(F.broadcast(head), "token", "left")
     hits = with_head.where(F.col("n").isNotNull())

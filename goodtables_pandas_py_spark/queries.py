@@ -958,7 +958,17 @@ def _x4stats(spark, sf_dir):
         F.col("doc_id").cast(_BIG).alias("doc_id"),
         xtext.fingerprint_md5(F.col("text")).alias("fp"),
         xtext.token_count(F.col("text")).cast(_BIG).alias("ws_tokens"),
-        xtext.token_count(F.col("text"), "bpe").cast(_BIG).alias("bpe_tokens"),
+        # null-preserving wrapper: token_count('bpe') coalesces null
+        # text to 0 while the oracle's regexp_extract_all(NULL) is
+        # NULL — latent per-doc divergence the old sum() form masked
+        # (review r5; the fixture has no null text, but a refresh
+        # could)
+        F.when(
+            F.col("text").isNotNull(),
+            xtext.token_count(F.col("text"), "bpe"),
+        )
+        .cast(_BIG)
+        .alias("bpe_tokens"),
     )
 
 
