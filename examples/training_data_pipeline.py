@@ -9,9 +9,11 @@ Stages (each a lazy Spark plan until the final writes):
    (single-scan parse + constraints + keys; errors to a report).
 2. PREPARE the documents corpus: quality filter (C4/Gopher-style
    rules, map-only), MinHash near-dedup (banded LSH + exact verify),
-   and eval-holdout decontamination (a deterministic hash_sample
-   slice becomes the eval set; training docs overlapping it by
-   n-grams are dropped) via the one-call prepare_corpus API.
+   ExactSubstr span masking (cross-document duplicated token runs
+   cut from every occurrence), and eval-holdout decontamination (a
+   deterministic hash_sample slice becomes the eval set; training
+   docs overlapping it by n-grams are dropped) via the one-call
+   prepare_corpus API.
 3. INDEX the kept corpus for incremental ingestion: persist the
    banded LSH signatures — later batches dedup against this index
    without rescanning the corpus (see streaming/dedup.py).
@@ -19,7 +21,9 @@ Stages (each a lazy Spark plan until the final writes):
    each rule cost us" is a pruned read, not a recompute.
 5. MIX the domains to target proportions (mixture_sample — the
    per-source sampling-weights step of corpus assembly, deterministic
-   hash keep/drop), then SPLIT deterministically into train/val/test
+   hash keep/drop), DSIR-select toward a reference distribution
+   (hashed-n-gram importance weights, deterministic Gumbel-top-k),
+   then SPLIT deterministically into train/val/test
    (salted-md5 hash split — reproducible across engines and cluster
    sizes) and pack each source's documents into fixed-length training
    sequences (token offsets + sequence ids), written partitioned by
@@ -93,6 +97,10 @@ def main() -> int:
     prep = prepare_corpus(
         docs,
         dedup_threshold=0.5,
+        # ExactSubstr stage: token runs >= 20 still duplicated across
+        # the deduped survivors (boilerplate fragments, quotes) are
+        # cut from every occurrence (Lee et al., arXiv:2107.06499)
+        span_dedup_k=20,
         eval_sets=evals,
         decontam_ngram=3,
         decontam_ratio=0.8,
@@ -108,6 +116,7 @@ def main() -> int:
     print(
         f"corpus: {prep.n_input} in → {prep.n_after_quality} after "
         f"quality → {prep.n_after_dedup} after dedup → "
+        f"{prep.n_after_span_mask} after span masking → "
         f"{prep.n_after_cap} after per-source cap → "
         f"{prep.n_after_decontam} after eval decontamination"
     )
@@ -161,8 +170,25 @@ def main() -> int:
     print(f"mixture: {prep.n_after_decontam} → {mixed.count()} docs "
           f"(equal-weight over {len(src_values)} sources)")
 
+    # DSIR stage: importance-resample toward a target distribution
+    # (arXiv:2302.03169) — here the corpus's own English slice stands
+    # in for a curated reference like Wikipedia. Deterministic:
+    # hashed-n-gram multinomials + salted-md5 Gumbel noise, so the
+    # same documents are selected on any engine or cluster size.
+    from goodtables_pandas_py_spark.extensions.dsir import dsir_sample
+
+    dsir_target = mixed.where(F.col("lang") == "en").select(
+        "doc_id", "text"
+    )
+    selected = dsir_sample(
+        mixed, dsir_target, fraction=0.9, num_buckets=4096,
+        salt="dsir-2026-08",
+    )
+    print(f"dsir: {mixed.count()} → {selected.count()} docs "
+          f"toward the en reference")
+
     packed = sequence_offsets(
-        hash_split(mixed, "doc_id", salt="release-2026-08").withColumn(
+        hash_split(selected, "doc_id", salt="release-2026-08").withColumn(
             "n_tokens", token_count(F.col("text"))
         ),
         budget=2048,
@@ -176,7 +202,10 @@ def main() -> int:
         manifest_extra={
             "split_salt": "release-2026-08",
             "dedup_threshold": 0.5,
+            "span_dedup_k": 20,
             "decontam": {"ngram": 3, "min_ratio": 0.8},
+            "dsir": {"fraction": 0.9, "num_buckets": 4096,
+                     "salt": "dsir-2026-08"},
             "pack_budget": 2048,
         },
     )

@@ -40,6 +40,7 @@ class CorpusPrep:
     n_input: int | None = None
     n_after_quality: int | None = None
     n_after_dedup: int | None = None
+    n_after_span_mask: int | None = None
     n_after_cap: int | None = None
     n_after_decontam: int | None = None
 
@@ -52,6 +53,7 @@ def prepare_corpus(
     dedup_policy: str = "greedy",
     persist_banded: bool = True,
     persist_sets: bool = True,
+    span_dedup_k: int | None = None,
     eval_sets: DataFrame | None = None,
     decontam_ngram: int = 8,
     decontam_ratio: float = 0.5,
@@ -72,6 +74,16 @@ def prepare_corpus(
     and the banded signature projection and the hashed verify-set
     frame each always have two consumers (both knobs on measured
     1.85× on the 60× dedup probe, BASELINE.md §persist).
+
+    ``span_dedup_k`` (optional) adds the ExactSubstr stage (Lee et
+    al., arXiv:2107.06499 — see :func:`~.spans.mask_dup_spans`) AFTER
+    document-level near-dedup: token spans of >= span_dedup_k tokens
+    still duplicated across the surviving documents (boilerplate
+    fragments, quotes, licenses) are cut from every occurrence, and
+    documents left empty by the cut (pure-duplicate text) are
+    dropped. Runs on survivors so whole-document duplicates are
+    already collapsed to one copy — masking sees only genuine
+    cross-document substring duplication.
 
     ``cap_per_group`` keeps only the best ``cap_per_group`` rows per
     ``cap_group_cols`` group ordered by ``cap_order_col`` descending
@@ -107,6 +119,13 @@ def prepare_corpus(
         persist_sets=persist_sets,
     )
     kept = deduped
+    if span_dedup_k is not None:
+        from .spans import mask_dup_spans
+
+        kept = mask_dup_spans(
+            kept, id_col=id_col, text_col=text_col, k=span_dedup_k
+        ).where(F.coalesce(F.trim(F.col(text_col)), F.lit("")) != "")
+    span_masked = kept
     if cap_per_group is not None:
         if not cap_group_cols or cap_order_col is None:
             raise ValueError(
@@ -142,6 +161,9 @@ def prepare_corpus(
         n_input=df.count(),
         n_after_quality=cleaned.count(),
         n_after_dedup=deduped.count(),
+        n_after_span_mask=(
+            span_masked.count() if span_dedup_k is not None else None
+        ),
         n_after_cap=capped.count() if cap_per_group is not None else None,
         n_after_decontam=kept.count() if eval_sets is not None else None,
     )

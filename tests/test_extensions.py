@@ -1949,3 +1949,31 @@ def test_dsir_sample_deterministic_and_weighted(spark):
         xdsir.dsir_sample(df, target, k=5, fraction=0.5)
     fr = xdsir.dsir_sample(df, target, fraction=0.25, num_buckets=256)
     assert 5 <= fr.count() <= 16  # ~10 of 41, quantile-cut approximate
+
+
+def test_prepare_corpus_span_dedup_stage(spark):
+    """span_dedup_k adds the ExactSubstr stage AFTER document-level
+    near-dedup: a substring shared by two otherwise-distinct
+    survivors is cut from both; a doc emptied by the cut is dropped;
+    the audit reports the stage count."""
+    from goodtables_pandas_py_spark.extensions.pipeline import prepare_corpus
+
+    shared = " ".join(f"sharedtok{i}" for i in range(8))
+    uniq1 = " ".join(f"aa{i} bb{i} unique one body text here" for i in range(3))
+    uniq2 = " ".join(f"cc{i} dd{i} another body entirely differs" for i in range(3))
+    rows = [
+        (1, f"{uniq1} {shared}", "en"),
+        (2, f"{shared} {uniq2}", "en"),
+        (3, shared, "en"),  # pure duplicate text -> emptied -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    prep = prepare_corpus(
+        df, dedup_threshold=0.95, span_dedup_k=8, audit=True,
+        min_tokens=1, max_tokens=10_000,
+    )
+    kept = {r["doc_id"]: r["text"] for r in prep.kept.collect()}
+    assert set(kept) == {1, 2}
+    for t in kept.values():
+        assert shared not in t
+    assert kept[1].startswith("aa0") and "unique" in kept[1]
+    assert prep.n_after_span_mask == 2 and prep.n_after_dedup == 3
