@@ -416,3 +416,67 @@ def test_write_zordered_tightens_stats_on_both_columns(spark, tmp_path):
     assert zy < py / 2, (zy, py)
     # nothing lost: same rows round-trip
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_window_hashes_plan_has_no_inlined_generator_filter(spark):
+    """The two quadratic plan shapes review r5 caught must stay dead
+    (BASELINE.md §round-5-session-4):
+
+    1. the per-token hash array must survive as its OWN projection
+       (CollapseProject must not inline the transform k times into
+       the window lambda) — asserted by exactly one 'transform('
+       building token hashes in the plan;
+    2. no optimizer-inferred pre-Generate filter may re-evaluate the
+       generator expression: dup-span hashing uses posexplode_outer,
+       so NO Filter below the Generate mentions split()/transform() —
+       the only filter is the cheap post-generate null check on the
+       generated column."""
+    from goodtables_pandas_py_spark.extensions import spans as xspans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _initial_plan(xspans.window_hashes(docs, k=20))
+    # outer generate prints as "Generate posexplode(col), [...], true,"
+    # — the third argument is the outer flag; the null filter sits
+    # ABOVE it on the generated column
+    gen_line = next(l for l in plan.splitlines() if "Generate" in l)
+    assert ", true, [" in gen_line, gen_line
+    # the pre-Generate region: everything after the Generate line
+    # (toString prints top-down, children below)
+    lines = plan.splitlines()
+    gen_at = next(i for i, l in enumerate(lines) if "Generate" in l)
+    below = "\n".join(lines[gen_at + 1:])
+    for l in below.splitlines():
+        if "Filter" in l:
+            assert "split(" not in l and "transform(" not in l, (
+                "inferred filter re-evaluates the generator:\n" + l
+            )
+    # the token-hash transform appears ONCE (its own projection), not
+    # k times inlined into element_at calls
+    assert below.count("xxhash64(lambda") == 1, below[:3000]
+
+
+def test_dsir_featurization_plan_is_linear(spark):
+    """hashed_ngram_buckets must build bigrams via zip_with over
+    shifted slices (operands evaluated once per row) — the
+    slice-inside-transform form re-evaluated the whitespace split per
+    element, O(n²) per doc (review r5). Assert the plan contains
+    zip_with and that no Filter below the Generate re-evaluates the
+    featurization."""
+    from goodtables_pandas_py_spark.extensions import dsir as xdsir
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    feats = docs.select(
+        F.explode_outer(
+            xdsir.hashed_ngram_buckets(F.col("text"), 1000)
+        ).alias("b")
+    ).where(F.col("b").isNotNull())
+    plan = _initial_plan(feats)
+    assert "zip_with" in plan, plan[:2000]
+    lines = plan.splitlines()
+    gen_at = next(i for i, l in enumerate(lines) if "Generate" in l)
+    below = "\n".join(lines[gen_at + 1:])
+    for l in below.splitlines():
+        if "Filter" in l:
+            assert "split(" not in l, (
+                "inferred filter re-evaluates the featurization:\n" + l
+            )
