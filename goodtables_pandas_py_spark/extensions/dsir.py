@@ -53,6 +53,7 @@ __all__ = [
     "hashed_ngram_buckets",
     "bucket_counts",
     "dsir_logratio_model",
+    "dsir_score",
     "dsir_logweights",
     "dsir_sample",
 ]
@@ -197,9 +198,39 @@ def dsir_logweights(
     if rc is None:
         rc = bucket_counts(df, text_col, num_buckets, ngrams).persist()
     model, nt, nr = dsir_logratio_model(tc, rc, num_buckets)
+    return dsir_score(
+        df, model, nt, nr, id_col, text_col, num_buckets, ngrams
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    model: DataFrame,
+    n_target: int,
+    n_raw: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 10_000,
+    ngrams: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Score documents against a PRE-FITTED DSIR model — the serving
+    shape: fit :func:`dsir_logratio_model` ONCE in batch over the
+    corpora, persist the <= num_buckets-row model table, then score
+    anywhere — a later batch, another cluster, or every micro-batch
+    of an ingest stream (see
+    :mod:`~goodtables_pandas_py_spark.streaming.score`) — without
+    touching the fit corpora again. Same output contract as
+    :func:`dsir_logweights` (which is fit+score fused).
+
+    ``n_target`` / ``n_raw`` are the fitted total feature counts
+    (returned by :func:`dsir_logratio_model`); they determine the
+    smoothed unseen-unseen constant that join-miss features score."""
     unseen_milli = int(
         math.floor(
-            (math.log(float(nr + num_buckets)) - math.log(float(nt + num_buckets)))
+            (
+                math.log(float(n_raw + num_buckets))
+                - math.log(float(n_target + num_buckets))
+            )
             * 1000
             + 0.5
         )

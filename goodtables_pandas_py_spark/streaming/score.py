@@ -1,0 +1,97 @@
+"""Streaming document scoring (X4/X5): score ingested documents
+against PRE-FITTED corpus models. The expensive corpus-level fit
+(unigram token frequencies, DSIR bucket multinomials) runs ONCE in
+batch over the existing corpus; the per-batch scoring path is a
+stateless explode → broadcast-model join → batch-local per-doc
+rollup, so it rides ``foreachBatch`` with no stream-scoped state at
+all. Each micro-batch must carry WHOLE documents (one row per doc —
+the ingest shape everywhere else in this package); the per-doc
+aggregation is then batch-local by construction.
+
+Because both scorers emit exact integer milli-nats (see
+:func:`~goodtables_pandas_py_spark.extensions.text.unigram_logprob`
+and :func:`~goodtables_pandas_py_spark.extensions.dsir.dsir_score`),
+stream scores are BIT-IDENTICAL to what the same documents would get
+in a batch run — asserted end-to-end in tests/test_streaming.py.
+
+Growing models: both helpers accept a zero-arg callable in place of
+the model DataFrame (re-resolved each batch — same contract as
+:func:`~goodtables_pandas_py_spark.streaming.dedup._resolve`), so a
+nightly re-fit lands on the stream without a restart.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from ..extensions.dsir import dsir_score
+from ..extensions.text import unigram_logprob
+from .dedup import _resolve
+
+__all__ = [
+    "unigram_score_foreach_batch",
+    "dsir_score_foreach_batch",
+]
+
+
+def unigram_score_foreach_batch(
+    freqs: DataFrame | Callable[[], DataFrame],
+    on_scored: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    head_vocab: int = 100_000,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` handler: per-document unigram cross-entropy of
+    each micro-batch against a pre-fitted frequency table (CCNet-style
+    quality scoring at ingest). ``on_scored(scored_df, batch_id)``
+    receives the :func:`unigram_logprob` output for the batch —
+    route it to a sink, a quarantine filter, or a metrics rollup."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        scored = unigram_logprob(
+            batch_df,
+            freqs=_resolve(freqs),
+            id_col=id_col,
+            text_col=text_col,
+            lowercase=lowercase,
+            head_vocab=head_vocab,
+        )
+        on_scored(scored, batch_id)
+
+    return handle
+
+
+def dsir_score_foreach_batch(
+    model: DataFrame | Callable[[], DataFrame],
+    n_target: int,
+    n_raw: int,
+    on_scored: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 10_000,
+    ngrams: tuple[int, ...] = (1, 2),
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` handler: DSIR log importance weights of each
+    micro-batch against a pre-fitted log-ratio model (see
+    :func:`~goodtables_pandas_py_spark.extensions.dsir.dsir_score` —
+    the serving shape). Use it to route ingest toward a target
+    distribution online: ``on_scored`` gets
+    ``(id, n_feats, logw_milli, logw)`` per batch document."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        scored = dsir_score(
+            batch_df,
+            _resolve(model),
+            n_target,
+            n_raw,
+            id_col=id_col,
+            text_col=text_col,
+            num_buckets=num_buckets,
+            ngrams=ngrams,
+        )
+        on_scored(scored, batch_id)
+
+    return handle

@@ -648,3 +648,73 @@ def test_chunk_text_runs_on_stream(spark, tmp_path):
         for r in chunk_text(batch, max_tokens=64, stride=32).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_scores_match_batch(spark, tmp_path):
+    """Stream-batch score equivalence for the X4/X7 scorers: fit the
+    unigram and DSIR models ONCE in batch, score the same documents
+    through a file-source stream via the foreachBatch handlers, and
+    assert every per-doc integer milli-nat score is BIT-IDENTICAL to
+    the batch computation (the exact-integer contract makes this a
+    strict equality, not a tolerance check)."""
+    from goodtables_pandas_py_spark.extensions import dsir as xdsir
+    from goodtables_pandas_py_spark.extensions import text as xtext
+    from goodtables_pandas_py_spark.streaming.score import (
+        dsir_score_foreach_batch,
+        unigram_score_foreach_batch,
+    )
+
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    staged = str(tmp_path / "docs_score")
+    docs.write.parquet(staged)
+
+    # fit once in batch
+    freqs = xtext.token_frequencies(docs).persist()
+    target = docs.where("lang = 'en'")
+    tc = xdsir.bucket_counts(target, num_buckets=512)
+    rc = xdsir.bucket_counts(docs, num_buckets=512)
+    model, nt, nr = xdsir.dsir_logratio_model(tc, rc, num_buckets=512)
+    model = model.persist()
+
+    want_uni = {r["doc_id"]: (r["n_tokens"], r["xent_milli"])
+                for r in xtext.unigram_logprob(docs, freqs=freqs).collect()}
+    want_dsir = {r["doc_id"]: (r["n_feats"], r["logw_milli"])
+                 for r in xdsir.dsir_score(
+                     docs, model, nt, nr, num_buckets=512).collect()}
+
+    got_uni: dict = {}
+    got_dsir: dict = {}
+
+    def sink_uni(df, _bid):
+        got_uni.update(
+            {r["doc_id"]: (r["n_tokens"], r["xent_milli"])
+             for r in df.collect()}
+        )
+
+    def sink_dsir(df, _bid):
+        got_dsir.update(
+            {r["doc_id"]: (r["n_feats"], r["logw_milli"])
+             for r in df.collect()}
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(staged)
+    q1 = (
+        stream.writeStream.foreachBatch(
+            unigram_score_foreach_batch(freqs, sink_uni)
+        ).trigger(availableNow=True).start()
+    )
+    q1.awaitTermination(120)
+    q2 = (
+        stream.writeStream.foreachBatch(
+            dsir_score_foreach_batch(model, nt, nr, sink_dsir,
+                                     num_buckets=512)
+        ).trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+
+    assert got_uni == want_uni and len(got_uni) > 0
+    assert got_dsir == want_dsir and len(got_dsir) > 0
