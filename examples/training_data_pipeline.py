@@ -116,14 +116,20 @@ def main() -> int:
     print(
         f"corpus: {prep.n_input} in → {prep.n_after_quality} after "
         f"quality → {prep.n_after_dedup} after dedup → "
-        f"{prep.n_after_span_mask} after span masking → "
         f"{prep.n_after_cap} after per-source cap → "
+        f"{prep.n_after_span_mask} after span masking → "
         f"{prep.n_after_decontam} after eval decontamination"
     )
 
-    # 3. persist corpus + LSH index for incremental ingestion
-    prep.kept.write.mode("overwrite").parquet(f"{out}/corpus.parquet")
-    banded_signatures(prep.kept).write.mode("overwrite").parquet(
+    # 3. persist corpus + LSH index for incremental ingestion.
+    # Span masking REBUILT the text, so text-derived metadata is
+    # refreshed before anything ships (a 90%-boilerplate doc must not
+    # carry its pre-mask n_chars into the release)
+    from pyspark.sql import functions as F
+
+    released = prep.kept.withColumn("n_chars", F.length("text"))
+    released.write.mode("overwrite").parquet(f"{out}/corpus.parquet")
+    banded_signatures(released).write.mode("overwrite").parquet(
         f"{out}/corpus_lsh_index.parquet"
     )
     # (at real scale use sources.write_bucketed(..., ["band", "bh"])
@@ -145,8 +151,6 @@ def main() -> int:
     # source's documents end-to-end into 2048-token training
     # sequences. grouped_hash_split is the leakage-safe variant when
     # sub-threshold near-dup pairs should never straddle train/eval.
-    from pyspark.sql import functions as F
-
     from goodtables_pandas_py_spark.extensions.splits import (
         hash_split,
         mixture_sample,
@@ -157,17 +161,22 @@ def main() -> int:
     # domain mixing: equal target proportions per source (in a real
     # recipe these weights come from the data strategy — the Pile /
     # LLaMA per-source proportions); deterministic per doc_id, so the
-    # mixture is itself reproducible release-to-release
+    # mixture is itself reproducible release-to-release.
+    # `mixed` is persisted: everything downstream (DSIR fit = two
+    # featurization scans, the sample's quantile pass, packing) would
+    # otherwise re-execute the whole quality→dedup→mask→mixture
+    # lineage per action (review r5).
     src_values = [
-        r["source"] for r in prep.kept.select("source").distinct().collect()
+        r["source"] for r in released.select("source").distinct().collect()
     ]
     mixed = mixture_sample(
-        prep.kept,
+        released,
         {s: 1.0 for s in src_values},
         by="source",
         salt="mix-2026-08",
-    )
-    print(f"mixture: {prep.n_after_decontam} → {mixed.count()} docs "
+    ).persist()
+    n_mixed = mixed.count()
+    print(f"mixture: {prep.n_after_decontam} → {n_mixed} docs "
           f"(equal-weight over {len(src_values)} sources)")
 
     # DSIR stage: importance-resample toward a target distribution
@@ -184,8 +193,8 @@ def main() -> int:
         mixed, dsir_target, fraction=0.9, num_buckets=4096,
         salt="dsir-2026-08",
     )
-    print(f"dsir: {mixed.count()} → {selected.count()} docs "
-          f"toward the en reference")
+    n_selected = selected.count()
+    print(f"dsir: {n_mixed} → {n_selected} docs toward the en reference")
 
     packed = sequence_offsets(
         hash_split(selected, "doc_id", salt="release-2026-08").withColumn(
@@ -220,7 +229,11 @@ def main() -> int:
                 "n_input": prep.n_input,
                 "n_after_quality": prep.n_after_quality,
                 "n_after_dedup": prep.n_after_dedup,
+                "n_after_cap": prep.n_after_cap,
+                "n_after_span_mask": prep.n_after_span_mask,
                 "n_after_decontam": prep.n_after_decontam,
+                "n_mixed": n_mixed,
+                "n_dsir_selected": n_selected,
                 "split_counts": split_counts,
             },
             f,

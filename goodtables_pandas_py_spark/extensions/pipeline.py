@@ -40,8 +40,8 @@ class CorpusPrep:
     n_input: int | None = None
     n_after_quality: int | None = None
     n_after_dedup: int | None = None
-    n_after_span_mask: int | None = None
     n_after_cap: int | None = None
+    n_after_span_mask: int | None = None
     n_after_decontam: int | None = None
 
 
@@ -76,14 +76,21 @@ def prepare_corpus(
     1.85× on the 60× dedup probe, BASELINE.md §persist).
 
     ``span_dedup_k`` (optional) adds the ExactSubstr stage (Lee et
-    al., arXiv:2107.06499 — see :func:`~.spans.mask_dup_spans`) AFTER
-    document-level near-dedup: token spans of >= span_dedup_k tokens
-    still duplicated across the surviving documents (boilerplate
-    fragments, quotes, licenses) are cut from every occurrence, and
-    documents left empty by the cut (pure-duplicate text) are
-    dropped. Runs on survivors so whole-document duplicates are
-    already collapsed to one copy — masking sees only genuine
-    cross-document substring duplication.
+    al., arXiv:2107.06499 — see :func:`~.spans.mask_dup_spans`) after
+    document-level near-dedup AND after the per-group cap: token
+    spans of >= span_dedup_k tokens still duplicated across the
+    shipping documents (boilerplate fragments, quotes, licenses) are
+    cut from every occurrence, and documents left empty by the cut
+    (pure-duplicate text) are dropped. The ordering is deliberate:
+    post-dedup so masking sees genuine cross-document substring
+    duplication (not whole-doc copies), post-cap so (a) duplication
+    is counted over the corpus that SHIPS, and (b) the cap's
+    ``cap_order_col`` ranks rows whose text no stage has mutated —
+    masking first would leave a text-derived rank column (e.g.
+    n_chars) stale and let boilerplate-inflated documents beat
+    genuinely long ones for cap slots (review r5). Note the released
+    text is still rebuilt, so refresh text-derived metadata columns
+    before writing a release.
 
     ``cap_per_group`` keeps only the best ``cap_per_group`` rows per
     ``cap_group_cols`` group ordered by ``cap_order_col`` descending
@@ -119,13 +126,6 @@ def prepare_corpus(
         persist_sets=persist_sets,
     )
     kept = deduped
-    if span_dedup_k is not None:
-        from .spans import mask_dup_spans
-
-        kept = mask_dup_spans(
-            kept, id_col=id_col, text_col=text_col, k=span_dedup_k
-        ).where(F.coalesce(F.trim(F.col(text_col)), F.lit("")) != "")
-    span_masked = kept
     if cap_per_group is not None:
         if not cap_group_cols or cap_order_col is None:
             raise ValueError(
@@ -136,9 +136,16 @@ def prepare_corpus(
             tiebreak=[id_col],
         )
     capped = kept
+    if span_dedup_k is not None:
+        from .spans import mask_dup_spans
+
+        kept = mask_dup_spans(
+            kept, id_col=id_col, text_col=text_col, k=span_dedup_k
+        ).where(F.coalesce(F.trim(F.col(text_col)), F.lit("")) != "")
+    span_masked = kept
     if eval_sets is not None:
         drop = contaminated_ids(
-            capped,
+            span_masked,
             eval_sets,
             id_col=id_col,
             text_col=text_col,
@@ -147,8 +154,8 @@ def prepare_corpus(
             ngram=decontam_ngram,
             min_ratio=decontam_ratio,
         )
-        kept = capped.join(
-            drop, capped[id_col] == drop["corpus_id"], "left_anti"
+        kept = span_masked.join(
+            drop, span_masked[id_col] == drop["corpus_id"], "left_anti"
         )
     if not audit:
         return CorpusPrep(kept=kept)

@@ -48,7 +48,15 @@ def unigram_score_foreach_batch(
     each micro-batch against a pre-fitted frequency table (CCNet-style
     quality scoring at ingest). ``on_scored(scored_df, batch_id)``
     receives the :func:`unigram_logprob` output for the batch —
-    route it to a sink, a quarantine filter, or a metrics rollup."""
+    route it to a sink, a quarantine filter, or a metrics rollup.
+
+    A static ``freqs`` DataFrame is persisted ONCE at handler
+    creation, so the per-batch total/head derivations are cheap
+    aggregates of the cached table, never a re-scan of wherever the
+    table came from (review r5). A callable re-resolves (and is NOT
+    persisted here — the nightly re-fit owns its own lifecycle)."""
+    if not callable(freqs):
+        freqs = freqs.persist()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         scored = unigram_logprob(
@@ -65,9 +73,8 @@ def unigram_score_foreach_batch(
 
 
 def dsir_score_foreach_batch(
-    model: DataFrame | Callable[[], DataFrame],
-    n_target: int,
-    n_raw: int,
+    fitted: tuple[DataFrame, int, int]
+    | Callable[[], tuple[DataFrame, int, int]],
     on_scored: Callable[[DataFrame, int], None],
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -77,14 +84,26 @@ def dsir_score_foreach_batch(
     """``foreachBatch`` handler: DSIR log importance weights of each
     micro-batch against a pre-fitted log-ratio model (see
     :func:`~goodtables_pandas_py_spark.extensions.dsir.dsir_score` —
-    the serving shape). Use it to route ingest toward a target
-    distribution online: ``on_scored`` gets
-    ``(id, n_feats, logw_milli, logw)`` per batch document."""
+    the serving shape). ``fitted`` is the FULL
+    ``(model, n_target, n_raw)`` triple exactly as
+    :func:`~goodtables_pandas_py_spark.extensions.dsir
+    .dsir_logratio_model` returns it — the totals travel WITH the
+    model because the join-miss unseen constant is derived from them:
+    a re-fit that replaced only the model table but kept stale totals
+    would silently mis-score every unseen feature (review r5). For a
+    nightly re-fit pass a zero-arg callable returning the new triple;
+    a static triple's model is persisted once at handler creation.
+    ``on_scored`` gets ``(id, n_feats, logw_milli, logw)`` per batch
+    document."""
+    if not callable(fitted):
+        model, n_target, n_raw = fitted
+        fitted = (model.persist(), n_target, n_raw)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        model, n_target, n_raw = _resolve(fitted)
         scored = dsir_score(
             batch_df,
-            _resolve(model),
+            model,
             n_target,
             n_raw,
             id_col=id_col,

@@ -710,7 +710,7 @@ def test_streaming_scores_match_batch(spark, tmp_path):
     q1.awaitTermination(120)
     q2 = (
         stream.writeStream.foreachBatch(
-            dsir_score_foreach_batch(model, nt, nr, sink_dsir,
+            dsir_score_foreach_batch((model, nt, nr), sink_dsir,
                                      num_buckets=512)
         ).trigger(availableNow=True).start()
     )
