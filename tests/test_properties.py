@@ -997,3 +997,135 @@ def test_dup_spans_matches_python_reference(spark, docs, k):
         for r in xspans.dup_spans(df, k=k).collect()
     }
     assert got == _py_dup_spans(texts, k)
+
+
+# --- unigram LM scoring vs a pure-Python reference -------------------------
+
+
+def _py_unigram_milli(texts: dict[int, str]):
+    """Sequential reference for text.unigram_logprob (self-trained):
+    corpus unigram counts over lowercased whitespace tokens, per-token
+    milli-nats floor((ln N - ln c)*1000 + 0.5), per-doc integer sums."""
+    import math
+    from collections import Counter
+
+    toks = {i: (t or "").strip().lower().split() for i, t in texts.items()}
+    cnt = Counter(w for ws in toks.values() for w in ws)
+    n = sum(cnt.values())
+    out = {}
+    for i, ws in toks.items():
+        if not ws:
+            out[i] = (0, None)
+            continue
+        m = sum(
+            math.floor((math.log(n) - math.log(cnt[w])) * 1000 + 0.5)
+            for w in ws
+        )
+        out[i] = (len(ws), m)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "Dd"]),
+                 min_size=0, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_unigram_logprob_matches_python_reference(spark, docs):
+    """Exact integer milli-nat parity with the sequential reference on
+    random corpora (mixed case exercises the lowercase path; empty
+    docs the null-score path)."""
+    from goodtables_pandas_py_spark.extensions import text as xtext
+
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["xent_milli"])
+           for r in xtext.unigram_logprob(df).collect()}
+    assert got == _py_unigram_milli(texts)
+
+
+def _py_dsir_milli(texts, tgt_ids, b):
+    """Sequential reference for dsir.dsir_logweights: hashed
+    uni+bigram bag features (first-8-hex md5 ints mod b), Laplace +1
+    multinomials, per-doc integer milli-nat sums."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def feats(t):
+        ws = (t or "").strip().lower().split()
+        grams = list(ws) + [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+        return [
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) % b
+            for g in grams
+        ]
+
+    ct, cr = Counter(), Counter()
+    fs = {i: feats(t) for i, t in texts.items()}
+    for i, f in fs.items():
+        cr.update(f)
+        if i in tgt_ids:
+            ct.update(f)
+    nt, nr = sum(ct.values()), sum(cr.values())
+    out = {}
+    for i, f in fs.items():
+        if not f:
+            out[i] = (0, None)
+            continue
+        m = sum(
+            math.floor(
+                (
+                    math.log(ct[x] + 1.0)
+                    - math.log(float(nt + b))
+                    - math.log(cr[x] + 1.0)
+                    + math.log(float(nr + b))
+                )
+                * 1000
+                + 0.5
+            )
+            for x in f
+        )
+        out[i] = (len(f), m)
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["x", "yy", "zzz", "w0"]),
+                     min_size=0, max_size=8),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=8,
+    ).filter(lambda rows: any(t for _, t in rows))
+)
+def test_dsir_logweights_matches_python_reference(spark, rows):
+    """Exact parity of DSIR milli-nat weights with the sequential
+    reference — featurization (incl. bigram order), engine-portable
+    md5 bucketing, Laplace smoothing, and the integer rounding all
+    have to line up for this to pass."""
+    from goodtables_pandas_py_spark.extensions import dsir as xdsir
+
+    texts = {i: " ".join(ws) for i, (ws, _) in enumerate(rows)}
+    tgt_ids = {i for i, (_, is_t) in enumerate(rows) if is_t}
+    df = spark.createDataFrame(
+        [(i, t, i in tgt_ids) for i, t in texts.items()],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    target = df.where(F.col("is_tgt"))
+    got = {r["doc_id"]: (r["n_feats"], r["logw_milli"])
+           for r in xdsir.dsir_logweights(df, target, num_buckets=64).collect()}
+    assert got == _py_dsir_milli(texts, tgt_ids, 64)
