@@ -7,10 +7,12 @@ needed (and then Arrow-batched)."""
 from . import (
     decontam,
     dedup,
+    dsir,
     multimodal,
     pipeline,
     profiling,
     similarity,
+    spans,
     splits,
     temporal,
     text,
@@ -18,6 +20,6 @@ from . import (
 )
 
 __all__ = [
-    "decontam", "dedup", "multimodal", "pipeline", "profiling",
-    "similarity", "splits", "temporal", "text", "web",
+    "decontam", "dedup", "dsir", "multimodal", "pipeline", "profiling",
+    "similarity", "spans", "splits", "temporal", "text", "web",
 ]
