@@ -266,6 +266,23 @@ def main() -> None:
     ).count()
     timings["unigram_logprob"] = round(time.time() - t0, 2)
 
+    # r5 round: DSIR fit+score at 20x — both multinomials fitted over
+    # the 100k-doc corpus (two featurization scans, persisted), the
+    # <= num_buckets model broadcast to the scoring join. Watch: the
+    # explode volume (~2 bucket ids per token) and that the model
+    # join stays broadcast (a shuffle here means the by-construction
+    # bound broke).
+    from goodtables_pandas_py_spark.extensions import dsir as xdsir
+
+    # the replica corpus carries (doc_id, source, text) only; a
+    # source slice stands in as the target distribution
+    tgt = bd.where(F.col("source") == "src0").select("doc_id", "text")
+    t0 = time.time()
+    sizes["dsir_scored"] = xdsir.dsir_logweights(
+        bd, tgt, num_buckets=10_000
+    ).where(F.col("logw_milli").isNotNull()).count()
+    timings["dsir_logweights"] = round(time.time() - t0, 2)
+
     # r5: temporal joins at scale — 2M points x 100k dim/interval rows
     # over 1k keys (deterministic hash timestamps, domain 1e8).
     # asof_join is one hash shuffle + partition-local sort (~2.1k
