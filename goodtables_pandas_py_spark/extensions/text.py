@@ -9,6 +9,8 @@ needs (SURVEY.md §2.9).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -205,6 +207,196 @@ def unigram_logprob(
             "n_tokens"
         ),
         "xent_milli",
+    )
+    return out.withColumn(
+        "xent",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("xent_milli") / 1000.0 / F.col("n_tokens"),
+        ),
+    )
+
+
+def bigram_counts(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """Corpus bigram table ``(prev STRING, cur STRING, n BIGINT)``
+    over lowercased whitespace tokens — one explode of per-row
+    adjacent pairs + a map-side-combined count."""
+    pairs = _token_pairs(df, "__ignored_id", text_col, lowercase)
+    return (
+        pairs.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _token_pairs(
+    df: DataFrame, id_col: str, text_col: str, lowercase: bool
+) -> DataFrame:
+    """One row per token with its predecessor:
+    ``(id_col?, prev STRING|null, cur STRING)`` — prev is null for
+    each document's first token. Pairs are built with zip_with over a
+    null-prefixed shifted slice (operands evaluate once per row — the
+    slice-inside-lambda form is the O(n²) trap, review r5), exploded
+    with explode_outer + a generated-column filter (the inferred
+    size()>0 filter for plain explode re-evaluates the pair building
+    per row — see spans.window_hashes)."""
+    t = F.col(text_col)
+    toks = whitespace_tokens(F.lower(t) if lowercase else t)
+    sz = F.size(toks)
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(toks, 1, F.greatest(sz - 1, F.lit(0))),
+    )
+    pairs = F.when(
+        sz > 0,
+        F.zip_with(
+            prevs,
+            toks,
+            lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+        ),
+    )
+    cols = [F.col(id_col)] if id_col in df.columns else []
+    return (
+        df.select(*cols, F.explode_outer(pairs).alias("__pr"))
+        .where(F.col("__pr.cur").isNotNull())
+        .select(
+            *[c for c in ([id_col] if id_col in df.columns else [])],
+            F.col("__pr.prev").alias("prev"),
+            F.col("__pr.cur").alias("cur"),
+        )
+    )
+
+
+def _two_path_join(
+    rows: DataFrame,
+    table: DataFrame,
+    keys: list[str],
+    val_col: str,
+    head_size: int,
+) -> DataFrame:
+    """Zipf-skew-immune left join of ``rows`` against a count
+    ``table``: the ``head_size`` highest-count keys join via a
+    broadcast map-side pass (the head IS the skew), only the miss
+    rows — rare keys, near-uniform by construction — take the
+    shuffled join. Null join keys fall through both paths to a null
+    ``val_col``."""
+    head = table.orderBy(F.col(val_col).desc(), *keys).limit(head_size)
+    j = rows.join(F.broadcast(head), keys, "left")
+    hits = j.where(F.col(val_col).isNotNull())
+    misses = j.where(F.col(val_col).isNull()).drop(val_col).join(
+        table, keys, "left"
+    )
+    return hits.unionByName(misses)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    uni_counts: DataFrame | None = None,
+    bi_counts: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    head_vocab: int = 100_000,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document BIGRAM cross-entropy with stupid backoff (Brants
+    et al. 2007, "Large Language Models in Machine Translation") —
+    the conditional-LM upgrade of :func:`unigram_logprob`, one order
+    closer to CCNet's KenLM signal. Each document's first token
+    scores its unigram probability ``c(w)/N``; every later token
+    scores ``c(prev,cur)/c(prev)`` when the bigram was seen, else
+    ``backoff * c(cur)/N``. Output contract matches
+    :func:`unigram_logprob`: ``(id_col, n_tokens BIGINT, xent_milli
+    BIGINT, xent DOUBLE)`` with exact integer milli-nat sums
+    (bit-stable across engines and partitionings).
+
+    ``uni_counts`` / ``bi_counts`` default to self-training on ``df``
+    (where the backoff branch is dead by construction — every
+    adjacent pair was counted); pass tables fitted on a reference
+    corpus for the CCNet shape, and unseen bigrams then back off.
+
+    Scale shape: three :func:`_two_path_join` passes (unigram-of-cur,
+    unigram-of-prev, bigram) — each broadcasts its count head so the
+    Zipf mass resolves map-side and only rare keys shuffle; the
+    count tables are persisted (each is consumed by the total
+    collect, its head limit, and its tail join)."""
+    if uni_counts is None:
+        uni_counts = token_frequencies(df, text_col, lowercase).persist()
+    if bi_counts is None:
+        bi_counts = bigram_counts(df, text_col, lowercase).persist()
+    uni = uni_counts.select("token", F.col("n").cast("bigint").alias("n"))
+    bi = bi_counts.select(
+        "prev", "cur", F.col("n").cast("bigint").alias("n")
+    )
+    total = uni.agg(F.sum("n")).collect()[0][0] or 1
+    ln_total = F.log(F.lit(float(total)))
+    ln_backoff = -math.log(backoff)
+
+    pairs = _token_pairs(df, id_col, text_col, lowercase)
+    r1 = _two_path_join(
+        pairs,
+        uni.select(F.col("token").alias("cur"), F.col("n").alias("__n1c")),
+        ["cur"],
+        "__n1c",
+        head_vocab,
+    )
+    r2 = _two_path_join(
+        r1,
+        uni.select(F.col("token").alias("prev"), F.col("n").alias("__n1p")),
+        ["prev"],
+        "__n1p",
+        head_vocab,
+    )
+    r3 = _two_path_join(
+        r2,
+        bi.select("prev", "cur", F.col("n").alias("__n2")),
+        ["prev", "cur"],
+        "__n2",
+        head_vocab,
+    )
+    ln_n1c = F.log(F.coalesce(F.col("__n1c"), F.lit(1)).cast("double"))
+    milli = (
+        F.when(
+            F.col("prev").isNull(),
+            F.floor((ln_total - ln_n1c) * 1000 + F.lit(0.5)),
+        )
+        .when(
+            F.col("__n2").isNotNull(),
+            F.floor(
+                (
+                    F.log(F.col("__n1p").cast("double"))
+                    - F.log(F.col("__n2").cast("double"))
+                )
+                * 1000
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(
+            F.floor(
+                (ln_total - ln_n1c + F.lit(ln_backoff)) * 1000 + F.lit(0.5)
+            )
+        )
+        .cast("bigint")
+    )
+    per_doc = r3.select(F.col(id_col), milli.alias("__m")).groupBy(
+        id_col
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("__m").cast("bigint").alias("xent_milli"),
+    )
+    out = (
+        df.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+            "xent_milli",
+        )
     )
     return out.withColumn(
         "xent",

@@ -585,20 +585,6 @@ def _p2_p5(spark, sf_dir):
 
 
 @q(
-    "c1_required",
-    "SELECT count(*) FILTER (WHERE o_orderkey % 13 = 0) AS n_missing"
-    " FROM orders",
-)
-def _c1(spark, sf_dir):
-    """C1: nulls injected by rule (clean data has none)."""
-    o = t(spark, sf_dir, "orders")
-    v = F.when(F.col("o_orderkey") % 13 != 0, F.col("o_custkey"))
-    return o.select(v.alias("v")).agg(
-        F.count_if(F.col("v").isNull()).alias("n_missing")
-    )
-
-
-@q(
     "c2_w1_dups",
     "SELECT 'c2' AS kind, CAST(l_orderkey AS BIGINT) AS orderkey,"
     " count(*) AS n"
@@ -637,8 +623,14 @@ def _c2_w1(spark, sf_dir):
 
 
 @q(
-    "c3_c4_bounds",
-    "SELECT 'length' AS chk,"
+    "c1_c3_c4_constraints",
+    "SELECT 'required' AS chk,"
+    " count(*) FILTER (WHERE o_orderkey % 13 = 0) AS n_low,"
+    " CAST(0 AS BIGINT) AS n_high,"
+    " CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v"
+    " FROM orders"
+    " UNION ALL"
+    " SELECT 'length' AS chk,"
     " count(*) FILTER (WHERE length(p_name) < 10) AS n_low,"
     " count(*) FILTER (WHERE length(p_name) > 30) AS n_high,"
     " CAST(min(length(p_name)) AS DOUBLE) AS min_v,"
@@ -650,11 +642,24 @@ def _c2_w1(spark, sf_dir):
     " min(l_discount) AS min_v, max(l_discount) AS max_v FROM lineitem",
 )
 def _c3_c4(spark, sf_dir):
-    """C3 min/maxLength + C4 minimum/maximum in one query (50-entry
-    registry cap): 'length' row checks p_name length bounds, 'range'
-    row checks l_discount value bounds, both via the compiled
-    constraint masks used by validate."""
+    """C1 required + C3 min/maxLength + C4 minimum/maximum in one
+    labeled query (merged r5 s4 — the former c1_required became the
+    'required' row, freeing a slot for x4_lm_bigram under the 50-row
+    cap): 'required' row counts rule-injected nulls in o_custkey,
+    'length' row checks p_name length bounds, 'range' row checks
+    l_discount value bounds — all via the compiled constraint masks
+    used by validate."""
     from .checks.constraints import compile_constraints
+
+    o = t(spark, sf_dir, "orders")
+    req_v = F.when(F.col("o_orderkey") % 13 != 0, F.col("o_custkey"))
+    required = o.select(req_v.alias("v")).agg(
+        F.lit("required").alias("chk"),
+        F.count_if(F.col("v").isNull()).alias("n_low"),
+        F.lit(0).cast(_BIG).alias("n_high"),
+        F.lit(None).cast("double").alias("min_v"),
+        F.lit(None).cast("double").alias("max_v"),
+    )
 
     p = t(spark, sf_dir, "part")
     fld_len = Field("p_name", constraints={"minLength": 10, "maxLength": 30})
@@ -684,7 +689,7 @@ def _c3_c4(spark, sf_dir):
         F.min("l_discount").alias("min_v"),
         F.max("l_discount").alias("max_v"),
     )
-    return length.unionByName(rng)
+    return required.unionByName(length).unionByName(rng)
 
 
 @q(
@@ -2647,4 +2652,61 @@ def _x7dsir(spark, sf_dir):
         F.col("doc_id").cast(_BIG).alias("doc_id"),
         "n_feats",
         "logw_milli",
+    )
+
+
+@q(
+    "x4_lm_bigram",
+    """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lower(text) AS t FROM documents),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS w
+  FROM docs WHERE t IS NOT NULL AND trim(t) <> ''),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN u.i = 1 THEN NULL
+              ELSE w[CAST(u.i AS BIGINT) - 1] END AS prev,
+         w[CAST(u.i AS BIGINT)] AS cur
+  FROM toks, UNNEST(range(1, len(w) + 1)) AS u(i)),
+uni AS (SELECT cur AS token, count(*) AS c FROM pairs GROUP BY cur),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+bi AS (SELECT prev, cur, count(*) AS c2 FROM pairs
+       WHERE prev IS NOT NULL GROUP BY prev, cur),
+scored AS (
+  SELECT p.doc_id,
+         CAST(floor((CASE
+           WHEN p.prev IS NULL
+             THEN ln((SELECT n FROM tot)) - ln(CAST(uc.c AS DOUBLE))
+           ELSE ln(CAST(up.c AS DOUBLE)) - ln(CAST(b.c2 AS DOUBLE))
+         END) * 1000 + 0.5) AS BIGINT) AS m
+  FROM pairs p
+  JOIN uni uc ON p.cur = uc.token
+  LEFT JOIN uni up ON p.prev = up.token
+  LEFT JOIN bi b ON p.prev = b.prev AND p.cur = b.cur),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(m) AS BIGINT) AS xent_milli
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(p2.n_tokens, 0) AS n_tokens, p2.xent_milli
+FROM docs d LEFT JOIN per p2 USING (doc_id)""",
+)
+def _x4bg(spark, sf_dir):
+    """X4e bigram LM quality (stupid backoff, Brants et al. 2007 —
+    the conditional-LM upgrade of x4_ccnet_quality, one order closer
+    to CCNet's KenLM signal), self-trained: per-doc token count and
+    exact integer milli-nat bigram cross-entropy, value-hashed
+    against DuckDB recomputing the whole model. Self-training makes
+    the backoff branch dead by construction (every adjacent pair was
+    counted), so the oracle needs no backoff arm — the backoff path
+    is unit-tested with external count tables (test_extensions).
+
+    Perf posture: three Zipf-skew-immune two-path joins (broadcast
+    count heads absorb the skewed mass; only rare keys shuffle),
+    persisted count tables — extensions/text.py::bigram_logprob.
+    Registry slot from merging c1_required into
+    c1_c3_c4_constraints."""
+    d = t(spark, sf_dir, "documents", wide=True)
+    return xtext.bigram_logprob(d).select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        "n_tokens",
+        "xent_milli",
     )

@@ -1977,3 +1977,59 @@ def test_prepare_corpus_span_dedup_stage(spark):
         assert shared not in t
     assert kept[1].startswith("aa0") and "unique" in kept[1]
     assert prep.n_after_span_mask == 2 and prep.n_after_dedup == 3
+
+
+def test_bigram_logprob_self_trained(spark):
+    """Stupid-backoff bigram xent, self-trained: exact milli-nat sums
+    match hand computation (first token = unigram, later = bigram
+    conditional; backoff dead by construction); empty/null docs
+    surface with zero tokens and null scores."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    # corpus: a=3 b=2 c=1, N=6; bigrams (a,b)=2 (b,a)=1 (a,c)=1
+    rows = {r["doc_id"]: r for r in text.bigram_logprob(df).collect()}
+    ln, m = math.log, lambda x: math.floor(x * 1000 + 0.5)
+    assert rows[1]["xent_milli"] == (
+        m(ln(6) - ln(3)) + m(ln(3) - ln(2)) + m(ln(2) - ln(1))
+        + m(ln(3) - ln(2))
+    )
+    assert rows[2]["xent_milli"] == m(ln(6) - ln(3)) + m(ln(3) - ln(1))
+    assert rows[3]["n_tokens"] == 0 and rows[3]["xent_milli"] is None
+    assert rows[4]["xent"] is None
+    # partitioning-independence of the integer sums
+    again = {r["doc_id"]: r["xent_milli"]
+             for r in text.bigram_logprob(df.repartition(7)).collect()}
+    assert again == {k: v["xent_milli"] for k, v in rows.items()}
+
+
+def test_bigram_logprob_backoff_with_external_counts(spark):
+    """Against EXTERNAL count tables, unseen bigrams back off to
+    0.4 * c(cur)/N and OOV tokens to count 1 — both milli-exact; the
+    head_vocab=1 narrow-broadcast path gives identical totals."""
+    import math
+
+    uni = spark.createDataFrame(
+        [("a", 3), ("b", 2), ("c", 1)], "token string, n long"
+    )
+    bi = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 1), ("a", "c", 1)],
+        "prev string, cur string, n long",
+    )
+    df = spark.createDataFrame([(9, "a z b")], "doc_id long, text string")
+    ln, m = math.log, lambda x: math.floor(x * 1000 + 0.5)
+    lnb = -ln(0.4)
+    want = (
+        m(ln(6) - ln(3))                 # first token 'a': unigram
+        + m(ln(6) - ln(1) + lnb)         # (a,z): z OOV -> backoff c=1
+        + m(ln(6) - ln(2) + lnb)         # (z,b): unseen bigram -> backoff
+    )
+    got = text.bigram_logprob(df, uni_counts=uni, bi_counts=bi).collect()[0]
+    assert got["xent_milli"] == want and got["n_tokens"] == 3
+    narrow = text.bigram_logprob(
+        df, uni_counts=uni, bi_counts=bi, head_vocab=1
+    ).collect()[0]
+    assert narrow["xent_milli"] == want

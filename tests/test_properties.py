@@ -1129,3 +1129,58 @@ def test_dsir_logweights_matches_python_reference(spark, rows):
     got = {r["doc_id"]: (r["n_feats"], r["logw_milli"])
            for r in xdsir.dsir_logweights(df, target, num_buckets=64).collect()}
     assert got == _py_dsir_milli(texts, tgt_ids, 64)
+
+
+def _py_bigram_milli(texts: dict[int, str]):
+    """Sequential reference for text.bigram_logprob (self-trained
+    stupid backoff — the backoff branch is dead when self-trained)."""
+    import math
+    from collections import Counter
+
+    toks = {i: (t or "").strip().lower().split() for i, t in texts.items()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    bi = Counter(
+        (ws[j], ws[j + 1])
+        for ws in toks.values()
+        for j in range(len(ws) - 1)
+    )
+    n = sum(uni.values())
+    out = {}
+    for i, ws in toks.items():
+        if not ws:
+            out[i] = (0, None)
+            continue
+        m = math.floor((math.log(n) - math.log(uni[ws[0]])) * 1000 + 0.5)
+        for j in range(1, len(ws)):
+            m += math.floor(
+                (math.log(uni[ws[j - 1]]) - math.log(bi[(ws[j - 1], ws[j])]))
+                * 1000
+                + 0.5
+            )
+        out[i] = (len(ws), m)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc"]), min_size=0, max_size=9),
+        min_size=1,
+        max_size=7,
+    )
+)
+def test_bigram_logprob_matches_python_reference(spark, docs):
+    """Exact integer milli-nat parity with the sequential stupid-
+    backoff reference on random corpora over a 3-token alphabet
+    (dense bigram collisions, repeated pairs, empty docs)."""
+    from goodtables_pandas_py_spark.extensions import text as xtext
+
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["xent_milli"])
+           for r in xtext.bigram_logprob(df).collect()}
+    assert got == _py_bigram_milli(texts)
