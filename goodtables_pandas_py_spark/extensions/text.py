@@ -179,22 +179,13 @@ def unigram_logprob(
     exploded = df.select(
         F.col(id_col), F.explode_outer(toks).alias("token")
     ).where(F.col("token").isNotNull())
-    head = freqs.orderBy(F.col("n").desc(), "token").limit(head_vocab)
-    with_head = exploded.join(F.broadcast(head), "token", "left")
-    hits = with_head.where(F.col("n").isNotNull())
-    misses = (
-        with_head.where(F.col("n").isNull())
-        .drop("n")
-        .join(freqs, "token", "left")
-    )
+    rows = _two_path_join(exploded, freqs, ["token"], "n", head_vocab)
     milli = F.floor(
         (ln_total - F.log(F.coalesce(F.col("n"), F.lit(1)).cast("double")))
         * 1000
         + F.lit(0.5)
     ).cast("bigint")
-    scored = hits.unionByName(misses).select(
-        id_col, milli.alias("__m")
-    )
+    scored = rows.select(id_col, milli.alias("__m"))
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.sum("__m").cast("bigint").alias("xent_milli"),
@@ -300,6 +291,7 @@ def bigram_logprob(
     lowercase: bool = True,
     head_vocab: int = 100_000,
     backoff: float = 0.4,
+    persist: bool = True,
 ) -> DataFrame:
     """Per-document BIGRAM cross-entropy with stupid backoff (Brants
     et al. 2007, "Large Language Models in Machine Translation") —
@@ -317,24 +309,43 @@ def bigram_logprob(
     adjacent pair was counted); pass tables fitted on a reference
     corpus for the CCNet shape, and unseen bigrams then back off.
 
-    Scale shape: three :func:`_two_path_join` passes (unigram-of-cur,
-    unigram-of-prev, bigram) — each broadcasts its count head so the
-    Zipf mass resolves map-side and only rare keys shuffle; the
-    count tables are persisted (each is consumed by the total
-    collect, its head limit, and its tail join)."""
+    Scale shape: every :func:`_two_path_join` consumes its input
+    TWICE (hits + misses), so chaining them naively doubles the
+    upstream plan per level — 2³ replays of the pair explode
+    (measured: 47 Generate nodes in one plan, review r5). Each stage
+    input is therefore persisted (``persist=False`` opts out when the
+    caller wraps the call in its own persist scope), and document
+    FIRST tokens (prev = null) are routed AROUND the prev/bigram
+    joins entirely — they are scored by the unigram branch alone, and
+    shipping them through would both be wasted work and hash every
+    null key to one straggler reducer. The persisted frames are the
+    lean pair/count projections; like the other scorers they are left
+    to Spark's LRU once the result is materialized (unpersist
+    explicitly in long-lived loops scoring many corpora).
+
+    Model-consistency guard: a token whose BIGRAM is in ``bi_counts``
+    but whose predecessor is missing from ``uni_counts`` (possible
+    only with externally supplied, mutually inconsistent tables)
+    scores through the BACKOFF branch rather than poisoning the sum
+    with a null (which F.sum would silently skip, underreporting
+    xent — review r5)."""
     if uni_counts is None:
-        uni_counts = token_frequencies(df, text_col, lowercase).persist()
+        uni_counts = token_frequencies(df, text_col, lowercase)
     if bi_counts is None:
-        bi_counts = bigram_counts(df, text_col, lowercase).persist()
+        bi_counts = bigram_counts(df, text_col, lowercase)
     uni = uni_counts.select("token", F.col("n").cast("bigint").alias("n"))
     bi = bi_counts.select(
         "prev", "cur", F.col("n").cast("bigint").alias("n")
     )
+    if persist:
+        uni, bi = uni.persist(), bi.persist()
     total = uni.agg(F.sum("n")).collect()[0][0] or 1
     ln_total = F.log(F.lit(float(total)))
     ln_backoff = -math.log(backoff)
 
     pairs = _token_pairs(df, id_col, text_col, lowercase)
+    if persist:
+        pairs = pairs.persist()
     r1 = _two_path_join(
         pairs,
         uni.select(F.col("token").alias("cur"), F.col("n").alias("__n1c")),
@@ -342,13 +353,26 @@ def bigram_logprob(
         "__n1c",
         head_vocab,
     )
+    if persist:
+        r1 = r1.persist()
+    ln_n1c = F.log(F.coalesce(F.col("__n1c"), F.lit(1)).cast("double"))
+    uni_milli = F.floor((ln_total - ln_n1c) * 1000 + F.lit(0.5))
+    backoff_milli = F.floor(
+        (ln_total - ln_n1c + F.lit(ln_backoff)) * 1000 + F.lit(0.5)
+    )
+    firsts = r1.where(F.col("prev").isNull()).select(
+        F.col(id_col), uni_milli.cast("bigint").alias("__m")
+    )
+    rest = r1.where(F.col("prev").isNotNull())
     r2 = _two_path_join(
-        r1,
+        rest,
         uni.select(F.col("token").alias("prev"), F.col("n").alias("__n1p")),
         ["prev"],
         "__n1p",
         head_vocab,
     )
+    if persist:
+        r2 = r2.persist()
     r3 = _two_path_join(
         r2,
         bi.select("prev", "cur", F.col("n").alias("__n2")),
@@ -356,14 +380,9 @@ def bigram_logprob(
         "__n2",
         head_vocab,
     )
-    ln_n1c = F.log(F.coalesce(F.col("__n1c"), F.lit(1)).cast("double"))
-    milli = (
+    cond_milli = (
         F.when(
-            F.col("prev").isNull(),
-            F.floor((ln_total - ln_n1c) * 1000 + F.lit(0.5)),
-        )
-        .when(
-            F.col("__n2").isNotNull(),
+            F.col("__n2").isNotNull() & F.col("__n1p").isNotNull(),
             F.floor(
                 (
                     F.log(F.col("__n1p").cast("double"))
@@ -373,16 +392,13 @@ def bigram_logprob(
                 + F.lit(0.5)
             ),
         )
-        .otherwise(
-            F.floor(
-                (ln_total - ln_n1c + F.lit(ln_backoff)) * 1000 + F.lit(0.5)
-            )
-        )
+        .otherwise(backoff_milli)
         .cast("bigint")
     )
-    per_doc = r3.select(F.col(id_col), milli.alias("__m")).groupBy(
-        id_col
-    ).agg(
+    scored = firsts.unionByName(
+        r3.select(F.col(id_col), cond_milli.alias("__m"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.sum("__m").cast("bigint").alias("xent_milli"),
     )

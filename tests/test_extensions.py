@@ -2033,3 +2033,28 @@ def test_bigram_logprob_backoff_with_external_counts(spark):
         df, uni_counts=uni, bi_counts=bi, head_vocab=1
     ).collect()[0]
     assert narrow["xent_milli"] == want
+
+
+def test_bigram_logprob_oov_prev_with_known_bigram_backs_off(spark):
+    """Model-consistency guard (review r5): a bigram present in
+    bi_counts whose PREDECESSOR is missing from uni_counts (mutually
+    inconsistent external tables) must score through the backoff
+    branch — never a null milli that F.sum would silently skip,
+    underreporting xent while n_tokens still counts the token."""
+    import math
+
+    uni = spark.createDataFrame(
+        [("a", 3), ("b", 2)], "token string, n long"
+    )
+    bi = spark.createDataFrame(
+        [("a", "z", 1), ("z", "b", 1)], "prev string, cur string, n long"
+    )
+    df = spark.createDataFrame([(1, "a z b")], "doc_id long, text string")
+    got = text.bigram_logprob(df, uni_counts=uni, bi_counts=bi).collect()[0]
+    ln, m = math.log, lambda x: math.floor(x * 1000 + 0.5)
+    lnb = -ln(0.4)
+    # N=5; first 'a': uni. (a,z): bigram known, prev 'a' known -> cond
+    # ln(c1(a))-ln(c2)=ln3-ln1. (z,b): bigram known but prev 'z' OOV
+    # -> BACKOFF ln5-ln(c1(b))+lnb, not null
+    want = m(ln(5) - ln(3)) + m(ln(3) - ln(1)) + m(ln(5) - ln(2) + lnb)
+    assert got["xent_milli"] == want and got["n_tokens"] == 3
