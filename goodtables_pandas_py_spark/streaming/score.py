@@ -27,11 +27,12 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 from ..extensions.dsir import dsir_score
-from ..extensions.text import unigram_logprob
+from ..extensions.text import bigram_logprob, unigram_logprob
 from .dedup import _resolve
 
 __all__ = [
     "unigram_score_foreach_batch",
+    "bigram_score_foreach_batch",
     "dsir_score_foreach_batch",
 ]
 
@@ -66,6 +67,49 @@ def unigram_score_foreach_batch(
             text_col=text_col,
             lowercase=lowercase,
             head_vocab=head_vocab,
+        )
+        on_scored(scored, batch_id)
+
+    return handle
+
+
+def bigram_score_foreach_batch(
+    counts: tuple[DataFrame, DataFrame]
+    | Callable[[], tuple[DataFrame, DataFrame]],
+    on_scored: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    head_vocab: int = 100_000,
+    backoff: float = 0.4,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` handler: stupid-backoff bigram cross-entropy
+    of each micro-batch against pre-fitted ``(uni_counts,
+    bi_counts)`` tables (the conditional-LM quality signal at
+    ingest). The two count tables travel together — like the DSIR
+    triple, a re-fit must replace both or backoff constants skew.
+    Static tables are persisted once at handler creation; the
+    PER-BATCH stage persists inside :func:`bigram_logprob` are
+    turned OFF (``persist=False``) — caching three frames per
+    micro-batch would churn executor storage, and replaying a
+    micro-batch-sized pair explode a few times is cheaper than the
+    cache writes."""
+    if not callable(counts):
+        uni, bi = counts
+        counts = (uni.persist(), bi.persist())
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        uni, bi = _resolve(counts)
+        scored = bigram_logprob(
+            batch_df,
+            uni_counts=uni,
+            bi_counts=bi,
+            id_col=id_col,
+            text_col=text_col,
+            lowercase=lowercase,
+            head_vocab=head_vocab,
+            backoff=backoff,
+            persist=False,
         )
         on_scored(scored, batch_id)
 

@@ -718,3 +718,43 @@ def test_streaming_scores_match_batch(spark, tmp_path):
 
     assert got_uni == want_uni and len(got_uni) > 0
     assert got_dsir == want_dsir and len(got_dsir) > 0
+
+
+def test_streaming_bigram_scores_match_batch(spark, tmp_path):
+    """Stream-batch equivalence for the bigram LM scorer: fit both
+    count tables once in batch, score the documents through a
+    file-source stream, assert bit-identical per-doc milli-nat sums
+    (persist=False inside the handler must not change values)."""
+    from goodtables_pandas_py_spark.extensions import text as xtext
+    from goodtables_pandas_py_spark.streaming.score import (
+        bigram_score_foreach_batch,
+    )
+
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    staged = str(tmp_path / "docs_bigram")
+    docs.write.parquet(staged)
+
+    uni = xtext.token_frequencies(docs).persist()
+    bi = xtext.bigram_counts(docs).persist()
+    want = {r["doc_id"]: (r["n_tokens"], r["xent_milli"])
+            for r in xtext.bigram_logprob(
+                docs, uni_counts=uni, bi_counts=bi).collect()}
+
+    got: dict = {}
+
+    def sink(df, _bid):
+        got.update({r["doc_id"]: (r["n_tokens"], r["xent_milli"])
+                    for r in df.collect()})
+
+    stream = spark.readStream.schema(docs.schema).parquet(staged)
+    q = (
+        stream.writeStream.foreachBatch(
+            bigram_score_foreach_batch((uni, bi), sink)
+        ).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert got == want and len(got) > 0
