@@ -266,6 +266,17 @@ def main() -> None:
     ).count()
     timings["unigram_logprob"] = round(time.time() - t0, 2)
 
+    # r5 round: bigram LM fit+score at 20x — three two-path joins over
+    # the token-pair explode (persisted stage inputs; the un-persisted
+    # plan replays the explode 2^3 times — review r5). Watch: pair
+    # explode volume (~1 row/token) and that time stays in the
+    # unigram probe's class times a small join constant.
+    t0 = time.time()
+    sizes["bigram_scored"] = xtext.bigram_logprob(bd).where(
+        F.col("xent_milli").isNotNull()
+    ).count()
+    timings["bigram_logprob"] = round(time.time() - t0, 2)
+
     # r5 round: DSIR fit+score at 20x — both multinomials fitted over
     # the 100k-doc corpus (two featurization scans, persisted), the
     # <= num_buckets model broadcast to the scoring join. Watch: the
