@@ -1,0 +1,47 @@
+"""The examples/ pipeline is product documentation that must keep
+running: drive it end-to-end at sf0.001 as a subprocess (its own
+Spark session — the script calls spark.stop()) and assert the
+artifacts and stage accounting it promises."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_training_data_pipeline_end_to_end(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "release_out")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples",
+                                      "training_data_pipeline.py"),
+         "/root/testdata/sf0.001", out],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    # every stage is accounted for, monotone non-increasing through
+    # the filters, and the splits partition the selection
+    for k in ("n_input", "n_after_quality", "n_after_dedup",
+              "n_after_cap", "n_after_span_mask", "n_after_decontam",
+              "n_mixed", "n_dsir_selected", "split_counts"):
+        assert k in summary, k
+    chain = [summary["n_input"], summary["n_after_quality"],
+             summary["n_after_dedup"], summary["n_after_cap"],
+             summary["n_after_span_mask"], summary["n_after_decontam"],
+             summary["n_mixed"], summary["n_dsir_selected"]]
+    assert all(a >= b for a, b in zip(chain, chain[1:])), chain
+    assert summary["valid"] is True
+    assert sum(summary["split_counts"].values()) == summary["n_dsir_selected"]
+
+    for artifact in ("corpus.parquet", "corpus_lsh_index.parquet",
+                     "eval_holdout.parquet", "quality_audit.parquet",
+                     "release"):
+        assert os.path.exists(os.path.join(out, artifact)), artifact
+    manifest = json.load(
+        open(os.path.join(out, "release", "manifest.json"))
+    )
+    assert manifest["span_dedup_k"] == 20 and "dsir" in manifest
