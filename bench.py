@@ -161,6 +161,9 @@ def main() -> None:
     import goodtables_pandas_py_spark as gt
     from goodtables_pandas_py_spark.queries import QUERIES
 
+    # captured before the session starts so it reflects EXTERNAL host
+    # load, not the bench's own warm-up (1-min window)
+    load_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else -1.0
     spark = gt.get_spark(app_name="gt-bench")
     sf_dir = SF_DIR
     errors: dict[str, str] = {}
@@ -204,6 +207,11 @@ def main() -> None:
     # most one sample per query and the median shrugs it off.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     samples: dict[str, list[float]] = {n: [] for n in names}
+    # self-adjudication (VERDICT r5 item 1): the bench host is shared,
+    # and past rounds needed forensic A/Bs to tell host-load inflation
+    # from real regressions. loadavg_start (captured pre-session) /
+    # loadavg_end plus the full per-rep sample vectors let a reader
+    # see contention (high load, wide spread) directly in the JSON.
     for rep in range(reps):
         for name in names:
             if name in errors:
@@ -239,6 +247,20 @@ def main() -> None:
         "reps": reps,
         "stat": "median",
         "sf": _sf_from_dir(sf_dir),
+        # contention evidence: loadavg(1m) bracketing the run + every
+        # raw sample; spread = (max-min)/median per query
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(
+            os.getloadavg()[0] if hasattr(os, "getloadavg") else -1.0, 2
+        ),
+        "rep_samples": {
+            n: [round(s, 3) for s in ss] for n, ss in samples.items() if ss
+        },
+        "rep_spread": {
+            n: round((max(ss) - min(ss)) / (sorted(ss)[len(ss) // 2] or 1), 3)
+            for n, ss in samples.items()
+            if ss
+        },
     }
     if errors:
         # partial result: total covers only the queries that ran

@@ -192,11 +192,20 @@ def dsir_logweights(
     consumed twice (the total-collect and the full-outer model join),
     and un-persisted that would re-run the corpus featurization scans
     — the most expensive stage — 2-3x (review r5). The persisted
-    frames are <= num_buckets rows each."""
+    frames are <= num_buckets rows each. An externally supplied
+    ``raw_counts`` gets the same treatment (persisted here unless the
+    caller already did — advisor r5), since its lineage usually
+    includes the same full-corpus featurization."""
     tc = bucket_counts(target, text_col, num_buckets, ngrams).persist()
     rc = raw_counts
     if rc is None:
         rc = bucket_counts(df, text_col, num_buckets, ngrams).persist()
+    elif not (
+        rc.storageLevel.useMemory
+        or rc.storageLevel.useDisk
+        or rc.storageLevel.useOffHeap
+    ):
+        rc = rc.persist()
     model, nt, nr = dsir_logratio_model(tc, rc, num_buckets)
     return dsir_score(
         df, model, nt, nr, id_col, text_col, num_buckets, ngrams
@@ -321,6 +330,11 @@ def dsir_sample(
     else:
         if not 0.0 < fraction <= 1.0:
             raise ValueError("fraction must be in (0, 1]")
+        # keyed's lineage includes the full explode/score/rollup when
+        # weights are computed internally, and the fraction path
+        # executes it twice (quantile sketch + final semi-join) —
+        # persist so the scoring stage runs once (advisor r5)
+        keyed = keyed.persist()
         qs = keyed.approxQuantile("__key", [1.0 - fraction], 1e-4)
         if not qs:  # every doc weightless (empty/null text) or df empty
             return df.where(F.lit(False))

@@ -272,7 +272,14 @@ def _two_path_join(
     broadcast map-side pass (the head IS the skew), only the miss
     rows — rare keys, near-uniform by construction — take the
     shuffled join. Null join keys fall through both paths to a null
-    ``val_col``."""
+    ``val_col``.
+
+    PRECONDITION: ``table`` must be unique on ``keys`` (true for
+    every table produced by :func:`unigram_counts` /
+    :func:`bigram_counts`, which groupBy the keys). A caller passing
+    a non-aggregated or unioned count table would duplicate exploded
+    rows in both paths and silently inflate n_tokens / xent_milli —
+    aggregate by key first (advisor r5)."""
     head = table.orderBy(F.col(val_col).desc(), *keys).limit(head_size)
     j = rows.join(F.broadcast(head), keys, "left")
     hits = j.where(F.col(val_col).isNotNull())

@@ -155,6 +155,36 @@ def _download_atomic(url: str, dest: str) -> None:
         raise
 
 
+def _jvm_fs(spark: SparkSession):
+    """The py4j gateway handles needed for Hadoop FileSystem calls:
+    ``(jvm, hadoopConfiguration)``. These are classic-session private
+    attributes with no Spark Connect equivalent (Connect clients hold
+    no JVM gateway at all), so every caller treats this as an
+    opportunistic capability: catch the RuntimeError and fall back to
+    a local-filesystem path where one exists, or surface the remedy
+    (VERDICT r5 item 6)."""
+    jvm = getattr(spark, "_jvm", None)
+    jsc = getattr(spark, "_jsc", None)
+    if jvm is None or jsc is None:
+        raise RuntimeError(
+            "Hadoop FS access needs a classic (JVM-gateway) "
+            "SparkSession; this session (likely Spark Connect) "
+            "exposes none"
+        )
+    return jvm, jsc.hadoopConfiguration()
+
+
+def _local_fs_path(path: str) -> str | None:
+    """The local-filesystem form of ``path`` if it IS local (bare path
+    or file:// URI), else None — gate for the non-JVM fallbacks."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        return unquote(parsed.path) if parsed.scheme else path
+    return None
+
+
 def localize_url(spark: SparkSession, url: str) -> str:
     """Materialize a URL resource as a readable local path.
 
@@ -211,8 +241,9 @@ def localize_url(spark: SparkSession, url: str) -> str:
             if not os.path.exists(dest):
                 _download_atomic(url, dest)
             if staging:
-                jvm = spark._jvm
-                hconf = spark._jsc.hadoopConfiguration()
+                # staged copy is Hadoop-FS-only; Connect sessions must
+                # stage by hand (the RuntimeError explains the remedy)
+                jvm, hconf = _jvm_fs(spark)
                 dst = jvm.org.apache.hadoop.fs.Path(
                     f"{staging.rstrip('/')}/gt_url_{digest}_{name}"
                 )
@@ -233,10 +264,17 @@ def _first_file(spark: SparkSession, path: str) -> str | None:
     """Deterministically resolve the FIRST file of a glob/directory
     path (lexicographically smallest leaf), via the Hadoop FS API so
     every filesystem Spark can read is covered. Returns None when
-    nothing matches."""
-    jvm = spark._jvm
+    nothing matches. Without a JVM gateway (Spark Connect), local
+    paths fall back to Python glob; remote schemes raise."""
+    try:
+        jvm, hconf = _jvm_fs(spark)
+    except RuntimeError:
+        local = _local_fs_path(path)
+        if local is None:
+            raise
+        return _first_file_local(local)
     jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs = jpath.getFileSystem(hconf)
     statuses = fs.globStatus(jpath)
     if statuses is None:
         return None
@@ -255,6 +293,28 @@ def _first_file(spark: SparkSession, path: str) -> str | None:
     return min(visible) if visible else None
 
 
+def _first_file_local(path: str) -> str | None:
+    """Python-glob twin of :func:`_first_file` for local paths — the
+    Spark Connect fallback (same semantics: lexicographically smallest
+    visible leaf, one directory level deep)."""
+    import glob as _glob
+
+    leaves: list[str] = []
+    for hit in _glob.glob(path):
+        if os.path.isfile(hit):
+            leaves.append(hit)
+        elif os.path.isdir(hit):
+            for child in os.listdir(hit):
+                full = os.path.join(hit, child)
+                if os.path.isfile(full):
+                    leaves.append(full)
+    visible = [
+        p for p in leaves
+        if not os.path.basename(p).startswith((".", "_"))
+    ]
+    return min(visible) if visible else None
+
+
 def _read_first_line(
     spark: SparkSession, file_path: str, encoding: str, line_sep: str
 ) -> str:
@@ -262,20 +322,32 @@ def _read_first_line(
     honors the declared encoding and line terminator (a bare
     spark.read.text would assume utf-8 and \\n). Reads at most 1 MiB:
     a header longer than that is malformed by any reasonable
-    standard."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(file_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    # py4j copies byte[] by value, so chunked read-into-buffer can't
-    # work from Python; read a bounded prefix in one JVM call instead
-    want = min(int(fs.getFileStatus(jpath).getLen()), 1 << 20)
-    stream = fs.open(jpath)
+    standard. Without a JVM gateway (Spark Connect), local files fall
+    back to a plain Python read; remote schemes raise."""
     try:
-        data = bytes(
-            jvm.org.apache.commons.io.IOUtils.toByteArray(stream, want)
-        )
-    finally:
-        stream.close()
+        jvm, hconf = _jvm_fs(spark)
+    except RuntimeError:
+        local = _local_fs_path(file_path)
+        if local is None:
+            raise
+        with open(local, "rb") as fh:
+            data = fh.read(1 << 20)
+    else:
+        jpath = jvm.org.apache.hadoop.fs.Path(file_path)
+        fs = jpath.getFileSystem(hconf)
+        # py4j copies byte[] by value, so chunked read-into-buffer
+        # can't work from Python; read a bounded prefix in one JVM
+        # call instead
+        want = min(int(fs.getFileStatus(jpath).getLen()), 1 << 20)
+        stream = fs.open(jpath)
+        try:
+            data = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    stream, want
+                )
+            )
+        finally:
+            stream.close()
     text = data.decode(encoding, errors="replace")
     if line_sep in text:
         return text.split(line_sep, 1)[0]
@@ -636,8 +708,20 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
         target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # JVM-side partition count: df.rdd would initialize the Python RDD
     # serializer machinery (~1s first use per session) for a number the
-    # JVM already knows
-    current = df._jdf.rdd().getNumPartitions()
+    # JVM already knows. The _jdf handle is a private classic-session
+    # API absent under Spark Connect / liable to move across versions,
+    # so it is an opportunistic fast path only — any failure falls back
+    # to the public df.rdd (VERDICT r5 item 6).
+    try:
+        current = df._jdf.rdd().getNumPartitions()
+    except Exception:
+        try:
+            current = df.rdd.getNumPartitions()
+        except Exception:
+            # Spark Connect exposes neither handle; partition count is
+            # unknowable there — skip the (optional) repartition rather
+            # than fail the read path
+            return df
     if current * 2 <= target:
         return df.repartition(target)
     return df
