@@ -977,30 +977,18 @@ def _x4stats(spark, sf_dir):
     )
 
 
-@q(
-    "x4_text_profile",
-    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
-    " CAST(sum(length(text)) AS BIGINT) AS sum_chars,"
-    " CAST(sum((CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)) AS BIGINT)"
-    " AS sum_tokens FROM documents GROUP BY lang",
-)
-def _x4q(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
-        F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
-        F.sum(F.length("text")).cast(_BIG).alias("sum_chars"),
-        F.sum(xtext.token_count(F.col("text"))).cast(_BIG).alias("sum_tokens"),
-    )
-
-
-def _langid_oracle() -> str:
-    """DuckDB twin of extensions/text.py::lang_id, generated from the
-    same _LANG_PROFILES table so the two can never drift: per-language
+def _text_profile_oracle() -> str:
+    """DuckDB twin of the merged x4_text_profile: 'declared' rows
+    roll up by the corpus's own lang column; 'predicted' rows roll up
+    by extensions/text.py::lang_id, generated from the same
+    _LANG_PROFILES table so the two can never drift — per-language
     coverage ratios (Latin: profile-word occurrences per token; zh:
     profile-character occurrences per character), argmax with ties
     broken by max language code, 0 hits → 'und'. Ratios are exact
     divisions of the same integers in both engines, so the IEEE-double
-    argmax cannot drift."""
+    argmax cannot drift. Both row kinds carry the SAME per-group
+    measures (n_docs, sum_chars, sum_tokens) so the predicted arm
+    verifies more than the old count-only x4_langid did."""
     from .extensions.text import _LANG_PROFILES
 
     parts = []
@@ -1019,6 +1007,10 @@ def _langid_oracle() -> str:
             )
         parts.append(f"SELECT doc_id, '{lang}' AS lang, {sc} AS sc FROM t")
     union = " UNION ALL ".join(parts)
+    tok = (
+        "(CASE WHEN trim(text) = '' THEN 0"
+        " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+    )
     return (
         "WITH t AS (SELECT doc_id, text,"
         " regexp_split_to_array(trim(lower(text)), '\\s+') AS w"
@@ -1028,19 +1020,56 @@ def _langid_oracle() -> str:
         " CASE WHEN sc > 0 THEN lang ELSE 'und' END AS lang_pred"
         " FROM s QUALIFY row_number() OVER"
         " (PARTITION BY doc_id ORDER BY sc DESC, lang DESC) = 1)"
-        " SELECT lang_pred, CAST(count(*) AS BIGINT) AS n"
-        " FROM best GROUP BY 1"
+        " SELECT 'declared' AS kind, lang,"
+        " CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(length(text)) AS BIGINT) AS sum_chars,"
+        f" CAST(sum({tok}) AS BIGINT) AS sum_tokens"
+        " FROM documents GROUP BY lang"
+        " UNION ALL"
+        " SELECT 'predicted' AS kind, b.lang_pred AS lang,"
+        " CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(length(d.text)) AS BIGINT) AS sum_chars,"
+        f" CAST(sum({tok.replace('text', 'd.text')}) AS BIGINT)"
+        " AS sum_tokens"
+        " FROM best b JOIN documents d USING (doc_id)"
+        " GROUP BY b.lang_pred"
     )
 
 
-@q("x4_langid", _langid_oracle())
-def _x4lang(spark, sf_dir):
+@q("x4_text_profile", _text_profile_oracle())
+def _x4q(spark, sf_dir):
+    """X4 corpus composition, labeled rows (merged r6: the former
+    x4_text_profile + x4_langid — slot freed for x7_urls under the
+    50-row registry cap, VERDICT r5 item 8/COVERAGE.md plan):
+
+    - 'declared' rows: per-lang n_docs / sum_chars / sum_tokens by
+      the corpus's own lang column (the old x4_text_profile).
+    - 'predicted' rows: the SAME measures grouped by lang_id's
+      n-gram-profile prediction — strictly more verification than the
+      old count-only x4_langid row shape.
+
+    One scan per arm, both map-side-combinable aggregates; lang_id is
+    pure Column algebra (no UDF)."""
     d = t(spark, sf_dir, "documents")
-    return (
-        d.select(xtext.lang_id(F.col("text")).alias("lang_pred"))
-        .groupBy("lang_pred")
-        .agg(F.count(F.lit(1)).cast(_BIG).alias("n"))
+    measures = [
+        F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
+        F.sum(F.length("text")).cast(_BIG).alias("sum_chars"),
+        F.sum(xtext.token_count(F.col("text"))).cast(_BIG).alias("sum_tokens"),
+    ]
+    declared = d.groupBy("lang").agg(*measures).select(
+        F.lit("declared").alias("kind"), "lang", "n_docs", "sum_chars",
+        "sum_tokens",
     )
+    predicted = (
+        d.select(xtext.lang_id(F.col("text")).alias("lang"), "text")
+        .groupBy("lang")
+        .agg(*measures)
+        .select(
+            F.lit("predicted").alias("kind"), "lang", "n_docs",
+            "sum_chars", "sum_tokens",
+        )
+    )
+    return declared.unionByName(predicted)
 
 
 @q(
@@ -2710,3 +2739,131 @@ def _x4bg(spark, sf_dir):
         "n_tokens",
         "xent_milli",
     )
+
+
+# ===================== X7e: URL curation ==================================
+
+
+def _urls_oracle() -> str:
+    """DuckDB twin of extensions/web.py's URL-curation path over a
+    SYNTHETIC url column (the bundled testdata has no URL column —
+    VERDICT r5 item 4; the modulo rule covers every branch: suffix-
+    blocked subdomain, multi-label ccTLD suffix, malformed URL, IP
+    host, trailing-dot FQDN, blocked-entry-as-URL, plain 2-label
+    host). Host extraction / suffix blocking / registered-domain are
+    recomputed INDEPENDENTLY with DuckDB string functions (regexp
+    host capture, LIKE suffix match, label slicing) — only the
+    CC_SLDS table is shared (imported so the suffix sets cannot
+    drift), mirroring the _LANG_PROFILES precedent."""
+    from .extensions.web import CC_SLDS
+
+    slds = ", ".join(f"'{s}'" for s in CC_SLDS)
+    return f"""WITH u AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 10 AS INTEGER)
+      WHEN 0 THEN 'https://www.evil.example.com/p/' || doc_id
+      WHEN 1 THEN 'https://news.site.co.uk/a' || doc_id
+      WHEN 2 THEN 'not a url at all'
+      WHEN 3 THEN 'https://192.168.0.1/x'
+      WHEN 4 THEN 'https://blog.' || source || '.example-cdn.com./post'
+      WHEN 5 THEN 'https://api.tracker.io/t' || doc_id
+      ELSE 'https://' || source || '.org/doc/' || doc_id
+    END AS url
+  FROM documents),
+h AS (
+  SELECT doc_id, url,
+    regexp_replace(lower(nullif(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '')), '\\.$', '') AS host
+  FROM u),
+blk AS (SELECT unnest(['evil.example.com', 'malware.bad.net',
+                       'tracker.io']) AS b),
+kept AS (
+  SELECT h.* FROM h
+  WHERE host IS NULL
+     OR NOT EXISTS (SELECT 1 FROM blk
+                    WHERE h.host = blk.b OR h.host LIKE '%.' || blk.b)),
+dom AS (
+  SELECT CASE
+      WHEN host IS NULL OR regexp_matches(host, '^[0-9.]+$')
+           OR len(string_split(host, '.')) <= 2 THEN host
+      WHEN list_contains([{slds}],
+                         regexp_extract(host, '([^.]+\\.[^.]+)$', 1))
+        THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+      ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+    END AS domain
+  FROM kept)
+SELECT 'domain' AS kind, domain, CAST(count(*) AS BIGINT) AS n
+FROM dom GROUP BY domain
+UNION ALL
+SELECT 'blocked' AS kind, CAST(NULL AS VARCHAR) AS domain,
+  CAST((SELECT count(*) FROM h) - (SELECT count(*) FROM kept) AS BIGINT)
+  AS n"""
+
+
+@q("x7_urls", _urls_oracle())
+def _x7urls(spark, sf_dir):
+    """X7e URL curation (extensions/web.py), labeled rows over a
+    synthetic url column built by modulo rule from documents
+    (registry slot funded by the r6 x4_langid→x4_text_profile merge):
+
+    - 'domain' rows: registered-domain rollup of the corpus AFTER
+      blocklist filtering (url_host fail-soft parse → trailing-dot
+      strip → CC_SLDS-aware registrable domain → one map-side-
+      combinable groupBy). Covers: null domain (malformed URL kept),
+      IP passthrough, ccTLD last-3 ('site.co.uk'), trailing-dot FQDN
+      normalization, plain 2-label hosts.
+    - 'blocked' row: how many rows filter_blocked_domains removed —
+      entry forms exercised: bare host (suffix-blocks the www.
+      subdomain), full URL (URLhaus form, matches nothing in the
+      corpus), mixed-case + trailing dot ('Tracker.IO.' blocks
+      api.tracker.io).
+
+    Perf posture: blocking is an exploded dot-suffix EQUI-join
+    against the broadcast entry set (never an endswith nested loop),
+    then a broadcast anti-join on the matched url VALUES; the rollup
+    is map-only + one combinable aggregate. ``kept`` is consumed by
+    two jobs (rollup + count) over a map-only synthetic lineage —
+    re-running the scan is cheaper than persisting it at any scale."""
+    from .extensions import web as xweb
+
+    d = t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 10).cast("int")
+    u = d.select(
+        "doc_id",
+        F.when(m == 0, F.concat(
+            F.lit("https://www.evil.example.com/p/"), F.col("doc_id")))
+        .when(m == 1, F.concat(
+            F.lit("https://news.site.co.uk/a"), F.col("doc_id")))
+        .when(m == 2, F.lit("not a url at all"))
+        .when(m == 3, F.lit("https://192.168.0.1/x"))
+        .when(m == 4, F.concat(
+            F.lit("https://blog."), F.col("source"),
+            F.lit(".example-cdn.com./post")))
+        .when(m == 5, F.concat(
+            F.lit("https://api.tracker.io/t"), F.col("doc_id")))
+        .otherwise(F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".org/doc/"), F.col("doc_id")))
+        .alias("url"),
+    )
+    blocklist = [
+        "evil.example.com",
+        "https://malware.bad.net/payload",
+        "Tracker.IO.",
+    ]
+    kept = xweb.filter_blocked_domains(u, blocklist, "url")
+    doms = xweb.domain_counts(kept).select(
+        F.lit("domain").alias("kind"),
+        "domain",
+        F.col("n_docs").cast(_BIG).alias("n"),
+    )
+    summary = (
+        u.agg(F.count(F.lit(1)).alias("t"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("k")))
+        .select(
+            F.lit("blocked").alias("kind"),
+            F.lit(None).cast("string").alias("domain"),
+            (F.col("t") - F.col("k")).cast(_BIG).alias("n"),
+        )
+    )
+    return doms.unionByName(summary)
