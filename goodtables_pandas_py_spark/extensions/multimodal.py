@@ -1,9 +1,12 @@
 """Multimodal columns (X-multimodal): image/audio/video as opaque
 ``binary`` columns with typed metadata, processed via Arrow-batched
-``mapInPandas`` (SURVEY.md north star; the decode step itself is
-STUBBED — the decode libraries are not in this container — but the
-Spark-side plumbing is real and tested: schema contract, batch shape,
-partition sizing).
+``mapInPandas`` (SURVEY.md north star). As of r6 the decode step is
+REAL: PNG/BMP decode via the pure-stdlib codec in
+:mod:`.imagecodec` (PIL is the optional fast path and unlocks
+JPEG/GIF), so decode→feature (:func:`image_feature_extractor`) and
+decode→resize→re-encode (:func:`real_resizer`) run end-to-end in
+codec-less containers; the deterministic fakes remain only as
+injectable stand-ins for plumbing tests on non-image bytes.
 
 Design for 100 TB:
 - blobs ride in parquet binary columns (or `binaryFile` source for
@@ -65,14 +68,54 @@ def attach_media_metadata(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     )
 
 
-def decode_image(blob: bytes) -> "object":
-    """STUB — image decoding requires PIL/opencv, not present in this
-    container. The Spark plumbing around it (batching, schema) is
-    real; swap this function for a real decoder in production."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; use fake_feature_extractor for plumbing tests"
-    )
+def decode_image(blob: bytes):
+    """REAL image decode (r6 — the former stub). Returns an
+    :class:`~.imagecodec.DecodedImage` (top-down row-major
+    interleaved 8-bit). PIL is the optional fast path when
+    importable; without it, PNG and BMP decode via the pure-stdlib
+    codec in :mod:`.imagecodec` (zlib inflate + scanline unfilter /
+    byte arithmetic), and JPEG/GIF raise
+    :class:`~.imagecodec.ImageDecodeError` explaining the Pillow
+    requirement — entropy-coded formats genuinely need a codec
+    library."""
+    from .imagecodec import decode_image_bytes
+
+    return decode_image_bytes(blob)
+
+
+def image_feature_extractor(blob: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL decode→feature step (r6): decode (PIL or pure codec) →
+    Rec.601 luminance → mean-pool onto a sqrt(dim)×sqrt(dim) grid →
+    ``dim`` floats in [0, 1]. Deterministic; raises on undecodable
+    blobs so :func:`extract_features`'s per-row fail-soft contract
+    records decode_ok=False instead of failing the task."""
+    import numpy as np
+
+    from .imagecodec import decode_image_bytes, to_gray
+
+    side = int(dim**0.5)
+    if side * side != dim:
+        raise ValueError("dim must be a perfect square for the grid pool")
+    g = to_gray(decode_image_bytes(blob))
+    h, w = g.shape
+    ys = (np.arange(h) * side // max(h, 1)).clip(0, side - 1)
+    xs = (np.arange(w) * side // max(w, 1)).clip(0, side - 1)
+    pooled = np.zeros((side, side), dtype=np.float64)
+    counts = np.zeros((side, side), dtype=np.int64)
+    np.add.at(pooled, (ys[:, None], xs[None, :]), g)
+    np.add.at(counts, (ys[:, None], xs[None, :]), 1)
+    pooled = np.divide(pooled, counts, out=pooled, where=counts > 0)
+    return [float(v) for v in pooled.reshape(dim)]
+
+
+def real_resizer(blob: bytes, width: int, height: int) -> bytes:
+    """REAL decode→resize→re-encode (r6): decode via
+    :mod:`.imagecodec`, nearest-neighbour resize (numpy index maps),
+    re-encode as PNG with the pure-stdlib writer. Inject into
+    :func:`resize_images` in place of :func:`fake_resizer`."""
+    from .imagecodec import decode_image_bytes, encode_png, resize_nearest
+
+    return encode_png(resize_nearest(decode_image_bytes(blob), width, height))
 
 
 def fake_feature_extractor(blob: bytes, dim: int = FEATURE_DIM) -> list[float]:

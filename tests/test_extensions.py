@@ -405,8 +405,12 @@ def test_multimodal_feature_plumbing(spark):
     assert again == {r["media_id"]: r["feature"] for r in rows}
 
 
-def test_multimodal_stub_decoder_raises():
-    with pytest.raises(NotImplementedError):
+def test_multimodal_decoder_rejects_garbage():
+    # r6: decode_image is REAL now (PNG/BMP via the pure codec) —
+    # unrecognized bytes raise the codec's typed error, not a stub's
+    from goodtables_pandas_py_spark.extensions.imagecodec import ImageDecodeError
+
+    with pytest.raises(ImageDecodeError):
         multimodal.decode_image(b"bytes")
 
 

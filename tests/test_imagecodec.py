@@ -1,0 +1,314 @@
+"""Pure-stdlib image codec (extensions/imagecodec.py, r6) — the real
+decode path behind the multimodal operators. PNG filters are covered
+by applying each filter FORWARD here (independent reference
+implementation) and asserting the decoder inverts it; BMPs are
+handcrafted byte-by-byte."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from goodtables_pandas_py_spark.extensions import multimodal
+from goodtables_pandas_py_spark.extensions.imagecodec import (
+    DecodedImage,
+    ImageDecodeError,
+    _try_pil,
+    decode_bmp,
+    decode_image_bytes,
+    decode_png,
+    encode_png,
+    resize_nearest,
+    to_gray,
+)
+
+
+def _gradient(w: int, h: int, ch: int) -> DecodedImage:
+    px = bytes(
+        (x * 7 + y * 13 + c * 29) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+    return DecodedImage(w, h, ch, px)
+
+
+# --------------------------------------------------------------------------
+# PNG roundtrip + filter coverage
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(ch):
+    img = _gradient(13, 7, ch)
+    out = decode_png(encode_png(img))
+    assert out == img
+
+
+def _apply_filter(ftype: int, row: bytes, prev: bytes, ch: int) -> bytes:
+    """Forward PNG filter — independent reference for the decoder."""
+    out = bytearray()
+    for x in range(len(row)):
+        a = row[x - ch] if x >= ch else 0
+        b = prev[x]
+        c = prev[x - ch] if x >= ch else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out.append((row[x] - pred) & 0xFF)
+    return bytes(out)
+
+
+def _png_with_filters(img: DecodedImage, ftypes: list[int]) -> bytes:
+    stride = img.width * img.channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(img.height):
+        row = img.pixels[y * stride : (y + 1) * stride]
+        raw += bytes([ftypes[y % len(ftypes)]])
+        raw += _apply_filter(ftypes[y % len(ftypes)], row, prev, img.channels)
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[img.channels]
+    ihdr = struct.pack(">IIBBBBB", img.width, img.height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_each_filter_type_inverts(ftype):
+    img = _gradient(11, 6, 3)
+    assert decode_png(_png_with_filters(img, [ftype])) == img
+
+
+def test_png_mixed_filters_and_multi_idat():
+    img = _gradient(9, 8, 4)
+    blob = _png_with_filters(img, [0, 1, 2, 3, 4])
+    assert decode_png(blob) == img
+    # split the IDAT payload across two chunks — decoders must concat
+    sig_end = 8
+    (ihdr_len,) = struct.unpack(">I", blob[sig_end : sig_end + 4])
+    ihdr_end = sig_end + 12 + ihdr_len
+    (idat_len,) = struct.unpack(">I", blob[ihdr_end : ihdr_end + 4])
+    payload = blob[ihdr_end + 8 : ihdr_end + 8 + idat_len]
+    half = len(payload) // 2
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    two = (
+        blob[:ihdr_end]
+        + chunk(b"IDAT", payload[:half])
+        + chunk(b"IDAT", payload[half:])
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(two) == img
+
+
+def test_png_rejects_unsupported_loudly():
+    img = _gradient(4, 4, 3)
+    blob = bytearray(encode_png(img))
+    blob[24] = 16  # bit depth byte inside IHDR
+    with pytest.raises(ImageDecodeError, match="bit depth"):
+        decode_png(bytes(blob))
+    blob = bytearray(encode_png(img))
+    blob[28] = 1  # interlace byte
+    with pytest.raises(ImageDecodeError, match="interlaced"):
+        decode_png(bytes(blob))
+
+
+# --------------------------------------------------------------------------
+# BMP
+
+
+def _bmp24(width, height, rgb_rows, top_down=False):
+    """Handcraft an uncompressed 24-bit BMP (rgb_rows is top-down)."""
+    row_bytes = ((width * 3 + 3) // 4) * 4
+    rows = rgb_rows if top_down else rgb_rows[::-1]
+    body = bytearray()
+    for row in rows:
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])  # BGR on disk
+        line += bytes(row_bytes - len(line))
+        body += line
+    h = height if not top_down else -height
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    return bytes(header + body)
+
+
+def test_bmp_bottom_up_with_padding():
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+    ]
+    img = decode_bmp(_bmp24(3, 2, rows))
+    assert (img.width, img.height, img.channels) == (3, 2, 3)
+    arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(2, 3, 3)
+    assert arr.tolist() == [[list(p) for p in row] for row in rows]
+
+
+def test_bmp_top_down_matches_bottom_up():
+    rows = [[(i * 10 + j, j, i) for j in range(4)] for i in range(3)]
+    a = decode_bmp(_bmp24(4, 3, rows, top_down=False))
+    b = decode_bmp(_bmp24(4, 3, rows, top_down=True))
+    assert a == b
+
+
+def test_bmp_rejects_compressed():
+    blob = bytearray(_bmp24(2, 2, [[(0, 0, 0)] * 2] * 2))
+    blob[30] = 1  # BI_RLE8
+    with pytest.raises(ImageDecodeError, match="unsupported BMP"):
+        decode_bmp(bytes(blob))
+
+
+# --------------------------------------------------------------------------
+# dispatch + derived ops
+
+
+def test_dispatch_and_jpeg_gate():
+    img = _gradient(5, 5, 3)
+    assert decode_image_bytes(encode_png(img)) == img
+    if _try_pil() is None:
+        with pytest.raises(ImageDecodeError, match="Pillow"):
+            decode_image_bytes(b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(ImageDecodeError):
+        decode_image_bytes(b"total garbage")
+    with pytest.raises(ImageDecodeError):
+        decode_image_bytes(None)
+
+
+def test_to_gray_known_values():
+    img = DecodedImage(2, 1, 3, bytes([255, 255, 255, 0, 0, 0]))
+    g = to_gray(img)
+    assert g.shape == (1, 2)
+    assert g[0, 0] == pytest.approx(1.0)
+    assert g[0, 1] == pytest.approx(0.0)
+    # grayscale passthrough
+    g2 = to_gray(DecodedImage(1, 1, 1, bytes([128])))
+    assert g2[0, 0] == pytest.approx(128 / 255)
+
+
+def test_resize_nearest_identity_and_scale():
+    img = _gradient(8, 6, 3)
+    assert resize_nearest(img, 8, 6) == img
+    up = resize_nearest(img, 16, 12)
+    assert (up.width, up.height) == (16, 12)
+    # downscale to 1x1 picks the top-left source pixel (floor map)
+    one = resize_nearest(img, 1, 1)
+    assert one.pixels == img.pixels[:3]
+    with pytest.raises(ImageDecodeError):
+        resize_nearest(img, 0, 3)
+
+
+# --------------------------------------------------------------------------
+# end-to-end through the Spark operators (the real path, no fakes)
+
+
+def _png_media_df(spark, n=8):
+    from pyspark.sql import types as T
+
+    rows = []
+    for i in range(n):
+        img = _gradient(6 + i, 4 + (i % 3), 1 + (i % 4))
+        rows.append((i, encode_png(img), img.width, img.height))
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+            T.StructField("true_w", T.IntegerType()),
+            T.StructField("true_h", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_real_feature_extraction_on_spark(spark):
+    media = _png_media_df(spark, n=8)
+    out = multimodal.extract_features(
+        media, extractor=multimodal.image_feature_extractor
+    ).collect()
+    assert len(out) == 8
+    assert all(r["decode_ok"] for r in out)
+    for r in out:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+    # determinism across runs
+    again = multimodal.extract_features(
+        media, extractor=multimodal.image_feature_extractor
+    ).collect()
+    assert {r["media_id"]: r["feature"] for r in out} == {
+        r["media_id"]: r["feature"] for r in again
+    }
+    # a corrupt blob among good ones -> decode_ok False, job survives
+    bad = media.limit(1).selectExpr(
+        "990 AS media_id", "CAST('nope' AS BINARY) AS blob"
+    )
+    mixed = multimodal.extract_features(
+        media.select("media_id", "blob").unionByName(bad),
+        extractor=multimodal.image_feature_extractor,
+    ).collect()
+    by_id = {r["media_id"]: r for r in mixed}
+    assert not by_id[990]["decode_ok"] and by_id[990]["feature"] is None
+    assert all(by_id[i]["decode_ok"] for i in range(8))
+
+
+def test_real_resize_on_spark(spark):
+    media = _png_media_df(spark, n=6)
+    out = multimodal.resize_images(
+        media, width=5, height=4, resizer=multimodal.real_resizer
+    ).collect()
+    assert all(r["resize_ok"] for r in out)
+    for r in out:
+        dec = decode_image_bytes(bytes(r["blob"]))
+        assert (dec.width, dec.height) == (5, 4)
+        assert (r["width"], r["height"]) == (5, 4)
+
+
+def test_sniff_agrees_with_decode(spark):
+    media = _png_media_df(spark, n=6)
+    sniffed = multimodal.sniff_media_meta(media).collect()
+    for r in sniffed:
+        assert r["media_meta"]["mime"] == "image/png"
+        assert r["media_meta"]["width"] == r["true_w"]
+        assert r["media_meta"]["height"] == r["true_h"]
+
+
+@pytest.mark.skipif(_try_pil() is None, reason="Pillow not installed")
+def test_pil_path_matches_pure_decoder():
+    # when PIL is present both paths must agree on PNG pixels
+    img = _gradient(10, 5, 3)
+    blob = encode_png(img)
+    assert decode_image_bytes(blob) == decode_png(blob)
