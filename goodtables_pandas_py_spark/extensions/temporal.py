@@ -137,6 +137,61 @@ def _range_domain(dtype) -> tuple:
     return (lambda c: c, 1, False)
 
 
+def _auto_bin_width(
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    to_num,
+    max_bins: int,
+) -> float:
+    """Adaptive bin width from a one-pass interval-span sketch (r6,
+    advisor item: the old mean-only estimate): returns the numeric-
+    domain width ``max(p50, mean/4, max_span/(max_bins-2))``.
+
+    Why each term:
+    - **p50** (GK sketch via percentile_approx) is the typical span —
+      the width that keeps the TYPICAL interval at 1-2 bins, which is
+      what bounds per-bin join candidates. The mean is distorted by
+      degenerate spans: a mass of zero/tiny-length sessions drags it
+      down and every wide interval then explodes into 2x the bins it
+      needs (measured −33% exploded rows on such a mix, BASELINE.md).
+    - **mean/4** bounds explode volume when the span mass sits in the
+      tail (many tiny + few huge): Σ span/w ≤ 4·N rows, so the
+      exploded side never exceeds ~5 rows per interval.
+    - **max_span/(max_bins-2)** guarantees no single interval can
+      trip the ``max_bins_per_interval`` runtime guard — with an auto
+      width the raise_error branch is unreachable; only an explicit
+      user ``bin_width`` can hit it. (−2: an interval spanning k
+      widths covers at most floor(k)+2 bin indices.)
+
+    One tiny agg job (all three stats partial-aggregate in a single
+    pass over the valid intervals); returns 1.0 when there are no
+    valid intervals or every span is zero."""
+    if max_bins < 3:
+        raise ValueError(f"max_bins_per_interval must be >= 3, got {max_bins}")
+    span = to_num(F.col(hi_col)) - to_num(F.col(lo_col))
+    row = (
+        intervals.where(
+            F.col(lo_col).isNotNull()
+            & F.col(hi_col).isNotNull()
+            & (F.col(lo_col) <= F.col(hi_col))
+        )
+        .agg(
+            F.percentile_approx(span, 0.5).alias("p50"),
+            F.avg(span).alias("mean"),
+            F.max(span).alias("mx"),
+        )
+        .first()
+    )
+    if row is None or row["mx"] is None:
+        return 1.0
+    p50 = float(row["p50"] or 0.0)
+    mean = float(row["mean"] or 0.0)
+    mx = float(row["mx"] or 0.0)
+    w = max(p50, mean / 4.0, mx / (max_bins - 2))
+    return w if w > 0 else 1.0
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -169,12 +224,14 @@ def range_join(
     and DataFusion's interval libraries use.
 
     ``bin_width`` is in the point column's units (seconds for
-    timestamps, days for dates); ``None`` estimates it from the mean
-    interval span (one tiny agg job). Pick it near the TYPICAL span:
-    too small explodes wide intervals into many bins (guarded by
-    ``max_bins_per_interval`` — exceeding it raises at runtime rather
-    than silently dropping matches), too large degrades toward
-    everything-in-one-bucket. ``bounds``: "closed" ``[lo,hi]``,
+    timestamps, days for dates); ``None`` picks it adaptively from a
+    one-pass span sketch (:func:`_auto_bin_width`, r6: median span
+    with an explode-volume floor and a max-span clamp, so the
+    max-bins guard below is unreachable on auto width). Pick an
+    explicit value near the TYPICAL span: too small explodes wide
+    intervals into many bins (guarded by ``max_bins_per_interval`` —
+    exceeding it raises at runtime rather than silently dropping
+    matches), too large degrades toward everything-in-one-bucket. ``bounds``: "closed" ``[lo,hi]``,
     "left_closed" ``[lo,hi)``, "right_closed" ``(lo,hi]``, "open".
     ``how``: "inner" or "left" (unmatched points survive with null
     interval columns). Intervals with null or inverted bounds match
@@ -206,15 +263,12 @@ def range_join(
     if bin_width is not None and bin_width <= 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
     if bin_width is None:
-        # estimate from VALID intervals only — inverted/null rows are
-        # dropped below and must not poison the average span
-        span = intervals.where(
-            F.col(lo_col).isNotNull() & F.col(hi_col).isNotNull()
-            & (F.col(lo_col) <= F.col(hi_col))
-        ).agg(
-            F.avg(to_num(F.col(hi_col)) - to_num(F.col(lo_col)))
-        ).first()[0]
-        w_num = float(span) if span else 1.0
+        # adaptive width from a one-pass span sketch (r6) — estimated
+        # over VALID intervals only; inverted/null rows are dropped
+        # below and must not poison the estimate
+        w_num = _auto_bin_width(
+            intervals, lo_col, hi_col, to_num, max_bins_per_interval
+        )
     else:
         w_num = float(bin_width) * unit_scale
     if integral:
@@ -338,13 +392,14 @@ def interval_join(
     if bin_width is not None and bin_width <= 0:
         raise ValueError(f"bin_width must be > 0, got {bin_width!r}")
     if bin_width is None:
-        span = right.where(
-            F.col(r_lo).isNotNull() & F.col(r_hi).isNotNull()
-            & (F.col(r_lo) <= F.col(r_hi))
-        ).agg(
-            F.avg(to_num(F.col(r_hi)) - to_num(F.col(r_lo)))
-        ).first()[0]
-        w_num = float(span) if span else 1.0
+        # adaptive width from the RIGHT side's span sketch (r6): both
+        # sides explode, but the right side is the dimension-like one
+        # by convention; the max-span clamp below still only covers
+        # the sketched side, so a left interval wider than
+        # max_bins * w falls back to the runtime guard's message
+        w_num = _auto_bin_width(
+            right, r_lo, r_hi, to_num, max_bins_per_interval
+        )
     else:
         w_num = float(bin_width) * unit_scale
     w = max(1, int(round(w_num))) if integral else max(w_num, 1e-12)

@@ -592,3 +592,128 @@ def test_range_join_validates_point_side_columns(spark, lookups, ip_blocks):
                 F.col("region"), F.col("lo").alias("ts"), "block"
             ), by=["region"],
         )
+
+
+# ---------------------------------------------------- adaptive bin width (r6)
+
+from goodtables_pandas_py_spark.extensions.temporal import (  # noqa: E402
+    _auto_bin_width,
+)
+
+
+def _ident(c):
+    return c
+
+
+def test_auto_bin_width_uniform_spans_is_typical_span(spark):
+    iv = spark.createDataFrame(
+        [("a", 0, 10), ("a", 100, 110), ("a", 200, 210)],
+        "k string, lo long, hi long",
+    )
+    w = _auto_bin_width(iv, "lo", "hi", _ident, 4096)
+    assert w == pytest.approx(10.0)
+
+
+def test_auto_bin_width_left_skew_uses_median_not_mean(spark):
+    # 4 degenerate pings + 6 wide sessions: mean span = 6 -> every
+    # wide interval would explode into ~1.7x the bins it needs;
+    # p50 = 10 is the width of the MAJORITY population
+    rows = [("a", i, i) for i in range(4)] + [
+        ("a", 100 * i, 100 * i + 10) for i in range(1, 7)
+    ]
+    iv = spark.createDataFrame(rows, "k string, lo long, hi long")
+    w = _auto_bin_width(iv, "lo", "hi", _ident, 4096)
+    assert w == pytest.approx(10.0)  # median, NOT the dragged-down mean 6.0
+
+
+def test_auto_bin_width_tail_mass_bounds_explode_volume(spark):
+    # many tiny + few huge (mass in the tail): p50 = 1 would explode
+    # the huge intervals; the mean/4 floor keeps sum(span)/w <= 4N
+    rows = [("a", i * 10, i * 10 + 1) for i in range(100)] + [
+        ("a", 10_000 * i, 10_000 * i + 5_000) for i in range(1, 4)
+    ]
+    iv = spark.createDataFrame(rows, "k string, lo long, hi long")
+    w = _auto_bin_width(iv, "lo", "hi", _ident, 4096)
+    mean = (100 * 1 + 3 * 5000) / 103
+    assert w == pytest.approx(mean / 4.0)
+    assert w > 1.0  # not the median
+
+
+def test_auto_bin_width_outlier_clamp_prevents_max_bins_raise(spark):
+    # one huge interval among tiny ones: the clamp must guarantee
+    # max_span/w <= max_bins - 2 so the runtime guard can't fire
+    rows = [("a", i, i + 1, f"t{i}") for i in range(50)] + [
+        ("a", 0, 1_000_000, "huge")
+    ]
+    iv = spark.createDataFrame(rows, "k string, lo long, hi long, block string")
+    w = _auto_bin_width(iv, "lo", "hi", _ident, 100)
+    assert w >= 1_000_000 / 98
+    # end-to-end: auto width completes (the old mean estimate ~19k
+    # was fine here, but bin_width=1 equivalents raised) and matches
+    # an explicit safe width exactly
+    pts = spark.createDataFrame(
+        [("a", 5, 1), ("a", 999_999, 2), ("a", 2_000_000, 3)],
+        "k string, v long, qid long",
+    )
+    auto = {
+        (r["qid"], r["block_right"])
+        for r in range_join(
+            pts, iv, "v", "lo", "hi", by=["k"], max_bins_per_interval=100
+        ).collect()
+    }
+    explicit = {
+        (r["qid"], r["block_right"])
+        for r in range_join(
+            pts, iv, "v", "lo", "hi", by=["k"], bin_width=50_000
+        ).collect()
+    }
+    assert auto == explicit and (2, "huge") in auto
+
+
+def test_auto_bin_width_degenerate_and_empty(spark):
+    empty = spark.createDataFrame([], "k string, lo long, hi long")
+    assert _auto_bin_width(empty, "lo", "hi", _ident, 4096) == 1.0
+    zeros = spark.createDataFrame(
+        [("a", 5, 5), ("a", 9, 9)], "k string, lo long, hi long"
+    )
+    assert _auto_bin_width(zeros, "lo", "hi", _ident, 4096) == 1.0
+    with pytest.raises(ValueError, match="max_bins_per_interval"):
+        _auto_bin_width(zeros, "lo", "hi", _ident, 2)
+
+
+def test_interval_join_auto_width_parity_on_skewed_spans(spark):
+    """Left-skewed spans (zero-length pings + wide sessions): auto
+    width must produce the identical result set as explicit widths —
+    the adaptive choice is a pure performance knob."""
+    import duckdb
+
+    left = spark.createDataFrame(
+        [("u1", 0, 0, 1), ("u1", 10, 40, 2), ("u1", 35, 90, 3),
+         ("u2", 0, 50, 4), ("u2", 200, 200, 5)],
+        "user string, lo long, hi long, sid long",
+    )
+    right_rows = [("u1", i, i, f"p{i}") for i in range(0, 100, 7)] + [
+        ("u1", 20, 80, "wide1"), ("u2", 40, 60, "wide2"),
+        ("u2", 190, 210, "wide3"),
+    ]
+    right = spark.createDataFrame(
+        right_rows, "user string, lo long, hi long, oid string"
+    )
+    con = duckdb.connect()
+    con.register("left_t", left.toPandas())
+    con.register("right_t", right.toPandas())
+    expected = {
+        tuple(r) for r in con.sql(
+            """SELECT l.sid, r.oid FROM left_t l JOIN right_t r
+               ON l."user" = r."user" AND l.lo <= r.hi AND r.lo <= l.hi"""
+        ).fetchall()
+    }
+    for bw in (None, 5, 100):
+        got = {
+            (r["sid"], r["oid_right"])
+            for r in interval_join(
+                left, right, ("lo", "hi"), ("lo", "hi"), by=["user"],
+                bin_width=bw,
+            ).collect()
+        }
+        assert got == expected, (bw, got ^ expected)
