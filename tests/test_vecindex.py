@@ -1,0 +1,161 @@
+"""Persisted IVF index export/serving (extensions/vecindex.py, r6)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from goodtables_pandas_py_spark.extensions.similarity import cosine_topk
+from goodtables_pandas_py_spark.extensions.vecindex import (
+    FORMAT_VERSION,
+    ivf_index_topk,
+    read_ivf_index,
+    write_ivf_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, emb, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ivf") / "idx")
+    manifest = write_ivf_index(emb, d, nlist=16, refine=1)
+    return d, manifest
+
+
+def _query_vec(emb, vec_id=7):
+    return [
+        float(x)
+        for x in emb.where(F.col("vec_id") == vec_id).first()["embedding"]
+    ]
+
+
+def test_manifest_and_layout(spark, emb, index_dir):
+    d, manifest = index_dir
+    n = emb.count()
+    assert manifest["n_vectors"] == n
+    assert manifest["nlist"] == 16
+    assert manifest["metric"] == "cosine"
+    assert not manifest["quantized"]
+    assert sum(manifest["list_sizes"].values()) == n
+    assert manifest["dim"] == len(_query_vec(emb))
+    # hive layout on disk: one directory per non-empty list
+    parts = [
+        p
+        for p in os.listdir(os.path.join(d, "postings.parquet"))
+        if p.startswith("ivf_cid=")
+    ]
+    assert len(parts) == len(manifest["list_sizes"])
+    with open(os.path.join(d, "manifest.json")) as fh:
+        assert json.load(fh) == manifest
+
+
+def test_full_probe_equals_exact_search(spark, emb, index_dir):
+    """nprobe >= nlist degrades to EXACT search — the falsifiable
+    parity anchor: result must equal cosine_topk on the source table
+    row for row."""
+    d, manifest = index_dir
+    idx = read_ivf_index(spark, d)
+    q = _query_vec(emb)
+    got = [
+        (r["id"], round(r["cosine"], 9))
+        for r in ivf_index_topk(idx, q, k=10, nprobe=16).collect()
+    ]
+    exact = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in cosine_topk(emb, q, k=10).collect()
+    ]
+    assert got == exact
+
+
+def test_probed_search_finds_self_and_overlaps(spark, emb, index_dir):
+    d, _ = index_dir
+    idx = read_ivf_index(spark, d)
+    q = _query_vec(emb, vec_id=11)
+    got = ivf_index_topk(idx, q, k=10, nprobe=4).collect()
+    # the query IS a stored vector: its own list is probed first, so
+    # rank-1 must be itself at cosine ~1
+    assert got[0]["id"] == 11 and got[0]["cosine"] == pytest.approx(1.0)
+    exact_ids = {
+        r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()
+    }
+    overlap = len({r["id"] for r in got} & exact_ids) / 10
+    assert overlap >= 0.6, overlap
+
+
+def test_serving_scan_is_partition_pruned(spark, emb, index_dir):
+    d, _ = index_dir
+    idx = read_ivf_index(spark, d)
+    q = _query_vec(emb)
+    plan = ivf_index_topk(idx, q, k=5, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "ivf_cid" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+
+def test_quantized_index_roundtrip(spark, emb, tmp_path):
+    d = str(tmp_path / "qidx")
+    manifest = write_ivf_index(emb, d, nlist=8, quantize=True)
+    assert manifest["quantized"]
+    idx = read_ivf_index(spark, d)
+    assert "qvec" in idx.postings.columns and "vec" not in idx.postings.columns
+    q = _query_vec(emb)
+    got = ivf_index_topk(idx, q, k=10, nprobe=8).collect()
+    exact = {r["vec_id"]: r["cosine"] for r in cosine_topk(emb, q, k=10).collect()}
+    # int8 storage: top-k cosines within 1% of the float originals
+    hits = [r for r in got if r["id"] in exact]
+    assert len(hits) >= 8
+    for r in hits:
+        assert r["cosine"] == pytest.approx(exact[r["id"]], abs=0.01)
+
+
+def test_reexport_with_prior_centroids_skips_training(spark, emb, tmp_path):
+    d1 = str(tmp_path / "a")
+    write_ivf_index(emb, d1, nlist=8)
+    idx1 = read_ivf_index(spark, d1)
+    d2 = str(tmp_path / "b")
+    m2 = write_ivf_index(emb, d2, nlist=8, centroids=idx1.centroids)
+    idx2 = read_ivf_index(spark, d2)
+    assert idx2.centroids == idx1.centroids
+    assert m2["list_sizes"] == idx1.manifest["list_sizes"]
+
+
+def test_version_gate(spark, emb, tmp_path):
+    d = str(tmp_path / "v")
+    write_ivf_index(emb, d, nlist=4)
+    mpath = os.path.join(d, "manifest.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    m["format_version"] = FORMAT_VERSION + 1
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(ValueError, match="format_version"):
+        read_ivf_index(spark, d)
+
+
+def test_faiss_handoff_gate_or_parity(spark, emb, index_dir):
+    from goodtables_pandas_py_spark.extensions.vecindex import faiss_handoff
+
+    d, _ = index_dir
+    try:
+        import faiss  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="faiss-cpu"):
+            faiss_handoff(d)
+        return
+    import numpy as np
+
+    index = faiss_handoff(d)
+    q = np.asarray([_query_vec(emb)], dtype="float32")
+    q /= np.linalg.norm(q)
+    index.nprobe = 16
+    _scores, ids = index.search(q, 10)
+    exact = [r["vec_id"] for r in cosine_topk(emb, _query_vec(emb), k=10).collect()]
+    assert list(ids[0]) == exact
