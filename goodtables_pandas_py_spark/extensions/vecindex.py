@@ -194,6 +194,93 @@ def ivf_index_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("id")).limit(k)
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dedupe_ids: bool = False,
+) -> dict:
+    """Incrementally add vectors to a persisted index — the ingest
+    path: assign with the STORED centroids (zero training jobs),
+    append to the partitioned postings (one map-only pass; parquet
+    append writes new files, never rewrites), refresh the manifest
+    counts with one nlist-row aggregate. Quantization follows the
+    manifest, so an index's postings are always homogeneous.
+
+    ``dedupe_ids=True`` anti-joins the batch against the existing
+    posting ids first — the at-least-once streaming contract (a
+    replayed micro-batch must not double-insert). Single-writer:
+    parquet append + manifest rewrite are not transactional; serialize
+    writers externally (foreachBatch already does).
+
+    Returns the refreshed manifest. Appending drifts lists away from
+    their centroids over time — re-fit (:func:`write_ivf_index` with
+    ``centroids=None``) when recall sags; the open layout makes that
+    a rebuild of directories, not a migration."""
+    spark = df.sparkSession
+    idx = read_ivf_index(spark, index_dir)
+    manifest = idx.manifest
+    batch = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+    if dedupe_ids:
+        batch = batch.join(
+            idx.postings.select("id"), "id", "left_anti"
+        )
+    assigned = batch.withColumn(
+        "ivf_cid", _assign_cids(F.col("__v"), idx.centroids)
+    )
+    if manifest["quantized"]:
+        payload = quantize_embedding(
+            F.col("__v").cast("array<float>")
+        ).alias("qvec")
+    else:
+        payload = F.col("__v").cast("array<float>").alias("vec")
+    assigned.select("id", "ivf_cid", payload).write.mode(
+        "append"
+    ).partitionBy("ivf_cid").parquet(
+        os.path.join(index_dir, "postings.parquet")
+    )
+    counts = {
+        int(r["ivf_cid"]): int(r["n"])
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "postings.parquet")
+        )
+        .groupBy("ivf_cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest["n_vectors"] = sum(counts.values())
+    manifest["list_sizes"] = {str(k): v for k, v in sorted(counts.items())}
+    with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
+
+
+def ivf_append_foreach_batch(
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dedupe_ids: bool = True,
+):
+    """``foreachBatch`` handler (same shape as
+    ``streaming.dedup.incremental_near_dedup_foreach_batch``): each
+    micro-batch of embeddings lands in the persisted IVF index via
+    :func:`append_to_ivf_index`. ``dedupe_ids`` defaults ON here —
+    foreachBatch is at-least-once, so replayed batches must be
+    idempotent. foreachBatch serializes handler invocations, which is
+    exactly the single-writer contract append requires."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        append_to_ivf_index(
+            batch_df, index_dir, id_col=id_col, vec_col=vec_col,
+            dedupe_ids=dedupe_ids,
+        )
+
+    return handle
+
+
 def faiss_handoff(index_dir: str):
     """Assemble a FAISS ``IndexIVFFlat`` from the parquet shards —
     the optional-binary consumer of the open layout. Requires the

@@ -177,3 +177,79 @@ def test_faiss_handoff_gate_or_parity(spark, emb, index_dir):
     _scores, ids = index.search(q, 10)
     exact = [r["vec_id"] for r in cosine_topk(emb, _query_vec(emb), k=10).collect()]
     assert list(ids[0]) == exact
+
+
+# ------------------------------------------------------- incremental append
+
+
+def test_append_with_stored_centroids(spark, emb, tmp_path):
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        append_to_ivf_index,
+    )
+
+    d = str(tmp_path / "appidx")
+    base = emb.where(F.col("vec_id") < 100)
+    write_ivf_index(base, d, nlist=8)
+    idx0 = read_ivf_index(spark, d)
+    extra = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    m = append_to_ivf_index(extra, d)
+    assert m["n_vectors"] == base.count() + extra.count()
+    idx1 = read_ivf_index(spark, d)
+    # centroids unchanged (no retraining on append)
+    assert idx1.centroids == idx0.centroids
+    # an appended vector is servable and finds itself at rank 1
+    q = _query_vec(emb, vec_id=120)
+    got = ivf_index_topk(idx1, q, k=3, nprobe=8).collect()
+    assert got[0]["id"] == 120 and got[0]["cosine"] == pytest.approx(1.0)
+    # parity anchor still holds over the merged set
+    merged = emb.where(F.col("vec_id") < 150)
+    exact = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in cosine_topk(merged, q, k=5).collect()
+    ]
+    full = [
+        (r["id"], round(r["cosine"], 9))
+        for r in ivf_index_topk(idx1, q, k=5, nprobe=8).collect()
+    ]
+    assert full == exact
+
+
+def test_append_dedupe_ids_is_idempotent(spark, emb, tmp_path):
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        append_to_ivf_index,
+    )
+
+    d = str(tmp_path / "dedup_idx")
+    base = emb.where(F.col("vec_id") < 100)
+    write_ivf_index(base, d, nlist=4)
+    replay = emb.where(F.col("vec_id") < 120)  # 100 dups + 20 new
+    m1 = append_to_ivf_index(replay, d, dedupe_ids=True)
+    assert m1["n_vectors"] == 120
+    m2 = append_to_ivf_index(replay, d, dedupe_ids=True)  # full replay
+    assert m2["n_vectors"] == 120  # unchanged — idempotent
+
+
+def test_streaming_ingest_into_index(spark, emb, tmp_path):
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        ivf_append_foreach_batch,
+    )
+
+    d = str(tmp_path / "sidx")
+    base = emb.where(F.col("vec_id") < 100)
+    write_ivf_index(base, d, nlist=4)
+    staged = str(tmp_path / "staged")
+    incoming = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 140))
+    incoming.write.parquet(staged)
+    stream = spark.readStream.schema(incoming.schema).parquet(staged)
+    q = (
+        stream.writeStream.foreachBatch(ivf_append_foreach_batch(d))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    idx = read_ivf_index(spark, d)
+    assert idx.manifest["n_vectors"] == 140
+    qv = _query_vec(emb, vec_id=133)
+    got = ivf_index_topk(idx, qv, k=1, nprobe=4).collect()
+    assert got[0]["id"] == 133
