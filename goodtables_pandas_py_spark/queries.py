@@ -2821,8 +2821,11 @@ def _x7urls(spark, sf_dir):
     Perf posture: blocking is an exploded dot-suffix EQUI-join
     against the broadcast entry set (never an endswith nested loop),
     then a broadcast anti-join on the matched url VALUES; the rollup
-    is map-only + one combinable aggregate. ``kept`` is consumed by
-    two jobs (rollup + count) over a map-only synthetic lineage —
+    is map-only + one combinable aggregate. The 'blocked' count is an
+    anti-join of the corpus against the kept ids — NOT a crossJoin of
+    two scalar aggregates, which the registry plan guard forbids as a
+    CartesianProduct (caught by test_plans in r6). ``kept`` is
+    consumed by two jobs over a map-only synthetic lineage —
     re-running the scan is cheaper than persisting it at any scale."""
     from .extensions import web as xweb
 
@@ -2858,12 +2861,12 @@ def _x7urls(spark, sf_dir):
         F.col("n_docs").cast(_BIG).alias("n"),
     )
     summary = (
-        u.agg(F.count(F.lit(1)).alias("t"))
-        .crossJoin(kept.agg(F.count(F.lit(1)).alias("k")))
+        u.join(kept.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("k"))
         .select(
             F.lit("blocked").alias("kind"),
             F.lit(None).cast("string").alias("domain"),
-            (F.col("t") - F.col("k")).cast(_BIG).alias("n"),
+            F.col("k").cast(_BIG).alias("n"),
         )
     )
     return doms.unionByName(summary)

@@ -727,31 +727,37 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def render_lexical(c, dtype):
+    """One column's lexical (CSV-equivalent) rendition — the
+    per-column kernel of :func:`stringly`, shared with the r6 typed
+    fast path in validate (which renders lazily, only for the columns
+    that still need a string form). Dates/timestamps use ISO forms
+    matching Table Schema defaults."""
+    if isinstance(dtype, T.DateType):
+        return F.date_format(c, "yyyy-MM-dd")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # sub-second precision must round-trip losslessly through
+        # the lexical form (the datetime parser accepts [.SSSSSS]);
+        # the fraction is appended only when non-zero so
+        # whole-second sources keep their canonical short form
+        base = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+        frac = F.date_format(c, "SSSSSS")
+        return F.when(frac == "000000", base).otherwise(
+            F.concat(base, F.lit("."), frac)
+        )
+    return c.cast(T.StringType())
+
+
 def stringly(df: DataFrame) -> DataFrame:
     """Render a typed DataFrame lexically (every column cast to
     string) — lets the parser/validation pipeline run against typed
-    sources exactly as it would against CSV text. Dates/timestamps use
-    ISO forms matching Table Schema defaults."""
-    cols = []
-    for f in df.schema.fields:
-        c = F.col(f.name)
-        if isinstance(f.dataType, T.DateType):
-            cols.append(F.date_format(c, "yyyy-MM-dd").alias(f.name))
-        elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
-            # sub-second precision must round-trip losslessly through
-            # the lexical form (the datetime parser accepts [.SSSSSS]);
-            # the fraction is appended only when non-zero so
-            # whole-second sources keep their canonical short form
-            base = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
-            frac = F.date_format(c, "SSSSSS")
-            cols.append(
-                F.when(frac == "000000", base)
-                .otherwise(F.concat(base, F.lit("."), frac))
-                .alias(f.name)
-            )
-        else:
-            cols.append(c.cast(T.StringType()).alias(f.name))
-    return df.select(*cols)
+    sources exactly as it would against CSV text."""
+    return df.select(
+        *[
+            render_lexical(F.col(f.name), f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+    )
 
 
 def write_bucketed(
