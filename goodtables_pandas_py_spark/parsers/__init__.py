@@ -422,6 +422,95 @@ def parse_field(
     return _PARSERS[field.type](raw_mv, field)
 
 
+# --- typed-source fast path (r6) ------------------------------------------
+
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def typed_fast_path(field: Field, src_t) -> Column | None:
+    """The parsed Column for a TYPED source column whose render→parse
+    roundtrip is a provable identity — or None when it is not.
+
+    Columnar sources (parquet/ORC, user DataFrames) arrive typed; the
+    all-string contract used to render every column lexically and
+    re-parse it, which on a wide table is the bulk of the validation
+    scan. When the source type already IS the parser's target, that
+    roundtrip cannot change the value or fail, so the parse (and its
+    bad mask) is skipped entirely. Eligibility is deliberately exact:
+
+    - integer ← any integral type, widened to LONG (lossless; the
+      parser's target). `bareNumber` config is irrelevant for typed
+      values (nothing to strip).
+    - number ← DOUBLE only. FloatType is EXCLUDED: Spark renders
+      float 0.1f as "0.1", which parses to double 0.1 ≠
+      cast(0.1f as double) — the fast path would diverge from the
+      lexical path by one ULP-ish. Decimal is excluded for the same
+      rendition-notation caution. group/decimalChar configs don't
+      block it (a rendition never contains them).
+    - boolean ← BOOLEAN, only when the field accepts the literal
+      renditions "true"/"false" (custom true/falseValues that drop
+      them would have flagged the rendition as a type error).
+    - date/datetime ← DATE / TIMESTAMP(_NTZ), default format only;
+      TimestampType casts to NTZ, which equals the
+      render-in-session-tz → parse-to-NTZ composition in any session
+      timezone.
+
+    Everything else (string formats with validation, time, year,
+    struct-producing types, or a source/target mismatch) returns None
+    and takes the render→parse path, byte-identical to before."""
+    c = F.col(field.name)
+    t = field.type
+    fmt = field.format or "default"
+    if t == "integer" and isinstance(src_t, _INTEGRAL_TYPES):
+        return c.cast(T.LongType())
+    if t == "number" and isinstance(src_t, T.DoubleType):
+        return c
+    if (
+        t == "boolean"
+        and isinstance(src_t, T.BooleanType)
+        and "true" in field.true_values
+        and "false" in field.false_values
+    ):
+        return c
+    if t == "date" and fmt == "default" and isinstance(src_t, T.DateType):
+        return c
+    if t == "datetime" and fmt == "default" and isinstance(
+        src_t, (T.TimestampType, T.TimestampNTZType)
+    ):
+        return c.cast(T.TimestampNTZType())
+    # string columns take the classic path (their "parse" is already
+    # just missing-value mapping + optional format validation)
+    return None
+
+
+def missing_token_producible(src_t, token: str) -> bool:
+    """Could ``token`` ever equal a non-null value's lexical
+    rendition for this source type? If not (the default sentinel ""
+    never is, for any non-string type), the fast path needs no
+    rendition check at all; if yes (e.g. missingValues ["NaN"] on a
+    double column), the fast path must null those renditions exactly
+    like the lexical path did."""
+    import re as _re
+
+    if isinstance(src_t, T.StringType):
+        return True  # a string value can equal any token
+    if isinstance(src_t, _INTEGRAL_TYPES):
+        return bool(_re.fullmatch(r"-?\d+", token))
+    if isinstance(src_t, (T.FloatType, T.DoubleType)):
+        try:
+            float(token)  # accepts NaN / Infinity / 1.0E10 forms
+            return True
+        except ValueError:
+            return False
+    if isinstance(src_t, T.BooleanType):
+        return token in ("true", "false")
+    if isinstance(src_t, T.DateType):
+        return bool(_re.fullmatch(r"\d{4}-\d{2}-\d{2}", token))
+    if isinstance(src_t, (T.TimestampType, T.TimestampNTZType)):
+        return bool(_re.match(r"\d{4}-\d{2}-\d{2}T", token))
+    return True  # unknown type: be conservative, keep the check
+
+
 # --- constraint-literal parsing (P22 second half) -------------------------
 
 

@@ -745,6 +745,19 @@ def render_lexical(c, dtype):
         return F.when(frac == "000000", base).otherwise(
             F.concat(base, F.lit("."), frac)
         )
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        # Table Schema's lexical space spells the specials NaN/INF/-INF
+        # (case-sensitive); Spark's cast renders "Infinity", which the
+        # spec-strict number parser rightly rejects — a typed infinity
+        # must render to its CANONICAL lexical form or a perfectly
+        # valid value round-trips into a type error (r6, caught by the
+        # typed-fast-path equivalence test)
+        return (
+            F.when(F.isnan(c), F.lit("NaN"))
+            .when(c == float("inf"), F.lit("INF"))
+            .when(c == float("-inf"), F.lit("-INF"))
+            .otherwise(c.cast(T.StringType()))
+        )
     return c.cast(T.StringType())
 
 

@@ -29,14 +29,19 @@ from pyspark.storagelevel import StorageLevel
 from .checks.constraints import ConstraintCheck, compile_constraints
 from .checks.keys import check_foreign_key, check_primary_key, check_unique_key
 from .errors import VALUE_SAMPLE_CAP, Error
-from .parsers import apply_missing_values, parse_field
+from .parsers import (
+    apply_missing_values,
+    missing_token_producible,
+    parse_field,
+    typed_fast_path,
+)
 from .profile import check_descriptor, descriptor_error_report
 from .schema import Package, SchemaError, TableSchema, load_descriptor
 from .sources import (
     ensure_parallelism,
     read_resource,
+    render_lexical,
     sniff_csv_header,
-    stringly,
 )
 
 
@@ -282,14 +287,47 @@ def _compile_table(
             raw_expr = None
             select_cols.append(parsed_expr)
         else:
-            raw_expr = apply_missing_values(F.col(fld.name), schema.missing_values)
-            pf = parse_field(F.col(fld.name), fld, schema.missing_values)
-            parsed_expr = pf.parsed
+            src_t = df.schema[fld.name].dataType
+            if isinstance(src_t, T.StringType):
+                # the classic all-string path (CSV/NDJSON/inline)
+                raw_col = F.col(fld.name)
+                fast = None
+            else:
+                # TYPED source column (parquet/ORC resource or a user
+                # DataFrame): its lexical rendition feeds the raw/
+                # pattern surfaces lazily, and when the render→parse
+                # roundtrip is a provable identity the parse itself is
+                # skipped (typed_fast_path, r6 — the rendition+parse
+                # used to be the bulk of the validation scan on wide
+                # columnar tables)
+                raw_col = render_lexical(F.col(fld.name), src_t)
+                fast = typed_fast_path(fld, src_t)
+            raw_expr = apply_missing_values(raw_col, schema.missing_values)
+            if fast is not None:
+                collidable = [
+                    tok
+                    for tok in schema.missing_values
+                    if missing_token_producible(src_t, tok)
+                ]
+                if collidable:
+                    # a declared missing sentinel CAN equal a
+                    # rendition (e.g. "NaN" on a double column) — the
+                    # lexical path nulls those values, so must we
+                    parsed_expr = F.when(
+                        raw_col.isin(*collidable), F.lit(None)
+                    ).otherwise(fast)
+                else:
+                    parsed_expr = fast
+                bad = F.lit(False)  # a typed value cannot mis-parse
+            else:
+                pf = parse_field(raw_col, fld, schema.missing_values)
+                parsed_expr = pf.parsed
+                bad = pf.bad
             select_cols.append(parsed_expr.alias(fld.name))
             bad_name = f"__bad__{fld.name}"
-            select_cols.append(pf.bad.alias(bad_name))
+            select_cols.append(bad.alias(bad_name))
             raw_name = f"__raw__{fld.name}"
-            select_cols.append(F.col(fld.name).alias(raw_name))
+            select_cols.append(raw_col.alias(raw_name))
             checks.append(
                 _CompiledCheck(
                     kind="type",
@@ -380,8 +418,14 @@ def validate_table(
     ``custom_checks`` (X6 plugin surface): extra :class:`CustomCheck`
     masks fused into the same single-scan pass as C1-C6.
 
-    ``assume_typed=True`` skips parsing (columns already typed —
-    parquet path); otherwise every column must be a string column.
+    ``assume_typed=True`` skips parsing AND type checks wholesale
+    (trust-the-caller mode). Otherwise columns may be strings (the
+    CSV/NDJSON lexical path, parsed as before) or typed (parquet/ORC
+    resources, user frames — r6): typed columns whose source type
+    already is the parser's target skip the render→parse roundtrip
+    via :func:`~.parsers.typed_fast_path` with the IDENTICAL report
+    and values (equivalence-tested), and mismatched typed columns
+    render lexically inline and parse like CSV text.
 
     ``cache_cols`` restricts the persisted projection to the columns
     downstream jobs actually re-traverse (key/FK fields — computed by
@@ -768,10 +812,13 @@ def validate_package(
             df = dataframes[res.name]
         else:
             df = read_resource(spark, res)
-            # TYPED columnar formats arrive with real types and must be
-            # rendered lexically before the parse pipeline (orc joined
-            # parquet here in r5 — previously an ORC resource reached
-            # validate_table typed and broke the all-string contract)
+            # TYPED columnar formats (parquet/ORC) stay typed from r6:
+            # _compile_table renders each column lexically ONLY where
+            # a parse or pattern surface needs it, and skips the
+            # render→parse roundtrip entirely for columns whose source
+            # type already is the parser's target (typed_fast_path —
+            # the roundtrip used to be the bulk of the scan). The
+            # repartition still moves compact typed rows.
             if assume_typed is False and res.format in ("parquet", "orc"):
                 if row_ids:
                     # row addresses must reflect SOURCE order — attach
@@ -780,12 +827,7 @@ def validate_package(
                     df = df.withColumn(
                         "__row_id", F.monotonically_increasing_id()
                     )
-                # widen BEFORE the lexical cast: the string render is
-                # the expensive step, so it must run at full session
-                # parallelism, and the shuffle moves compact typed rows
-                # instead of their (fatter) string forms (~2x on
-                # under-split inputs; no-op at real scale)
-                df = stringly(ensure_parallelism(df))
+                df = ensure_parallelism(df)
             if (res.format or "csv") == "csv" and res.path and res.data is None:
                 # H1 needs the RAW header row: Spark mangles duplicate
                 # and blank header names before df.columns exists

@@ -1462,3 +1462,157 @@ def test_descriptor_dataset_checks_end_to_end(spark, tmp_path):
             "name": "t", "path": str(csv),
             "datasetChecks": [{"metric": "avg", "field": "amt"}],
         })
+
+
+# ------------------------------------------------ typed fast path (r6)
+
+from goodtables_pandas_py_spark.schema import Field, TableSchema  # noqa: E402
+from goodtables_pandas_py_spark.sources import stringly  # noqa: E402
+from goodtables_pandas_py_spark.validate import (  # noqa: E402
+    _compile_table,
+    validate_table,
+)
+
+
+def _fp_frame(spark):
+    """Typed frame exercising every fast-path type plus the traps:
+    NaN/Infinity doubles, a missing-token collision ("NaN" and "7"
+    are declared missing), sub-second timestamps, constraint
+    violations, a PK dup, and a type-mismatched column (schema says
+    integer, source is double)."""
+    import datetime as dt
+
+    rows = [
+        (1, 10.5, True, dt.date(2024, 1, 1),
+         dt.datetime(2024, 1, 1, 12, 0, 0, 123456), "1-URGENT", 1.0),
+        (2, float("nan"), False, dt.date(2024, 2, 2),
+         dt.datetime(2024, 2, 2, 1, 2, 3), "9-bogus", 2.5),
+        (7, -3.0, None, None,
+         None, None, 3.0),
+        (2, float("inf"), True, dt.date(2024, 3, 3),
+         dt.datetime(2024, 3, 3), "2-HIGH", None),
+        (None, 0.25, False, dt.date(2024, 4, 4),
+         dt.datetime(2024, 4, 4, 5, 6, 7, 1), "3-MEDIUM", 4.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, amount double, flag boolean, day date,"
+        " at timestamp_ntz, prio string, frac double",
+    )
+
+
+def _fp_schema():
+    return TableSchema(
+        fields=[
+            Field("id", type="integer", constraints={"required": True}),
+            Field("amount", type="number", constraints={"minimum": 0}),
+            Field("flag", type="boolean"),
+            Field("day", type="date"),
+            Field("at", type="datetime"),
+            Field("prio", type="string",
+                  constraints={"pattern": "[1-5]-[A-Z]+"}),
+            Field("frac", type="integer"),  # double source: MISMATCH
+        ],
+        primary_key=["id"],
+        missing_values=["", "NaN", "7"],
+    )
+
+
+def _report_key(v):
+    return sorted(
+        (e.code, str(e.field), str(e.constraint), e.count, tuple(sorted(
+            str(x) for x in (e.values or []) if x is not None)))
+        for e in v.errors
+    )
+
+
+def test_typed_fast_path_matches_lexical_path(spark):
+    """The r6 equivalence theorem: validating the TYPED frame must
+    produce the identical report AND identical parsed values as
+    validating its stringly rendition (the old all-string contract) —
+    including the "NaN"/"7" missing-token collisions, which null the
+    double NaN and the id 7 in both paths."""
+    df = _fp_frame(spark)
+    schema = _fp_schema()
+    v_typed = validate_table(df, schema, resource="t")
+    v_lex = validate_table(stringly(df), schema, resource="t")
+    assert _report_key(v_typed) == _report_key(v_lex)
+    assert v_typed.row_count == v_lex.row_count == 5
+    def _canon(df_rows):
+        import math
+
+        rows = [
+            tuple(
+                "NaN" if isinstance(x, float) and math.isnan(x) else x
+                for x in r
+            )
+            for r in map(tuple, df_rows)
+        ]
+        return sorted(rows, key=lambda r: tuple(map(str, r)))
+
+    assert _canon(v_typed.parsed.collect()) == _canon(v_lex.parsed.collect())
+    # schema parity too (fast-path casts must land on parser targets)
+    assert v_typed.parsed.schema == v_lex.parsed.schema
+    # the collisions actually happened: id 7 nulled -> required error
+    # count covers it; NaN amount nulled (not a minimum violation)
+    codes = {(e.code, e.field) for e in v_typed.errors}
+    assert ("required-constraint", "id") in codes
+    assert ("type-or-format-error", "frac") in codes  # 10.5/2.5 etc.
+    assert ("pattern-constraint", "prio") in codes
+    assert ("primary-key-constraint", "id") in codes
+
+
+def test_typed_fast_path_skips_parse_in_plan(spark):
+    """With only fast-path fields and no pattern constraints, the
+    validation scan must contain NO string-parse machinery: no rlike,
+    no try_to_timestamp, no date_format (renditions are lazy and
+    nothing needs them)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, 1.5, dt.datetime(2024, 1, 1))],
+        "id long, x double, at timestamp_ntz",
+    )
+    schema = TableSchema(
+        fields=[
+            Field("id", type="integer"),
+            Field("x", type="number", constraints={"minimum": 0}),
+            Field("at", type="datetime"),
+        ],
+    )
+    wide, checks, _ = _compile_table(df, schema, assume_typed=False)
+    # select what the Observation/cache job reads (typed cols + masks)
+    # so Catalyst prunes the lazy rendition columns, exactly as the
+    # real validation actions do — the FULL wide projection keeps the
+    # __raw__ renditions as unevaluated columns by design
+    job = wide.select("id", "x", "at", *[c.mask_col for c in checks])
+    plan = job._jdf.queryExecution().optimizedPlan().toString()
+    for needle in ("rlike", "try_to_timestamp", "date_format"):
+        assert needle not in plan, (needle, plan)
+
+
+def test_typed_package_validation_end_to_end(spark):
+    """validate() over parquet resources rides the typed fast path now
+    — same clean verdict on the real testdata as ever."""
+    import goodtables_pandas_py_spark as gt
+
+    desc = {
+        "resources": [
+            {"name": "orders",
+             "path": "/root/testdata/sf0.001/orders.parquet",
+             "format": "parquet",
+             "schema": {"fields": [
+                 {"name": "o_orderkey", "type": "integer",
+                  "constraints": {"required": True}},
+                 {"name": "o_custkey", "type": "integer"},
+                 {"name": "o_orderstatus", "type": "string",
+                  "constraints": {"enum": ["O", "F", "P"]}},
+                 {"name": "o_totalprice", "type": "number",
+                  "constraints": {"minimum": 0}},
+                 {"name": "o_orderdate", "type": "datetime"},
+                 {"name": "o_orderpriority", "type": "string"},
+             ], "primaryKey": ["o_orderkey"]}},
+        ]
+    }
+    rep = gt.validate(spark, desc)
+    assert rep["valid"] is True, rep
