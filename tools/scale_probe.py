@@ -400,6 +400,19 @@ def main() -> None:
     if v.cached is not None:
         v.cached.unpersist()
 
+    # r6: the TYPED path (parquet resources stay typed; fast-path
+    # columns skip render→parse entirely) — same schema, same table,
+    # directly comparable to the lexical entry above
+    blt = ensure_parallelism(spark.read.parquet(f"{WORK}/lineitem.parquet"))
+    t0 = time.time()
+    vt = validate_table(
+        blt, sch, resource="lineitem",
+        cache_cols=["l_orderkey", "l_linenumber"],
+    )
+    timings["validate_table_typed"] = round(time.time() - t0, 2)
+    if vt.cached is not None:
+        vt.cached.unpersist()
+
     print(
         json.dumps(
             {
