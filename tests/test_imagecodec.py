@@ -312,3 +312,65 @@ def test_pil_path_matches_pure_decoder():
     img = _gradient(10, 5, 3)
     blob = encode_png(img)
     assert decode_image_bytes(blob) == decode_png(blob)
+
+
+# ----------------------------------------------------------- edge cases (r6)
+
+
+def test_one_by_one_and_tiny_images():
+    one = DecodedImage(1, 1, 3, bytes([7, 8, 9]))
+    assert decode_png(encode_png(one)) == one
+    up = resize_nearest(one, 4, 4)
+    assert up.pixels == bytes([7, 8, 9] * 16)
+    g = to_gray(one)
+    assert g.shape == (1, 1)
+
+
+def test_truncated_png_raises_cleanly():
+    img = _gradient(6, 4, 3)
+    blob = encode_png(img)
+    with pytest.raises(ImageDecodeError):
+        decode_png(blob[: len(blob) // 2])
+    # signature alone
+    with pytest.raises(ImageDecodeError):
+        decode_png(b"\x89PNG\r\n\x1a\n")
+
+
+def test_png_ancillary_chunks_are_skipped():
+    img = _gradient(5, 3, 3)
+    blob = bytearray(encode_png(img))
+    # splice a tEXt chunk between IHDR and IDAT
+    ihdr_end = 8 + 12 + 13
+    data = b"Comment\x00hello"
+    text = (
+        struct.pack(">I", len(data))
+        + b"tEXt"
+        + data
+        + struct.pack(">I", zlib.crc32(b"tEXt" + data) & 0xFFFFFFFF)
+    )
+    spliced = bytes(blob[:ihdr_end]) + text + bytes(blob[ihdr_end:])
+    assert decode_png(spliced) == img
+
+
+def test_bmp_truncated_pixels_raise():
+    blob = _bmp24(4, 4, [[(1, 2, 3)] * 4] * 4)
+    with pytest.raises(ImageDecodeError, match="truncated"):
+        decode_bmp(blob[:-8])
+
+
+def test_feature_extractor_requires_square_dim():
+    with pytest.raises(ValueError, match="perfect square"):
+        multimodal.image_feature_extractor(
+            encode_png(_gradient(4, 4, 1)), dim=15
+        )
+
+
+def test_feature_extractor_is_resolution_graded():
+    """A flat image pools to a flat feature; a gradient doesn't."""
+    flat = DecodedImage(8, 8, 1, bytes([200] * 64))
+    f_flat = multimodal.image_feature_extractor(encode_png(flat))
+    assert all(v == pytest.approx(200 / 255) for v in f_flat)
+    f_grad = multimodal.image_feature_extractor(
+        encode_png(_gradient(32, 32, 3))
+    )
+    assert max(f_grad) - min(f_grad) > 0.05
