@@ -521,3 +521,64 @@ def mixture_sample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def quality_thresholds(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    relative_error: float = 1e-4,
+) -> list[float]:
+    """Fit curriculum bin thresholds: the (1/n .. (n-1)/n) quantiles
+    of ``score_col`` via ONE Greenwald-Khanna sketch pass (never a
+    global sort — at 100 TB an ntile window would be the single
+    largest shuffle in the pipeline). Returns n_bins-1 ascending
+    floats; ties in a mass-heavy score value may repeat a threshold
+    (those bins are then empty — the honest representation of a
+    score distribution with an atom)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    qs = df.where(F.col(score_col).isNotNull()).approxQuantile(
+        score_col, probs, relative_error
+    )
+    return [float(q) for q in qs]
+
+
+def quality_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    thresholds: list[float] | None = None,
+    bin_col: str = "quality_bin",
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Curriculum / quality binning: label each row with its score
+    bin 1..n_bins (1 = lowest) — the standard precursor to
+    quality-weighted sampling (compose with ``mixture_sample`` on the
+    bin column) and curriculum ordering for LLM training data.
+
+    Spark-first shape: thresholds come from :func:`quality_thresholds`
+    (one sketch pass) or are PASSED IN (the serving shape — fit once
+    on the corpus, bin any later batch or stream with literally zero
+    extra jobs); the labeling itself is a codegen sum of
+    ``score > t_i`` indicators over the literal thresholds — map-only,
+    no shuffle, no join. Null scores get a null bin (they are not
+    "worst", they are unscored). Threshold semantics: bin k holds
+    scores in (t_{k-1}, t_k], so values equal to a threshold bin
+    DOWNWARD, matching SQL ``width_bucket``-style conventions closely
+    enough for a DuckDB twin to verify (tests)."""
+    ts = (
+        quality_thresholds(df, score_col, n_bins, relative_error)
+        if thresholds is None
+        else [float(t) for t in thresholds]
+    )
+    if sorted(ts) != ts:
+        raise ValueError("thresholds must be ascending")
+    c = F.col(score_col)
+    bin_expr: Column = F.lit(1)
+    for t in ts:
+        bin_expr = bin_expr + F.when(c > F.lit(t), 1).otherwise(0)
+    return df.withColumn(
+        bin_col, F.when(c.isNotNull(), bin_expr).cast("int")
+    )

@@ -680,3 +680,82 @@ def test_mixture_sample_unknown_domain_dropped_and_missing_raises(spark):
         mixture_rates(df, {"martian": 1.0}, "source")
     with pytest.raises(ValueError, match="non-negative"):
         mixture_rates(df, {"web": -1.0}, "source")
+
+
+# ------------------------------------------------- quality binning (r6)
+
+from goodtables_pandas_py_spark.extensions.splits import (  # noqa: E402
+    quality_bins,
+    quality_thresholds,
+)
+
+
+def test_quality_bins_explicit_thresholds_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 1.0), (3, 1.5), (4, 2.0), (5, 9.9), (6, None)],
+        "id long, s double",
+    )
+    out = {
+        r["id"]: r["quality_bin"]
+        for r in quality_bins(df, "s", thresholds=[1.0, 2.0]).collect()
+    }
+    # bin k = (t_{k-1}, t_k]: values AT a threshold bin downward
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: None}
+    with pytest.raises(ValueError, match="ascending"):
+        quality_bins(df, "s", thresholds=[2.0, 1.0])
+    with pytest.raises(ValueError, match="n_bins"):
+        quality_thresholds(df, "s", n_bins=1)
+
+
+def test_quality_bins_balanced_and_monotone(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "score", F.length("text").cast("double")
+    )
+    n = docs.count()
+    binned = quality_bins(docs, "score", n_bins=5, relative_error=1e-6)
+    sizes = {
+        r["quality_bin"]: r["n"]
+        for r in binned.groupBy("quality_bin").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert set(sizes) == {1, 2, 3, 4, 5}
+    for b, cnt in sizes.items():
+        assert abs(cnt - n / 5) <= n * 0.08 + 5, (b, cnt, n)
+    # monotone: the max score of bin k never exceeds the min of k+1
+    stats = {
+        r["quality_bin"]: (r["lo"], r["hi"])
+        for r in binned.groupBy("quality_bin").agg(
+            F.min("score").alias("lo"), F.max("score").alias("hi")
+        ).collect()
+    }
+    for b in range(1, 5):
+        assert stats[b][1] <= stats[b + 1][0], stats
+
+
+def test_quality_bins_serving_shape_no_refit(spark, sf_dir):
+    """Thresholds fitted once bin a DIFFERENT frame with zero extra
+    jobs, and identically to refitting on the same data."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "score", F.length("text").cast("double")
+    )
+    ts = quality_thresholds(docs, "score", n_bins=4, relative_error=1e-6)
+    later = docs.limit(100)
+    a = {
+        r["doc_id"]: r["quality_bin"]
+        for r in quality_bins(later, "score", thresholds=ts).collect()
+    }
+    b = {
+        r["doc_id"]: r["quality_bin"]
+        for r in quality_bins(docs, "score", n_bins=4, relative_error=1e-6)
+        .join(later.select("doc_id"), "doc_id", "left_semi")
+        .collect()
+    }
+    assert a == b
+    # map-only: binning with explicit thresholds is scan+project, no
+    # shuffle anywhere in the plan
+    plan = (
+        quality_bins(docs, "score", thresholds=ts)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
