@@ -23,11 +23,14 @@ Stages (each a lazy Spark plan until the final writes):
    per-source sampling-weights step of corpus assembly, deterministic
    hash keep/drop), DSIR-select toward a reference distribution
    (hashed-n-gram importance weights, deterministic Gumbel-top-k),
-   then SPLIT deterministically into train/val/test
-   (salted-md5 hash split — reproducible across engines and cluster
-   sizes) and pack each source's documents into fixed-length training
-   sequences (token offsets + sequence ids), written partitioned by
-   split.
+   LABEL with CCNet-style quality quartiles (self-trained unigram
+   cross-entropy → one-sketch-pass quality_bins, r6), fit a BPE
+   merge list and count tokens under the LEARNED vocab (r6 — budgets
+   are tokenizer tokens, not whitespace words), then SPLIT
+   deterministically into train/val/test (salted-md5 hash split —
+   reproducible across engines and cluster sizes) and pack each
+   source's documents into fixed-length training sequences by their
+   BPE counts, written partitioned by split.
 """
 
 from __future__ import annotations
@@ -196,10 +199,60 @@ def main() -> int:
     n_selected = selected.count()
     print(f"dsir: {n_mixed} → {n_selected} docs toward the en reference")
 
+    # quality bins (r6): label the selection with CCNet-style LM
+    # quality quartiles — unigram cross-entropy self-trained on the
+    # selection (lower = more natural text), thresholds from ONE
+    # sketch pass, labeling map-only. The bin column rides into the
+    # release so downstream training can curriculum-order or
+    # re-weight without recomputing the signal.
+    from goodtables_pandas_py_spark.extensions.splits import quality_bins
+    from goodtables_pandas_py_spark.extensions.text import unigram_logprob
+
+    # CUT THE LINEAGE at the selection boundary: everything below
+    # composes `selected` into plans that contain it several times
+    # over (score join, bin labeling, BPE count join), and each tree
+    # copy drags the ENTIRE quality→dedup→span→decontam→mixture→dsir
+    # logical plan through Catalyst analysis again — a persist alone
+    # caches the DATA but not the plan, and the example measurably
+    # stalled on plan analysis (hundreds of stages) before this
+    # truncation. localCheckpoint materializes AND truncates; a real
+    # deployment writes the selection as a parquet artifact and reads
+    # it back (same effect, plus a restart point).
+    selected = selected.localCheckpoint()
+    xent = unigram_logprob(selected).select("doc_id", "xent_milli")
+    scored = selected.join(xent, "doc_id").withColumn(
+        "xent", F.col("xent_milli").cast("double")
+    )
+    # persist: `binned` feeds the bin rollup, the BPE word-count agg,
+    # the BPE encode pass, AND the release writes — un-persisted,
+    # each of those would replay the unigram fit+score lineage
+    binned = quality_bins(scored, "xent", n_bins=4).drop("xent").persist()
+    bin_counts = {
+        str(r["quality_bin"]): r["n"]
+        for r in binned.groupBy("quality_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    print(f"quality bins (xent quartiles): {bin_counts}")
+
+    # BPE token counts (r6): training budgets are set in TOKENIZER
+    # tokens, not whitespace words — fit a small merge list on the
+    # selection (one word-count agg + driver loop) and pack by the
+    # learned-vocab counts. The whitespace proxy stays in the audit
+    # as n_ws_tokens for comparison.
+    from goodtables_pandas_py_spark.extensions.bpe import (
+        bpe_fit,
+        bpe_token_counts,
+    )
+
+    merges = bpe_fit(binned, n_merges=200, max_words=20_000)
+    print(f"bpe: fitted {len(merges)} merges")
+    bpe_counts = bpe_token_counts(binned, merges)
     packed = sequence_offsets(
-        hash_split(selected, "doc_id", salt="release-2026-08").withColumn(
-            "n_tokens", token_count(F.col("text"))
-        ),
+        hash_split(binned, "doc_id", salt="release-2026-08")
+        .withColumn("n_ws_tokens", token_count(F.col("text")))
+        .join(bpe_counts, "doc_id")
+        .withColumnRenamed("n_bpe_tokens", "n_tokens"),
         budget=2048,
         part_col="source",
     )
@@ -216,6 +269,10 @@ def main() -> int:
             "dsir": {"fraction": 0.9, "num_buckets": 4096,
                      "salt": "dsir-2026-08"},
             "pack_budget": 2048,
+            "tokenizer": {"kind": "bpe", "n_merges": len(merges),
+                          "max_words": 20_000},
+            "quality_bins": {"signal": "unigram_xent_milli",
+                             "n_bins": 4},
         },
     )
     split_counts = release_manifest["row_counts"]
@@ -234,6 +291,8 @@ def main() -> int:
                 "n_after_decontam": prep.n_after_decontam,
                 "n_mixed": n_mixed,
                 "n_dsir_selected": n_selected,
+                "quality_bin_counts": bin_counts,
+                "bpe_merges": len(merges),
                 "split_counts": split_counts,
             },
             f,

@@ -27,8 +27,14 @@ def test_training_data_pipeline_end_to_end(tmp_path):
     # the filters, and the splits partition the selection
     for k in ("n_input", "n_after_quality", "n_after_dedup",
               "n_after_cap", "n_after_span_mask", "n_after_decontam",
-              "n_mixed", "n_dsir_selected", "split_counts"):
+              "n_mixed", "n_dsir_selected", "quality_bin_counts",
+              "bpe_merges", "split_counts"):
         assert k in summary, k
+    # every selected doc carries a quality bin; the bpe fit ran
+    assert sum(summary["quality_bin_counts"].values()) == summary[
+        "n_dsir_selected"
+    ]
+    assert summary["bpe_merges"] > 0
     chain = [summary["n_input"], summary["n_after_quality"],
              summary["n_after_dedup"], summary["n_after_cap"],
              summary["n_after_span_mask"], summary["n_after_decontam"],
