@@ -30,9 +30,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from ..checks.constraints import compile_constraints
-from ..parsers import parse_field
+from ..parsers import (
+    apply_missing_values,
+    missing_token_producible,
+    parse_field,
+    typed_fast_path,
+)
 from ..schema import TableSchema
+from ..sources import render_lexical
 
 
 def validate_stream(
@@ -65,10 +73,35 @@ def validate_stream(
             parsed = F.col(fld.name)
             raw = None
         else:
-            raw = F.col(fld.name)
-            pf = parse_field(raw, fld, schema.missing_values)
-            parsed = pf.parsed
-            cols.append(pf.bad.alias(f"__bad__{fld.name}"))
+            # same per-column contract as the batch engine (r6): a
+            # string column parses lexically; a TYPED column takes
+            # the provable-identity fast path (no re-parse in the
+            # hot per-micro-batch projection) or renders inline
+            src_t = stream.schema[fld.name].dataType
+            if isinstance(src_t, T.StringType):
+                raw_col = F.col(fld.name)
+                fast = None
+            else:
+                raw_col = render_lexical(F.col(fld.name), src_t)
+                fast = typed_fast_path(fld, src_t)
+            raw = apply_missing_values(raw_col, schema.missing_values)
+            if fast is not None:
+                collidable = [
+                    tok
+                    for tok in schema.missing_values
+                    if missing_token_producible(src_t, tok)
+                ]
+                parsed = (
+                    F.when(raw_col.isin(*collidable), F.lit(None))
+                    .otherwise(fast)
+                    if collidable
+                    else fast
+                )
+                cols.append(F.lit(False).alias(f"__bad__{fld.name}"))
+            else:
+                pf = parse_field(raw_col, fld, schema.missing_values)
+                parsed = pf.parsed
+                cols.append(pf.bad.alias(f"__bad__{fld.name}"))
         for ck in compile_constraints(fld, parsed, raw):
             if ck.constraint == "unique":
                 continue  # needs global state; not a streaming check

@@ -758,3 +758,62 @@ def test_streaming_bigram_scores_match_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == want and len(got) > 0
+
+
+def test_validate_stream_typed_fast_path_matches_batch(spark, tmp_path):
+    """r6: a TYPED stream with assume_typed=False takes the same
+    per-column fast path as the batch engine — no re-parse in the
+    micro-batch projection, and mask columns row-identical to the
+    batch validation of the same data."""
+    import datetime as dt
+
+    from goodtables_pandas_py_spark.schema import Field, TableSchema
+    from goodtables_pandas_py_spark.streaming.validate import validate_stream
+
+    rows = [
+        (1, 10.0, dt.datetime(2024, 1, 1), "ok"),
+        (2, -5.0, dt.datetime(2024, 2, 2), "bad-enum"),
+        (3, None, None, "ok"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "id long, amount double, at timestamp_ntz, status string"
+    )
+    staged = str(tmp_path / "typed_stream")
+    batch.write.parquet(staged)
+    schema = TableSchema(
+        fields=[
+            Field("id", type="integer", constraints={"required": True}),
+            Field("amount", type="number", constraints={"minimum": 0}),
+            Field("at", type="datetime"),
+            Field("status", type="string",
+                  constraints={"enum": ["ok"]}),
+        ],
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(staged)
+    out = validate_stream(stream, schema, assume_typed=False)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("typed_fp_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["id"]: r.asDict()
+        for r in spark.sql("SELECT * FROM typed_fp_stream").collect()
+    }
+    assert len(got) == 3
+    # typed columns cannot mis-parse
+    for r in got.values():
+        assert r["__bad__id"] is False and r["__bad__amount"] is False
+    assert got[2]["__viol__amount__minimum"] is True
+    assert got[2]["__viol__status__enum"] is True
+    assert got[1]["__viol__status__enum"] is False
+    assert got[3]["__viol__id__required"] is False  # id present
+    # batch twin agreement on every mask column
+    batch_out = validate_stream(batch, schema, assume_typed=False)
+    bt = {r["id"]: r.asDict() for r in batch_out.collect()}
+    mask_cols = [c for c in bt[1] if c.startswith(("__viol__", "__bad__"))]
+    for i in (1, 2, 3):
+        for c in mask_cols:
+            assert got[i][c] == bt[i][c], (i, c)
