@@ -216,6 +216,19 @@ def decode_bmp(b: bytes) -> DecodedImage:
         raise ImageDecodeError(
             f"unsupported BMP (bpp={bpp}, compression={compression})"
         )
+    if compression == 3:
+        # BI_BITFIELDS carries explicit channel masks — this decoder
+        # assumes BGRA byte order, so accept the bitfields form ONLY
+        # when its masks SAY standard BGRA (the common case written
+        # for alpha support); anything else would silently swap
+        # channels, which is worse than refusing
+        if bpp != 32 or len(b) < 66:
+            raise ImageDecodeError("non-standard BMP bitfields need PIL")
+        masks = struct.unpack("<III", b[54:66])
+        if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ImageDecodeError(
+                f"BMP bitfields with non-BGRA masks {masks} need PIL"
+            )
     top_down = height_raw < 0
     height = abs(height_raw)
     ch_in = bpp // 8

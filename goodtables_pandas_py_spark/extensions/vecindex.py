@@ -86,6 +86,13 @@ def write_ivf_index(
             if "ivf_cid" in df.columns
             else df.withColumn("ivf_cid", _assign_cids(F.col(vec_col), cents))
         )
+    if not cents:
+        # an empty table trains zero centroids and would persist an
+        # index whose postings parquet cannot even be schema-inferred
+        # on read — refuse loudly instead of writing a corrupt layout
+        raise ValueError(
+            "write_ivf_index: input has no vectors to index"
+        )
     if quantize:
         payload = quantize_embedding(
             F.col(vec_col).cast("array<float>")

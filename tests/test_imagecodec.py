@@ -374,3 +374,28 @@ def test_feature_extractor_is_resolution_graded():
         encode_png(_gradient(32, 32, 3))
     )
     assert max(f_grad) - min(f_grad) > 0.05
+
+
+def test_bmp_bitfields_standard_accepted_nonstandard_rejected():
+    """compression=3 (BI_BITFIELDS) decodes ONLY with standard BGRA
+    masks — wrong masks would silently swap channels otherwise."""
+    rows = [[(10, 20, 30), (40, 50, 60)]]
+    # build a 32-bit bitfields BMP by hand: header + masks + BGRA rows
+    width, height = 2, 1
+    body = bytearray()
+    for r, g, b in rows[0]:
+        body += bytes([b, g, r, 255])
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 66 + len(body), 0, 0, 66)
+        + struct.pack("<IiiHHIIiiII", 40, width, -height, 1, 32, 3,
+                      len(body), 0, 0, 0, 0)
+        + struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    )
+    img = decode_bmp(bytes(hdr + body))
+    arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(1, 2, 4)
+    assert arr[0, 0].tolist() == [10, 20, 30, 255]
+    bad = bytearray(hdr + body)
+    struct.pack_into("<III", bad, 54, 0x000000FF, 0x0000FF00, 0x00FF0000)
+    with pytest.raises(ImageDecodeError, match="non-BGRA"):
+        decode_bmp(bytes(bad))

@@ -253,3 +253,10 @@ def test_streaming_ingest_into_index(spark, emb, tmp_path):
     qv = _query_vec(emb, vec_id=133)
     got = ivf_index_topk(idx, qv, k=1, nprobe=4).collect()
     assert got[0]["id"] == 133
+
+
+def test_write_refuses_empty_input(spark, emb, tmp_path):
+    with pytest.raises(Exception, match="no centroids|no vectors"):
+        write_ivf_index(
+            emb.where(F.col("vec_id") < 0), str(tmp_path / "e"), nlist=4
+        )
