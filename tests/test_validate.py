@@ -1616,3 +1616,43 @@ def test_typed_package_validation_end_to_end(spark):
     }
     rep = gt.validate(spark, desc)
     assert rep["valid"] is True, rep
+
+
+def test_partition_valid_typed_input(spark):
+    """r6: quarantine over a TYPED frame — valid rows come out typed,
+    dead-lettered rows carry their lexical renditions, and the split
+    matches the stringly twin exactly."""
+    import datetime as dt
+
+    from goodtables_pandas_py_spark.validate import partition_valid
+
+    df = spark.createDataFrame(
+        [
+            (1, 5.0, dt.date(2024, 1, 1)),
+            (2, -1.0, dt.date(2024, 2, 2)),   # minimum violation
+            (None, 3.0, dt.date(2024, 3, 3)),  # required violation
+        ],
+        "id long, x double, day date",
+    )
+    schema = TableSchema(
+        fields=[
+            Field("id", type="integer", constraints={"required": True}),
+            Field("x", type="number", constraints={"minimum": 0}),
+            Field("day", type="date"),
+        ],
+    )
+    valid, invalid = partition_valid(df, schema)
+    assert {r["id"] for r in valid.collect()} == {1}
+    bad = {r["id"]: r for r in invalid.collect()}
+    # raw lexical renditions in the dead-letter output
+    assert bad["2"]["x"] == "-1.0" and bad["2"]["day"] == "2024-02-02"
+    assert set(bad["2"]["__failed_checks"]) == {"x:minimum-constraint"}
+    assert bad[None]["__failed_checks"] == ["id:required-constraint"]
+    # stringly twin parity
+    from goodtables_pandas_py_spark.sources import stringly
+
+    v2, i2 = partition_valid(stringly(df), schema)
+    assert {r["id"] for r in v2.collect()} == {1}
+    assert {r["id"]: set(r["__failed_checks"]) for r in i2.collect()} == {
+        k: set(v["__failed_checks"]) for k, v in bad.items()
+    }
