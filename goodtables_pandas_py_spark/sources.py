@@ -937,3 +937,84 @@ def write_zordered(
         w = w.option("maxRecordsPerFile", int(max_records_per_file))
     w.parquet(path)
     return bounds
+
+
+def _input_bytes(spark: SparkSession, df: DataFrame) -> int | None:
+    """Total on-disk bytes of a DataFrame's input files, or None when
+    they cannot be sized (non-local store without a JVM gateway)."""
+    files = df.inputFiles()
+    if not files:
+        return 0
+    total = 0
+    jvm = hconf = None
+    for f in files:
+        local = _local_fs_path(f)
+        if local is not None:
+            import os as _os
+
+            total += _os.path.getsize(local)
+            continue
+        try:
+            if jvm is None:
+                jvm, hconf = _jvm_fs(spark)
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(hconf)
+            total += fs.getFileStatus(p).getLen()
+        except Exception:
+            return None
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 512,
+    partition_cols: list[str] | None = None,
+    shuffle: bool = False,
+) -> dict:
+    """Small-files compaction (S4 sink hygiene): rewrite a parquet
+    dataset into ~``target_file_mb`` files. The small-files problem
+    is the default failure mode of incremental/streaming sinks at
+    100 TB — a million 2 MB files turn every scan into a listing +
+    open storm and wreck row-group statistics.
+
+    Shape: size the input from the file listing (driver-side, no data
+    read), pick ``n_out = ceil(bytes / target)``, then ``coalesce``
+    (map-side merge, NO shuffle — the right default for pure
+    compaction) or ``repartition`` when ``shuffle=True`` (pays one
+    exchange to also rebalance skewed file sizes). With
+    ``partition_cols`` the rewrite keeps the hive layout and hashes
+    on the partition columns so each output task writes few
+    directories. Writes a COMPACTED COPY — never in place (an
+    in-place swap is store-specific and unsafe to generalize);
+    verify+swap belongs to the caller's orchestration, and
+    ``release_diff`` can certify the copy row-for-row.
+
+    Returns ``{files_before, files_after, bytes, n_out}``.
+    """
+    if target_file_mb <= 0:
+        raise ValueError("target_file_mb must be positive")
+    df = spark.read.parquet(in_path)
+    files_before = len(df.inputFiles())
+    nbytes = _input_bytes(spark, df)
+    if nbytes is None:
+        # unsized store: fall back to one output file per 8 inputs —
+        # still a compaction, loudly approximate
+        n_out = max(1, files_before // 8)
+    else:
+        n_out = max(1, -(-nbytes // (target_file_mb * 1024 * 1024)))
+    if partition_cols:
+        out = df.repartition(n_out, *[F.col(c) for c in partition_cols])
+        writer = out.write.mode("overwrite").partitionBy(*partition_cols)
+    else:
+        out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+        writer = out.write.mode("overwrite")
+    writer.parquet(out_path)
+    files_after = len(spark.read.parquet(out_path).inputFiles())
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": nbytes,
+        "n_out": int(n_out),
+    }

@@ -1656,3 +1656,46 @@ def test_partition_valid_typed_input(spark):
     assert {r["id"]: set(r["__failed_checks"]) for r in i2.collect()} == {
         k: set(v["__failed_checks"]) for k, v in bad.items()
     }
+
+
+def test_compact_parquet(spark, tmp_path):
+    """r6 sink hygiene: many tiny files compact to ~target-sized
+    files with identical rows; the partitioned variant keeps the
+    hive layout pruneable."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from goodtables_pandas_py_spark.sources import compact_parquet
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    frag = str(tmp_path / "frag")
+    src.repartition(64).write.parquet(frag)
+    out = str(tmp_path / "compact")
+    stats = compact_parquet(spark, frag, out, target_file_mb=64)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] <= 2
+    a = spark.read.parquet(out)
+    assert a.count() == src.count()
+    h = lambda d: d.select(  # noqa: E731
+        F.bit_xor(F.xxhash64(*sorted(d.columns))).alias("h")
+    ).first()["h"]
+    assert h(a) == h(src)
+    # partitioned variant
+    outp = str(tmp_path / "compact_p")
+    stats_p = compact_parquet(
+        spark, frag, outp, target_file_mb=64,
+        partition_cols=["o_orderstatus"],
+    )
+    assert stats_p["files_after"] < 64
+    import os
+
+    dirs = [d for d in os.listdir(outp) if d.startswith("o_orderstatus=")]
+    assert len(dirs) == src.select("o_orderstatus").distinct().count()
+    pruned = (
+        spark.read.parquet(outp)
+        .where(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in pruned
+    with pytest.raises(ValueError, match="target_file_mb"):
+        compact_parquet(spark, frag, out, target_file_mb=0)
