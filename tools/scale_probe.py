@@ -413,6 +413,38 @@ def main() -> None:
     if vt.cached is not None:
         vt.cached.unpersist()
 
+    # r6: persisted IVF index — build (train+assign+partitioned write)
+    # and serve (partition-pruned probe) over the replicated embedding
+    # table; serve time must stay near-flat in n (probes bound it)
+    from goodtables_pandas_py_spark.extensions import vecindex as xvi
+
+    idx_dir = f"{WORK}/ivf_index"
+    t0 = time.time()
+    xvi.write_ivf_index(
+        be, idx_dir, nlist=max(16, sizes["vectors"] // 2000)
+    )
+    timings["ivf_index_build"] = round(time.time() - t0, 2)
+    idx = xvi.read_ivf_index(spark, idx_dir)
+    qv = [float(x) for x in be.limit(1).first()["embedding"]]
+    t0 = time.time()
+    sizes["ivf_sertwenty"] = sum(
+        xvi.ivf_index_topk(idx, qv, k=10, nprobe=4).count()
+        for _ in range(20)
+    )
+    timings["ivf_index_serve_20q"] = round(time.time() - t0, 2)
+
+    # r6: BPE — fit is ONE word-count agg over the corpus + driver
+    # merge loop (must scale with corpus scan, not vocab); encode is
+    # map-only Arrow batches (linear in tokens)
+    from goodtables_pandas_py_spark.extensions import bpe as xbpe
+
+    t0 = time.time()
+    merges = xbpe.bpe_fit(bd, n_merges=500, max_words=50_000)
+    timings["bpe_fit"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    sizes["bpe_docs"] = xbpe.bpe_token_counts(bd, merges).count()
+    timings["bpe_count"] = round(time.time() - t0, 2)
+
     print(
         json.dumps(
             {
