@@ -5,15 +5,19 @@ Real decoding with NO imaging library:
 
 - **PNG** (the production format for ML corpora snapshots): stdlib
   ``zlib`` inflate + full scanline unfiltering (None/Sub/Up/Average/
-  Paeth), 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced.
-  Interlaced (Adam7) and 16-bit inputs are rejected loudly rather
-  than decoded wrong.
+  Paeth), 8-bit gray / gray+alpha / RGB / RGBA / palette (PLTE, with
+  tRNS transparency → RGBA), non-interlaced. Interlaced (Adam7) and
+  16-bit inputs are rejected loudly rather than decoded wrong.
+- **GIF** (r6): 87a/89a first frame — pure-Python LZW (LSB-first,
+  CLEAR/END, 12-bit cap, output-bounded), global/local color tables,
+  interlaced row order, GCE transparency → RGBA.
 - **BMP**: uncompressed 24/32-bit BITMAPINFOHEADER, bottom-up or
-  top-down, BGR(A)→RGB(A), 4-byte row padding.
+  top-down, BGR(A)→RGB(A), 4-byte row padding; BI_BITFIELDS only
+  under standard BGRA masks.
 - **PIL fast path**: if Pillow is importable it is preferred for ALL
-  formats (including JPEG/GIF, which are entropy-coded and genuinely
-  need a codec library); the pure decoders are the fallback so the
-  pipeline stays REAL in codec-less containers like this one.
+  formats (it adds JPEG — DCT+Huffman genuinely belongs in a codec
+  library); the pure decoders are the fallback so the pipeline stays
+  REAL in codec-less containers like this one.
 
 Everything returns/consumes one shape, :class:`DecodedImage`
 (top-down row-major interleaved 8-bit), so extractors and resizers
@@ -63,8 +67,9 @@ def _try_pil():
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-#: color type -> channels
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: color type -> channels (3 = palette: 1 index byte per pixel on the
+#: wire, expanded to RGB/RGBA through PLTE/tRNS after unfiltering)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_chunks(b: bytes):
@@ -138,6 +143,9 @@ def decode_png(b: bytes) -> DecodedImage:
         raise ImageDecodeError("not a PNG")
     width = height = None
     ch = None
+    color = None
+    plte = None
+    trns = None
     idat = bytearray()
     for ctype, data in _png_chunks(bytes(b)):
         if ctype == b"IHDR":
@@ -150,11 +158,17 @@ def decode_png(b: bytes) -> DecodedImage:
                 )
             if color not in _PNG_CHANNELS:
                 raise ImageDecodeError(
-                    f"unsupported PNG color type {color} (palette needs PIL)"
+                    f"unsupported PNG color type {color}"
                 )
             if interlace != 0:
                 raise ImageDecodeError("interlaced PNG needs PIL")
             ch = _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(data) % 3:
+                raise ImageDecodeError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat += data
     if width is None or ch is None or not idat:
@@ -163,7 +177,25 @@ def decode_png(b: bytes) -> DecodedImage:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:  # pragma: no cover - corrupt stream
         raise ImageDecodeError(f"PNG inflate failed: {exc}") from exc
-    return DecodedImage(width, height, ch, _unfilter(raw, width, height, ch))
+    px = _unfilter(raw, width, height, ch)
+    if color == 3:
+        # palette expansion (r6): indices -> RGB via PLTE; a tRNS
+        # chunk adds per-entry alpha -> RGBA (entries beyond the tRNS
+        # table are opaque, per spec)
+        if plte is None:
+            raise ImageDecodeError("palette PNG missing PLTE")
+        idxs = np.frombuffer(px, dtype=np.uint8)
+        if int(idxs.max(initial=0)) >= len(plte):
+            raise ImageDecodeError("palette index out of range")
+        rgb = plte[idxs]
+        if trns is not None:
+            alpha = np.full(len(idxs), 255, dtype=np.uint8)
+            has = idxs < len(trns)
+            alpha[has] = trns[idxs[has]]
+            out = np.concatenate([rgb, alpha[:, None]], axis=1)
+            return DecodedImage(width, height, 4, out.tobytes())
+        return DecodedImage(width, height, 3, rgb.tobytes())
+    return DecodedImage(width, height, ch, px)
 
 
 def encode_png(img: DecodedImage) -> bytes:
@@ -193,6 +225,149 @@ def encode_png(img: DecodedImage) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+# --------------------------------------------------------------------------
+# GIF
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes:
+    """GIF-variant LZW: LSB-first bitstream, CLEAR/END control codes,
+    dictionary grows to 12 bits then waits for a CLEAR. Bounded by
+    ``max_pixels`` so corrupt streams cannot balloon memory."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ImageDecodeError("GIF LZW: bad first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ImageDecodeError("GIF LZW: code out of range")
+            out += entry
+            if len(out) > max_pixels:
+                raise ImageDecodeError("GIF LZW: output exceeds image size")
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return bytes(out)
+
+
+def decode_gif(b: bytes) -> DecodedImage:
+    """Pure-Python GIF87a/89a decode — FIRST frame only (an animation
+    is a sequence of frames; frame extraction at scale belongs in
+    frame_sample_plan's task model, not a blob decoder). Global and
+    local color tables, interlaced row order, and GCE transparency
+    (→ RGBA) are supported."""
+    b = bytes(b)
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        raise ImageDecodeError("not a GIF / truncated header")
+    flags = b[10]
+    i = 13
+    global_table = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        global_table = np.frombuffer(
+            b[i : i + 3 * n], dtype=np.uint8
+        ).reshape(-1, 3)
+        if len(global_table) < n:
+            raise ImageDecodeError("truncated GIF global color table")
+        i += 3 * n
+    transparent = None
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            label = b[i + 1]
+            i += 2
+            if label == 0xF9 and i < len(b) and b[i] >= 4:
+                # graphic control: transparency flag + index
+                if b[i + 1] & 1:
+                    transparent = b[i + 4]
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > len(b):
+                raise ImageDecodeError("truncated GIF image descriptor")
+            w = int.from_bytes(b[i + 5 : i + 7], "little")
+            h = int.from_bytes(b[i + 7 : i + 9], "little")
+            iflags = b[i + 9]
+            i += 10
+            table = global_table
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                table = np.frombuffer(
+                    b[i : i + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                i += 3 * n
+            if table is None:
+                raise ImageDecodeError("GIF frame has no color table")
+            if i >= len(b):
+                raise ImageDecodeError("truncated GIF frame")
+            min_code = b[i]
+            i += 1
+            lzw = bytearray()
+            while i < len(b) and b[i] != 0:
+                size = b[i]
+                lzw += b[i + 1 : i + 1 + size]
+                i += 1 + size
+            idxs = np.frombuffer(
+                _lzw_decode(min_code, bytes(lzw), w * h), dtype=np.uint8
+            )
+            if len(idxs) < w * h:
+                raise ImageDecodeError("GIF frame pixel data short")
+            idxs = idxs[: w * h]
+            if int(idxs.max(initial=0)) >= len(table):
+                raise ImageDecodeError("GIF palette index out of range")
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                rows = idxs.reshape(h, w)
+                fixed = np.empty_like(rows)
+                fixed[order] = rows
+                idxs = fixed.reshape(-1)
+            rgb = table[idxs]
+            if transparent is not None:
+                alpha = np.where(idxs == transparent, 0, 255).astype(
+                    np.uint8
+                )
+                out = np.concatenate([rgb, alpha[:, None]], axis=1)
+                return DecodedImage(w, h, 4, out.tobytes())
+            return DecodedImage(w, h, 3, np.ascontiguousarray(rgb).tobytes())
+        elif block == 0x3B:  # trailer before any frame
+            break
+        else:
+            raise ImageDecodeError(f"unknown GIF block 0x{block:02x}")
+    raise ImageDecodeError("GIF contains no image frame")
 
 
 # --------------------------------------------------------------------------
@@ -281,10 +456,13 @@ def decode_image_bytes(b: bytes) -> DecodedImage:
         return decode_png(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
-    if b[:2] == b"\xff\xd8":
-        raise ImageDecodeError("JPEG decode requires Pillow (not installed)")
     if b[:6] in (b"GIF87a", b"GIF89a"):
-        raise ImageDecodeError("GIF decode requires Pillow (not installed)")
+        return decode_gif(b)
+    if b[:2] == b"\xff\xd8":
+        raise ImageDecodeError(
+            "JPEG decode requires Pillow (not installed) — DCT+Huffman "
+            "belongs in a codec library, not a hand-rolled decoder"
+        )
     raise ImageDecodeError("unrecognized image format")
 
 

@@ -399,3 +399,213 @@ def test_bmp_bitfields_standard_accepted_nonstandard_rejected():
     struct.pack_into("<III", bad, 54, 0x000000FF, 0x0000FF00, 0x00FF0000)
     with pytest.raises(ImageDecodeError, match="non-BGRA"):
         decode_bmp(bytes(bad))
+
+
+def _palette_png(width, height, indices, palette, trns=None):
+    """Handcraft a color-type-3 PNG (filter 0 rows)."""
+    raw = bytearray()
+    for y in range(height):
+        raw += b"\x00" + bytes(indices[y * width : (y + 1) * width])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in palette)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_palette_png_decodes_to_rgb():
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    blob = _palette_png(2, 2, [0, 1, 2, 3], pal)
+    img = decode_png(blob)
+    assert (img.width, img.height, img.channels) == (2, 2, 3)
+    arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(4, 3)
+    assert arr.tolist() == [list(c) for c in pal]
+    if _try_pil() is not None:
+        assert decode_image_bytes(blob) == img  # PIL path agrees
+
+
+def test_palette_png_trns_adds_alpha():
+    pal = [(10, 20, 30), (40, 50, 60)]
+    blob = _palette_png(3, 1, [0, 1, 0], pal, trns=[128])  # entry 0 semi
+    img = decode_png(blob)
+    assert img.channels == 4
+    arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(3, 4)
+    assert arr[0].tolist() == [10, 20, 30, 128]
+    assert arr[1].tolist() == [40, 50, 60, 255]  # beyond tRNS: opaque
+    assert arr[2].tolist() == [10, 20, 30, 128]
+
+
+def test_palette_png_bad_index_rejected():
+    blob = _palette_png(1, 1, [5], [(1, 2, 3)])  # index 5, 1-entry PLTE
+    with pytest.raises(ImageDecodeError, match="index out of range"):
+        decode_png(blob)
+    # palette type without PLTE at all
+    good = _palette_png(1, 1, [0], [(1, 2, 3)])
+    # strip the PLTE chunk (sig+IHDR stay, then skip 12+3)
+    ihdr_end = 8 + 12 + 13
+    plte_len = 12 + 3
+    broken = good[:ihdr_end] + good[ihdr_end + plte_len:]
+    with pytest.raises(ImageDecodeError, match="missing PLTE"):
+        decode_png(broken)
+
+
+# --------------------------------------------------------------- GIF (r6)
+
+from goodtables_pandas_py_spark.extensions.imagecodec import (  # noqa: E402
+    decode_gif,
+)
+
+
+def _lzw_encode(min_code_size, indices):
+    """Independent FORWARD LZW encoder (reference for the decoder):
+    emits CLEAR first, grows code size as the table fills, ends with
+    END. Classic greedy longest-match."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, end + 1
+
+    table, next_code = fresh()
+    code_size = min_code_size + 1
+    out_bits = []
+
+    def emit(code):
+        nonlocal code_size
+        out_bits.append((code, code_size))
+
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            # decoder grows when ITS table reaches 2^size; mirror it
+            code_size += 1
+        w = bytes([k])
+    if w:
+        emit(table[w])
+    emit(end)
+    # pack LSB-first
+    acc = nbits = 0
+    data = bytearray()
+    for code, size in out_bits:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _gif(width, height, indices, palette, interlace=False,
+         transparent=None, local_table=False):
+    """Handcraft a GIF89a with one frame."""
+    n = max(2, len(palette))
+    bits = max(1, (n - 1).bit_length())
+    n = 1 << bits
+    pal = list(palette) + [(0, 0, 0)] * (n - len(palette))
+    table_bytes = b"".join(bytes(c) for c in pal)
+    gflags = (0x80 | (bits - 1)) if not local_table else 0
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([gflags, 0, 0])
+    if not local_table:
+        out += table_bytes
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    iflags = (0x40 if interlace else 0) | (0x80 | (bits - 1) if local_table else 0)
+    out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes([iflags])
+    if local_table:
+        out += table_bytes
+    min_code = max(2, bits)
+    if interlace:
+        order = (list(range(0, height, 8)) + list(range(4, height, 8))
+                 + list(range(2, height, 4)) + list(range(1, height, 2)))
+        rows = [indices[y * width:(y + 1) * width] for y in order]
+        stream = [i for row in rows for i in row]
+    else:
+        stream = list(indices)
+    data = _lzw_encode(min_code, stream)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_gif_basic_roundtrip():
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 7, 7)]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0, 1, 1, 2, 2]
+    img = decode_gif(_gif(4, 3, idx, pal))
+    assert (img.width, img.height, img.channels) == (4, 3, 3)
+    arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(12, 3)
+    assert arr.tolist() == [list(pal[i]) for i in idx]
+
+
+def test_gif_long_run_grows_code_size():
+    # 1000 pixels of a repeating pattern forces table growth past the
+    # initial code size — decoder and reference encoder must agree
+    pal = [(i * 30 % 256, i, 255 - i) for i in range(8)]
+    idx = [(i * i) % 8 for i in range(1000)]
+    img = decode_gif(_gif(50, 20, idx, pal))
+    arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(1000, 3)
+    assert arr.tolist() == [list(pal[i]) for i in idx]
+
+
+def test_gif_interlaced_rows_reordered():
+    pal = [(0, 0, 0), (255, 255, 255)]
+    # row y is solid color y%2 — interlacing must restore exact rows
+    idx = [y % 2 for y in range(10) for _ in range(3)]
+    plain = decode_gif(_gif(3, 10, idx, pal, interlace=False))
+    inter = decode_gif(_gif(3, 10, idx, pal, interlace=True))
+    assert plain == inter
+
+
+def test_gif_transparency_and_local_table():
+    pal = [(9, 9, 9), (200, 100, 50)]
+    idx = [0, 1, 0, 1]
+    img = decode_gif(_gif(2, 2, idx, pal, transparent=0, local_table=True))
+    assert img.channels == 4
+    arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(4, 4)
+    assert arr[0].tolist() == [9, 9, 9, 0]
+    assert arr[1].tolist() == [200, 100, 50, 255]
+
+
+def test_gif_dispatch_and_garbage():
+    pal = [(1, 2, 3), (4, 5, 6)]
+    blob = _gif(2, 1, [0, 1], pal)
+    if _try_pil() is None:
+        assert decode_image_bytes(blob) == decode_gif(blob)
+    with pytest.raises(ImageDecodeError):
+        decode_gif(b"GIF89a")  # truncated
+    with pytest.raises(ImageDecodeError, match="no image frame"):
+        decode_gif(b"GIF89a" + struct.pack("<HH", 1, 1) + bytes([0, 0, 0, 0x3B]))
+
+
+@pytest.mark.skipif(_try_pil() is None, reason="Pillow not installed")
+def test_gif_matches_pil():
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 7, 7)]
+    idx = [(i * 3) % 4 for i in range(64)]
+    blob = _gif(8, 8, idx, pal)
+    assert decode_image_bytes(blob) == decode_gif(blob)
