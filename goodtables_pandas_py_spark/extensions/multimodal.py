@@ -1,9 +1,9 @@
 """Multimodal columns (X-multimodal): image/audio/video as opaque
 ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas`` (SURVEY.md north star). As of r6 the decode step is
-REAL: PNG/BMP decode via the pure-stdlib codec in
+REAL: PNG/GIF/BMP decode via the pure-stdlib codec in
 :mod:`.imagecodec` (PIL is the optional fast path and unlocks
-JPEG/GIF), so decode→feature (:func:`image_feature_extractor`) and
+JPEG), so decode→feature (:func:`image_feature_extractor`) and
 decode→resize→re-encode (:func:`real_resizer`) run end-to-end in
 codec-less containers; the deterministic fakes remain only as
 injectable stand-ins for plumbing tests on non-image bytes.
@@ -72,11 +72,10 @@ def decode_image(blob: bytes):
     """REAL image decode (r6 — the former stub). Returns an
     :class:`~.imagecodec.DecodedImage` (top-down row-major
     interleaved 8-bit). PIL is the optional fast path when
-    importable; without it, PNG and BMP decode via the pure-stdlib
-    codec in :mod:`.imagecodec` (zlib inflate + scanline unfilter /
-    byte arithmetic), and JPEG/GIF raise
-    :class:`~.imagecodec.ImageDecodeError` explaining the Pillow
-    requirement — entropy-coded formats genuinely need a codec
+    importable; without it, PNG (incl. palette), GIF (LZW), and BMP
+    decode via the pure-stdlib codec in :mod:`.imagecodec`, and JPEG
+    raises :class:`~.imagecodec.ImageDecodeError` explaining the
+    Pillow requirement — DCT+Huffman genuinely needs a codec
     library."""
     from .imagecodec import decode_image_bytes
 
