@@ -61,6 +61,7 @@ def prepare_corpus(
     cap_group_cols: list[str] | None = None,
     cap_order_col: str | None = None,
     audit: bool = False,
+    truncate_lineage: bool = False,
     **clean_kwargs,
 ) -> CorpusPrep:
     """Quality-filter, near-dedup, and (optionally) decontaminate a
@@ -112,8 +113,22 @@ def prepare_corpus(
     run needs "what did each rule cost us" answerable later without
     re-running the filter.
 
-    Lazy like everything else: without ``audit`` no job runs until
-    the caller acts on ``kept``."""
+    ``truncate_lineage=True`` cuts the LOGICAL PLAN (localCheckpoint)
+    after the two deepest stages — near-dedup (whose CC iterations
+    build the tallest tree) and span masking (window-hash explodes).
+    A persist caches data, not plans: every later action over the
+    prepared corpus still pays Catalyst re-analysis of the full tree,
+    and callers that JOIN the output with a derivative of itself
+    (score joins, count joins) embed that tree 2-4× — measured as a
+    minutes-long driver-side stall at a few HUNDRED rows in the
+    example pipeline (r6; docs/TUNING.md anti-pattern). The knob
+    trades laziness for bounded planning: data materializes at the
+    cut. A real deployment writing the corpus artifact and reading it
+    back gets the same effect plus a restart point.
+
+    Lazy like everything else: without ``audit`` or
+    ``truncate_lineage`` no job runs until the caller acts on
+    ``kept``."""
     clean_kwargs.pop("with_reasons", None)
     cleaned = clean_corpus(df, text_col=text_col, **clean_kwargs)
     deduped = near_dedup(
@@ -125,6 +140,8 @@ def prepare_corpus(
         persist_banded=persist_banded,
         persist_sets=persist_sets,
     )
+    if truncate_lineage:
+        deduped = deduped.localCheckpoint()
     kept = deduped
     if cap_per_group is not None:
         if not cap_group_cols or cap_order_col is None:
@@ -149,6 +166,8 @@ def prepare_corpus(
         ).where(
             F.col(text_col).isNull() | (F.trim(F.col(text_col)) != "")
         )
+        if truncate_lineage:
+            kept = kept.localCheckpoint()
     span_masked = kept
     if eval_sets is not None:
         drop = contaminated_ids(

@@ -2062,3 +2062,26 @@ def test_bigram_logprob_oov_prev_with_known_bigram_backs_off(spark):
     # -> BACKOFF ln5-ln(c1(b))+lnb, not null
     want = m(ln(5) - ln(3)) + m(ln(3) - ln(1)) + m(ln(5) - ln(2) + lnb)
     assert got["xent_milli"] == want and got["n_tokens"] == 3
+
+
+def test_prepare_corpus_truncate_lineage_same_result(spark):
+    """r6: truncate_lineage cuts the logical plan at the dedup and
+    span-mask boundaries without changing a single row; the output
+    plan must NOT contain the dedup machinery (the point of the cut)."""
+    from goodtables_pandas_py_spark.extensions.pipeline import prepare_corpus
+
+    rows = [
+        (i, f"document number {i} with shared boilerplate tail "
+            "the quick brown fox jumps over the lazy dog again and again")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = prepare_corpus(df, dedup_threshold=0.5, span_dedup_k=5)
+    cut = prepare_corpus(
+        df, dedup_threshold=0.5, span_dedup_k=5, truncate_lineage=True
+    )
+    a = sorted((r["doc_id"], r["text"]) for r in plain.kept.collect())
+    b = sorted((r["doc_id"], r["text"]) for r in cut.kept.collect())
+    assert a == b
+    plan = cut.kept._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" not in plan, plan[:2000]  # dedup tree is gone
