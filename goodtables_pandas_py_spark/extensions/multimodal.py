@@ -391,13 +391,66 @@ def _parse_wav_header(b) -> tuple:
     return (rate, channels, dur)
 
 
+def _parse_mp4_header(b) -> tuple:
+    """(mime, duration_ms) from an ISO BMFF (MP4/MOV) box walk: find
+    the top-level ``moov`` box, then its ``mvhd`` child — timescale +
+    duration at version-dependent offsets. Bounded: only box headers
+    are touched, never media payloads. Malformed/absent →
+    (None, None); an ftyp with no readable mvhd still reports the
+    mime (the blob IS an mp4, its duration just isn't parseable)."""
+    if b is None or len(b) < 12 or b[4:8] != b"ftyp":
+        return (None, None)
+    b = bytes(b)
+    n = len(b)
+
+    def boxes(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(b[i : i + 4], "big")
+            btype = b[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(b[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:  # box runs to EOF
+                size = end - i
+            if size < hdr:
+                return
+            yield btype, i + hdr, min(i + size, end)
+            i += size
+
+    for btype, s, e in boxes(0, n):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in boxes(s, e):
+            if ctype != b"mvhd" or ce - cs < 20:
+                continue
+            version = b[cs]
+            if version == 0 and ce - cs >= 20:
+                scale = int.from_bytes(b[cs + 12 : cs + 16], "big")
+                dur = int.from_bytes(b[cs + 16 : cs + 20], "big")
+            elif version == 1 and ce - cs >= 32:
+                scale = int.from_bytes(b[cs + 20 : cs + 24], "big")
+                dur = int.from_bytes(b[cs + 24 : cs + 32], "big")
+            else:
+                break
+            if scale > 0:
+                return ("video/mp4", int(dur * 1000 // scale))
+            break
+    return ("video/mp4", None)
+
+
 def sniff_media_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     """``df`` + a ``media_meta`` struct (MEDIA_META_SCHEMA) whose
     mime/width/height/duration_ms come from REAL header parsing —
-    :func:`_parse_image_header` for PNG/GIF/BMP/JPEG and
-    :func:`_parse_wav_header` for RIFF/WAVE — over the binary column
-    via an Arrow-batched pandas UDF (headers are fixed-offset reads /
-    a bounded chunk walk, so per-row cost is independent of blob
+    :func:`_parse_image_header` for PNG/GIF/BMP/JPEG,
+    :func:`_parse_wav_header` for RIFF/WAVE, and (r6)
+    :func:`_parse_mp4_header` for ISO BMFF video (+ WebM/Matroska by
+    EBML magic, mime only) — over the binary column via an
+    Arrow-batched pandas UDF (headers are fixed-offset reads /
+    bounded box walks, so per-row cost is independent of blob
     size). Unrecognized blobs keep a null-typed struct with just
     n_bytes — the same contract as :func:`attach_media_metadata`,
     which remains the zero-Python fallback."""
@@ -419,6 +472,12 @@ def sniff_media_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             rate, _ch, dur = _parse_wav_header(b)
             if rate is not None:
                 rows.append(("audio", "audio/wav", None, None, dur))
+                continue
+            vmime, vdur = _parse_mp4_header(b)
+            if vmime is not None:
+                rows.append(("video", vmime, None, None, vdur))
+            elif b is not None and bytes(b[:4]) == b"\x1a\x45\xdf\xa3":
+                rows.append(("video", "video/webm", None, None, None))
             else:
                 rows.append((None, None, None, None, None))
         return pd.DataFrame(

@@ -2085,3 +2085,65 @@ def test_prepare_corpus_truncate_lineage_same_result(spark):
     assert a == b
     plan = cut.kept._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" not in plan, plan[:2000]  # dedup tree is gone
+
+
+def test_mp4_and_webm_sniffing(spark):
+    """r6: video metadata — ISO BMFF box walk (mvhd v0/v1 duration),
+    WebM by EBML magic; sniff feeds frame_sample_plan real durations."""
+    import struct as _s
+
+    from goodtables_pandas_py_spark.extensions.multimodal import (
+        _parse_mp4_header,
+        frame_sample_plan,
+        sniff_media_meta,
+    )
+    from pyspark.sql import types as T
+
+    def box(btype, payload):
+        return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+    def mp4(version, scale, dur, largesize=False):
+        if version == 0:
+            mvhd = bytes([0, 0, 0, 0]) + bytes(8) + _s.pack(">II", scale, dur)
+            mvhd += bytes(80)
+        else:
+            mvhd = bytes([1, 0, 0, 0]) + bytes(16) + _s.pack(">IQ", scale, dur)
+            mvhd += bytes(80)
+        moov = box(b"moov", box(b"mvhd", mvhd))
+        if largesize:
+            inner = box(b"mvhd", mvhd)
+            moov = _s.pack(">I", 1) + b"moov" + _s.pack(">Q", 16 + len(inner)) + inner
+        return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+    assert _parse_mp4_header(mp4(0, 1000, 7500)) == ("video/mp4", 7500)
+    assert _parse_mp4_header(mp4(1, 600, 1200)) == ("video/mp4", 2000)
+    assert _parse_mp4_header(mp4(0, 1000, 7500, largesize=True)) == (
+        "video/mp4", 7500,
+    )
+    # ftyp with no moov: mime known, duration unknown
+    assert _parse_mp4_header(
+        box(b"ftyp", b"isom\x00\x00\x02\x00")
+    ) == ("video/mp4", None)
+    assert _parse_mp4_header(b"nope") == (None, None)
+    assert _parse_mp4_header(None) == (None, None)
+
+    rows = [
+        (1, mp4(0, 1000, 4000)),
+        (2, b"\x1a\x45\xdf\xa3rest-of-webm"),
+        (3, b"not media"),
+    ]
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    sniffed = sniff_media_meta(spark.createDataFrame(rows, schema))
+    got = {r["media_id"]: r["media_meta"] for r in sniffed.collect()}
+    assert got[1]["media_type"] == "video" and got[1]["mime"] == "video/mp4"
+    assert got[1]["duration_ms"] == 4000
+    assert got[2]["mime"] == "video/webm" and got[2]["duration_ms"] is None
+    assert got[3]["media_type"] is None
+    # the sniffed duration drives the frame task plan end-to-end
+    frames = frame_sample_plan(
+        sniffed.where(F.col("media_id") == 1), every_ms=1000
+    ).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
