@@ -6,8 +6,10 @@ Real decoding with NO imaging library:
 - **PNG** (the production format for ML corpora snapshots): stdlib
   ``zlib`` inflate + full scanline unfiltering (None/Sub/Up/Average/
   Paeth), 8-bit gray / gray+alpha / RGB / RGBA / palette (PLTE, with
-  tRNS transparency → RGBA), non-interlaced. Interlaced (Adam7) and
-  16-bit inputs are rejected loudly rather than decoded wrong.
+  tRNS transparency → RGBA), plain or Adam7-interlaced (each of the
+  seven passes unfiltered as its own sub-image and scattered onto the
+  stride grid). 16-bit and sub-byte depths are rejected loudly
+  rather than decoded wrong.
 - **GIF** (r6): 87a/89a first frame — pure-Python LZW (LSB-first,
   CLEAR/END, 12-bit cap, output-bounded), global/local color tables,
   interlaced row order, GCE transparency → RGBA.
@@ -137,8 +139,39 @@ def _unfilter(raw: bytes, width: int, height: int, ch: int) -> bytes:
     return out.tobytes()
 
 
+#: Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _deinterlace(raw: bytes, width: int, height: int, ch: int) -> bytes:
+    """Adam7 (r6): the stream is SEVEN independently-filtered
+    sub-images; unfilter each with the normal scanline logic and
+    scatter its pixels onto the (y_start::y_step, x_start::x_step)
+    grid. Empty passes (dimension rounds to zero) contribute no
+    bytes, per spec."""
+    out = np.zeros((height, width, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        if x0 >= width or y0 >= height:
+            continue
+        w_p = (width - x0 + dx - 1) // dx
+        h_p = (height - y0 + dy - 1) // dy
+        if w_p == 0 or h_p == 0:
+            continue
+        nbytes = (w_p * ch + 1) * h_p
+        sub = _unfilter(raw[pos : pos + nbytes], w_p, h_p, ch)
+        pos += nbytes
+        out[y0::dy, x0::dx] = np.frombuffer(sub, dtype=np.uint8).reshape(
+            h_p, w_p, ch
+        )
+    return out.tobytes()
+
+
 def decode_png(b: bytes) -> DecodedImage:
-    """Pure-stdlib PNG decode (8-bit, non-interlaced)."""
+    """Pure-stdlib PNG decode (8-bit; interlaced via Adam7)."""
     if b[:8] != _PNG_SIG:
         raise ImageDecodeError("not a PNG")
     width = height = None
@@ -160,8 +193,10 @@ def decode_png(b: bytes) -> DecodedImage:
                 raise ImageDecodeError(
                     f"unsupported PNG color type {color}"
                 )
-            if interlace != 0:
-                raise ImageDecodeError("interlaced PNG needs PIL")
+            if interlace not in (0, 1):
+                raise ImageDecodeError(
+                    f"unknown PNG interlace method {interlace}"
+                )
             ch = _PNG_CHANNELS[color]
         elif ctype == b"PLTE":
             if len(data) % 3:
@@ -177,7 +212,10 @@ def decode_png(b: bytes) -> DecodedImage:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:  # pragma: no cover - corrupt stream
         raise ImageDecodeError(f"PNG inflate failed: {exc}") from exc
-    px = _unfilter(raw, width, height, ch)
+    if interlace == 1:
+        px = _deinterlace(raw, width, height, ch)
+    else:
+        px = _unfilter(raw, width, height, ch)
     if color == 3:
         # palette expansion (r6): indices -> RGB via PLTE; a tRNS
         # chunk adds per-entry alpha -> RGBA (entries beyond the tRNS

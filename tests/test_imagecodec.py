@@ -140,8 +140,8 @@ def test_png_rejects_unsupported_loudly():
     with pytest.raises(ImageDecodeError, match="bit depth"):
         decode_png(bytes(blob))
     blob = bytearray(encode_png(img))
-    blob[28] = 1  # interlace byte
-    with pytest.raises(ImageDecodeError, match="interlaced"):
+    blob[28] = 2  # unknown interlace method (1 = Adam7 is supported, r6)
+    with pytest.raises(ImageDecodeError, match="interlace"):
         decode_png(bytes(blob))
 
 
@@ -609,3 +609,56 @@ def test_gif_matches_pil():
     idx = [(i * 3) % 4 for i in range(64)]
     blob = _gif(8, 8, idx, pal)
     assert decode_image_bytes(blob) == decode_gif(blob)
+
+
+# ---------------------------------------------------------- Adam7 (r6)
+
+
+def _interlaced_png(img, pass_filters=(0,)):
+    """Independent FORWARD Adam7 interlacer: split into the 7 passes,
+    filter each sub-image's rows (cycling pass_filters), concatenate."""
+    adam7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    w, h, ch = img.width, img.height, img.channels
+    px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(h, w, ch)
+    raw = bytearray()
+    for x0, y0, dx, dy in adam7:
+        if x0 >= w or y0 >= h:
+            continue
+        sub = px[y0::dy, x0::dx]
+        h_p, w_p = sub.shape[:2]
+        if h_p == 0 or w_p == 0:
+            continue
+        prev = bytes(w_p * ch)
+        for yi in range(h_p):
+            row = sub[yi].tobytes()
+            f = pass_filters[yi % len(pass_filters)]
+            raw += bytes([f]) + _apply_filter(f, row, prev, ch)
+            prev = row
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)  # interlace=1
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (13, 7), (8, 9), (3, 2), (1, 1)])
+def test_adam7_roundtrip_various_dims(w, h):
+    img = _gradient(w, h, 3)
+    assert decode_png(_interlaced_png(img)) == img
+
+
+def test_adam7_with_per_pass_filters():
+    img = _gradient(12, 10, 4)
+    assert decode_png(_interlaced_png(img, pass_filters=(0, 1, 2, 3, 4))) == img
+
+
+@pytest.mark.skipif(_try_pil() is None, reason="Pillow not installed")
+def test_adam7_matches_pil():
+    img = _gradient(11, 9, 3)
+    blob = _interlaced_png(img)
+    assert decode_image_bytes(blob) == decode_png(blob)
