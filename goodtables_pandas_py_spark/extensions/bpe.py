@@ -157,13 +157,18 @@ def bpe_fit(
     )
 
 
-_ENCODE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
-        T.StructField("n_bpe_tokens", T.LongType()),
-    ]
-)
+def _encode_schema(df: DataFrame, id_col: str) -> T.StructType:
+    """Output schema for bpe_encode, carrying the id column through
+    under its own name and dtype (string doc ids, int ids, ... all
+    round-trip the Arrow boundary unchanged)."""
+    id_field = df.schema[id_col]
+    return T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
+    )
 
 
 def bpe_encode(
@@ -207,13 +212,17 @@ def bpe_encode(
             toks = [enc(t) for t in pdf[text_col]]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "bpe_tokens": toks if keep_tokens else [None] * len(toks),
                     "n_bpe_tokens": [len(t) for t in toks],
                 }
             )
 
-    return df.mapInPandas(batches, _ENCODE_SCHEMA)
+    # prune to the two columns the kernel reads BEFORE the Arrow
+    # transfer — mapInPandas ships every input column otherwise
+    return df.select(id_col, text_col).mapInPandas(
+        batches, _encode_schema(df, id_col)
+    )
 
 
 def bpe_token_counts(

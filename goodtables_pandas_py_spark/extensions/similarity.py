@@ -769,7 +769,26 @@ def _centroid_rows(
     (n × dim rows through a shuffle) — at 100 TB that is a larger job
     than every query the index will ever serve. The final ASSIGNMENT
     still covers every row (ivf_assign); only centroid FITTING
-    samples. None disables the cap."""
+    samples. None disables the cap.
+
+    Dirty-corpus hygiene (r7, ADVICE): null/empty vectors are
+    excluded from training up front, and the training set is further
+    restricted to the MODAL vector dimension (one tiny size-histogram
+    agg) so a ragged minority can neither seed a wrong-dim centroid
+    nor shift a Lloyd mean. Rows outside the modal dim later assign a
+    NULL cid (dropped/reported by the index writers)."""
+    df = df.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    )
+    dim_row = (
+        df.groupBy(F.size(F.col(vec_col)).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("d"))
+        .first()
+    )
+    if dim_row is None:
+        return []
+    df = df.where(F.size(F.col(vec_col)) == int(dim_row["d"]))
     if train_cap is not None and train_cap >= nlist:
         n = df.count()
         if n > train_cap:
@@ -797,7 +816,8 @@ def _centroid_rows(
             _assign_cids(F.col(vec_col), cents).alias("cid"),
         )
         new = (
-            assigned.select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
+            assigned.where(F.col("cid").isNotNull())
+            .select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("m"))
             .groupBy("cid")
@@ -827,7 +847,14 @@ def _nearest_cid(vec: Column, centroids: list[list[float]]) -> Column:
             lambda acc, x: acc + x,
         )
         scored.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*scored))["cid"]
+    # null/empty/ragged vectors must get a NULL cid, matching the
+    # matmul path (r7, ADVICE): zip_with null-pads a length mismatch,
+    # the fold then yields a null distance, and struct NULLS-FIRST
+    # ordering would silently hand every garbage row to cid 0
+    dim = len(centroids[0])
+    return F.when(
+        F.size(v) == dim, F.array_min(F.array(*scored))["cid"]
+    ).otherwise(F.lit(None).cast("int"))
 
 
 # past this many centroids the literal-folded argmin expression stops
@@ -846,8 +873,10 @@ def _assign_cids(vec: Column, centroids: list[list[float]]) -> Column:
     happens inside — matching ``_nearest_cid(_l2_normalized(v), c)``):
     the codegen literal expression for small ``nlist``, an
     Arrow-batched numpy matmul beyond :data:`_ASSIGN_EXPR_MAX_NLIST`.
-    Null/ragged/empty vectors get a NULL cid on the matmul path (the
-    expression path nulls them through the HOF fold the same way).
+    Null/ragged/empty vectors get a NULL cid on BOTH paths (matmul
+    skips them; the expression path gates the argmin on size(v)==dim
+    — r7 fix: the bare HOF fold used to yield a null distance that
+    struct NULLS-FIRST ordering resolved to cid 0).
     Ties break to the lowest cid on both paths (first argmin /
     lexicographic struct min); near-tie float divergence between the
     sequential fold and BLAS summation can pick either side of an

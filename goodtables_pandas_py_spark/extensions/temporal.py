@@ -25,6 +25,8 @@ payload column is null).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -269,12 +271,13 @@ def range_join(
         w_num = _auto_bin_width(
             intervals, lo_col, hi_col, to_num, max_bins_per_interval
         )
+        # ceil, not round: banker's rounding could drop the width
+        # below the mx/(max_bins-2) clamp (2.5 -> 2) and trip the
+        # max_bins_per_interval guard on a valid auto-width run
+        w = max(1, math.ceil(w_num)) if integral else max(w_num, 1e-12)
     else:
         w_num = float(bin_width) * unit_scale
-    if integral:
-        w = max(1, int(round(w_num)))
-    else:
-        w = max(w_num, 1e-12)
+        w = max(1, int(round(w_num))) if integral else max(w_num, 1e-12)
 
     iv = intervals.where(
         F.col(lo_col).isNotNull()
@@ -400,9 +403,11 @@ def interval_join(
         w_num = _auto_bin_width(
             right, r_lo, r_hi, to_num, max_bins_per_interval
         )
+        # ceil for the same clamp-invariant reason as range_join
+        w = max(1, math.ceil(w_num)) if integral else max(w_num, 1e-12)
     else:
         w_num = float(bin_width) * unit_scale
-    w = max(1, int(round(w_num))) if integral else max(w_num, 1e-12)
+        w = max(1, int(round(w_num))) if integral else max(w_num, 1e-12)
 
     def binned(df: DataFrame, lo: str, hi: str, prefix: str,
                payload: list) -> DataFrame:

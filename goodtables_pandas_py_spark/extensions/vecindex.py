@@ -34,7 +34,7 @@ import math
 import os
 from typing import NamedTuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .similarity import (
@@ -99,12 +99,25 @@ def write_ivf_index(
         ).alias("qvec")
     else:
         payload = F.col(vec_col).cast("array<float>").alias("vec")
-    postings = assigned.select(
-        F.col(id_col).alias("id"), F.col("ivf_cid"), payload
+    # Null/empty/ragged vectors assign a NULL cid — they'd land in the
+    # hive default partition and poison the list_sizes aggregate. Drop
+    # them BEFORE the write and count the drops with an Observation
+    # riding the write job itself (zero extra scans).
+    obs = Observation()
+    postings = (
+        assigned.observe(
+            obs,
+            F.sum(
+                F.when(F.col("ivf_cid").isNull(), 1).otherwise(0)
+            ).alias("n_unindexable"),
+        )
+        .filter(F.col("ivf_cid").isNotNull())
+        .select(F.col(id_col).alias("id"), F.col("ivf_cid"), payload)
     )
     postings.write.mode("overwrite").partitionBy("ivf_cid").parquet(
         os.path.join(out_dir, "postings.parquet")
     )
+    n_unindexable = int(obs.get.get("n_unindexable") or 0)
     spark = df.sparkSession
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
@@ -120,6 +133,7 @@ def write_ivf_index(
         .groupBy("ivf_cid")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
+        if r["ivf_cid"] is not None
     }
     manifest = {
         "format_version": FORMAT_VERSION,
@@ -127,6 +141,7 @@ def write_ivf_index(
         "dim": len(cents[0]) if cents else 0,
         "nlist": len(cents),
         "n_vectors": sum(counts.values()),
+        "n_unindexable": n_unindexable,
         "quantized": bool(quantize),
         "id_col": id_col,
         "list_sizes": {str(k): v for k, v in sorted(counts.items())},
@@ -242,10 +257,21 @@ def append_to_ivf_index(
         ).alias("qvec")
     else:
         payload = F.col("__v").cast("array<float>").alias("vec")
-    assigned.select("id", "ivf_cid", payload).write.mode(
-        "append"
-    ).partitionBy("ivf_cid").parquet(
-        os.path.join(index_dir, "postings.parquet")
+    # same null-cid hygiene as write_ivf_index: never let an
+    # unindexable vector reach the hive default partition
+    obs = Observation()
+    (
+        assigned.observe(
+            obs,
+            F.sum(
+                F.when(F.col("ivf_cid").isNull(), 1).otherwise(0)
+            ).alias("n_unindexable"),
+        )
+        .filter(F.col("ivf_cid").isNotNull())
+        .select("id", "ivf_cid", payload)
+        .write.mode("append")
+        .partitionBy("ivf_cid")
+        .parquet(os.path.join(index_dir, "postings.parquet"))
     )
     counts = {
         int(r["ivf_cid"]): int(r["n"])
@@ -255,7 +281,11 @@ def append_to_ivf_index(
         .groupBy("ivf_cid")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
+        if r["ivf_cid"] is not None
     }
+    manifest["n_unindexable"] = int(
+        manifest.get("n_unindexable", 0)
+    ) + int(obs.get.get("n_unindexable") or 0)
     manifest["n_vectors"] = sum(counts.values())
     manifest["list_sizes"] = {str(k): v for k, v in sorted(counts.items())}
     with open(os.path.join(index_dir, "manifest.json"), "w") as fh:

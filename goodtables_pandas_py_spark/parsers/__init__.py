@@ -439,14 +439,21 @@ def typed_fast_path(field: Field, src_t) -> Column | None:
     bad mask) is skipped entirely. Eligibility is deliberately exact:
 
     - integer ← any integral type, widened to LONG (lossless; the
-      parser's target). `bareNumber` config is irrelevant for typed
-      values (nothing to strip).
-    - number ← DOUBLE only. FloatType is EXCLUDED: Spark renders
-      float 0.1f as "0.1", which parses to double 0.1 ≠
-      cast(0.1f as double) — the fast path would diverge from the
-      lexical path by one ULP-ish. Decimal is excluded for the same
-      rendition-notation caution. group/decimalChar configs don't
-      block it (a rendition never contains them).
+      parser's target), gated on bareNumber=true: with
+      bareNumber=false the lexical path routes renditions through the
+      strip regex, and equivalence is only provable token-by-token,
+      so the fast path conservatively stands down (r7, ADVICE).
+    - number ← DOUBLE only, gated on bareNumber=true AND group/
+      decimalChar outside the rendition alphabet. FloatType is
+      EXCLUDED: Spark renders float 0.1f as "0.1", which parses to
+      double 0.1 ≠ cast(0.1f as double) — the fast path would diverge
+      from the lexical path by one ULP-ish. Decimal is excluded for
+      the same rendition-notation caution. bareNumber=false diverges
+      on specials (a typed NaN renders to "NaN", which has no numeric
+      token to strip — the lexical path flags it); a pathological
+      groupChar of "." (or any rendition character) would rewrite
+      "1.5" → "15" lexically while the fast path keeps 1.5 (r7,
+      ADVICE).
     - boolean ← BOOLEAN, only when the field accepts the literal
       renditions "true"/"false" (custom true/falseValues that drop
       them would have flagged the rendition as a type error).
@@ -461,9 +468,23 @@ def typed_fast_path(field: Field, src_t) -> Column | None:
     c = F.col(field.name)
     t = field.type
     fmt = field.format or "default"
-    if t == "integer" and isinstance(src_t, _INTEGRAL_TYPES):
+    if (
+        t == "integer"
+        and isinstance(src_t, _INTEGRAL_TYPES)
+        and field.bare_number
+    ):
         return c.cast(T.LongType())
-    if t == "number" and isinstance(src_t, T.DoubleType):
+    # every char a double rendition can contain ("-1.5E-10",
+    # "NaN", "Infinity"): a group/decimalChar drawn from this set
+    # would rewrite renditions lexically and break the identity
+    _RENDITION_CHARS = set("0123456789.+-ENaInfity")
+    if (
+        t == "number"
+        and isinstance(src_t, T.DoubleType)
+        and field.bare_number
+        and field.group_char not in _RENDITION_CHARS
+        and field.decimal_char not in _RENDITION_CHARS - {"."}
+    ):
         return c
     if (
         t == "boolean"

@@ -136,3 +136,42 @@ def test_encode_is_map_only(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_encode_carries_custom_id_col_name_and_type(spark):
+    """r7 ADVICE regression: a string id column under a non-default
+    name must survive the Arrow boundary under its own name/dtype —
+    and bpe_token_counts' select(id_col, ...) must resolve."""
+    df = spark.createDataFrame(
+        [("doc-a", "hi hi"), ("doc-b", "yo")],
+        "uri string, text string",
+    )
+    merges = [("h", f"i{EOW}")]
+    enc = bpe_encode(df, merges, id_col="uri")
+    assert [f.name for f in enc.schema.fields][0] == "uri"
+    assert enc.schema["uri"].dataType.simpleString() == "string"
+    got = {r["uri"]: r["n_bpe_tokens"] for r in enc.collect()}
+    assert got == {"doc-a": 2, "doc-b": 2}
+    cnt = bpe_token_counts(df, merges, id_col="uri")
+    assert {r["uri"]: r["n_bpe_tokens"] for r in cnt.collect()} == got
+
+
+def test_encode_prunes_unread_columns_from_arrow_transfer(spark):
+    """The Arrow transfer ships only (id_col, text_col) — a wide
+    payload column must be pruned out of the mapInPandas input."""
+    df = spark.createDataFrame(
+        [(1, "a b", "X" * 10)], "doc_id long, text string, huge string"
+    )
+    plan = (
+        bpe_encode(df, [("a", f"b{EOW}")])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the source relation line still lists every column it HAS; the
+    # MapInPandas input and the Project feeding it must not read huge
+    map_and_project = [
+        ln for ln in plan.splitlines()
+        if "MapInPandas" in ln or "Project" in ln
+    ]
+    assert map_and_project and all(
+        "huge" not in ln for ln in map_and_project
+    ), plan

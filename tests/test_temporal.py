@@ -717,3 +717,25 @@ def test_interval_join_auto_width_parity_on_skewed_spans(spark):
             ).collect()
         }
         assert got == expected, (bw, got ^ expected)
+
+
+def test_auto_width_ceil_never_trips_max_bins_guard(spark):
+    """r7 ADVICE regression: on an integral domain, banker's rounding
+    of the auto width (2.5 -> 2) could sink it below the
+    max_span/(max_bins-2) clamp and trip the max_bins_per_interval
+    guard on a valid auto-width run. Crafted so w_num is exactly 2.5:
+    nine zero-span intervals (p50=0) + one span-25 interval with
+    max_bins=12 (clamp 25/10 = 2.5). round->2 explodes the wide
+    interval into 13 bins (raise); ceil->3 keeps it at <=12."""
+    ivs = [("k", i, i) for i in range(9)] + [("k", 0, 25)]
+    intervals = spark.createDataFrame(ivs, "g string, lo long, hi long")
+    points = spark.createDataFrame(
+        [("k", 12, 1)], "g string, v long, pid long"
+    )
+    got = range_join(
+        points, intervals, point_col="v", by=["g"],
+        max_bins_per_interval=12,
+    ).collect()
+    assert {(r["pid"], r["lo_right"], r["hi_right"]) for r in got} == {
+        (1, 0, 25)
+    }

@@ -1699,3 +1699,50 @@ def test_compact_parquet(spark, tmp_path):
     assert "PartitionFilters" in pruned
     with pytest.raises(ValueError, match="target_file_mb"):
         compact_parquet(spark, frag, out, target_file_mb=0)
+
+
+def test_fast_path_stands_down_on_bare_number_false(spark):
+    """r7 ADVICE regression: with bareNumber=false the lexical path
+    strips renditions through the numeric-token regex — a typed NaN
+    double renders to "NaN", which has NO numeric token, so the
+    lexical path flags a type error the unconditional fast path would
+    have silently accepted. The fast path must stand down and the
+    typed/stringly reports must stay identical."""
+    from goodtables_pandas_py_spark.parsers import typed_fast_path
+    import pyspark.sql.types as T
+
+    f_num = Field("x", type="number", bare_number=False)
+    f_int = Field("x", type="integer", bare_number=False)
+    assert typed_fast_path(f_num, T.DoubleType()) is None
+    assert typed_fast_path(f_int, T.LongType()) is None
+    # pathological groupChar/decimalChar drawn from the rendition
+    # alphabet also stand down; benign ones keep the fast path
+    assert typed_fast_path(
+        Field("x", type="number", group_char="."), T.DoubleType()
+    ) is None
+    assert typed_fast_path(
+        Field("x", type="number", decimal_char="E"), T.DoubleType()
+    ) is None
+    assert typed_fast_path(
+        Field("x", type="number", group_char=","), T.DoubleType()
+    ) is not None
+    assert typed_fast_path(
+        Field("x", type="number"), T.DoubleType()
+    ) is not None
+    # end-to-end: typed frame with specials + bareNumber=false must
+    # match the stringly rendition byte-for-byte (both flag the NaN)
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 2.5), (3, float("inf"))],
+        "id long, x double",
+    )
+    schema = TableSchema(
+        fields=[
+            Field("id", type="integer"),
+            Field("x", type="number", bare_number=False),
+        ],
+    )
+    v_typed = validate_table(df, schema, resource="t")
+    v_lex = validate_table(stringly(df), schema, resource="t")
+    assert _report_key(v_typed) == _report_key(v_lex)
+    codes = {(e.code, e.field) for e in v_typed.errors}
+    assert ("type-or-format-error", "x") in codes

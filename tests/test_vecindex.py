@@ -260,3 +260,45 @@ def test_write_refuses_empty_input(spark, emb, tmp_path):
         write_ivf_index(
             emb.where(F.col("vec_id") < 0), str(tmp_path / "e"), nlist=4
         )
+
+
+def test_write_and_append_survive_unindexable_vectors(spark, emb, tmp_path):
+    """r7 ADVICE regression: null/empty/ragged vectors must never
+    reach the postings (no hive default partition, no int(None) in
+    the list-sizes agg) — the write completes, the manifest counts
+    the drops, and the index stays readable/servable."""
+    d = str(tmp_path / "dirty")
+    dim = len(emb.first()["embedding"])
+    dirty = spark.createDataFrame(
+        [
+            (100_000, None),
+            (100_001, []),
+            (100_002, [1.0] * (dim + 3)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    base = emb.select("vec_id", "embedding").limit(50)
+    manifest = write_ivf_index(
+        base.unionByName(dirty), d, nlist=4, train_cap=None
+    )
+    assert manifest["n_vectors"] == 50
+    assert manifest["n_unindexable"] == 3
+    assert sum(manifest["list_sizes"].values()) == 50
+    idx = read_ivf_index(spark, d)
+    qv = _query_vec(emb, vec_id=7)
+    got = ivf_index_topk(idx, qv, k=1, nprobe=4).collect()
+    assert got[0]["id"] == 7
+    # append path: same hygiene, cumulative counter
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        append_to_ivf_index,
+    )
+
+    m2 = append_to_ivf_index(
+        emb.select("vec_id", "embedding")
+        .where(F.col("vec_id").between(60, 69))
+        .unionByName(dirty.withColumn("vec_id", F.col("vec_id") + 10)),
+        d,
+    )
+    assert m2["n_vectors"] == 60
+    assert m2["n_unindexable"] == 6
+    assert sum(m2["list_sizes"].values()) == 60
