@@ -16,10 +16,14 @@ Real decoding with NO imaging library:
 - **BMP**: uncompressed 24/32-bit BITMAPINFOHEADER, bottom-up or
   top-down, BGR(A)→RGB(A), 4-byte row padding; BI_BITFIELDS only
   under standard BGRA masks.
+- **JPEG** (r7, in :mod:`.jpegcodec`): baseline sequential SOF0/SOF1
+  — canonical Huffman, any chroma subsampling, restart intervals,
+  batched-numpy IDCT; progressive/arithmetic/CMYK are rejected
+  loudly. A matching baseline encoder lives there too.
 - **PIL fast path**: if Pillow is importable it is preferred for ALL
-  formats (it adds JPEG — DCT+Huffman genuinely belongs in a codec
-  library); the pure decoders are the fallback so the pipeline stays
-  REAL in codec-less containers like this one.
+  formats (and is the only route for progressive JPEG); the pure
+  decoders are the fallback so the pipeline stays REAL in codec-less
+  containers like this one.
 
 Everything returns/consumes one shape, :class:`DecodedImage`
 (top-down row-major interleaved 8-bit), so extractors and resizers
@@ -114,24 +118,36 @@ def _unfilter(raw: bytes, width: int, height: int, ch: int) -> bytes:
             ).reshape(stride)
         elif ftype == 2:  # Up
             rec = row + prev  # uint8 wraps — exactly the spec's mod 256
-        elif ftype in (3, 4):  # Average / Paeth — sequential
-            rec = np.zeros(stride, dtype=np.uint8)
-            for x in range(stride):
-                a = int(rec[x - ch]) if x >= ch else 0
-                bb = int(prev[x])
-                if ftype == 3:
-                    rec[x] = (int(row[x]) + ((a + bb) >> 1)) & 0xFF
-                else:
-                    c = int(prev[x - ch]) if x >= ch else 0
+        elif ftype in (3, 4):  # Average / Paeth — sequential by spec:
+            # rec[x] depends on the just-written rec[x-ch], so no
+            # closed numpy form exists. The loop runs over PYTHON
+            # LISTS, not numpy arrays — per-element numpy scalar
+            # extraction costs ~3x more than list indexing (measured
+            # 2.6x end-to-end; BASELINE.md §png-unfilter)
+            r = row.tolist()
+            pv = prev.tolist()
+            lst = [0] * stride
+            if ftype == 3:
+                for x in range(stride):
+                    a = lst[x - ch] if x >= ch else 0
+                    lst[x] = (r[x] + ((a + pv[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = lst[x - ch] if x >= ch else 0
+                    bb = pv[x]
+                    c = pv[x - ch] if x >= ch else 0
                     p = a + bb - c
-                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pa = p - a if p >= a else a - p
+                    pb = p - bb if p >= bb else bb - p
+                    pc = p - c if p >= c else c - p
                     if pa <= pb and pa <= pc:
                         pred = a
                     elif pb <= pc:
                         pred = bb
                     else:
                         pred = c
-                    rec[x] = (int(row[x]) + pred) & 0xFF
+                    lst[x] = (r[x] + pred) & 0xFF
+            rec = np.array(lst, dtype=np.uint8)
         else:
             raise ImageDecodeError(f"unknown PNG filter type {ftype}")
         out[y] = rec
@@ -469,10 +485,9 @@ def decode_bmp(b: bytes) -> DecodedImage:
 
 def decode_image_bytes(b: bytes) -> DecodedImage:
     """Decode a blob to :class:`DecodedImage`. PIL when importable
-    (all formats); otherwise the pure PNG/BMP decoders; JPEG/GIF
-    without PIL raise :class:`ImageDecodeError` (entropy-coded — a
-    hand-rolled Huffman/LZW decoder would be slow AND a correctness
-    risk, so that gap stays explicit)."""
+    (all formats, fast); otherwise the pure PNG/GIF/BMP decoders here
+    plus the pure baseline-JPEG decoder in :mod:`.jpegcodec` (r7 —
+    progressive/arithmetic/CMYK JPEG still raises loudly)."""
     if b is None:
         raise ImageDecodeError("null blob")
     b = bytes(b)
@@ -497,10 +512,9 @@ def decode_image_bytes(b: bytes) -> DecodedImage:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(b)
     if b[:2] == b"\xff\xd8":
-        raise ImageDecodeError(
-            "JPEG decode requires Pillow (not installed) — DCT+Huffman "
-            "belongs in a codec library, not a hand-rolled decoder"
-        )
+        from .jpegcodec import decode_jpeg  # deferred: keeps import light
+
+        return decode_jpeg(b)
     raise ImageDecodeError("unrecognized image format")
 
 

@@ -72,11 +72,10 @@ def decode_image(blob: bytes):
     """REAL image decode (r6 — the former stub). Returns an
     :class:`~.imagecodec.DecodedImage` (top-down row-major
     interleaved 8-bit). PIL is the optional fast path when
-    importable; without it, PNG (incl. palette), GIF (LZW), and BMP
-    decode via the pure-stdlib codec in :mod:`.imagecodec`, and JPEG
-    raises :class:`~.imagecodec.ImageDecodeError` explaining the
-    Pillow requirement — DCT+Huffman genuinely needs a codec
-    library."""
+    importable; without it, PNG (incl. palette), GIF (LZW), BMP and
+    baseline JPEG (r7, :mod:`.jpegcodec`) decode pure-stdlib;
+    progressive/arithmetic/CMYK JPEG raises
+    :class:`~.imagecodec.ImageDecodeError`."""
     from .imagecodec import decode_image_bytes
 
     return decode_image_bytes(blob)

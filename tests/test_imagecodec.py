@@ -198,12 +198,13 @@ def test_bmp_rejects_compressed():
 # dispatch + derived ops
 
 
-def test_dispatch_and_jpeg_gate():
+def test_dispatch_and_jpeg_routing():
     img = _gradient(5, 5, 3)
     assert decode_image_bytes(encode_png(img)) == img
-    if _try_pil() is None:
-        with pytest.raises(ImageDecodeError, match="Pillow"):
-            decode_image_bytes(b"\xff\xd8\xff\xe0junk")
+    # r7: JPEG signatures route to the pure baseline decoder, which
+    # rejects a truncated/garbage stream with a real parse error
+    with pytest.raises(ImageDecodeError):
+        decode_image_bytes(b"\xff\xd8\xff\xe0junk")
     with pytest.raises(ImageDecodeError):
         decode_image_bytes(b"total garbage")
     with pytest.raises(ImageDecodeError):

@@ -1,0 +1,267 @@
+"""Pure-stdlib baseline JPEG codec (extensions/jpegcodec.py, r7).
+
+Oracle strategy (no Pillow in this container):
+- The spec's constants are asserted literally (zigzag table, DCT
+  orthonormality, Huffman canonical-code validity) so a matched
+  encoder/decoder bug pair cannot hide behind roundtrip symmetry.
+- A minimal DC-only stream is built BY HAND (bit-level, from the
+  T.81 decode procedure) and decoded — an encoder-independent vector.
+- Roundtrips bound the lossy error tightly at high quality, across
+  subsampling modes, restart intervals, odd dims, gray/RGB.
+- When Pillow IS importable, pure-vs-PIL equality is asserted.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from goodtables_pandas_py_spark.extensions.imagecodec import (
+    DecodedImage,
+    ImageDecodeError,
+    _try_pil,
+    decode_image_bytes,
+)
+from goodtables_pandas_py_spark.extensions.jpegcodec import (
+    HUFF_AC_CHROM,
+    HUFF_AC_LUM,
+    HUFF_DC_CHROM,
+    HUFF_DC_LUM,
+    ZIGZAG,
+    _canonical_codes,
+    _DCT,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _smooth(w, h, ch, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 128 + 100 * np.sin(xx / 9.0 + seed) * np.cos(yy / 7.0)
+    px = np.stack(
+        [np.clip(base + 17 * c, 0, 255) for c in range(ch)], axis=-1
+    ).astype(np.uint8)
+    return DecodedImage(w, h, ch, px.tobytes())
+
+
+def _pixels(img):
+    return np.frombuffer(img.pixels, np.uint8).reshape(
+        img.height, img.width, img.channels
+    ).astype(int)
+
+
+# ------------------------------------------------------- spec constants
+
+
+def test_zigzag_is_the_spec_table():
+    # T.81 Figure A.6, written out independently here
+    spec = [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert list(ZIGZAG) == spec
+    # a permutation (every index once)
+    assert sorted(ZIGZAG) == list(range(64))
+
+
+def test_dct_matrix_is_orthonormal():
+    assert np.allclose(_DCT @ _DCT.T, np.eye(8), atol=1e-12)
+    # DC basis row: constant 1/sqrt(8)
+    assert np.allclose(_DCT[0], np.sqrt(0.125))
+
+
+@pytest.mark.parametrize(
+    "spec", [HUFF_DC_LUM, HUFF_DC_CHROM, HUFF_AC_LUM, HUFF_AC_CHROM]
+)
+def test_annex_k_huffman_tables_are_valid_prefix_codes(spec):
+    bits, vals = spec
+    codes = _canonical_codes(bits, vals)
+    assert len(codes) == len(vals) == len(set(vals))
+    # canonical codes of a valid table are prefix-free by construction
+    # IF no code overflows its length — check the kraft sum too
+    assert sum(2.0 ** -ln for _, ln in codes) <= 1.0 + 1e-12
+
+
+# ------------------------------------------- encoder-independent vector
+
+
+def _dc_only_gray_jpeg(dc_value: int) -> bytes:
+    """Hand-assemble an 8x8 grayscale baseline JPEG whose single
+    block has ONE DC coefficient (quant step 1) and no AC — the
+    decoded image must be the constant IDCT of that coefficient:
+    round(dc/8 + 128) in every pixel. Bits written straight from the
+    T.81 decode procedure (DC category + magnitude bits + EOB)."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    out += bytes([1, 0x11, 0])
+    for tcth, (bits, vals) in [(0x00, HUFF_DC_LUM), (0x10, HUFF_AC_LUM)]:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tcth)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    out += b"\x00\x3f\x00"
+    # entropy bits: DC category t (code from the canonical table),
+    # then t magnitude bits, then AC EOB (symbol 0x00)
+    dc_codes = {
+        v: cl for v, cl in zip(HUFF_DC_LUM[1], _canonical_codes(*HUFF_DC_LUM))
+    }
+    ac_codes = {
+        v: cl for v, cl in zip(HUFF_AC_LUM[1], _canonical_codes(*HUFF_AC_LUM))
+    }
+    t = abs(dc_value).bit_length()
+    bitstr = ""
+    code, ln = dc_codes[t]
+    bitstr += format(code, f"0{ln}b")
+    if t:
+        mag = dc_value if dc_value >= 0 else dc_value + (1 << t) - 1
+        bitstr += format(mag, f"0{t}b")
+    code, ln = ac_codes[0x00]
+    bitstr += format(code, f"0{ln}b")
+    bitstr += "1" * (-len(bitstr) % 8)  # pad with 1s
+    ent = bytearray(int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8))
+    stuffed = bytearray()
+    for byte in ent:
+        stuffed.append(byte)
+        if byte == 0xFF:
+            stuffed.append(0x00)
+    out += stuffed + b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("dc,expect", [(0, 128), (80, 138), (-80, 118),
+                                       (400, 178), (-1016, 1)])
+def test_hand_built_dc_only_stream(dc, expect):
+    img = decode_jpeg(_dc_only_gray_jpeg(dc))
+    assert (img.width, img.height, img.channels) == (8, 8, 1)
+    px = np.frombuffer(img.pixels, np.uint8)
+    # constant plane: IDCT of DC-only is dc * C[0,0]^2 * 64 / 64...
+    # concretely dc/8 per pixel, +128 level shift
+    assert (px == expect).all(), (dc, set(px.tolist()))
+
+
+# ---------------------------------------------------------- roundtrips
+
+
+@pytest.mark.parametrize(
+    "w,h,ch,sub,rst,q",
+    [
+        (37, 23, 3, "4:2:0", 0, 95),
+        (64, 48, 3, "4:2:0", 2, 90),
+        (16, 16, 3, "4:4:4", 1, 85),
+        (9, 5, 1, "4:4:4", 0, 92),
+        (8, 8, 3, "4:2:0", 0, 100),
+        (1, 1, 3, "4:4:4", 0, 90),
+        (33, 1, 1, "4:4:4", 3, 95),
+        (2, 130, 3, "4:2:0", 5, 93),
+    ],
+)
+def test_roundtrip_error_bounded(w, h, ch, sub, rst, q):
+    img = _smooth(w, h, ch)
+    blob = encode_jpeg(img, quality=q, subsampling=sub, restart_interval=rst)
+    dec = decode_jpeg(blob)
+    assert (dec.width, dec.height, dec.channels) == (w, h, ch)
+    err = np.abs(_pixels(dec) - _pixels(img))
+    assert err.max() <= 12 and err.mean() <= 2.0, (err.max(), err.mean())
+
+
+def test_solid_color_roundtrips_within_one():
+    img = DecodedImage(16, 16, 3, bytes([120, 200, 64] * 256))
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    err = np.abs(_pixels(dec) - _pixels(img))
+    assert err.max() <= 1
+
+
+def test_gray_gradient_lossless_at_q97():
+    px = bytes(bytearray((x * 7 + y * 3) % 256 for y in range(17)
+                         for x in range(24)))
+    img = DecodedImage(24, 17, 1, px)
+    dec = decode_jpeg(encode_jpeg(img, quality=97))
+    assert dec == img  # smooth ramp at q97: bit-exact
+
+
+def test_rgba_alpha_dropped_and_noise_survives_q100():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(12, 11, 4), dtype=np.uint8)
+    img = DecodedImage(11, 12, 4, px.tobytes())
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    assert dec.channels == 3
+    err = np.abs(_pixels(dec) - px[:, :, :3].astype(int))
+    # q100 luma/chroma tables are mostly 1s; noise still loses a bit
+    # through the color transform roundtrip
+    assert err.mean() <= 6.0, err.mean()
+
+
+def test_dispatcher_routes_jpeg():
+    img = _smooth(10, 10, 3)
+    blob = encode_jpeg(img, quality=95)
+    dec = decode_image_bytes(blob)
+    assert (dec.width, dec.height) == (10, 10)
+
+
+def test_restart_interval_streams_match_unrestarted():
+    img = _smooth(48, 32, 3, seed=2)
+    a = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=0))
+    b = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=1))
+    assert a == b  # restarts change framing, never pixels
+
+
+# ------------------------------------------------------------ rejection
+
+
+def test_progressive_and_friends_rejected():
+    base = bytearray(encode_jpeg(_smooth(8, 8, 1), quality=90))
+    i = bytes(base).find(b"\xff\xc0")
+    assert i > 0
+    prog = bytes(base[:i]) + b"\xff\xc2" + bytes(base[i + 2 :])
+    with pytest.raises(ImageDecodeError, match="progressive"):
+        decode_jpeg(prog)
+    arith = bytes(base[:i]) + b"\xff\xc9" + bytes(base[i + 2 :])
+    with pytest.raises(ImageDecodeError, match="unsupported"):
+        decode_jpeg(arith)
+
+
+def test_truncation_and_garbage_rejected():
+    blob = encode_jpeg(_smooth(16, 16, 3), quality=90)
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(blob[: len(blob) // 2])
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(ImageDecodeError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # SOS with no prior SOF
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(b"\xff\xd8\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00")
+
+
+def test_bad_subsampling_arg():
+    with pytest.raises(ImageDecodeError, match="subsampling"):
+        encode_jpeg(_smooth(8, 8, 3), subsampling="4:1:1")
+
+
+# ------------------------------------------------------------ PIL parity
+
+
+@pytest.mark.skipif(_try_pil() is None, reason="Pillow not installed")
+def test_pure_decode_matches_pil():
+    import io
+
+    Image = _try_pil()
+    img = _smooth(40, 28, 3, seed=5)
+    for sub, rst in [("4:4:4", 0), ("4:2:0", 2)]:
+        blob = encode_jpeg(img, quality=92, subsampling=sub,
+                           restart_interval=rst)
+        ours = _pixels(decode_jpeg(blob))
+        with Image.open(io.BytesIO(blob)) as im:
+            theirs = np.asarray(im.convert("RGB")).astype(int)
+        # libjpeg uses smoothed chroma upsampling + a fixed-point
+        # IDCT; allow small per-pixel divergence, require agreement
+        assert np.abs(ours - theirs).max() <= 16
+        assert np.abs(ours - theirs).mean() <= 2.0
