@@ -21,6 +21,8 @@ name → builder, ``ORACLE_SQL`` maps name → SQL (or absent).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1797,38 +1799,92 @@ def _x5(spark, sf_dir):
 
 @q(
     "x5_sessions",
-    """WITH marked AS (
+    """WITH w_marked AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                       >= INTERVAL '30 minutes'
-              THEN 1 ELSE 0 END AS new_session
-  FROM events)
-SELECT CAST(user_id AS BIGINT) AS user_id,
-       CAST(sum(new_session) AS BIGINT) AS n_sessions,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM marked GROUP BY user_id""",
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+w_isl AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM w_marked),
+w_per AS (
+  SELECT user_id, sess, count(*) AS n FROM w_isl GROUP BY user_id, sess),
+r_marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events),
+r_isl AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM r_marked),
+r_per AS (
+  SELECT user_id, sess, count(*) AS n FROM r_isl GROUP BY user_id, sess)
+SELECT 'window' AS kind, CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS largest_session
+FROM w_per GROUP BY user_id
+UNION ALL
+SELECT 'rows' AS kind, CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS largest_session
+FROM r_per GROUP BY user_id""",
 )
 def _x5s(spark, sf_dir):
-    """X5b: session counting; Spark uses session_window (the streaming-
-    native op), oracle states it as gaps-and-islands SQL. The oracle
-    gap test is ``>=`` to match session_window's half-open [t, t+gap)
-    semantics: an event exactly gap-after starts a NEW session. The
-    stateful aggregation is the SHARED
-    streaming/validate.py::session_event_counts (watermark=None on
-    batch); only the trivial per-user rollup layers on top here (r5 —
-    streaming can't chain two stateful aggs, so the rollup runs on the
-    sink there; equivalence asserted in test_streaming)."""
+    """X5b+X7c sessionization, merged labeled rows (r7 — COVERAGE.md
+    pre-declared merge #1, slot funds x6_vecindex):
+
+    - 'window' arm: session_window (the streaming-native op) via the
+      SHARED streaming/validate.py::session_event_counts
+      (watermark=None on batch; streaming equivalence asserted in
+      test_streaming). Gap test is half-open ``>=`` — an event exactly
+      gap-after starts a NEW session.
+    - 'rows' arm: row-level extensions/temporal.py::session_ids (the
+      event-to-session mapping that enriches individual events), gap
+      test strict ``>`` — the deliberate semantic difference between
+      the two operators, and the oracle states both.
+
+    Both arms emit (user_id, n_sessions, n_events, largest_session);
+    largest_session convicts a mis-assignment that happens to
+    preserve session COUNTS (a boundary row moved between adjacent
+    sessions). Ties on (user_id, ts) are harmless (diff 0 opens no
+    session under any tie order); the events table carries no null ts
+    (a future null would fail the hash compare loudly — Spark sorts
+    nulls first, DuckDB last)."""
+    from .extensions.temporal import session_ids
     from .streaming.validate import session_event_counts
 
     ev = t(spark, sf_dir, "events")
     sess = session_event_counts(
         ev, "ts", "user_id", gap="30 minutes", watermark=None
     )
-    return sess.groupBy(F.col("user_id").cast(_BIG).alias("user_id")).agg(
+    win = sess.groupBy(F.col("user_id").cast(_BIG).alias("user_id")).agg(
         F.count(F.lit(1)).cast(_BIG).alias("n_sessions"),
         F.sum("n_events").cast(_BIG).alias("n_events"),
+        F.max("n_events").cast(_BIG).alias("largest_session"),
+    ).select(F.lit("window").alias("kind"), "*")
+
+    s = session_ids(
+        ev.select("user_id", "ts"), "ts", by=["user_id"], gap=1800.0
     )
+    per_sess = s.groupBy(
+        "user_id", F.col("session_id")["n"].alias("sess")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rows = per_sess.groupBy(
+        F.col("user_id").cast(_BIG).alias("user_id")
+    ).agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n_sessions"),
+        F.sum("n").cast(_BIG).alias("n_events"),
+        F.max("n").cast(_BIG).alias("largest_session"),
+    ).select(F.lit("rows").alias("kind"), "*")
+    return win.unionByName(rows)
 
 
 # ===================== P1/P21: trivial parsers ============================
@@ -2459,67 +2515,74 @@ def _x8_profile(spark, sf_dir):
     )
 
 
-# ===================== X7c: row-level sessionization ======================
+# ===================== X6b: persisted IVF index serving ===================
+
+#: one built index per sf_dir per process — the registry runner may
+#: invoke the query more than once; rebuilding would be wasted jobs
+#: (the build itself is deterministic, so reuse changes nothing)
+_VECINDEX_DIRS: dict[str, str] = {}
 
 
 @q(
-    "x7_sessions_rows",
-    "WITH s AS ("
-    " SELECT user_id, ts,"
-    " CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
-    " > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s"
-    " FROM events),"
-    " i AS ("
-    " SELECT user_id,"
-    " sum(new_s) OVER (PARTITION BY user_id ORDER BY ts"
-    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess"
-    " FROM s),"
-    " per_sess AS ("
-    " SELECT user_id, sess, count(*) AS n FROM i GROUP BY user_id, sess)"
-    " SELECT CAST(user_id AS BIGINT) AS user_id,"
-    " CAST(sum(n) AS BIGINT) AS n_events,"
-    " CAST(count(*) AS BIGINT) AS n_sessions,"
-    " CAST(max(n) AS BIGINT) AS largest_session"
-    " FROM per_sess GROUP BY user_id",
+    "x6_vecindex",
+    "SELECT CAST(a.vec_id AS BIGINT) AS query_id,"
+    " CAST(b.vec_id AS BIGINT) AS vec_id,"
+    " ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])), 6) AS cosine"
+    " FROM embeddings a CROSS JOIN embeddings b"
+    " WHERE a.vec_id IN (0, 17)"
+    " QUALIFY row_number() OVER (PARTITION BY a.vec_id"
+    " ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10",
 )
-def _x7_sessions_rows(spark, sf_dir):
-    """X7c ROW-LEVEL sessionization
-    (extensions/temporal.py::session_ids) — the event-to-session
-    mapping a pipeline needs to enrich individual events, vs
-    x5_sessions' AGGREGATED session_window rollup (one row per
-    session; also note the deliberate semantic difference:
-    session_ids gap test is strict ``>``, session_window's is
-    half-open ``>=``). The oracle restates the same two-window
-    formulation (lag-gap flag → running sum) as gaps-and-islands SQL
-    and compares per-user (n_events, n_sessions, largest_session) —
-    ``largest_session`` convicts a mis-assignment that happens to
-    preserve session COUNTS (e.g. an off-by-one that moves a boundary
-    row between adjacent sessions).
+def _x6_vecindex(spark, sf_dir):
+    """X6b persisted-index serving, driver-verified end-to-end (r7 —
+    VERDICT r6 item 5; slot funded by the x5_sessions merge): BUILD an
+    IVF index (train → assign → hive-partitioned postings parquet +
+    manifest), REOPEN it from disk, and SERVE two top-10 queries with
+    ``nprobe = nlist`` — the documented exact-degradation mode, so
+    DuckDB's brute-force cosine top-10 over the ORIGINAL embeddings
+    table is the independent oracle for the whole
+    write→manifest→read→probe→scan chain (ids AND 6-dp scores must
+    match; any corruption in the postings roundtrip, centroid
+    persistence, or serve-side cosine shows up as a hash mismatch).
+    The sublinear serving mode (nprobe < nlist, partition-pruned scan)
+    is plan-asserted + recall-tested in test_vecindex; exactness is
+    what an oracle can state."""
+    import tempfile
 
-    Engine parity notes: ties on (user_id, ts) can't open a session
-    (diff 0 under any tie order, so the nondeterministic tie ORDER is
-    harmless). Null ts would NOT be portable — Spark sorts nulls
-    first (the block would glue to the first session), DuckDB last
-    (the last session), shifting largest_session — but the events
-    table carries no null ts (verified at sf0.01 and sf0.1); if the
-    generator ever ships one, this query fails loudly on the hash
-    compare rather than silently diverging."""
-    from .extensions.temporal import session_ids
+    from .extensions import vecindex as xvi
 
-    ev = t(spark, sf_dir, "events")
-    s = session_ids(
-        ev.select("user_id", "ts"), "ts", by=["user_id"], gap=1800.0
-    )
-    per_sess = s.groupBy(
-        "user_id", F.col("session_id")["n"].alias("sess")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    return per_sess.groupBy(
-        F.col("user_id").cast(_BIG).alias("user_id")
-    ).agg(
-        F.sum("n").cast(_BIG).alias("n_events"),
-        F.count(F.lit(1)).cast(_BIG).alias("n_sessions"),
-        F.max("n").cast(_BIG).alias("largest_session"),
-    )
+    e = t(spark, sf_dir, "embeddings")
+    idx_dir = _VECINDEX_DIRS.get(sf_dir)
+    if idx_dir is None or not os.path.exists(
+        os.path.join(idx_dir, "manifest.json")
+    ):
+        idx_dir = os.path.join(
+            tempfile.mkdtemp(prefix="gt_x6_vecindex_"), "idx"
+        )
+        xvi.write_ivf_index(
+            e, idx_dir, id_col="vec_id", vec_col="embedding", nlist=8
+        )
+        _VECINDEX_DIRS[sf_dir] = idx_dir
+    idx = xvi.read_ivf_index(spark, idx_dir)
+    arms = []
+    for qid in (0, 17):
+        qv = [
+            float(x)
+            for x in e.where(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        top = xvi.ivf_index_topk(
+            idx, qv, k=10, nprobe=len(idx.centroids)
+        )
+        arms.append(
+            top.select(
+                F.lit(qid).cast(_BIG).alias("query_id"),
+                F.col("id").cast(_BIG).alias("vec_id"),
+                F.round("cosine", 6).alias("cosine"),
+            )
+        )
+    return arms[0].unionByName(arms[1])
 
 
 # ===================== X2c: exact-substring span dedup ====================
