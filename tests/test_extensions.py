@@ -2147,3 +2147,71 @@ def test_mp4_and_webm_sniffing(spark):
         sniffed.where(F.col("media_id") == 1), every_ms=1000
     ).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+# ------------------------------------------ versioned releases (r7)
+
+
+def test_versioned_release_swap_retention_and_concurrent_reader(
+    spark, tmp_path
+):
+    """r7 atomic-swap release sink (VERDICT r6 item 7): immutable
+    version dirs + a last-swapped CURRENT pointer. The concurrent-
+    reader contract: a frame opened against v1 BEFORE a publish still
+    reads v1's rows AFTER it; retention prunes old versions but never
+    the pointer's target."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        list_release_versions,
+        read_release,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    v1_rows = [(1, "a", "train"), (2, "b", "test")]
+    df1 = spark.createDataFrame(
+        v1_rows, "doc_id long, text string, split string"
+    )
+    m1 = write_release_version(df1, root)
+    assert m1["version"] == "v00000001"
+    reader_v1, man1 = read_release(spark, root)
+    assert man1["version"] == "v00000001"
+
+    # publish v2 while the v1 reader is still open
+    df2 = spark.createDataFrame(
+        [(3, "c", "train")], "doc_id long, text string, split string"
+    )
+    m2 = write_release_version(df2, root, keep_versions=2)
+    assert m2["version"] == "v00000002"
+    # the pre-swap reader still sees v1's immutable snapshot
+    assert sorted(r["doc_id"] for r in reader_v1.collect()) == [1, 2]
+    # a fresh resolve sees v2
+    reader_v2, man2 = read_release(spark, root)
+    assert man2["version"] == "v00000002"
+    assert [r["doc_id"] for r in reader_v2.collect()] == [3]
+
+    # v3 with keep_versions=2 prunes v1; v2 stays readable by name
+    df3 = spark.createDataFrame(
+        [(4, "d", "test")], "doc_id long, text string, split string"
+    )
+    write_release_version(df3, root, keep_versions=2)
+    assert list_release_versions(spark, root) == [
+        "v00000002", "v00000003",
+    ]
+    _, man2b = read_release(spark, root, version="v00000002")
+    assert man2b["version"] == "v00000002"
+    with pytest.raises(FileNotFoundError, match="v00000001"):
+        read_release(spark, root, version="v00000001")
+
+    # a crashed writer's partial dir (no manifest) is never exposed:
+    # CURRENT still resolves v3, and the next publish skips past it
+    import os
+
+    os.makedirs(os.path.join(root, "versions", "v00000007"))
+    _, man_cur = read_release(spark, root)
+    assert man_cur["version"] == "v00000003"
+    m8 = write_release_version(df1, root)
+    assert m8["version"] == "v00000008"  # max existing + 1
+
+    # nothing published -> clean miss
+    with pytest.raises(FileNotFoundError, match="CURRENT"):
+        read_release(spark, str(tmp_path / "empty"))
