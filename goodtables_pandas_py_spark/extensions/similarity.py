@@ -815,8 +815,14 @@ def _centroid_rows(
             _l2_normalized(F.col(vec_col)).alias("v"),
             _assign_cids(F.col(vec_col), cents).alias("cid"),
         )
+        # NOTE: no .where(cid.isNotNull()) here — the training frame
+        # is already filtered to the modal dimension, so cid is never
+        # null, and a filter ON the assign expression would force
+        # Catalyst to evaluate the interpreted argmin twice per row
+        # (measured 16x on the refine job, r7). Driver-side skip in
+        # the dict below is the belt-and-braces.
         new = (
-            assigned.where(F.col("cid").isNotNull())
+            assigned
             .select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("m"))
@@ -824,7 +830,11 @@ def _centroid_rows(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.transform(F.col("pm"), lambda s: s["m"]).alias("v"))
         )
-        got = {int(r["cid"]): list(r["v"]) for r in new.collect()}
+        got = {
+            int(r["cid"]): list(r["v"])
+            for r in new.collect()
+            if r["cid"] is not None
+        }
         cents = [got.get(i, c) for i, c in enumerate(cents)]
     return cents
 

@@ -102,16 +102,20 @@ def write_ivf_index(
     # Null/empty/ragged vectors assign a NULL cid — they'd land in the
     # hive default partition and poison the list_sizes aggregate. Drop
     # them BEFORE the write and count the drops with an Observation
-    # riding the write job itself (zero extra scans).
+    # riding the write job itself (zero extra scans). The drop
+    # predicate is the CHEAP validity test (size(v) == dim), which is
+    # exactly "cid is null" by _assign_cids' contract — filtering on
+    # the cid expression itself would make Catalyst evaluate the
+    # interpreted argmin twice per row (measured 16x, r7).
+    dim = len(cents[0])
+    valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
     obs = Observation()
     postings = (
         assigned.observe(
             obs,
-            F.sum(
-                F.when(F.col("ivf_cid").isNull(), 1).otherwise(0)
-            ).alias("n_unindexable"),
+            F.sum(F.when(valid, 0).otherwise(1)).alias("n_unindexable"),
         )
-        .filter(F.col("ivf_cid").isNotNull())
+        .filter(valid)
         .select(F.col(id_col).alias("id"), F.col("ivf_cid"), payload)
     )
     postings.write.mode("overwrite").partitionBy("ivf_cid").parquet(
@@ -258,16 +262,17 @@ def append_to_ivf_index(
     else:
         payload = F.col("__v").cast("array<float>").alias("vec")
     # same null-cid hygiene as write_ivf_index: never let an
-    # unindexable vector reach the hive default partition
+    # unindexable vector reach the hive default partition (cheap
+    # size-predicate filter, not a filter on the assign expression)
+    dim = int(manifest["dim"])
+    valid = F.col("__v").isNotNull() & (F.size(F.col("__v")) == dim)
     obs = Observation()
     (
         assigned.observe(
             obs,
-            F.sum(
-                F.when(F.col("ivf_cid").isNull(), 1).otherwise(0)
-            ).alias("n_unindexable"),
+            F.sum(F.when(valid, 0).otherwise(1)).alias("n_unindexable"),
         )
-        .filter(F.col("ivf_cid").isNotNull())
+        .filter(valid)
         .select("id", "ivf_cid", payload)
         .write.mode("append")
         .partitionBy("ivf_cid")

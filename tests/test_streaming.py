@@ -151,8 +151,15 @@ def test_stream_batch_equivalence_on_sf0001_events(spark, tmp_path):
     got_s = sunk.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.sum("n_events").cast("bigint").alias("n_events"),
+        F.max("n_events").cast("bigint").alias("largest_session"),
     )
-    want_s = QUERIES["x5_sessions"](spark, sf)
+    # r7: x5_sessions is a labeled-row merge; the streaming twin is
+    # its 'window' arm (same session_window semantics)
+    want_s = (
+        QUERIES["x5_sessions"](spark, sf)
+        .where(F.col("kind") == "window")
+        .drop("kind")
+    )
     assert sorted(map(tuple, got_s.collect())) == sorted(
         map(tuple, want_s.collect())
     )

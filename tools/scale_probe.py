@@ -445,6 +445,57 @@ def main() -> None:
     sizes["bpe_docs"] = xbpe.bpe_token_counts(bd, merges).count()
     timings["bpe_count"] = round(time.time() - t0, 2)
 
+    # r7: multimodal decode throughput — the pure-JPEG decoder inside
+    # the Arrow-batched extract_features kernel (the only operator
+    # family without a probe entry until now). A handful of distinct
+    # JPEG blobs replicated to ~docs_reps*2k rows: decode cost is per
+    # blob, so replication measures kernel throughput honestly.
+    from goodtables_pandas_py_spark.extensions.imagecodec import (
+        DecodedImage,
+    )
+    from goodtables_pandas_py_spark.extensions.jpegcodec import encode_jpeg
+    from goodtables_pandas_py_spark.extensions.multimodal import (
+        extract_features,
+        image_feature_extractor,
+    )
+
+    import numpy as np
+
+    blobs = []
+    for seed in range(8):
+        yy, xx = np.mgrid[0:48, 0:64]
+        px = np.stack(
+            [
+                np.clip(128 + 90 * np.sin(xx / 9.0 + seed + c), 0, 255)
+                for c in range(3)
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        blobs.append(
+            bytearray(encode_jpeg(DecodedImage(64, 48, 3, px.tobytes()),
+                                  quality=90, subsampling="4:2:0"))
+        )
+    n_media = args.docs_reps * 2000
+    media = (
+        spark.range(n_media)
+        .select(F.col("id").alias("media_id"))
+        .withColumn(
+            "blob",
+            F.element_at(
+                F.array(*[F.lit(bytes(b)) for b in blobs]),
+                (F.col("media_id") % 8 + 1).cast("int"),
+            ),
+        )
+        .repartition(32)
+    )
+    t0 = time.time()
+    sizes["media_decoded"] = (
+        extract_features(media, extractor=image_feature_extractor)
+        .where(F.col("decode_ok"))
+        .count()
+    )
+    timings["jpeg_decode_features"] = round(time.time() - t0, 2)
+
     print(
         json.dumps(
             {
