@@ -256,11 +256,17 @@ def main() -> int:
         budget=2048,
         part_col="source",
     )
-    from goodtables_pandas_py_spark.extensions.pipeline import write_release
+    # versioned publish (r7): immutable snapshot + atomic CURRENT
+    # pointer swap — a re-run of this script becomes v2 and readers of
+    # v1 keep their snapshot (keep_versions retains one cycle of grace)
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        write_release_version,
+    )
 
-    release_manifest = write_release(
+    release_manifest = write_release_version(
         packed,
         f"{out}/release",
+        keep_versions=3,
         manifest_extra={
             "split_salt": "release-2026-08",
             "dedup_threshold": 0.5,

@@ -47,7 +47,14 @@ def test_training_data_pipeline_end_to_end(tmp_path):
                      "eval_holdout.parquet", "quality_audit.parquet",
                      "release"):
         assert os.path.exists(os.path.join(out, artifact)), artifact
+    # r7: the example publishes a VERSIONED release — resolve the
+    # CURRENT pointer like a reader would
+    with open(os.path.join(out, "release", "CURRENT")) as fh:
+        version = fh.read().strip()
+    assert version == "v00000001"
     manifest = json.load(
-        open(os.path.join(out, "release", "manifest.json"))
+        open(os.path.join(
+            out, "release", "versions", version, "manifest.json"))
     )
     assert manifest["span_dedup_k"] == 20 and "dsir" in manifest
+    assert manifest["version"] == version
