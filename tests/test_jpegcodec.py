@@ -265,3 +265,45 @@ def test_pure_decode_matches_pil():
         # IDCT; allow small per-pixel divergence, require agreement
         assert np.abs(ours - theirs).max() <= 16
         assert np.abs(ours - theirs).mean() <= 2.0
+
+
+# ------------------------------------------------------------ properties
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ch=st.sampled_from([1, 3]),
+    sub=st.sampled_from(["4:4:4", "4:2:0"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_roundtrip_any_dims(w, h, ch, sub, seed):
+    """Totality + bounded loss over arbitrary dims/subsampling: every
+    encode parses back to the same shape, and on SMOOTH content the
+    q95 roundtrip stays within a tight per-pixel bound. (Random noise
+    is the adversarial case for a lossy codec — covered separately at
+    q100 with a mean bound.)"""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256)
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = (base + 2 * xx + 3 * yy) % 256
+    px = np.stack([grad.astype(np.uint8)] * ch, axis=-1)
+    img = DecodedImage(w, h, ch, px.tobytes())
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+    assert (dec.width, dec.height, dec.channels) == (w, h, ch)
+    err = np.abs(_pixels(dec) - px.astype(int))
+    assert err.max() <= 16, (w, h, ch, sub, err.max())
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), rst=st.integers(0, 5))
+def test_property_restart_framing_never_changes_pixels(seed, rst):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(17, 21, 3), dtype=np.uint8)
+    img = DecodedImage(21, 17, 3, px.tobytes())
+    a = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=0))
+    b = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=rst))
+    assert a == b
