@@ -17,13 +17,14 @@ Real decoding with NO imaging library:
   top-down, BGR(A)→RGB(A), 4-byte row padding; BI_BITFIELDS only
   under standard BGRA masks.
 - **JPEG** (r7, in :mod:`.jpegcodec`): baseline sequential SOF0/SOF1
-  — canonical Huffman, any chroma subsampling, restart intervals,
-  batched-numpy IDCT; progressive/arithmetic/CMYK are rejected
-  loudly. A matching baseline encoder lives there too.
+  AND progressive SOF2 (spectral selection + successive
+  approximation) — canonical Huffman, any chroma subsampling,
+  restart intervals, batched-numpy IDCT; arithmetic/CMYK are
+  rejected loudly. Matching baseline + progressive encoders live
+  there too.
 - **PIL fast path**: if Pillow is importable it is preferred for ALL
-  formats (and is the only route for progressive JPEG); the pure
-  decoders are the fallback so the pipeline stays REAL in codec-less
-  containers like this one.
+  formats; the pure decoders are the fallback so the pipeline stays
+  REAL in codec-less containers like this one.
 
 Everything returns/consumes one shape, :class:`DecodedImage`
 (top-down row-major interleaved 8-bit), so extractors and resizers
@@ -486,8 +487,9 @@ def decode_bmp(b: bytes) -> DecodedImage:
 def decode_image_bytes(b: bytes) -> DecodedImage:
     """Decode a blob to :class:`DecodedImage`. PIL when importable
     (all formats, fast); otherwise the pure PNG/GIF/BMP decoders here
-    plus the pure baseline-JPEG decoder in :mod:`.jpegcodec` (r7 —
-    progressive/arithmetic/CMYK JPEG still raises loudly)."""
+    plus the pure baseline+progressive JPEG decoder in
+    :mod:`.jpegcodec` (r7 — arithmetic/CMYK JPEG still raises
+    loudly)."""
     if b is None:
         raise ImageDecodeError("null blob")
     b = bytes(b)

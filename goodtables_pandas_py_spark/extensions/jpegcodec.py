@@ -2,22 +2,27 @@
 "requires a library the container doesn't have" leaf).
 
 Decoder: **baseline sequential** JPEG/JFIF (SOF0, plus SOF1 extended
-sequential — identical decode path), the format virtually every
-camera/web JPEG uses: DQT (8/16-bit precision), DHT canonical Huffman
-tables, DRI/RSTn restart intervals, byte-stuffing, any Hx x Vy chroma
-subsampling (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 / ...), grayscale or
-YCbCr->RGB (JFIF full-range BT.601). Progressive (SOF2), arithmetic
+sequential — identical decode path) AND **progressive** (SOF2, r7:
+spectral selection + successive approximation, DC/AC first and
+refinement scans, arbitrary EOBn runs) — together the formats
+virtually every camera/web JPEG uses: DQT (8/16-bit precision), DHT
+canonical Huffman tables, DRI/RSTn restart intervals, byte-stuffing,
+any Hx x Vy chroma subsampling (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 /
+...), grayscale or YCbCr->RGB (JFIF full-range BT.601). Arithmetic
 coding, hierarchical, 12-bit, and CMYK streams are rejected loudly —
 decoding those wrong would be worse than not decoding them.
 
-Encoder: baseline SOF0 writer (Annex K quant tables scaled by the
-libjpeg quality formula, Annex K Huffman tables, optional 4:2:0 and
-restart intervals). It exists for two jobs: (a) producing real JPEG
-bytes in codec-less environments, (b) serving as the independent
-test-vector source — every decoder feature is exercised by encoding
-known pixels and bounding the roundtrip error (JPEG is lossy; the
-tests assert tight per-pixel tolerances at high quality and exact
-recovery for DC-only images).
+Encoders: baseline SOF0 writer and progressive SOF2 writer (Annex K
+quant tables scaled by the libjpeg quality formula, Annex K Huffman
+tables, optional 4:2:0 and restart intervals; the progressive writer
+caps EOBRUN at one block so the Annex K symbol set suffices — the
+decoder accepts arbitrary EOBn). They exist for two jobs: (a)
+producing real JPEG bytes in codec-less environments, (b) serving as
+the test-vector source — and because BOTH writers emit the same
+quantized coefficients, a correct decoder must produce BIT-IDENTICAL
+pixels for the two encodings of any image, which is the progressive
+oracle (entropy layers are completely different code paths, so the
+equality convicts either side's bugs).
 
 Scale posture: identical to imagecodec.py — this code runs one blob
 at a time inside Arrow-batched ``mapInPandas`` kernels. The entropy
@@ -232,12 +237,17 @@ def _extend(v: int, t: int) -> int:
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "qid", "dc", "ac", "blocks", "pred")
+    __slots__ = (
+        "cid", "h", "v", "qid", "dc", "ac", "coefs", "bx", "by",
+        "nbx", "nby", "pred",
+    )
 
     def __init__(self, cid, h, v, qid):
         self.cid, self.h, self.v, self.qid = cid, h, v, qid
         self.dc = self.ac = None
-        self.blocks: list = []
+        self.coefs = None  # (by, bx, 64) int32, zigzag order per block
+        self.bx = self.by = 0  # MCU-padded block grid (interleaved)
+        self.nbx = self.nby = 0  # true block grid (non-interleaved)
         self.pred = 0
 
 
@@ -269,8 +279,12 @@ def _split_entropy(b: bytes, i: int):
 
 
 def decode_jpeg(b: bytes) -> DecodedImage:
-    """Decode a baseline-sequential JPEG to :class:`DecodedImage`
-    (grayscale stays 1 channel; YCbCr converts to RGB)."""
+    """Decode a baseline-sequential (SOF0/SOF1) or progressive (SOF2,
+    r7: spectral selection + successive approximation, DC and AC
+    first/refinement scans, per-scan restart intervals, arbitrary
+    EOBn runs) JPEG to :class:`DecodedImage` (grayscale stays 1
+    channel; YCbCr converts to RGB). Arithmetic-coded, hierarchical,
+    12-bit and CMYK streams still reject loudly."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         raise ImageDecodeError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -281,6 +295,8 @@ def decode_jpeg(b: bytes) -> DecodedImage:
     i = 2
     n = len(b)
     saw_frame = False
+    saw_scan = False
+    progressive = False
     while i < n:
         if b[i] != 0xFF:
             raise ImageDecodeError(f"expected marker at byte {i}")
@@ -331,10 +347,11 @@ def decode_jpeg(b: bytes) -> DecodedImage:
                 j += 17 + cnt
         elif m == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
-        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             if saw_frame:
                 raise ImageDecodeError("multiple SOF markers")
             saw_frame = True
+            progressive = m == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ImageDecodeError(f"unsupported precision {prec}")
@@ -350,11 +367,19 @@ def decode_jpeg(b: bytes) -> DecodedImage:
                 if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     raise ImageDecodeError(f"bad sampling factors {hs}x{vs}")
                 comps.append(_Component(cid, hs, vs, tq))
-        elif m == 0xC2:
-            raise ImageDecodeError(
-                "progressive JPEG (SOF2) is not supported — only "
-                "baseline sequential"
-            )
+            # allocate per-component coefficient grids (MCU-padded
+            # for interleaved scans; non-interleaved scans address
+            # the true ceil(cw/8) x ceil(ch/8) sub-grid)
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c.bx, c.by = mcus_x * c.h, mcus_y * c.v
+                cw = -(-w * c.h // hmax)
+                ch_ = -(-h * c.v // vmax)
+                c.nbx, c.nby = -(-cw // 8), -(-ch_ // 8)
+                c.coefs = np.zeros((c.by, c.bx, 64), dtype=np.int32)
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                    0xCE, 0xCF):
             raise ImageDecodeError(
@@ -364,9 +389,9 @@ def decode_jpeg(b: bytes) -> DecodedImage:
             if not saw_frame:
                 raise ImageDecodeError("SOS before SOF")
             ns = seg[0]
-            if ns != len(comps):
+            if not progressive and ns != len(comps):
                 raise ImageDecodeError(
-                    "partial/multi-scan files are not baseline"
+                    "partial scans in a sequential frame are not baseline"
                 )
             scan: list[_Component] = []
             for k in range(ns):
@@ -376,23 +401,35 @@ def decode_jpeg(b: bytes) -> DecodedImage:
                     raise ImageDecodeError(f"SOS references unknown id {cs}")
                 comp.dc = huff.get((0, tt >> 4))
                 comp.ac = huff.get((1, tt & 0x0F))
-                if comp.dc is None or comp.ac is None:
-                    raise ImageDecodeError("SOS references missing DHT")
                 scan.append(comp)
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             segs, i = _split_entropy(b, i + ln)
-            _decode_scan(scan, segs, w, h, restart)
-            # baseline: one scan; everything after is EOI/trailer
-            return _assemble(comps, qt, w, h)
+            if not progressive:
+                for c in scan:
+                    if c.dc is None or c.ac is None:
+                        raise ImageDecodeError("SOS references missing DHT")
+                _decode_scan(scan, segs, w, h, restart)
+                # baseline: one scan; everything after is EOI/trailer
+                return _assemble(comps, qt, w, h)
+            _decode_progressive_scan(
+                comps, scan, segs, restart, ss, se, ah, al
+            )
+            saw_scan = True
+            continue  # i already points at the terminating marker
         # APPn / COM / anything else: skip
         i += ln
+    if saw_frame and progressive and saw_scan:
+        return _assemble(comps, qt, w, h)
     raise ImageDecodeError("no SOS marker (no image data)")
 
 
 def _decode_scan(
     scan: list[_Component], segs: list[bytes], w: int, h: int, restart: int
 ) -> None:
-    """Entropy-decode every MCU into per-component coefficient blocks
-    (zigzag int32 rows); restart boundaries reset DC predictors."""
+    """Entropy-decode every MCU of a SEQUENTIAL frame into the
+    per-component coefficient grids; restart boundaries reset DC
+    predictors."""
     hmax = max(c.h for c in scan)
     vmax = max(c.v for c in scan)
     mcus_x = -(-w // (8 * hmax))
@@ -402,7 +439,7 @@ def _decode_scan(
     done = 0
     seg_idx = 0
     reader = None
-    for _ in range(total):
+    for mi in range(total):
         if done % per_seg == 0:
             if seg_idx >= len(segs):
                 raise ImageDecodeError("missing restart segment")
@@ -410,31 +447,186 @@ def _decode_scan(
             seg_idx += 1
             for c in scan:
                 c.pred = 0
+        my, mx = divmod(mi, mcus_x)
         for c in scan:
-            for _ in range(c.h * c.v):
-                coef = np.zeros(64, dtype=np.int32)
-                t = reader.decode(c.dc)
-                if t > 11:
-                    raise ImageDecodeError(f"bad DC magnitude category {t}")
-                diff = _extend(reader.read_bits(t), t)
-                c.pred += diff
-                coef[0] = c.pred
-                k = 1
-                while k < 64:
+            for vv in range(c.v):
+                for hh in range(c.h):
+                    coef = c.coefs[my * c.v + vv, mx * c.h + hh]
+                    t = reader.decode(c.dc)
+                    if t > 11:
+                        raise ImageDecodeError(
+                            f"bad DC magnitude category {t}"
+                        )
+                    diff = _extend(reader.read_bits(t), t)
+                    c.pred += diff
+                    coef[0] = c.pred
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode(c.ac)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ImageDecodeError("AC run past block end")
+                        coef[k] = _extend(reader.read_bits(s), s)
+                        k += 1
+        done += 1
+
+
+def _decode_progressive_scan(
+    comps: list[_Component],
+    scan: list[_Component],
+    segs: list[bytes],
+    restart: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """One progressive scan (T.81 Annex G): DC scans (Ss=0, possibly
+    interleaved) deliver the DC coefficient's high bits (Ah=0, point
+    transform Al) or one refinement bit per block (Ah>0); AC scans
+    (single component only, per spec) deliver a spectral band
+    [Ss..Se] with EOBn run-length coding, then refinement bits."""
+    if ss == 0:
+        if se != 0:
+            raise ImageDecodeError("progressive DC scan must have Se=0")
+        dc_first = ah == 0
+        for c in scan:
+            if dc_first and c.dc is None:
+                raise ImageDecodeError("DC scan references missing DHT")
+        # interleaved MCU walk over the scan's components (a 1-comp
+        # DC scan is the degenerate interleave)
+        if len(scan) > 1:
+            mcus_x = max(c.bx // c.h for c in scan)
+            mcus_y = max(c.by // c.v for c in scan)
+            units = [(c, c.h, c.v) for c in scan]
+        else:
+            c = scan[0]
+            # non-interleaved: true block grid, one block per "MCU"
+            mcus_x, mcus_y = c.nbx, c.nby
+            units = [(c, 1, 1)]
+        total = mcus_x * mcus_y
+        per_seg = restart if restart else total
+        seg_idx = 0
+        reader = None
+        for mi in range(total):
+            if mi % per_seg == 0:
+                if seg_idx >= len(segs):
+                    raise ImageDecodeError("missing restart segment")
+                reader = _BitReader(segs[seg_idx])
+                seg_idx += 1
+                for c, _, _ in units:
+                    c.pred = 0
+            my, mx = divmod(mi, mcus_x)
+            for c, hs, vs in units:
+                for vv in range(vs):
+                    for hh in range(hs):
+                        by = my * vs + vv if len(scan) > 1 else my
+                        bx = mx * hs + hh if len(scan) > 1 else mx
+                        coef = c.coefs[by, bx]
+                        if dc_first:
+                            t = reader.decode(c.dc)
+                            if t > 11:
+                                raise ImageDecodeError(
+                                    f"bad DC category {t}"
+                                )
+                            diff = _extend(reader.read_bits(t), t)
+                            c.pred += diff
+                            coef[0] = c.pred << al
+                        else:
+                            if reader.read_bit():
+                                coef[0] = int(coef[0]) | (1 << al)
+        return
+    # AC scan: exactly one component, non-interleaved
+    if len(scan) != 1:
+        raise ImageDecodeError("progressive AC scan must be 1 component")
+    c = scan[0]
+    if c.ac is None:
+        raise ImageDecodeError("AC scan references missing DHT")
+    if not (1 <= ss <= se <= 63):
+        raise ImageDecodeError(f"bad spectral band {ss}..{se}")
+    total = c.nbx * c.nby
+    per_seg = restart if restart else total
+    seg_idx = 0
+    reader = None
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+    for mi in range(total):
+        if mi % per_seg == 0:
+            if seg_idx >= len(segs):
+                raise ImageDecodeError("missing restart segment")
+            reader = _BitReader(segs[seg_idx])
+            seg_idx += 1
+            eobrun = 0
+        by, bx = divmod(mi, c.nbx)
+        coef = c.coefs[by, bx]
+        if ah == 0:  # AC first scan
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode(c.ac)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + reader.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ImageDecodeError("AC run past band end")
+                coef[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        else:  # AC refinement scan (T.81 G.1.2.3 / libjpeg shape)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
                     rs = reader.decode(c.ac)
                     r, s = rs >> 4, rs & 0x0F
                     if s == 0:
-                        if r == 15:  # ZRL: sixteen zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ImageDecodeError("AC run past block end")
-                    coef[k] = _extend(reader.read_bits(s), s)
+                        if r < 15:
+                            eobrun = (1 << r) + reader.read_bits(r)
+                            break
+                        s_val = 0  # ZRL: skip 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise ImageDecodeError(
+                                "AC refinement magnitude must be 1"
+                            )
+                        s_val = p1 if reader.read_bit() else m1
+                    # advance past r zero-history positions, emitting
+                    # correction bits for nonzero-history ones en route
+                    while k <= se:
+                        cv = int(coef[k])
+                        if cv != 0:
+                            if reader.read_bit() and (cv & p1) == 0:
+                                coef[k] = cv + (p1 if cv >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s_val and k <= se:
+                        coef[k] = s_val
                     k += 1
-                c.blocks.append(coef)
-        done += 1
+            if eobrun > 0:
+                # EOB band: correction bits only, for the rest of the
+                # band, on every nonzero-history coefficient
+                while k <= se:
+                    cv = int(coef[k])
+                    if cv != 0:
+                        if reader.read_bit() and (cv & p1) == 0:
+                            coef[k] = cv + (p1 if cv >= 0 else m1)
+                    k += 1
+                eobrun -= 1
 
 
 def _assemble(
@@ -453,24 +645,20 @@ def _assemble(
             raise ImageDecodeError(f"missing quant table {c.qid}")
         q = qt[c.qid].astype(np.float64)  # zigzag order
         bx, by = mcus_x * c.h, mcus_y * c.v
-        if len(c.blocks) != bx * by:
-            raise ImageDecodeError("block count mismatch in scan")
-        Z = np.stack(c.blocks).astype(np.float64) * q  # (n, 64) zigzag
+        if c.coefs is None or c.coefs.shape != (by, bx, 64):
+            raise ImageDecodeError("coefficient grid mismatch in scan")
+        Z = c.coefs.reshape(-1, 64).astype(np.float64) * q  # zigzag
         N = Z[:, inv_zig].reshape(-1, 8, 8)  # natural order
         # batched IDCT: C.T @ B @ C for every block
         px = np.einsum("ux,nuv,vy->nxy", _DCT, N, _DCT) + 128.0
         px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
-        # paste blocks (MCU-interleaved order) onto the padded plane
-        plane = np.zeros((by * 8, bx * 8), dtype=np.uint8)
-        bi = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for vv in range(c.v):
-                    for hh in range(c.h):
-                        y0 = (my * c.v + vv) * 8
-                        x0 = (mx * c.h + hh) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = px[bi]
-                        bi += 1
+        # blocks sit in raster grid order: one reshape/transpose pastes
+        # the whole padded plane
+        plane = (
+            px.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
         # crop to the component's true size, then replicate to full res
         cw = -(-w * c.h // hmax)
         ch = -(-h * c.v // vmax)
@@ -595,16 +783,11 @@ def _pad_to(plane: np.ndarray, H: int, W: int) -> np.ndarray:
     )
 
 
-def encode_jpeg(
-    img: DecodedImage,
-    quality: int = 90,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode to baseline JFIF. Gray (1/2ch: alpha dropped) writes a
-    single-component stream; RGB(A) writes YCbCr with ``subsampling``
-    "4:4:4" or "4:2:0". Annex K quant tables scaled by the standard
-    quality formula; Annex K Huffman tables (unoptimized)."""
+def _encode_prep(img: DecodedImage, quality: int, subsampling: str):
+    """Shared encoder front half: color transform, optional chroma
+    subsampling, per-component quantized zigzag block grids. Returns
+    (w, h, gray, samp, qids, q_lum, q_chrom, comp_blocks) where
+    comp_blocks[k] = ((by, bx, 64) int32 grid, hs, vs)."""
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ImageDecodeError(f"unsupported subsampling {subsampling!r}")
     arr = np.frombuffer(img.pixels, dtype=np.uint8).reshape(
@@ -641,7 +824,6 @@ def encode_jpeg(
     vmax = max(s[1] for s in samp)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    # per-component quantized zigzag blocks, in raster block order
     comp_blocks = []
     for plane, (hs, vs), qtab in zip(planes, samp, qtables):
         bx, by = mcus_x * hs, mcus_y * vs
@@ -649,7 +831,15 @@ def encode_jpeg(
         co = _component_blocks(padded)
         qz = np.rint(co / qtab[zig].astype(np.float64)).astype(np.int32)
         comp_blocks.append((qz.reshape(by, bx, 64), hs, vs))
+    return w, h, gray, samp, qids, q_lum, q_chrom, comp_blocks
 
+
+def _encode_headers(
+    w, h, gray, samp, qids, q_lum, q_chrom, sof_marker, restart_interval
+) -> bytearray:
+    """SOI + JFIF + DQT + SOF + DHT (+ DRI) — everything up to the
+    first SOS, shared by the baseline and progressive writers."""
+    zig = np.array(ZIGZAG)
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(
         ">H", 16
@@ -658,13 +848,13 @@ def encode_jpeg(
     for tq, tab in ([(0, q_lum)] if gray else [(0, q_lum), (1, q_chrom)]):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
         out += bytes(int(tab[zi]) for zi in zig)
-    # SOF0
     nc = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    out += bytes([0xFF, sof_marker]) + struct.pack(
+        ">HBHHB", 8 + 3 * nc, 8, h, w, nc
+    )
     for k in range(nc):
         hs, vs = samp[k]
         out += bytes([k + 1, (hs << 4) | vs, qids[k]])
-    # DHT
     specs = [(0x00, HUFF_DC_LUM), (0x10, HUFF_AC_LUM)]
     if not gray:
         specs += [(0x01, HUFF_DC_CHROM), (0x11, HUFF_AC_CHROM)]
@@ -673,6 +863,30 @@ def encode_jpeg(
         out += bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
+def encode_jpeg(
+    img: DecodedImage,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode to baseline JFIF. Gray (1/2ch: alpha dropped) writes a
+    single-component stream; RGB(A) writes YCbCr with ``subsampling``
+    "4:4:4" or "4:2:0". Annex K quant tables scaled by the standard
+    quality formula; Annex K Huffman tables (unoptimized)."""
+    w, h, gray, samp, qids, q_lum, q_chrom, comp_blocks = _encode_prep(
+        img, quality, subsampling
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    nc = 1 if gray else 3
+    out = _encode_headers(
+        w, h, gray, samp, qids, q_lum, q_chrom, 0xC0, restart_interval
+    )
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for k in range(nc):
@@ -711,4 +925,233 @@ def encode_jpeg(
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (r7)
+
+#: default spectral-selection + successive-approximation scripts (the
+#: shape of libjpeg's simple progressive parameterization): DC first
+#: with one SA bit held back, luma AC in two bands, chroma AC whole-
+#: band, then the refinement passes.
+_PROG_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+)
+_PROG_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+)
+
+
+def _emit_ac_first_block(wtr, band, al, ac_codes) -> None:
+    """AC first scan, one block: baseline run/size coding of the
+    point-transformed band values (EOBRUN deliberately capped at 1 —
+    a per-block EOB symbol — so the Annex K tables' symbol set
+    suffices; the DECODER accepts arbitrary EOBn)."""
+    vals = [
+        (v >> al) if v >= 0 else -((-v) >> al) for v in band
+    ]  # AC point transform truncates toward zero (T.81 G.1.2.1)
+    nz = [i for i, v in enumerate(vals) if v]
+    if not nz:
+        code, ln = ac_codes[0x00]
+        wtr.write(code, ln)
+        return
+    run = 0
+    for i in range(nz[-1] + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            wtr.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        wtr.write(code, ln)
+        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if nz[-1] + 1 < len(vals):
+        code, ln = ac_codes[0x00]
+        wtr.write(code, ln)
+
+
+def _emit_ac_refine_block(wtr, band, al, ac_codes) -> None:
+    """AC refinement scan, one block — an exact mirror of the
+    decoder's walk (symbol, then sign bit, then the correction bits
+    of already-nonzero coefficients passed en route), EOBRUN capped
+    at 1 like the first scans."""
+    t = [abs(v) >> al for v in band]
+    n = len(band)
+    news = [i for i, a in enumerate(t) if a == 1]
+    pos = 0
+    for nxt in news:
+        zr = sum(1 for j in range(pos, nxt) if t[j] == 0)
+        while zr > 15:
+            code, ln = ac_codes[0xF0]
+            wtr.write(code, ln)
+            zeros = 0
+            while zeros < 16:
+                if t[pos] == 0:
+                    zeros += 1
+                else:
+                    wtr.write(t[pos] & 1, 1)
+                pos += 1
+            zr -= 16
+        code, ln = ac_codes[(zr << 4) | 1]
+        wtr.write(code, ln)
+        wtr.write(1 if band[nxt] >= 0 else 0, 1)
+        while pos < nxt:
+            if t[pos] > 1:
+                wtr.write(t[pos] & 1, 1)
+            pos += 1
+        pos = nxt + 1
+    if pos < n:
+        code, ln = ac_codes[0x00]  # EOB (run of exactly 1)
+        wtr.write(code, ln)
+        while pos < n:
+            if t[pos] > 1:
+                wtr.write(t[pos] & 1, 1)
+            pos += 1
+
+
+def encode_jpeg_progressive(
+    img: DecodedImage,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    scans=None,
+) -> bytes:
+    """Encode to PROGRESSIVE JFIF (SOF2). Same quantized coefficients
+    as :func:`encode_jpeg` at the same settings — a correct decoder
+    therefore produces BIT-IDENTICAL pixels for both encodings (the
+    oracle the tests lean on). ``scans`` overrides the default
+    spectral-selection + successive-approximation script as an
+    iterable of (component_indices, Ss, Se, Ah, Al)."""
+    w, h, gray, samp, qids, q_lum, q_chrom, comp_blocks = _encode_prep(
+        img, quality, subsampling
+    )
+    nc = 1 if gray else 3
+    if scans is None:
+        scans = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+    out = _encode_headers(
+        w, h, gray, samp, qids, q_lum, q_chrom, 0xC2, restart_interval
+    )
+    dc_lum, ac_lum = _code_map(HUFF_DC_LUM), _code_map(HUFF_AC_LUM)
+    dc_chr, ac_chr = _code_map(HUFF_DC_CHROM), _code_map(HUFF_AC_CHROM)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    def true_grid(k):
+        hs, vs = samp[k]
+        cw = -(-w * hs // hmax)
+        ch_ = -(-h * vs // vmax)
+        return -(-cw // 8), -(-ch_ // 8)
+
+    def rst_marker(out, wtr, rst):
+        wtr.flush()
+        out += wtr.out
+        out += bytes([0xFF, 0xD0 + (rst & 7)])
+
+    for comp_idx, ss, se, ah, al in scans:
+        comp_idx = tuple(comp_idx)
+        if ss == 0 and se == 0:  # DC scan (all listed comps)
+            out += b"\xff\xda" + struct.pack(
+                ">HB", 6 + 2 * len(comp_idx), len(comp_idx)
+            )
+            for k in comp_idx:
+                dc_id = 0x00 if (gray or k == 0) else 0x10
+                out += bytes([k + 1, dc_id])
+            out += bytes([ss, se, (ah << 4) | al])
+            wtr = _BitWriter()
+            preds = {k: 0 for k in comp_idx}
+            rst = 0
+            done = 0
+            if len(comp_idx) > 1:
+                walk = [
+                    (my, mx) for my in range(mcus_y) for mx in range(mcus_x)
+                ]
+            else:
+                nbx, nby = true_grid(comp_idx[0])
+                walk = [(by, bx) for by in range(nby) for bx in range(nbx)]
+            for my, mx in walk:
+                if restart_interval and done and \
+                        done % restart_interval == 0:
+                    rst_marker(out, wtr, rst)
+                    rst += 1
+                    wtr = _BitWriter()
+                    preds = {k: 0 for k in comp_idx}
+                for k in comp_idx:
+                    qz, hs, vs = comp_blocks[k]
+                    units = (
+                        [(my * vs + vv, mx * hs + hh)
+                         for vv in range(vs) for hh in range(hs)]
+                        if len(comp_idx) > 1 else [(my, mx)]
+                    )
+                    dmap = dc_lum if (gray or k == 0) else dc_chr
+                    for by, bx in units:
+                        dc = int(qz[by, bx, 0]) >> al
+                        if ah == 0:
+                            diff = dc - preds[k]
+                            preds[k] = dc
+                            tt = abs(diff).bit_length()
+                            code, ln = dmap[tt]
+                            wtr.write(code, ln)
+                            if tt:
+                                wtr.write(
+                                    diff if diff >= 0
+                                    else diff + (1 << tt) - 1, tt,
+                                )
+                        else:
+                            wtr.write(dc & 1, 1)
+                done += 1
+            wtr.flush()
+            out += wtr.out
+            continue
+        # AC scan: single component
+        if len(comp_idx) != 1:
+            raise ImageDecodeError("AC scan must list one component")
+        k = comp_idx[0]
+        qz, hs, vs = comp_blocks[k]
+        amap = ac_lum if (gray or k == 0) else ac_chr
+        ac_id = 0x00 if (gray or k == 0) else 0x01
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += bytes([k + 1, ac_id])
+        out += bytes([ss, se, (ah << 4) | al])
+        wtr = _BitWriter()
+        nbx, nby = true_grid(k)
+        rst = 0
+        done = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and done and \
+                        done % restart_interval == 0:
+                    rst_marker(out, wtr, rst)
+                    rst += 1
+                    wtr = _BitWriter()
+                band = [int(x) for x in qz[by, bx, ss : se + 1]]
+                if ah == 0:
+                    _emit_ac_first_block(wtr, band, al, amap)
+                else:
+                    _emit_ac_refine_block(wtr, band, al, amap)
+                done += 1
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -73,8 +73,8 @@ def decode_image(blob: bytes):
     :class:`~.imagecodec.DecodedImage` (top-down row-major
     interleaved 8-bit). PIL is the optional fast path when
     importable; without it, PNG (incl. palette), GIF (LZW), BMP and
-    baseline JPEG (r7, :mod:`.jpegcodec`) decode pure-stdlib;
-    progressive/arithmetic/CMYK JPEG raises
+    baseline AND progressive JPEG (r7, :mod:`.jpegcodec`) decode
+    pure-stdlib; arithmetic/CMYK JPEG raises
     :class:`~.imagecodec.ImageDecodeError`."""
     from .imagecodec import decode_image_bytes
 

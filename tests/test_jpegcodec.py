@@ -216,12 +216,15 @@ def test_restart_interval_streams_match_unrestarted():
 # ------------------------------------------------------------ rejection
 
 
-def test_progressive_and_friends_rejected():
+def test_unsupported_processes_rejected():
     base = bytearray(encode_jpeg(_smooth(8, 8, 1), quality=90))
     i = bytes(base).find(b"\xff\xc0")
     assert i > 0
+    # r7: SOF2 decodes now — but flipping the marker on a BASELINE
+    # stream makes an invalid progressive scan (full-band DC SOS),
+    # which must still fail loudly rather than decode wrong
     prog = bytes(base[:i]) + b"\xff\xc2" + bytes(base[i + 2 :])
-    with pytest.raises(ImageDecodeError, match="progressive"):
+    with pytest.raises(ImageDecodeError, match="Se=0"):
         decode_jpeg(prog)
     arith = bytes(base[:i]) + b"\xff\xc9" + bytes(base[i + 2 :])
     with pytest.raises(ImageDecodeError, match="unsupported"):
@@ -307,3 +310,185 @@ def test_property_restart_framing_never_changes_pixels(seed, rst):
     a = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=0))
     b = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=rst))
     assert a == b
+
+
+# ------------------------------------------------------ progressive (r7)
+
+from goodtables_pandas_py_spark.extensions.jpegcodec import (  # noqa: E402
+    encode_jpeg_progressive,
+)
+
+
+@pytest.mark.parametrize(
+    "w,h,ch,sub,rst,q",
+    [
+        (32, 24, 3, "4:4:4", 0, 90),
+        (37, 23, 3, "4:2:0", 0, 95),
+        (64, 48, 3, "4:2:0", 2, 75),
+        (9, 5, 1, "4:4:4", 0, 92),
+        (1, 1, 3, "4:4:4", 0, 90),
+        (33, 1, 1, "4:4:4", 3, 95),
+        (16, 16, 3, "4:2:0", 1, 100),
+    ],
+)
+def test_progressive_decodes_bit_identical_to_baseline(w, h, ch, sub,
+                                                       rst, q):
+    """THE progressive oracle: both writers emit the same quantized
+    coefficients through completely different entropy layers, so the
+    decoded pixels must match bit-for-bit."""
+    img = _smooth(w, h, ch)
+    base = decode_jpeg(
+        encode_jpeg(img, quality=q, subsampling=sub, restart_interval=rst)
+    )
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            img, quality=q, subsampling=sub, restart_interval=rst
+        )
+    )
+    assert base == prog
+
+
+def test_progressive_noise_bit_identical_and_dispatcher_routes():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(21, 19, 3), dtype=np.uint8)
+    img = DecodedImage(19, 21, 3, px.tobytes())
+    blob = encode_jpeg_progressive(img, quality=85, subsampling="4:2:0")
+    assert decode_image_bytes(blob) == decode_jpeg(
+        encode_jpeg(img, quality=85, subsampling="4:2:0")
+    )
+
+
+def test_progressive_custom_scan_scripts():
+    """Spectral-selection-only script (no successive approximation),
+    and a maximally-sliced script (each band its own scan, deep SA
+    cascades) — both must reproduce the baseline pixels exactly."""
+    img = _smooth(24, 16, 3, seed=4)
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    ss_only = [
+        ((0, 1, 2), 0, 0, 0, 0),
+        ((0,), 1, 63, 0, 0),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+    ]
+    assert decode_jpeg(
+        encode_jpeg_progressive(img, quality=90, scans=ss_only)
+    ) == base
+    sliced = [
+        ((0, 1, 2), 0, 0, 0, 3),
+        ((0, 1, 2), 0, 0, 3, 2),
+        ((0, 1, 2), 0, 0, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((0,), 1, 2, 0, 2), ((0,), 3, 63, 0, 2),
+        ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0),
+        ((1,), 1, 63, 0, 1), ((1,), 1, 63, 1, 0),
+        ((2,), 1, 63, 0, 1), ((2,), 1, 63, 1, 0),
+    ]
+    assert decode_jpeg(
+        encode_jpeg_progressive(img, quality=90, scans=sliced)
+    ) == base
+
+
+def test_progressive_gray_deep_refinement():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(24, 24, 1), dtype=np.uint8)
+    img = DecodedImage(24, 24, 1, px.tobytes())
+    base = decode_jpeg(encode_jpeg(img, quality=95))
+    assert decode_jpeg(encode_jpeg_progressive(img, quality=95)) == base
+
+
+def _eobn_gray_progressive() -> bytes:
+    """Hand-built 24x8 gray progressive stream whose AC-first scan
+    uses EOB2 (symbol 0x10 + 1 run bit) to cover three all-zero-AC
+    blocks — the multi-block EOBn decode path the capped encoder
+    never emits. DC scan gives blocks 0/1/2 DC values 80/160/240
+    (quant step 1, Al=0), AC scan declares EOBRUN=3 via EOB2+bit(1).
+    Expected: three flat 8x8 tiles of 138/148/158."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    # SOF2, 8x24, one component
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 24, 1)
+    out += bytes([1, 0x11, 0])
+    # DC table: Annex K; AC table: custom, containing EOBn symbols
+    ac_bits = [0, 2, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x10, 0x20]
+    out += b"\xff\xc4" + struct.pack(">HB", 19 + 12, 0x00)
+    out += bytes(HUFF_DC_LUM[0]) + bytes(HUFF_DC_LUM[1])
+    out += b"\xff\xc4" + struct.pack(">HB", 19 + len(ac_vals), 0x10)
+    out += bytes(ac_bits) + bytes(ac_vals)
+    # scan 1: DC first, Al=0
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    out += bytes([0, 0, 0x00])
+    dc_codes = {
+        v: cl for v, cl in zip(HUFF_DC_LUM[1], _canonical_codes(*HUFF_DC_LUM))
+    }
+    bits = ""
+    pred = 0
+    for dc in (80, 160, 240):
+        diff = dc - pred
+        pred = dc
+        t = abs(diff).bit_length()
+        code, ln = dc_codes[t]
+        bits += format(code, f"0{ln}b")
+        if t:
+            mag = diff if diff >= 0 else diff + (1 << t) - 1
+            bits += format(mag, f"0{t}b")
+    bits += "1" * (-len(bits) % 8)
+    out += bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    # scan 2: AC first 1..63, Al=0 — ONE symbol covers all 3 blocks:
+    # EOB2 (r=2) = eobrun = (1<<2)-1 + receive(2); receive bits "00"
+    # -> eobrun = 3
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    out += bytes([1, 63, 0x00])
+    ac_codes = {v: cl for v, cl in zip(ac_vals, _canonical_codes(ac_bits, ac_vals))}
+    code, ln = ac_codes[0x20]
+    bits = format(code, f"0{ln}b") + "00"
+    bits += "1" * (-len(bits) % 8)
+    out += bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_hand_built_multi_block_eobn_run():
+    img = decode_jpeg(_eobn_gray_progressive())
+    assert (img.width, img.height, img.channels) == (24, 8, 1)
+    px = np.frombuffer(img.pixels, np.uint8).reshape(8, 24)
+    for blk, want in ((0, 138), (1, 148), (2, 158)):
+        tile = px[:, blk * 8 : (blk + 1) * 8]
+        assert (tile == want).all(), (blk, set(tile.ravel().tolist()))
+
+
+@pytest.mark.skipif(_try_pil() is None, reason="Pillow not installed")
+def test_progressive_matches_pil():
+    import io
+
+    Image = _try_pil()
+    img = _smooth(40, 28, 3, seed=5)
+    blob = encode_jpeg_progressive(img, quality=92, subsampling="4:2:0")
+    ours = _pixels(decode_jpeg(blob))
+    with Image.open(io.BytesIO(blob)) as im:
+        theirs = np.asarray(im.convert("RGB")).astype(int)
+    assert np.abs(ours - theirs).max() <= 16
+    assert np.abs(ours - theirs).mean() <= 2.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 32), h=st.integers(1, 32),
+    ch=st.sampled_from([1, 3]),
+    sub=st.sampled_from(["4:4:4", "4:2:0"]),
+    rst=st.integers(0, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_progressive_equals_baseline(w, h, ch, sub, rst, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    img = DecodedImage(w, h, ch, px.tobytes())
+    base = decode_jpeg(
+        encode_jpeg(img, quality=88, subsampling=sub, restart_interval=rst)
+    )
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            img, quality=88, subsampling=sub, restart_interval=rst
+        )
+    )
+    assert base == prog
