@@ -1,12 +1,14 @@
 """Multimodal columns (X-multimodal): image/audio/video as opaque
 ``binary`` columns with typed metadata, processed via Arrow-batched
-``mapInPandas`` (SURVEY.md north star). As of r6 the decode step is
-REAL: PNG/GIF/BMP decode via the pure-stdlib codec in
-:mod:`.imagecodec` (PIL is the optional fast path and unlocks
-JPEG), so decode→feature (:func:`image_feature_extractor`) and
-decode→resize→re-encode (:func:`real_resizer`) run end-to-end in
+``mapInPandas`` (SURVEY.md north star). As of r6/r7 the decode step
+is REAL: PNG/GIF/BMP (pure-stdlib codec in :mod:`.imagecodec`),
+baseline + progressive JPEG (:mod:`.jpegcodec`), and WAV audio
+(:mod:`.audiocodec` — PCM int/float, lossless integer roundtrips),
+with PIL as the optional image fast path; decode→feature
+(:func:`image_feature_extractor`, :func:`.audiocodec.audio_features`)
+and decode→resize→re-encode (:func:`real_resizer`) run end-to-end in
 codec-less containers; the deterministic fakes remain only as
-injectable stand-ins for plumbing tests on non-image bytes.
+injectable stand-ins for plumbing tests on non-media bytes.
 
 Design for 100 TB:
 - blobs ride in parquet binary columns (or `binaryFile` source for
