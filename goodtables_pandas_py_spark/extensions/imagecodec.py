@@ -5,11 +5,13 @@ Real decoding with NO imaging library:
 
 - **PNG** (the production format for ML corpora snapshots): stdlib
   ``zlib`` inflate + full scanline unfiltering (None/Sub/Up/Average/
-  Paeth), 8-bit gray / gray+alpha / RGB / RGBA / palette (PLTE, with
-  tRNS transparency → RGBA), plain or Adam7-interlaced (each of the
-  seven passes unfiltered as its own sub-image and scattered onto the
-  stride grid). 16-bit and sub-byte depths are rejected loudly
-  rather than decoded wrong.
+  Paeth, byte-distance ``bpp`` so every depth shares the logic),
+  gray / gray+alpha / RGB / RGBA / palette (PLTE, with tRNS
+  transparency → RGBA), plain or Adam7-interlaced (each of the seven
+  passes unfiltered as its own sub-image and scattered onto the
+  stride grid), at every spec-legal bit depth (r7): 1/2/4-bit gray
+  scales to full range, 1/2/4-bit palette indexes raw, 16-bit
+  downconverts via the high byte (the standard 16→8 conversion).
 - **GIF** (r6): 87a/89a first frame — pure-Python LZW (LSB-first,
   CLEAR/END, 12-bit cap, output-bounded), global/local color tables,
   interlaced row order, GCE transparency → RGBA.
@@ -94,15 +96,24 @@ def _png_chunks(b: bytes):
             return
 
 
-def _unfilter(raw: bytes, width: int, height: int, ch: int) -> bytes:
-    """Invert PNG scanline filtering. Vectorized for filters 0/1/2;
+def _unfilter(raw: bytes, row_bytes: int, height: int, bpp: int) -> bytes:
+    """Invert PNG scanline filtering over BYTE rows of ``row_bytes``
+    with filter distance ``bpp`` (bytes per complete pixel, >= 1 —
+    the spec's generalization that makes sub-byte and 16-bit depths
+    share the 8-bit logic). Vectorized for filters 0/1/2;
     Average/Paeth fall back to a per-pixel loop (they depend on the
     just-reconstructed left neighbour AND the row above in a way that
     has no closed numpy form)."""
-    stride = width * ch
+    stride = row_bytes
+    ch = bpp
     expected = (stride + 1) * height
     if len(raw) < expected:
         raise ImageDecodeError("truncated PNG pixel data")
+    if stride % ch:
+        # pad virtually so the Sub cumsum can reshape; sliced back off
+        pad = ch - (stride % ch)
+    else:
+        pad = 0
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     pos = 0
@@ -112,11 +123,14 @@ def _unfilter(raw: bytes, width: int, height: int, ch: int) -> bytes:
         pos += stride + 1
         if ftype == 0:  # None
             rec = row.copy()
-        elif ftype == 1:  # Sub: cumulative add with stride `ch`
+        elif ftype == 1:  # Sub: cumulative add with stride `bpp`
             # int64 cumsum then mod 256 == sequential byte addition mod 256
-            rec = (np.cumsum(row.reshape(width, ch), axis=0) % 256).astype(
-                np.uint8
-            ).reshape(stride)
+            padded = np.concatenate(
+                [row, np.zeros(pad, dtype=np.uint8)]
+            ) if pad else row
+            rec = (
+                np.cumsum(padded.reshape(-1, ch), axis=0) % 256
+            ).astype(np.uint8).reshape(-1)[:stride]
         elif ftype == 2:  # Up
             rec = row + prev  # uint8 wraps — exactly the spec's mod 256
         elif ftype in (3, 4):  # Average / Paeth — sequential by spec:
@@ -163,13 +177,46 @@ _ADAM7 = (
 )
 
 
-def _deinterlace(raw: bytes, width: int, height: int, ch: int) -> bytes:
+def _expand_samples(
+    unfiltered: bytes, width: int, height: int, ch: int, depth: int,
+    scale_subbyte: bool,
+) -> np.ndarray:
+    """Unfiltered byte rows -> (height, width*ch) uint8 samples:
+    identity at depth 8, high byte at depth 16 (the standard 16->8
+    downconversion), bit-unpacked at 1/2/4 (scaled to full range for
+    gray, left as raw indices for palette)."""
+    row_bytes = (width * ch * depth + 7) // 8
+    arr = np.frombuffer(unfiltered, dtype=np.uint8).reshape(
+        height, row_bytes
+    )
+    if depth == 8:
+        return arr
+    if depth == 16:
+        return arr[:, 0 : width * ch * 2 : 2]  # big-endian high byte
+    # 1/2/4-bit: always single-channel (gray or palette indices)
+    bits = np.unpackbits(arr, axis=1)[:, : width * depth]
+    groups = bits.reshape(height, width, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights[None, None, :]).sum(axis=2).astype(np.uint8)
+    if scale_subbyte:
+        vals = (
+            vals.astype(np.uint16) * 255 // ((1 << depth) - 1)
+        ).astype(np.uint8)
+    return vals
+
+
+def _deinterlace(
+    raw: bytes, width: int, height: int, ch: int, depth: int,
+    scale_subbyte: bool,
+) -> bytes:
     """Adam7 (r6): the stream is SEVEN independently-filtered
     sub-images; unfilter each with the normal scanline logic and
     scatter its pixels onto the (y_start::y_step, x_start::x_step)
     grid. Empty passes (dimension rounds to zero) contribute no
-    bytes, per spec."""
+    bytes, per spec. r7: depth-aware (each pass carries its own
+    row_bytes at the frame's bit depth)."""
     out = np.zeros((height, width, ch), dtype=np.uint8)
+    bpp = max(1, (depth * ch) // 8)
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
         if x0 >= width or y0 >= height:
@@ -178,17 +225,17 @@ def _deinterlace(raw: bytes, width: int, height: int, ch: int) -> bytes:
         h_p = (height - y0 + dy - 1) // dy
         if w_p == 0 or h_p == 0:
             continue
-        nbytes = (w_p * ch + 1) * h_p
-        sub = _unfilter(raw[pos : pos + nbytes], w_p, h_p, ch)
+        row_bytes = (w_p * ch * depth + 7) // 8
+        nbytes = (row_bytes + 1) * h_p
+        sub = _unfilter(raw[pos : pos + nbytes], row_bytes, h_p, bpp)
         pos += nbytes
-        out[y0::dy, x0::dx] = np.frombuffer(sub, dtype=np.uint8).reshape(
-            h_p, w_p, ch
-        )
+        samples = _expand_samples(sub, w_p, h_p, ch, depth, scale_subbyte)
+        out[y0::dy, x0::dx] = samples.reshape(h_p, w_p, ch)
     return out.tobytes()
 
 
 def decode_png(b: bytes) -> DecodedImage:
-    """Pure-stdlib PNG decode (8-bit; interlaced via Adam7)."""
+    """Pure-stdlib PNG decode (all spec-legal bit depths, r7; interlaced via Adam7)."""
     if b[:8] != _PNG_SIG:
         raise ImageDecodeError("not a PNG")
     width = height = None
@@ -202,13 +249,20 @@ def decode_png(b: bytes) -> DecodedImage:
             width, height, bitdepth, color, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data[:13])
             )
-            if bitdepth != 8:
-                raise ImageDecodeError(
-                    f"unsupported PNG bit depth {bitdepth} (only 8)"
-                )
             if color not in _PNG_CHANNELS:
                 raise ImageDecodeError(
                     f"unsupported PNG color type {color}"
+                )
+            # spec-legal depth per color type (r7: 16-bit and 1/2/4
+            # now decode; 16-bit downconverts via the high byte)
+            legal = {
+                0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                4: (8, 16), 6: (8, 16),
+            }[color]
+            if bitdepth not in legal:
+                raise ImageDecodeError(
+                    f"illegal PNG bit depth {bitdepth} for color "
+                    f"type {color}"
                 )
             if interlace not in (0, 1):
                 raise ImageDecodeError(
@@ -229,10 +283,17 @@ def decode_png(b: bytes) -> DecodedImage:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:  # pragma: no cover - corrupt stream
         raise ImageDecodeError(f"PNG inflate failed: {exc}") from exc
+    scale_subbyte = color == 0  # gray scales to full range; palette
+    # indices stay raw
     if interlace == 1:
-        px = _deinterlace(raw, width, height, ch)
+        px = _deinterlace(raw, width, height, ch, bitdepth, scale_subbyte)
     else:
-        px = _unfilter(raw, width, height, ch)
+        row_bytes = (width * ch * bitdepth + 7) // 8
+        bpp = max(1, (bitdepth * ch) // 8)
+        px = _expand_samples(
+            _unfilter(raw, row_bytes, height, bpp),
+            width, height, ch, bitdepth, scale_subbyte,
+        ).tobytes()
     if color == 3:
         # palette expansion (r6): indices -> RGB via PLTE; a tRNS
         # chunk adds per-entry alpha -> RGBA (entries beyond the tRNS

@@ -136,8 +136,10 @@ def test_png_mixed_filters_and_multi_idat():
 def test_png_rejects_unsupported_loudly():
     img = _gradient(4, 4, 3)
     blob = bytearray(encode_png(img))
-    blob[24] = 16  # bit depth byte inside IHDR
-    with pytest.raises(ImageDecodeError, match="bit depth"):
+    # r7: depth 16 is legal now — an ILLEGAL depth/color combo (4-bit
+    # RGB) must still reject with a clear message
+    blob[24] = 4  # bit depth byte inside IHDR (color type stays 2)
+    with pytest.raises(ImageDecodeError, match="illegal PNG bit depth"):
         decode_png(bytes(blob))
     blob = bytearray(encode_png(img))
     blob[28] = 2  # unknown interlace method (1 = Adam7 is supported, r6)
@@ -663,3 +665,128 @@ def test_adam7_matches_pil():
     img = _gradient(11, 9, 3)
     blob = _interlaced_png(img)
     assert decode_image_bytes(blob) == decode_png(blob)
+
+
+# ------------------------------------------- 16-bit + sub-byte PNG (r7)
+
+
+def _png_blob(w, h, depth, color, rows, plte=None, filters=None):
+    """Forward builder: pack per-row SAMPLE arrays into a PNG at any
+    depth (big-endian 16-bit, MSB-first sub-byte packing), optionally
+    forward-filtering rows so Sub/Up/Paeth cover bpp != channels."""
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bpp = max(1, (depth * ch) // 8)
+    raw = bytearray()
+    prev_packed = None
+    for yi, row in enumerate(rows):
+        flat = [int(v) for v in row]
+        assert len(flat) == w * ch
+        if depth == 16:
+            packed = b"".join(struct.pack(">H", v) for v in flat)
+        elif depth == 8:
+            packed = bytes(flat)
+        else:
+            bits = "".join(format(v, f"0{depth}b") for v in flat)
+            bits += "0" * (-len(bits) % 8)
+            packed = bytes(
+                int(bits[i : i + 8], 2) for i in range(0, len(bits), 8)
+            )
+        f = (filters or [0])[yi % len(filters or [0])]
+        raw += bytes([f]) + _apply_filter(
+            f, packed, prev_packed or bytes(len(packed)), bpp
+        )
+        prev_packed = packed
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(v for rgb in plte for v in rgb))
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(
+        b"IEND", b""
+    )
+
+
+def test_png_16bit_gray_high_byte_downconversion():
+    # 16-bit samples (v<<8)|junk must decode to exactly v
+    rows = [
+        [(v << 8) | ((v * 37) & 0xFF) for v in (0, 1, 128, 254, 255)],
+        [(v << 8) | 0xFF for v in (10, 20, 30, 40, 50)],
+    ]
+    img = decode_png(_png_blob(5, 2, 16, 0, rows))
+    assert (img.width, img.height, img.channels) == (5, 2, 1)
+    assert list(img.pixels) == [0, 1, 128, 254, 255, 10, 20, 30, 40, 50]
+
+
+def test_png_16bit_rgb_with_all_filters():
+    rng = np.random.default_rng(4)
+    hi = rng.integers(0, 256, size=(6, 4 * 3), dtype=np.uint16)
+    rows = [[int(v << 8) | 0x7F for v in r] for r in hi]
+    blob = _png_blob(4, 6, 16, 2, rows, filters=[0, 1, 2, 3, 4])
+    img = decode_png(blob)
+    assert (img.width, img.height, img.channels) == (4, 6, 3)
+    got = np.frombuffer(img.pixels, np.uint8).reshape(6, 12)
+    assert np.array_equal(got, hi.astype(np.uint8))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_scales_to_full_range(depth):
+    mx = (1 << depth) - 1
+    w = 11  # deliberately not a multiple of 8/depth: row padding bits
+    rows = [[(x + y) % (mx + 1) for x in range(w)] for y in range(3)]
+    img = decode_png(_png_blob(w, 3, depth, 0, rows))
+    assert (img.width, img.height, img.channels) == (w, 3, 1)
+    got = np.frombuffer(img.pixels, np.uint8).reshape(3, w)
+    want = np.array(rows, dtype=np.uint16) * 255 // mx
+    assert np.array_equal(got, want.astype(np.uint8))
+
+
+def test_png_subbyte_palette_indices_stay_raw():
+    plte = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 7, 7)]
+    rows = [[(x + y) % 4 for x in range(9)] for y in range(2)]
+    img = decode_png(_png_blob(9, 2, 2, 3, rows, plte=plte))
+    assert img.channels == 3
+    got = np.frombuffer(img.pixels, np.uint8).reshape(2, 9, 3)
+    for y in range(2):
+        for x in range(9):
+            assert tuple(got[y, x]) == plte[(x + y) % 4]
+
+
+def test_png_16bit_interlaced():
+    """Adam7 at depth 16: per-pass row_bytes differ from 8-bit."""
+    w, h = 9, 6
+    vals = np.arange(w * h, dtype=np.uint16).reshape(h, w) * 400
+    adam7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = bytearray()
+    for x0, y0, dx, dy in adam7:
+        if x0 >= w or y0 >= h:
+            continue
+        sub = vals[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for r in sub:
+            packed = b"".join(struct.pack(">H", int(v)) for v in r)
+            raw += bytes([0]) + packed
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1)
+    blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    img = decode_png(blob)
+    got = np.frombuffer(img.pixels, np.uint8).reshape(h, w)
+    assert np.array_equal(got, (vals >> 8).astype(np.uint8))
+
+
+@pytest.mark.skipif(_try_pil() is None, reason="Pillow not installed")
+def test_png_16bit_matches_pil():
+    rows = [[(v << 8) for v in (0, 65, 130, 255)]]
+    blob = _png_blob(4, 1, 16, 0, rows)
+    assert decode_image_bytes(blob).pixels == decode_png(blob).pixels
