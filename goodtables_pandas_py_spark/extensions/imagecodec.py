@@ -408,8 +408,11 @@ def decode_gif(b: bytes) -> DecodedImage:
     global_table = None
     if flags & 0x80:
         n = 2 << (flags & 7)
+        raw_t = b[i : i + 3 * n]
+        # truncate to whole RGB triples so a short read reshapes
+        # cleanly and the length check below reports it properly
         global_table = np.frombuffer(
-            b[i : i + 3 * n], dtype=np.uint8
+            raw_t[: len(raw_t) - (len(raw_t) % 3)], dtype=np.uint8
         ).reshape(-1, 3)
         if len(global_table) < n:
             raise ImageDecodeError("truncated GIF global color table")
@@ -437,9 +440,14 @@ def decode_gif(b: bytes) -> DecodedImage:
             table = global_table
             if iflags & 0x80:
                 n = 2 << (iflags & 7)
+                raw_t = b[i : i + 3 * n]
                 table = np.frombuffer(
-                    b[i : i + 3 * n], dtype=np.uint8
+                    raw_t[: len(raw_t) - (len(raw_t) % 3)], dtype=np.uint8
                 ).reshape(-1, 3)
+                if len(table) < n:
+                    raise ImageDecodeError(
+                        "truncated GIF local color table"
+                    )
                 i += 3 * n
             if table is None:
                 raise ImageDecodeError("GIF frame has no color table")

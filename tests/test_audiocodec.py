@@ -222,3 +222,38 @@ def test_property_double_roundtrip_is_identity(n, ch, bits, seed):
     twice = decode_wav(encode_wav(once, bits=bits))
     assert once.rate == twice.rate and once.channels == twice.channels
     assert np.array_equal(once.samples, twice.samples)
+
+
+# ----------------------------------------------------- decoder fuzz (r7)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    prefix=st.sampled_from([b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE"]),
+    body=st.binary(min_size=0, max_size=200),
+)
+def test_fuzz_wav_contract_random_bytes(prefix, body):
+    try:
+        a = decode_wav(prefix + body)
+        assert a.samples.shape[1] == a.channels
+    except AudioDecodeError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    flips=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+        min_size=1, max_size=6,
+    ),
+    bits=st.sampled_from([8, 16, 0]),
+)
+def test_fuzz_wav_contract_mutated_valid_blobs(flips, bits):
+    blob = bytearray(encode_wav(_sine(n=200), bits=bits))
+    for off, val in flips:
+        blob[off % len(blob)] = val
+    try:
+        a = decode_wav(bytes(blob))
+        assert a.samples.dtype == np.float32
+    except AudioDecodeError:
+        pass
