@@ -24,6 +24,11 @@ Real decoding with NO imaging library:
   restart intervals, batched-numpy IDCT; arithmetic/CMYK are
   rejected loudly. Matching baseline + progressive encoders live
   there too.
+- **TIFF** (r7, in :mod:`.tiffcodec`): classic strip-based II/MM,
+  8-bit gray/RGB(A)/palette/MinIsWhite, compression none / PackBits /
+  TIFF-LZW (early-change) with horizontal-differencing predictor;
+  tiled/16-bit/CCITT reject loudly. A lossless strip writer lives
+  there too.
 - **PIL fast path**: if Pillow is importable it is preferred for ALL
   formats; the pure decoders are the fallback so the pipeline stays
   REAL in codec-less containers like this one.
@@ -586,6 +591,10 @@ def decode_image_bytes(b: bytes) -> DecodedImage:
         from .jpegcodec import decode_jpeg  # deferred: keeps import light
 
         return decode_jpeg(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffcodec import decode_tiff  # deferred, like JPEG
+
+        return decode_tiff(b)
     raise ImageDecodeError("unrecognized image format")
 
 

@@ -360,6 +360,26 @@ def _parse_image_header(b) -> tuple:
                 break
             i += 2 + seglen
         return ("image/jpeg", None, None)
+    if b[:4] in (b"II*\x00", b"MM\x00*") and len(b) >= 8:
+        # TIFF (r7): walk the first IFD for ImageWidth/ImageLength
+        import struct as _struct
+
+        e = "<" if b[:2] == b"II" else ">"
+        try:
+            (off,) = _struct.unpack(e + "I", b[4:8])
+            (n_ent,) = _struct.unpack(e + "H", b[off : off + 2])
+            dims = {}
+            for k in range(n_ent):
+                ent = b[off + 2 + 12 * k : off + 14 + 12 * k]
+                tag, typ, cnt = _struct.unpack(e + "HHI", ent[:8])
+                if tag in (256, 257) and cnt == 1:
+                    if typ == 3:
+                        dims[tag] = _struct.unpack(e + "H", ent[8:10])[0]
+                    elif typ == 4:
+                        dims[tag] = _struct.unpack(e + "I", ent[8:12])[0]
+            return ("image/tiff", dims.get(256), dims.get(257))
+        except Exception:
+            return ("image/tiff", None, None)
     return (None, None, None)
 
 

@@ -1,0 +1,293 @@
+"""Pure-stdlib TIFF decoder (extensions/tiffcodec.py, r7).
+
+Oracle strategy: the strip writer is LOSSLESS (none/PackBits), so
+roundtrips assert exact equality across byte orders, strip heights,
+and channel counts; LZW and predictor-2 paths get HAND-PACKED streams
+whose expected bytes are derived independently (the writer never
+emits either, so no bug symmetry); PIL parity where Pillow exists.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from goodtables_pandas_py_spark.extensions.imagecodec import (
+    DecodedImage,
+    ImageDecodeError,
+    _try_pil,
+    decode_image_bytes,
+)
+from goodtables_pandas_py_spark.extensions.tiffcodec import (
+    _packbits_encode,
+    _tiff_lzw,
+    _unpackbits,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+def _rand_img(w, h, ch, seed=0):
+    rng = np.random.default_rng(seed)
+    return DecodedImage(
+        w, h, ch, rng.integers(0, 256, (h, w, ch), dtype=np.uint8).tobytes()
+    )
+
+
+# ------------------------------------------------------------ roundtrips
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+@pytest.mark.parametrize("comp", ["none", "packbits"])
+@pytest.mark.parametrize("be", [False, True])
+def test_roundtrip_lossless(ch, comp, be):
+    img = _rand_img(13, 9, ch, seed=ch)
+    blob = encode_tiff(img, compression=comp, big_endian=be,
+                       rows_per_strip=4)
+    assert decode_tiff(blob) == img
+
+
+def test_dispatcher_routes_tiff_both_orders():
+    img = _rand_img(5, 4, 3)
+    for be in (False, True):
+        assert decode_image_bytes(encode_tiff(img, big_endian=be)) == img
+
+
+def test_single_strip_and_tall_strip_layouts():
+    img = _rand_img(7, 30, 1, seed=9)
+    assert decode_tiff(encode_tiff(img, rows_per_strip=30)) == img
+    assert decode_tiff(encode_tiff(img, rows_per_strip=1)) == img
+
+
+# ----------------------------------------------------- PackBits kernel
+
+
+def test_packbits_kernel_spec_cases():
+    # literal, repeat, and the 0x80 no-op from the Apple spec shape
+    assert _unpackbits(bytes([0x02, 1, 2, 3]), 3) == bytes([1, 2, 3])
+    assert _unpackbits(bytes([0xFE, 7]), 3) == bytes([7, 7, 7])
+    assert _unpackbits(bytes([0x80, 0x00, 9]), 1) == bytes([9])
+    with pytest.raises(ImageDecodeError, match="truncated"):
+        _unpackbits(bytes([0x05, 1, 2]), 6)
+    # encoder/decoder pair on a mixed pattern
+    data = bytes([1, 1, 1, 1, 2, 3, 4, 5, 5, 5, 9]) * 20
+    assert _unpackbits(_packbits_encode(data), len(data)) == data
+
+
+# ------------------------------------------------------------ LZW strip
+
+
+def _pack_codes(codes, widths):
+    bits = "".join(format(c, f"0{w}b") for c, w in zip(codes, widths))
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def test_lzw_hand_packed_stream():
+    """Codes derived by hand for the sequence [1,1,1,2]: CLEAR, '1',
+    258 (='1 1' via the just-added entry), '2', EOI — all 9-bit."""
+    data = _pack_codes([256, 1, 258, 2, 257], [9] * 5)
+    assert _tiff_lzw(data, 4) == bytes([1, 1, 1, 2])
+    with pytest.raises(ImageDecodeError):
+        _tiff_lzw(_pack_codes([256, 1, 257], [9] * 3), 5)  # too short
+    with pytest.raises(ImageDecodeError, match="LZW"):
+        _tiff_lzw(_pack_codes([256, 400], [9] * 2), 1)
+
+
+def test_lzw_tiff_with_predictor_hand_built():
+    """Full hand-built LZW TIFF, 4x2 gray, horizontal differencing:
+    stored bytes are per-row deltas; expected pixels are their
+    cumulative sums."""
+    deltas = [10, 5, 5, 246, 200, 1, 0, 255]  # two rows of 4
+    # expected after predictor: cumsum mod 256 per row
+    want = [10, 15, 20, 10, 200, 201, 201, 200]
+    # LZW-encode the deltas by hand: no repeats collide, so the naive
+    # CLEAR + one code per byte + EOI stream is valid
+    codes = [256] + deltas + [257]
+    strip = _pack_codes(codes, [9] * len(codes))
+    e = "<"
+    tags = [
+        (256, 3, 1, 4), (257, 3, 1, 2), (258, 3, 1, 8), (259, 3, 1, 5),
+        (262, 3, 1, 1), (273, 4, 1, None), (277, 3, 1, 1),
+        (278, 4, 1, 2), (279, 4, 1, len(strip)), (317, 3, 1, 2),
+    ]
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * len(tags) + 4
+    out = bytearray(b"II*\x00" + struct.pack(e + "I", ifd_off))
+    out += struct.pack(e + "H", len(tags))
+    for tag, typ, cnt, val in tags:
+        v = data_off if val is None else val
+        enc = struct.pack(e + ("H" if typ == 3 else "I"), v)
+        out += struct.pack(e + "HHI", tag, typ, cnt) + enc.ljust(4, b"\0")
+    out += struct.pack(e + "I", 0)
+    out += strip
+    img = decode_tiff(bytes(out))
+    assert (img.width, img.height, img.channels) == (4, 2, 1)
+    assert list(img.pixels) == want
+
+
+# ----------------------------------------------------- photometric modes
+
+
+def test_min_is_white_inverts():
+    img = _rand_img(6, 3, 1, seed=2)
+    blob = bytearray(encode_tiff(img))
+    # photometric tag value: find tag 262 entry and flip 1 -> 0
+    n = struct.unpack("<H", blob[8:10])[0]
+    for k in range(n):
+        off = 10 + 12 * k
+        if struct.unpack("<H", blob[off : off + 2])[0] == 262:
+            blob[off + 8] = 0
+    dec = decode_tiff(bytes(blob))
+    want = 255 - np.frombuffer(img.pixels, np.uint8)
+    assert np.array_equal(np.frombuffer(dec.pixels, np.uint8), want)
+
+
+def test_palette_tiff_hand_built():
+    """Photometric 3 with a 16-bit colormap: indices map through the
+    high byte of each channel column."""
+    idx = [0, 1, 2, 3, 3, 2, 1, 0]
+    cmap = [0] * (3 * 256)
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]
+    for i, (r, g, b) in enumerate(pal):
+        cmap[i] = r << 8
+        cmap[256 + i] = g << 8
+        cmap[512 + i] = b << 8
+    e = "<"
+    strip = bytes(idx)
+    tags = [
+        (256, 3, 1, [4]), (257, 3, 1, [2]), (258, 3, 1, [8]),
+        (259, 3, 1, [1]), (262, 3, 1, [3]), (273, 4, 1, None),
+        (277, 3, 1, [1]), (278, 4, 1, [2]), (279, 4, 1, [len(strip)]),
+        (320, 3, len(cmap), cmap),
+    ]
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(tags) + 4
+    extra = bytearray()
+    entries = []
+    extra_base = ifd_off + ifd_size
+    # colormap overflows inline storage -> goes to the extra area
+    for tag, typ, cnt, val in tags:
+        if val is None:
+            entries.append(("strip", tag, typ, cnt))
+            continue
+        enc = struct.pack(e + f"{len(val)}H" if typ == 3 else e + f"{len(val)}I", *val)
+        if len(enc) <= 4:
+            entries.append(
+                struct.pack(e + "HHI", tag, typ, cnt) + enc.ljust(4, b"\0")
+            )
+        else:
+            entries.append(
+                struct.pack(e + "HHII", tag, typ, cnt,
+                            extra_base + len(extra))
+            )
+            extra += enc
+    data_off = extra_base + len(extra)
+    entries = [
+        struct.pack(e + "HHII", ent[1], ent[2], ent[3], data_off)
+        if isinstance(ent, tuple) else ent
+        for ent in entries
+    ]
+    out = bytearray(b"II*\x00" + struct.pack(e + "I", ifd_off))
+    out += struct.pack(e + "H", len(entries))
+    for ent in entries:
+        out += ent
+    out += struct.pack(e + "I", 0)
+    out += extra + strip
+    img = decode_tiff(bytes(out))
+    assert img.channels == 3
+    got = np.frombuffer(img.pixels, np.uint8).reshape(2, 4, 3)
+    for y in range(2):
+        for x in range(4):
+            assert tuple(got[y, x]) == pal[idx[y * 4 + x]]
+
+
+# ------------------------------------------------------------ rejection
+
+
+def test_rejections():
+    img = _rand_img(4, 4, 3)
+    blob = bytearray(encode_tiff(img))
+    with pytest.raises(ImageDecodeError, match="magic"):
+        decode_tiff(b"XX*\x00" + bytes(blob[4:]))
+    # unsupported compression: patch tag 259 to CCITT (4)
+    n = struct.unpack("<H", blob[8:10])[0]
+    for k in range(n):
+        off = 10 + 12 * k
+        if struct.unpack("<H", blob[off : off + 2])[0] == 259:
+            blob[off + 8] = 4
+    with pytest.raises(ImageDecodeError, match="compression 4"):
+        decode_tiff(bytes(blob))
+    with pytest.raises(ImageDecodeError, match="too short"):
+        decode_tiff(b"II*")
+    with pytest.raises(ImageDecodeError):
+        decode_tiff(None)
+
+
+# ----------------------------------------------------------- PIL parity
+
+
+@pytest.mark.skipif(_try_pil() is None, reason="Pillow not installed")
+def test_tiff_matches_pil():
+    import io
+
+    Image = _try_pil()
+    img = _rand_img(11, 7, 3, seed=6)
+    for comp in ("none", "packbits"):
+        blob = encode_tiff(img, compression=comp)
+        with Image.open(io.BytesIO(blob)) as im:
+            theirs = np.asarray(im.convert("RGB"))
+        ours = np.frombuffer(decode_tiff(blob).pixels, np.uint8).reshape(
+            7, 11, 3
+        )
+        assert np.array_equal(ours, theirs)
+    # the reverse direction exercises OUR LZW decoder against a real
+    # third-party LZW ENCODER (incl. the early-change width bumps on
+    # content long enough to grow the code table)
+    big = _rand_img(64, 48, 3, seed=7)
+    arr = np.frombuffer(big.pixels, np.uint8).reshape(48, 64, 3)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="TIFF", compression="tiff_lzw")
+    dec = decode_tiff(buf.getvalue())
+    got = np.frombuffer(dec.pixels, np.uint8).reshape(
+        dec.height, dec.width, dec.channels
+    )
+    assert np.array_equal(got[:, :, :3], arr)
+
+
+# ----------------------------------------------------------------- fuzz
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    prefix=st.sampled_from([b"II*\x00", b"MM\x00*", b""]),
+    body=st.binary(min_size=0, max_size=200),
+)
+def test_fuzz_tiff_contract(prefix, body):
+    try:
+        img = decode_tiff(prefix + body)
+        assert len(img.pixels) == img.width * img.height * img.channels
+    except ImageDecodeError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    flips=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+        min_size=1, max_size=6,
+    ),
+    comp=st.sampled_from(["none", "packbits"]),
+)
+def test_fuzz_tiff_mutated_valid(flips, comp):
+    blob = bytearray(encode_tiff(_rand_img(9, 7, 3), compression=comp))
+    for off, val in flips:
+        blob[off % len(blob)] = val
+    try:
+        img = decode_tiff(bytes(blob))
+        assert len(img.pixels) == img.width * img.height * img.channels
+    except ImageDecodeError:
+        pass
