@@ -193,6 +193,84 @@ def frame_sample_plan(
     )
 
 
+def sample_frame_features(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """REAL end-to-end video path (r7): for each MJPEG-AVI blob,
+    sample one frame per ``every_ms`` of timeline, decode ONLY the
+    sampled frames (container walking is offset arithmetic — the
+    unsampled frames' JPEG bytes are never entropy-decoded), and emit
+    (media_id, frame_idx, frame_ts_ms, feature, decode_ok) rows.
+    Arrow-batched mapInPandas with the same per-row fail-soft
+    contract as :func:`extract_features`: a corrupt container or
+    frame yields one decode_ok=False row, never a task failure.
+    Non-MJPEG video (H.264 etc.) fails soft the same way — a codec
+    library is genuinely required there."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+    out_t = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .imagecodec import to_gray
+        from .jpegcodec import decode_jpeg
+        from .videocodec import parse_mjpeg_avi
+
+        side = int(dim**0.5)
+
+        def pooled(img) -> list[float]:
+            g = to_gray(img)
+            h, w = g.shape
+            ys = (np.arange(h) * side // max(h, 1)).clip(0, side - 1)
+            xs = (np.arange(w) * side // max(w, 1)).clip(0, side - 1)
+            acc = np.zeros((side, side))
+            cnt = np.zeros((side, side), dtype=np.int64)
+            np.add.at(acc, (ys[:, None], xs[None, :]), g)
+            np.add.at(cnt, (ys[:, None], xs[None, :]), 1)
+            acc = np.divide(acc, cnt, out=acc, where=cnt > 0)
+            return [float(v) for v in acc.reshape(side * side)]
+
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    avi = parse_mjpeg_avi(bytes(blob))
+                    step = max(
+                        1, int(round(avi.fps * every_ms / 1000.0))
+                    ) if avi.fps else 1
+                    for idx in range(0, avi.n_frames, step):
+                        ts = int(idx * 1000 / avi.fps) if avi.fps else 0
+                        try:
+                            feat = pooled(decode_jpeg(avi.frames[idx]))
+                            rows.append((mid, idx, ts, feat, True))
+                        except Exception:
+                            rows.append((mid, idx, ts, None, False))
+                except Exception:
+                    rows.append((mid, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_idx", "frame_ts_ms", "feature",
+                    "decode_ok",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, out_t)
+
+
 def audio_window_plan(
     df: DataFrame,
     window_ms: int = 2000,
@@ -499,6 +577,25 @@ def sniff_media_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
                 rows.append(("video", vmime, None, None, vdur))
             elif b is not None and bytes(b[:4]) == b"\x1a\x45\xdf\xa3":
                 rows.append(("video", "video/webm", None, None, None))
+            elif (
+                b is not None
+                and len(b) >= 12
+                and bytes(b[:4]) == b"RIFF"
+                and bytes(b[8:12]) == b"AVI "
+            ):
+                # AVI (r7): real container parse — dims + duration
+                from .videocodec import VideoDecodeError, parse_mjpeg_avi
+
+                try:
+                    avi = parse_mjpeg_avi(bytes(b))
+                    rows.append((
+                        "video", "video/x-msvideo",
+                        avi.width or None, avi.height or None,
+                        avi.duration_ms or None,
+                    ))
+                except VideoDecodeError:
+                    rows.append(("video", "video/x-msvideo",
+                                 None, None, None))
             else:
                 rows.append((None, None, None, None, None))
         return pd.DataFrame(
