@@ -115,10 +115,10 @@ def _unfilter(raw: bytes, row_bytes: int, height: int, bpp: int) -> bytes:
     if len(raw) < expected:
         raise ImageDecodeError("truncated PNG pixel data")
     if stride % ch:
-        # pad virtually so the Sub cumsum can reshape; sliced back off
-        pad = ch - (stride % ch)
-    else:
-        pad = 0
+        # unreachable for spec-legal depth/color combos (sub-byte
+        # forces bpp=1; depths 8/16 make row_bytes a bpp multiple) —
+        # guard so a future caller can't silently mis-reshape
+        raise ImageDecodeError("row bytes not a multiple of bpp")
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     pos = 0
@@ -130,12 +130,9 @@ def _unfilter(raw: bytes, row_bytes: int, height: int, bpp: int) -> bytes:
             rec = row.copy()
         elif ftype == 1:  # Sub: cumulative add with stride `bpp`
             # int64 cumsum then mod 256 == sequential byte addition mod 256
-            padded = np.concatenate(
-                [row, np.zeros(pad, dtype=np.uint8)]
-            ) if pad else row
             rec = (
-                np.cumsum(padded.reshape(-1, ch), axis=0) % 256
-            ).astype(np.uint8).reshape(-1)[:stride]
+                np.cumsum(row.reshape(-1, ch), axis=0) % 256
+            ).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up
             rec = row + prev  # uint8 wraps — exactly the spec's mod 256
         elif ftype in (3, 4):  # Average / Paeth — sequential by spec:

@@ -300,6 +300,10 @@ def decode_jpeg(b: bytes) -> DecodedImage:
     while i < n:
         if b[i] != 0xFF:
             raise ImageDecodeError(f"expected marker at byte {i}")
+        # spec-legal 0xFF fill bytes may pad before any marker
+        # (T.81 B.1.1.2) — skip them (r7 review fix)
+        while i + 1 < n and b[i + 1] == 0xFF:
+            i += 1
         m = b[i + 1] if i + 1 < n else 0
         i += 2
         if m == 0xD8:  # stray SOI
@@ -311,6 +315,8 @@ def decode_jpeg(b: bytes) -> DecodedImage:
         if i + 2 > n:
             raise ImageDecodeError("truncated marker segment")
         (ln,) = struct.unpack(">H", b[i : i + 2])
+        if ln < 2:
+            raise ImageDecodeError("bad marker segment length")
         seg = b[i + 2 : i + ln]
         if len(seg) != ln - 2:
             raise ImageDecodeError("truncated marker segment")
@@ -325,8 +331,10 @@ def decode_jpeg(b: bytes) -> DecodedImage:
                     ).astype(np.int32)
                     j += 64
                 elif pq == 1:
+                    raw16 = seg[j : j + 128]
                     tbl = np.frombuffer(
-                        seg[j : j + 128], dtype=">u2"
+                        raw16[: len(raw16) - (len(raw16) % 2)],
+                        dtype=">u2",
                     ).astype(np.int32)
                     j += 128
                 else:
@@ -346,12 +354,16 @@ def decode_jpeg(b: bytes) -> DecodedImage:
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 j += 17 + cnt
         elif m == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ImageDecodeError("truncated DRI segment")
             (restart,) = struct.unpack(">H", seg[:2])
         elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             if saw_frame:
                 raise ImageDecodeError("multiple SOF markers")
             saw_frame = True
             progressive = m == 0xC2
+            if len(seg) < 6:
+                raise ImageDecodeError("truncated SOF segment")
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ImageDecodeError(f"unsupported precision {prec}")
@@ -361,12 +373,26 @@ def decode_jpeg(b: bytes) -> DecodedImage:
                 raise ImageDecodeError(
                     f"unsupported component count {nc} (CMYK?)"
                 )
+            if len(seg) < 6 + 3 * nc:
+                raise ImageDecodeError("truncated SOF component list")
             for k in range(nc):
                 cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
                 hs, vs = hv >> 4, hv & 0x0F
                 if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     raise ImageDecodeError(f"bad sampling factors {hs}x{vs}")
                 comps.append(_Component(cid, hs, vs, tq))
+            hmax_c = max(c.h for c in comps)
+            vmax_c = max(c.v for c in comps)
+            for c in comps:
+                # the replicate-upsampler needs integer ratios; a
+                # spec-legal but non-divisor mix (e.g. H of 3,2,1)
+                # would otherwise crash in assembly (r7 review fix)
+                if hmax_c % c.h or vmax_c % c.v:
+                    raise ImageDecodeError(
+                        f"non-integer subsampling ratio "
+                        f"({c.h}x{c.v} vs max {hmax_c}x{vmax_c}) "
+                        "is not supported"
+                    )
             # allocate per-component coefficient grids (MCU-padded
             # for interleaved scans; non-interleaved scans address
             # the true ceil(cw/8) x ceil(ch/8) sub-grid)
@@ -388,7 +414,11 @@ def decode_jpeg(b: bytes) -> DecodedImage:
         elif m == 0xDA:  # SOS
             if not saw_frame:
                 raise ImageDecodeError("SOS before SOF")
+            if len(seg) < 1:
+                raise ImageDecodeError("truncated SOS segment")
             ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                raise ImageDecodeError("truncated SOS segment")
             if not progressive and ns != len(comps):
                 raise ImageDecodeError(
                     "partial scans in a sequential frame are not baseline"

@@ -426,11 +426,21 @@ def write_release_version(
     )
     _swap_pointer(spark_for_fs or spark, root, vname)
     if keep_versions is not None and keep_versions >= 1:
-        stale = list_release_versions(spark, root)[:-keep_versions]
-        for old_v in stale:
+        # rank by PUBLISHED versions only (manifest present): a
+        # crashed writer's orphan dir must not consume a retention
+        # slot and get the previous real version pruned out from
+        # under its grace window (r7 review fix). Orphans are left
+        # in place — version numbering already skips past them.
+        fs_spark = spark_for_fs or spark
+        published = [
+            v for v in list_release_versions(spark, root)
+            if _read_text(fs_spark, f"{root}/versions/{v}/manifest.json")
+            is not None
+        ]
+        for old_v in published[:-keep_versions]:
             if old_v == vname:
                 continue
-            _delete_dir(spark_for_fs or spark, f"{root}/versions/{old_v}")
+            _delete_dir(fs_spark, f"{root}/versions/{old_v}")
     return manifest
 
 

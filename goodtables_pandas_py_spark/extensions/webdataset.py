@@ -74,12 +74,20 @@ def _split_key(name: str) -> tuple[str, str]:
     return (os.path.join(dirname, stem) if dirname else stem, ext)
 
 
-def iter_tar_samples(blob: bytes, shard: str = ""):
+def iter_tar_samples(
+    blob: bytes, shard: str = "", keep_exts: set[str] | None = None
+):
     """Yield (key, {ext: bytes}) samples from one tar blob (gz
-    transparently). Out-of-order members buffer per key; a sample is
-    emitted when a NEW key begins AND the old key has been idle (the
-    conforming consecutive layout streams with O(1) buffering), with
-    any stragglers flushed at end-of-archive."""
+    transparently), in first-seen key order. Members may arrive in
+    ANY order — samples are grouped over the whole archive, never
+    split (the blob is already fully in memory as one binaryFile
+    row, so whole-archive buffering adds at most a second copy of
+    the kept payloads — early flushing that guessed at member
+    adjacency could silently split a sample written by a
+    non-conforming tool, r7 review fix). ``keep_exts`` skips
+    excluded members BEFORE their payload is read — tarfile reads
+    lazily, so an image-heavy shard costs nothing on a text-only
+    pass."""
     buf: dict[str, dict[str, bytes]] = {}
     order: list[str] = []
     with tarfile.open(fileobj=io.BytesIO(bytes(blob)), mode="r:*") as tf:
@@ -87,18 +95,13 @@ def iter_tar_samples(blob: bytes, shard: str = ""):
             if not member.isfile():
                 continue
             key, ext = _split_key(member.name)
-            fh = tf.extractfile(member)
-            data = fh.read() if fh is not None else b""
             if key not in buf:
                 buf[key] = {}
                 order.append(key)
-            buf[key][ext] = data
-            # stream out completed leading keys: everything before
-            # the key two positions back can no longer gain members
-            # in a conforming archive
-            while len(order) > 2:
-                k = order.pop(0)
-                yield k, buf.pop(k)
+            if keep_exts is not None and ext not in keep_exts:
+                continue  # payload never read
+            fh = tf.extractfile(member)
+            buf[key][ext] = fh.read() if fh is not None else b""
     for k in order:
         yield k, buf.pop(k)
 
@@ -120,11 +123,9 @@ def read_webdataset(
         for pdf in it:
             rows = []
             for shard_path, blob in zip(pdf["path"], pdf["content"]):
-                for key, files in iter_tar_samples(blob, shard_path):
-                    if keep is not None:
-                        files = {
-                            e: v for e, v in files.items() if e in keep
-                        }
+                for key, files in iter_tar_samples(
+                    blob, shard_path, keep_exts=keep
+                ):
                     rows.append((shard_path, key, files))
             yield pd.DataFrame(rows, columns=["shard", "key", "files"])
 

@@ -2215,3 +2215,30 @@ def test_versioned_release_swap_retention_and_concurrent_reader(
     # nothing published -> clean miss
     with pytest.raises(FileNotFoundError, match="CURRENT"):
         read_release(spark, str(tmp_path / "empty"))
+
+
+def test_retention_ignores_orphan_dirs(spark, tmp_path):
+    """r7 review fix: a crashed writer's orphan version dir must not
+    consume a keep_versions slot — the previous PUBLISHED version
+    keeps its reader-grace window."""
+    import os
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        list_release_versions,
+        read_release,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    write_release_version(df, root)            # v1 (published)
+    write_release_version(df, root)            # v2 (published)
+    os.makedirs(os.path.join(root, "versions", "v00000007"))  # orphan
+    write_release_version(df, root, keep_versions=2)  # v8
+    vs = list_release_versions(spark, root)
+    # v2 (the previous published version) survives; v1 pruned; the
+    # orphan is left alone
+    assert "v00000002" in vs and "v00000001" not in vs
+    assert "v00000007" in vs and "v00000008" in vs
+    _, man = read_release(spark, root, version="v00000002")
+    assert man["version"] == "v00000002"

@@ -492,3 +492,43 @@ def test_property_progressive_equals_baseline(w, h, ch, sub, rst, seed):
         )
     )
     assert base == prog
+
+
+# ------------------------------------------------- r7 review fixes
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: encoders may pad with 0xFF fill bytes before any
+    marker — the stream must still decode, identically."""
+    img = _smooth(10, 8, 3)
+    blob = encode_jpeg(img, quality=92)
+    i = blob.find(b"\xff\xc0")
+    padded = blob[:i] + b"\xff\xff\xff" + blob[i:]
+    assert decode_jpeg(padded) == decode_jpeg(blob)
+
+
+def test_truncated_marker_segments_raise_typed_error():
+    for stream in (
+        b"\xff\xd8\xff\xc0\x00\x04\x00\x00",          # short SOF
+        b"\xff\xd8\xff\xdd\x00\x03\x00",              # short DRI
+        b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01"
+        b"\xff\xda\x00\x03\x02",                      # SOS ns overflow
+        b"\xff\xd8\xff\xdb\x00\x05\x10\x00\x00",      # odd 16-bit DQT
+    ):
+        with pytest.raises(ImageDecodeError):
+            decode_jpeg(stream)
+
+
+def test_non_integer_subsampling_ratio_rejected():
+    """H factors (3, 2, 1) are spec-legal but need fractional
+    upsampling the replicate-upsampler doesn't do — must reject with
+    the typed error at SOF, not crash in assembly."""
+    blob = bytearray(encode_jpeg(_smooth(24, 16, 3), quality=90,
+                                 subsampling="4:2:0"))
+    i = bytes(blob).find(b"\xff\xc0")
+    # SOF layout: marker(2) len(2) prec(1) h(2) w(2) nc(1)
+    # comp0(id,hv,tq) comp1(id,hv,tq) — comp1's hv byte is i+14
+    assert blob[i + 13] == 0x02  # comp1 id, sanity
+    blob[i + 14] = 0x31  # comp1: 3x1 vs comp0's 2x2
+    with pytest.raises(ImageDecodeError, match="subsampling ratio"):
+        decode_jpeg(bytes(blob))

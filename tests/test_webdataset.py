@@ -163,3 +163,42 @@ def test_real_media_members_roundtrip(spark, tmp_path):
     files = {e: bytes(v) for e, v in back["files"].items()}
     assert decode_image_bytes(files["png"]) == img
     assert files["txt"] == b"a caption"
+
+
+def test_member_arriving_many_keys_late_never_splits_sample():
+    """r7 review fix: a member landing >= 2 keys after its siblings
+    must still join its sample (whole-archive grouping — the old
+    look-behind-2 flush emitted 'a' twice with partial files)."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in [
+            ("a.txt", b"1"), ("b.txt", b"2"), ("c.txt", b"3"),
+            ("d.txt", b"4"), ("a.json", b"5"),
+        ]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    got = list(iter_tar_samples(buf.getvalue()))
+    keys = [k for k, _ in got]
+    assert keys == ["a", "b", "c", "d"]  # no duplicate 'a'
+    assert dict(got)["a"] == {"txt": b"1", "json": b"5"}
+
+
+def test_keep_exts_skips_payload_read(monkeypatch):
+    """r7 review fix: excluded members' payloads are never read
+    (extractfile is not even called for them)."""
+    import tarfile as tfmod
+
+    samples = [("k", {"txt": b"keep", "jpg": b"J" * 1000})]
+    blob = _stdlib_tar(samples)
+    reads = []
+    orig = tfmod.TarFile.extractfile
+
+    def spy(self, member):
+        reads.append(member.name)
+        return orig(self, member)
+
+    monkeypatch.setattr(tfmod.TarFile, "extractfile", spy)
+    got = dict(iter_tar_samples(blob, keep_exts={"txt"}))
+    assert got == {"k": {"txt": b"keep"}}
+    assert reads == ["k.txt"]  # the jpg payload was never touched
