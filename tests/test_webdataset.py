@@ -202,3 +202,55 @@ def test_keep_exts_skips_payload_read(monkeypatch):
     got = dict(iter_tar_samples(blob, keep_exts={"txt"}))
     assert got == {"k": {"txt": b"keep"}}
     assert reads == ["k.txt"]  # the jpg payload was never touched
+
+
+def test_streaming_shard_ingest(spark, tmp_path):
+    """Shards as a STREAMING source: readStream(binaryFile) feeds the
+    same Arrow tar-walk kernel (mapInPandas works unchanged on a
+    streaming frame) — the arriving-shards ingest shape."""
+    rows = [(f"{i:04d}", {"txt": str(i).encode()}) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "key string, files map<string, binary>"
+    ).repartition(3)
+    shard_dir = str(tmp_path / "stream_shards")
+    write_webdataset(df, shard_dir, samples_per_shard=3).collect()
+
+    from goodtables_pandas_py_spark.extensions.webdataset import (
+        SAMPLE_SCHEMA,
+        iter_tar_samples,
+    )
+    import pandas as pd
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length long, content binary"
+        )
+        .load(shard_dir + "/*.tar")
+    )
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                for key, files in iter_tar_samples(blob, p):
+                    out.append((p, key, files))
+            yield pd.DataFrame(out, columns=["shard", "key", "files"])
+
+    samples = stream.select("path", "content").mapInPandas(
+        batches, SAMPLE_SCHEMA
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        samples.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(sink)
+    assert back.count() == 12
+    got = {r["key"]: bytes(r["files"]["txt"]) for r in back.collect()}
+    assert got == {f"{i:04d}": str(i).encode() for i in range(12)}

@@ -496,6 +496,39 @@ def main() -> None:
     )
     timings["jpeg_decode_features"] = round(time.time() - t0, 2)
 
+    # r7: WebDataset shard I/O — write docs_reps*5k text samples as
+    # tar shards (per-partition writers) and read them back through
+    # the Arrow tar walk; both sides must scale with corpus bytes
+    from goodtables_pandas_py_spark.extensions.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    wds_rows = (
+        bd.limit(args.docs_reps * 5000)
+        .select(
+            F.format_string("%012d", F.col("doc_id")).alias("key"),
+            F.create_map(
+                F.lit("txt"), F.encode(F.col("text"), "utf-8"),
+                F.lit("json"),
+                F.encode(F.to_json(F.struct("source")), "utf-8"),
+            ).alias("files"),
+        )
+        .repartition(16)
+    )
+    wds_dir = f"{WORK}/wds_shards"
+    t0 = time.time()
+    manifest = write_webdataset(
+        wds_rows, wds_dir, samples_per_shard=2000
+    ).collect()
+    timings["webdataset_write"] = round(time.time() - t0, 2)
+    sizes["wds_shards"] = len(manifest)
+    t0 = time.time()
+    sizes["wds_samples"] = read_webdataset(
+        spark, f"{wds_dir}/*.tar"
+    ).count()
+    timings["webdataset_read"] = round(time.time() - t0, 2)
+
     print(
         json.dumps(
             {
