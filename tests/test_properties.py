@@ -354,25 +354,56 @@ def test_pair_components_matches_union_find(spark, edges):
     st.integers(min_value=1, max_value=4),
 )
 def test_knn_join_blocked_matches_loop_oracle(spark, vecs, k):
-    """The blocked-matmul exact kNN must agree pair-for-pair with the
-    legacy cross-join+window form on ANY random vector table —
-    including null vectors on either side and zero-norm vectors.
-    Scores compare to 1e-9 (both paths are float64)."""
+    """The blocked-matmul exact kNN must agree with the legacy
+    cross-join+window form on ANY random vector table — including
+    null vectors on either side and zero-norm vectors. Scores compare
+    to 1e-9 (both paths are float64). NEIGHBOR IDS may legitimately
+    diverge when two candidates' cosines tie (hypothesis found
+    parallel vectors whose mathematically-equal cosines land on
+    either side of the 1e-9 round under BLAS vs sequential summation
+    — the same documented tie semantics as centroid assignment), so
+    ids compare exactly only where the oracle's score is a STRICT
+    winner against its runner-up."""
     from goodtables_pandas_py_spark.extensions.similarity import knn_join
 
     rows = [(i, v) for i, v in enumerate(vecs)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    def norm(out):
-        return sorted(
-            (r["left_id"], r["right_id"],
-             None if r["cosine"] is None else round(r["cosine"], 9))
-            for r in out.collect()
-        )
+    def per_query(out):
+        by_q = {}
+        for r in out.collect():
+            by_q.setdefault(r["left_id"], []).append(
+                (r["right_id"],
+                 None if r["cosine"] is None else round(r["cosine"], 9))
+            )
+        return {q: sorted(v) for q, v in by_q.items()}
 
-    got = norm(knn_join(df, df, k=k, method="blocked"))
-    want = norm(knn_join(df, df, k=k, method="loop"))
-    assert got == want
+    got = per_query(knn_join(df, df, k=k, method="blocked"))
+    want = per_query(knn_join(df, df, k=k, method="loop"))
+    assert set(got) == set(want)
+    for q in want:
+        g_scores = sorted((c for _, c in got[q] if c is not None),
+                          reverse=True)
+        w_scores = sorted((c for _, c in want[q] if c is not None),
+                          reverse=True)
+        # score MULTISETS always agree to 1e-9
+        assert len(g_scores) == len(w_scores)
+        assert all(
+            abs(a - b) <= 2e-9 for a, b in zip(g_scores, w_scores)
+        ), (q, g_scores, w_scores)
+        # ids agree wherever the oracle's score is strictly distinct
+        # from every other candidate score (no tie to hide behind)
+        w_pairs = [(c, rid) for rid, c in want[q] if c is not None]
+        got_ids = {rid for rid, c in got[q] if c is not None}
+        for wc, wid in w_pairs:
+            distinct = all(
+                abs(wc - oc) > 2e-9 for oc, oid in w_pairs if oid != wid
+            )
+            if distinct:
+                assert wid in got_ids, (q, wid, wc, got[q])
+        assert sum(c is None for _, c in got[q]) == sum(
+            c is None for _, c in want[q]
+        )
 
 
 @settings(
