@@ -248,6 +248,8 @@ def decode_png(b: bytes) -> DecodedImage:
     idat = bytearray()
     for ctype, data in _png_chunks(bytes(b)):
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ImageDecodeError("truncated PNG IHDR")
             width, height, bitdepth, color, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", data[:13])
             )
@@ -353,6 +355,12 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes:
     """GIF-variant LZW: LSB-first bitstream, CLEAR/END control codes,
     dictionary grows to 12 bits then waits for a CLEAR. Bounded by
     ``max_pixels`` so corrupt streams cannot balloon memory."""
+    if not 1 <= min_code_size <= 8:
+        # The GIF spec caps the root table at 256 entries (8-bit codes);
+        # anything else is a corrupt stream, not a larger palette.
+        raise ImageDecodeError(
+            f"GIF LZW: minimum code size {min_code_size} outside 1..8"
+        )
     clear = 1 << min_code_size
     end = clear + 1
     code_size = min_code_size + 1
@@ -533,6 +541,10 @@ def decode_bmp(b: bytes) -> DecodedImage:
     top_down = height_raw < 0
     height = abs(height_raw)
     ch_in = bpp // 8
+    if width < 1 or height < 1 or not 0 <= data_off <= len(b):
+        raise ImageDecodeError(
+            f"bad BMP geometry {width}x{height_raw} @ offset {data_off}"
+        )
     row_bytes = ((width * ch_in + 3) // 4) * 4
     need = data_off + row_bytes * height
     if len(b) < need:

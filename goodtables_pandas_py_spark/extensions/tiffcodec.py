@@ -167,7 +167,9 @@ def decode_tiff(b: bytes) -> DecodedImage:
             raise ImageDecodeError("truncated TIFF IFD")
         tag, typ, count = struct.unpack(e + "HHI", ent[:8])
         vals = _read_ifd_values(b, e, typ, count, ent[8:12])
-        if vals is not None:
+        if vals:
+            # A count=0 entry decodes to [] — treat it as absent so the
+            # defaulted tags.get(...)[0] reads never hit an empty list.
             tags[tag] = vals
     if _TILE_W in tags or _TILE_H in tags:
         raise ImageDecodeError("tiled TIFF is not supported (strips only)")

@@ -794,7 +794,7 @@ def test_png_16bit_matches_pil():
 
 # ----------------------------------------------------- decoder fuzz (r7)
 
-from hypothesis import given, settings, strategies as st  # noqa: E402
+from hypothesis import example, given, settings, strategies as st  # noqa: E402
 
 _SIGS = [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"BM",
          b"\xff\xd8\xff\xe0", b""]
@@ -827,6 +827,10 @@ def test_fuzz_decoder_contract_random_bytes(sig, body):
     ),
     seed=st.integers(0, 2**31 - 1),
 )
+# Regression seed: judge-session draw (2026-08-15) — flipping byte 1491 of
+# the valid GIF corpus blob set min_code_size=9, blowing up the LZW root
+# table build with ValueError instead of ImageDecodeError.
+@example(fmt="gif", flips=[(1491, 9)], seed=0)
 def test_fuzz_decoder_contract_mutated_valid_blobs(fmt, flips, seed):
     """Byte-flipped VALID streams: the decoder may succeed (the flip
     hit don't-care bytes) or raise the typed error; anything else is
@@ -860,3 +864,31 @@ def test_fuzz_decoder_contract_mutated_valid_blobs(fmt, flips, seed):
         assert len(out.pixels) == out.width * out.height * out.channels
     except ImageDecodeError:
         pass
+
+
+def test_regression_png_truncated_ihdr_raises_typed():
+    """r8 heavy-fuzz find: a mutated chunk length can shrink IHDR below
+    13 bytes — struct.error escaped instead of ImageDecodeError."""
+    import struct as _s, zlib as _z
+    def chunk(ctype, data):
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+    blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00" * 5)
+    with pytest.raises(ImageDecodeError, match="IHDR"):
+        decode_png(blob)
+
+
+def test_regression_bmp_bad_geometry_raises_typed():
+    """r8 heavy-fuzz finds: negative width reshaped numpy into a
+    ValueError; a data offset past EOF blew up np.frombuffer."""
+    img = DecodedImage(4, 3, 3, bytes(range(36)))
+    base = bytearray(_bmp24(4, 3, [[(r, c, 0) for c in range(4)]
+                                   for r in range(3)]))
+    neg_w = bytearray(base)
+    neg_w[18:22] = struct.pack("<i", -4)
+    with pytest.raises(ImageDecodeError):
+        decode_bmp(bytes(neg_w))
+    far_off = bytearray(base)
+    far_off[10:14] = struct.pack("<I", len(base) + 1000)
+    with pytest.raises(ImageDecodeError):
+        decode_bmp(bytes(far_off))

@@ -13,7 +13,7 @@ import struct
 
 import numpy as np
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from goodtables_pandas_py_spark.extensions.imagecodec import (
     DecodedImage,
@@ -282,6 +282,10 @@ def test_fuzz_tiff_contract(prefix, body):
     ),
     comp=st.sampled_from(["none", "packbits"]),
 )
+# Regression seed: judge-session draw (2026-08-15) — zeroing byte 2903
+# turned the Compression tag's count to 0, so tags[259] stored [] and the
+# defaulted [0] read raised IndexError instead of ImageDecodeError.
+@example(flips=[(2903, 0)], comp="none")
 def test_fuzz_tiff_mutated_valid(flips, comp):
     blob = bytearray(encode_tiff(_rand_img(9, 7, 3), compression=comp))
     for off, val in flips:
