@@ -1,0 +1,538 @@
+"""Pure-stdlib Avro Object Container File codec (r8 — `format: avro`
+resources, VERDICT r7 item 4).
+
+Why a hand-written decoder: Avro is "built-in but external" in Spark —
+``spark.read.format("avro")`` needs the spark-avro jar deployed, which
+this container does not ship (and no fastavro/avro Python package
+either). On a real cluster the jar IS the production path and
+:func:`goodtables_pandas_py_spark.sources.read_avro` tries it first;
+this module is the fallback that keeps `format: "avro"` resources
+working anywhere, plus the independent writer that gives tests a
+byte-level oracle (cross-checked against the org.apache.avro jar that
+DOES ship inside Spark, via py4j, in tests/test_avro.py).
+
+Supported: the full Avro 1.x binary encoding — null/boolean/int/long
+(zigzag varints)/float/double/bytes/string, records, enums, arrays,
+maps, unions, fixed; logical types date, time-millis/micros,
+timestamp-millis/micros, decimal(bytes|fixed), uuid. Container codecs
+``null`` and ``deflate`` (raw zlib); snappy/zstd blocks are rejected
+loudly (the spark-avro prod path handles those).
+
+Scale posture: one OCF *file* decodes independently (the header is
+self-contained), so the Spark integration parallelizes per-file via
+``binaryFile`` + Arrow-batched ``mapInPandas`` — the same
+blob-at-a-time shape as the image codecs. Avro files are not
+block-splittable without the jar's Hadoop input format, so per-file is
+the honest parallelism unit here; multi-file datasets (the norm for
+exported avro) spread across executors.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import json
+import struct
+import uuid as _uuid
+import zlib
+from decimal import Decimal
+from typing import Any, Callable
+
+_MAGIC = b"Obj\x01"
+
+
+class AvroDecodeError(ValueError):
+    """Malformed or unsupported Avro payload."""
+
+
+# --------------------------------------------------------------------------
+# binary primitives
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    """Zigzag varint (Avro int and long share the wire format)."""
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise AvroDecodeError("truncated varint")
+        byte = b[0]
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise AvroDecodeError("varint too long")
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    while n & ~0x7F:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _read_long(buf)
+    if n < 0:
+        raise AvroDecodeError(f"negative byte-length {n}")
+    raw = buf.read(n)
+    if len(raw) < n:
+        raise AvroDecodeError("truncated bytes value")
+    return raw
+
+
+# --------------------------------------------------------------------------
+# schema-driven value decode
+
+
+def _logical_wrap(schema: dict, base: Callable) -> Callable:
+    lt = schema.get("logicalType")
+    if lt is None:
+        return base
+    if lt == "date":
+        epoch = _dt.date(1970, 1, 1)
+        return lambda buf: epoch + _dt.timedelta(days=base(buf))
+    if lt == "timestamp-millis":
+        return lambda buf: _dt.datetime.fromtimestamp(
+            base(buf) / 1e3, tz=_dt.timezone.utc
+        ).replace(tzinfo=None)
+    if lt == "timestamp-micros":
+        return lambda buf: _dt.datetime.fromtimestamp(
+            base(buf) / 1e6, tz=_dt.timezone.utc
+        ).replace(tzinfo=None)
+    if lt == "decimal":
+        scale = schema.get("scale", 0)
+        return lambda buf: Decimal(
+            int.from_bytes(base(buf), "big", signed=True)
+        ).scaleb(-scale)
+    if lt == "uuid":
+        return lambda buf: str(_uuid.UUID(base(buf)))
+    return base
+
+
+def _compile_reader(schema: Any, names: dict | None = None) -> Callable:
+    """Compile an Avro schema (parsed JSON) into ``f(BytesIO) -> value``.
+    Named types are registered so recursive references resolve."""
+    if names is None:
+        names = {}
+    if isinstance(schema, str):
+        if schema in names:
+            return lambda buf: names[schema](buf)
+        prim = {
+            "null": lambda buf: None,
+            "boolean": lambda buf: buf.read(1) == b"\x01",
+            "int": _read_long,
+            "long": _read_long,
+            "float": lambda buf: struct.unpack("<f", buf.read(4))[0],
+            "double": lambda buf: struct.unpack("<d", buf.read(8))[0],
+            "bytes": _read_bytes,
+            "string": lambda buf: _read_bytes(buf).decode("utf-8"),
+        }.get(schema)
+        if prim is None:
+            raise AvroDecodeError(f"unknown Avro type {schema!r}")
+        return prim
+    if isinstance(schema, list):  # union: long index picks the branch
+        branches = [_compile_reader(s, names) for s in schema]
+
+        def read_union(buf, branches=branches):
+            i = _read_long(buf)
+            if not 0 <= i < len(branches):
+                raise AvroDecodeError(f"union index {i} out of range")
+            return branches[i](buf)
+
+        return read_union
+    if not isinstance(schema, dict):
+        raise AvroDecodeError(f"bad schema node {schema!r}")
+    t = schema["type"]
+    if t == "record":
+        fullname = schema.get("name", "")
+        field_readers: list[tuple[str, Callable]] = []
+        # register a forward ref BEFORE compiling fields (recursion)
+        holder: list[Callable] = []
+        names[fullname] = lambda buf: holder[0](buf)
+
+        def read_record(buf, frs=field_readers):
+            return {fname: fr(buf) for fname, fr in frs}
+
+        holder.append(read_record)
+        for f in schema["fields"]:
+            field_readers.append(
+                (f["name"], _compile_reader(f["type"], names))
+            )
+        return read_record
+    if t == "enum":
+        symbols = schema["symbols"]
+
+        def read_enum(buf, symbols=symbols):
+            i = _read_long(buf)
+            if not 0 <= i < len(symbols):
+                raise AvroDecodeError(f"enum index {i} out of range")
+            return symbols[i]
+
+        names[schema.get("name", "")] = read_enum
+        return read_enum
+    if t == "array":
+        item = _compile_reader(schema["items"], names)
+
+        def read_array(buf, item=item):
+            out = []
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:  # block-size form: negative count, size follows
+                    n = -n
+                    _read_long(buf)
+                for _ in range(n):
+                    out.append(item(buf))
+
+        return read_array
+    if t == "map":
+        val = _compile_reader(schema["values"], names)
+
+        def read_map(buf, val=val):
+            out = {}
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    _read_long(buf)
+                for _ in range(n):
+                    # key MUST be read before the value (Python evaluates
+                    # the RHS of d[k]=v first, which would swap the reads)
+                    key = _read_bytes(buf).decode("utf-8")
+                    out[key] = val(buf)
+
+        return read_map
+    if t == "fixed":
+        size = schema["size"]
+
+        def read_fixed(buf, size=size):
+            raw = buf.read(size)
+            if len(raw) < size:
+                raise AvroDecodeError("truncated fixed value")
+            return raw
+
+        names[schema.get("name", "")] = read_fixed
+        return _logical_wrap(schema, read_fixed)
+    # a dict wrapping a primitive (possibly with logicalType)
+    base = _compile_reader(t, names)
+    if t == "int" and schema.get("logicalType") == "time-millis":
+        def read_time_ms(buf):
+            ms = _read_long(buf)
+            return _dt.time(
+                ms // 3_600_000, ms // 60_000 % 60,
+                ms // 1000 % 60, ms % 1000 * 1000,
+            )
+
+        return read_time_ms
+    if t == "long" and schema.get("logicalType") == "time-micros":
+        def read_time_us(buf):
+            us = _read_long(buf)
+            return _dt.time(
+                us // 3_600_000_000, us // 60_000_000 % 60,
+                us // 1_000_000 % 60, us % 1_000_000,
+            )
+
+        return read_time_us
+    return _logical_wrap(schema, base)
+
+
+# --------------------------------------------------------------------------
+# container file
+
+
+def _typed_errors(fn: Callable) -> Callable:
+    """Corrupt blobs must raise AvroDecodeError, never a stray
+    UnicodeDecodeError / struct.error / OverflowError from parser
+    internals (the module contract, same as the image codecs)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except AvroDecodeError:
+            raise
+        except (
+            UnicodeDecodeError,
+            struct.error,
+            OverflowError,
+            ValueError,
+            KeyError,
+            EOFError,
+        ) as exc:
+            raise AvroDecodeError(f"corrupt Avro stream: {exc}") from exc
+
+    return wrapper
+
+
+@_typed_errors
+def read_ocf_header(b: bytes) -> tuple[dict, str, bytes, int]:
+    """Parse an OCF header: (schema_json, codec, sync_marker, offset)."""
+    if b[:4] != _MAGIC:
+        raise AvroDecodeError("not an Avro object container file")
+    buf = io.BytesIO(b)
+    buf.seek(4)
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _read_long(buf)
+        for _ in range(n):
+            key = _read_bytes(buf).decode("utf-8")
+            meta[key] = _read_bytes(buf)
+    sync = buf.read(16)
+    if len(sync) < 16:
+        raise AvroDecodeError("truncated OCF header (sync marker)")
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except KeyError as exc:
+        raise AvroDecodeError("OCF header missing avro.schema") from exc
+    except json.JSONDecodeError as exc:
+        raise AvroDecodeError(f"bad avro.schema JSON: {exc}") from exc
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    return schema, codec, sync, buf.tell()
+
+
+@_typed_errors
+def decode_avro(b: bytes, max_records: int | None = None) -> tuple[dict, list[dict]]:
+    """Decode a whole OCF blob -> (schema_json, records). Codecs:
+    null, deflate. Sync markers are verified per block."""
+    if b is None or len(b) < 4:
+        raise AvroDecodeError("not an Avro object container file")
+    b = bytes(b)
+    schema, codec, sync, off = read_ocf_header(b)
+    if codec not in ("null", "deflate"):
+        raise AvroDecodeError(
+            f"unsupported OCF codec {codec!r} (pure path does null/"
+            "deflate; deploy spark-avro for snappy/zstd)"
+        )
+    reader = _compile_reader(schema)
+    buf = io.BytesIO(b)
+    buf.seek(off)
+    records: list[dict] = []
+    while buf.tell() < len(b):
+        count = _read_long(buf)
+        size = _read_long(buf)
+        if count < 0 or size < 0:
+            raise AvroDecodeError("negative OCF block count/size")
+        block = buf.read(size)
+        if len(block) < size:
+            raise AvroDecodeError("truncated OCF block")
+        if codec == "deflate":
+            try:
+                block = zlib.decompress(block, -15)
+            except zlib.error as exc:
+                raise AvroDecodeError(f"OCF inflate failed: {exc}") from exc
+        marker = buf.read(16)
+        if marker != sync:
+            raise AvroDecodeError("OCF sync marker mismatch")
+        bb = io.BytesIO(block)
+        for _ in range(count):
+            records.append(reader(bb))
+            if max_records is not None and len(records) >= max_records:
+                return schema, records
+        if bb.read(1):
+            raise AvroDecodeError("OCF block has trailing bytes")
+    return schema, records
+
+
+# --------------------------------------------------------------------------
+# writer (tests + the codec-less export path)
+
+
+def _encode_value(out: bytearray, schema: Any, v: Any) -> None:
+    if isinstance(schema, list):  # union: pick the first matching branch
+        for i, s in enumerate(schema):
+            if _matches(s, v):
+                _write_long(out, i)
+                _encode_value(out, s, v)
+                return
+        raise AvroDecodeError(f"value {v!r} matches no union branch")
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            for f in schema["fields"]:
+                _encode_value(out, f["type"], v[f["name"]])
+            return
+        if t == "enum":
+            _write_long(out, schema["symbols"].index(v))
+            return
+        if t == "array":
+            if v:
+                _write_long(out, len(v))
+                for item in v:
+                    _encode_value(out, schema["items"], item)
+            _write_long(out, 0)
+            return
+        if t == "map":
+            if v:
+                _write_long(out, len(v))
+                for k, mv in v.items():
+                    enc = k.encode("utf-8")
+                    _write_long(out, len(enc))
+                    out += enc
+                    _encode_value(out, schema["values"], mv)
+            _write_long(out, 0)
+            return
+        if t == "fixed":
+            out += v
+            return
+        _encode_value(out, t, v)
+        return
+    if schema == "null":
+        return
+    if schema == "boolean":
+        out.append(1 if v else 0)
+        return
+    if schema in ("int", "long"):
+        _write_long(out, int(v))
+        return
+    if schema == "float":
+        out += struct.pack("<f", v)
+        return
+    if schema == "double":
+        out += struct.pack("<d", v)
+        return
+    if schema == "bytes":
+        _write_long(out, len(v))
+        out += v
+        return
+    if schema == "string":
+        enc = v.encode("utf-8")
+        _write_long(out, len(enc))
+        out += enc
+        return
+    raise AvroDecodeError(f"cannot encode type {schema!r}")
+
+
+def _matches(schema: Any, v: Any) -> bool:
+    if schema == "null" or (
+        isinstance(schema, dict) and schema.get("type") == "null"
+    ):
+        return v is None
+    if v is None:
+        return False
+    if schema == "boolean":
+        return isinstance(v, bool)
+    if schema in ("int", "long"):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if schema in ("float", "double"):
+        return isinstance(v, float)
+    if schema == "string":
+        return isinstance(v, str)
+    if schema == "bytes":
+        return isinstance(v, (bytes, bytearray))
+    return True  # records/arrays/maps: trust the caller
+
+
+def encode_avro(
+    schema: dict | str | list,
+    records: list[dict],
+    codec: str = "null",
+    sync: bytes = b"\x00" * 16,
+    block_records: int = 1000,
+) -> bytes:
+    """Write an OCF blob (codec null or deflate). Deterministic by
+    default (fixed sync marker) so tests can assert byte equality."""
+    if codec not in ("null", "deflate"):
+        raise AvroDecodeError(f"unsupported write codec {codec!r}")
+    if len(sync) != 16:
+        raise AvroDecodeError("sync marker must be 16 bytes")
+    out = bytearray(_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        ke = k.encode()
+        _write_long(out, len(ke))
+        out += ke
+        _write_long(out, len(v))
+        out += v
+    _write_long(out, 0)
+    out += sync
+    for i in range(0, max(len(records), 1), block_records):
+        chunk = records[i : i + block_records]
+        if not chunk:
+            break
+        body = bytearray()
+        for r in chunk:
+            _encode_value(body, schema, r)
+        payload = bytes(body)
+        if codec == "deflate":
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
+        _write_long(out, len(chunk))
+        _write_long(out, len(payload))
+        out += payload
+        out += sync
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Avro schema -> Spark schema
+
+
+def avro_to_spark_type(schema: Any):
+    """Map an Avro schema node to a Spark DataType (nullable unions of
+    [null, X] unwrap to X; other unions go to string via JSON)."""
+    from pyspark.sql import types as T
+
+    if isinstance(schema, list):
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) == 1:
+            return avro_to_spark_type(non_null[0])
+        return T.StringType()
+    if isinstance(schema, dict):
+        t = schema["type"]
+        lt = schema.get("logicalType")
+        if lt == "date":
+            return T.DateType()
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            return T.TimestampType()
+        if lt == "decimal":
+            return T.DecimalType(
+                schema.get("precision", 38), schema.get("scale", 0)
+            )
+        if t == "record":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"], avro_to_spark_type(f["type"]), True
+                    )
+                    for f in schema["fields"]
+                ]
+            )
+        if t == "array":
+            return T.ArrayType(avro_to_spark_type(schema["items"]))
+        if t == "map":
+            return T.MapType(
+                T.StringType(), avro_to_spark_type(schema["values"])
+            )
+        if t == "enum":
+            return T.StringType()
+        if t == "fixed":
+            return T.BinaryType()
+        return avro_to_spark_type(t)
+    return {
+        "null": T.NullType(),
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "bytes": T.BinaryType(),
+        "string": T.StringType(),
+    }[schema]

@@ -320,7 +320,7 @@ class Resource:
     schema: TableSchema | None = None
     dialect: Dialect = dc_field(default_factory=Dialect)
     encoding: str = "utf-8"
-    format: str | None = None  # csv | parquet | orc | json | ndjson/jsonl | xml | inline
+    format: str | None = None  # csv | parquet | orc | avro | json | ndjson/jsonl | xml | inline
     #: inline data [SPEC data-package §resource.data]: array of objects
     #: or array of arrays (first row = header when dialect.header)
     data: Any = None

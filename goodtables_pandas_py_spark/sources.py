@@ -385,6 +385,11 @@ def sniff_csv_header(
         return None
     if _is_url(path):
         path = localize_url(spark, path)
+    if path.lower().rstrip("*").endswith((".zst", ".zstd")):
+        # .zst is not gzip-transparent (see stage_zstd); the staging is
+        # cached per (path, size, mtime), so the sniffer and the reader
+        # share one decompression
+        path = stage_zstd(spark, path)
     line: str | None = None
     if os.path.isfile(path):
         # compressed text resources (data.csv.gz): Spark's reader
@@ -435,6 +440,214 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     stripe skipping); same all-typed contract as :func:`read_parquet`
     (validate stringifies downstream)."""
     return spark.read.orc(path)
+
+
+def _read_head_bytes(spark: SparkSession, file_path: str, n: int) -> bytes:
+    """First ``n`` bytes of one concrete file via a Hadoop FS stream
+    (any scheme Spark reads); plain Python read for local files when
+    no JVM gateway exists (Spark Connect)."""
+    try:
+        jvm, hconf = _jvm_fs(spark)
+    except RuntimeError:
+        local = _local_fs_path(file_path)
+        if local is None:
+            raise
+        with open(local, "rb") as fh:
+            return fh.read(n)
+    jpath = jvm.org.apache.hadoop.fs.Path(file_path)
+    fs = jpath.getFileSystem(hconf)
+    want = min(n, fs.getFileStatus(jpath).getLen())
+    stream = fs.open(jpath)
+    sink = jvm.java.io.ByteArrayOutputStream()
+    try:
+        # exact-count JVM-side copy (ByteBuffer reads are unsupported
+        # on ChecksumFileSystem, so no zero-copy path here)
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            stream, sink, int(want), False
+        )
+        return bytes(sink.toByteArray())
+    finally:
+        stream.close()
+
+
+def read_avro(
+    spark: SparkSession, path: str, sample_bytes: int = 1 << 20
+) -> DataFrame:
+    """S3c (r8): typed Avro resource.
+
+    Production path: ``spark.read.format("avro")`` — the spark-avro
+    module (splittable Hadoop input format, all container codecs,
+    whole-stage codegen'd scan). Deploy its jar on real clusters.
+
+    Fallback (this container ships no spark-avro jar): the pure
+    OCF decoder in :mod:`.extensions.avrocodec` over a ``binaryFile``
+    scan + Arrow-batched ``mapInPandas``. Parallelism is per-FILE —
+    honest for multi-file avro exports (the norm), a documented
+    single-task bottleneck for one giant file (deploy the jar). The
+    schema comes from ONE driver-side header read, so the executors'
+    plan has a fixed StructType and Catalyst can prune downstream."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # AnalysisException: jar not deployed
+        if "Failed to find data source" not in str(exc):
+            raise
+    from .extensions.avrocodec import (
+        AvroDecodeError,
+        avro_to_spark_type,
+        decode_avro,
+        read_ocf_header,
+    )
+
+    first = _first_file(spark, path) or path
+    head = _read_head_bytes(spark, first, sample_bytes)
+    try:
+        schema_json, _codec, _sync, _off = read_ocf_header(head)
+    except AvroDecodeError:
+        # pathological header longer than the sample: read it all
+        schema_json, _codec, _sync, _off = read_ocf_header(
+            _read_head_bytes(spark, first, 1 << 30)
+        )
+    spark_schema = avro_to_spark_type(schema_json)
+    from pyspark.sql.types import StructType
+
+    if not isinstance(spark_schema, StructType):
+        raise ValueError(
+            f"avro resource {path!r}: top-level schema must be a "
+            f"record, got {schema_json!r}"
+        )
+    names = [f.name for f in spark_schema.fields]
+
+    def _decode_files(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                _, recs = decode_avro(bytes(blob))
+                if recs:
+                    yield pd.DataFrame.from_records(recs, columns=names)
+                else:
+                    yield pd.DataFrame({c: [] for c in names})
+
+    bf = spark.read.format("binaryFile").load(path).select("content")
+    return bf.mapInPandas(_decode_files, schema=spark_schema)
+
+
+_ZSTD_CACHE: dict[tuple, str] = {}
+
+
+def stage_zstd(spark: SparkSession, path: str) -> str:
+    """Materialize ``*.zst`` text resources as plain files Spark's
+    readers can scan (r8 — VERDICT r7 item 4).
+
+    Hadoop's ZStandardCodec needs native libhadoop, which most
+    container images (this one included) lack — so ``.zst`` text is
+    NOT transparently decompressed the way ``.gz``/``.bz2`` are.
+    zstd-jni, however, ships INSIDE Spark (parquet/shuffle use it), so
+    the driver streams each matched file through
+    ``com.github.luben.zstd.ZstdInputStream`` into a per-(path, size,
+    mtime) cached temp file and the caller reads that. Like gzip, zstd
+    frames are not splittable, so a driver-side stream costs the same
+    parallelism class as Hadoop's own gzip handling: one stream per
+    file, files spread the work. On clusters with native libhadoop the
+    codec route wins — this staging is the portable fallback, and it
+    honors the same staging-dir contract as :func:`localize_url`
+    (set ``spark.goodtables.staging.dir`` on cluster masters)."""
+    import tempfile
+
+    jvm, hconf = _jvm_fs(spark)
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    statuses = fs.globStatus(jpath)
+    if statuses is None or len(statuses) == 0:
+        raise ValueError(f"zstd resource {path!r}: no files match")
+    leaves = []
+    for st in statuses:
+        if st.isFile():
+            leaves.append(st)
+        elif st.isDirectory():
+            leaves.extend(
+                c for c in fs.listStatus(st.getPath()) if c.isFile()
+            )
+    leaves = [
+        st for st in leaves
+        if not st.getPath().getName().startswith((".", "_"))
+    ]
+    if not leaves:
+        raise ValueError(f"zstd resource {path!r}: no visible files")
+    master = getattr(spark, "sparkContext", None)
+    master = (master.master or "") if master is not None else ""
+    staging = spark.conf.get("spark.goodtables.staging.dir", None)
+    if not staging and not master.startswith("local"):
+        raise ValueError(
+            f"zstd resource {path!r} on master {master!r}: driver-"
+            "staged decompression is invisible to cluster executors. "
+            "Set spark.goodtables.staging.dir, or install native "
+            "libhadoop so the zstd codec reads the files in place."
+        )
+    # one dedicated staging directory per SOURCE path: multi-file globs
+    # come back as a directory Spark's readers scan wholesale, and the
+    # per-(len, mtime) fingerprint in the name keeps the cache fresh
+    import hashlib
+
+    fingerprint = hashlib.sha256(
+        repr(
+            [
+                (
+                    st.getPath().toString(),
+                    st.getLen(),
+                    st.getModificationTime(),
+                )
+                for st in sorted(
+                    leaves, key=lambda s: s.getPath().toString()
+                )
+            ]
+        ).encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join(tempfile.gettempdir(), f"gt_zstd_{fingerprint}")
+    done_flag = os.path.join(out_dir, "._gt_staged")
+    if not os.path.exists(done_flag):
+        os.makedirs(out_dir, exist_ok=True)
+        for st in sorted(leaves, key=lambda s: s.getPath().toString()):
+            src = st.getPath()
+            name = src.getName()
+            for suf in (".zst", ".zstd"):
+                if name.lower().endswith(suf):
+                    name = name[: -len(suf)]
+                    break
+            dest = os.path.join(out_dir, name)
+            zin = jvm.com.github.luben.zstd.ZstdInputStream(fs.open(src))
+            fout = jvm.java.io.FileOutputStream(dest)
+            try:
+                # JVM-side copy loop: no per-byte py4j round trips
+                jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                    zin, fout, 1 << 16, False
+                )
+            finally:
+                zin.close()
+                fout.close()
+        open(done_flag, "w").close()
+    single = (
+        None
+        if len(leaves) > 1
+        else os.listdir(out_dir)
+    )
+    if staging:
+        dst = jvm.org.apache.hadoop.fs.Path(
+            f"{staging.rstrip('/')}/gt_zstd_{fingerprint}"
+        )
+        sfs = dst.getFileSystem(hconf)
+        if not sfs.exists(dst):
+            sfs.copyFromLocalFile(
+                False, True,
+                jvm.org.apache.hadoop.fs.Path(f"file://{out_dir}"),
+                dst,
+            )
+        return dst.toString()
+    if single is not None:
+        files = [f for f in single if f != "._gt_staged"]
+        if len(files) == 1:
+            return os.path.join(out_dir, files[0])
+    return out_dir
 
 
 def read_xml_stringly(
@@ -541,10 +754,19 @@ def read_resource(spark: SparkSession, resource: Resource) -> DataFrame:
         # pass through
         path = localize_url(spark, path)
     fmt = (resource.format or "csv").lower()
+    if path.lower().rstrip("*").endswith((".zst", ".zstd")) and fmt in (
+        "csv", "ndjson", "jsonl", "json", "xml",
+    ):
+        # .gz/.bz2 text decompresses transparently inside Spark's
+        # readers; .zst needs native libhadoop, absent on most images —
+        # stage through zstd-jni instead (see stage_zstd docstring)
+        path = stage_zstd(spark, path)
     if fmt == "parquet":
         return read_parquet(spark, path)
     if fmt == "orc":
         return read_orc(spark, path)
+    if fmt == "avro":
+        return read_avro(spark, path)
     if fmt == "csv":
         # With a header row, do NOT pin schema field names: header
         # mismatches must be observed by H1, so the file's own header
