@@ -101,14 +101,137 @@ def _png_chunks(b: bytes):
             return
 
 
+#: wavefront kernel row-chunk cap — bounds the skewed buffer to
+#: (W+514, 513, bpp) int16 regardless of image height
+_WAVE_CHUNK = 512
+
+
+def _unfilter_wavefront(
+    fdata: np.ndarray, prev: np.ndarray, ftype: int, ch: int
+) -> np.ndarray:
+    """Wavefront unfilter for a run of K consecutive rows that all
+    carry the SAME sequential filter (3=Average or 4=Paeth).
+
+    Within such a run rec[y][x] depends only on rec[y][x-1] (left),
+    rec[y-1][x] (up) and rec[y-1][x-1] (up-left) in PIXEL units, so
+    every cell on an anti-diagonal y + x = t is independent of the
+    others: the run reconstructs in K + W - 1 vectorized steps
+    instead of K*W per-pixel Python iterations (r8, VERDICT r7 item
+    6). Rows live in a SKEWED, DIAGONAL-MAJOR buffer — image row y
+    shifted right by y pixels, diagonals as the LEADING axis — so
+    each wavefront step touches only contiguous (n, ch) blocks:
+    cell (y, x) sits at S[x+y+2, y+1], making a = S[t+1, rows],
+    b = S[t+1, rows-1], c = S[t, rows-1]. Every step is basic
+    slicing into preallocated temporaries (``out=`` everywhere);
+    no fancy indexing, no per-step allocation, no per-byte Python.
+    Paeth uses the distance identities |p-a| = |b-c|, |p-b| = |a-c|,
+    |p-c| = |(a-c)+(b-c)| so the predictor costs 6 arithmetic ops.
+
+    ``fdata``: (K, stride) uint8 filter bytes (filter-type byte
+    already stripped); ``prev``: (stride,) uint8 reconstruction of
+    the row above the run (zeros at the image top). Returns the
+    (K, stride) uint8 reconstruction.
+    """
+    k, stride = fdata.shape
+    w = stride // ch
+    # int16: Average's a+b <= 510 and Paeth's deltas in [-255, 510]
+    # both fit; & 0xFF after the add is the spec's mod-256. Column
+    # 0 holds prev at diagonals 1..w; row i's never-written leading
+    # diagonals stay 0 = the spec's left border (a/c read them at
+    # x=0). Seeding stores the FILTER bytes at each cell so the
+    # step update is an in-place += pred.
+    s = np.zeros((w + k + 2, k + 1, ch), dtype=np.int16)
+    s[1 : w + 1, 0] = prev.reshape(w, ch)
+    f = fdata.reshape(k, w, ch)
+    for i in range(1, k + 1):
+        s[i + 1 : i + 1 + w, i] = f[i - 1]
+    nmax = min(k, w)
+    d1 = np.empty((nmax, ch), dtype=np.int16)
+    d2 = np.empty((nmax, ch), dtype=np.int16)
+    d3 = np.empty((nmax, ch), dtype=np.int16)
+    pred = np.empty((nmax, ch), dtype=np.int16)
+    m1 = np.empty((nmax, ch), dtype=bool)
+    m2 = np.empty((nmax, ch), dtype=bool)
+    for t in range(k + w - 1):
+        lo = max(0, t - w + 1) + 1
+        hi = min(k - 1, t) + 2
+        n = hi - lo
+        a = s[t + 1, lo:hi]
+        b = s[t + 1, lo - 1 : hi - 1]
+        cell = s[t + 2, lo:hi]
+        if ftype == 3:
+            p = pred[:n]
+            np.add(a, b, out=p)
+            np.right_shift(p, 1, out=p)
+        else:
+            c = s[t, lo - 1 : hi - 1]
+            e1, e2, e3, p = d1[:n], d2[:n], d3[:n], pred[:n]
+            w1, w2 = m1[:n], m2[:n]
+            np.subtract(b, c, out=e1)  # pa pre-abs
+            np.subtract(a, c, out=e2)  # pb pre-abs
+            np.add(e1, e2, out=e3)  # pc pre-abs
+            np.abs(e1, out=e1)
+            np.abs(e2, out=e2)
+            np.abs(e3, out=e3)
+            np.less_equal(e1, e2, out=w1)
+            np.less_equal(e1, e3, out=w2)
+            np.logical_and(w1, w2, out=w1)  # pick a
+            np.less_equal(e2, e3, out=w2)  # else pick b over c
+            np.copyto(p, c)
+            np.copyto(p, b, where=w2)
+            np.copyto(p, a, where=w1)
+        np.add(cell, p, out=cell)
+        np.bitwise_and(cell, 0xFF, out=cell)
+    out = np.empty((k, w, ch), dtype=np.uint8)
+    for i in range(1, k + 1):
+        out[i - 1] = s[i + 1 : i + 1 + w, i]
+    return out.reshape(k, stride)
+
+
+def _unfilter_seq_row(
+    row: np.ndarray, prev: np.ndarray, ftype: int, ch: int
+) -> np.ndarray:
+    """Single-row Average/Paeth fallback for runs too short to
+    amortize the wavefront's per-step numpy overhead. The loop runs
+    over PYTHON LISTS, not numpy arrays — per-element numpy scalar
+    extraction costs ~3x a list index (measured 2.6x end-to-end;
+    BASELINE.md §png-unfilter)."""
+    stride = len(row)
+    r = row.tolist()
+    pv = prev.tolist()
+    lst = [0] * stride
+    if ftype == 3:
+        for x in range(stride):
+            a = lst[x - ch] if x >= ch else 0
+            lst[x] = (r[x] + ((a + pv[x]) >> 1)) & 0xFF
+    else:
+        for x in range(stride):
+            a = lst[x - ch] if x >= ch else 0
+            bb = pv[x]
+            c = pv[x - ch] if x >= ch else 0
+            p = a + bb - c
+            pa = p - a if p >= a else a - p
+            pb = p - bb if p >= bb else bb - p
+            pc = p - c if p >= c else c - p
+            if pa <= pb and pa <= pc:
+                pred = a
+            elif pb <= pc:
+                pred = bb
+            else:
+                pred = c
+            lst[x] = (r[x] + pred) & 0xFF
+    return np.array(lst, dtype=np.uint8)
+
+
 def _unfilter(raw: bytes, row_bytes: int, height: int, bpp: int) -> bytes:
     """Invert PNG scanline filtering over BYTE rows of ``row_bytes``
     with filter distance ``bpp`` (bytes per complete pixel, >= 1 —
     the spec's generalization that makes sub-byte and 16-bit depths
-    share the 8-bit logic). Vectorized for filters 0/1/2;
-    Average/Paeth fall back to a per-pixel loop (they depend on the
-    just-reconstructed left neighbour AND the row above in a way that
-    has no closed numpy form)."""
+    share the 8-bit logic). Filters 0/1/2 vectorize row-wise
+    (copy / strided cumsum / uint8 wraparound add); runs of >= 4
+    consecutive same-type Average/Paeth rows go through the
+    anti-diagonal wavefront kernel; isolated sequential rows keep
+    the list loop."""
     stride = row_bytes
     ch = bpp
     expected = (stride + 1) * height
@@ -119,56 +242,54 @@ def _unfilter(raw: bytes, row_bytes: int, height: int, bpp: int) -> bytes:
         # forces bpp=1; depths 8/16 make row_bytes a bpp multiple) —
         # guard so a future caller can't silently mis-reshape
         raise ImageDecodeError("row bytes not a multiple of bpp")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=expected).reshape(
+        height, stride + 1
+    )
+    ftypes = rows[:, 0]
+    data = rows[:, 1:]
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(height):
-        ftype = raw[pos]
-        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
-        pos += stride + 1
+    w = stride // ch
+    y = 0
+    while y < height:
+        ftype = int(ftypes[y])
         if ftype == 0:  # None
-            rec = row.copy()
+            rec = data[y].copy()
         elif ftype == 1:  # Sub: cumulative add with stride `bpp`
             # int64 cumsum then mod 256 == sequential byte addition mod 256
             rec = (
-                np.cumsum(row.reshape(-1, ch), axis=0) % 256
+                np.cumsum(data[y].reshape(-1, ch), axis=0) % 256
             ).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up
-            rec = row + prev  # uint8 wraps — exactly the spec's mod 256
-        elif ftype in (3, 4):  # Average / Paeth — sequential by spec:
-            # rec[x] depends on the just-written rec[x-ch], so no
-            # closed numpy form exists. The loop runs over PYTHON
-            # LISTS, not numpy arrays — per-element numpy scalar
-            # extraction costs ~3x more than list indexing (measured
-            # 2.6x end-to-end; BASELINE.md §png-unfilter)
-            r = row.tolist()
-            pv = prev.tolist()
-            lst = [0] * stride
-            if ftype == 3:
-                for x in range(stride):
-                    a = lst[x - ch] if x >= ch else 0
-                    lst[x] = (r[x] + ((a + pv[x]) >> 1)) & 0xFF
-            else:
-                for x in range(stride):
-                    a = lst[x - ch] if x >= ch else 0
-                    bb = pv[x]
-                    c = pv[x - ch] if x >= ch else 0
-                    p = a + bb - c
-                    pa = p - a if p >= a else a - p
-                    pb = p - bb if p >= bb else bb - p
-                    pc = p - c if p >= c else c - p
-                    if pa <= pb and pa <= pc:
-                        pred = a
-                    elif pb <= pc:
-                        pred = bb
-                    else:
-                        pred = c
-                    lst[x] = (r[x] + pred) & 0xFF
-            rec = np.array(lst, dtype=np.uint8)
+            rec = data[y] + prev  # uint8 wraps — exactly the spec's mod 256
+        elif ftype in (3, 4):  # Average / Paeth — sequential by spec
+            end = y + 1
+            while end < height and ftypes[end] == ftype:
+                end += 1
+            k = end - y
+            # wavefront costs ~(k + w) numpy steps vs the list
+            # loop's k*stride byte iterations — only worth it when
+            # the run is tall enough to amortize per-step overhead
+            if k >= 4 and k * stride >= 24 * (k + w):
+                for cy in range(y, end, _WAVE_CHUNK):
+                    ce = min(cy + _WAVE_CHUNK, end)
+                    block = _unfilter_wavefront(
+                        data[cy:ce], prev, ftype, ch
+                    )
+                    out[cy:ce] = block
+                    prev = block[-1]
+                y = end
+                continue
+            for ry in range(y, end):
+                prev = _unfilter_seq_row(data[ry], prev, ftype, ch)
+                out[ry] = prev
+            y = end
+            continue
         else:
             raise ImageDecodeError(f"unknown PNG filter type {ftype}")
         out[y] = rec
         prev = rec
+        y += 1
     return out.tobytes()
 
 

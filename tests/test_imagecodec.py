@@ -892,3 +892,67 @@ def test_regression_bmp_bad_geometry_raises_typed():
     far_off[10:14] = struct.pack("<I", len(base) + 1000)
     with pytest.raises(ImageDecodeError):
         decode_bmp(bytes(far_off))
+
+
+# ------------------------------------------- wavefront unfilter (r8)
+
+from goodtables_pandas_py_spark.extensions.imagecodec import (  # noqa: E402
+    _unfilter_seq_row,
+    _unfilter_wavefront,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    k=st.integers(4, 40),
+    w=st.integers(1, 48),
+    ch=st.integers(1, 4),
+    ftype=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    top=st.booleans(),
+)
+def test_wavefront_matches_list_loop(k, w, ch, ftype, seed, top):
+    """The anti-diagonal wavefront kernel and the per-row list loop
+    are the same function on every (run height, width, bpp, filter,
+    prev-row) input — the wavefront is an optimization, not a new
+    semantics."""
+    rng = np.random.default_rng(seed)
+    stride = w * ch
+    fdata = rng.integers(0, 256, size=(k, stride), dtype=np.uint8)
+    prev = (
+        np.zeros(stride, dtype=np.uint8)
+        if top
+        else rng.integers(0, 256, size=stride, dtype=np.uint8)
+    )
+    got = _unfilter_wavefront(fdata, prev, ftype, ch)
+    p = prev
+    for y in range(k):
+        p = _unfilter_seq_row(fdata[y], p, ftype, ch)
+        assert got[y].tolist() == p.tolist(), f"row {y} diverged"
+
+
+@pytest.mark.parametrize(
+    "ftypes",
+    [[3], [4], [4, 4, 4, 4, 4, 3, 3, 3, 3, 3, 2], [2, 4, 4, 4, 4, 4, 0]],
+)
+def test_png_filter_runs_decode_exactly(ftypes):
+    """End-to-end: images tall enough to trigger the wavefront path
+    (all-Average, all-Paeth, and mixed runs crossing vectorized
+    rows) invert the independent forward filter exactly."""
+    rng = np.random.default_rng(7)
+    w, h, ch = 37, 24, 3
+    img = DecodedImage(
+        w, h, ch, rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    )
+    assert decode_png(_png_with_filters(img, ftypes)) == img
+
+
+def test_png_paeth_run_crosses_wave_chunk_boundary():
+    """A Paeth run taller than _WAVE_CHUNK reconstructs across the
+    chunk seam (prev row carries from block to block)."""
+    rng = np.random.default_rng(11)
+    w, h, ch = 64, 300, 3
+    img = DecodedImage(
+        w, h, ch, rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    )
+    assert decode_png(_png_with_filters(img, [4])) == img
