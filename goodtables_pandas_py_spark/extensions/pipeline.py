@@ -240,9 +240,54 @@ def write_release(
         write_partitioned(df, data_path, [split_col])
     else:
         df.write.mode("overwrite").parquet(data_path)
+    return _finalize_release_manifest(
+        spark,
+        spark_for_fs if spark_for_fs is not None else spark,
+        out_dir,
+        df.schema,
+        split_col if has_split else None,
+        manifest_extra,
+    )
 
+
+def _fingerprint_agg(columns: list[str]) -> list:
+    """Order-insensitive per-group content fingerprint: row count plus
+    the decimal(38,0) SUM of xxhash64 over all columns (sorted by name
+    so both sides of a compare build the identical expression).
+    decimal(38,0) absorbs int64 hashes summed over ~1e18 rows without
+    overflow; sum (not xor — Spark has no xor agg) keeps the compare a
+    plain equality. A collision passing a CHANGED partition off as
+    unchanged needs a 64-bit hash-sum collision at equal counts —
+    negligible for release hygiene."""
+    hash_col = F.xxhash64(*[F.col(c) for c in sorted(columns)])
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(hash_col.cast("decimal(38,0)")).alias("fp"),
+    ]
+
+
+def _finalize_release_manifest(
+    spark,
+    fs_spark,
+    out_dir: str,
+    schema,
+    split_col: str | None,
+    manifest_extra: dict | None,
+) -> dict:
+    """Shared tail of every release write: read BACK what's on disk,
+    compute per-split counts + content fingerprints in one scan, and
+    write ``manifest.json``. Readback uses the frame's EXPLICIT schema
+    so the hive partition column keeps its original type (inference
+    would e.g. turn a string split "1" into an int and poison every
+    future fingerprint compare)."""
+    import json
+    import os
+
+    from ..sources import _jvm_fs, _local_fs_path
+
+    data_path = f"{out_dir}/data.parquet"
     try:
-        back = spark.read.parquet(data_path)
+        back = spark.read.schema(schema).parquet(data_path)
     except Exception as exc:  # UNABLE_TO_INFER_SCHEMA
         # a partitioned overwrite of ZERO rows writes only _SUCCESS
         # (no parquet footers to infer from) — an empty release is a
@@ -251,36 +296,40 @@ def write_release(
         # (whose empty part file reads back fine)
         if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
             raise
-        back = spark.createDataFrame([], df.schema)
-    if has_split:
-        counts = {
-            # a null split (e.g. a user-joined assignment with misses)
-            # lands in the hive default partition; name it explicitly
-            # rather than crashing json.dump on a None key
-            (r[split_col] if r[split_col] is not None else "__null__"): r["n"]
-            for r in back.groupBy(split_col)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        back = spark.createDataFrame([], schema)
+    cols = [f.name for f in schema.fields]
+    if split_col is not None:
+        # a null split (e.g. a user-joined assignment with misses)
+        # lands in the hive default partition; name it explicitly
+        # rather than crashing json.dump on a None key
+        rows = back.groupBy(split_col).agg(*_fingerprint_agg(cols)).collect()
+        counts = {}
+        fps = {}
+        for r in rows:
+            key = r[split_col] if r[split_col] is not None else "__null__"
+            counts[key] = r["n"]
+            fps[str(key)] = {"n": int(r["n"]), "fp": str(int(r["fp"]))}
     else:
-        counts = {"all": back.count()}
+        row = back.agg(*_fingerprint_agg(cols)).collect()[0]
+        counts = {"all": row["n"]}
+        fps = (
+            {"all": {"n": int(row["n"]), "fp": str(int(row["fp"]))}}
+            if row["n"]
+            else {}
+        )
     manifest = {
         **(manifest_extra or {}),
         "row_counts": counts,
         "n_rows": int(sum(counts.values())),
-        "schema": df.schema.jsonValue(),
-        "partitioned_by": [split_col] if has_split else [],
+        "schema": schema.jsonValue(),
+        "partitioned_by": [split_col] if split_col is not None else [],
+        "partition_fingerprints": fps,
     }
 
     payload = json.dumps(manifest, indent=2, sort_keys=True)
     # Hadoop FS write covers every Spark-visible filesystem; without
     # a JVM gateway (Spark Connect) fall back to a plain local write
     # for local out_dirs (VERDICT r5 item 6)
-    import os
-
-    from ..sources import _jvm_fs, _local_fs_path
-
-    fs_spark = spark_for_fs if spark_for_fs is not None else spark
     try:
         jvm, hconf = _jvm_fs(fs_spark)
     except RuntimeError:
@@ -434,6 +483,230 @@ def write_release_version(
         fs_spark = spark_for_fs or spark
         published = [
             v for v in list_release_versions(spark, root)
+            if _read_text(fs_spark, f"{root}/versions/{v}/manifest.json")
+            is not None
+        ]
+        for old_v in published[:-keep_versions]:
+            if old_v == vname:
+                continue
+            _delete_dir(fs_spark, f"{root}/versions/{old_v}")
+    return manifest
+
+
+def _list_partition_dirs(spark, data_path: str, split_col: str) -> dict:
+    """Map hive partition VALUE (as the manifest's string key;
+    ``__null__`` for the default partition) -> directory NAME under
+    ``data_path``. Listing only — no data read."""
+    import os
+    from urllib.parse import unquote
+
+    from ..sources import _jvm_fs, _local_fs_path
+
+    prefix = f"{split_col}="
+    names = []
+    try:
+        jvm, hconf = _jvm_fs(spark)
+        jpath = jvm.org.apache.hadoop.fs.Path(data_path)
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            names = [
+                st.getPath().getName()
+                for st in fs.listStatus(jpath)
+                if st.isDirectory()
+            ]
+    except RuntimeError:
+        local = _local_fs_path(data_path)
+        if local is None:
+            raise
+        if os.path.isdir(local):
+            names = [
+                d for d in os.listdir(local)
+                if os.path.isdir(os.path.join(local, d))
+            ]
+    out = {}
+    for name in names:
+        if not name.startswith(prefix):
+            continue
+        val = unquote(name[len(prefix):])
+        out["__null__" if val == "__HIVE_DEFAULT_PARTITION__" else val] = name
+    return out
+
+
+def _copy_tree(spark, src: str, dst: str) -> None:
+    """Clone one immutable partition directory into a new version dir.
+    Local filesystems HARDLINK each file (O(files) metadata ops, zero
+    bytes moved — old and new versions share the immutable parts, and
+    retention's recursive delete only drops link counts); non-local
+    Hadoop filesystems fall back to an FS-level copy, which still
+    skips the expensive part — no Spark job, no shuffle, no re-encode.
+    A real table format (Delta/Iceberg) makes this a manifest pointer;
+    this is the documented offline stand-in's equivalent move."""
+    import os
+    import shutil
+
+    from ..sources import _jvm_fs, _local_fs_path
+
+    lsrc, ldst = _local_fs_path(src), _local_fs_path(dst)
+    if lsrc is not None and ldst is not None:
+        os.makedirs(ldst, exist_ok=True)
+        for name in os.listdir(lsrc):
+            s, d = os.path.join(lsrc, name), os.path.join(ldst, name)
+            try:
+                os.link(s, d)
+            except OSError:  # cross-device / FS without hardlinks
+                shutil.copy2(s, d)
+        return
+    jvm, hconf = _jvm_fs(spark)
+    jsrc = jvm.org.apache.hadoop.fs.Path(src)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = jsrc.getFileSystem(hconf)
+    fs.mkdirs(jdst.getParent())
+    if not jvm.org.apache.hadoop.fs.FileUtil.copy(
+        fs, jsrc, fs, jdst, False, True, hconf
+    ):
+        raise IOError(f"partition copy failed: {src} -> {dst}")
+
+
+def write_release_increment(
+    df: DataFrame,
+    root: str,
+    split_col: str | None = "split",
+    manifest_extra: dict | None = None,
+    keep_versions: int | None = None,
+    spark_for_fs=None,
+) -> dict:
+    """Publish version N+1 REUSING the current version's unchanged
+    partitions instead of rewriting the full corpus — the offline
+    approximation of a table format's MERGE/snapshot-reuse (r8,
+    VERDICT r7 item 7).
+
+    Mechanics: the current manifest carries per-partition content
+    fingerprints (count + xxhash64 sum, recorded from the readback
+    scan at publish time, so an increment never re-reads old data).
+    One aggregation scan over the NEW frame computes the same
+    fingerprints; partitions with equal (n, fp) are HARDLINKED
+    (local) or FS-copied (remote) from the current version's
+    immutable dir, and only changed/new partitions go through a
+    Spark write. Partitions absent from the new frame are dropped.
+    The result is indistinguishable to readers from a full
+    :func:`write_release_version` publish — same layout, same
+    manifest shape, same atomic CURRENT swap, same retention — plus
+    an ``incremental`` audit block listing reused / rewritten /
+    removed partition keys.
+
+    At 100 TB this is the difference between a nightly publish
+    rewriting the whole corpus and one rewriting the handful of
+    partitions the pipeline actually touched: reuse is O(files)
+    metadata work, and the Spark job scans/writes only
+    ``df.filter(split IN changed)`` (partition-pruned at the source
+    when the input is itself split-partitioned).
+
+    Falls back to a full :func:`write_release_version` when nothing
+    is published yet, the frame has no ``split_col``, or the current
+    manifest predates fingerprints / used a different layout. Null
+    splits always rewrite (no typed equality for the hive default
+    partition). Single-writer, like the full path."""
+    import json
+
+    from ..sources import write_partitioned
+
+    spark = df.sparkSession
+    fs_spark = spark_for_fs if spark_for_fs is not None else spark
+    cur = _read_text(fs_spark, _pointer_paths(root)[0])
+    has_split = split_col is not None and split_col in df.columns
+    old = None
+    if cur is not None:
+        text = _read_text(
+            fs_spark, f"{root}/versions/{cur.strip()}/manifest.json"
+        )
+        old = json.loads(text) if text is not None else None
+    if (
+        not has_split
+        or old is None
+        or old.get("partitioned_by") != [split_col]
+        or not old.get("partition_fingerprints")
+    ):
+        return write_release_version(
+            df, root, split_col, manifest_extra, keep_versions,
+            spark_for_fs,
+        )
+    cur = cur.strip()
+    old_fps = old["partition_fingerprints"]
+
+    data_cols = df.columns
+    rows = (
+        df.groupBy(split_col).agg(*_fingerprint_agg(data_cols)).collect()
+    )
+    new_parts = {}  # manifest string key -> (typed value, n, fp)
+    for r in rows:
+        key = "__null__" if r[split_col] is None else str(r[split_col])
+        new_parts[key] = (r[split_col], int(r["n"]), str(int(r["fp"])))
+    if not new_parts:
+        # empty release: nothing to reuse or link — the full path
+        # already handles the zero-row partitioned write + manifest
+        return write_release_version(
+            df, root, split_col, manifest_extra, keep_versions,
+            spark_for_fs,
+        )
+    reused = sorted(
+        k
+        for k, (_, n, fp) in new_parts.items()
+        if k != "__null__"
+        and k in old_fps
+        and old_fps[k]["n"] == n
+        and old_fps[k]["fp"] == fp
+    )
+    rewritten = sorted(k for k in new_parts if k not in reused)
+    removed = sorted(k for k in old_fps if k not in new_parts)
+
+    existing = list_release_versions(spark, root)
+    nxt = (int(existing[-1][1:]) + 1) if existing else 1
+    vname = f"v{nxt:08d}"
+    vdir = f"{root}/versions/{vname}"
+    data_path = f"{vdir}/data.parquet"
+    old_data = f"{root}/versions/{cur}/data.parquet"
+
+    if rewritten:
+        vals = [new_parts[k][0] for k in rewritten if k != "__null__"]
+        cond = F.col(split_col).isin(vals) if vals else F.lit(False)
+        if "__null__" in rewritten:
+            cond = cond | F.col(split_col).isNull()
+        write_partitioned(df.filter(cond), data_path, [split_col])
+    if reused:
+        old_dirs = _list_partition_dirs(fs_spark, old_data, split_col)
+        for k in reused:
+            if k not in old_dirs:  # manifest/layout drift — rewrite
+                raise IOError(
+                    f"partition {k!r} fingerprint matched but its "
+                    f"directory is missing under {old_data}"
+                )
+            _copy_tree(
+                fs_spark,
+                f"{old_data}/{old_dirs[k]}",
+                f"{data_path}/{old_dirs[k]}",
+            )
+    manifest = _finalize_release_manifest(
+        spark,
+        fs_spark,
+        vdir,
+        df.schema,
+        split_col,
+        {
+            **(manifest_extra or {}),
+            "version": vname,
+            "incremental": {
+                "base_version": cur,
+                "reused": reused,
+                "rewritten": rewritten,
+                "removed": removed,
+            },
+        },
+    )
+    _swap_pointer(fs_spark, root, vname)
+    if keep_versions is not None and keep_versions >= 1:
+        published = [
+            v
+            for v in list_release_versions(spark, root)
             if _read_text(fs_spark, f"{root}/versions/{v}/manifest.json")
             is not None
         ]

@@ -568,3 +568,76 @@ def test_wide_schema_validation_plan_shape(spark, tmp_path):
     assert ("pattern-constraint", "f003") in codes
     if v.cached is not None:
         v.cached.unpersist()
+
+
+def test_aqe_skew_split_engages_on_hot_shuffle_join(spark):
+    """r8 (VERDICT r7 item 5): when a query path DOES hit a skewed
+    shuffle join — no broadcast, no distinct to pre-collapse the hot
+    key — AQE's skew-join must engage and split the hot partition.
+    This is the runtime backstop behind every shuffled equi-join in
+    the engine (temporal binned joins, LSH candidate joins above the
+    broadcast threshold). Thresholds are scaled to test size; at
+    100 TB the 256 MB defaults play the identical role."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # payload must be incompressible and survive column pruning:
+        # AQE judges skew on COMPRESSED shuffle partition bytes, and a
+        # hot partition of identical bare keys lz4-compresses below
+        # any threshold
+        left = spark.range(2_000_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(200_000).select(
+            F.col("id").alias("k"), F.lit("d").alias("dim")
+        )
+        q = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.min("payload").alias("p")
+        )
+        q.collect()  # the EXECUTED plan is the one AQE re-planned
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan or "skewed" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_fk_hot_child_key_collapses_before_join(spark):
+    """r8 (VERDICT r7 item 5): a 50%-hot child FK key never reaches
+    the join as skew — foreign_key_violations_df distinct()s the
+    child first, and the partial (map-side) HashAggregate collapses
+    the hot key per input partition before any exchange. The join
+    then sees unique keys: correct counts, no skew marker, no AQE
+    intervention needed."""
+    from goodtables_pandas_py_spark.checks.keys import (
+        foreign_key_violations_df,
+    )
+
+    child = spark.range(400_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1))
+        .otherwise(F.col("id") % 50_000)
+        .alias("fk")
+    )
+    parent = spark.range(49_000).select(F.col("id").alias("pk"))
+    viol = foreign_key_violations_df(child, ["fk"], parent, ["pk"])
+    # odd ids mod 50000 (even modulus) yield odd residues only: the
+    # distinct child keys are {1} ∪ odds(1..49999); parent covers
+    # 0..48999, so violations = odds in [49000, 49999] = 500
+    assert viol.count() == 500
+    plan = viol._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan, plan  # the collapsing distinct
+    assert "skew=true" not in plan, plan
