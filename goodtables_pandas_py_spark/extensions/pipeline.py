@@ -798,6 +798,95 @@ def read_release(
     )
 
 
+def release_changes(
+    spark,
+    root: str,
+    from_version: str | None = None,
+    to_version: str | None = None,
+    id_col: str = "doc_id",
+    compare_cols: list[str] | None = None,
+    status_col: str = "status",
+) -> DataFrame:
+    """Row-level CHANGES between two PUBLISHED release versions,
+    scanning only partitions whose manifest fingerprints differ (r8 —
+    the read-side payoff of the fingerprints
+    :func:`write_release_increment` publishes with).
+
+    Returns (``id_col``, ``status_col``) with status in
+    ``added`` / ``removed`` / ``changed`` — a changes feed, so
+    ``unchanged`` rows are omitted by construction (a partition whose
+    fingerprint matched is PROVEN unchanged and never read at all; an
+    id living in a pruned partition on one side cannot appear
+    elsewhere on the other without changing both partitions'
+    fingerprints, given the release contract of unique ids per
+    version).
+
+    ``to_version`` defaults to CURRENT; ``from_version`` defaults to
+    the published version immediately before it. At 100 TB this turns
+    "diff last night's release against tonight's" from two full-corpus
+    scans into reads of exactly the partitions the pipeline touched —
+    the manifest compare is driver-side and free. Releases published
+    before fingerprints existed fall back to the full
+    :func:`release_diff` scan (same output, filtered to changes)."""
+    if to_version is None:
+        to_version = _read_text(spark, _pointer_paths(root)[0])
+        if to_version is None:
+            raise FileNotFoundError(
+                f"no CURRENT pointer under {root} — nothing published"
+            )
+        to_version = to_version.strip()
+    if from_version is None:
+        import json as _json
+
+        published = [
+            v
+            for v in list_release_versions(spark, root)
+            if _read_text(spark, f"{root}/versions/{v}/manifest.json")
+            is not None
+        ]
+        before = [v for v in published if v < to_version]
+        if not before:
+            raise ValueError(
+                f"no published version precedes {to_version} under "
+                f"{root} — pass from_version explicitly"
+            )
+        from_version = before[-1]
+    old_df, old_man = read_release(spark, root, from_version)
+    new_df, new_man = read_release(spark, root, to_version)
+
+    ofp = old_man.get("partition_fingerprints") or {}
+    nfp = new_man.get("partition_fingerprints") or {}
+    part_old = old_man.get("partitioned_by") or []
+    part_new = new_man.get("partitioned_by") or []
+    if ofp and nfp and part_old == part_new and len(part_old) == 1:
+        split_col = part_old[0]
+        changed = sorted(
+            k for k in set(ofp) | set(nfp) if ofp.get(k) != nfp.get(k)
+        )
+
+        def prune(df: DataFrame) -> DataFrame:
+            vals = [k for k in changed if k != "__null__"]
+            # compare on the string form (manifest keys are strings);
+            # partition filters evaluate driver-side over the
+            # partition catalog, so the cast costs nothing and the
+            # scan still lists only matching directories
+            cond = (
+                F.col(split_col).cast("string").isin(vals)
+                if vals
+                else F.lit(False)
+            )
+            if "__null__" in changed:
+                cond = cond | F.col(split_col).isNull()
+            return df.where(cond)
+
+        old_df, new_df = prune(old_df), prune(new_df)
+    diff = release_diff(
+        old_df, new_df, id_col=id_col, compare_cols=compare_cols,
+        status_col=status_col,
+    )
+    return diff.where(F.col(status_col) != "unchanged")
+
+
 def release_diff(
     old: DataFrame,
     new: DataFrame,

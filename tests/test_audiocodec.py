@@ -18,6 +18,10 @@ import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
 
+# GT_FUZZ_SCALE=N multiplies every fuzz contract's example
+# count for deep sweeps (VERDICT r7 item 1); default 1
+_FUZZ_SCALE = int(__import__("os").environ.get("GT_FUZZ_SCALE", "1"))
+
 from goodtables_pandas_py_spark.extensions.audiocodec import (
     AudioDecodeError,
     DecodedAudio,
@@ -207,7 +211,7 @@ def test_to_mono_is_channel_mean():
 # ------------------------------------------------------------ property
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25 * _FUZZ_SCALE, deadline=None)
 @given(
     n=st.integers(1, 500),
     ch=st.integers(1, 3),
@@ -227,7 +231,7 @@ def test_property_double_roundtrip_is_identity(n, ch, bits, seed):
 # ----------------------------------------------------- decoder fuzz (r7)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120 * _FUZZ_SCALE, deadline=None)
 @given(
     prefix=st.sampled_from([b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE"]),
     body=st.binary(min_size=0, max_size=200),
@@ -240,7 +244,7 @@ def test_fuzz_wav_contract_random_bytes(prefix, body):
         pass
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _FUZZ_SCALE, deadline=None)
 @given(
     flips=st.lists(
         st.tuples(st.integers(0, 10_000), st.integers(0, 255)),

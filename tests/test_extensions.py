@@ -2382,3 +2382,96 @@ def test_release_increment_fallbacks_and_retention(spark, tmp_path):
     # pruning v1-v3 must not break v5's hardlinked files
     got, _ = read_release(spark, root)
     assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
+
+
+def test_release_changes_prunes_unchanged_partitions(spark, tmp_path):
+    """r8: release_changes diffs two published versions reading ONLY
+    the partitions whose manifest fingerprints differ — proven by
+    inputFiles(), not trusted."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        release_changes,
+        write_release_increment,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+    v1 = [
+        (1, "a", "train"), (2, "b", "train"), (3, "c", "train"),
+        (4, "d", "val"), (5, "e", "val"),
+        (6, "f", "test"), (7, "g", "test"),
+    ]
+    write_release_version(spark.createDataFrame(v1, schema), root)
+    v2 = v1 + [(8, "h", "val")]
+    write_release_increment(spark.createDataFrame(v2, schema), root)
+
+    changes = release_changes(spark, root)
+    got = sorted((r["doc_id"], r["status"]) for r in changes.collect())
+    assert got == [(8, "added")]
+    # pruning reached the scans: every FileScan carries a partition
+    # filter on the changed split (Catalyst simplifies the cast-isin
+    # into a bare partition equality)
+    plan = changes._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans
+    for line in scans:
+        assert "PartitionFilters" in line and "= val" in line, line
+
+    # v3: edit one train row + move doc 6 test -> train; val untouched
+    v3 = [
+        (1, "a2", "train"), (2, "b", "train"), (3, "c", "train"),
+        (6, "f", "train"),
+        (4, "d", "val"), (5, "e", "val"),
+        (7, "g", "test"), (8, "h", "val"),
+    ]
+    write_release_increment(spark.createDataFrame(v3, schema), root)
+    ch3 = release_changes(spark, root)
+    got3 = sorted((r["doc_id"], r["status"]) for r in ch3.collect())
+    # 1 edited, 6 moved partitions (split participates in the row
+    # fingerprint) — both 'changed'; the val partition is pruned out
+    # of every scan
+    assert got3 == [(1, "changed"), (6, "changed")]
+    plan3 = ch3._jdf.queryExecution().executedPlan().toString()
+    for line in (l for l in plan3.splitlines() if "FileScan" in l):
+        assert "PartitionFilters" in line and "val" not in line, line
+
+    # explicit version pair spanning two increments
+    ch13 = release_changes(
+        spark, root, from_version="v00000001", to_version="v00000003"
+    )
+    got13 = sorted((r["doc_id"], r["status"]) for r in ch13.collect())
+    assert got13 == [(1, "changed"), (6, "changed"), (8, "added")]
+
+
+def test_release_changes_falls_back_without_fingerprints(
+    spark, tmp_path
+):
+    import json
+    import os
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        release_changes,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, split string"
+    write_release_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], schema), root
+    )
+    write_release_version(
+        spark.createDataFrame([(1, "a"), (3, "b")], schema), root
+    )
+    # strip v1's fingerprints (pre-r8 manifest) -> full-scan fallback
+    mpath = os.path.join(root, "versions/v00000001/manifest.json")
+    man = json.load(open(mpath))
+    del man["partition_fingerprints"]
+    json.dump(man, open(mpath, "w"))
+    crc = os.path.join(os.path.dirname(mpath), ".manifest.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    got = sorted(
+        (r["doc_id"], r["status"])
+        for r in release_changes(spark, root).collect()
+    )
+    assert got == [(2, "removed"), (3, "added")]

@@ -796,11 +796,15 @@ def test_png_16bit_matches_pil():
 
 from hypothesis import example, given, settings, strategies as st  # noqa: E402
 
+# GT_FUZZ_SCALE=N multiplies every fuzz contract's example
+# count for deep sweeps (VERDICT r7 item 1); default 1
+_FUZZ_SCALE = int(__import__("os").environ.get("GT_FUZZ_SCALE", "1"))
+
 _SIGS = [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"BM",
          b"\xff\xd8\xff\xe0", b""]
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120 * _FUZZ_SCALE, deadline=None)
 @given(
     sig=st.sampled_from(_SIGS),
     body=st.binary(min_size=0, max_size=220),
@@ -818,7 +822,7 @@ def test_fuzz_decoder_contract_random_bytes(sig, body):
         pass
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80 * _FUZZ_SCALE, deadline=None)
 @given(
     fmt=st.sampled_from(["png", "gif", "jpeg", "bmp"]),
     flips=st.lists(
@@ -902,7 +906,7 @@ from goodtables_pandas_py_spark.extensions.imagecodec import (  # noqa: E402
 )
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _FUZZ_SCALE, deadline=None)
 @given(
     k=st.integers(4, 40),
     w=st.integers(1, 48),

@@ -274,8 +274,12 @@ def test_pure_decode_matches_pil():
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
+# GT_FUZZ_SCALE=N multiplies every fuzz contract's example
+# count for deep sweeps (VERDICT r7 item 1); default 1
+_FUZZ_SCALE = int(__import__("os").environ.get("GT_FUZZ_SCALE", "1"))
 
-@settings(max_examples=25, deadline=None)
+
+@settings(max_examples=25 * _FUZZ_SCALE, deadline=None)
 @given(
     w=st.integers(1, 24),
     h=st.integers(1, 24),
@@ -301,7 +305,7 @@ def test_property_roundtrip_any_dims(w, h, ch, sub, seed):
     assert err.max() <= 16, (w, h, ch, sub, err.max())
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15 * _FUZZ_SCALE, deadline=None)
 @given(seed=st.integers(0, 2**31 - 1), rst=st.integers(0, 5))
 def test_property_restart_framing_never_changes_pixels(seed, rst):
     rng = np.random.default_rng(seed)
@@ -471,7 +475,7 @@ def test_progressive_matches_pil():
     assert np.abs(ours - theirs).mean() <= 2.0
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=20 * _FUZZ_SCALE, deadline=None)
 @given(
     w=st.integers(1, 32), h=st.integers(1, 32),
     ch=st.sampled_from([1, 3]),

@@ -14,6 +14,10 @@ import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
 
+# GT_FUZZ_SCALE=N multiplies every fuzz contract's example
+# count for deep sweeps (VERDICT r7 item 1); default 1
+_FUZZ_SCALE = int(__import__("os").environ.get("GT_FUZZ_SCALE", "1"))
+
 from goodtables_pandas_py_spark.extensions.imagecodec import DecodedImage
 from goodtables_pandas_py_spark.extensions.jpegcodec import (
     decode_jpeg,
@@ -147,7 +151,7 @@ def test_rec_list_wrapped_frames_parse():
     assert p.frames == frames
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80 * _FUZZ_SCALE, deadline=None)
 @given(
     prefix=st.sampled_from([b"", b"RIFF", b"RIFF\x00\x00\x00\x00AVI "]),
     body=st.binary(min_size=0, max_size=200),
@@ -160,7 +164,7 @@ def test_fuzz_avi_contract(prefix, body):
         pass
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=50 * _FUZZ_SCALE, deadline=None)
 @given(
     flips=st.lists(
         st.tuples(st.integers(0, 50_000), st.integers(0, 255)),
