@@ -582,3 +582,55 @@ def quality_bins(
     return df.withColumn(
         bin_col, F.when(c.isNotNull(), bin_expr).cast("int")
     )
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    partitions: int | None = None,
+    keep_key: bool = False,
+) -> DataFrame:
+    """Deterministic global pseudo-random reorder for training export
+    (r8): the "shuffle the corpus before the trainer streams it" step,
+    as a reproducible permutation instead of ``ORDER BY rand()``.
+
+    Every row gets key ``xxhash64(salt || id)``; rows are hash-
+    repartitioned on that key into ``partitions`` output partitions
+    and sorted by it within each. Written to files and streamed back
+    in file-NAME order with in-file row order — how training
+    dataloaders consume a corpus — that is a fully shuffled,
+    DETERMINISTIC traversal: same rows in the same order on any
+    engine, cluster size, or rerun, so an interrupted export rerun
+    or a reproduced training run gets the identical stream. (A Spark
+    re-read of the files is NOT the contract: FilePartition packing
+    orders files by size, not name.) A different ``salt`` is a fresh
+    independent permutation (one per epoch).
+
+    Scale shape: exactly ONE hash exchange + partition-local sort.
+    Deliberately NOT ``repartitionByRange``/``orderBy`` — a range
+    partitioner runs a separate sampling job over the input first and
+    its boundaries depend on the sample, which breaks run-to-run
+    determinism and doubles the scans; with uniform hash keys, hash
+    partitioning gives the same balance for free. Global order is
+    "scrambled sorted runs" (partition i holds keys hashing to i,
+    sorted), which is exactly as shuffled as a true key-ordered
+    traversal for training purposes — both are deterministic
+    permutations independent of the content.
+
+    Pin ``partitions`` explicitly for cross-cluster reproducibility
+    (the default inherits the session's shuffle parallelism, which
+    varies by deployment); the row->partition map depends on it.
+    ``keep_key=True`` retains ``__shuffle_key`` for audits; by
+    default it is dropped (dropping a column never reorders rows).
+    Null ids hash like any other value (xxhash64 of the rendered
+    string) and land deterministically too."""
+    key = F.xxhash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    out = df.withColumn("__shuffle_key", key)
+    n = partitions if partitions is not None else int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    out = out.repartition(n, F.col("__shuffle_key")).sortWithinPartitions(
+        "__shuffle_key", id_col
+    )
+    return out if keep_key else out.drop("__shuffle_key")

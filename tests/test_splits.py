@@ -759,3 +759,92 @@ def test_quality_bins_serving_shape_no_refit(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ------------------------------------------- training_shuffle (r8)
+
+
+def test_training_shuffle_is_deterministic_permutation(spark, sf_dir, tmp_path):
+    from goodtables_pandas_py_spark.extensions.splits import (
+        training_shuffle,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = [
+        r["doc_id"]
+        for r in training_shuffle(docs, partitions=8).collect()
+    ]
+    b = [
+        r["doc_id"]
+        for r in training_shuffle(docs, partitions=8).collect()
+    ]
+    assert a == b, "same salt must reproduce the identical order"
+    src = sorted(r["doc_id"] for r in docs.collect())
+    assert sorted(a) == src, "must be a permutation, not a sample"
+    assert a != src, "must not come out id-ordered"
+    c = [
+        r["doc_id"]
+        for r in training_shuffle(docs, salt="epoch1", partitions=8).collect()
+    ]
+    assert sorted(c) == src and c != a, "new salt = fresh permutation"
+
+
+def test_training_shuffle_plan_is_one_hash_exchange(spark, sf_dir):
+    from goodtables_pandas_py_spark.extensions.splits import (
+        training_shuffle,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = training_shuffle(docs, partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange" in l
+    ]
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(__shuffle_key" in exchanges[0], exchanges
+    assert "rangepartitioning" not in plan, (
+        "range partitioner would add a sampling job and break "
+        "determinism"
+    )
+
+
+def test_training_shuffle_survives_parquet_roundtrip(
+    spark, sf_dir, tmp_path
+):
+    """The property that matters to a trainer: the part files, read
+    in NAME order with in-file row order (exactly how a dataloader
+    streams a corpus), reproduce the shuffled order. (A Spark
+    re-read is NOT order-preserving — FilePartition packing sorts
+    files by size — which is why the contract is over the files.)"""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from goodtables_pandas_py_spark.extensions.splits import (
+        training_shuffle,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = training_shuffle(docs, partitions=8)
+    want = [r["doc_id"] for r in out.collect()]
+    path = str(tmp_path / "shuffled.parquet")
+    out.write.parquet(path)
+    got = []
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".parquet"):
+            got.extend(
+                pq.read_table(os.path.join(path, name))
+                .column("doc_id")
+                .to_pylist()
+            )
+    assert got == want
+    # and a Spark re-read is still the same multiset
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(path).collect()
+    ) == sorted(want)
