@@ -2475,3 +2475,42 @@ def test_release_changes_falls_back_without_fingerprints(
         for r in release_changes(spark, root).collect()
     )
     assert got == [(2, "removed"), (3, "added")]
+
+
+def test_release_increment_daily_append_composition(spark, tmp_path):
+    """The 100 TB operating pattern the increment exists for: a corpus
+    partitioned by ingest day receives one new day per publish — every
+    publish rewrites exactly ONE partition and hardlinks the rest, and
+    the changes feed between any two versions reads only the new days.
+    """
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        read_release,
+        release_changes,
+        write_release_increment,
+    )
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+
+    def day(n, k):
+        return [
+            (n * 1000 + i, f"doc{n}-{i}", f"d{n:02d}") for i in range(k)
+        ]
+
+    corpus = day(1, 40)
+    write_release_increment(
+        spark.createDataFrame(corpus, schema), root
+    )  # v1 full (nothing published yet)
+    for n, k in [(2, 30), (3, 20)]:
+        corpus = corpus + day(n, k)
+        m = write_release_increment(
+            spark.createDataFrame(corpus, schema), root
+        )
+        inc = m["incremental"]
+        assert inc["rewritten"] == [f"d{n:02d}"], inc
+        assert inc["removed"] == [] and len(inc["reused"]) == n - 1, inc
+    got, man = read_release(spark, root)
+    assert got.count() == 90 and man["n_rows"] == 90
+    ch = release_changes(spark, root, from_version="v00000001")
+    assert ch.count() == 50  # days 2+3 added
+    assert {r["status"] for r in ch.collect()} == {"added"}
