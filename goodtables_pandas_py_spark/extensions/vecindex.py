@@ -220,6 +220,114 @@ def ivf_index_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("id")).limit(k)
 
 
+def ivf_index_topk_batch(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Serve MANY top-k queries from a persisted index in ONE Spark
+    job (r8) — the throughput-serving shape. :func:`ivf_index_topk`
+    is one job per query; at 10k queries that is 10k scheduler
+    round-trips of a sub-second scan each. Here probe selection runs
+    driver-side over the bounded centroid matrix for ALL queries at
+    once, the postings scan is pruned to the UNION of probed
+    partitions (still a partition filter — unprobed directories are
+    never listed), and each surviving posting row meets exactly the
+    queries that probed its list via a broadcast equi-join on
+    ``ivf_cid``. Query vectors travel in a SECOND small broadcast
+    keyed by query id, so the per-probe table stays (cid, qid) pairs
+    instead of duplicating a vector per probe. Per-query top-k is
+    :func:`~..splits.top_k_per_group` (rank window, id tiebreak).
+
+    Work is Σ_q Σ_{cid∈probes(q)} |list_cid| candidate scores — never
+    queries × index. ``max_queries`` bounds the driver collect and
+    the broadcasts (qids + q×dim doubles; ~10 MB at the 10k default
+    with dim 128); shard bigger query sets into calls, or use
+    ``similarity.knn_join`` when the query side is itself
+    table-sized. Returns (``id_col``, id, cosine), k rows per query;
+    queries whose vector is NULL/ragged against the index dim rank
+    nothing (NULL cosine sorts last) and can return < k rows."""
+    from .splits import top_k_per_group
+
+    spark = index.postings.sparkSession
+    rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"ivf_index_topk_batch query side exceeds max_queries="
+            f"{max_queries} — shard the query set or raise the cap "
+            "consciously (it bounds a driver collect + broadcast)"
+        )
+    if not rows:
+        raise ValueError("ivf_index_topk_batch: empty query set")
+    probe_pairs = []  # (cid, qid)
+    qvecs = []  # (qid, vec)
+    for r in rows:
+        vec = r[vec_col]
+        qid = r[id_col]
+        if vec is None:
+            continue
+        vec = [float(x) for x in vec]
+        qvecs.append((qid, vec))
+        for cid in _probe_cids(vec, index.centroids, nprobe):
+            probe_pairs.append((cid, qid))
+    if not qvecs:
+        raise ValueError(
+            "ivf_index_topk_batch: every query vector is NULL"
+        )
+    union_cids = sorted({cid for cid, _ in probe_pairs})
+
+    from pyspark.sql import types as T
+
+    qid_field = queries.schema[id_col]
+    probes_df = spark.createDataFrame(
+        probe_pairs,
+        T.StructType(
+            [
+                T.StructField("ivf_cid", T.IntegerType(), False),
+                T.StructField("__qid", qid_field.dataType, True),
+            ]
+        ),
+    )
+    qvec_df = spark.createDataFrame(
+        qvecs,
+        T.StructType(
+            [
+                T.StructField("__qid", qid_field.dataType, True),
+                T.StructField(
+                    "__qvec", T.ArrayType(T.DoubleType()), False
+                ),
+            ]
+        ),
+    )
+    scanned = index.postings.where(F.col("ivf_cid").isin(union_cids))
+    if index.manifest["quantized"]:
+        vec = dequantize_embedding(F.col("qvec"))
+    else:
+        vec = F.col("vec").cast("array<double>")
+    cand = scanned.join(F.broadcast(probes_df), "ivf_cid").join(
+        F.broadcast(qvec_df), "__qid"
+    )
+    # HOF cosine, NOT cosine_fixed: WindowGroupLimit's pre-shuffle
+    # partial sort fuses with this projection, and a dim-expanded
+    # cosine (3*dim terms) inside that generated method blows janino's
+    # limit — codegen fails loudly and falls back interpreted anyway
+    # (observed at dim=128). The HOF form is one clean interpreted
+    # expression evaluated once per candidate row, matching the
+    # single-query serve path.
+    scored = cand.select(
+        F.col("__qid").alias(id_col),
+        F.col("id"),
+        cosine(vec, F.col("__qvec")).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored, [id_col], "cosine", k, tiebreak=["id"]
+    )
+
+
 def append_to_ivf_index(
     df: DataFrame,
     index_dir: str,

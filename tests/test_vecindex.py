@@ -302,3 +302,75 @@ def test_write_and_append_survive_unindexable_vectors(spark, emb, tmp_path):
     assert m2["n_vectors"] == 60
     assert m2["n_unindexable"] == 6
     assert sum(m2["list_sizes"].values()) == 60
+
+
+# ------------------------------------------- batch serving (r8)
+
+
+def test_batch_topk_matches_per_query_serving(spark, emb, index_dir):
+    """ivf_index_topk_batch == N calls to ivf_index_topk at the same
+    nprobe: same ids, same cosines, every query."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        ivf_index_topk,
+        ivf_index_topk_batch,
+        read_ivf_index,
+    )
+
+    d, _ = index_dir
+    idx = read_ivf_index(spark, d)
+    qids = [3, 7, 11, 19, 42]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = ivf_index_topk_batch(idx, queries, k=5, nprobe=4)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["id"], round(r["cosine"], 9))
+        )
+    for qid in qids:
+        qv = _query_vec(emb, qid)
+        want = [
+            (r["id"], round(r["cosine"], 9))
+            for r in ivf_index_topk(idx, qv, k=5, nprobe=4).collect()
+        ]
+        assert got[qid] == want, f"query {qid} diverged"
+
+
+def test_batch_topk_plan_prunes_and_broadcasts(spark, emb, index_dir):
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        ivf_index_topk_batch,
+        read_ivf_index,
+    )
+
+    d, _ = index_dir
+    idx = read_ivf_index(spark, d)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_index_topk_batch(idx, queries, k=3, nprobe=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans and all(
+        "PartitionFilters: [ivf_cid" in l for l in scans
+    ), plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_batch_topk_guards(spark, emb, index_dir):
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        ivf_index_topk_batch,
+        read_ivf_index,
+    )
+
+    d, _ = index_dir
+    idx = read_ivf_index(spark, d)
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_index_topk_batch(idx, queries, max_queries=3)
+    with pytest.raises(ValueError, match="empty"):
+        ivf_index_topk_batch(idx, queries.limit(0))
