@@ -2548,7 +2548,14 @@ def _x6_vecindex(spark, sf_dir):
     persistence, or serve-side cosine shows up as a hash mismatch).
     The sublinear serving mode (nprobe < nlist, partition-pruned scan)
     is plan-asserted + recall-tested in test_vecindex; exactness is
-    what an oracle can state."""
+    what an oracle can state.
+
+    r8: query 0 serves through the per-query path and query 17
+    through :func:`~.extensions.vecindex.ivf_index_topk_batch` (the
+    one-job bulk-serving shape, BASELINE.md §ivf-batch-serving), so
+    the same oracle row now certifies BOTH serve paths — ids and
+    6-dp scores must agree with brute force whichever code produced
+    them."""
     import tempfile
 
     from .extensions import vecindex as xvi
@@ -2566,23 +2573,30 @@ def _x6_vecindex(spark, sf_dir):
         )
         _VECINDEX_DIRS[sf_dir] = idx_dir
     idx = xvi.read_ivf_index(spark, idx_dir)
-    arms = []
-    for qid in (0, 17):
-        qv = [
-            float(x)
-            for x in e.where(F.col("vec_id") == qid).first()["embedding"]
-        ]
-        top = xvi.ivf_index_topk(
-            idx, qv, k=10, nprobe=len(idx.centroids)
-        )
-        arms.append(
-            top.select(
-                F.lit(qid).cast(_BIG).alias("query_id"),
-                F.col("id").cast(_BIG).alias("vec_id"),
-                F.round("cosine", 6).alias("cosine"),
-            )
-        )
-    return arms[0].unionByName(arms[1])
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    single = xvi.ivf_index_topk(
+        idx, qv, k=10, nprobe=len(idx.centroids)
+    ).select(
+        F.lit(0).cast(_BIG).alias("query_id"),
+        F.col("id").cast(_BIG).alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+    batch = xvi.ivf_index_topk_batch(
+        idx,
+        e.where(F.col("vec_id") == 17).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=10,
+        nprobe=len(idx.centroids),
+    ).select(
+        F.col("query_id").cast(_BIG).alias("query_id"),
+        F.col("id").cast(_BIG).alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+    return single.unionByName(batch)
 
 
 # ===================== X2c: exact-substring span dedup ====================
