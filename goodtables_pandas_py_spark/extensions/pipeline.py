@@ -258,11 +258,26 @@ def _fingerprint_agg(columns: list[str]) -> list:
     overflow; sum (not xor — Spark has no xor agg) keeps the compare a
     plain equality. A collision passing a CHANGED partition off as
     unchanged needs a 64-bit hash-sum collision at equal counts —
-    negligible for release hygiene."""
-    hash_col = F.xxhash64(*[F.col(c) for c in sorted(columns)])
+    negligible for release hygiene.
+
+    Columns render to sentinel-prefixed strings before hashing (the
+    same scheme as release_diff's row fingerprint, and for the same
+    reason): Spark's xxhash64 SKIPS null arguments, so raw columns
+    would make ("x", null) and (null, "x") in same-typed neighbours
+    hash identically — a value shifting across a null between
+    releases would silently pass the partition off as unchanged
+    (caught by the r8 property test, fixed before first release).
+    'v'+value vs ' null' keeps every column positionally present."""
+    parts = [
+        F.coalesce(
+            F.concat(F.lit("v"), F.col(c).cast("string")),
+            F.lit(" null"),
+        )
+        for c in sorted(columns)
+    ]
     return [
         F.count(F.lit(1)).alias("n"),
-        F.sum(hash_col.cast("decimal(38,0)")).alias("fp"),
+        F.sum(F.xxhash64(*parts).cast("decimal(38,0)")).alias("fp"),
     ]
 
 

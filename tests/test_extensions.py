@@ -2514,3 +2514,64 @@ def test_release_increment_daily_append_composition(spark, tmp_path):
     ch = release_changes(spark, root, from_version="v00000001")
     assert ch.count() == 50  # days 2+3 added
     assert {r["status"] for r in ch.collect()} == {"added"}
+
+
+def test_partition_fingerprint_is_order_and_layout_invariant(spark):
+    """The increment's reuse decision rests on _fingerprint_agg being
+    a pure function of the row MULTISET: row order, partitioning, and
+    duplicate rows must all be reflected faithfully."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        _fingerprint_agg,
+    )
+
+    rows = [
+        (1, "a", 1.5), (2, "b", None), (3, None, 0.0),
+        (2, "b", None),  # duplicate row: must count twice
+    ]
+    schema = "id long, s string, x double"
+
+    def fp(data, parts):
+        df = spark.createDataFrame(data, schema).repartition(parts)
+        r = df.agg(*_fingerprint_agg(["id", "s", "x"])).collect()[0]
+        return (r["n"], int(r["fp"]))
+
+    base = fp(rows, 2)
+    assert fp(list(reversed(rows)), 5) == base
+    assert fp(rows[2:] + rows[:2], 1) == base
+    # dropping one copy of the duplicate changes (n, fp)
+    assert fp(rows[:3], 2) != base
+    # changing a single value changes fp at equal n
+    mutated = [(1, "a", 1.5), (2, "b", None), (3, None, 0.25),
+               (2, "b", None)]
+    n2, f2 = fp(mutated, 2)
+    assert n2 == base[0] and f2 != base[1]
+    # null vs absent-from-hash trap: a null column must still be
+    # distinguishable from a different null layout
+    swapped = [(1, None, 1.5), (2, "b", None), (3, "a", 0.0),
+               (2, "b", None)]
+    assert fp(swapped, 2) != base
+
+
+def test_partition_fingerprint_sees_null_shifts(spark):
+    """xxhash64 skips null ARGUMENTS, so raw-column hashing would make
+    ("x", null) == (null, "x") in same-typed columns — a value
+    shifting across a null between releases would reuse a stale
+    partition. The sentinel rendering must keep them apart."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        _fingerprint_agg,
+    )
+
+    schema = "id long, s1 string, s2 string"
+
+    def fp(data):
+        r = (
+            spark.createDataFrame(data, schema)
+            .agg(*_fingerprint_agg(["id", "s1", "s2"]))
+            .collect()[0]
+        )
+        return int(r["fp"])
+
+    assert fp([(1, "x", None)]) != fp([(1, None, "x")])
+    # and the sentinel itself must not collide with a literal value
+    assert fp([(1, " null", None)]) != fp([(1, None, None)])
+    assert fp([(1, "v1", None)]) != fp([(1, None, "v1")])
