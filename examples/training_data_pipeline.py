@@ -256,15 +256,28 @@ def main() -> int:
         budget=2048,
         part_col="source",
     )
-    # versioned publish (r7): immutable snapshot + atomic CURRENT
-    # pointer swap — a re-run of this script becomes v2 and readers of
-    # v1 keep their snapshot (keep_versions retains one cycle of grace)
-    from goodtables_pandas_py_spark.extensions.pipeline import (
-        write_release_version,
+    # deterministic training shuffle (r8): one hash exchange gives the
+    # trainer a reproducible pseudo-random traversal of the corpus —
+    # the files, streamed in name order, are the epoch-0 permutation
+    from goodtables_pandas_py_spark.extensions.splits import (
+        training_shuffle,
     )
 
-    release_manifest = write_release_version(
-        packed,
+    shuffled = training_shuffle(
+        packed, salt="epoch0-2026-08", partitions=32
+    )
+    # versioned publish: immutable snapshot + atomic CURRENT pointer
+    # swap — a re-run of this script becomes v2 and readers of v1 keep
+    # their snapshot (keep_versions retains one cycle of grace). r8:
+    # INCREMENTAL — a re-run whose splits are byte-identical hardlinks
+    # them into the new version instead of rewriting (manifest
+    # fingerprints decide; first publish is automatically a full one)
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        write_release_increment,
+    )
+
+    release_manifest = write_release_increment(
+        shuffled,
         f"{out}/release",
         keep_versions=3,
         manifest_extra={
@@ -283,6 +296,12 @@ def main() -> int:
     )
     split_counts = release_manifest["row_counts"]
     print(f"splits: {split_counts}")
+    if "incremental" in release_manifest:
+        inc = release_manifest["incremental"]
+        print(
+            f"incremental publish over {inc['base_version']}: "
+            f"reused {inc['reused']}, rewrote {inc['rewritten']}"
+        )
 
     with open(f"{out}/summary.json", "w") as f:
         json.dump(
