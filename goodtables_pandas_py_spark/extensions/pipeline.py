@@ -732,6 +732,59 @@ def write_release_increment(
     return manifest
 
 
+def release_publish_foreach_batch(
+    staging_dir: str,
+    release_root: str,
+    split_col: str | None = "split",
+    keep_versions: int | None = None,
+    publish_every: int = 1,
+    manifest_extra: dict | None = None,
+):
+    """``foreachBatch`` handler (same shape as
+    ``vecindex.ivf_append_foreach_batch``): continuous corpus
+    releases from a stream. Each micro-batch lands in an IDEMPOTENT
+    staging slot — ``staging_dir/batch_id=<id>`` written with
+    overwrite, so an at-least-once replay of the same batch replaces
+    its own files instead of double-appending — then the full staging
+    corpus publishes through :func:`write_release_increment`:
+    partitions the batch did not touch keep their fingerprints and
+    hardlink forward; only the splits with new rows rewrite.
+
+    At 100 TB that is the streaming-release contract you want: per
+    publish, write cost ∝ data that actually arrived (plus one
+    fingerprint aggregation over staging), readers always see an
+    atomic CURRENT snapshot, and a crashed publish leaves an orphan
+    version dir, never a torn release. foreachBatch serializes
+    handler calls — exactly the single-writer contract the release
+    sink requires.
+
+    ``publish_every=N`` publishes only on batch ids divisible by N
+    (staging still ingests every batch); a stream that ends between
+    publishes can be flushed with a manual
+    :func:`write_release_increment` over the staging read."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.write.mode("overwrite").parquet(
+            f"{staging_dir}/batch_id={batch_id}"
+        )
+        if publish_every > 1 and batch_id % publish_every:
+            return
+        full = spark.read.parquet(staging_dir).drop("batch_id")
+        write_release_increment(
+            full,
+            release_root,
+            split_col=split_col,
+            keep_versions=keep_versions,
+            manifest_extra={
+                **(manifest_extra or {}),
+                "through_batch_id": int(batch_id),
+            },
+        )
+
+    return handle
+
+
 def _delete_dir(spark, path: str) -> None:
     import shutil
 

@@ -824,3 +824,86 @@ def test_validate_stream_typed_fast_path_matches_batch(spark, tmp_path):
     for i in (1, 2, 3):
         for c in mask_cols:
             assert got[i][c] == bt[i][c], (i, c)
+
+
+# ------------------------------------- continuous releases (r8)
+
+
+def test_streaming_release_publish_increments(spark, tmp_path):
+    """release_publish_foreach_batch: one file per micro-batch
+    (maxFilesPerTrigger=1) -> one incremental publish per batch;
+    untouched splits hardlink forward, the final CURRENT holds the
+    whole stream, and a replayed batch is idempotent."""
+    import os
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        read_release,
+        release_publish_foreach_batch,
+        write_release_increment,
+    )
+
+    src = str(tmp_path / "src")
+    staging = str(tmp_path / "staging")
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+    # three source files = three micro-batches; each touches ONE split
+    waves = [
+        [(i, f"t{i}", "train") for i in range(10)],
+        [(100 + i, f"v{i}", "val") for i in range(5)],
+        [(200 + i, f"w{i}", "train") for i in range(3)],
+    ]
+    for n, rows in enumerate(waves):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/wave{n}"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/wave*")
+    )
+    handler = release_publish_foreach_batch(staging, root)
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got, man = read_release(spark, root)
+    assert got.count() == 18
+    assert man["row_counts"]["train"] == 13
+    assert man["row_counts"]["val"] == 5
+    # three publishes happened (batch order may vary; the last one
+    # carries an incremental block unless its base was identical)
+    versions = sorted(
+        d
+        for d in os.listdir(os.path.join(root, "versions"))
+        if d.startswith("v")
+    )
+    assert len(versions) == 3
+    # at least one increment reused a split untouched by its batch
+    import json
+
+    reused_any = []
+    for v in versions[1:]:
+        m = json.load(
+            open(os.path.join(root, "versions", v, "manifest.json"))
+        )
+        reused_any.extend(m.get("incremental", {}).get("reused", []))
+    assert reused_any, "no publish reused an untouched split"
+
+    # replay idempotency: re-running a staged batch (same batch_id,
+    # same rows) publishes a version with IDENTICAL content
+    batch0 = sorted(os.listdir(staging))[0]
+    bid = int(batch0.split("=")[1])
+    replay = spark.createDataFrame(waves[0], schema)
+    handler(replay, bid)  # overwrite slot + publish
+    got2, man2 = read_release(spark, root)
+    assert got2.count() == 18
+    assert man2["row_counts"] == man["row_counts"]
+    # the replay publish changed nothing, so every split was reused
+    assert man2["incremental"]["rewritten"] == []
+    assert sorted(man2["incremental"]["reused"]) == ["train", "val"]
