@@ -208,6 +208,7 @@ def write_release(
     split_col: str | None = "split",
     manifest_extra: dict | None = None,
     spark_for_fs=None,
+    fingerprint: bool = True,
 ) -> dict:
     """Write a corpus release: parquet (hive-partitioned by
     ``split_col`` when the column exists — downstream trainers then
@@ -247,6 +248,7 @@ def write_release(
         df.schema,
         split_col if has_split else None,
         manifest_extra,
+        fingerprint=fingerprint,
     )
 
 
@@ -288,6 +290,7 @@ def _finalize_release_manifest(
     schema,
     split_col: str | None,
     manifest_extra: dict | None,
+    fingerprint: bool = True,
 ) -> dict:
     """Shared tail of every release write: read BACK what's on disk,
     compute per-split counts + content fingerprints in one scan, and
@@ -313,7 +316,24 @@ def _finalize_release_manifest(
             raise
         back = spark.createDataFrame([], schema)
     cols = [f.name for f in schema.fields]
-    if split_col is not None:
+    if not fingerprint:
+        # counts-only: ~6x cheaper readback agg (measured +1.5s per
+        # 600k x 12 cols — the casts+hash are per-cell CPU); the
+        # manifest then cannot seed write_release_increment, which
+        # falls back to a full rewrite. Opt out only for corpora
+        # that never publish incrementally.
+        if split_col is not None:
+            counts = {
+                (r[split_col] if r[split_col] is not None else "__null__"):
+                r["n"]
+                for r in back.groupBy(split_col)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        else:
+            counts = {"all": back.count()}
+        fps = {}
+    elif split_col is not None:
         # a null split (e.g. a user-joined assignment with misses)
         # lands in the hive default partition; name it explicitly
         # rather than crashing json.dump on a None key
@@ -453,6 +473,7 @@ def write_release_version(
     manifest_extra: dict | None = None,
     keep_versions: int | None = None,
     spark_for_fs=None,
+    fingerprint: bool = True,
 ) -> dict:
     """Write an IMMUTABLE versioned release snapshot and publish it
     atomically:
@@ -487,6 +508,7 @@ def write_release_version(
         split_col=split_col,
         manifest_extra={**(manifest_extra or {}), "version": vname},
         spark_for_fs=spark_for_fs,
+        fingerprint=fingerprint,
     )
     _swap_pointer(spark_for_fs or spark, root, vname)
     if keep_versions is not None and keep_versions >= 1:

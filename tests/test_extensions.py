@@ -2575,3 +2575,24 @@ def test_partition_fingerprint_sees_null_shifts(spark):
     # and the sentinel itself must not collide with a literal value
     assert fp([(1, " null", None)]) != fp([(1, None, None)])
     assert fp([(1, "v1", None)]) != fp([(1, None, "v1")])
+
+
+def test_release_fingerprint_opt_out(spark, tmp_path):
+    """fingerprint=False publishes a counts-only manifest (cheaper
+    readback agg); a later increment then falls back to a full write
+    instead of failing."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        write_release_increment,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    df = spark.createDataFrame(
+        [(1, "train"), (2, "val")], "doc_id long, split string"
+    )
+    m1 = write_release_version(df, root, fingerprint=False)
+    assert m1["partition_fingerprints"] == {}
+    assert m1["row_counts"] == {"train": 1, "val": 1}
+    m2 = write_release_increment(df, root)
+    assert m2["version"] == "v00000002" and "incremental" not in m2
+    assert m2["partition_fingerprints"]  # full path re-enables them
