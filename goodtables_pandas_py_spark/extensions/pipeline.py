@@ -291,13 +291,23 @@ def _finalize_release_manifest(
     split_col: str | None,
     manifest_extra: dict | None,
     fingerprint: bool = True,
+    known_fps: dict | None = None,
 ) -> dict:
     """Shared tail of every release write: read BACK what's on disk,
     compute per-split counts + content fingerprints in one scan, and
     write ``manifest.json``. Readback uses the frame's EXPLICIT schema
     so the hive partition column keeps its original type (inference
     would e.g. turn a string split "1" into an int and poison every
-    future fingerprint compare)."""
+    future fingerprint compare).
+
+    ``known_fps`` (r8): fingerprints the CALLER can prove — partitions
+    whose files were hardlinked/copied verbatim from a prior version
+    carry that version's manifest entries unchanged. The readback agg
+    is then PARTITION-PRUNED to everything else, so an incremental
+    publish's manifest costs a scan of the rewritten partitions only,
+    not the corpus. Keys are manifest string keys ("__null__" for the
+    hive default partition); values the usual {"n": int, "fp": str}.
+    Only honored on the partitioned, fingerprint=True path."""
     import json
     import os
 
@@ -334,6 +344,18 @@ def _finalize_release_manifest(
             counts = {"all": back.count()}
         fps = {}
     elif split_col is not None:
+        if known_fps:
+            # scan only the partitions the caller could NOT vouch
+            # for. NOT-IN evaluates to NULL for a null split, which
+            # would silently drop the hive default partition — keep
+            # or exclude nulls explicitly
+            vals = [k for k in known_fps if k != "__null__"]
+            cond = ~F.col(split_col).cast("string").isin(vals)
+            if "__null__" in known_fps:
+                cond = cond & F.col(split_col).isNotNull()
+            else:
+                cond = cond | F.col(split_col).isNull()
+            back = back.where(cond)
         # a null split (e.g. a user-joined assignment with misses)
         # lands in the hive default partition; name it explicitly
         # rather than crashing json.dump on a None key
@@ -344,6 +366,9 @@ def _finalize_release_manifest(
             key = r[split_col] if r[split_col] is not None else "__null__"
             counts[key] = r["n"]
             fps[str(key)] = {"n": int(r["n"]), "fp": str(int(r["fp"]))}
+        for k, v in (known_fps or {}).items():
+            counts[k] = int(v["n"])
+            fps[k] = {"n": int(v["n"]), "fp": str(v["fp"])}
     else:
         row = back.agg(*_fingerprint_agg(cols)).collect()[0]
         counts = {"all": row["n"]}
@@ -738,6 +763,158 @@ def write_release_increment(
                 "removed": removed,
             },
         },
+        # reused partitions are the SAME FILES as the base version —
+        # their manifest entries carry over verbatim and the readback
+        # agg prunes to the rewritten partitions (r8: manifest cost ∝
+        # changes, not corpus)
+        known_fps={k: old_fps[k] for k in reused},
+    )
+    _swap_pointer(fs_spark, root, vname)
+    if keep_versions is not None and keep_versions >= 1:
+        published = [
+            v
+            for v in list_release_versions(spark, root)
+            if _read_text(fs_spark, f"{root}/versions/{v}/manifest.json")
+            is not None
+        ]
+        for old_v in published[:-keep_versions]:
+            if old_v == vname:
+                continue
+            _delete_dir(fs_spark, f"{root}/versions/{old_v}")
+    return manifest
+
+
+def write_release_append(
+    batch_df: DataFrame,
+    root: str,
+    split_col: str | None = "split",
+    manifest_extra: dict | None = None,
+    keep_versions: int | None = None,
+    spark_for_fs=None,
+) -> dict:
+    """Publish version N+1 = CURRENT ∪ ``batch_df`` with cost ∝ the
+    BATCH, not the corpus (r8) — the append/ingest shape of the
+    release sink, the offline equivalent of a table-format APPEND
+    commit.
+
+    Where :func:`write_release_increment` takes the caller's full
+    corpus frame and fingerprint-scans it, this takes only the NEW
+    rows: one fingerprint aggregation over the batch finds the
+    touched partitions; untouched partitions hardlink forward with
+    their manifest entries carried verbatim (no scan, no hash);
+    touched partitions rewrite as (current rows of that partition —
+    a PARTITION-PRUNED read of the immutable current version — union
+    the batch's rows). The manifest readback prunes the same way. At
+    100 TB a daily ingest therefore reads and writes ~the day's
+    partitions; the other 364 days are O(files) metadata work, every
+    publish still an atomic CURRENT swap with full-corpus manifests.
+
+    Falls back to a full :func:`write_release_version` of the batch
+    when nothing is published yet (the batch IS the corpus), and
+    refuses when the current release predates fingerprints or is not
+    partitioned by ``split_col`` — appending blind would silently
+    drop the existing corpus. At-least-once callers must guard
+    replays themselves (double-append = duplicate rows):
+    :func:`release_publish_foreach_batch` does it with the
+    manifest's ``through_batch_id``. Single-writer, like the rest of
+    the sink."""
+    import json
+
+    from ..sources import write_partitioned
+
+    spark = batch_df.sparkSession
+    fs_spark = spark_for_fs if spark_for_fs is not None else spark
+    cur = _read_text(fs_spark, _pointer_paths(root)[0])
+    has_split = split_col is not None and split_col in batch_df.columns
+    old = None
+    if cur is not None:
+        text = _read_text(
+            fs_spark, f"{root}/versions/{cur.strip()}/manifest.json"
+        )
+        old = json.loads(text) if text is not None else None
+    if old is None:
+        return write_release_version(
+            batch_df, root, split_col, manifest_extra, keep_versions,
+            spark_for_fs,
+        )
+    if (
+        not has_split
+        or old.get("partitioned_by") != [split_col]
+        or not old.get("partition_fingerprints")
+    ):
+        raise ValueError(
+            "write_release_append needs a fingerprinted release "
+            f"partitioned by {split_col!r} to append to — publish via "
+            "write_release_version/increment first (or fix split_col)"
+        )
+    cur = cur.strip()
+    old_fps = old["partition_fingerprints"]
+
+    rows = (
+        batch_df.groupBy(split_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    touched = {}  # manifest string key -> typed value
+    for r in rows:
+        key = "__null__" if r[split_col] is None else str(r[split_col])
+        touched[key] = r[split_col]
+    if not touched:  # empty batch: nothing to publish
+        return old
+    reused = sorted(k for k in old_fps if k not in touched)
+    rewritten = sorted(touched)
+
+    existing = list_release_versions(spark, root)
+    nxt = (int(existing[-1][1:]) + 1) if existing else 1
+    vname = f"v{nxt:08d}"
+    vdir = f"{root}/versions/{vname}"
+    data_path = f"{vdir}/data.parquet"
+    old_data = f"{root}/versions/{cur}/data.parquet"
+
+    current, _ = read_release(spark, root, cur)
+    vals = [v for k, v in touched.items() if k != "__null__"]
+    cond = (
+        F.col(split_col).cast("string").isin([str(v) for v in vals])
+        if vals
+        else F.lit(False)
+    )
+    if "__null__" in touched:
+        cond = cond | F.col(split_col).isNull()
+    merged = current.select(*batch_df.columns).where(cond).unionByName(
+        batch_df
+    )
+    write_partitioned(merged, data_path, [split_col])
+    if reused:
+        old_dirs = _list_partition_dirs(fs_spark, old_data, split_col)
+        for k in reused:
+            if k not in old_dirs:
+                raise IOError(
+                    f"partition {k!r} is in the manifest but its "
+                    f"directory is missing under {old_data}"
+                )
+            _copy_tree(
+                fs_spark,
+                f"{old_data}/{old_dirs[k]}",
+                f"{data_path}/{old_dirs[k]}",
+            )
+    manifest = _finalize_release_manifest(
+        spark,
+        fs_spark,
+        vdir,
+        batch_df.schema,
+        split_col,
+        {
+            **(manifest_extra or {}),
+            "version": vname,
+            "incremental": {
+                "base_version": cur,
+                "reused": reused,
+                "rewritten": rewritten,
+                "removed": [],
+                "append": True,
+            },
+        },
+        known_fps={k: old_fps[k] for k in reused},
     )
     _swap_pointer(fs_spark, root, vname)
     if keep_versions is not None and keep_versions >= 1:
@@ -755,46 +932,49 @@ def write_release_increment(
 
 
 def release_publish_foreach_batch(
-    staging_dir: str,
     release_root: str,
     split_col: str | None = "split",
     keep_versions: int | None = None,
-    publish_every: int = 1,
     manifest_extra: dict | None = None,
 ):
     """``foreachBatch`` handler (same shape as
     ``vecindex.ivf_append_foreach_batch``): continuous corpus
-    releases from a stream. Each micro-batch lands in an IDEMPOTENT
-    staging slot — ``staging_dir/batch_id=<id>`` written with
-    overwrite, so an at-least-once replay of the same batch replaces
-    its own files instead of double-appending — then the full staging
-    corpus publishes through :func:`write_release_increment`:
-    partitions the batch did not touch keep their fingerprints and
-    hardlink forward; only the splits with new rows rewrite.
+    releases from a stream, with NO staging area. Each micro-batch
+    publishes version N+1 = CURRENT ∪ batch through
+    :func:`write_release_append` — cost ∝ the batch: untouched
+    partitions hardlink forward with their manifest entries carried
+    verbatim, and only the splits the batch touched are read (a
+    partition-pruned scan of the immutable current version) and
+    rewritten.
 
-    At 100 TB that is the streaming-release contract you want: per
-    publish, write cost ∝ data that actually arrived (plus one
-    fingerprint aggregation over staging), readers always see an
+    Replay safety without staging slots: every publish records its
+    ``through_batch_id``; foreachBatch is at-least-once, so a
+    replayed batch whose id is <= the current manifest's recorded id
+    is a NO-OP (the rows are already in CURRENT; appending them
+    again would duplicate). Publish cadence == batch cadence by
+    design — size publishes with the stream trigger
+    (``processingTime`` / ``availableNow``), not by skipping
+    batches. foreachBatch serializes handler calls, which is the
+    release sink's single-writer contract; readers always resolve an
     atomic CURRENT snapshot, and a crashed publish leaves an orphan
-    version dir, never a torn release. foreachBatch serializes
-    handler calls — exactly the single-writer contract the release
-    sink requires.
-
-    ``publish_every=N`` publishes only on batch ids divisible by N
-    (staging still ingests every batch); a stream that ends between
-    publishes can be flushed with a manual
-    :func:`write_release_increment` over the staging read."""
+    version dir, never a torn release."""
+    import json
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df.write.mode("overwrite").parquet(
-            f"{staging_dir}/batch_id={batch_id}"
-        )
-        if publish_every > 1 and batch_id % publish_every:
-            return
-        full = spark.read.parquet(staging_dir).drop("batch_id")
-        write_release_increment(
-            full,
+        cur = _read_text(spark, _pointer_paths(release_root)[0])
+        if cur is not None:
+            text = _read_text(
+                spark,
+                f"{release_root}/versions/{cur.strip()}/manifest.json",
+            )
+            man = json.loads(text) if text is not None else {}
+            if int(man.get("through_batch_id", -1)) >= batch_id:
+                return  # replayed batch: already published
+        if not batch_df.head(1):
+            return  # empty batch: nothing to append
+        write_release_append(
+            batch_df,
             release_root,
             split_col=split_col,
             keep_versions=keep_versions,

@@ -829,21 +829,20 @@ def test_validate_stream_typed_fast_path_matches_batch(spark, tmp_path):
 # ------------------------------------- continuous releases (r8)
 
 
-def test_streaming_release_publish_increments(spark, tmp_path):
-    """release_publish_foreach_batch: one file per micro-batch
-    (maxFilesPerTrigger=1) -> one incremental publish per batch;
-    untouched splits hardlink forward, the final CURRENT holds the
-    whole stream, and a replayed batch is idempotent."""
+def test_streaming_release_publish_appends(spark, tmp_path):
+    """release_publish_foreach_batch (staging-free): one file per
+    micro-batch (maxFilesPerTrigger=1) -> one append-publish per
+    batch; untouched splits hardlink forward, the final CURRENT holds
+    the whole stream, and a replayed batch id is a no-op."""
+    import json
     import os
 
     from goodtables_pandas_py_spark.extensions.pipeline import (
         read_release,
         release_publish_foreach_batch,
-        write_release_increment,
     )
 
     src = str(tmp_path / "src")
-    staging = str(tmp_path / "staging")
     root = str(tmp_path / "rel")
     schema = "doc_id long, text string, split string"
     # three source files = three micro-batches; each touches ONE split
@@ -861,12 +860,10 @@ def test_streaming_release_publish_increments(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/wave*")
     )
-    handler = release_publish_foreach_batch(staging, root)
+    handler = release_publish_foreach_batch(root)
     q = (
         stream.writeStream.foreachBatch(handler)
-        .option(
-            "checkpointLocation", str(tmp_path / "ckpt")
-        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -876,34 +873,28 @@ def test_streaming_release_publish_increments(spark, tmp_path):
     assert got.count() == 18
     assert man["row_counts"]["train"] == 13
     assert man["row_counts"]["val"] == 5
-    # three publishes happened (batch order may vary; the last one
-    # carries an incremental block unless its base was identical)
     versions = sorted(
         d
         for d in os.listdir(os.path.join(root, "versions"))
         if d.startswith("v")
     )
     assert len(versions) == 3
-    # at least one increment reused a split untouched by its batch
-    import json
-
-    reused_any = []
+    # every post-v1 publish was an append that reused some untouched
+    # split and rewrote exactly the batch's split
     for v in versions[1:]:
         m = json.load(
             open(os.path.join(root, "versions", v, "manifest.json"))
         )
-        reused_any.extend(m.get("incremental", {}).get("reused", []))
-    assert reused_any, "no publish reused an untouched split"
+        inc = m["incremental"]
+        assert inc.get("append") is True
+        assert len(inc["rewritten"]) == 1 and inc["reused"], inc
 
-    # replay idempotency: re-running a staged batch (same batch_id,
-    # same rows) publishes a version with IDENTICAL content
-    batch0 = sorted(os.listdir(staging))[0]
-    bid = int(batch0.split("=")[1])
+    # replayed batch id (at-least-once) is a NO-OP: no new version,
+    # same content
+    tb = man["through_batch_id"]
     replay = spark.createDataFrame(waves[0], schema)
-    handler(replay, bid)  # overwrite slot + publish
+    handler(replay, 0)
+    assert tb >= 0
     got2, man2 = read_release(spark, root)
+    assert man2["version"] == man["version"]
     assert got2.count() == 18
-    assert man2["row_counts"] == man["row_counts"]
-    # the replay publish changed nothing, so every split was reused
-    assert man2["incremental"]["rewritten"] == []
-    assert sorted(man2["incremental"]["reused"]) == ["train", "val"]

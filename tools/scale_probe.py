@@ -433,6 +433,19 @@ def main() -> None:
     )
     timings["ivf_index_serve_20q"] = round(time.time() - t0, 2)
 
+    # r8: bulk serving — 1000 queries through ivf_index_topk_batch in
+    # ONE job (union-pruned scan + broadcast probes). Watch: time must
+    # track candidate volume (queries x probed-list sizes), and stay
+    # far below 1000x the per-query cost above.
+    batch_q = be.limit(1000).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.time()
+    sizes["ivf_batch_rows"] = xvi.ivf_index_topk_batch(
+        idx, batch_q, k=10, nprobe=4
+    ).count()
+    timings["ivf_batch_serve_1000q"] = round(time.time() - t0, 2)
+
     # r6: BPE — fit is ONE word-count agg over the corpus + driver
     # merge loop (must scale with corpus scan, not vocab); encode is
     # map-only Arrow batches (linear in tokens)
