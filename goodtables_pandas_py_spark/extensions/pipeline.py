@@ -936,6 +936,7 @@ def release_publish_foreach_batch(
     split_col: str | None = "split",
     keep_versions: int | None = None,
     manifest_extra: dict | None = None,
+    stream_id: str | None = None,
 ):
     """``foreachBatch`` handler (same shape as
     ``vecindex.ivf_append_foreach_batch``): continuous corpus
@@ -951,13 +952,19 @@ def release_publish_foreach_batch(
     ``through_batch_id``; foreachBatch is at-least-once, so a
     replayed batch whose id is <= the current manifest's recorded id
     is a NO-OP (the rows are already in CURRENT; appending them
-    again would duplicate). Publish cadence == batch cadence by
-    design — size publishes with the stream trigger
-    (``processingTime`` / ``availableNow``), not by skipping
-    batches. foreachBatch serializes handler calls, which is the
-    release sink's single-writer contract; readers always resolve an
-    atomic CURRENT snapshot, and a crashed publish leaves an orphan
-    version dir, never a torn release."""
+    again would duplicate). CAVEAT — batch ids are scoped to the
+    stream's CHECKPOINT: a stream restarted with a fresh checkpoint
+    restarts at batch 0, which the bare guard would skip as "already
+    published". Pass ``stream_id`` (any stable name for the
+    checkpoint lineage — e.g. the checkpoint path) to scope the
+    guard: a publish stamped with a DIFFERENT stream_id ignores the
+    stored through_batch_id instead of silently dropping data.
+    Publish cadence == batch cadence by design — size publishes with
+    the stream trigger (``processingTime`` / ``availableNow``), not
+    by skipping batches. foreachBatch serializes handler calls,
+    which is the release sink's single-writer contract; readers
+    always resolve an atomic CURRENT snapshot, and a crashed publish
+    leaves an orphan version dir, never a torn release."""
     import json
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -969,7 +976,10 @@ def release_publish_foreach_batch(
                 f"{release_root}/versions/{cur.strip()}/manifest.json",
             )
             man = json.loads(text) if text is not None else {}
-            if int(man.get("through_batch_id", -1)) >= batch_id:
+            same_lineage = man.get("stream_id") == stream_id
+            if same_lineage and int(
+                man.get("through_batch_id", -1)
+            ) >= batch_id:
                 return  # replayed batch: already published
         if not batch_df.head(1):
             return  # empty batch: nothing to append
@@ -981,6 +991,7 @@ def release_publish_foreach_batch(
             manifest_extra={
                 **(manifest_extra or {}),
                 "through_batch_id": int(batch_id),
+                "stream_id": stream_id,
             },
         )
 

@@ -898,3 +898,13 @@ def test_streaming_release_publish_appends(spark, tmp_path):
     got2, man2 = read_release(spark, root)
     assert man2["version"] == man["version"]
     assert got2.count() == 18
+
+    # a DIFFERENT stream lineage (fresh checkpoint restarting at
+    # batch 0) must NOT be skipped by the stored through_batch_id
+    fresh = release_publish_foreach_batch(root, stream_id="ckpt2")
+    fresh(
+        spark.createDataFrame([(900, "x", "val")], schema), 0
+    )
+    got3, man3 = read_release(spark, root)
+    assert got3.count() == 19
+    assert man3["stream_id"] == "ckpt2"
