@@ -252,6 +252,21 @@ def write_release(
     )
 
 
+def _part_key(value) -> str:
+    """Canonical manifest key for a partition VALUE: must match both
+    Spark's ``cast(col as string)`` (used in partition-pruning
+    predicates) and hive's directory rendering (used to locate the
+    dir for reuse) — Python's ``str()`` does neither for booleans
+    ('True' vs the hive/Spark 'true'; r8 review fix, which also keeps
+    every manifest key a STRING so json.dumps(sort_keys=True) never
+    compares mixed int/str keys). Null is the explicit sentinel."""
+    if value is None:
+        return "__null__"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
 def _fingerprint_agg(columns: list[str]) -> list:
     """Order-insensitive per-group content fingerprint: row count plus
     the decimal(38,0) SUM of xxhash64 over all columns (sorted by name
@@ -334,8 +349,7 @@ def _finalize_release_manifest(
         # that never publish incrementally.
         if split_col is not None:
             counts = {
-                (r[split_col] if r[split_col] is not None else "__null__"):
-                r["n"]
+                _part_key(r[split_col]): r["n"]
                 for r in back.groupBy(split_col)
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
@@ -363,9 +377,9 @@ def _finalize_release_manifest(
         counts = {}
         fps = {}
         for r in rows:
-            key = r[split_col] if r[split_col] is not None else "__null__"
+            key = _part_key(r[split_col])
             counts[key] = r["n"]
-            fps[str(key)] = {"n": int(r["n"]), "fp": str(int(r["fp"]))}
+            fps[key] = {"n": int(r["n"]), "fp": str(int(r["fp"]))}
         for k, v in (known_fps or {}).items():
             counts[k] = int(v["n"])
             fps[k] = {"n": int(v["n"]), "fp": str(v["fp"])}
@@ -491,6 +505,53 @@ def _swap_pointer(spark, root: str, version: str) -> None:
         raise IOError(f"pointer swap failed for {root}")
 
 
+def _next_version_name(spark, root: str) -> str:
+    """max(existing)+1 — orphan dirs from crashed writers advance the
+    counter so a new publish never lands inside one."""
+    existing = list_release_versions(spark, root)
+    return f"v{(int(existing[-1][1:]) + 1) if existing else 1:08d}"
+
+
+def _copy_reused_partitions(
+    fs_spark, old_data: str, data_path: str, split_col: str,
+    reused: list,
+) -> None:
+    if not reused:
+        return
+    old_dirs = _list_partition_dirs(fs_spark, old_data, split_col)
+    for k in reused:
+        if k not in old_dirs:
+            raise IOError(
+                f"partition {k!r} is in the base manifest but its "
+                f"directory is missing under {old_data}"
+            )
+        _copy_tree(
+            fs_spark,
+            f"{old_data}/{old_dirs[k]}",
+            f"{data_path}/{old_dirs[k]}",
+        )
+
+
+def _apply_retention(
+    spark, fs_spark, root: str, keep_versions: int | None, vname: str
+) -> None:
+    """Prune all but the newest ``keep_versions`` PUBLISHED versions
+    (manifest present — a crashed writer's orphan dir must not consume
+    a retention slot, r7 review fix), never the one just published."""
+    if keep_versions is None or keep_versions < 1:
+        return
+    published = [
+        v
+        for v in list_release_versions(spark, root)
+        if _read_text(fs_spark, f"{root}/versions/{v}/manifest.json")
+        is not None
+    ]
+    for old_v in published[:-keep_versions]:
+        if old_v == vname:
+            continue
+        _delete_dir(fs_spark, f"{root}/versions/{old_v}")
+
+
 def write_release_version(
     df: DataFrame,
     root: str,
@@ -524,9 +585,7 @@ def write_release_version(
     the default None never prunes). Returns the manifest with
     ``version`` added."""
     spark = df.sparkSession
-    existing = list_release_versions(spark, root)
-    nxt = (int(existing[-1][1:]) + 1) if existing else 1
-    vname = f"v{nxt:08d}"
+    vname = _next_version_name(spark, root)
     manifest = write_release(
         df,
         f"{root}/versions/{vname}",
@@ -536,22 +595,9 @@ def write_release_version(
         fingerprint=fingerprint,
     )
     _swap_pointer(spark_for_fs or spark, root, vname)
-    if keep_versions is not None and keep_versions >= 1:
-        # rank by PUBLISHED versions only (manifest present): a
-        # crashed writer's orphan dir must not consume a retention
-        # slot and get the previous real version pruned out from
-        # under its grace window (r7 review fix). Orphans are left
-        # in place — version numbering already skips past them.
-        fs_spark = spark_for_fs or spark
-        published = [
-            v for v in list_release_versions(spark, root)
-            if _read_text(fs_spark, f"{root}/versions/{v}/manifest.json")
-            is not None
-        ]
-        for old_v in published[:-keep_versions]:
-            if old_v == vname:
-                continue
-            _delete_dir(fs_spark, f"{root}/versions/{old_v}")
+    _apply_retention(
+        spark, spark_for_fs or spark, root, keep_versions, vname
+    )
     return manifest
 
 
@@ -701,7 +747,7 @@ def write_release_increment(
     )
     new_parts = {}  # manifest string key -> (typed value, n, fp)
     for r in rows:
-        key = "__null__" if r[split_col] is None else str(r[split_col])
+        key = _part_key(r[split_col])
         new_parts[key] = (r[split_col], int(r["n"]), str(int(r["fp"])))
     if not new_parts:
         # empty release: nothing to reuse or link — the full path
@@ -721,9 +767,7 @@ def write_release_increment(
     rewritten = sorted(k for k in new_parts if k not in reused)
     removed = sorted(k for k in old_fps if k not in new_parts)
 
-    existing = list_release_versions(spark, root)
-    nxt = (int(existing[-1][1:]) + 1) if existing else 1
-    vname = f"v{nxt:08d}"
+    vname = _next_version_name(spark, root)
     vdir = f"{root}/versions/{vname}"
     data_path = f"{vdir}/data.parquet"
     old_data = f"{root}/versions/{cur}/data.parquet"
@@ -734,19 +778,9 @@ def write_release_increment(
         if "__null__" in rewritten:
             cond = cond | F.col(split_col).isNull()
         write_partitioned(df.filter(cond), data_path, [split_col])
-    if reused:
-        old_dirs = _list_partition_dirs(fs_spark, old_data, split_col)
-        for k in reused:
-            if k not in old_dirs:  # manifest/layout drift — rewrite
-                raise IOError(
-                    f"partition {k!r} fingerprint matched but its "
-                    f"directory is missing under {old_data}"
-                )
-            _copy_tree(
-                fs_spark,
-                f"{old_data}/{old_dirs[k]}",
-                f"{data_path}/{old_dirs[k]}",
-            )
+    _copy_reused_partitions(
+        fs_spark, old_data, data_path, split_col, reused
+    )
     manifest = _finalize_release_manifest(
         spark,
         fs_spark,
@@ -770,17 +804,7 @@ def write_release_increment(
         known_fps={k: old_fps[k] for k in reused},
     )
     _swap_pointer(fs_spark, root, vname)
-    if keep_versions is not None and keep_versions >= 1:
-        published = [
-            v
-            for v in list_release_versions(spark, root)
-            if _read_text(fs_spark, f"{root}/versions/{v}/manifest.json")
-            is not None
-        ]
-        for old_v in published[:-keep_versions]:
-            if old_v == vname:
-                continue
-            _delete_dir(fs_spark, f"{root}/versions/{old_v}")
+    _apply_retention(spark, fs_spark, root, keep_versions, vname)
     return manifest
 
 
@@ -849,6 +873,19 @@ def write_release_append(
         )
     cur = cur.strip()
     old_fps = old["partition_fingerprints"]
+    old_cols = sorted(
+        f["name"] for f in old.get("schema", {}).get("fields", [])
+    )
+    if old_cols and sorted(batch_df.columns) != old_cols:
+        # a narrower batch would rewrite touched partitions WITHOUT
+        # the missing columns while hardlinked partitions keep them —
+        # one version, two schemas; refuse loudly instead
+        raise ValueError(
+            "write_release_append: batch columns "
+            f"{sorted(batch_df.columns)} != current release columns "
+            f"{old_cols} — align the batch schema (or publish via "
+            "write_release_increment with the full corpus)"
+        )
 
     rows = (
         batch_df.groupBy(split_col)
@@ -857,25 +894,34 @@ def write_release_append(
     )
     touched = {}  # manifest string key -> typed value
     for r in rows:
-        key = "__null__" if r[split_col] is None else str(r[split_col])
+        key = _part_key(r[split_col])
         touched[key] = r[split_col]
     if not touched:  # empty batch: nothing to publish
         return old
     reused = sorted(k for k in old_fps if k not in touched)
     rewritten = sorted(touched)
 
-    existing = list_release_versions(spark, root)
-    nxt = (int(existing[-1][1:]) + 1) if existing else 1
-    vname = f"v{nxt:08d}"
+    vname = _next_version_name(spark, root)
     vdir = f"{root}/versions/{vname}"
     data_path = f"{vdir}/data.parquet"
     old_data = f"{root}/versions/{cur}/data.parquet"
 
-    current, _ = read_release(spark, root, cur)
-    vals = [v for k, v in touched.items() if k != "__null__"]
+    # read the current version with the manifest's EXPLICIT schema:
+    # hive partition-type inference has no boolean case (a split=true
+    # dir comes back as string), and a coerced union would poison the
+    # rewrite's types vs the hardlinked partitions
+    from pyspark.sql.types import StructType
+
+    current = spark.read.schema(
+        StructType.fromJson(old["schema"])
+    ).parquet(old_data)
+    # compare on _part_key strings, NOT Python str(): str(True) is
+    # 'True' but Spark's cast renders 'true' — a mismatch here would
+    # silently DROP the current partition's rows from the rewrite
+    keys = [k for k in touched if k != "__null__"]
     cond = (
-        F.col(split_col).cast("string").isin([str(v) for v in vals])
-        if vals
+        F.col(split_col).cast("string").isin(keys)
+        if keys
         else F.lit(False)
     )
     if "__null__" in touched:
@@ -884,19 +930,9 @@ def write_release_append(
         batch_df
     )
     write_partitioned(merged, data_path, [split_col])
-    if reused:
-        old_dirs = _list_partition_dirs(fs_spark, old_data, split_col)
-        for k in reused:
-            if k not in old_dirs:
-                raise IOError(
-                    f"partition {k!r} is in the manifest but its "
-                    f"directory is missing under {old_data}"
-                )
-            _copy_tree(
-                fs_spark,
-                f"{old_data}/{old_dirs[k]}",
-                f"{data_path}/{old_dirs[k]}",
-            )
+    _copy_reused_partitions(
+        fs_spark, old_data, data_path, split_col, reused
+    )
     manifest = _finalize_release_manifest(
         spark,
         fs_spark,
@@ -917,17 +953,7 @@ def write_release_append(
         known_fps={k: old_fps[k] for k in reused},
     )
     _swap_pointer(fs_spark, root, vname)
-    if keep_versions is not None and keep_versions >= 1:
-        published = [
-            v
-            for v in list_release_versions(spark, root)
-            if _read_text(fs_spark, f"{root}/versions/{v}/manifest.json")
-            is not None
-        ]
-        for old_v in published[:-keep_versions]:
-            if old_v == vname:
-                continue
-            _delete_dir(fs_spark, f"{root}/versions/{old_v}")
+    _apply_retention(spark, fs_spark, root, keep_versions, vname)
     return manifest
 
 

@@ -623,9 +623,21 @@ def training_shuffle(
     varies by deployment); the row->partition map depends on it.
     ``keep_key=True`` retains ``__shuffle_key`` for audits; by
     default it is dropped (dropping a column never reorders rows).
-    Null ids hash like any other value (xxhash64 of the rendered
-    string) and land deterministically too."""
-    key = F.xxhash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    Null ids render to a sentinel inside the key (``concat`` of a
+    null would null the whole key and xxhash64 would collapse every
+    null-id row onto the seed constant — one hot clump, same stream
+    position every epoch); they still tie on the (key, id) sort, so
+    their RELATIVE order is not pinned — unique ids are the real
+    contract, as everywhere else in the release machinery."""
+    key = F.xxhash64(
+        F.concat(
+            F.lit(salt),
+            F.coalesce(
+                F.concat(F.lit("v"), F.col(id_col).cast("string")),
+                F.lit(" null"),
+            ),
+        )
+    )
     out = df.withColumn("__shuffle_key", key)
     n = partitions if partitions is not None else int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")

@@ -532,9 +532,6 @@ def read_avro(
     return bf.mapInPandas(_decode_files, schema=spark_schema)
 
 
-_ZSTD_CACHE: dict[tuple, str] = {}
-
-
 def stage_zstd(spark: SparkSession, path: str) -> str:
     """Materialize ``*.zst`` text resources as plain files Spark's
     readers can scan (r8 — VERDICT r7 item 4).

@@ -2697,3 +2697,70 @@ def test_release_append_reads_only_touched_partitions(spark, tmp_path):
     assert m["incremental"]["rewritten"] == ["val"]
     got, _ = read_release(spark, root)
     assert got.where("split = 'val'").count() == 2
+
+
+def test_release_increment_nonstring_split_columns(spark, tmp_path):
+    """r8 review regressions: (a) an INT split with partial reuse must
+    not mix int and str manifest keys (json.dumps(sort_keys=True)
+    raised TypeError); (b) a BOOLEAN split must locate its hive dirs
+    ('true', not Python's 'True') for reuse."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        read_release,
+        write_release_append,
+        write_release_increment,
+        write_release_version,
+    )
+
+    # (a) int split: keep 10, change 20
+    root = str(tmp_path / "rel_int")
+    schema = "doc_id long, split int"
+    base = [(1, 10), (2, 10), (3, 20)]
+    write_release_version(spark.createDataFrame(base, schema), root)
+    df2 = spark.createDataFrame(base + [(4, 20)], schema)
+    m2 = write_release_increment(df2, root)
+    assert m2["incremental"]["reused"] == ["10"]
+    assert m2["incremental"]["rewritten"] == ["20"]
+    assert m2["row_counts"] == {"10": 2, "20": 2}
+    got, _ = read_release(spark, root)
+    assert got.count() == 4
+
+    # (b) boolean split: reuse both partitions via increment + append
+    root2 = str(tmp_path / "rel_bool")
+    bschema = "doc_id long, split boolean"
+    bbase = [(1, True), (2, False)]
+    write_release_version(spark.createDataFrame(bbase, bschema), root2)
+    m3 = write_release_increment(
+        spark.createDataFrame(bbase, bschema), root2
+    )
+    assert sorted(m3["incremental"]["reused"]) == ["false", "true"]
+    m4 = write_release_append(
+        spark.createDataFrame([(3, True)], bschema), root2
+    )
+    assert m4["incremental"]["reused"] == ["false"]
+    assert m4["incremental"]["rewritten"] == ["true"]
+    got2, man2 = read_release(spark, root2)
+    assert got2.count() == 3 and man2["row_counts"] == {
+        "true": 2, "false": 1,
+    }
+
+
+def test_release_append_refuses_schema_drift(spark, tmp_path):
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        write_release_append,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    write_release_version(
+        spark.createDataFrame(
+            [(1, "x", "train")], "doc_id long, lang string, split string"
+        ),
+        root,
+    )
+    with pytest.raises(ValueError, match="columns"):
+        write_release_append(
+            spark.createDataFrame(
+                [(2, "train")], "doc_id long, split string"
+            ),
+            root,
+        )
