@@ -96,14 +96,21 @@ def _logical_wrap(schema: dict, base: Callable) -> Callable:
     if lt == "date":
         epoch = _dt.date(1970, 1, 1)
         return lambda buf: epoch + _dt.timedelta(days=base(buf))
+    # exact integer arithmetic (review r8): float division loses
+    # microseconds for far-range epochs (base/1e6 exceeds double
+    # precision past ~2106). Naive UTC wall time is the documented
+    # pure-codec contract; the Spark bridge re-attaches UTC so the
+    # stored INSTANT survives any session timezone.
     if lt == "timestamp-millis":
-        return lambda buf: _dt.datetime.fromtimestamp(
-            base(buf) / 1e3, tz=_dt.timezone.utc
-        ).replace(tzinfo=None)
+        epoch_dt = _dt.datetime(1970, 1, 1)
+        return lambda buf: epoch_dt + _dt.timedelta(
+            milliseconds=base(buf)
+        )
     if lt == "timestamp-micros":
-        return lambda buf: _dt.datetime.fromtimestamp(
-            base(buf) / 1e6, tz=_dt.timezone.utc
-        ).replace(tzinfo=None)
+        epoch_dt = _dt.datetime(1970, 1, 1)
+        return lambda buf: epoch_dt + _dt.timedelta(
+            microseconds=base(buf)
+        )
     if lt == "decimal":
         scale = schema.get("scale", 0)
         return lambda buf: Decimal(
@@ -485,9 +492,91 @@ def encode_avro(
 # Avro schema -> Spark schema
 
 
+def spark_value_converter(schema: Any):
+    """Converter (or None = identity) turning :func:`decode_avro`'s
+    Python values into what :func:`avro_to_spark_type`'s DataTypes
+    expect at the Arrow boundary (r8 review fix — without it the
+    read_avro fallback CRASHED on exactly the types the mapping
+    documents as string-converted):
+
+    - multi-branch unions -> ``json.dumps(v, default=str)`` (the
+      documented "to string via JSON"; a bare decoder value would hit
+      ArrowTypeError against StringType),
+    - time-millis/micros -> ISO-8601 string (decode_avro returns
+      ``datetime.time``; Spark has no TIME type),
+    - timestamp-millis/micros -> the naive-UTC decode re-attached to
+      UTC, so Spark stores the correct INSTANT whatever the session
+      timezone (a naive value would be read as session-local wall
+      time and shift by the session's UTC offset).
+
+    Recursive through records/arrays/maps; returns None wherever no
+    value below needs converting, so the common all-primitive schema
+    costs nothing."""
+    import json as _json
+
+    if isinstance(schema, list):
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) == 1:
+            return spark_value_converter(non_null[0])
+        return lambda v: (
+            None if v is None else _json.dumps(v, default=str)
+        )
+    if isinstance(schema, dict):
+        t = schema["type"]
+        lt = schema.get("logicalType")
+        if lt in ("time-millis", "time-micros"):
+            return lambda v: None if v is None else v.isoformat()
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            return lambda v: (
+                None
+                if v is None
+                else v.replace(tzinfo=_dt.timezone.utc)
+            )
+        if t == "record":
+            subs = {
+                f["name"]: spark_value_converter(f["type"])
+                for f in schema["fields"]
+            }
+            if not any(subs.values()):
+                return None
+
+            def conv_record(v, subs=subs):
+                if v is None:
+                    return None
+                return {
+                    k: (subs[k](val) if subs.get(k) else val)
+                    for k, val in v.items()
+                }
+
+            return conv_record
+        if t == "array":
+            sub = spark_value_converter(schema["items"])
+            if sub is None:
+                return None
+            return lambda v: (
+                None if v is None else [sub(x) for x in v]
+            )
+        if t == "map":
+            sub = spark_value_converter(schema["values"])
+            if sub is None:
+                return None
+            return lambda v: (
+                None
+                if v is None
+                else {k: sub(x) for k, x in v.items()}
+            )
+        if t in ("enum", "fixed"):
+            return None
+        return spark_value_converter(t)
+    return None
+
+
 def avro_to_spark_type(schema: Any):
     """Map an Avro schema node to a Spark DataType (nullable unions of
-    [null, X] unwrap to X; other unions go to string via JSON)."""
+    [null, X] unwrap to X; other unions go to string via JSON, and
+    time-millis/micros — Spark has no TIME type — go to ISO-8601
+    strings; both conversions happen in :func:`spark_value_converter`,
+    which the read_avro fallback applies)."""
     from pyspark.sql import types as T
 
     if isinstance(schema, list):
@@ -500,6 +589,8 @@ def avro_to_spark_type(schema: Any):
         lt = schema.get("logicalType")
         if lt == "date":
             return T.DateType()
+        if lt in ("time-millis", "time-micros"):
+            return T.StringType()
         if lt in ("timestamp-millis", "timestamp-micros"):
             return T.TimestampType()
         if lt == "decimal":

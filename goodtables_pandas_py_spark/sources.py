@@ -496,6 +496,7 @@ def read_avro(
         avro_to_spark_type,
         decode_avro,
         read_ocf_header,
+        spark_value_converter,
     )
 
     first = _first_file(spark, path) or path
@@ -516,6 +517,15 @@ def read_avro(
             f"record, got {schema_json!r}"
         )
     names = [f.name for f in spark_schema.fields]
+    # per-field Arrow-boundary conversions (multi-branch unions ->
+    # JSON strings, logical times -> ISO strings, timestamps ->
+    # UTC-aware so the instant survives any session timezone); None
+    # for the common all-primitive case
+    convs = {
+        f["name"]: spark_value_converter(f["type"])
+        for f in schema_json["fields"]
+    }
+    convs = {k: c for k, c in convs.items() if c is not None}
 
     def _decode_files(batches):
         import pandas as pd
@@ -524,7 +534,12 @@ def read_avro(
             for blob in pdf["content"]:
                 _, recs = decode_avro(bytes(blob))
                 if recs:
-                    yield pd.DataFrame.from_records(recs, columns=names)
+                    out = pd.DataFrame.from_records(recs, columns=names)
+                    for col, conv in convs.items():
+                        # na_action: from_records turns None into
+                        # NaN/NaT in typed columns; leave them be
+                        out[col] = out[col].map(conv, na_action="ignore")
+                    yield out
                 else:
                     yield pd.DataFrame({c: [] for c in names})
 

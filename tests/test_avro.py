@@ -321,3 +321,95 @@ def test_stage_zstd_multi_file_dir(spark, tmp_path):
     assert sorted(r["v"] for r in back.collect()) == [1, 2, 3]
     # cache: second call returns the same directory without re-work
     assert stage_zstd(spark, str(d / "*.zst")) == staged
+
+
+# ------------------------------------------ Spark bridge fixes (r8 review)
+
+
+def test_read_avro_multibranch_union_and_time(spark, tmp_path):
+    """Multi-branch unions reach Spark as JSON strings and logical
+    times as ISO strings (review r8: both previously crashed the
+    fallback at the Arrow boundary)."""
+    schema = {
+        "type": "record", "name": "u",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": ["int", "string"]},
+            {"name": "maybe", "type": ["null", "int", "string"]},
+            {"name": "tm", "type": {"type": "int",
+                                    "logicalType": "time-millis"}},
+            {"name": "tus", "type": {"type": "long",
+                                     "logicalType": "time-micros"}},
+        ],
+    }
+    recs = [
+        {"k": 1, "v": 5, "maybe": None, "tm": 45_296_789,
+         "tus": 3_600_000_001},
+        {"k": 2, "v": "five", "maybe": "x", "tm": 0, "tus": 0},
+    ]
+    p = str(tmp_path / "u.avro")
+    open(p, "wb").write(encode_avro(schema, recs))
+    from goodtables_pandas_py_spark.sources import read_avro
+
+    df = read_avro(spark, p)
+    assert df.schema.simpleString() == (
+        "struct<k:bigint,v:string,maybe:string,tm:string,tus:string>"
+    )
+    rows = {r["k"]: r for r in df.collect()}
+    assert rows[1]["v"] == "5" and rows[2]["v"] == '"five"'
+    assert rows[1]["maybe"] is None and rows[2]["maybe"] == '"x"'
+    assert rows[1]["tm"] == "12:34:56.789000"
+    assert rows[1]["tus"] == "01:00:00.000001"
+    assert rows[2]["tm"] == "00:00:00"
+
+
+def test_read_avro_timestamp_instant_survives_session_tz(
+    spark, tmp_path
+):
+    """The decoded timestamp is an INSTANT: with a non-UTC session
+    timezone the epoch must not shift by the UTC offset (review r8:
+    naive values were read as session-local wall time)."""
+    schema = {
+        "type": "record", "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+        ],
+    }
+    p = str(tmp_path / "t.avro")
+    open(p, "wb").write(
+        encode_avro(schema, [{"k": 1, "ts": 1_600_000_000_000_000}])
+    )
+    from goodtables_pandas_py_spark.sources import read_avro
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set(
+            "spark.sql.session.timeZone", "America/New_York"
+        )
+        from pyspark.sql import functions as F
+
+        df = read_avro(spark, p)
+        epoch = df.select(
+            F.col("ts").cast("long").alias("e")
+        ).first()["e"]
+        assert epoch == 1_600_000_000, epoch
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_timestamp_decode_is_exact_past_double_precision():
+    """base/1e6 float math rounded far-range micros; integer timedelta
+    arithmetic must be exact (review r8)."""
+    schema = {
+        "type": "record", "name": "x",
+        "fields": [{"name": "ts", "type": {
+            "type": "long", "logicalType": "timestamp-micros"}}],
+    }
+    # year ~2255: 9e15 micros — above double's exact-integer range
+    micros = 9_007_199_254_740_993
+    _, out = decode_avro(encode_avro(schema, [{"ts": micros}]))
+    got = out[0]["ts"]
+    want = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=micros)
+    assert got == want
