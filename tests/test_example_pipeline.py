@@ -58,3 +58,20 @@ def test_training_data_pipeline_end_to_end(tmp_path):
     )
     assert manifest["span_dedup_k"] == 20 and "dsir" in manifest
     assert manifest["version"] == version
+
+
+def test_drift_monitoring_example_end_to_end(tmp_path):
+    """Same snapshot on both sides: the profile/drift/PSI/gate chain
+    runs clean and exits 0 with a report; example bit-rot fails here
+    instead of in a user's scheduler."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "drift_out")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples",
+                                      "drift_monitoring.py"),
+         "/root/testdata/sf0.001", "/root/testdata/sf0.001", out],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    report = json.load(open(os.path.join(out, "drift_report.json")))
+    assert report, "empty drift report"
