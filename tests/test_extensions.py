@@ -2764,3 +2764,34 @@ def test_release_append_refuses_schema_drift(spark, tmp_path):
             ),
             root,
         )
+
+
+def test_part_key_matches_spark_string_cast(spark):
+    """_part_key must agree with Spark's cast-to-string for every
+    split-column type the release machinery meets: the reuse compare
+    uses manifest keys (_part_key) against cast(col as string)
+    partition predicates, and hive dir names follow the same
+    rendering."""
+    import datetime as dt
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        _part_key,
+    )
+
+    cases = [
+        ("train", "string"),
+        (7, "int"),
+        (-3, "bigint"),
+        (True, "boolean"),
+        (False, "boolean"),
+        (1.5, "double"),
+        (dt.date(2024, 2, 29), "date"),
+    ]
+    for val, typ in cases:
+        rendered = (
+            spark.createDataFrame([(val,)], f"v {typ}")
+            .selectExpr("cast(v as string) as s")
+            .first()["s"]
+        )
+        assert _part_key(val) == rendered, (val, typ, rendered)
+    assert _part_key(None) == "__null__"
