@@ -1075,6 +1075,29 @@ def list_release_versions(spark, root: str) -> list[str]:
     return sorted(out)
 
 
+def rollback_release(spark, root: str, version: str) -> dict:
+    """Point CURRENT back at an older PUBLISHED version — the undo
+    for a bad publish (r8). Version dirs are immutable, so rollback
+    is exactly the atomic pointer swap; nothing is rewritten, readers
+    mid-scan on the bad version keep their snapshot, and the next
+    :func:`write_release_increment`/:func:`write_release_append`
+    builds on the rolled-back manifest (version NUMBERS keep
+    increasing — the bad version's dir remains until retention prunes
+    it, preserving the audit trail). Refuses unknown or pruned
+    versions, and versions without a manifest (crashed writers).
+    Returns the now-current manifest."""
+    import json
+
+    text = _read_text(spark, f"{root}/versions/{version}/manifest.json")
+    if text is None:
+        raise FileNotFoundError(
+            f"version {version} under {root} is unpublished, pruned, "
+            "or never existed — nothing to roll back to"
+        )
+    _swap_pointer(spark, root, version)
+    return json.loads(text)
+
+
 def read_release(
     spark, root: str, version: str | None = None
 ) -> tuple[DataFrame, dict]:

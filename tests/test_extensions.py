@@ -2795,3 +2795,36 @@ def test_part_key_matches_spark_string_cast(spark):
         )
         assert _part_key(val) == rendered, (val, typ, rendered)
     assert _part_key(None) == "__null__"
+
+
+def test_release_rollback(spark, tmp_path):
+    """rollback_release: atomic pointer swap to an older published
+    version; the next increment builds on the rolled-back manifest
+    and version numbers keep increasing."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        read_release,
+        rollback_release,
+        write_release_increment,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, split string"
+    v1_df = spark.createDataFrame([(1, "train"), (2, "val")], schema)
+    write_release_version(v1_df, root)
+    write_release_version(
+        spark.createDataFrame([(9, "train")], schema), root
+    )  # the "bad" v2
+    man = rollback_release(spark, root, "v00000001")
+    assert man["version"] == "v00000001"
+    got, m = read_release(spark, root)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
+    assert m["version"] == "v00000001"
+    # next increment: based on v1's manifest, becomes v3
+    m3 = write_release_increment(v1_df, root)
+    assert m3["version"] == "v00000003"
+    assert m3["incremental"]["base_version"] == "v00000001"
+    assert m3["incremental"]["rewritten"] == []
+    # unknown / unpublished versions refuse
+    with pytest.raises(FileNotFoundError):
+        rollback_release(spark, root, "v00000042")
