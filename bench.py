@@ -149,9 +149,53 @@ BENCH_QUERIES: dict[str, tuple[str, str]] = {
     "temporal_joins": ("x7_temporal", "collect"),
 }
 
+_RELEASE_STATE: dict[str, object] = {}
+
+
+def bench_release_increment(spark, sf_dir):
+    """The r8 incremental-publish product path: version N+1 of a
+    3-partition release with exactly ONE partition's content changed —
+    the nightly-ingest shape. Timed work = one fingerprint agg over
+    the corpus frame + rewrite of the changed partition + hardlink of
+    the other two + pruned manifest readback + atomic swap. The v1
+    full publish happens once, untimed (setup, like the other
+    benches' reads); each rep bumps a counter so exactly one
+    partition changes every time (identical content would measure the
+    all-reuse fast path instead)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        write_release_increment,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        F.col("l_returnflag").alias("split"),
+    )
+    root = _RELEASE_STATE.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="gt_bench_rel_") + "/rel"
+        write_release_increment(li, root)  # v1 full publish, untimed
+        _RELEASE_STATE[sf_dir] = root
+        _RELEASE_STATE[f"{sf_dir}#n"] = 0
+    n = _RELEASE_STATE[f"{sf_dir}#n"] = _RELEASE_STATE[f"{sf_dir}#n"] + 1
+    changed = li.withColumn(
+        "l_quantity",
+        F.when(
+            F.col("split") == "R", F.col("l_quantity") + F.lit(float(n))
+        ).otherwise(F.col("l_quantity")),
+    )
+    m = write_release_increment(changed, root, keep_versions=3)
+    assert m["incremental"]["rewritten"] == ["R"], m["incremental"]
+    return m["n_rows"]
+
+
 # direct product-path entries (not registry-backed): name -> callable
 BENCH_DIRECT = {
     "near_dedup": bench_near_dedup,
+    "release_increment": bench_release_increment,
 }
 
 
