@@ -28,7 +28,10 @@ Headline set = the engine's core workloads (SURVEY.md §6):
   comparison: BASELINE.md maps it against the old ~2.5s pairs-only
   number, which it strictly supersets);
 - brute-force cosine top-k over embeddings;
-- tumbling-window event aggregation.
+- tumbling-window event aggregation;
+- incremental release publish (r8): version N+1 of a 3-partition
+  corpus with ONE partition changed — fingerprint agg + one-partition
+  rewrite + hardlink reuse + pruned manifest readback + atomic swap.
 """
 
 from __future__ import annotations
