@@ -646,3 +646,120 @@ def training_shuffle(
         "__shuffle_key", id_col
     )
     return out if keep_key else out.drop("__shuffle_key")
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Select the BEST-scoring documents until their token counts fill
+    ``budget`` (r8) — the "give me the top N-token corpus by quality"
+    step of dataset curation, WITHOUT the global sort a naive
+    ``ORDER BY score DESC`` + running-sum would plan (at 100 TB that
+    window would be the single largest shuffle in the pipeline,
+    exactly the trap :func:`quality_thresholds` documents).
+
+    Shape: (1) one aggregate for score bounds + total tokens (early
+    out when everything fits); (2) one aggregate summing tokens into
+    ``buckets`` equal-width score buckets (driver gets ``buckets``
+    rows, cumulates from the top, finds the boundary bucket); (3) the
+    selection is then a pure FILTER for every bucket above the
+    boundary, plus an exact running-sum window over ONLY the boundary
+    bucket's rows (ordered score desc, salted-hash tiebreak —
+    deterministic across engines and reruns) so the budget lands
+    exactly, not at bucket granularity. Cost: two full scans + one
+    filtered scan + a window over ~n/buckets rows; no global sort,
+    no full-table shuffle.
+
+    Selection rule: rows join in (score desc, hash) order while the
+    RUNNING TOTAL INCLUDING the row stays <= budget; the first
+    over-budget row (and everything after) is excluded, so the
+    selection never exceeds ``budget`` (a document is never split).
+    Equal-score rows therefore enter in salted-hash order — re-salt
+    to rotate which ties make the cut. Null scores and null/negative
+    token counts are excluded up front (unscored is not "worst", it
+    is unscored; a negative count would corrupt the running sums).
+    Deterministic given (data, budget, salt, buckets).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    base = df.where(
+        F.col(score_col).isNotNull()
+        & F.col(token_col).isNotNull()
+        & (F.col(token_col) >= 0)
+    )
+    head = base.agg(
+        F.min(score_col).alias("lo"),
+        F.max(score_col).alias("hi"),
+        F.sum(F.col(token_col).cast("long")).alias("total"),
+    ).collect()[0]
+    if head["total"] is None:
+        return base  # empty input: nothing to select
+    if head["total"] <= budget:
+        return base
+    lo, hi = float(head["lo"]), float(head["hi"])
+    span = hi - lo
+    if span <= 0:
+        buckets = 1  # single score atom: everything is the boundary
+    bucket = (
+        F.least(
+            F.lit(buckets - 1),
+            F.floor(
+                (F.col(score_col).cast("double") - F.lit(lo))
+                / F.lit(span if span > 0 else 1.0)
+                * F.lit(buckets)
+            ).cast("int"),
+        )
+    )
+    hist = {
+        r["b"]: r["t"]
+        for r in base.groupBy(bucket.alias("b"))
+        .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
+        .collect()
+    }
+    running = 0
+    boundary = 0
+    for b in sorted(hist, reverse=True):
+        if running + hist[b] > budget:
+            boundary = b
+            break
+        running += hist[b]
+    else:
+        # numerically unreachable (total > budget) — keep the guard
+        boundary = min(hist) if hist else 0
+    remaining = budget - running
+
+    above = base.where(bucket > F.lit(boundary))
+    tie_rank = F.xxhash64(
+        F.concat(
+            F.lit(salt),
+            F.coalesce(
+                F.concat(F.lit("v"), F.col(id_col).cast("string")),
+                F.lit(" null"),
+            ),
+        )
+    )
+    w = (
+        Window.orderBy(
+            F.col(score_col).desc(), tie_rank.asc(), F.col(id_col)
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the single-partition window runs over ONLY the boundary bucket
+    # (~n/buckets rows) — bounded by construction, never the table
+    edge = (
+        base.where(bucket == F.lit(boundary))
+        .withColumn(
+            "__cum", F.sum(F.col(token_col).cast("long")).over(w)
+        )
+        .where(F.col("__cum") <= F.lit(remaining))
+        .drop("__cum")
+    )
+    return above.unionByName(edge)

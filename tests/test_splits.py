@@ -848,3 +848,106 @@ def test_training_shuffle_survives_parquet_roundtrip(
     assert sorted(
         r["doc_id"] for r in spark.read.parquet(path).collect()
     ) == sorted(want)
+
+
+# --------------------------------------- select_token_budget (r8)
+
+
+def _budget_reference(rows, budget):
+    """Independent greedy-prefix reference: rows = [(id, score, tokens,
+    hash)] taken in (score desc, hash asc, id asc) order while the
+    running total stays within budget; stop at the first overflow."""
+    order = sorted(rows, key=lambda r: (-r[1], r[3], r[0]))
+    out, total = [], 0
+    for rid, score, tok, h in order:
+        if total + tok > budget:
+            break
+        total += tok
+        out.append(rid)
+    return sorted(out), total
+
+
+def test_select_token_budget_matches_greedy_prefix(spark):
+    from pyspark.sql import functions as F
+
+    from goodtables_pandas_py_spark.extensions.splits import (
+        select_token_budget,
+    )
+
+    rng_rows = [
+        (i, float((i * 37) % 100) / 10.0, 50 + (i * 13) % 200)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rng_rows, "doc_id long, score double, n_tokens int"
+    )
+    # the operator's own tiebreak hash, collected once so the Python
+    # reference follows the identical order
+    tie = df.select(
+        "doc_id",
+        F.xxhash64(
+            F.concat(
+                F.lit(""),
+                F.concat(F.lit("v"), F.col("doc_id").cast("string")),
+            )
+        ).alias("h"),
+    ).collect()
+    hmap = {r["doc_id"]: r["h"] for r in tie}
+    rows = [(i, s, t, hmap[i]) for i, s, t in rng_rows]
+
+    for budget in (500, 7_000, 20_000, 1):
+        got = select_token_budget(df, budget, buckets=16)
+        got_ids = sorted(r["doc_id"] for r in got.collect())
+        got_total = (
+            got.agg(F.sum("n_tokens").alias("t")).first()["t"] or 0
+        )
+        want_ids, want_total = _budget_reference(rows, budget)
+        assert got_ids == want_ids, f"budget {budget}"
+        assert got_total == want_total <= budget
+
+    # everything fits -> identity
+    all_rows = select_token_budget(df, 10**9)
+    assert all_rows.count() == 400
+
+
+def test_select_token_budget_edges(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from goodtables_pandas_py_spark.extensions.splits import (
+        select_token_budget,
+    )
+
+    # single score atom: span == 0 -> everything is the boundary
+    # bucket; selection is still the deterministic hash prefix
+    df = spark.createDataFrame(
+        [(i, 1.0, 100) for i in range(20)],
+        "doc_id long, score double, n_tokens int",
+    )
+    got = select_token_budget(df, 450)
+    assert got.count() == 4
+    assert (
+        got.agg(F.sum("n_tokens").alias("t")).first()["t"] == 400
+    )
+    # same salt -> same rows; different salt -> (almost surely)
+    # different ties make the cut, same size
+    a = sorted(r["doc_id"] for r in got.collect())
+    b = sorted(
+        r["doc_id"] for r in select_token_budget(df, 450).collect()
+    )
+    c = sorted(
+        r["doc_id"]
+        for r in select_token_budget(df, 450, salt="ep1").collect()
+    )
+    assert a == b and len(c) == 4 and c != a
+
+    # null scores / null+negative tokens are excluded up front
+    dirty = spark.createDataFrame(
+        [(1, None, 10), (2, 1.0, None), (3, 1.0, -5), (4, 2.0, 10)],
+        "doc_id long, score double, n_tokens int",
+    )
+    kept = select_token_budget(dirty, 5_000)
+    assert [r["doc_id"] for r in kept.collect()] == [4]
+
+    with _pytest.raises(ValueError, match="budget"):
+        select_token_budget(df, 0)
