@@ -951,3 +951,22 @@ def test_select_token_budget_edges(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         select_token_budget(df, 0)
+
+
+def test_select_token_budget_plans_no_global_sort(spark, sf_dir):
+    from goodtables_pandas_py_spark.extensions.splits import (
+        select_token_budget,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("double").alias("score"),
+        (F.length("text") / 4).cast("int").alias("n_tokens"),
+    )
+    out = select_token_budget(docs, 5_000, buckets=64)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # a naive ORDER BY score + running sum would range-partition the
+    # whole table; the operator's only sort is the boundary-bucket
+    # window (SinglePartition over the FILTERED edge rows)
+    assert "rangepartitioning" not in plan.lower(), plan
