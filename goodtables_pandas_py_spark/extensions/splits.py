@@ -763,3 +763,156 @@ def select_token_budget(
         .drop("__cum")
     )
     return above.unionByName(edge)
+
+
+def select_token_budget_by(
+    df: DataFrame,
+    budgets: dict | int,
+    by: str = "source",
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Per-GROUP :func:`select_token_budget` (r8): "the best docs per
+    domain until each domain's token quota fills" — the per-source
+    mixture quota step of corpus assembly, again without any global
+    (or per-group ntile) sort.
+
+    ``budgets`` is either one int applied to every group or a
+    ``{group_value: budget}`` dict — groups ABSENT from the dict are
+    DROPPED (an explicit quota list is the common contract; pass an
+    int to keep every group). Group values render through the same
+    canonical string form as the release machinery (None is not a
+    group — null-``by`` rows are excluded, like null scores).
+
+    Shape: one groupBy(``by``) aggregate for bounds/totals (driver
+    rows = #groups — per-DOMAIN quotas, thousands at most); groups
+    fitting their quota pass through whole; the rest get a per-group
+    equal-width bucket histogram in ONE aggregate (driver rows ≤
+    #groups × ``buckets`` occupied — size ``buckets`` to taste), a
+    driver cumsum per group finds each boundary bucket, and the
+    selection is a broadcast-joined filter plus ONE window
+    partitioned BY GROUP over only the boundary-bucket rows. Never a
+    full-table sort; the window's partitions are ~n_g/buckets rows.
+
+    Per-group semantics identical to :func:`select_token_budget`
+    (greedy prefix in (score desc, salted-hash) order, never over
+    budget, deterministic)."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    base = df.where(
+        F.col(by).isNotNull()
+        & F.col(score_col).isNotNull()
+        & F.col(token_col).isNotNull()
+        & (F.col(token_col) >= 0)
+    )
+    heads = (
+        base.groupBy(by)
+        .agg(
+            F.min(score_col).alias("lo"),
+            F.max(score_col).alias("hi"),
+            F.sum(F.col(token_col).cast("long")).alias("total"),
+        )
+        .collect()
+    )
+
+    def _budget_for(gval):
+        if isinstance(budgets, dict):
+            return budgets.get(gval)
+        return int(budgets)
+
+    whole = []  # group values kept in full
+    work = {}  # group value -> (lo, span, budget)
+    for r in heads:
+        b = _budget_for(r[by])
+        if b is None:
+            continue
+        if b <= 0:
+            raise ValueError(
+                f"budget for group {r[by]!r} must be positive, got {b}"
+            )
+        if r["total"] <= b:
+            whole.append(r[by])
+        else:
+            lo, hi = float(r["lo"]), float(r["hi"])
+            work[r[by]] = (lo, hi - lo, b)
+    if not work:
+        return base.where(F.col(by).isin(whole)) if whole else base.where(
+            F.lit(False)
+        )
+
+    spark = df.sparkSession
+    bounds_df = F.broadcast(
+        spark.createDataFrame(
+            [(g, lo, span if span > 0 else 1.0) for g, (lo, span, _) in work.items()],
+            df.select(by).schema.add("__lo", "double").add("__span", "double"),
+        )
+    )
+    over = base.join(bounds_df, by)
+    bucket = F.least(
+        F.lit(buckets - 1),
+        F.floor(
+            (F.col(score_col).cast("double") - F.col("__lo"))
+            / F.col("__span")
+            * F.lit(buckets)
+        ).cast("int"),
+    )
+    hist = (
+        over.groupBy(F.col(by), bucket.alias("__b"))
+        .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
+        .collect()
+    )
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r[by], {})[r["__b"]] = r["t"]
+    cuts = []  # (group, boundary bucket, remaining tokens at boundary)
+    for g, gh in per_group.items():
+        budget_g = work[g][2]
+        running = 0
+        boundary = min(gh)
+        for b in sorted(gh, reverse=True):
+            if running + gh[b] > budget_g:
+                boundary = b
+                break
+            running += gh[b]
+        cuts.append((g, boundary, budget_g - running))
+    cuts_df = F.broadcast(
+        spark.createDataFrame(
+            cuts,
+            df.select(by).schema.add("__boundary", "integer").add(
+                "__remaining", "long"
+            ),
+        )
+    )
+    joined = over.join(cuts_df, by)
+    above = joined.where(bucket > F.col("__boundary"))
+    tie_rank = F.xxhash64(
+        F.concat(
+            F.lit(salt),
+            F.coalesce(
+                F.concat(F.lit("v"), F.col(id_col).cast("string")),
+                F.lit(" null"),
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(score_col).desc(), tie_rank.asc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    edge = (
+        joined.where(bucket == F.col("__boundary"))
+        .withColumn(
+            "__cum", F.sum(F.col(token_col).cast("long")).over(w)
+        )
+        .where(F.col("__cum") <= F.col("__remaining"))
+        .drop("__cum")
+    )
+    capped = above.unionByName(edge).drop(
+        "__lo", "__span", "__boundary", "__remaining"
+    )
+    if whole:
+        capped = base.where(F.col(by).isin(whole)).unionByName(capped)
+    return capped

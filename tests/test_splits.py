@@ -970,3 +970,70 @@ def test_select_token_budget_plans_no_global_sort(spark, sf_dir):
     # whole table; the operator's only sort is the boundary-bucket
     # window (SinglePartition over the FILTERED edge rows)
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_select_token_budget_by_matches_per_group_runs(spark):
+    """Per-group selection == running the single-group operator on
+    each group independently (also proves bucket-count invariance:
+    the grouped path uses different bucket granularity, yet the
+    greedy-prefix outcome is identical)."""
+    from goodtables_pandas_py_spark.extensions.splits import (
+        select_token_budget,
+        select_token_budget_by,
+    )
+
+    rows = [
+        (i, ["web", "code", "chat"][i % 3],
+         float((i * 37) % 100) / 10.0, 50 + (i * 13) % 200)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, score double, n_tokens int"
+    )
+    budgets = {"web": 2_000, "code": 10**9, "chat": 1}
+    got = select_token_budget_by(
+        df, budgets, by="source", buckets=8
+    )
+    got_ids = sorted(r["doc_id"] for r in got.collect())
+    want = []
+    for g, b in budgets.items():
+        sub = select_token_budget(
+            df.where(F.col("source") == g).drop("source"), b
+        )
+        want.extend(r["doc_id"] for r in sub.collect())
+    assert got_ids == sorted(want)
+    # over-budget groups never exceed their quota
+    sums = {
+        r["source"]: r["t"]
+        for r in got.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    assert sums["web"] <= 2_000
+    assert "chat" not in sums or sums["chat"] <= 1
+    # int budget applies to every group; dict drops absent groups
+    all_groups = select_token_budget_by(df, 10**9, by="source")
+    assert all_groups.count() == 300
+    only_web = select_token_budget_by(
+        df, {"web": 10**9}, by="source"
+    )
+    assert only_web.select("source").distinct().collect()[0][0] == "web"
+
+
+def test_select_token_budget_by_plan_is_broadcast_and_grouped(spark):
+    from goodtables_pandas_py_spark.extensions.splits import (
+        select_token_budget_by,
+    )
+
+    rows = [
+        (i, ["a", "b"][i % 2], float(i % 50), 100) for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, score double, n_tokens int"
+    )
+    out = select_token_budget_by(df, 3_000, by="source", buckets=8)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
