@@ -916,3 +916,53 @@ def select_token_budget_by(
     if whole:
         capped = base.where(F.col(by).isin(whole)).unionByName(capped)
     return capped
+
+
+def write_curriculum(
+    df: DataFrame,
+    path: str,
+    bin_col: str = "quality_bin",
+    id_col: str = "doc_id",
+    salt: str = "",
+    partitions: int = 32,
+) -> dict:
+    """Write a curriculum-ordered training corpus (r8): one
+    ``bin=<k>`` subdirectory per ascending ``bin_col`` value, each
+    holding that bin's rows in a :func:`training_shuffle` order — a
+    trainer streaming directories in name order and files in name
+    order within each gets "easiest bin first, shuffled within bin"
+    (or whatever ordering the bin labels encode; pair with
+    :func:`quality_bins`). Deterministic end to end: bin assignment
+    is the caller's column, within-bin order is the salted hash
+    permutation.
+
+    Scale shape: one job PER BIN (bins are a handful by construction
+    — this loops quality grades, not ids), each a partition-pruned...
+    rather, a filtered scan + ONE hash exchange; no global sort, no
+    cross-bin shuffle. Zero-padded directory names keep lexical ==
+    numeric order up to 10^6 bins. Null bins are SKIPPED (unscored
+    is not a curriculum stage) and reported. Returns a manifest dict
+    ``{bin value (string): row count}`` plus ``"__null__"`` count
+    when any rows were skipped."""
+    bins = [
+        r[bin_col]
+        for r in df.select(bin_col).distinct().collect()
+    ]
+    null_count = 0
+    if any(b is None for b in bins):
+        null_count = df.where(F.col(bin_col).isNull()).count()
+        bins = [b for b in bins if b is not None]
+    manifest: dict = {}
+    for b in sorted(bins):
+        sub = training_shuffle(
+            df.where(F.col(bin_col) == F.lit(b)),
+            id_col=id_col,
+            salt=f"{salt}|bin={b}",
+            partitions=partitions,
+        )
+        label = f"{int(b):06d}" if isinstance(b, int) else str(b)
+        sub.write.mode("overwrite").parquet(f"{path}/bin={label}")
+        manifest[str(b)] = df.where(F.col(bin_col) == F.lit(b)).count()
+    if null_count:
+        manifest["__null__"] = null_count
+    return manifest

@@ -1037,3 +1037,50 @@ def test_select_token_budget_by_plan_is_broadcast_and_grouped(spark):
     assert "rangepartitioning" not in plan.lower(), plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_write_curriculum_bin_major_shuffled_within(spark, tmp_path):
+    """write_curriculum: bin=<k> dirs in ascending order, each bin's
+    files streaming back (name order) as that bin's training_shuffle
+    permutation; null bins skipped but counted."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from goodtables_pandas_py_spark.extensions.splits import (
+        training_shuffle,
+        write_curriculum,
+    )
+
+    rows = [(i, f"d{i}", i % 3 if i % 7 else None) for i in range(90)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, quality_bin int"
+    )
+    path = str(tmp_path / "curr")
+    man = write_curriculum(df, path, salt="ep0", partitions=4)
+    n_null = sum(1 for *_, b in rows if b is None)
+    assert man["__null__"] == n_null
+    assert sum(v for k, v in man.items() if k != "__null__") == 90 - n_null
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("bin="))
+    assert dirs == ["bin=000000", "bin=000001", "bin=000002"]
+    for d, b in zip(dirs, (0, 1, 2)):
+        got = []
+        full = os.path.join(path, d)
+        for name in sorted(os.listdir(full)):
+            if name.endswith(".parquet"):
+                got.extend(
+                    pq.read_table(os.path.join(full, name))
+                    .column("doc_id")
+                    .to_pylist()
+                )
+        want = [
+            r["doc_id"]
+            for r in training_shuffle(
+                df.where(F.col("quality_bin") == b),
+                salt=f"ep0|bin={b}",
+                partitions=4,
+            ).collect()
+        ]
+        assert got == want, f"bin {b} order diverged"
+        assert len(got) == man[str(b)]
