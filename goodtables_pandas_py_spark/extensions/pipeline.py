@@ -978,13 +978,17 @@ def release_publish_foreach_batch(
     ``through_batch_id``; foreachBatch is at-least-once, so a
     replayed batch whose id is <= the current manifest's recorded id
     is a NO-OP (the rows are already in CURRENT; appending them
-    again would duplicate). CAVEAT — batch ids are scoped to the
-    stream's CHECKPOINT: a stream restarted with a fresh checkpoint
-    restarts at batch 0, which the bare guard would skip as "already
-    published". Pass ``stream_id`` (any stable name for the
-    checkpoint lineage — e.g. the checkpoint path) to scope the
-    guard: a publish stamped with a DIFFERENT stream_id ignores the
-    stored through_batch_id instead of silently dropping data.
+    again would duplicate). Batch ids are scoped to the stream's
+    CHECKPOINT — a stream restarted with a fresh checkpoint restarts
+    at batch 0 — so ``stream_id`` is REQUIRED (any stable name for
+    the checkpoint lineage; the checkpoint path is the natural
+    choice): a publish stamped with a DIFFERENT stream_id ignores
+    the stored through_batch_id instead of silently dropping data,
+    and a ``None`` default would make that unsafe mode the silent
+    default (ADVICE r8). When lineage differs the handler PUBLISHES
+    (correct for a genuine fresh checkpoint) and warns — an
+    interleaved non-stream publish disables replay protection for
+    the next batch, so a replayed batch there appends duplicates.
     Publish cadence == batch cadence by design — size publishes with
     the stream trigger (``processingTime`` / ``availableNow``), not
     by skipping batches. foreachBatch serializes handler calls,
@@ -992,6 +996,17 @@ def release_publish_foreach_batch(
     always resolve an atomic CURRENT snapshot, and a crashed publish
     leaves an orphan version dir, never a torn release."""
     import json
+    import warnings
+
+    if stream_id is None:
+        raise ValueError(
+            "release_publish_foreach_batch: stream_id is required — "
+            "pass a stable name for the stream's checkpoint lineage "
+            "(the checkpointLocation path is the natural choice). "
+            "Without it a stream restarted from a fresh checkpoint "
+            "(batch ids reset to 0) would be silently skipped as "
+            "already-published."
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1007,6 +1022,17 @@ def release_publish_foreach_batch(
                 man.get("through_batch_id", -1)
             ) >= batch_id:
                 return  # replayed batch: already published
+            if not same_lineage and "through_batch_id" in man:
+                warnings.warn(
+                    "release_publish_foreach_batch: current release "
+                    f"was published by lineage {man.get('stream_id')!r}"
+                    f", not {stream_id!r} — replay protection does not "
+                    "apply to this batch (correct for a fresh "
+                    "checkpoint; duplicate-prone if batches of THIS "
+                    "lineage were already published and interleaved "
+                    "with other publishers)",
+                    stacklevel=2,
+                )
         if not batch_df.head(1):
             return  # empty batch: nothing to append
         write_release_append(

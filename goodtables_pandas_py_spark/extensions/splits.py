@@ -639,13 +639,60 @@ def training_shuffle(
         )
     )
     out = df.withColumn("__shuffle_key", key)
-    n = partitions if partitions is not None else int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    n = (
+        partitions
+        if partitions is not None
+        else _session_shuffle_partitions(df.sparkSession)
     )
     out = out.repartition(n, F.col("__shuffle_key")).sortWithinPartitions(
         "__shuffle_key", id_col
     )
     return out if keep_key else out.drop("__shuffle_key")
+
+
+def _session_shuffle_partitions(spark) -> int:
+    """The session's shuffle parallelism as an int. Some deployments
+    set ``spark.sql.shuffle.partitions`` to a non-numeric value
+    ('auto' under Databricks AQE autotune — OSS Spark rejects it at
+    ``conf.set`` time, managed forks don't), which must not crash a
+    partitions DEFAULT (ADVICE r8): fall back to the context
+    parallelism, then a fixed 200 (Spark Connect has no
+    sparkContext)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        try:
+            return int(spark.sparkContext.defaultParallelism)
+        except Exception:  # Spark Connect: no sparkContext
+            return 200
+
+
+def _canonical_group_key(value) -> str:
+    """Canonical string rendering of a group/bin value — the
+    ``_part_key`` convention the release machinery pins (bool renders
+    'true'/'false' like Spark's cast and hive dirs, NEVER Python's
+    'True'). Kept in sync via the shared import below."""
+    from .pipeline import _part_key
+
+    return _part_key(value)
+
+
+def _scored_row_filter(score_col: str, token_col: str) -> Column:
+    """Rows eligible for budget selection: non-null, non-NaN score and
+    a non-null, non-negative, non-NaN token count. NaN must be
+    excluded EXPLICITLY (ADVICE r8): it passes ``isNotNull``, Spark
+    orders it ABOVE every real double (so ``NaN >= 0`` is true), and a
+    NaN ``max(score)`` would null the bucket span and silently select
+    (almost) nothing. Unscored is unscored — same policy as nulls."""
+    score = F.col(score_col).cast("double")
+    toks = F.col(token_col).cast("double")
+    return (
+        F.col(score_col).isNotNull()
+        & ~F.isnan(score)
+        & F.col(token_col).isNotNull()
+        & ~F.isnan(toks)
+        & (F.col(token_col) >= 0)
+    )
 
 
 def select_token_budget(
@@ -690,11 +737,7 @@ def select_token_budget(
         raise ValueError(f"budget must be positive, got {budget}")
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
-    base = df.where(
-        F.col(score_col).isNotNull()
-        & F.col(token_col).isNotNull()
-        & (F.col(token_col) >= 0)
-    )
+    base = df.where(_scored_row_filter(score_col, token_col))
     head = base.agg(
         F.min(score_col).alias("lo"),
         F.max(score_col).alias("hi"),
@@ -803,10 +846,7 @@ def select_token_budget_by(
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     base = df.where(
-        F.col(by).isNotNull()
-        & F.col(score_col).isNotNull()
-        & F.col(token_col).isNotNull()
-        & (F.col(token_col) >= 0)
+        F.col(by).isNotNull() & _scored_row_filter(score_col, token_col)
     )
     heads = (
         base.groupBy(by)
@@ -820,15 +860,24 @@ def select_token_budget_by(
 
     def _budget_for(gval):
         if isinstance(budgets, dict):
-            return budgets.get(gval)
+            # look up the RAW typed value first, then its canonical
+            # string rendering (the _part_key convention the release
+            # machinery uses — 'true' for True, str() for the rest):
+            # the docstring promises the canonical form works, and a
+            # near-miss key must not silently drop a group (ADVICE r8)
+            if gval in budgets:
+                return budgets[gval]
+            return budgets.get(_canonical_group_key(gval))
         return int(budgets)
 
     whole = []  # group values kept in full
     work = {}  # group value -> (lo, span, budget)
+    matched_any = False
     for r in heads:
         b = _budget_for(r[by])
         if b is None:
             continue
+        matched_any = True
         if b <= 0:
             raise ValueError(
                 f"budget for group {r[by]!r} must be positive, got {b}"
@@ -838,6 +887,14 @@ def select_token_budget_by(
         else:
             lo, hi = float(r["lo"]), float(r["hi"])
             work[r[by]] = (lo, hi - lo, b)
+    if isinstance(budgets, dict) and heads and not matched_any:
+        raise ValueError(
+            "select_token_budget_by: no budgets key matched any group "
+            f"of {by!r} (groups look like "
+            f"{[r[by] for r in heads[:3]]!r}...) — keys are matched as "
+            "raw values first, then canonical strings; a fully "
+            "mismatched dict would silently select nothing"
+        )
     if not work:
         return base.where(F.col(by).isin(whole)) if whole else base.where(
             F.lit(False)
@@ -952,6 +1009,18 @@ def write_curriculum(
     if any(b is None for b in bins):
         null_count = df.where(F.col(bin_col).isNull()).count()
         bins = [b for b in bins if b is not None]
+    # bool is an int subclass: zero-padding True as 000001 would
+    # collide with an int bin 1 in mixed-bin data, and a negative int
+    # renders '-00001', breaking the documented lexical==numeric
+    # directory ordering — render bools canonically, refuse negatives
+    # (ADVICE r8; curriculum stages are ordinals by contract)
+    for b in bins:
+        if not isinstance(b, bool) and isinstance(b, int) and b < 0:
+            raise ValueError(
+                f"write_curriculum: negative int bin {b} would break "
+                "the lexical==numeric directory-order contract — remap "
+                "bins to non-negative ordinals"
+            )
     manifest: dict = {}
     for b in sorted(bins):
         sub = training_shuffle(
@@ -960,9 +1029,16 @@ def write_curriculum(
             salt=f"{salt}|bin={b}",
             partitions=partitions,
         )
-        label = f"{int(b):06d}" if isinstance(b, int) else str(b)
+        if isinstance(b, bool):
+            label = _canonical_group_key(b)
+        elif isinstance(b, int):
+            label = f"{int(b):06d}"
+        else:
+            label = str(b)
         sub.write.mode("overwrite").parquet(f"{path}/bin={label}")
-        manifest[str(b)] = df.where(F.col(bin_col) == F.lit(b)).count()
+        manifest[_canonical_group_key(b)] = df.where(
+            F.col(bin_col) == F.lit(b)
+        ).count()
     if null_count:
         manifest["__null__"] = null_count
     return manifest

@@ -218,67 +218,22 @@ def _p6(spark, sf_dir):
 
 
 @q(
-    "p9_p10_parse_date",
-    "SELECT 'iso' AS variant, min(CAST(l_shipdate AS DATE)) AS min_d,"
-    " max(CAST(l_shipdate AS DATE)) AS max_d,"
-    " CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n_distinct"
+    "p9_p13_temporal_parse",
+    "SELECT 'iso' AS variant, CAST(NULL AS BIGINT) AS sum_secs,"
+    " count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " strftime(min(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS min_ts,"
+    " strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_ts,"
+    " CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n"
     " FROM lineitem"
     " UNION ALL"
-    " SELECT 'pattern' AS variant, min(CAST(l_shipdate AS DATE)) AS min_d,"
-    " max(CAST(l_shipdate AS DATE)) AS max_d,"
-    " CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n_distinct"
-    " FROM lineitem",
-)
-def _p9_p10(spark, sf_dir):
-    """P9 default ISO date + P10 strptime-pattern date in one query
-    (50-entry registry cap): 'iso' parses yyyy-MM-dd, 'pattern'
-    parses dd/MM/yyyy via the strptime→Spark translator
-    (patterns.py). Both must recover the same date stats."""
-    li = t(spark, sf_dir, "lineitem")
-
-    pf_a = parse_field(
-        F.date_format("l_shipdate", "yyyy-MM-dd"), Field("v", type="date")
-    )
-    iso = li.select(pf_a.parsed.alias("p")).agg(
-        F.lit("iso").alias("variant"),
-        F.min("p").alias("min_d"),
-        F.max("p").alias("max_d"),
-        F.count_distinct("p").cast(_BIG).alias("n_distinct"),
-    )
-
-    pf_b = parse_field(
-        F.date_format("l_shipdate", "dd/MM/yyyy"),
-        Field("v", type="date", format="%d/%m/%Y"),
-    )
-    pat = li.select(pf_b.parsed.alias("p")).agg(
-        F.lit("pattern").alias("variant"),
-        F.min("p").alias("min_d"),
-        F.max("p").alias("max_d"),
-        F.count_distinct("p").cast(_BIG).alias("n_distinct"),
-    )
-    return iso.unionByName(pat)
-
-
-@q(
-    "p11_parse_date_any",
-    "SELECT min(CAST(strptime(strftime(o_orderdate, '%B %d, %Y'),"
-    " '%B %d, %Y') AS DATE)) AS min_d,"
-    " max(CAST(strptime(strftime(o_orderdate, '%B %d, %Y'),"
-    " '%B %d, %Y') AS DATE)) AS max_d FROM orders",
-)
-def _p11(spark, sf_dir):
-    """P11 format='any' — the one pandas-UDF parser (dateutil)."""
-    o = t(spark, sf_dir, "orders")
-    raw = F.date_format("o_orderdate", "MMMM dd, yyyy")
-    pf = parse_field(raw, Field("v", type="date", format="any"))
-    return o.select(pf.parsed.alias("p")).agg(
-        F.min("p").alias("min_d"), F.max("p").alias("max_d")
-    )
-
-
-@q(
-    "p12_p13_time_datetime",
-    "SELECT 'time' AS variant,"
+    " SELECT 'pattern' AS variant, CAST(NULL AS BIGINT) AS sum_secs,"
+    " count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " strftime(min(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS min_ts,"
+    " strftime(max(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_ts,"
+    " CAST(count(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n"
+    " FROM lineitem"
+    " UNION ALL"
+    " SELECT 'time' AS variant,"
     " CAST(sum(EXTRACT(hour FROM ts) * 3600 + EXTRACT(minute FROM ts)"
     " * 60 + FLOOR(EXTRACT(second FROM ts))) AS BIGINT) AS sum_secs,"
     " count(*) FILTER (WHERE FALSE) AS n_bad,"
@@ -291,17 +246,55 @@ def _p11(spark, sf_dir):
     " strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_ts,"
     " CAST(count(o_orderdate) AS BIGINT) AS n FROM orders",
 )
-def _p12_p13(spark, sf_dir):
-    """P12 time + P13 datetime in one labeled query (50-entry registry
-    cap — merged r5 to make room for the x7 split/packing operators).
-    'time' parses HH:mm:ss lexicals into secs-of-day; 'datetime'
-    parses ISO 'T' timestamps. Out-of-variant columns are typed
-    NULLs."""
+def _p9_p13(spark, sf_dir):
+    """P9 default ISO date + P10 pattern date + P12 time + P13
+    datetime in ONE labeled query (r9: the pre-declared COVERAGE.md
+    merge #2 of p9_p10_parse_date + p12_p13_time_datetime — four
+    temporal parsers over the same rendition populations; every
+    original measure preserved per row kind; slot funds
+    x7_token_budget under the 50-row driver cap).
+
+    - 'iso': P9 strict ISO yyyy-MM-dd over lineitem ship dates.
+    - 'pattern': P10 dd/MM/yyyy via the strptime→Spark translator
+      (patterns.py) — must recover the same date stats as 'iso'.
+    - 'time': P12 HH:mm:ss lexicals into secs-of-day over events.
+    - 'datetime': P13 ISO 'T' timestamps over orders.
+
+    Out-of-variant columns are typed NULLs; date min/max render as
+    ISO strings so all four kinds share one schema."""
+    li = t(spark, sf_dir, "lineitem")
     nul = F.lit(None).cast(_BIG)
     nus = F.lit(None).cast("string")
 
+    def date_row(pf, label):
+        return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
+            F.lit(label).alias("variant"),
+            nul.alias("sum_secs"),
+            F.count_if(F.col("b")).alias("n_bad"),
+            F.date_format(F.min("p"), "yyyy-MM-dd").alias("min_ts"),
+            F.date_format(F.max("p"), "yyyy-MM-dd").alias("max_ts"),
+            F.count_distinct("p").cast(_BIG).alias("n"),
+        )
+
+    iso = date_row(
+        parse_field(
+            F.date_format("l_shipdate", "yyyy-MM-dd"),
+            Field("v", type="date"),
+        ),
+        "iso",
+    )
+    pat = date_row(
+        parse_field(
+            F.date_format("l_shipdate", "dd/MM/yyyy"),
+            Field("v", type="date", format="%d/%m/%Y"),
+        ),
+        "pattern",
+    )
+
     ev = t(spark, sf_dir, "events")
-    pf_t = parse_field(F.date_format("ts", "HH:mm:ss"), Field("v", type="time"))
+    pf_t = parse_field(
+        F.date_format("ts", "HH:mm:ss"), Field("v", type="time")
+    )
     time_row = ev.select(pf_t.parsed.alias("p"), pf_t.bad.alias("b")).agg(
         F.lit("time").alias("variant"),
         F.sum("p").cast(_BIG).alias("sum_secs"),
@@ -324,7 +317,24 @@ def _p12_p13(spark, sf_dir):
         F.date_format(F.max("p"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
         F.count("p").cast(_BIG).alias("n"),
     )
-    return time_row.unionByName(dt_row)
+    return iso.unionByName(pat).unionByName(time_row).unionByName(dt_row)
+
+
+@q(
+    "p11_parse_date_any",
+    "SELECT min(CAST(strptime(strftime(o_orderdate, '%B %d, %Y'),"
+    " '%B %d, %Y') AS DATE)) AS min_d,"
+    " max(CAST(strptime(strftime(o_orderdate, '%B %d, %Y'),"
+    " '%B %d, %Y') AS DATE)) AS max_d FROM orders",
+)
+def _p11(spark, sf_dir):
+    """P11 format='any' — the one pandas-UDF parser (dateutil)."""
+    o = t(spark, sf_dir, "orders")
+    raw = F.date_format("o_orderdate", "MMMM dd, yyyy")
+    pf = parse_field(raw, Field("v", type="date", format="any"))
+    return o.select(pf.parsed.alias("p")).agg(
+        F.min("p").alias("min_d"), F.max("p").alias("max_d")
+    )
 
 
 @q(
@@ -1099,12 +1109,18 @@ FROM jac WHERE j >= 0.1
 UNION ALL
 SELECT 'minhash_summary' AS kind,
        (SELECT CAST(count(*) AS BIGINT) FROM jac WHERE j >= 0.5) AS a,
+       CAST(1 AS BIGINT) AS b, CAST(1.0 AS DOUBLE) AS x
+UNION ALL
+SELECT 'dedup_summary' AS kind,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS a,
        CAST(1 AS BIGINT) AS b, CAST(1.0 AS DOUBLE) AS x""",
 )
 def _x2pc(spark, sf_dir):
-    """X2 pairwise checks, labeled rows (merged r5 round: the former
-    x2_jaccard_pairs + x2_minhash_pairs — every original check
-    preserved; slot freed for x2_dup_spans under the 50-row cap):
+    """X2 pairwise checks, labeled rows (merged r5: the former
+    x2_jaccard_pairs + x2_minhash_pairs; merged r9: + the former
+    x2_minhash_dedup — the pre-declared COVERAGE.md merge #1, every
+    original check preserved; slot funds x9_release under the 50-row
+    driver cap):
 
     - 'jaccard' rows: exact 3-gram Jaccard >= 0.1 over SAME-SOURCE
       pairs (bounded pair space — equi-join on ``source``, never a
@@ -1116,12 +1132,23 @@ def _x2pc(spark, sf_dir):
       it), b = containment (LSH+verify ⊆ exact, as 1/0), x = recall
       >= 0.9 on the bounded subspace (integer arithmetic, not HALF_UP
       rounding — ADVICE r3), as 1.0/0.0.
+    - 'dedup_summary' row (the former x2_minhash_dedup, unchanged
+      invariants): a = n_docs (DuckDB recounts), b = wellformed_ok as
+      1/0 — every emitted pair canonical (id_a < id_b, no self-pairs
+      or mirrors), x = jaccard_recheck_ok as 1.0/0.0 — every pair's
+      Jaccard RECOMPUTED from the raw texts with the independent
+      inclusion-exclusion denominator |A|+|B|-|A∩B| must match the
+      emitted value to 1e-9 AND clear the threshold. Both falsifiable
+      against pair-generation / verify-join / set-construction bugs.
 
-    Perf posture (both halves): shingle arrays computed ONCE PER DOC
-    before the pair join (n arrays, not n² evaluations — r2 rebuilt
+    Perf posture (all arms): shingle arrays computed ONCE PER DOC
+    before the pair joins (n arrays, not n² evaluations — r2 rebuilt
     both sides per pair via interpreted HOF lambdas); joins are
-    equi-joins on ``source`` (shuffled hash join, ~p·(n/p)² pairs),
-    plan-guard-tested."""
+    equi-joins on ``source`` / pair ids (shuffled hash join,
+    ~p·(n/p)² pairs), plan-guard-tested. The LSH pair frame is
+    persisted — it feeds the minhash_summary containment join AND
+    both dedup_summary invariants; the cache is released by Spark's
+    ContextCleaner when the driver drops the plan."""
     d = t(spark, sf_dir, "documents", wide=True)
     sh = d.select(
         F.col("doc_id").cast(_BIG).alias("id"),
@@ -1152,8 +1179,9 @@ def _x2pc(spark, sf_dir):
         F.round("j", 6).alias("x"),
     )
     src = d.select(F.col("doc_id").cast(_BIG).alias("id"), "source")
+    pairs = xdedup.minhash_dedup_pairs(d, threshold=0.5).persist()
     approx = (
-        xdedup.minhash_dedup_pairs(d, threshold=0.5)
+        pairs
         .select(
             F.col("id_a").cast(_BIG).alias("id_a"),
             F.col("id_b").cast(_BIG).alias("id_b"),
@@ -1180,71 +1208,42 @@ def _x2pc(spark, sf_dir):
         # e.g. common=6 of ne=7 (recall .857) — ADVICE r3
         (F.col("common") * 10 >= F.col("ne") * 9).cast("double").alias("x"),
     )
-    return jaccard_rows.unionByName(summary)
 
-
-@q(
-    "x2_minhash_dedup",
-    "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS wellformed_ok,"
-    " TRUE AS jaccard_recheck_ok FROM documents",
-)
-def _x2d(spark, sf_dir):
-    """X2 product-path pairs (MinHash+LSH candidates → exact-Jaccard
-    verify ≥ 0.5, full documents table) with FALSIFIABLE Spark-side
-    invariants. The r4 ``verified_ok`` re-filtered the pipeline's own
-    ``.where(jaccard >= t)`` output — empty by construction, a
-    tautology (ADVICE r4). Now:
-
-    - ``wellformed_ok``: every emitted pair is canonical — id_a < id_b,
-      so no self-pairs and no (b,a) mirrors. Falsifiable against a
-      pair-generation bug.
-    - ``jaccard_recheck_ok``: for every emitted pair, Jaccard is
-      RECOMPUTED from the raw texts with the independent
-      inclusion-exclusion denominator |A|+|B|-|A∩B| (array_union never
-      evaluated) and must match the emitted value to 1e-9 AND clear
-      the threshold. Falsifiable against a verify-join or
-      set-construction bug.
-
-    xxhash64 signatures are not SQL-expressible, so the oracle pins
-    n_docs plus the invariants. Summaries combine via UNION + one
-    aggregate (a constant-key 1-row join would fold into a
-    BroadcastNestedLoopJoin and trip the registry plan guard). The
-    BENCHED dedup number is the end-to-end ``near_dedup`` product path
-    (bench.py::bench_near_dedup — candidates + verify + anti-join,
-    none of this invariant machinery)."""
-    d = t(spark, sf_dir, "documents", wide=True)
-    pairs = xdedup.minhash_dedup_pairs(d, threshold=0.5)
-    sets = d.select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(
-            xtext.shingles(
-                xtext.whitespace_tokens(xtext.normalize_text(F.col("text"))), 3
-            )
-        ).alias("s"),
-    )
+    # 'dedup_summary': the former x2_minhash_dedup invariants, over
+    # the SAME persisted pair frame (merged r9). Combined via UNION +
+    # one aggregate — a constant-key 1-row join would fold into a
+    # BroadcastNestedLoopJoin and trip the registry plan guard.
+    sets = sh.select("id", "s")
     re_pairs = (
-        pairs.join(sets.withColumnsRenamed({"id": "id_a", "s": "sa"}), "id_a")
-        .join(sets.withColumnsRenamed({"id": "id_b", "s": "sb"}), "id_b")
+        pairs.join(
+            sets.select(F.col("id").alias("id_a"), F.col("s").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("s").alias("sb")),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     denom = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
     j2 = F.when(denom > 0, inter / denom).otherwise(F.lit(0.0))
     malformed = re_pairs.where(F.col("id_a") >= F.col("id_b")).select(
-        F.lit("malformed").alias("kind")
+        F.lit("malformed").alias("k")
     )
     recheck_bad = re_pairs.where(
         (F.abs(F.col("jaccard") - j2) > 1e-9) | (j2 < 0.5)
-    ).select(F.lit("recheck").alias("kind"))
-    u = (
-        d.select(F.lit("doc").alias("kind"))
+    ).select(F.lit("recheck").alias("k"))
+    dedup = (
+        d.select(F.lit("doc").alias("k"))
         .unionAll(malformed)
         .unionAll(recheck_bad)
+    ).agg(
+        F.lit("dedup_summary").alias("kind"),
+        F.count_if(F.col("k") == "doc").cast(_BIG).alias("a"),
+        (F.count_if(F.col("k") == "malformed") == 0).cast(_BIG).alias("b"),
+        (F.count_if(F.col("k") == "recheck") == 0).cast("double").alias("x"),
     )
-    return u.agg(
-        F.count_if(F.col("kind") == "doc").cast(_BIG).alias("n_docs"),
-        (F.count_if(F.col("kind") == "malformed") == 0).alias("wellformed_ok"),
-        (F.count_if(F.col("kind") == "recheck") == 0).alias("jaccard_recheck_ok"),
-    )
+    return jaccard_rows.unionByName(summary).unionByName(dedup)
 
 
 @q(
@@ -2947,3 +2946,216 @@ def _x7urls(spark, sf_dir):
         )
     )
     return doms.unionByName(summary)
+
+
+# ============ X7f: token-budget curation (r9 oracle row, VERDICT r8 #1) ====
+
+
+@q(
+    "x7_token_budget",
+    """WITH t AS (
+  SELECT doc_id, source,
+         (doc_id * 2654435761) % 1000000007 AS score,
+         length(text) AS n_tokens
+  FROM documents),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY score DESC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t),
+g AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY score DESC
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+         (SUM(n_tokens) OVER (PARTITION BY source) * 2) // 10 AS b
+  FROM t)
+SELECT 'budget30' AS kind, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM c WHERE cum <= (SELECT (total * 3) // 10 FROM tot)
+UNION ALL
+SELECT 'budget70' AS kind, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM c WHERE cum <= (SELECT (total * 7) // 10 FROM tot)
+UNION ALL
+SELECT 'by_20pct' AS kind, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM g WHERE cum <= b""",
+)
+def _x7tb(spark, sf_dir):
+    """X7f select_token_budget / select_token_budget_by (r9 — the
+    driver-certified oracle row VERDICT r8 flagged as the round's
+    lead gap; slot funded by the p9_p10+p12_p13 merge).
+
+    The operator's whole point is computing the greedy best-scores
+    prefix WITHOUT the global sort DuckDB's twin runs (``ORDER BY
+    score DESC`` + running sum — at 100 TB that window is the single
+    largest shuffle in a curation pipeline): a bucket-histogram
+    threshold search (two agg scans) plus an exact window over ONLY
+    the boundary bucket, plan-asserted free of RangePartitioning in
+    test_splits. This row certifies the two plans agree VALUE-exactly.
+
+    Scores are a bijective mix of doc_id (``doc_id * 2654435761 mod
+    1000000007`` — injective for doc_id < 1e9, exact in a double),
+    so ties are impossible and the salted-hash tiebreak (not
+    SQL-expressible) never fires; tokens = length(text). Labeled
+    rows: 'budget30'/'budget70' = global selection at 30%/70% of
+    total tokens (integer floor both sides); 'by_20pct' = the per-
+    group arm at 20% of each source's tokens (every group over-budget
+    by construction, so every group exercises its boundary bucket).
+    Each row pins (n_docs, sum_tokens, sum_ids) — sum_ids identifies
+    the selected SET, not just its size."""
+    from .extensions.splits import select_token_budget, select_token_budget_by
+
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007))
+        .cast("double")
+        .alias("score"),
+        F.length("text").cast("long").alias("n_tokens"),
+    )
+    total = scored.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
+
+    def summarize(sel: DataFrame, label: str) -> DataFrame:
+        return sel.agg(
+            F.lit(label).alias("kind"),
+            F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
+            F.sum("n_tokens").cast(_BIG).alias("sum_tokens"),
+            F.sum("doc_id").cast(_BIG).alias("sum_ids"),
+        )
+
+    b30 = summarize(
+        select_token_budget(scored, (total * 3) // 10, buckets=512),
+        "budget30",
+    )
+    b70 = summarize(
+        select_token_budget(scored, (total * 7) // 10, buckets=512),
+        "budget70",
+    )
+    group_totals = {
+        r["source"]: r["t"]
+        for r in scored.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    budgets = {g: (tot * 2) // 10 for g, tot in group_totals.items()}
+    by20 = summarize(
+        select_token_budget_by(scored, budgets, by="source", buckets=128),
+        "by_20pct",
+    )
+    return b30.unionByName(b70).unionByName(by20)
+
+
+# ============ X9: versioned-release sink (r9 oracle row, VERDICT r8 #1) ====
+
+
+@q(
+    "x9_release",
+    """WITH d AS (SELECT doc_id, source, text FROM documents),
+chg AS (SELECT doc_id FROM d WHERE source = 'src3' AND doc_id % 3 = 0),
+rem AS (SELECT doc_id FROM d WHERE source = 'src3' AND doc_id % 3 = 1),
+add_ AS (SELECT doc_id + 1000000 AS doc_id FROM d
+         WHERE source = 'src3' AND doc_id % 3 = 2)
+SELECT 'added' AS kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM add_
+UNION ALL
+SELECT 'changed' AS kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM chg
+UNION ALL
+SELECT 'removed' AS kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM rem
+UNION ALL
+SELECT 'reused' AS kind,
+       CAST(count(DISTINCT source) - 1 AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS sum_ids FROM d
+UNION ALL
+SELECT 'v2_rows' AS kind,
+       (SELECT CAST(count(*) AS BIGINT) FROM d)
+         - (SELECT count(*) FROM rem) + (SELECT count(*) FROM add_) AS n,
+       (SELECT CAST(sum(doc_id) AS BIGINT) FROM d)
+         - COALESCE((SELECT sum(doc_id) FROM rem), 0)
+         + COALESCE((SELECT sum(doc_id) FROM add_), 0) AS sum_ids""",
+)
+def _x9rel(spark, sf_dir):
+    """X9 versioned-release sink end-to-end (r9 — the second oracle
+    row VERDICT r8 item 1 asked for; slot funded by the
+    x2_pair_checks+x2_minhash_dedup merge): publish v1 of documents
+    partitioned by source, mutate EXACTLY one partition ('src3':
+    doc_id%3==0 rows changed, %3==1 removed, %3==2 cloned to new ids
+    +1e6), publish v2 via write_release_increment, then certify
+    release_changes(v1→v2) and read_release(v2) against DuckDB
+    computing the same diff from the mutation rule directly.
+
+    Labeled rows (kind, n, sum_ids — sum_ids pins the row SET):
+    'added'/'changed'/'removed' = the changes feed per status;
+    'reused' = incremental-manifest reused-partition count (must be
+    every partition but 'src3' — proving untouched partitions were
+    hardlinked forward, cost ∝ the change, not the corpus);
+    'v2_rows' = read_release(CURRENT) row count + id sum (the
+    published corpus equals old − removed + added; changed rows keep
+    their ids).
+
+    The diff itself reads ONLY the changed partition on both sides
+    (fingerprint-pruned — release_changes compares manifest
+    fingerprints driver-side and filters both scans to 'src3'), and
+    the status spine joins via broadcast equi-join so all-empty
+    statuses still emit a (0, NULL) row like the SQL twin."""
+    import tempfile
+
+    from .extensions.pipeline import (
+        read_release,
+        release_changes,
+        write_release_increment,
+        write_release_version,
+    )
+
+    root = tempfile.mkdtemp(prefix="gt_x9_release_")
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    write_release_version(d, root, split_col="source")
+
+    in_s3 = F.col("source") == "src3"
+    mod = F.col("doc_id") % 3
+    kept = d.where(~in_s3 | (mod != 1))
+    changed = F.when(
+        in_s3 & (mod == 0), F.concat(F.col("text"), F.lit("!?"))
+    ).otherwise(F.col("text"))
+    base2 = kept.withColumn("text", changed)
+    added = d.where(in_s3 & (mod == 2)).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        "source",
+        F.concat(F.lit("new"), F.col("doc_id").cast("string")).alias("text"),
+    )
+    man2 = write_release_increment(
+        base2.unionByName(added), root, split_col="source"
+    )
+
+    feed = release_changes(spark, root, id_col="doc_id")
+    counts = feed.groupBy(F.col("status").alias("kind")).agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n_got"),
+        F.sum("doc_id").cast(_BIG).alias("sum_ids"),
+    )
+    spine = spark.createDataFrame(
+        [("added",), ("changed",), ("removed",)], "kind string"
+    )
+    statuses = spine.join(counts, "kind", "left").select(
+        "kind",
+        F.coalesce(F.col("n_got"), F.lit(0)).cast(_BIG).alias("n"),
+        F.col("sum_ids"),
+    )
+
+    v2_df, _ = read_release(spark, root)
+    v2_row = v2_df.agg(
+        F.lit("v2_rows").alias("kind"),
+        F.count(F.lit(1)).cast(_BIG).alias("n"),
+        F.sum("doc_id").cast(_BIG).alias("sum_ids"),
+    )
+    reused_row = spark.createDataFrame(
+        [("reused", len(man2["incremental"]["reused"]), None)],
+        "kind string, n bigint, sum_ids bigint",
+    )
+    return statuses.unionByName(reused_row).unionByName(v2_row)

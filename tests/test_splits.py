@@ -1084,3 +1084,144 @@ def test_write_curriculum_bin_major_shuffled_within(spark, tmp_path):
         ]
         assert got == want, f"bin {b} order diverged"
         assert len(got) == man[str(b)]
+
+
+# ----------------------------------------- ADVICE r8 regressions
+
+
+def test_select_token_budget_nan_scores_are_excluded(spark):
+    """NaN passes isNotNull and Spark orders it above every real
+    double, so an unfiltered NaN would null the bucket span and
+    silently select (almost) nothing (ADVICE r8) — NaN rows are
+    excluded like nulls, and the real rows still fill the budget."""
+    from goodtables_pandas_py_spark.extensions.splits import (
+        select_token_budget,
+        select_token_budget_by,
+    )
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1, nan, 100), (2, 5.0, 100), (3, 1.0, 100), (4, nan, 100)],
+        "doc_id long, score double, n_tokens int",
+    )
+    got = sorted(r["doc_id"] for r in select_token_budget(df, 200).collect())
+    assert got == [2, 3]
+    # NaN token counts are excluded too (NaN >= 0 is TRUE in Spark)
+    df2 = spark.createDataFrame(
+        [(1, 5.0, nan), (2, 4.0, 100.0)],
+        "doc_id long, score double, n_tokens double",
+    )
+    assert [
+        r["doc_id"] for r in select_token_budget(df2, 10**6).collect()
+    ] == [2]
+    # per-group arm shares the filter
+    dfg = spark.createDataFrame(
+        [(1, "a", nan, 100), (2, "a", 2.0, 100), (3, "b", 1.0, 100)],
+        "doc_id long, source string, score double, n_tokens int",
+    )
+    by = sorted(
+        r["doc_id"]
+        for r in select_token_budget_by(dfg, 100, by="source").collect()
+    )
+    assert by == [2, 3]
+
+
+def test_select_token_budget_by_canonical_keys_and_mismatch(spark):
+    """budgets dict keys match raw values OR their canonical string
+    rendering (the documented _part_key form: booleans are
+    'true'/'false'); a dict matching NO group raises instead of
+    silently selecting nothing (ADVICE r8 medium)."""
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions.splits import (
+        select_token_budget_by,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0, float(i), 100) for i in range(40)],
+        "doc_id long, flagged boolean, score double, n_tokens int",
+    )
+    # canonical-string keys for a boolean by-column ('true', not 'True')
+    got = select_token_budget_by(
+        df, {"true": 300, "false": 10**9}, by="flagged", buckets=4
+    )
+    sums = {
+        r["flagged"]: r["t"]
+        for r in got.groupBy("flagged").agg(
+            F.sum("n_tokens").alias("t")
+        ).collect()
+    }
+    assert sums[True] == 300 and sums[False] == 2_000
+    # raw typed keys still work (and win)
+    raw = select_token_budget_by(
+        df, {True: 300}, by="flagged", buckets=4
+    )
+    assert raw.count() == 3
+    # a fully mismatched dict is loud, not an empty frame
+    with _pytest.raises(ValueError, match="no budgets key matched"):
+        select_token_budget_by(df, {"True": 300}, by="flagged")
+
+
+def test_write_curriculum_bool_and_negative_bins(spark, tmp_path):
+    """bool bins render canonically ('true'/'false' dirs, never the
+    int-collision '000001'); negative int bins are refused — they
+    would break lexical==numeric directory ordering (ADVICE r8)."""
+    import os
+
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions.splits import (
+        write_curriculum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}", i % 2 == 0) for i in range(20)],
+        "doc_id long, text string, quality_bin boolean",
+    )
+    path = str(tmp_path / "cb")
+    man = write_curriculum(df, path, partitions=2)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("bin="))
+    assert dirs == ["bin=false", "bin=true"]
+    assert man == {"false": 10, "true": 10}
+
+    neg = spark.createDataFrame(
+        [(1, "x", -1), (2, "y", 0)],
+        "doc_id long, text string, quality_bin int",
+    )
+    with _pytest.raises(ValueError, match="negative int bin"):
+        write_curriculum(neg, str(tmp_path / "neg"), partitions=2)
+
+
+def test_session_shuffle_partitions_tolerates_auto(spark):
+    """spark.sql.shuffle.partitions='auto' (Databricks AQE autotune —
+    OSS Spark refuses the value at conf.set time, managed forks
+    don't) must not crash training_shuffle's partitions default
+    (ADVICE r8). Simulated with a stub session: the fallback chain is
+    conf int -> defaultParallelism -> 200."""
+    from goodtables_pandas_py_spark.extensions.splits import (
+        _session_shuffle_partitions,
+    )
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, key):
+            return self._v
+
+    class _Ctx:
+        defaultParallelism = 7
+
+    class _Sess:
+        def __init__(self, v, ctx=True):
+            self.conf = _Conf(v)
+            if ctx:
+                self.sparkContext = _Ctx()
+
+    assert _session_shuffle_partitions(_Sess("32")) == 32
+    assert _session_shuffle_partitions(_Sess("auto")) == 7
+    assert _session_shuffle_partitions(_Sess("auto", ctx=False)) == 200
+    # and the real session path still resolves to an int
+    assert _session_shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

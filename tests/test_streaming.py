@@ -860,7 +860,13 @@ def test_streaming_release_publish_appends(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/wave*")
     )
-    handler = release_publish_foreach_batch(root)
+    # stream_id is REQUIRED (ADVICE r8): the None default made the
+    # fresh-checkpoint-skips-data mode the silent default
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stream_id is required"):
+        release_publish_foreach_batch(root)
+    handler = release_publish_foreach_batch(root, stream_id="ckpt1")
     q = (
         stream.writeStream.foreachBatch(handler)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -902,9 +908,10 @@ def test_streaming_release_publish_appends(spark, tmp_path):
     # a DIFFERENT stream lineage (fresh checkpoint restarting at
     # batch 0) must NOT be skipped by the stored through_batch_id
     fresh = release_publish_foreach_batch(root, stream_id="ckpt2")
-    fresh(
-        spark.createDataFrame([(900, "x", "val")], schema), 0
-    )
+    with _pytest.warns(UserWarning, match="replay protection"):
+        fresh(
+            spark.createDataFrame([(900, "x", "val")], schema), 0
+        )
     got3, man3 = read_release(spark, root)
     assert got3.count() == 19
     assert man3["stream_id"] == "ckpt2"
