@@ -2828,3 +2828,193 @@ def test_release_rollback(spark, tmp_path):
     # unknown / unpublished versions refuse
     with pytest.raises(FileNotFoundError):
         rollback_release(spark, root, "v00000042")
+
+
+def test_write_release_merge_upserts_touched_partitions_only(
+    spark, tmp_path
+):
+    """write_release_merge (r9, VERDICT r8 item 2): matched ids
+    replaced, new ids inserted, delete ids removed; ONLY partitions
+    containing touched keys rewrite (manifest-asserted) and the
+    result equals a full rewrite exactly (proven by a follow-up
+    increment over the expected corpus reusing every partition)."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        read_release,
+        write_release_increment,
+        write_release_merge,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+    base = [
+        (1, "a", "train"), (2, "b", "train"), (3, "c", "train"),
+        (4, "d", "val"), (5, "e", "test"), (6, "f", "test"),
+    ]
+    write_release_version(spark.createDataFrame(base, schema), root)
+
+    # upsert: id 2 changed, id 7 new (both 'train'); delete id 6
+    updates = spark.createDataFrame(
+        [(2, "B!", "train"), (7, "g", "train")], schema
+    )
+    deletes = spark.createDataFrame(
+        [(6, "test")], "doc_id long, split string"
+    )
+    m2 = write_release_merge(updates, root, deletes=deletes)
+    inc = m2["incremental"]
+    assert inc["merge"] is True
+    assert inc["rewritten"] == ["test", "train"]
+    assert inc["reused"] == ["val"]
+    assert inc["removed"] == []
+    got, man = read_release(spark, root)
+    expect = [
+        (1, "a", "train"), (2, "B!", "train"), (3, "c", "train"),
+        (4, "d", "val"), (5, "e", "test"), (7, "g", "train"),
+    ]
+    assert sorted(
+        (r["doc_id"], r["text"], r["split"]) for r in got.collect()
+    ) == sorted(expect)
+    assert man["n_rows"] == 6
+
+    # byte-for-byte-equivalent proof: an increment over the expected
+    # corpus recomputes every fingerprint — any divergence in the
+    # merged partitions would surface as a rewrite here
+    m3 = write_release_increment(
+        spark.createDataFrame(expect, schema), root
+    )
+    assert m3["incremental"]["rewritten"] == [], m3["incremental"]
+    assert m3["incremental"]["reused"] == ["test", "train", "val"]
+
+    # untouched partition's files are HARDLINKED forward, not copied
+    import os
+
+    v2 = os.path.join(root, "versions", m2["version"], "data.parquet")
+    val_dir = os.path.join(v2, "split=val")
+    links = [
+        os.stat(os.path.join(val_dir, f)).st_nlink
+        for f in os.listdir(val_dir)
+        if f.endswith(".parquet")
+    ]
+    assert links and all(n >= 2 for n in links), links
+
+
+def test_write_release_merge_replay_is_noop_and_contracts(
+    spark, tmp_path
+):
+    """Replaying the SAME merge publishes nothing (idempotence = the
+    foreachBatch replay story: fingerprints match, no version bump);
+    duplicate/null update ids, schema drift, missing base, and a
+    delete-everything partition all behave per contract; opt-in
+    id-migration check catches a moved id."""
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        list_release_versions,
+        read_release,
+        write_release_merge,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+    base = [
+        (1, "a", "train"), (2, "b", "train"),
+        (3, "c", "val"), (4, "d", "test"),
+    ]
+    with _pytest.raises(ValueError, match="nothing published"):
+        write_release_merge(
+            spark.createDataFrame(base, schema), str(tmp_path / "none")
+        )
+    write_release_version(spark.createDataFrame(base, schema), root)
+
+    updates = spark.createDataFrame([(2, "B!", "train")], schema)
+    m2 = write_release_merge(updates, root)
+    assert m2["incremental"]["merge"] is True
+    # replay: same updates -> same fingerprints -> no publish
+    m3 = write_release_merge(updates, root)
+    assert m3["version"] == m2["version"]
+    assert list_release_versions(spark, root) == ["v00000001", "v00000002"]
+
+    # duplicate update ids refuse
+    with _pytest.raises(ValueError, match="not unique"):
+        write_release_merge(
+            spark.createDataFrame(
+                [(9, "x", "train"), (9, "y", "train")], schema
+            ),
+            root,
+        )
+    # schema drift refuses
+    with _pytest.raises(ValueError, match="columns"):
+        write_release_merge(
+            spark.createDataFrame(
+                [(9, "train")], "doc_id long, split string"
+            ),
+            root,
+        )
+    # deleting a partition's every row removes the partition
+    deletes = spark.createDataFrame(
+        [(4, "test")], "doc_id long, split string"
+    )
+    m4 = write_release_merge(
+        spark.createDataFrame([], schema), root, deletes=deletes
+    )
+    assert m4["incremental"]["removed"] == ["test"]
+    got, man = read_release(spark, root)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2, 3]
+    assert "test" not in man["row_counts"]
+
+    # id migration: id 3 lives in 'val'; an update claiming 'train'
+    # passes silently by default (documented) but the opt-in check
+    # catches it
+    moved = spark.createDataFrame([(3, "c2", "train")], schema)
+    with _pytest.raises(ValueError, match="split must not change"):
+        write_release_merge(moved, root, check_id_migration=True)
+
+
+def test_release_concurrent_publishers_conflict_loudly(spark, tmp_path):
+    """The r9 concurrent-writer guard (VERDICT r8 item 3): two
+    interleaved publishers — the loser gets ReleaseConflictError at
+    claim or swap time, the winner's version survives intact, and
+    the pointer never regresses. Simulated by interleaving the
+    publish steps the way two processes would race them."""
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        ReleaseConflictError,
+        _claim_version,
+        _next_version_name,
+        _verify_base_and_swap,
+        read_release,
+        write_release_append,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+    write_release_version(
+        spark.createDataFrame([(1, "a", "train")], schema), root
+    )
+
+    # race 1: both compute the same next version; B claims first ->
+    # A's claim raises before any data is written
+    vname = _next_version_name(spark, root)
+    _claim_version(spark, root, vname)  # publisher B
+    with _pytest.raises(ReleaseConflictError, match="already claimed"):
+        _claim_version(spark, root, vname)  # publisher A loses
+
+    # race 2: A starts from base v1, B publishes v3 meanwhile ->
+    # A's swap detects the moved pointer and raises; B's version
+    # stays CURRENT
+    base = "v00000001"
+    write_release_append(  # publisher B lands (v3: v2 is the orphan)
+        spark.createDataFrame([(2, "b", "val")], schema), root
+    )
+    _, man_b = read_release(spark, root)
+    a_v = _next_version_name(spark, root)
+    _claim_version(spark, root, a_v)
+    with _pytest.raises(ReleaseConflictError, match="moved"):
+        _verify_base_and_swap(spark, root, a_v, base)
+    _, man_after = read_release(spark, root)
+    assert man_after["version"] == man_b["version"]
+    got, _ = read_release(spark, root)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
