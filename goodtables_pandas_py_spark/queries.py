@@ -2529,7 +2529,7 @@ _VECINDEX_DIRS: dict[str, str] = {}
     " ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
     " CAST(b.embedding AS DOUBLE[])), 6) AS cosine"
     " FROM embeddings a CROSS JOIN embeddings b"
-    " WHERE a.vec_id IN (0, 17)"
+    " WHERE a.vec_id IN (0, 17, 31)"
     " QUALIFY row_number() OVER (PARTITION BY a.vec_id"
     " ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
     " CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10",
@@ -2551,10 +2551,13 @@ def _x6_vecindex(spark, sf_dir):
 
     r8: query 0 serves through the per-query path and query 17
     through :func:`~.extensions.vecindex.ivf_index_topk_batch` (the
-    one-job bulk-serving shape, BASELINE.md §ivf-batch-serving), so
-    the same oracle row now certifies BOTH serve paths — ids and
-    6-dp scores must agree with brute force whichever code produced
-    them."""
+    one-job bulk-serving shape, BASELINE.md §ivf-batch-serving).
+    r9: query 31 serves through
+    :func:`~.extensions.vecindex.ivf_index_topk_batch_distributed`
+    (mapInPandas probe selection, no driver collect — the
+    past-max_queries scale path), so the same oracle row certifies
+    ALL THREE serve paths — ids and 6-dp scores must agree with
+    brute force whichever code produced them."""
     import tempfile
 
     from .extensions import vecindex as xvi
@@ -2595,7 +2598,22 @@ def _x6_vecindex(spark, sf_dir):
         F.col("id").cast(_BIG).alias("vec_id"),
         F.round("cosine", 6).alias("cosine"),
     )
-    return single.unionByName(batch)
+    # r9 third arm: the DISTRIBUTED batch path (mapInPandas probe
+    # selection, no driver collect) serving query 31 — the oracle now
+    # certifies all three serve paths against the same brute-force SQL
+    dist = xvi.ivf_index_topk_batch_distributed(
+        idx,
+        e.where(F.col("vec_id") == 31).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=10,
+        nprobe=len(idx.centroids),
+    ).select(
+        F.col("query_id").cast(_BIG).alias("query_id"),
+        F.col("id").cast(_BIG).alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+    return single.unionByName(batch).unionByName(dist)
 
 
 # ===================== X2c: exact-substring span dedup ====================

@@ -374,3 +374,75 @@ def test_batch_topk_guards(spark, emb, index_dir):
         ivf_index_topk_batch(idx, queries, max_queries=3)
     with pytest.raises(ValueError, match="empty"):
         ivf_index_topk_batch(idx, queries.limit(0))
+
+
+def test_distributed_batch_topk_matches_collect_path(
+    spark, emb, index_dir
+):
+    """ivf_index_topk_batch_distributed (r9) == ivf_index_topk_batch
+    row-for-row at the same (k, nprobe): the no-driver-collect path
+    must be a pure relocation of probe selection, not a semantic
+    variant. Also covers NULL/ragged vectors (rank nothing, like the
+    collect path) and the empty query frame (empty result, no error
+    — there is no collect to guard)."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        ivf_index_topk_batch,
+        ivf_index_topk_batch_distributed,
+        read_ivf_index,
+    )
+
+    d, _ = index_dir
+    idx = read_ivf_index(spark, d)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    a = ivf_index_topk_batch(
+        idx, queries, k=5, nprobe=4, max_queries=100_000
+    )
+    b = ivf_index_topk_batch_distributed(idx, queries, k=5, nprobe=4)
+
+    def snap(df):
+        return sorted(
+            (r["query_id"], r["id"], round(r["cosine"], 9))
+            for r in df.collect()
+        )
+
+    assert snap(a) == snap(b)
+
+    dirty = queries.withColumn(
+        "embedding",
+        F.when(F.col("query_id") % 5 == 0, F.lit(None)).when(
+            F.col("query_id") % 5 == 1, F.slice("embedding", 1, 3)
+        ).otherwise(F.col("embedding")),
+    )
+    got = ivf_index_topk_batch_distributed(idx, dirty, k=3, nprobe=2)
+    qids = {r["query_id"] for r in got.select("query_id").collect()}
+    assert all(q % 5 not in (0, 1) for q in qids)
+    assert qids, "valid queries must still rank"
+
+    empty = ivf_index_topk_batch_distributed(
+        idx, queries.limit(0), k=3
+    )
+    assert empty.count() == 0
+
+
+def test_distributed_batch_topk_plan_has_no_collect_or_nested_loop(
+    spark, emb, index_dir
+):
+    """The distributed path's plan: probe selection is a mapInPandas
+    (ArrowEvalPython/MapInPandas) feeding an equi-join on ivf_cid —
+    never a LocalTableScan of driver-collected probes (the collect
+    path's signature), never a nested loop."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        ivf_index_topk_batch_distributed,
+        read_ivf_index,
+    )
+
+    d, _ = index_dir
+    idx = read_ivf_index(spark, d)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_index_topk_batch_distributed(idx, queries, k=3, nprobe=2)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "LocalTableScan" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -446,6 +446,33 @@ def main() -> None:
     ).count()
     timings["ivf_batch_serve_1000q"] = round(time.time() - t0, 2)
 
+    # r9: DISTRIBUTED batch serving at 100k queries — far past the
+    # collect path's max_queries cap; probe selection runs in
+    # mapInPandas (no driver collect, no broadcast of query vectors).
+    # Watch: time must track candidate volume (queries x probed-list
+    # sizes) like the collect path, plus one full postings scan —
+    # the documented trade when the probe union covers the index.
+    n_base = sizes["vectors"]
+    qreps = (100_000 + n_base - 1) // n_base
+    # no .limit(): a global limit collapses the query frame to ONE
+    # partition and serializes the mapInPandas probe selection — the
+    # probe serves qreps full replicas (~100k+, reported in sizes)
+    big_q = be.crossJoin(
+        spark.range(qreps).select(F.col("id").alias("qr"))
+    ).select(
+        (F.col("vec_id") + F.col("qr") * 10_000_000).alias("query_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * (1.0 + F.col("qr") / 500.0),
+        ).alias("embedding"),
+    )
+    sizes["ivf_dist_queries"] = n_base * qreps
+    t0 = time.time()
+    sizes["ivf_dist_rows"] = xvi.ivf_index_topk_batch_distributed(
+        idx, big_q, k=10, nprobe=4
+    ).count()
+    timings["ivf_batch_distributed_100kq"] = round(time.time() - t0, 2)
+
     # r6: BPE — fit is ONE word-count agg over the corpus + driver
     # merge loop (must scale with corpus scan, not vocab); encode is
     # map-only Arrow batches (linear in tokens)
@@ -541,6 +568,69 @@ def main() -> None:
         spark, f"{wds_dir}/*.tar"
     ).count()
     timings["webdataset_read"] = round(time.time() - t0, 2)
+
+    # r9 (VERDICT r8 item 8): curation export end-to-end at 20x —
+    # select_token_budget (no global sort) -> quality_bins ->
+    # write_curriculum (bin-major dirs, training_shuffle within).
+    # The CONTRACT is the written-file stream: a trainer reads dirs
+    # in name order and files in name order within each (memory:
+    # Spark re-reads bin-pack by SIZE, so the contract is asserted
+    # over name-ordered pyarrow reads, not a Spark re-read), and a
+    # re-run with the same salt must produce the identical stream.
+    import hashlib
+
+    scored_docs = bd.select(
+        "doc_id",
+        "text",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007))
+        .cast("double")
+        .alias("score"),
+        xtext.token_count(F.col("text")).alias("n_tokens"),
+    )
+    tok_total = scored_docs.agg(F.sum("n_tokens")).first()[0]
+    t0 = time.time()
+    sel = xsplits.select_token_budget(
+        scored_docs, (tok_total * 2) // 5, buckets=4096
+    )
+    binned = xsplits.quality_bins(sel, "score", n_bins=4)
+    cur_dir = f"{WORK}/curriculum"
+    man_c = xsplits.write_curriculum(
+        binned, cur_dir, bin_col="quality_bin", salt="probe", partitions=32
+    )
+    timings["curation_export"] = round(time.time() - t0, 2)
+    sizes["curriculum_rows"] = int(
+        sum(v for k, v in man_c.items() if k != "__null__")
+    )
+
+    def _stream_hash(path: str) -> str:
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        h = hashlib.md5()
+        for d in sorted(
+            x for x in _os.listdir(path) if x.startswith("bin=")
+        ):
+            for f in sorted(_os.listdir(_os.path.join(path, d))):
+                if not f.endswith(".parquet"):
+                    continue
+                ids = _pq.read_table(
+                    _os.path.join(path, d, f), columns=["doc_id"]
+                ).column("doc_id").to_pylist()
+                h.update(repr(ids).encode())
+        return h.hexdigest()
+
+    cur_dir2 = f"{WORK}/curriculum2"
+    xsplits.write_curriculum(
+        binned, cur_dir2, bin_col="quality_bin", salt="probe",
+        partitions=32,
+    )
+    if _stream_hash(cur_dir) != _stream_hash(cur_dir2):
+        raise RuntimeError(
+            "curriculum export is not deterministic: two writes of "
+            "the same binned selection with the same salt produced "
+            "different name-ordered file streams"
+        )
 
     print(
         json.dumps(
