@@ -1298,6 +1298,62 @@ def write_release_merge(
     return manifest
 
 
+def release_merge_foreach_batch(
+    release_root: str,
+    id_col: str = "doc_id",
+    split_col: str | None = "split",
+    keep_versions: int | None = None,
+    manifest_extra: dict | None = None,
+):
+    """``foreachBatch`` handler publishing each micro-batch as an
+    UPSERT into the current release via :func:`write_release_merge`
+    (r9) — the streaming shape for corpora whose rows are REVISED in
+    place (crawl re-fetches, re-scored documents), where
+    :func:`release_publish_foreach_batch`'s append would duplicate
+    ids.
+
+    No batch-id replay guard is needed, BY CONSTRUCTION: merge is
+    idempotent, so an at-least-once redelivery fingerprints to the
+    already-current partitions and publishes nothing (no version
+    bump). That also makes this handler safe to interleave with other
+    publishers of the same root — each batch merges into whatever
+    CURRENT it finds, and the r9 claim/base-check guard turns a
+    genuine write-write race into a typed error instead of silent
+    loss. The first batch against an empty root publishes itself as
+    v1 (the batch is the corpus so far). foreachBatch serializes
+    handler calls within one stream; empty batches are no-ops."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return  # empty batch: nothing to merge
+        spark = batch_df.sparkSession
+        if _read_text(spark, _pointer_paths(release_root)[0]) is None:
+            write_release_version(
+                batch_df,
+                release_root,
+                split_col=split_col,
+                keep_versions=keep_versions,
+                manifest_extra={
+                    **(manifest_extra or {}),
+                    "through_batch_id": int(batch_id),
+                },
+            )
+            return
+        write_release_merge(
+            batch_df,
+            release_root,
+            id_col=id_col,
+            split_col=split_col,
+            keep_versions=keep_versions,
+            manifest_extra={
+                **(manifest_extra or {}),
+                "through_batch_id": int(batch_id),
+            },
+        )
+
+    return handle
+
+
 def release_publish_foreach_batch(
     release_root: str,
     split_col: str | None = "split",

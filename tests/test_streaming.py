@@ -915,3 +915,66 @@ def test_streaming_release_publish_appends(spark, tmp_path):
     got3, man3 = read_release(spark, root)
     assert got3.count() == 19
     assert man3["stream_id"] == "ckpt2"
+
+
+def test_streaming_release_merge_upserts(spark, tmp_path):
+    """release_merge_foreach_batch (r9): micro-batches UPSERT into the
+    release — revised ids replace their rows instead of duplicating
+    (the append handler's failure mode for in-place revisions), and a
+    replayed batch publishes nothing because merge is idempotent."""
+    import os
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        read_release,
+        release_merge_foreach_batch,
+    )
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+    waves = [
+        [(1, "a0", "train"), (2, "b0", "train"), (3, "c0", "val")],
+        [(2, "b1", "train"), (4, "d0", "val")],  # revises id 2
+        [(1, "a2", "train")],  # revises id 1
+    ]
+    for n, rows in enumerate(waves):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/wave{n}"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/wave*")
+    )
+    handler = release_merge_foreach_batch(root)
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got, man = read_release(spark, root)
+    assert sorted(
+        (r["doc_id"], r["text"]) for r in got.collect()
+    ) == [(1, "a2"), (2, "b1"), (3, "c0"), (4, "d0")]
+    assert man["n_rows"] == 4
+
+    versions = sorted(
+        d
+        for d in os.listdir(os.path.join(root, "versions"))
+        if d.startswith("v")
+    )
+    n_before = len(versions)
+    # replayed batch: merge fingerprints match CURRENT -> no publish
+    handler(spark.createDataFrame(waves[1], schema), 1)
+    got2, man2 = read_release(spark, root)
+    assert man2["version"] == man["version"]
+    versions2 = sorted(
+        d
+        for d in os.listdir(os.path.join(root, "versions"))
+        if d.startswith("v")
+    )
+    assert len(versions2) == n_before
+    assert got2.count() == 4
