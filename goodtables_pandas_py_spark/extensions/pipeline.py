@@ -914,6 +914,61 @@ def write_release_increment(
     return manifest
 
 
+def _check_release_schema(
+    batch_cols: list[str], old_cols: list[str], allow_new_columns: bool,
+    fn: str,
+) -> list[str]:
+    """Schema-drift policy shared by append/merge (r9): identical
+    columns always pass; ``allow_new_columns=True`` additionally
+    permits a WIDER batch (schema evolution — the new version's
+    manifest schema becomes the union, rewritten partitions carry the
+    new columns, hardlinked ones read back with NULLs via the
+    manifest-schema scan in :func:`read_release`, exactly a table
+    format's ADD COLUMN). Dropping columns is always refused — a
+    narrower batch would fork the schema between rewritten and
+    hardlinked partitions with data LOSS on the rewrite. Returns the
+    batch's new columns ([] when none). One cost note, recorded in
+    the manifest: reused partitions keep fingerprints computed over
+    the OLD columns, so the next fingerprint-comparing publish
+    (increment / merge no-op detection) sees them as changed and
+    rewrites once — correctness is never at stake, one publish pays
+    the evolution."""
+    if sorted(batch_cols) == sorted(old_cols) or not old_cols:
+        return []
+    dropped = [c for c in old_cols if c not in set(batch_cols)]
+    new_cols = [c for c in batch_cols if c not in set(old_cols)]
+    if dropped or not allow_new_columns:
+        hint = (
+            " (pass allow_new_columns=True to evolve the schema with "
+            "a wider batch)"
+            if new_cols and not dropped
+            else ""
+        )
+        raise ValueError(
+            f"{fn}: batch columns {sorted(batch_cols)} != current "
+            f"release columns {sorted(old_cols)} — align the batch "
+            f"schema{hint}"
+        )
+    return new_cols
+
+
+def _align_current_to_batch(
+    current: DataFrame, batch_df: DataFrame
+) -> DataFrame:
+    """Project the current release onto the batch's (possibly wider)
+    column set: existing columns pass through, evolved columns
+    backfill as typed NULLs — the read-side half of ADD COLUMN."""
+    have = set(current.columns)
+    return current.select(
+        *[
+            F.col(c)
+            if c in have
+            else F.lit(None).cast(batch_df.schema[c].dataType).alias(c)
+            for c in batch_df.columns
+        ]
+    )
+
+
 def write_release_append(
     batch_df: DataFrame,
     root: str,
@@ -921,6 +976,7 @@ def write_release_append(
     manifest_extra: dict | None = None,
     keep_versions: int | None = None,
     spark_for_fs=None,
+    allow_new_columns: bool = False,
 ) -> dict:
     """Publish version N+1 = CURRENT ∪ ``batch_df`` with cost ∝ the
     BATCH, not the corpus (r8) — the append/ingest shape of the
@@ -983,16 +1039,10 @@ def write_release_append(
     old_cols = sorted(
         f["name"] for f in old.get("schema", {}).get("fields", [])
     )
-    if old_cols and sorted(batch_df.columns) != old_cols:
-        # a narrower batch would rewrite touched partitions WITHOUT
-        # the missing columns while hardlinked partitions keep them —
-        # one version, two schemas; refuse loudly instead
-        raise ValueError(
-            "write_release_append: batch columns "
-            f"{sorted(batch_df.columns)} != current release columns "
-            f"{old_cols} — align the batch schema (or publish via "
-            "write_release_increment with the full corpus)"
-        )
+    new_cols = _check_release_schema(
+        list(batch_df.columns), old_cols, allow_new_columns,
+        "write_release_append",
+    )
 
     rows = (
         batch_df.groupBy(split_col)
@@ -1034,9 +1084,9 @@ def write_release_append(
     )
     if "__null__" in touched:
         cond = cond | F.col(split_col).isNull()
-    merged = current.select(*batch_df.columns).where(cond).unionByName(
-        batch_df
-    )
+    merged = _align_current_to_batch(current, batch_df).where(
+        cond
+    ).unionByName(batch_df)
     write_partitioned(merged, data_path, [split_col])
     _copy_reused_partitions(
         fs_spark, old_data, data_path, split_col, reused
@@ -1056,6 +1106,7 @@ def write_release_append(
                 "rewritten": rewritten,
                 "removed": [],
                 "append": True,
+                **({"new_columns": new_cols} if new_cols else {}),
             },
         },
         known_fps={k: old_fps[k] for k in reused},
@@ -1075,6 +1126,7 @@ def write_release_merge(
     manifest_extra: dict | None = None,
     keep_versions: int | None = None,
     spark_for_fs=None,
+    allow_new_columns: bool = False,
 ) -> dict:
     """Publish version N+1 = CURRENT with ``updates`` UPSERTED by
     ``id_col`` (matched ids replaced, new ids inserted) and
@@ -1161,12 +1213,10 @@ def write_release_merge(
     old_cols = sorted(
         f["name"] for f in old.get("schema", {}).get("fields", [])
     )
-    if old_cols and sorted(updates.columns) != old_cols:
-        raise ValueError(
-            "write_release_merge: updates columns "
-            f"{sorted(updates.columns)} != current release columns "
-            f"{old_cols} — align the updates schema"
-        )
+    new_cols = _check_release_schema(
+        list(updates.columns), old_cols, allow_new_columns,
+        "write_release_merge",
+    )
     if deletes is not None:
         missing = [
             c for c in (id_col, split_col) if c not in deletes.columns
@@ -1216,7 +1266,7 @@ def write_release_merge(
     )
     if "__null__" in touched:
         cond = cond | F.col(split_col).isNull()
-    pruned = current.select(*updates.columns).where(cond)
+    pruned = _align_current_to_batch(current, updates).where(cond)
 
     matched_ids = updates.select(id_col)
     if deletes is not None:
@@ -1289,6 +1339,7 @@ def write_release_merge(
                 "rewritten": rewritten,
                 "removed": removed,
                 "merge": True,
+                **({"new_columns": new_cols} if new_cols else {}),
             },
         },
         known_fps={k: old_fps[k] for k in reused},
@@ -1498,6 +1549,177 @@ def list_release_versions(spark, root: str) -> list[str]:
     return sorted(out)
 
 
+def compact_release_version(
+    spark,
+    root: str,
+    max_files_per_partition: int = 1,
+    keep_versions: int | None = None,
+) -> dict:
+    """Publish version N+1 with every fragmented partition's files
+    REWRITTEN into at most ``max_files_per_partition`` files — the
+    table-format OPTIMIZE/compaction step (r9). Many small appends /
+    merges leave partitions with one file per publish; at 100 TB that
+    is a file-listing and open-cost tax on every reader, and parquet
+    row groups too small for effective column-chunk encoding.
+
+    Shape: partitions already at or under the target hardlink forward
+    untouched (O(files) metadata); fragmented ones are read back
+    (partition-pruned scan of the immutable current version) and
+    rewritten via ONE job — ``repartition(split)`` lands each hive
+    partition in one task, so each writes ``max_files...=1`` file
+    (the default; higher targets split by records). CONTENT EQUALITY
+    IS PROVEN, not assumed: the manifest readback recomputes each
+    compacted partition's fingerprint, and a mismatch with the
+    current manifest raises before the pointer swap — a compaction
+    can never silently alter the corpus. No-op (nothing fragmented)
+    publishes nothing and returns the current manifest. Single-writer
+    with the same claim/base-check guard as every publish path."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from ..sources import _jvm_fs, _local_fs_path, write_partitioned
+
+    cur = _read_text(spark, _pointer_paths(root)[0])
+    if cur is None:
+        raise FileNotFoundError(
+            f"no CURRENT pointer under {root} — nothing to compact"
+        )
+    cur = cur.strip()
+    text = _read_text(spark, f"{root}/versions/{cur}/manifest.json")
+    old = json.loads(text) if text is not None else None
+    if old is None or old.get("partitioned_by") is None:
+        raise ValueError(
+            f"compact_release_version: {cur} has no readable manifest"
+        )
+    parts = old.get("partitioned_by") or []
+    if len(parts) != 1 or not old.get("partition_fingerprints"):
+        raise ValueError(
+            "compact_release_version needs a fingerprinted release "
+            "partitioned by one column (the equality proof compares "
+            "per-partition fingerprints)"
+        )
+    split_col = parts[0]
+    old_fps = old["partition_fingerprints"]
+    old_data = f"{root}/versions/{cur}/data.parquet"
+
+    def _file_counts() -> dict:
+        dirs = _list_partition_dirs(spark, old_data, split_col)
+        counts = {}
+        try:
+            jvm, hconf = _jvm_fs(spark)
+            for key, name in dirs.items():
+                jp = jvm.org.apache.hadoop.fs.Path(f"{old_data}/{name}")
+                fs = jp.getFileSystem(hconf)
+                counts[key] = sum(
+                    1
+                    for st in fs.listStatus(jp)
+                    if st.getPath().getName().endswith(".parquet")
+                )
+        except RuntimeError:
+            local = _local_fs_path(old_data)
+            for key, name in dirs.items():
+                counts[key] = sum(
+                    1
+                    for f in os.listdir(os.path.join(local, name))
+                    if f.endswith(".parquet")
+                )
+        return counts
+
+    counts = _file_counts()
+    fragmented = sorted(
+        k for k, n in counts.items() if n > max_files_per_partition
+    )
+    if not fragmented:
+        return old
+    reused = sorted(k for k in old_fps if k not in set(fragmented))
+
+    vname = _next_version_name(spark, root)
+    _claim_version(spark, root, vname)
+    vdir = f"{root}/versions/{vname}"
+    data_path = f"{vdir}/data.parquet"
+
+    current = spark.read.schema(
+        StructType.fromJson(old["schema"])
+    ).parquet(old_data)
+    keys = [k for k in fragmented if k != "__null__"]
+    cond = (
+        F.col(split_col).cast("string").isin(keys)
+        if keys
+        else F.lit(False)
+    )
+    if "__null__" in fragmented:
+        cond = cond | F.col(split_col).isNull()
+    # repartition on the split column: each hive partition lands in
+    # one task -> one output file (no global sort, one exchange)
+    write_partitioned(
+        current.where(cond).repartition(F.col(split_col)),
+        data_path,
+        [split_col],
+    )
+    _copy_reused_partitions(spark, old_data, data_path, split_col, reused)
+    manifest = _finalize_release_manifest(
+        spark,
+        spark,
+        vdir,
+        StructType.fromJson(old["schema"]),
+        split_col,
+        {
+            "version": vname,
+            "incremental": {
+                "base_version": cur,
+                "reused": reused,
+                "rewritten": fragmented,
+                "removed": [],
+                "compaction": True,
+            },
+        },
+        known_fps={k: old_fps[k] for k in reused},
+    )
+    # the equality proof: a compaction that changed ANY partition's
+    # content must die before readers can see it
+    for k in fragmented:
+        if manifest["partition_fingerprints"].get(k) != old_fps.get(k):
+            raise RuntimeError(
+                f"compaction of partition {k!r} changed its content "
+                f"fingerprint ({old_fps.get(k)} -> "
+                f"{manifest['partition_fingerprints'].get(k)}) — "
+                f"aborting before the pointer swap; orphan dir {vname} "
+                "is unreachable and can be vacuumed"
+            )
+    _verify_base_and_swap(spark, root, vname, cur)
+    _apply_retention(spark, spark, root, keep_versions, vname)
+    return manifest
+
+
+def vacuum_release_orphans(spark, root: str) -> list[str]:
+    """Delete version dirs that will never publish (r9): crashed
+    writers and losers of the r9 concurrent-writer races leave
+    claimed-but-unpublished dirs (no manifest.json) that consume
+    storage and advance the version counter's floor. Safe deletion
+    rule: an unpublished dir is removed only when its number is <=
+    CURRENT's — a HIGHER-numbered orphan may be a publish IN FLIGHT
+    right now (its claim exists, its manifest doesn't yet), while a
+    lower-or-equal one can never swap in (its base check would
+    already fail against the newer CURRENT... and a slow writer that
+    somehow still held the same base lost the pointer race by
+    definition). Published dirs are retention's job, never touched
+    here. Returns the deleted version names."""
+    cur = _read_text(spark, _pointer_paths(root)[0])
+    if cur is None:
+        return []  # nothing published: every dir may be in flight
+    cur_n = int(cur.strip()[1:])
+    deleted = []
+    for v in list_release_versions(spark, root):
+        if int(v[1:]) > cur_n:
+            continue
+        if _read_text(spark, f"{root}/versions/{v}/manifest.json") is None:
+            _delete_dir(spark, f"{root}/versions/{v}")
+            deleted.append(v)
+    return deleted
+
+
 def rollback_release(spark, root: str, version: str) -> dict:
     """Point CURRENT back at an older PUBLISHED version — the undo
     for a bad publish (r8). Version dirs are immutable, so rollback
@@ -1528,8 +1750,19 @@ def read_release(
     ``version``), return (lazy DataFrame over that version's
     immutable data, its manifest). The returned frame keeps reading
     the same snapshot even if a new version is published afterwards —
-    version dirs are never rewritten, only pruned by retention."""
+    version dirs are never rewritten, only pruned by retention.
+
+    The scan applies the MANIFEST's schema, not file inference (r9):
+    after a schema evolution (``allow_new_columns``) a version mixes
+    hardlinked old-schema files with rewritten wider ones, and an
+    inferred read would pick one file's schema (or need mergeSchema's
+    full footer sweep) — the manifest schema reads old files with
+    NULL backfill for the new columns, exactly like a table format.
+    It also pins partition-column types (hive inference has no
+    boolean case — the r8 lesson)."""
     import json
+
+    from pyspark.sql.types import StructType
 
     if version is None:
         version = _read_text(spark, _pointer_paths(root)[0])
@@ -1545,10 +1778,11 @@ def read_release(
             f"version {version} has no manifest under {root} "
             "(unpublished or pruned)"
         )
-    return (
-        spark.read.parquet(f"{vdir}/data.parquet"),
-        json.loads(manifest_text),
-    )
+    manifest = json.loads(manifest_text)
+    reader = spark.read
+    if manifest.get("schema"):
+        reader = reader.schema(StructType.fromJson(manifest["schema"]))
+    return reader.parquet(f"{vdir}/data.parquet"), manifest
 
 
 def release_changes(

@@ -3018,3 +3018,155 @@ def test_release_concurrent_publishers_conflict_loudly(spark, tmp_path):
     assert man_after["version"] == man_b["version"]
     got, _ = read_release(spark, root)
     assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
+
+
+def test_release_schema_evolution_add_column(spark, tmp_path):
+    """allow_new_columns=True (r9): a wider append/merge batch evolves
+    the release schema — rewritten partitions carry the new column,
+    hardlinked ones read back with NULLs (manifest-schema scan), and
+    dropping columns is still refused."""
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        read_release,
+        write_release_append,
+        write_release_merge,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+    base = [
+        (1, "a", "train"), (2, "b", "train"), (3, "c", "val"),
+    ]
+    write_release_version(spark.createDataFrame(base, schema), root)
+
+    wider = "doc_id long, text string, split string, score double"
+    batch = spark.createDataFrame([(4, "d", "val", 0.9)], wider)
+    # default refuses, with the evolve hint
+    with _pytest.raises(ValueError, match="allow_new_columns"):
+        write_release_append(batch, root)
+    m2 = write_release_append(batch, root, allow_new_columns=True)
+    assert m2["incremental"]["new_columns"] == ["score"]
+    got, man = read_release(spark, root)
+    rows = {r["doc_id"]: r["score"] for r in got.collect()}
+    # evolved column: value on the batch row, NULL backfill elsewhere
+    # (including rows of the REWRITTEN 'val' partition and the
+    # hardlinked 'train' one)
+    assert rows == {1: None, 2: None, 3: None, 4: 0.9}
+    assert sorted(f["name"] for f in man["schema"]["fields"]) == [
+        "doc_id", "score", "split", "text",
+    ]
+
+    # merge with a second new column; dropping 'score' refuses
+    wider2 = wider + ", lang string"
+    upd = spark.createDataFrame([(2, "B", "train", 0.5, "en")], wider2)
+    m3 = write_release_merge(
+        upd, root, allow_new_columns=True
+    )
+    assert m3["incremental"]["new_columns"] == ["lang"]
+    got3, _ = read_release(spark, root)
+    r2 = {r["doc_id"]: (r["text"], r["score"], r["lang"])
+          for r in got3.collect()}
+    assert r2[2] == ("B", 0.5, "en")
+    assert r2[4] == ("d", 0.9, None)
+    assert r2[1] == ("a", None, None)
+    narrower = spark.createDataFrame([(9, "x", "train")], schema)
+    with _pytest.raises(ValueError, match="columns"):
+        write_release_merge(narrower, root, allow_new_columns=True)
+
+
+def test_compact_release_version_proves_equality(spark, tmp_path):
+    """compact_release_version (r9): fragmented partitions rewrite to
+    one file each, untouched ones hardlink, content fingerprints must
+    MATCH the current manifest (the equality proof), and a no-op
+    compaction publishes nothing."""
+    import os
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        compact_release_version,
+        read_release,
+        write_release_append,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+    write_release_version(
+        spark.createDataFrame(
+            [(1, "a", "train"), (2, "b", "val")], schema
+        ),
+        root,
+    )
+    # five appends fragment 'train' into many files
+    for i in range(5):
+        write_release_append(
+            spark.createDataFrame([(10 + i, f"t{i}", "train")], schema),
+            root,
+        )
+    got0, man0 = read_release(spark, root)
+    before = sorted(
+        (r["doc_id"], r["text"], r["split"]) for r in got0.collect()
+    )
+
+    man = compact_release_version(spark, root)
+    assert man["incremental"]["compaction"] is True
+    assert "train" in man["incremental"]["rewritten"]
+    # compacted partition: exactly one parquet file
+    vdir = os.path.join(root, "versions", man["version"], "data.parquet")
+    n_files = [
+        f
+        for f in os.listdir(os.path.join(vdir, "split=train"))
+        if f.endswith(".parquet")
+    ]
+    assert len(n_files) == 1, n_files
+    # content identical, fingerprints carried/matched
+    got, _ = read_release(spark, root)
+    after = sorted(
+        (r["doc_id"], r["text"], r["split"]) for r in got.collect()
+    )
+    assert after == before
+    assert man["partition_fingerprints"] == man0["partition_fingerprints"]
+
+    # already compact -> no-op, no version bump
+    man2 = compact_release_version(spark, root)
+    assert man2["version"] == man["version"]
+
+
+def test_vacuum_release_orphans(spark, tmp_path):
+    """vacuum_release_orphans (r9): unpublished dirs at or below
+    CURRENT's number are deleted (crashed writers, lost races);
+    higher-numbered ones (a publish possibly in flight) and published
+    versions are kept."""
+    import os
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        _claim_version,
+        list_release_versions,
+        read_release,
+        vacuum_release_orphans,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, split string"
+    write_release_version(
+        spark.createDataFrame([(1, "train")], schema), root
+    )  # v1 published
+    _claim_version(spark, root, "v00000002")  # crashed writer
+    write_release_version(
+        spark.createDataFrame([(2, "train")], schema), root
+    )  # v3 published (orphan advanced the counter)
+    _claim_version(spark, root, "v00000004")  # in-flight publisher
+
+    deleted = vacuum_release_orphans(spark, root)
+    assert deleted == ["v00000002"]
+    assert list_release_versions(spark, root) == [
+        "v00000001", "v00000003", "v00000004",
+    ]
+    got, man = read_release(spark, root)
+    assert man["version"] == "v00000003" and got.count() == 1
+    # idempotent
+    assert vacuum_release_orphans(spark, root) == []
+    assert vacuum_release_orphans(spark, str(tmp_path / "none")) == []
+    assert os.path.isdir(os.path.join(root, "versions", "v00000004"))
