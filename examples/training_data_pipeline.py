@@ -303,6 +303,48 @@ def main() -> int:
             f"reused {inc['reused']}, rewrote {inc['rewritten']}"
         )
 
+    # r9 lifecycle tail — the operations a LIVING corpus needs after
+    # its first publishes:
+    # 1. REVISE rows in place (a re-scoring pass touched 3 docs) via
+    #    MERGE — only the partitions holding those ids rewrite, and a
+    #    re-run of the same merge publishes nothing (idempotent)
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        compact_release_version,
+        read_release,
+        vacuum_release_orphans,
+        write_release_merge,
+    )
+
+    current, _ = read_release(spark, f"{out}/release")
+    revised = (
+        current.orderBy("doc_id").limit(3)
+        # a synthetic re-scoring pass: bump the bin so the revision is
+        # guaranteed to differ (an identical merge would be a no-op)
+        .withColumn("quality_bin", F.col("quality_bin") + F.lit(10))
+    )
+    merge_manifest = write_release_merge(
+        revised, f"{out}/release", keep_versions=3
+    )
+    minc = merge_manifest.get("incremental", {})
+    if minc.get("merge"):
+        print(
+            f"merge publish over {minc['base_version']}: rewrote "
+            f"{minc['rewritten']}, reused {len(minc['reused'])} "
+            "partitions"
+        )
+    # 2. COMPACT fragmented partitions (equality proven by manifest
+    #    fingerprints) and 3. VACUUM orphan dirs from crashed writers
+    compact_manifest = compact_release_version(
+        spark, f"{out}/release", keep_versions=3
+    )
+    if compact_manifest.get("incremental", {}).get("compaction"):
+        print(
+            "compacted partitions: "
+            f"{compact_manifest['incremental']['rewritten']}"
+        )
+    orphans = vacuum_release_orphans(spark, f"{out}/release")
+    print(f"vacuumed orphan version dirs: {orphans or 'none'}")
+
     with open(f"{out}/summary.json", "w") as f:
         json.dump(
             {

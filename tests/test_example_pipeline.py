@@ -48,16 +48,36 @@ def test_training_data_pipeline_end_to_end(tmp_path):
                      "release"):
         assert os.path.exists(os.path.join(out, artifact)), artifact
     # r7: the example publishes a VERSIONED release — resolve the
-    # CURRENT pointer like a reader would
+    # CURRENT pointer like a reader would. r9: the lifecycle tail
+    # publishes v2 (merge revision) and v3 (compaction) on top of the
+    # v1 increment, so walk base_version links back to the root
     with open(os.path.join(out, "release", "CURRENT")) as fh:
         version = fh.read().strip()
-    assert version == "v00000001"
-    manifest = json.load(
-        open(os.path.join(
-            out, "release", "versions", version, "manifest.json"))
-    )
-    assert manifest["span_dedup_k"] == 20 and "dsir" in manifest
-    assert manifest["version"] == version
+
+    def load_manifest(v):
+        return json.load(
+            open(os.path.join(
+                out, "release", "versions", v, "manifest.json"))
+        )
+
+    # walk base_version links from CURRENT back to the root publish:
+    # the chain must contain the merge revision (guaranteed-different
+    # bump -> always publishes); compaction may legitimately no-op
+    # when every partition is already at 1 file
+    cur_man = load_manifest(version)
+    m, kinds = cur_man, []
+    while m.get("incremental", {}).get("base_version"):
+        inc = m["incremental"]
+        kinds.append(
+            "compaction" if inc.get("compaction")
+            else "merge" if inc.get("merge") else "other"
+        )
+        m = load_manifest(inc["base_version"])
+    assert "merge" in kinds, kinds
+    assert m["span_dedup_k"] == 20 and "dsir" in m
+    # merge revised rows in place and compaction is content-neutral:
+    # corpus size is conserved end to end
+    assert cur_man["n_rows"] == m["n_rows"]
 
 
 def test_drift_monitoring_example_end_to_end(tmp_path):
