@@ -678,17 +678,25 @@ def _canonical_group_key(value) -> str:
 
 
 def _scored_row_filter(score_col: str, token_col: str) -> Column:
-    """Rows eligible for budget selection: non-null, non-NaN score and
-    a non-null, non-negative, non-NaN token count. NaN must be
-    excluded EXPLICITLY (ADVICE r8): it passes ``isNotNull``, Spark
-    orders it ABOVE every real double (so ``NaN >= 0`` is true), and a
-    NaN ``max(score)`` would null the bucket span and silently select
-    (almost) nothing. Unscored is unscored — same policy as nulls."""
+    """Rows eligible for budget selection: FINITE score and a
+    non-null, non-negative, non-NaN token count. NaN must be excluded
+    EXPLICITLY (ADVICE r8): it passes ``isNotNull``, Spark orders it
+    ABOVE every real double (so ``NaN >= 0`` is true), and a NaN
+    ``max(score)`` would null the bucket span and silently select
+    (almost) nothing. ±Infinity is excluded for the same family of
+    reasons (r9): an infinite ``lo``/``hi`` makes the bucket affine
+    transform NaN for every FINITE score, ``least`` then null-skips
+    them all into the top bucket, and the "no global sort" promise
+    silently degrades into one whole-table boundary window — results
+    stay correct but the scale contract dies. A sentinel score is not
+    a score; rank real rows with real numbers."""
     score = F.col(score_col).cast("double")
     toks = F.col(token_col).cast("double")
+    inf = F.lit(float("inf"))
     return (
         F.col(score_col).isNotNull()
         & ~F.isnan(score)
+        & (F.abs(score) != inf)
         & F.col(token_col).isNotNull()
         & ~F.isnan(toks)
         & (F.col(token_col) >= 0)

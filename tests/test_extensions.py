@@ -3170,3 +3170,98 @@ def test_vacuum_release_orphans(spark, tmp_path):
     assert vacuum_release_orphans(spark, root) == []
     assert vacuum_release_orphans(spark, str(tmp_path / "none")) == []
     assert os.path.isdir(os.path.join(root, "versions", "v00000004"))
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),      # id
+            st.sampled_from(["a", "b", "c"]),            # split
+            st.text(min_size=0, max_size=6),             # payload
+        ),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    ),
+    st.data(),
+)
+def test_write_release_merge_property_matches_python(
+    spark, tmp_path_factory, base_rows, data
+):
+    """MERGE ≡ the dict-upsert a user means by it, on arbitrary data:
+    for random base/updates/deletes (ids' splits held stable, the
+    documented contract), read_release(after merge) equals a pure-
+    Python apply of the same operations. Also re-proves idempotence:
+    replaying the merge publishes nothing."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        list_release_versions,
+        read_release,
+        write_release_merge,
+        write_release_version,
+    )
+
+    split_of = {i: s for i, s, _ in base_rows}
+    base_ids = sorted(split_of)
+    upd_ids = data.draw(
+        st.lists(st.sampled_from(base_ids), max_size=5, unique=True)
+    )
+    new_ids = data.draw(
+        st.lists(
+            st.integers(min_value=100, max_value=120),
+            max_size=3, unique=True,
+        )
+    )
+    del_ids = data.draw(
+        st.lists(
+            st.sampled_from(base_ids), max_size=5, unique=True
+        )
+    )
+    del_ids = [i for i in del_ids if i not in upd_ids]
+    updates = [(i, split_of[i], f"rev{i}") for i in upd_ids] + [
+        (i, data.draw(st.sampled_from(["a", "b", "c"])), f"new{i}")
+        for i in new_ids
+    ]
+    if not updates and not del_ids:
+        return
+
+    schema = "doc_id long, split string, text string"
+    root = str(tmp_path_factory.mktemp("mergeprop") / "rel")
+    write_release_version(
+        spark.createDataFrame(
+            [(i, s, t) for i, s, t in base_rows], schema
+        ),
+        root,
+    )
+    upd_df = spark.createDataFrame(
+        [(i, s, t) for i, s, t in updates], schema
+    ) if updates else spark.createDataFrame([], schema)
+    del_df = (
+        spark.createDataFrame(
+            [(i, split_of[i]) for i in del_ids],
+            "doc_id long, split string",
+        )
+        if del_ids
+        else None
+    )
+    write_release_merge(upd_df, root, deletes=del_df)
+
+    expected = {i: (s, t) for i, s, t in base_rows}
+    for i in del_ids:
+        expected.pop(i, None)
+    for i, s, t in updates:
+        expected[i] = (s, t)
+    got, _ = read_release(spark, root)
+    assert {
+        r["doc_id"]: (r["split"], r["text"]) for r in got.collect()
+    } == expected
+
+    # idempotence on arbitrary data
+    before = list_release_versions(spark, root)
+    write_release_merge(upd_df, root, deletes=del_df)
+    assert list_release_versions(spark, root) == before

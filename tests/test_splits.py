@@ -1225,3 +1225,23 @@ def test_session_shuffle_partitions_tolerates_auto(spark):
     assert _session_shuffle_partitions(spark) == int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
+
+
+def test_select_token_budget_infinite_scores_are_excluded(spark):
+    """±inf scores would NaN the bucket affine transform for every
+    finite score (least() null-skips them all into the top bucket —
+    the no-global-sort contract silently dies); they are excluded
+    like NaN (r9)."""
+    inf = float("inf")
+    from goodtables_pandas_py_spark.extensions.splits import (
+        select_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(1, inf, 100), (2, -inf, 100), (3, 5.0, 100), (4, 1.0, 100)],
+        "doc_id long, score double, n_tokens int",
+    )
+    got = sorted(
+        r["doc_id"] for r in select_token_budget(df, 100).collect()
+    )
+    assert got == [3]
