@@ -1720,6 +1720,51 @@ def vacuum_release_orphans(spark, root: str) -> list[str]:
     return deleted
 
 
+def release_history(spark, root: str) -> DataFrame:
+    """Audit view of a release root (r9): one row per version dir —
+    name, published (manifest present), current (the pointer's
+    target), row count, publish kind (full / increment / append /
+    merge / compaction) and base version. Driver-side metadata only
+    (tiny manifest reads, no data scan) returned as a DataFrame so it
+    composes with the rest of the audit tooling; the row count is the
+    manifest's, never a recount. The "what happened to this corpus"
+    question a release consumer asks before trusting CURRENT."""
+    import json
+
+    cur = _read_text(spark, _pointer_paths(root)[0])
+    cur = cur.strip() if cur is not None else None
+    rows = []
+    for v in list_release_versions(spark, root):
+        text = _read_text(spark, f"{root}/versions/{v}/manifest.json")
+        if text is None:
+            rows.append((v, False, v == cur, None, "unpublished", None))
+            continue
+        man = json.loads(text)
+        inc = man.get("incremental") or {}
+        kind = (
+            "compaction" if inc.get("compaction")
+            else "merge" if inc.get("merge")
+            else "append" if inc.get("append")
+            else "increment" if inc
+            else "full"
+        )
+        rows.append(
+            (
+                v,
+                True,
+                v == cur,
+                int(man["n_rows"]) if "n_rows" in man else None,
+                kind,
+                inc.get("base_version"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version string, published boolean, current boolean,"
+        " n_rows long, kind string, base_version string",
+    )
+
+
 def rollback_release(spark, root: str, version: str) -> dict:
     """Point CURRENT back at an older PUBLISHED version — the undo
     for a bad publish (r8). Version dirs are immutable, so rollback

@@ -3265,3 +3265,82 @@ def test_write_release_merge_property_matches_python(
     before = list_release_versions(spark, root)
     write_release_merge(upd_df, root, deletes=del_df)
     assert list_release_versions(spark, root) == before
+
+
+def test_release_history_audit_view(spark, tmp_path):
+    """release_history (r9): one row per version dir with kind /
+    published / current / base links — metadata only."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        _claim_version,
+        release_history,
+        write_release_append,
+        write_release_merge,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+    write_release_version(
+        spark.createDataFrame([(1, "a", "train")], schema), root
+    )
+    write_release_append(
+        spark.createDataFrame([(2, "b", "val")], schema), root
+    )
+    write_release_merge(
+        spark.createDataFrame([(1, "A", "train")], schema), root
+    )
+    _claim_version(spark, root, "v00000009")  # crashed writer
+
+    hist = {r["version"]: r for r in release_history(spark, root).collect()}
+    assert hist["v00000001"]["kind"] == "full"
+    assert hist["v00000002"]["kind"] == "append"
+    assert hist["v00000003"]["kind"] == "merge"
+    assert hist["v00000003"]["current"] is True
+    assert hist["v00000003"]["base_version"] == "v00000002"
+    assert hist["v00000003"]["n_rows"] == 2
+    assert hist["v00000009"]["kind"] == "unpublished"
+    assert hist["v00000009"]["published"] is False
+    assert sum(1 for r in hist.values() if r["current"]) == 1
+
+
+def test_write_release_merge_reads_only_touched_partitions(
+    spark, tmp_path
+):
+    """The current-version read inside a merge is partition-pruned to
+    the batch's splits — plan-asserted on the same frame shape the
+    merge builds (the append test's methodology)."""
+    from pyspark.sql.types import StructType
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        read_release,
+        write_release_merge,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+    write_release_version(
+        spark.createDataFrame(
+            [(1, "a", "train"), (2, "b", "val"), (3, "c", "test")],
+            schema,
+        ),
+        root,
+    )
+    cur, man = read_release(spark, root)
+    updates = spark.createDataFrame([(2, "B", "val")], schema)
+    cond = F.col("split").cast("string").isin(["val"])
+    pruned = (
+        cur.select(*updates.columns)
+        .where(cond)
+        .join(updates.select("doc_id").distinct(), "doc_id", "left_anti")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pruned.collect()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans and all(
+        "PartitionFilters: [" in ln and "val" in ln for ln in scans
+    ), plan
+    # and the real API rewrites only 'val'
+    m = write_release_merge(updates, root)
+    assert m["incremental"]["rewritten"] == ["val"]
+    assert m["incremental"]["reused"] == ["test", "train"]
