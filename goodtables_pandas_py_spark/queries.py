@@ -3097,7 +3097,31 @@ SELECT 'v2_rows' AS kind,
          - (SELECT count(*) FROM rem) + (SELECT count(*) FROM add_) AS n,
        (SELECT CAST(sum(doc_id) AS BIGINT) FROM d)
          - COALESCE((SELECT sum(doc_id) FROM rem), 0)
-         + COALESCE((SELECT sum(doc_id) FROM add_), 0) AS sum_ids""",
+         + COALESCE((SELECT sum(doc_id) FROM add_), 0) AS sum_ids
+UNION ALL
+SELECT 'merge_changed' AS kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM d WHERE source = 'src5' AND doc_id % 2 = 0
+UNION ALL
+SELECT 'merge_removed' AS kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM d WHERE source = 'src5' AND doc_id % 2 = 1
+UNION ALL
+SELECT 'merge_reused' AS kind,
+       CAST(count(DISTINCT source) - 1 AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS sum_ids FROM d
+UNION ALL
+SELECT 'v4_rows' AS kind,
+       (SELECT CAST(count(*) AS BIGINT) FROM d)
+         - (SELECT count(*) FROM rem) + (SELECT count(*) FROM add_)
+         - (SELECT count(*) FROM d
+            WHERE source = 'src5' AND doc_id % 2 = 1) AS n,
+       (SELECT CAST(sum(doc_id) AS BIGINT) FROM d)
+         - COALESCE((SELECT sum(doc_id) FROM rem), 0)
+         + COALESCE((SELECT sum(doc_id) FROM add_), 0)
+         - COALESCE((SELECT sum(doc_id) FROM d
+                     WHERE source = 'src5' AND doc_id % 2 = 1), 0)
+         AS sum_ids""",
 )
 def _x9rel(spark, sf_dir):
     """X9 versioned-release sink end-to-end (r9 — the second oracle
@@ -3114,9 +3138,17 @@ def _x9rel(spark, sf_dir):
     'reused' = incremental-manifest reused-partition count (must be
     every partition but 'src3' — proving untouched partitions were
     hardlinked forward, cost ∝ the change, not the corpus);
-    'v2_rows' = read_release(CURRENT) row count + id sum (the
-    published corpus equals old − removed + added; changed rows keep
-    their ids).
+    'v2_rows' = read_release row count + id sum (the published corpus
+    equals old − removed + added; changed rows keep their ids).
+
+    r9 second act, same oracle row: v2 → v3 via write_release_merge
+    (key-based upsert revising src5's EVEN ids in place and deleting
+    its odd ids — only src5 rewrites, 'merge_reused' pins the other
+    19 partitions hardlinked), certified through the same pruned
+    changes feed ('merge_changed'/'merge_removed'); then v3 → v4 via
+    compact_release_version (content-neutral by fingerprint proof)
+    with 'v4_rows' pinning the corpus read back from CURRENT after
+    the whole publish→increment→merge→compact lifecycle.
 
     The diff itself reads ONLY the changed partition on both sides
     (fingerprint-pruned — release_changes compares manifest
@@ -3176,4 +3208,60 @@ def _x9rel(spark, sf_dir):
         [("reused", len(man2["incremental"]["reused"]), None)],
         "kind string, n bigint, sum_ids bigint",
     )
-    return statuses.unionByName(reused_row).unionByName(v2_row)
+
+    # r9 second act: MERGE v2 -> v3 (revise src5's even ids in place,
+    # delete its odd ids — key-based upsert rewriting ONLY src5),
+    # certified through the same changes feed; then COMPACT v3 -> v4
+    # (content-neutral by fingerprint proof) and read CURRENT back.
+    from .extensions.pipeline import (
+        compact_release_version,
+        write_release_merge,
+    )
+
+    in_s5 = F.col("source") == "src5"
+    even = F.col("doc_id") % 2 == 0
+    upd = v2_df.where(in_s5 & even).withColumn(
+        "text", F.concat(F.col("text"), F.lit("~"))
+    )
+    dels = v2_df.where(in_s5 & ~even).select("doc_id", "source")
+    man3 = write_release_merge(
+        upd, root, id_col="doc_id", split_col="source", deletes=dels
+    )
+    feed2 = release_changes(
+        spark,
+        root,
+        from_version=man2["version"],
+        to_version=man3["version"],
+        id_col="doc_id",
+    )
+    mcounts = feed2.groupBy(F.col("status")).agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n_got"),
+        F.sum("doc_id").cast(_BIG).alias("sum_ids"),
+    )
+    mspine = spark.createDataFrame(
+        [("changed", "merge_changed"), ("removed", "merge_removed")],
+        "status string, kind string",
+    )
+    merge_rows = mspine.join(mcounts, "status", "left").select(
+        "kind",
+        F.coalesce(F.col("n_got"), F.lit(0)).cast(_BIG).alias("n"),
+        F.col("sum_ids"),
+    )
+    merge_reused = spark.createDataFrame(
+        [("merge_reused", len(man3["incremental"]["reused"]), None)],
+        "kind string, n bigint, sum_ids bigint",
+    )
+    compact_release_version(spark, root)
+    v4_df, _ = read_release(spark, root)
+    v4_row = v4_df.agg(
+        F.lit("v4_rows").alias("kind"),
+        F.count(F.lit(1)).cast(_BIG).alias("n"),
+        F.sum("doc_id").cast(_BIG).alias("sum_ids"),
+    )
+    return (
+        statuses.unionByName(reused_row)
+        .unionByName(v2_row)
+        .unionByName(merge_rows)
+        .unionByName(merge_reused)
+        .unionByName(v4_row)
+    )
