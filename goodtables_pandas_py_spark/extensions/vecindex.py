@@ -258,8 +258,10 @@ def ivf_index_topk_batch(
     if len(rows) > max_queries:
         raise ValueError(
             f"ivf_index_topk_batch query side exceeds max_queries="
-            f"{max_queries} — shard the query set or raise the cap "
-            "consciously (it bounds a driver collect + broadcast)"
+            f"{max_queries} — use ivf_index_topk_batch_distributed "
+            "(no driver collect, unbounded query sets), shard the "
+            "query set, or raise the cap consciously (it bounds a "
+            "driver collect + broadcast)"
         )
     if not rows:
         raise ValueError("ivf_index_topk_batch: empty query set")
