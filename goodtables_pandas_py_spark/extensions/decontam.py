@@ -123,3 +123,119 @@ def contaminated_ids(
         .select("corpus_id")
         .distinct()
     )
+
+
+def _shingle_set(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, s) rows: the distinct word-shingle array per document —
+    the exact-verify side of the fuzzy scan (same shingle machinery
+    as the MinHash pipeline, JVM-side)."""
+    toks = whitespace_tokens(normalize_text(F.col(text_col)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(toks, shingle_k)).alias("s"),
+    )
+
+
+def near_contamination_scan(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 3,
+    max_broadcast_candidates: int = 5_000_000,
+) -> DataFrame:
+    """FUZZY decontamination (r9): (corpus_id, eval_id, jaccard) for
+    every corpus document whose ``shingle_k``-word-shingle Jaccard
+    with an eval document reaches ``threshold`` — the near-duplicate
+    complement to :func:`contamination_scan`'s exact n-gram overlap.
+    Exact overlap misses the paraphrased/lightly-edited benchmark
+    copy (whitespace renormalized, one word swapped per sentence)
+    that still leaks the answer; a Jaccard threshold catches it —
+    the Llama-style "fuzzy decontam" pass.
+
+    Same 100 TB asymmetry as the exact scan, MinHash-shaped:
+    candidates come from the corpus's banded LSH signatures
+    equi-joined against the BROADCAST eval banded signatures (the
+    eval side is thousands of docs — its bands and shingle sets both
+    broadcast; the corpus side never shuffles), then exact Jaccard
+    verifies each candidate pair, with corpus shingle sets built ONLY
+    for candidate docs (semi-join prune — an uncontaminated corpus
+    re-shingles ~nothing). Precision is exact (verify step); recall
+    is the banding guarantee at (num_hashes, num_bands) — the same
+    S-curve as ``minhash_dedup_pairs``, whose hash family this
+    shares."""
+    from .dedup import banded_signatures
+
+    ev_banded = banded_signatures(
+        eval_df, eval_id_col, eval_text_col, num_hashes, num_bands,
+        shingle_k,
+    ).withColumnRenamed("id", "eval_id")
+    co_banded = banded_signatures(
+        corpus, id_col, text_col, num_hashes, num_bands, shingle_k
+    ).withColumnRenamed("id", "corpus_id")
+    cands = (
+        co_banded.join(F.broadcast(ev_banded), ["band", "bh"])
+        .select("corpus_id", "eval_id")
+        .distinct()
+    )
+    # the candidate set is bounded by corpus docs sharing a band with
+    # the (tiny) eval side — in a sane pipeline that is the
+    # contaminated sliver plus the banding FP rate, far below the
+    # broadcast cap, so BOTH verify joins broadcast it and the corpus
+    # never shuffles (a plain join here planned a SortMergeJoin that
+    # would shuffle every corpus shingle set by id). The counted
+    # guard keeps mass-contamination honest: past the cap the verify
+    # falls back to shuffle joins — correct, costs one corpus
+    # shuffle, and a corpus where >5M docs band-match a benchmark has
+    # bigger problems than join strategy.
+    n_cands = cands.persist().count()
+    maybe_broadcast = (
+        F.broadcast if n_cands <= max_broadcast_candidates else (lambda x: x)
+    )
+    co_sets = _shingle_set(corpus, id_col, text_col, shingle_k)
+    co_sets = co_sets.join(
+        maybe_broadcast(
+            cands.select(F.col("corpus_id").alias("id")).distinct()
+        ),
+        "id",
+        "left_semi",
+    ).withColumnsRenamed({"id": "corpus_id", "s": "cs"})
+    ev_sets = _shingle_set(
+        eval_df, eval_id_col, eval_text_col, shingle_k
+    ).withColumnsRenamed({"id": "eval_id", "s": "es"})
+    inter = F.size(F.array_intersect(F.col("cs"), F.col("es")))
+    union = F.size("cs") + F.size("es") - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        co_sets.join(maybe_broadcast(cands), "corpus_id")
+        .join(F.broadcast(ev_sets), "eval_id")
+        .select("corpus_id", "eval_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def near_contaminated_ids(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """Distinct corpus ids near-duplicating ANY eval doc at
+    ``threshold`` — the fuzzy drop-set for an anti-join (compose with
+    :func:`contaminated_ids` for belt-and-suspenders decontamination:
+    exact catches verbatim quotation below near-dup length, fuzzy
+    catches the paraphrased copy exact n-grams miss)."""
+    return (
+        near_contamination_scan(
+            corpus, eval_df, threshold=threshold, **kwargs
+        )
+        .select("corpus_id")
+        .distinct()
+    )

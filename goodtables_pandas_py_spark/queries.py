@@ -2200,37 +2200,111 @@ def _x7_splits_pack(spark, sf_dir):
     " i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
     " ELSE CAST([] AS VARCHAR[]) END) AS s FROM toks),"
     " ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0"
-    " AND len(s) > 0)"
-    " SELECT CAST(co.doc_id AS BIGINT) AS corpus_id,"
-    " CAST(ev.eval_id AS BIGINT) AS eval_id,"
+    " AND len(s) > 0),"
+    " jacc AS ("
+    " SELECT co.doc_id AS corpus_id, ev.eval_id,"
+    " CAST(len(list_intersect(co.s, ev.s)) AS DOUBLE) /"
+    " CAST(len(list_distinct(list_concat(co.s, ev.s))) AS DOUBLE) AS j"
+    " FROM sh co JOIN ev ON len(co.s) > 0)"
+    " SELECT 'exact' AS kind, CAST(co.doc_id AS BIGINT) AS a,"
+    " CAST(ev.eval_id AS BIGINT) AS b,"
     " CAST(len(list_intersect(co.s, ev.s)) AS BIGINT) AS n_matched,"
     " CAST(len(ev.s) AS BIGINT) AS n_eval,"
     " ROUND(CAST(len(list_intersect(co.s, ev.s)) AS DOUBLE)"
-    " / CAST(len(ev.s) AS DOUBLE), 6) AS ratio"
+    " / CAST(len(ev.s) AS DOUBLE), 6) AS x"
     " FROM sh co JOIN ev ON co.doc_id <> ev.eval_id"
     " WHERE CAST(len(list_intersect(co.s, ev.s)) AS DOUBLE)"
-    " / CAST(len(ev.s) AS DOUBLE) >= 0.2",
+    " / CAST(len(ev.s) AS DOUBLE) >= 0.2"
+    " UNION ALL"
+    " SELECT 'fuzzy' AS kind,"
+    " (SELECT CAST(count(*) AS BIGINT) FROM jacc WHERE j >= 0.5) AS a,"
+    " (SELECT CAST(count(*) AS BIGINT) FROM ev) AS b,"
+    " CAST(1 AS BIGINT) AS n_matched, CAST(1 AS BIGINT) AS n_eval,"
+    " CAST(1.0 AS DOUBLE) AS x",
 )
 def _x7_contam(spark, sf_dir):
-    """X7 eval-set decontamination (extensions/decontam.py): the eval
-    'benchmark' is the doc_id % 50 == 0 slice of documents, scanned
-    against the full corpus for ≥20%-of-eval-doc 3-gram overlap; the
-    oracle recomputes exact n-gram intersection with DuckDB list ops.
-    Self-pairs excluded (the eval slice is drawn from the corpus).
-    The product path broadcasts the eval n-gram set so the corpus
-    side never shuffles (map-side join + partial-agg counts)."""
+    """X7 eval-set decontamination (extensions/decontam.py), labeled
+    rows (r9 merge: + the fuzzy arm):
+
+    - 'exact' rows: the eval 'benchmark' is the doc_id % 50 == 0
+      slice of documents, scanned against the full corpus for
+      ≥20%-of-eval-doc 3-gram overlap; the oracle recomputes exact
+      n-gram intersection with DuckDB list ops. Self-pairs excluded
+      (the eval slice is drawn from the corpus). The product path
+      broadcasts the eval n-gram set so the corpus side never
+      shuffles (map-side join + partial-agg counts).
+    - 'fuzzy' summary row (r9, near_contamination_scan — MinHash
+      candidates + exact-Jaccard verify at 0.5): a = the exact
+      jaccard≥0.5 pair count (DuckDB recomputes it from raw texts —
+      the falsifiable recall target; identical self-pairs are
+      deterministically caught since identical signatures share
+      every band), b = the self-catch count (must equal the eval doc
+      count), n_matched = containment (fuzzy ⊆ exact twin, 1/0 —
+      the verify step makes precision exact), n_eval = recall == 1
+      on this corpus (1/0; LSH here is DETERMINISTIC xxhash64, so
+      this is a stable property of the dataset, not a coin flip),
+      x = 1.0 sentinel.
+    """
     from .extensions import decontam as xdec
 
     d = t(spark, sf_dir, "documents", wide=True)
     ev = d.where(F.col("doc_id") % 50 == 0)
     scan = xdec.contamination_scan(d, ev, ngram=3, min_ratio=0.2)
-    return scan.where(F.col("corpus_id") != F.col("eval_id")).select(
-        F.col("corpus_id").cast(_BIG),
-        F.col("eval_id").cast(_BIG),
+    exact_rows = scan.where(
+        F.col("corpus_id") != F.col("eval_id")
+    ).select(
+        F.lit("exact").alias("kind"),
+        F.col("corpus_id").cast(_BIG).alias("a"),
+        F.col("eval_id").cast(_BIG).alias("b"),
         F.col("n_matched").cast(_BIG),
         F.col("n_eval").cast(_BIG),
-        F.round("ratio", 6).alias("ratio"),
+        F.round("ratio", 6).alias("x"),
     )
+
+    fuzzy = xdec.near_contamination_scan(
+        d, ev, threshold=0.5, num_hashes=64, num_bands=16
+    ).select("corpus_id", "eval_id").persist()
+    # exact twin: every (corpus, eval) pair at true jaccard >= 0.5,
+    # via the SAME broadcast n-gram equi-join machinery as the exact
+    # scan (an all-pairs formulation would plan the nested loop the
+    # registry guard forbids): jaccard = matched / (|corpus set| +
+    # |eval set| - matched) from the scan's match counts plus one
+    # corpus-set-size column
+    pairs3 = xdec.contamination_scan(d, ev, ngram=3, min_matched=1)
+    sizes = xdec._shingle_set(d, "doc_id", "text", 3).select(
+        F.col("id").alias("corpus_id"), F.size("s").alias("n_c")
+    )
+    tj = F.col("n_matched") / (
+        F.col("n_c") + F.col("n_eval") - F.col("n_matched")
+    )
+    twin = (
+        pairs3.join(sizes, "corpus_id")
+        .where(tj >= 0.5)
+        .select("corpus_id", "eval_id")
+    )
+    j = twin.withColumn("in_e", F.lit(1)).join(
+        fuzzy.withColumn("in_f", F.lit(1)), ["corpus_id", "eval_id"],
+        "full",
+    )
+    fuzzy_row = j.agg(
+        F.count_if(F.col("in_e").isNotNull()).alias("ne"),
+        F.count_if(F.col("in_f").isNotNull() & F.col("in_e").isNull())
+        .alias("extra"),
+        F.count_if(F.col("in_f").isNotNull() & F.col("in_e").isNotNull())
+        .alias("common"),
+        F.count_if(
+            F.col("in_f").isNotNull()
+            & (F.col("corpus_id") == F.col("eval_id"))
+        ).alias("self_caught"),
+    ).select(
+        F.lit("fuzzy").alias("kind"),
+        F.col("ne").cast(_BIG).alias("a"),
+        F.col("self_caught").cast(_BIG).alias("b"),
+        (F.col("extra") == 0).cast(_BIG).alias("n_matched"),
+        (F.col("common") == F.col("ne")).cast(_BIG).alias("n_eval"),
+        F.lit(1.0).alias("x"),
+    )
+    return exact_rows.unionByName(fuzzy_row)
 
 
 @q(

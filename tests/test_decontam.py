@@ -372,3 +372,86 @@ def test_contamination_scan_multi_row_eval_ids_count_once(spark):
     r_one = contamination_scan(corpus, ev_one, ngram=3).first()
     assert (r_split["n_eval"], r_split["n_matched"], r_split["ratio"]) == (
         r_one["n_eval"], r_one["n_matched"], r_one["ratio"])
+
+
+def test_near_contamination_catches_paraphrase_exact_misses(spark):
+    """Fuzzy decontam (r9): a lightly-edited benchmark copy (one word
+    swapped mid-sentence) evades an exact 8-gram containment check
+    but is caught by shingle-Jaccard; precision is exact-verified
+    (an unrelated doc sharing a few shingles is NOT flagged); and the
+    flagged pair's jaccard matches a direct recomputation."""
+    from goodtables_pandas_py_spark.extensions.decontam import (
+        contaminated_ids,
+        near_contaminated_ids,
+        near_contamination_scan,
+    )
+
+    eval_text = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "cat watches from the warm windowsill in the evening sun"
+    )
+    # swap one word in the middle: exact 8-grams straddling it die
+    near_copy = eval_text.replace("watches", "stares")
+    corpus = spark.createDataFrame(
+        [
+            (1, near_copy),
+            (2, "completely different text about spark query planning "
+                "and shuffle exchanges in distributed execution"),
+            (3, "the quick brown fox appears here too but the rest "
+                "diverges entirely into other unrelated topics now"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    )
+
+    exact = {
+        r["corpus_id"]
+        for r in contaminated_ids(
+            corpus, evals, min_ratio=0.8, ngram=8
+        ).collect()
+    }
+    assert 1 not in exact  # the paraphrase evades exact containment
+
+    fuzzy = {
+        r["corpus_id"]
+        for r in near_contaminated_ids(
+            corpus, evals, threshold=0.6, num_hashes=64, num_bands=32
+        ).collect()
+    }
+    assert fuzzy == {1}
+
+    scan = near_contamination_scan(
+        corpus, evals, threshold=0.0, num_hashes=64, num_bands=32
+    ).collect()
+    got = {(r["corpus_id"], r["eval_id"]): r["jaccard"] for r in scan}
+
+    def jac(a, b, k=3):
+        def sh(t):
+            w = t.lower().split()
+            return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+        A, B = sh(a), sh(b)
+        return len(A & B) / len(A | B)
+
+    assert abs(got[(1, 100)] - jac(near_copy, eval_text)) < 1e-9
+
+
+def test_near_contamination_plan_broadcasts_eval_side(spark, sf_dir):
+    """The corpus side must never shuffle: candidate join and verify
+    join are broadcasts of the (small) eval side; no SortMergeJoin,
+    no nested loop."""
+    from tests.conftest import load
+
+    from goodtables_pandas_py_spark.extensions.decontam import (
+        near_contamination_scan,
+    )
+
+    corpus = load(spark, sf_dir, "documents").select("doc_id", "text")
+    evals = corpus.where(F.col("doc_id") < 5)
+    out = near_contamination_scan(corpus, evals, threshold=0.5)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
