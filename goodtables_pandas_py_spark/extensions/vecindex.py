@@ -211,7 +211,11 @@ def ivf_index_topk(
     qlit = F.array(*[F.lit(float(x)) for x in query])
     scanned = index.postings.where(F.col("ivf_cid").isin(probes))
     if index.manifest["quantized"]:
-        vec = dequantize_embedding(F.col("qvec"))
+        # widen BEFORE the cosine fold: norm() on a float array
+        # squares in float32 (x*x is a float×float multiply), a
+        # ~1e-8 cosine wobble vs the double path (r9, caught by the
+        # distributed-path quantized parity test)
+        vec = dequantize_embedding(F.col("qvec")).cast("array<double>")
     else:
         vec = F.col("vec").cast("array<double>")
     scored = scanned.select(
@@ -307,7 +311,7 @@ def ivf_index_topk_batch(
     )
     scanned = index.postings.where(F.col("ivf_cid").isin(union_cids))
     if index.manifest["quantized"]:
-        vec = dequantize_embedding(F.col("qvec"))
+        vec = dequantize_embedding(F.col("qvec")).cast("array<double>")
     else:
         vec = F.col("vec").cast("array<double>")
     cand = scanned.join(F.broadcast(probes_df), "ivf_cid").join(
@@ -442,7 +446,11 @@ def ivf_index_topk_batch_distributed(
         probe_batches, probe_schema
     )
     if index.manifest["quantized"]:
-        pvec = dequantize_embedding(F.col("qvec"))
+        # cast to double BEFORE Arrow: dequantize yields array<float>,
+        # and a float32 matmul would diverge from the collect path's
+        # per-element double fold at ~1e-8 (caught by the quantized
+        # parity test)
+        pvec = dequantize_embedding(F.col("qvec")).cast("array<double>")
     else:
         pvec = F.col("vec").cast("array<double>")
     posts = index.postings.select(
@@ -470,8 +478,12 @@ def ivf_index_topk_batch_distributed(
         # id-ASCENDING posting order: stable selections below then
         # break cosine ties by id asc — the collect path's exact order
         post_pdf = post_pdf.sort_values("id", kind="stable")
-        p = np.stack(post_pdf["__pvec"].map(np.asarray).to_numpy())
-        q = np.stack(probe_pdf["__qvec"].map(np.asarray).to_numpy())
+        p = np.stack(
+            post_pdf["__pvec"].map(np.asarray).to_numpy()
+        ).astype(np.float64, copy=False)
+        q = np.stack(
+            probe_pdf["__qvec"].map(np.asarray).to_numpy()
+        ).astype(np.float64, copy=False)
         pn = np.sqrt((p * p).sum(axis=1))
         qn = np.sqrt((q * q).sum(axis=1))
         denom = qn[:, None] * pn[None, :]

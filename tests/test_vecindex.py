@@ -446,3 +446,32 @@ def test_distributed_batch_topk_plan_has_no_collect_or_nested_loop(
     assert "LocalTableScan" not in plan, plan
     assert "Cartesian" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_distributed_batch_topk_quantized_parity(spark, emb, tmp_path):
+    """The distributed path must dequantize postings exactly like the
+    collect path — parity on an int8-quantized index."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        ivf_index_topk_batch,
+        ivf_index_topk_batch_distributed,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    d = str(tmp_path / "qidx")
+    write_ivf_index(emb, d, nlist=8, quantize=True)
+    idx = read_ivf_index(spark, d)
+    queries = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(
+        (r["query_id"], r["id"], round(r["cosine"], 9))
+        for r in ivf_index_topk_batch(idx, queries, k=4, nprobe=3).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["id"], round(r["cosine"], 9))
+        for r in ivf_index_topk_batch_distributed(
+            idx, queries, k=4, nprobe=3
+        ).collect()
+    )
+    assert a == b
