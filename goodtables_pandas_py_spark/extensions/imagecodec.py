@@ -552,9 +552,14 @@ def decode_gif(b: bytes) -> DecodedImage:
     while i < len(b):
         block = b[i]
         if block == 0x21:  # extension: label + sub-blocks
+            if i + 1 >= len(b):  # 0x21 as the last byte (fuzz r9)
+                raise ImageDecodeError("truncated GIF extension block")
             label = b[i + 1]
             i += 2
-            if label == 0xF9 and i < len(b) and b[i] >= 4:
+            # the GCE payload reads up to b[i+4]: bound the WHOLE
+            # read, not just b[i] (fuzz r9 — a truncated GCE crashed
+            # on the transparency-index byte)
+            if label == 0xF9 and i + 4 < len(b) and b[i] >= 4:
                 # graphic control: transparency flag + index
                 if b[i + 1] & 1:
                     transparent = b[i + 4]

@@ -1027,7 +1027,13 @@ def write_release_append(
     if (
         not has_split
         or old.get("partitioned_by") != [split_col]
-        or not old.get("partition_fingerprints")
+        or (
+            not old.get("partition_fingerprints")
+            # an EMPTIED release (every row merged/deleted away) has
+            # {} fingerprints but IS fingerprinted — refusing it would
+            # strand the corpus at zero rows forever (hypothesis r9)
+            and old.get("n_rows", -1) != 0
+        )
     ):
         raise ValueError(
             "write_release_append needs a fingerprinted release "
@@ -1202,7 +1208,10 @@ def write_release_merge(
     if (
         not has_split
         or old.get("partitioned_by") != [split_col]
-        or not old.get("partition_fingerprints")
+        or (
+            not old.get("partition_fingerprints")
+            and old.get("n_rows", -1) != 0  # emptied release (r9)
+        )
     ):
         raise ValueError(
             "write_release_merge needs a fingerprinted release "

@@ -3344,3 +3344,53 @@ def test_write_release_merge_reads_only_touched_partitions(
     m = write_release_merge(updates, root)
     assert m["incremental"]["rewritten"] == ["val"]
     assert m["incremental"]["reused"] == ["test", "train"]
+
+
+def test_release_merge_and_append_work_on_emptied_release(
+    spark, tmp_path
+):
+    """An EMPTIED release ({} fingerprints, n_rows 0 — every row
+    merged/deleted away) must still accept merges and appends, or the
+    corpus is stranded at zero rows forever (hypothesis r9 found the
+    refusal via delete-everything + replay)."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        read_release,
+        write_release_append,
+        write_release_merge,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, split string, text string"
+    write_release_version(
+        spark.createDataFrame([(0, "a", "x")], schema), root
+    )
+    # delete the only row -> empty v2
+    m2 = write_release_merge(
+        spark.createDataFrame([], schema),
+        root,
+        deletes=spark.createDataFrame(
+            [(0, "a")], "doc_id long, split string"
+        ),
+    )
+    assert m2["n_rows"] == 0
+    got, _ = read_release(spark, root)
+    assert got.count() == 0
+    # replaying the emptying merge publishes nothing
+    m2b = write_release_merge(
+        spark.createDataFrame([], schema),
+        root,
+        deletes=spark.createDataFrame(
+            [(0, "a")], "doc_id long, split string"
+        ),
+    )
+    assert m2b["version"] == m2["version"]
+    # the corpus is not stranded: merge-inserts and appends both work
+    m3 = write_release_merge(
+        spark.createDataFrame([(5, "b", "y")], schema), root
+    )
+    assert m3["n_rows"] == 1
+    m4 = write_release_append(
+        spark.createDataFrame([(6, "b", "z")], schema), root
+    )
+    assert m4["n_rows"] == 2

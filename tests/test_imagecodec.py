@@ -960,3 +960,24 @@ def test_png_paeth_run_crosses_wave_chunk_boundary():
         w, h, ch, rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
     )
     assert decode_png(_png_with_filters(img, [4])) == img
+
+
+def test_gif_truncated_extension_blocks_raise_decode_error():
+    """Fuzz r9 counterexamples pinned: a 0x21 extension introducer as
+    the LAST byte, and a GCE whose payload is cut before the
+    transparency index, must raise ImageDecodeError — never a raw
+    IndexError from the block walker."""
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions.imagecodec import (
+        ImageDecodeError,
+        decode_gif,
+    )
+
+    with _pytest.raises(ImageDecodeError):
+        decode_gif(b"GIF89a" + b"\x00\x00\x00\x00\x00\x00\x00!")
+    # GCE label present, size byte says 4, payload truncated
+    with _pytest.raises(ImageDecodeError):
+        decode_gif(
+            b"GIF89a" + b"\x00\x00\x00\x00\x00\x00\x00" + b"!\xf9\x04"
+        )
