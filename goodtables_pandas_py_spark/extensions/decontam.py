@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..cacheutil import attach_persisted
 from .text import normalize_text, shingles, whitespace_tokens
 
 
@@ -213,12 +214,17 @@ def near_contamination_scan(
     inter = F.size(F.array_intersect(F.col("cs"), F.col("es")))
     union = F.size("cs") + F.size("es") - inter
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
+    out = (
         co_sets.join(maybe_broadcast(cands), "corpus_id")
         .join(F.broadcast(ev_sets), "eval_id")
         .select("corpus_id", "eval_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    # the persisted candidate frame outlives this builder (the lazy
+    # result consumes it in both verify joins) — hand its lifetime to
+    # the caller instead of leaking it until session GC (ADVICE r9):
+    # materialize, then cacheutil.unpersist_scan_state(result)
+    return attach_persisted(out, cands)
 
 
 def near_contaminated_ids(
@@ -232,10 +238,10 @@ def near_contaminated_ids(
     :func:`contaminated_ids` for belt-and-suspenders decontamination:
     exact catches verbatim quotation below near-dup length, fuzzy
     catches the paraphrased copy exact n-grams miss)."""
-    return (
-        near_contamination_scan(
-            corpus, eval_df, threshold=threshold, **kwargs
-        )
-        .select("corpus_id")
-        .distinct()
+    scan = near_contamination_scan(
+        corpus, eval_df, threshold=threshold, **kwargs
+    )
+    return attach_persisted(
+        scan.select("corpus_id").distinct(),
+        *getattr(scan, "_gt_persisted", []),
     )

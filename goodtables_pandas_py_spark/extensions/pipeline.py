@@ -209,6 +209,7 @@ def write_release(
     manifest_extra: dict | None = None,
     spark_for_fs=None,
     fingerprint: bool = True,
+    require_claim: bool = False,
 ) -> dict:
     """Write a corpus release: parquet (hive-partitioned by
     ``split_col`` when the column exists — downstream trainers then
@@ -249,6 +250,7 @@ def write_release(
         split_col if has_split else None,
         manifest_extra,
         fingerprint=fingerprint,
+        require_claim=require_claim,
     )
 
 
@@ -307,6 +309,7 @@ def _finalize_release_manifest(
     manifest_extra: dict | None,
     fingerprint: bool = True,
     known_fps: dict | None = None,
+    require_claim: bool = False,
 ) -> dict:
     """Shared tail of every release write: read BACK what's on disk,
     compute per-split counts + content fingerprints in one scan, and
@@ -322,12 +325,26 @@ def _finalize_release_manifest(
     publish's manifest costs a scan of the rewritten partitions only,
     not the corpus. Keys are manifest string keys ("__null__" for the
     hive default partition); values the usual {"n": int, "fp": str}.
-    Only honored on the partitioned, fingerprint=True path."""
+    Only honored on the partitioned, fingerprint=True path.
+
+    ``require_claim`` (r10, ADVICE r9): versioned publish paths pass
+    True so the writer RE-VERIFIES its ``.CLAIM`` file right before
+    the manifest lands — if a vacuum raced this writer and deleted
+    the claimed dir mid-write, finalizing would silently re-create it
+    WITH a manifest (an un-vacuumable phantom); instead the writer
+    dies here with :class:`ReleaseConflictError`."""
     import json
     import os
 
     from ..sources import _jvm_fs, _local_fs_path
 
+    if require_claim and _read_text(fs_spark, f"{out_dir}/.CLAIM") is None:
+        raise ReleaseConflictError(
+            f"claim file vanished under {out_dir} before the manifest "
+            "was finalized — the version dir was vacuumed or deleted "
+            "while this publish was writing; re-run against the "
+            "current base"
+        )
     data_path = f"{out_dir}/data.parquet"
     try:
         back = spark.read.schema(schema).parquet(data_path)
@@ -436,8 +453,10 @@ class ReleaseConflictError(RuntimeError):
     base read and its pointer swap (caught at swap time — the diff /
     append / merge was computed against a stale base). Recovery:
     re-read CURRENT and re-run the publish against the new base; the
-    loser's orphan version dir (if any) is skipped by readers and
-    eventually pruned by retention."""
+    loser's version dir is un-published and deleted on the spot
+    (:func:`_swap_or_abandon`, r10) — and if that best-effort cleanup
+    is itself interrupted, the manifest-less remnant ages into
+    :func:`vacuum_release_orphans` scope."""
 
 
 def _pointer_paths(root: str) -> tuple[str, str]:
@@ -510,8 +529,8 @@ def _verify_base_and_swap(
             f"CURRENT under {root} moved from {base!r} to {cur!r} "
             f"while version {vname} was being written — this publish "
             "was computed against a stale base; re-read CURRENT and "
-            "re-run (the orphan version dir is skipped by readers and "
-            "pruned by retention)"
+            "re-run (the losing version dir is deleted by the publish "
+            "path; any interrupted remnant is vacuumable)"
         )
     _swap_pointer(fs_spark, root, vname)
     after = _read_text(fs_spark, _pointer_paths(root)[0])
@@ -521,6 +540,82 @@ def _verify_base_and_swap(
             f"pointer swap for {vname} under {root} was overwritten "
             f"by a concurrent publish of {after!r}"
         )
+
+
+def _swap_or_abandon(fs_spark, root: str, vname: str, base: str | None):
+    """:func:`_verify_base_and_swap`, but a FAILED publish also
+    un-publishes the loser's version dir before re-raising (ADVICE
+    r9, medium). The manifest was already finalized when this runs —
+    it must be, since readers define "published" as manifest-present
+    — so without the cleanup a lost race would leave a
+    manifest-complete but never-current dir that looks published
+    forever: ``release_changes``' default from_version could pick it,
+    ``rollback_release`` would accept it, retention would count it
+    toward keep_versions, ``release_history`` would report it
+    published, and :func:`vacuum_release_orphans` (which only removes
+    manifest-LESS dirs) could never reclaim it.
+
+    Safety rail: the dir is deleted only after a fresh read proves
+    CURRENT does NOT point at ``vname`` — a transient error AFTER a
+    successful swap must never delete the version readers are on.
+    manifest.json goes first (dropping the publishedness marker), so
+    an interrupted cleanup still leaves a plain vacuumable orphan.
+    Cleanup is best-effort: if even it fails, the orphan keeps its
+    claim file and ages into :func:`vacuum_release_orphans` scope."""
+    try:
+        _verify_base_and_swap(fs_spark, root, vname, base)
+    except Exception:
+        try:
+            now = _read_text(fs_spark, _pointer_paths(root)[0])
+            now = now.strip() if now is not None else None
+            if now != vname:
+                vdir = f"{root}/versions/{vname}"
+                _delete_file(fs_spark, f"{vdir}/manifest.json")
+                _delete_dir(fs_spark, vdir)
+        except Exception:
+            pass
+        raise
+
+
+def _delete_file(spark, path: str) -> None:
+    import os
+
+    from ..sources import _jvm_fs, _local_fs_path
+
+    try:
+        jvm, hconf = _jvm_fs(spark)
+    except RuntimeError:
+        local = _local_fs_path(path)
+        if local is None:
+            raise
+        if os.path.exists(local):
+            os.remove(local)
+        return
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+
+
+def _mtime(spark, path: str) -> float | None:
+    """Modification time (epoch seconds) of ``path``, None when it
+    does not exist — the age signal for vacuum's grace period."""
+    import os
+
+    from ..sources import _jvm_fs, _local_fs_path
+
+    try:
+        jvm, hconf = _jvm_fs(spark)
+    except RuntimeError:
+        local = _local_fs_path(path)
+        if local is None:
+            raise
+        return os.path.getmtime(local) if os.path.exists(local) else None
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        return None
+    return fs.getFileStatus(jpath).getModificationTime() / 1000.0
 
 
 def _read_text(spark, path: str) -> str | None:
@@ -697,8 +792,9 @@ def write_release_version(
         manifest_extra={**(manifest_extra or {}), "version": vname},
         spark_for_fs=spark_for_fs,
         fingerprint=fingerprint,
+        require_claim=True,
     )
-    _verify_base_and_swap(fs_spark, root, vname, base)
+    _swap_or_abandon(fs_spark, root, vname, base)
     _apply_retention(
         spark, fs_spark, root, keep_versions, vname
     )
@@ -908,8 +1004,9 @@ def write_release_increment(
         # agg prunes to the rewritten partitions (r8: manifest cost ∝
         # changes, not corpus)
         known_fps={k: old_fps[k] for k in reused},
+        require_claim=True,
     )
-    _verify_base_and_swap(fs_spark, root, vname, cur)
+    _swap_or_abandon(fs_spark, root, vname, cur)
     _apply_retention(spark, fs_spark, root, keep_versions, vname)
     return manifest
 
@@ -1116,8 +1213,9 @@ def write_release_append(
             },
         },
         known_fps={k: old_fps[k] for k in reused},
+        require_claim=True,
     )
-    _verify_base_and_swap(fs_spark, root, vname, cur)
+    _swap_or_abandon(fs_spark, root, vname, cur)
     _apply_retention(spark, fs_spark, root, keep_versions, vname)
     return manifest
 
@@ -1286,7 +1384,14 @@ def write_release_merge(
     merged = survivors.unionByName(updates)
 
     if check_id_migration:
-        untouched = current.select(id_col, split_col).where(~cond)
+        # ~cond alone would DROP null-split rows when '__null__' is
+        # not among the touched partitions: isin() is NULL (not
+        # false) for a null split, and ~NULL = NULL filters the row
+        # out — update ids living in the hive default partition would
+        # silently escape the check (ADVICE r9)
+        untouched = current.select(id_col, split_col).where(
+            ~F.coalesce(cond, F.lit(False))
+        )
         moved = (
             untouched.join(
                 matched_ids.distinct(), id_col, "left_semi"
@@ -1352,8 +1457,9 @@ def write_release_merge(
             },
         },
         known_fps={k: old_fps[k] for k in reused},
+        require_claim=True,
     )
-    _verify_base_and_swap(fs_spark, root, vname, cur)
+    _swap_or_abandon(fs_spark, root, vname, cur)
     _apply_retention(spark, fs_spark, root, keep_versions, vname)
     return manifest
 
@@ -1685,11 +1791,15 @@ def compact_release_version(
             },
         },
         known_fps={k: old_fps[k] for k in reused},
+        require_claim=True,
     )
     # the equality proof: a compaction that changed ANY partition's
-    # content must die before readers can see it
+    # content must die before readers can see it — and un-publish its
+    # manifest first so the abort leaves a plain vacuumable orphan,
+    # not a published-looking dir (ADVICE r9)
     for k in fragmented:
         if manifest["partition_fingerprints"].get(k) != old_fps.get(k):
+            _delete_file(spark, f"{vdir}/manifest.json")
             raise RuntimeError(
                 f"compaction of partition {k!r} changed its content "
                 f"fingerprint ({old_fps.get(k)} -> "
@@ -1697,24 +1807,37 @@ def compact_release_version(
                 f"aborting before the pointer swap; orphan dir {vname} "
                 "is unreachable and can be vacuumed"
             )
-    _verify_base_and_swap(spark, root, vname, cur)
+    _swap_or_abandon(spark, root, vname, cur)
     _apply_retention(spark, spark, root, keep_versions, vname)
     return manifest
 
 
-def vacuum_release_orphans(spark, root: str) -> list[str]:
+def vacuum_release_orphans(
+    spark, root: str, grace_seconds: float = 3600.0
+) -> list[str]:
     """Delete version dirs that will never publish (r9): crashed
     writers and losers of the r9 concurrent-writer races leave
     claimed-but-unpublished dirs (no manifest.json) that consume
     storage and advance the version counter's floor. Safe deletion
     rule: an unpublished dir is removed only when its number is <=
     CURRENT's — a HIGHER-numbered orphan may be a publish IN FLIGHT
-    right now (its claim exists, its manifest doesn't yet), while a
-    lower-or-equal one can never swap in (its base check would
-    already fail against the newer CURRENT... and a slow writer that
-    somehow still held the same base lost the pointer race by
-    definition). Published dirs are retention's job, never touched
-    here. Returns the deleted version names."""
+    right now (its claim exists, its manifest doesn't yet) — AND its
+    ``.CLAIM`` is older than ``grace_seconds`` (ADVICE r9): a
+    lower-or-equal-numbered dir can ALSO belong to a live writer
+    (it claimed vN while CURRENT was vN-1, then an interleaved
+    publisher swapped in vN+1 — that writer will lose its base check,
+    but deleting its dir mid-write would turn the intended
+    ReleaseConflictError into an arbitrary FS/Spark write error).
+    Size the grace past the longest publish duration;
+    ``grace_seconds=0`` restores unconditional deletion for offline
+    cleanup when no publishers can be running. The writer-side
+    backstop is the finalize-time claim re-check
+    (``require_claim`` in :func:`_finalize_release_manifest`), which
+    stops a vacuumed-mid-write publisher from re-creating the dir
+    with a manifest. Published dirs are retention's job, never
+    touched here. Returns the deleted version names."""
+    import time
+
     cur = _read_text(spark, _pointer_paths(root)[0])
     if cur is None:
         return []  # nothing published: every dir may be in flight
@@ -1723,9 +1846,21 @@ def vacuum_release_orphans(spark, root: str) -> list[str]:
     for v in list_release_versions(spark, root):
         if int(v[1:]) > cur_n:
             continue
-        if _read_text(spark, f"{root}/versions/{v}/manifest.json") is None:
-            _delete_dir(spark, f"{root}/versions/{v}")
-            deleted.append(v)
+        vdir = f"{root}/versions/{v}"
+        if _read_text(spark, f"{vdir}/manifest.json") is not None:
+            continue
+        if grace_seconds > 0:
+            # age by the claim file (the moment the writer fenced);
+            # pre-claim-era or claim-less dirs age by the dir itself
+            age_base = _mtime(spark, f"{vdir}/.CLAIM")
+            if age_base is None:
+                age_base = _mtime(spark, vdir)
+            if age_base is not None and (
+                time.time() - age_base
+            ) < grace_seconds:
+                continue
+        _delete_dir(spark, vdir)
+        deleted.append(v)
     return deleted
 
 

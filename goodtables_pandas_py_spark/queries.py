@@ -26,6 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cacheutil import attach_persisted
 from .extensions import dedup as xdedup
 from .extensions import similarity as xsim
 from .extensions import text as xtext
@@ -1243,7 +1244,11 @@ def _x2pc(spark, sf_dir):
         (F.count_if(F.col("k") == "malformed") == 0).cast(_BIG).alias("b"),
         (F.count_if(F.col("k") == "recheck") == 0).cast("double").alias("x"),
     )
-    return jaccard_rows.unionByName(summary).unionByName(dedup)
+    # hand the persisted pair frame's lifetime to the materializer
+    # (check_oracle / any caller) instead of waiting for session GC
+    return attach_persisted(
+        jaccard_rows.unionByName(summary).unionByName(dedup), pairs
+    )
 
 
 @q(
@@ -1303,15 +1308,22 @@ def _x2nd_cc(spark, sf_dir):
         .unionAll(intact)
         .unionAll(greedy_not_in_cc)
     )
-    return u.agg(
-        F.count_if(F.col("kind") == "doc").cast(_BIG).alias("n_docs"),
-        (
-            F.count_if(F.col("kind") == "kept")
-            + F.count_if(F.col("kind") == "drop")
-            == F.count_if(F.col("kind") == "doc")
-        ).alias("partition_ok"),
-        (F.count_if(F.col("kind") == "intact") == 0).alias("no_intact_pair_ok"),
-        (F.count_if(F.col("kind") == "sup") == 0).alias("cc_superset_ok"),
+    return attach_persisted(
+        u.agg(
+            F.count_if(F.col("kind") == "doc").cast(_BIG).alias("n_docs"),
+            (
+                F.count_if(F.col("kind") == "kept")
+                + F.count_if(F.col("kind") == "drop")
+                == F.count_if(F.col("kind") == "doc")
+            ).alias("partition_ok"),
+            (F.count_if(F.col("kind") == "intact") == 0).alias(
+                "no_intact_pair_ok"
+            ),
+            (F.count_if(F.col("kind") == "sup") == 0).alias(
+                "cc_superset_ok"
+            ),
+        ),
+        pairs,
     )
 
 
@@ -2261,9 +2273,13 @@ def _x7_contam(spark, sf_dir):
         F.round("ratio", 6).alias("x"),
     )
 
-    fuzzy = xdec.near_contamination_scan(
+    # the scan's own persisted candidate frame rides along via
+    # attach_persisted; the derived projection needs no persist of its
+    # own (single downstream consumer — ADVICE r9)
+    fscan = xdec.near_contamination_scan(
         d, ev, threshold=0.5, num_hashes=64, num_bands=16
-    ).select("corpus_id", "eval_id").persist()
+    )
+    fuzzy = fscan.select("corpus_id", "eval_id")
     # exact twin: every (corpus, eval) pair at true jaccard >= 0.5,
     # via the SAME broadcast n-gram equi-join machinery as the exact
     # scan (an all-pairs formulation would plan the nested loop the
@@ -2304,7 +2320,10 @@ def _x7_contam(spark, sf_dir):
         (F.col("common") == F.col("ne")).cast(_BIG).alias("n_eval"),
         F.lit(1.0).alias("x"),
     )
-    return exact_rows.unionByName(fuzzy_row)
+    return attach_persisted(
+        exact_rows.unionByName(fuzzy_row),
+        *getattr(fscan, "_gt_persisted", []),
+    )
 
 
 @q(

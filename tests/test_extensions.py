@@ -3020,6 +3020,197 @@ def test_release_concurrent_publishers_conflict_loudly(spark, tmp_path):
     assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
 
 
+def test_release_conflict_abandons_loser_dir(spark, tmp_path, monkeypatch):
+    """ADVICE r9 (medium): a publish that loses the pointer race must
+    not leave a manifest-complete version dir — everything downstream
+    (release_changes, rollback, retention, release_history, vacuum)
+    defines 'published' as manifest-present, so the abandoned dir
+    would look published forever. The full publish path (not the raw
+    guard) is exercised: publisher B lands BETWEEN A's manifest
+    finalize and A's swap, via a finalize hook."""
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions import pipeline as pl
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+    pl.write_release_version(
+        spark.createDataFrame([(1, "a", "train")], schema), root
+    )
+
+    orig_fin = pl._finalize_release_manifest
+    state = {"fired": False}
+
+    def fin_then_interleave(*a, **k):
+        man = orig_fin(*a, **k)
+        if not state["fired"]:
+            state["fired"] = True  # guard: B's publish recurses here
+            pl.write_release_version(
+                spark.createDataFrame([(9, "winner", "train")], schema),
+                root,
+            )
+        return man
+
+    monkeypatch.setattr(pl, "_finalize_release_manifest", fin_then_interleave)
+    with _pytest.raises(pl.ReleaseConflictError, match="moved"):
+        pl.write_release_append(
+            spark.createDataFrame([(2, "loser", "val")], schema), root
+        )
+    monkeypatch.undo()
+
+    # the loser's dir is gone entirely — not published-looking, not
+    # even a vacuumable remnant (best-effort cleanup ran to the end)
+    hist = {
+        r["version"]: r
+        for r in pl.release_history(spark, root).collect()
+    }
+    assert all(r["published"] for r in hist.values())
+    got, man = pl.read_release(spark, root)
+    assert man["version"] == max(hist)
+    assert sorted(r["doc_id"] for r in got.collect()) == [9]
+    # retention / changes / rollback see only real versions
+    assert pl.vacuum_release_orphans(spark, root, grace_seconds=0) == []
+
+
+def test_release_swap_fault_injection(spark, tmp_path, monkeypatch):
+    """VERDICT r9 item 3: the pointer swap under a hostile filesystem.
+    Three interleavings — rename RAISES, rename LIES (claims success,
+    wrote a different pointer), and a crash between claim and swap —
+    must each end in a clean version or a typed error plus a
+    recoverable root, never a silently corrupt release."""
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions import pipeline as pl
+
+    schema = "doc_id long, text string, split string"
+
+    # --- rename raises: publish dies, CURRENT unchanged, loser dir
+    # abandoned, retry succeeds
+    root = str(tmp_path / "r1")
+    pl.write_release_version(
+        spark.createDataFrame([(1, "a", "train")], schema), root
+    )
+
+    def broken_swap(*a, **k):
+        raise IOError("simulated non-atomic rename failure")
+
+    monkeypatch.setattr(pl, "_swap_pointer", broken_swap)
+    with _pytest.raises(IOError, match="simulated"):
+        pl.write_release_append(
+            spark.createDataFrame([(2, "b", "val")], schema), root
+        )
+    monkeypatch.undo()
+    got, man = pl.read_release(spark, root)
+    assert man["version"] == "v00000001"
+    assert [r["doc_id"] for r in got.collect()] == [1]
+    assert all(
+        r["published"]
+        for r in pl.release_history(spark, root).collect()
+    )
+    m2 = pl.write_release_append(  # retry lands cleanly
+        spark.createDataFrame([(2, "b", "val")], schema), root
+    )
+    assert pl.read_release(spark, root)[1]["version"] == m2["version"]
+
+    # --- rename lies: swap "succeeds" but CURRENT holds something
+    # else -> read-after-write check raises, rollback recovers
+    root = str(tmp_path / "r2")
+    pl.write_release_version(
+        spark.createDataFrame([(1, "a", "train")], schema), root
+    )
+    real_swap = pl._swap_pointer
+
+    def lying_swap(fs_spark, rt, version):
+        real_swap(fs_spark, rt, "vGARBAGE")  # wrote the wrong thing
+
+    monkeypatch.setattr(pl, "_swap_pointer", lying_swap)
+    with _pytest.raises(pl.ReleaseConflictError, match="overwritten"):
+        pl.write_release_append(
+            spark.createDataFrame([(2, "b", "val")], schema), root
+        )
+    monkeypatch.undo()
+    # pointer IS corrupt now (detection, not prevention, is the
+    # guarantee for a lying rename) — the recovery recipe restores it
+    man = pl.rollback_release(spark, root, "v00000001")
+    assert man["version"] == "v00000001"
+    got, man = pl.read_release(spark, root)
+    assert [r["doc_id"] for r in got.collect()] == [1]
+
+    # --- crash between claim and swap: claimed dir with no manifest;
+    # vacuum honors the grace period, then reclaims at grace 0
+    root = str(tmp_path / "r3")
+    pl.write_release_version(
+        spark.createDataFrame([(1, "a", "train")], schema), root
+    )
+
+    def crashing_write(*a, **k):
+        raise RuntimeError("simulated executor crash mid-write")
+
+    import goodtables_pandas_py_spark.sources as _sources
+
+    # pipeline imports write_partitioned from ..sources at call time
+    monkeypatch.setattr(_sources, "write_partitioned", crashing_write)
+    with _pytest.raises(RuntimeError, match="mid-write"):
+        pl.write_release_increment(
+            spark.createDataFrame(
+                [(1, "a", "train"), (2, "b", "train")], schema
+            ),
+            root,
+        )
+    monkeypatch.undo()
+    # the orphan consumed a number above CURRENT -> never vacuumed
+    # (may be in flight); publish past it, then vacuum with grace
+    assert pl.vacuum_release_orphans(spark, root, grace_seconds=0) == []
+    pl.write_release_version(
+        spark.createDataFrame([(3, "c", "train")], schema), root
+    )
+    # fresh claim: default grace protects a possibly-live writer
+    assert pl.vacuum_release_orphans(spark, root) == []
+    assert pl.vacuum_release_orphans(spark, root, grace_seconds=0) == [
+        "v00000002"
+    ]
+    assert pl.list_release_versions(spark, root) == [
+        "v00000001", "v00000003",
+    ]
+
+
+def test_release_finalize_requires_live_claim(spark, tmp_path):
+    """ADVICE r9: a writer whose claimed dir was vacuumed mid-write
+    must die at finalize time instead of re-creating the dir with a
+    manifest (an un-vacuumable phantom)."""
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions import pipeline as pl
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+    df = spark.createDataFrame([(1, "a", "train")], schema)
+    vdir = f"{root}/versions/v00000001"
+    pl._claim_version(spark, root, "v00000001")
+    pl._delete_file(spark, f"{vdir}/.CLAIM")  # the racing vacuum
+    with _pytest.raises(pl.ReleaseConflictError, match="claim file"):
+        pl.write_release(df, vdir, require_claim=True)
+
+
+def test_merge_id_migration_catches_null_split(spark, tmp_path):
+    """ADVICE r9: an update id living in the hive NULL partition must
+    not escape check_id_migration — ~isin() is NULL (not false) for a
+    null split, which silently dropped those rows from the untouched
+    scan before the coalesce fix."""
+    import pytest as _pytest
+
+    from goodtables_pandas_py_spark.extensions import pipeline as pl
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, text string, split string"
+    base = [(1, "a", None), (2, "b", "train")]
+    pl.write_release_version(spark.createDataFrame(base, schema), root)
+    # id 1 lives in the null partition; the update claims 'train'
+    moved = spark.createDataFrame([(1, "a2", "train")], schema)
+    with _pytest.raises(ValueError, match="split must not change"):
+        pl.write_release_merge(moved, root, check_id_migration=True)
+
+
 def test_release_schema_evolution_add_column(spark, tmp_path):
     """allow_new_columns=True (r9): a wider append/merge batch evolves
     the release schema — rewritten partitions carry the new column,
@@ -3159,7 +3350,10 @@ def test_vacuum_release_orphans(spark, tmp_path):
     )  # v3 published (orphan advanced the counter)
     _claim_version(spark, root, "v00000004")  # in-flight publisher
 
-    deleted = vacuum_release_orphans(spark, root)
+    # default grace protects the freshly-claimed dir (ADVICE r9: a
+    # live writer that lost the counter race looks exactly like this)
+    assert vacuum_release_orphans(spark, root) == []
+    deleted = vacuum_release_orphans(spark, root, grace_seconds=0)
     assert deleted == ["v00000002"]
     assert list_release_versions(spark, root) == [
         "v00000001", "v00000003", "v00000004",
@@ -3167,7 +3361,7 @@ def test_vacuum_release_orphans(spark, tmp_path):
     got, man = read_release(spark, root)
     assert man["version"] == "v00000003" and got.count() == 1
     # idempotent
-    assert vacuum_release_orphans(spark, root) == []
+    assert vacuum_release_orphans(spark, root, grace_seconds=0) == []
     assert vacuum_release_orphans(spark, str(tmp_path / "none")) == []
     assert os.path.isdir(os.path.join(root, "versions", "v00000004"))
 

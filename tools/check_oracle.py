@@ -76,7 +76,18 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = [r.asDict(recursive=True) for r in sdf.collect()]
+            try:
+                srows = [r.asDict(recursive=True) for r in sdf.collect()]
+            finally:
+                # builders attach persisted intermediates their lazy
+                # plan needed; release them now that the rows are out
+                # (ADVICE r9 — 50 queries in one session would
+                # otherwise accumulate executor storage)
+                from goodtables_pandas_py_spark.cacheutil import (
+                    unpersist_scan_state,
+                )
+
+                unpersist_scan_state(sdf)
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
