@@ -2622,7 +2622,7 @@ _VECINDEX_DIRS: dict[str, str] = {}
     " ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
     " CAST(b.embedding AS DOUBLE[])), 6) AS cosine"
     " FROM embeddings a CROSS JOIN embeddings b"
-    " WHERE a.vec_id IN (0, 17, 31)"
+    " WHERE a.vec_id IN (0, 17, 31, 49)"
     " QUALIFY row_number() OVER (PARTITION BY a.vec_id"
     " ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
     " CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10",
@@ -2650,7 +2650,15 @@ def _x6_vecindex(spark, sf_dir):
     (mapInPandas probe selection, no driver collect — the
     past-max_queries scale path), so the same oracle row certifies
     ALL THREE serve paths — ids and 6-dp scores must agree with
-    brute force whichever code produced them."""
+    brute force whichever code produced them.
+
+    r10 fourth arm: query 49 serves from a RECLUSTERED copy of the
+    index (:func:`~.extensions.vecindex.recluster_ivf_index`,
+    nlist 8→5 — retrained centroids, every posting reassigned,
+    payloads carried verbatim). At nprobe=nlist exactness is
+    centroid-independent, so the SAME brute-force SQL is the oracle:
+    any recluster bug that corrupts a payload, drops/duplicates a
+    posting, or mis-writes the new layout breaks the hash."""
     import tempfile
 
     from .extensions import vecindex as xvi
@@ -2667,7 +2675,17 @@ def _x6_vecindex(spark, sf_dir):
             e, idx_dir, id_col="vec_id", vec_col="embedding", nlist=8
         )
         _VECINDEX_DIRS[sf_dir] = idx_dir
+    re_dir = _VECINDEX_DIRS.get(sf_dir + "#reclustered")
+    if re_dir is None or not os.path.exists(
+        os.path.join(re_dir, "manifest.json")
+    ):
+        re_dir = os.path.join(
+            tempfile.mkdtemp(prefix="gt_x6_vecindex_re_"), "idx"
+        )
+        xvi.recluster_ivf_index(spark, idx_dir, re_dir, nlist=5)
+        _VECINDEX_DIRS[sf_dir + "#reclustered"] = re_dir
     idx = xvi.read_ivf_index(spark, idx_dir)
+    re_idx = xvi.read_ivf_index(spark, re_dir)
     qv = [
         float(x)
         for x in e.where(F.col("vec_id") == 0).first()["embedding"]
@@ -2706,7 +2724,22 @@ def _x6_vecindex(spark, sf_dir):
         F.col("id").cast(_BIG).alias("vec_id"),
         F.round("cosine", 6).alias("cosine"),
     )
-    return single.unionByName(batch).unionByName(dist)
+    # r10 fourth arm: the reclustered index serving query 49 at
+    # nprobe=nlist through the per-query path
+    qv49 = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 49).first()["embedding"]
+    ]
+    recl = xvi.ivf_index_topk(
+        re_idx, qv49, k=10, nprobe=len(re_idx.centroids)
+    ).select(
+        F.lit(49).cast(_BIG).alias("query_id"),
+        F.col("id").cast(_BIG).alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+    return (
+        single.unionByName(batch).unionByName(dist).unionByName(recl)
+    )
 
 
 # ===================== X2c: exact-substring span dedup ====================

@@ -475,3 +475,178 @@ def test_distributed_batch_topk_quantized_parity(spark, emb, tmp_path):
         ).collect()
     )
     assert a == b
+
+
+# ------------------------- r10: recluster + versioned roots ----------------
+
+
+def _cluster_rows(center_dim, n, dim=8, start_id=0, lean=None):
+    """Deterministic synthetic cluster: unit-ish vectors near axis
+    ``center_dim`` with small integer-arithmetic jitter; ``lean``
+    ('straddle') alternates the e0/e1 mix so members sit on BOTH
+    sides of the c0/c1 bisector — the drift shape that splits a new
+    cluster across frozen lists."""
+    rows = []
+    for i in range(n):
+        j = ((i * 37) % 11 - 5) / 100.0  # deterministic jitter
+        v = [0.0] * dim
+        if lean == "straddle":
+            s = 1 if i % 2 == 0 else -1
+            v[0] = 0.7 + s * 0.15 + j / 10
+            v[1] = 0.7 - s * 0.15 - j / 10
+            v[2] = j
+        elif lean == "neutral":
+            # ON the c0/c1 bisector: true top-k mixes both straddle
+            # halves, but nprobe=1 sees only one frozen list
+            v[0] = 0.7 + j / 20
+            v[1] = 0.7 + j / 20
+            v[2] = j
+        else:
+            v[center_dim] = 1.0
+            v[(center_dim + 3) % dim] = j
+        rows.append((start_id + i, v))
+    return rows
+
+
+def test_recluster_restores_recall_after_append_drift(spark, tmp_path):
+    """VERDICT r9 item 1, the done-criterion drift test: heavy appends
+    of a distribution the build never saw degrade measured recall@10
+    at fixed nprobe (the new cluster straddles two frozen lists);
+    recluster retrains the quantizer on what the index NOW holds and
+    restores it. The whole loop runs through the versioned root, so
+    serving always resolves a complete index."""
+    from goodtables_pandas_py_spark.extensions import pipeline as pl
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        append_to_ivf_index,
+        ivf_recall_probe,
+        read_ivf_index_current,
+        recluster_ivf_index_version,
+        write_ivf_index_version,
+    )
+
+    root = str(tmp_path / "vroot")
+    schema = "vec_id long, embedding array<float>"
+    base = _cluster_rows(0, 60) + _cluster_rows(1, 60, start_id=100)
+    m1 = write_ivf_index_version(
+        spark.createDataFrame(base, schema), root, nlist=2, refine=2
+    )
+    assert m1["version"] == "v00000001"
+
+    # drift: a NEW cluster straddling the frozen c0/c1 bisector —
+    # appends assign its members half to each old list
+    drift = _cluster_rows(None, 200, start_id=500, lean="straddle")
+    append_to_ivf_index(
+        spark.createDataFrame(drift, schema),
+        f"{root}/versions/v00000001",
+    )
+    idx = read_ivf_index_current(spark, root)
+    assert idx.manifest["n_vectors"] == 320
+
+    queries = spark.createDataFrame(
+        _cluster_rows(None, 12, start_id=9000, lean="neutral"),
+        "query_id long, embedding array<float>",
+    )
+    recall_before = ivf_recall_probe(idx, queries, k=10, nprobe=1)
+    assert recall_before < 0.8, recall_before  # drift hurt
+
+    m2 = recluster_ivf_index_version(spark, root, nlist=3, refine=4)
+    assert m2["version"] == "v00000002"
+    assert m2["reclustered"]["base_version"] == "v00000001"
+    assert m2["n_vectors"] == 320
+    idx2 = read_ivf_index_current(spark, root)
+    recall_after = ivf_recall_probe(idx2, queries, k=10, nprobe=1)
+    assert recall_after >= 0.95, (recall_before, recall_after)
+
+    # same ids survive; audit block on disk matches the return
+    ids_before = sorted(r["id"] for r in idx.postings.select("id").collect())
+    ids_after = sorted(r["id"] for r in idx2.postings.select("id").collect())
+    assert ids_before == ids_after
+    with open(f"{root}/versions/v00000002/manifest.json") as fh:
+        assert json.load(fh) == m2
+    # old version is immutable and still readable (snapshot isolation)
+    assert idx.postings.count() == 320
+
+
+def test_recluster_preserves_quantized_payload_verbatim(spark, emb, tmp_path):
+    """Quantized postings carry their exact int8 structs through a
+    recluster — no dequantize->requantize round-trip; only ivf_cid
+    changes. Serving the reclustered index at nprobe=nlist stays
+    row-identical to serving the original (exactness does not depend
+    on centroids)."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        ivf_index_topk_batch,
+        read_ivf_index,
+        recluster_ivf_index,
+        write_ivf_index,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_ivf_index(emb, src, nlist=8, quantize=True)
+    m = recluster_ivf_index(spark, src, dst, nlist=5, refine=2)
+    assert m["nlist"] == 5 and m["quantized"] is True
+    assert m["reclustered"]["nlist_before"] == 8
+
+    def payloads(d):
+        idx = read_ivf_index(spark, d)
+        return sorted(
+            (r["id"], r["qvec"]["scale"], tuple(r["qvec"]["q"]))
+            for r in idx.postings.select("id", "qvec").collect()
+        )
+
+    assert payloads(src) == payloads(dst)
+
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def serve(d):
+        idx = read_ivf_index(spark, d)
+        return sorted(
+            (r["query_id"], r["id"], round(r["cosine"], 9))
+            for r in ivf_index_topk_batch(
+                idx, queries, k=5, nprobe=len(idx.centroids)
+            ).collect()
+        )
+
+    assert serve(src) == serve(dst)
+
+    # in-place recluster is refused
+    with pytest.raises(ValueError, match="in-place"):
+        recluster_ivf_index(spark, src, src)
+
+
+def test_versioned_index_conflict_and_retention(
+    spark, emb, tmp_path, monkeypatch
+):
+    """The versioned index root inherits the release sink's writer
+    guard: a racing publisher loses loudly and its dir is abandoned;
+    retention prunes old published indexes but never CURRENT."""
+    from goodtables_pandas_py_spark.extensions import pipeline as pl
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        read_ivf_index_current,
+        write_ivf_index_version,
+    )
+
+    root = str(tmp_path / "vroot")
+    write_ivf_index_version(emb, root, nlist=4)
+    # claim collision: both publishers computed v2 as the next name
+    # (the claim dir advances _next_version_name, so pin it the way a
+    # real race would — B claimed first, A computed the same number)
+    pl._claim_version(spark, root, "v00000002")
+    monkeypatch.setattr(
+        pl, "_next_version_name", lambda s, r: "v00000002"
+    )
+    with pytest.raises(pl.ReleaseConflictError, match="claimed"):
+        write_ivf_index_version(emb, root, nlist=4)
+    monkeypatch.undo()
+    # the loser never wrote; the stale claim ages into vacuum scope
+    assert pl.vacuum_release_orphans(spark, root, grace_seconds=0) == []
+    write_ivf_index_version(emb, root, nlist=2, keep_versions=1)
+    idx = read_ivf_index_current(spark, root)
+    assert idx.manifest["nlist"] == 2
+    # now CURRENT (v3) is past the stale claim -> vacuum reclaims it
+    assert pl.vacuum_release_orphans(spark, root, grace_seconds=0) == [
+        "v00000002"
+    ]
+    assert pl.list_release_versions(spark, root) == ["v00000003"]
