@@ -264,7 +264,15 @@ def main() -> None:
     # from real regressions. loadavg_start (captured pre-session) /
     # loadavg_end plus the full per-rep sample vectors let a reader
     # see contention (high load, wide spread) directly in the JSON.
+    # loadavg captured at the START of each rep round (r10, VERDICT
+    # r9 item 6): outlier adjudication is now in the artifact itself
+    # — a rep whose samples are inflated shows its contention here,
+    # no manual quiet-host rerun needed to explain it
+    rep_loadavg: list[float] = []
     for rep in range(reps):
+        rep_loadavg.append(
+            round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else -1.0
+        )
         for name in names:
             if name in errors:
                 continue
@@ -315,6 +323,7 @@ def main() -> None:
         "loadavg_end": round(
             os.getloadavg()[0] if hasattr(os, "getloadavg") else -1.0, 2
         ),
+        "loadavg_per_rep": rep_loadavg,
         "rep_samples": {
             n: [round(s, 3) for s in ss] for n, ss in samples.items() if ss
         },

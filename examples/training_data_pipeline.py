@@ -107,6 +107,11 @@ def main() -> int:
         eval_sets=evals,
         decontam_ngram=3,
         decontam_ratio=0.8,
+        # belt-and-suspenders (r10): the fuzzy pass also drops
+        # paraphrased/lightly-edited eval copies exact n-grams miss
+        # (LSH candidates vs broadcast eval bands + exact-Jaccard
+        # verify — near_contaminated_ids)
+        fuzzy_decontam_threshold=0.5,
         # domain balancing: at most 400 docs per source, longest
         # first (deterministic via doc_id tiebreak)
         cap_per_group=400,
@@ -121,9 +126,9 @@ def main() -> int:
         f"quality → {prep.n_after_dedup} after dedup → "
         f"{prep.n_after_cap} after per-source cap → "
         f"{prep.n_after_span_mask} after span masking → "
-        f"{prep.n_after_decontam} after eval decontamination"
+        f"{prep.n_after_decontam} after eval decontamination "
+        f"(exact n-gram + fuzzy Jaccard≥0.5)"
     )
-
     # 3. persist corpus + LSH index for incremental ingestion.
     # Span masking REBUILT the text, so text-derived metadata is
     # refreshed before anything ships (a 90%-boilerplate doc must not
@@ -132,6 +137,14 @@ def main() -> int:
 
     released = prep.kept.withColumn("n_chars", F.length("text"))
     released.write.mode("overwrite").parquet(f"{out}/corpus.parquet")
+    # the corpus artifact is on disk: read it BACK (lineage cut — the
+    # restart-point pattern docs/TUNING.md preaches) and release the
+    # fuzzy scan's internal candidate cache (ADVICE r9 lifecycle);
+    # everything downstream now scans parquet, not the prep plan
+    from goodtables_pandas_py_spark.cacheutil import unpersist_scan_state
+
+    unpersist_scan_state(prep.kept)
+    released = spark.read.parquet(f"{out}/corpus.parquet")
     banded_signatures(released).write.mode("overwrite").parquet(
         f"{out}/corpus_lsh_index.parquet"
     )

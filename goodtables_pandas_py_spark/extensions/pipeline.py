@@ -57,6 +57,7 @@ def prepare_corpus(
     eval_sets: DataFrame | None = None,
     decontam_ngram: int = 8,
     decontam_ratio: float = 0.5,
+    fuzzy_decontam_threshold: float | None = None,
     cap_per_group: int | None = None,
     cap_group_cols: list[str] | None = None,
     cap_order_col: str | None = None,
@@ -106,6 +107,14 @@ def prepare_corpus(
     ≥ ``decontam_ratio`` of any eval document (see
     :func:`~.decontam.contaminated_ids`) — decontamination runs LAST
     so the broadcast n-gram join scans the already-shrunk corpus.
+    ``fuzzy_decontam_threshold`` (r10) additionally drops documents
+    whose 3-word-shingle Jaccard with any eval doc reaches the
+    threshold (:func:`~.decontam.near_contaminated_ids` — the
+    paraphrased-copy pass exact n-grams miss); both drop sets are
+    unioned into ONE anti-join. The fuzzy scan persists a bounded
+    candidate frame internally; call
+    :func:`~..cacheutil.unpersist_scan_state` on ``kept`` after
+    materializing to release it in a long-lived session.
 
     ``audit=True`` additionally returns the per-row quality audit
     (keep + drop_reasons) and per-stage row counts. The audit frame is
@@ -180,9 +189,27 @@ def prepare_corpus(
             ngram=decontam_ngram,
             min_ratio=decontam_ratio,
         )
+        held = []
+        if fuzzy_decontam_threshold is not None:
+            from ..cacheutil import attach_persisted
+            from .decontam import near_contaminated_ids
+
+            fuzzy_drop = near_contaminated_ids(
+                span_masked,
+                eval_sets,
+                id_col=id_col,
+                text_col=text_col,
+                eval_id_col=id_col,
+                eval_text_col=text_col,
+                threshold=fuzzy_decontam_threshold,
+            )
+            held = getattr(fuzzy_drop, "_gt_persisted", [])
+            drop = drop.unionByName(fuzzy_drop).distinct()
         kept = span_masked.join(
             drop, span_masked[id_col] == drop["corpus_id"], "left_anti"
         )
+        if held:
+            kept = attach_persisted(kept, *held)
     if not audit:
         return CorpusPrep(kept=kept)
     quality_audit = clean_corpus(

@@ -636,42 +636,68 @@ def _c2_w1(spark, sf_dir):
 
 
 @q(
-    "c1_c3_c4_constraints",
-    "SELECT 'required' AS chk,"
-    " count(*) FILTER (WHERE o_orderkey % 13 = 0) AS n_low,"
-    " CAST(0 AS BIGINT) AS n_high,"
-    " CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v"
+    "c1_c6_constraints",
+    "SELECT 'required' AS chk, 'o_custkey' AS label,"
+    " count(*) FILTER (WHERE o_orderkey % 13 = 0) AS a,"
+    " CAST(0 AS BIGINT) AS b,"
+    " CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi"
     " FROM orders"
     " UNION ALL"
-    " SELECT 'length' AS chk,"
-    " count(*) FILTER (WHERE length(p_name) < 10) AS n_low,"
-    " count(*) FILTER (WHERE length(p_name) > 30) AS n_high,"
-    " CAST(min(length(p_name)) AS DOUBLE) AS min_v,"
-    " CAST(max(length(p_name)) AS DOUBLE) AS max_v FROM part"
+    " SELECT 'length', 'p_name',"
+    " count(*) FILTER (WHERE length(p_name) < 10),"
+    " count(*) FILTER (WHERE length(p_name) > 30),"
+    " CAST(min(length(p_name)) AS DOUBLE),"
+    " CAST(max(length(p_name)) AS DOUBLE) FROM part"
     " UNION ALL"
-    " SELECT 'range' AS chk,"
-    " count(*) FILTER (WHERE l_discount < 0.0) AS n_low,"
-    " count(*) FILTER (WHERE l_discount > 0.05) AS n_high,"
-    " min(l_discount) AS min_v, max(l_discount) AS max_v FROM lineitem",
+    " SELECT 'range', 'l_discount',"
+    " count(*) FILTER (WHERE l_discount < 0.0),"
+    " count(*) FILTER (WHERE l_discount > 0.05),"
+    " min(l_discount), max(l_discount) FROM lineitem"
+    " UNION ALL"
+    " SELECT 'enum', o_orderstatus, CAST(count(*) AS BIGINT),"
+    " CAST(o_orderstatus IN ('F','P','O') AS BIGINT),"
+    " CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+    " FROM orders GROUP BY o_orderstatus"
+    " UNION ALL"
+    " SELECT 'pattern', 'match',"
+    " count(*) FILTER (WHERE regexp_matches(p_brand, '^(?:Brand#[0-9]+)$')),"
+    " CAST(1 AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+    " FROM part"
+    " UNION ALL"
+    " SELECT 'pattern', 'violation',"
+    " count(*) FILTER (WHERE NOT regexp_matches(p_brand,"
+    " '^(?:Brand#[0-9]+)$')),"
+    " CAST(0 AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+    " FROM part",
 )
-def _c3_c4(spark, sf_dir):
-    """C1 required + C3 min/maxLength + C4 minimum/maximum in one
-    labeled query (merged r5 s4 — the former c1_required became the
-    'required' row, freeing a slot for x4_lm_bigram under the 50-row
-    cap): 'required' row counts rule-injected nulls in o_custkey,
-    'length' row checks p_name length bounds, 'range' row checks
-    l_discount value bounds — all via the compiled constraint masks
-    used by validate."""
+def _c1_c6(spark, sf_dir):
+    """C1 required + C3 min/maxLength + C4 minimum/maximum + C5 enum
+    + C6 pattern in one labeled query (r10 — the COVERAGE.md
+    pre-declared merge of c1_c3_c4_constraints + c5_c6_enum_pattern;
+    the freed slot funds x9_history). All five constraint kinds run
+    through the compiled constraint masks validate uses; every former
+    row survives as a labeled row:
+
+    - 'required' (C1): rule-injected nulls in o_custkey.
+    - 'length' (C3): p_name length bound violations + observed
+      min/max length.
+    - 'range' (C4): l_discount value bound violations + observed
+      min/max.
+    - 'enum' (C5): one row per o_orderstatus value, b = its
+      in-vocabulary flag.
+    - 'pattern' (C6): full-match vs violation counts of the
+      fullmatch-anchored compiler on p_brand."""
     from .checks.constraints import compile_constraints
 
     o = t(spark, sf_dir, "orders")
     req_v = F.when(F.col("o_orderkey") % 13 != 0, F.col("o_custkey"))
     required = o.select(req_v.alias("v")).agg(
         F.lit("required").alias("chk"),
-        F.count_if(F.col("v").isNull()).alias("n_low"),
-        F.lit(0).cast(_BIG).alias("n_high"),
-        F.lit(None).cast("double").alias("min_v"),
-        F.lit(None).cast("double").alias("max_v"),
+        F.lit("o_custkey").alias("label"),
+        F.count_if(F.col("v").isNull()).alias("a"),
+        F.lit(0).cast(_BIG).alias("b"),
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
     )
 
     p = t(spark, sf_dir, "part")
@@ -682,10 +708,11 @@ def _c3_c4(spark, sf_dir):
     }
     length = p.agg(
         F.lit("length").alias("chk"),
-        F.count_if(len_masks["minLength"]).alias("n_low"),
-        F.count_if(len_masks["maxLength"]).alias("n_high"),
-        F.min(F.length("p_name")).cast("double").alias("min_v"),
-        F.max(F.length("p_name")).cast("double").alias("max_v"),
+        F.lit("p_name").alias("label"),
+        F.count_if(len_masks["minLength"]).alias("a"),
+        F.count_if(len_masks["maxLength"]).alias("b"),
+        F.min(F.length("p_name")).cast("double").alias("lo"),
+        F.max(F.length("p_name")).cast("double").alias("hi"),
     )
 
     li = t(spark, sf_dir, "lineitem")
@@ -697,45 +724,23 @@ def _c3_c4(spark, sf_dir):
     }
     rng = li.agg(
         F.lit("range").alias("chk"),
-        F.count_if(rng_masks["minimum"]).alias("n_low"),
-        F.count_if(rng_masks["maximum"]).alias("n_high"),
-        F.min("l_discount").alias("min_v"),
-        F.max("l_discount").alias("max_v"),
+        F.lit("l_discount").alias("label"),
+        F.count_if(rng_masks["minimum"]).alias("a"),
+        F.count_if(rng_masks["maximum"]).alias("b"),
+        F.min("l_discount").alias("lo"),
+        F.max("l_discount").alias("hi"),
     )
-    return required.unionByName(length).unionByName(rng)
 
-
-@q(
-    "c5_c6_enum_pattern",
-    "SELECT 'enum' AS variant, o_orderstatus AS label,"
-    " CAST(count(*) AS BIGINT) AS n,"
-    " o_orderstatus IN ('F','P','O') AS flag"
-    " FROM orders GROUP BY o_orderstatus"
-    " UNION ALL"
-    " SELECT 'pattern' AS variant, 'match' AS label,"
-    " count(*) FILTER (WHERE regexp_matches(p_brand, '^(?:Brand#[0-9]+)$'))"
-    " AS n, TRUE AS flag FROM part"
-    " UNION ALL"
-    " SELECT 'pattern' AS variant, 'violation' AS label,"
-    " count(*) FILTER (WHERE NOT regexp_matches(p_brand,"
-    " '^(?:Brand#[0-9]+)$')) AS n, FALSE AS flag FROM part",
-)
-def _c5_c6(spark, sf_dir):
-    """C5 enum + C6 pattern in one labeled query (50-entry registry
-    cap — merged r5 to make room for x7_contamination). 'enum' rows
-    label each o_orderstatus value with its in-vocabulary flag;
-    'pattern' rows count full-match vs violation of the
-    fullmatch-anchored C6 compiler on p_brand."""
-    from .checks.constraints import compile_constraints
-
-    o = t(spark, sf_dir, "orders")
     enum_rows = o.groupBy(F.col("o_orderstatus").alias("label")).agg(
-        F.lit("enum").alias("variant"),
-        F.count(F.lit(1)).cast(_BIG).alias("n"),
-        F.max(F.col("o_orderstatus").isin("F", "P", "O")).alias("flag"),
-    ).select("variant", "label", "n", "flag")
+        F.lit("enum").alias("chk"),
+        F.count(F.lit(1)).cast(_BIG).alias("a"),
+        F.max(F.col("o_orderstatus").isin("F", "P", "O"))
+        .cast(_BIG)
+        .alias("b"),
+        F.lit(None).cast("double").alias("lo"),
+        F.lit(None).cast("double").alias("hi"),
+    ).select("chk", "label", "a", "b", "lo", "hi")
 
-    p = t(spark, sf_dir, "part")
     fld = Field("p_brand", constraints={"pattern": "Brand#[0-9]+"})
     (ck,) = compile_constraints(fld, F.col("p_brand"), F.col("p_brand"))
     counts = p.agg(
@@ -749,55 +754,78 @@ def _c5_c6(spark, sf_dir):
         F.explode(
             F.array(
                 F.struct(
-                    F.lit("pattern").alias("variant"),
+                    F.lit("pattern").alias("chk"),
                     F.lit("match").alias("label"),
-                    F.col("n_match").alias("n"),
-                    F.lit(True).alias("flag"),
+                    F.col("n_match").alias("a"),
+                    F.lit(1).cast(_BIG).alias("b"),
+                    F.lit(None).cast("double").alias("lo"),
+                    F.lit(None).cast("double").alias("hi"),
                 ),
                 F.struct(
-                    F.lit("pattern").alias("variant"),
+                    F.lit("pattern").alias("chk"),
                     F.lit("violation").alias("label"),
-                    F.col("n_violation").alias("n"),
-                    F.lit(False).alias("flag"),
+                    F.col("n_violation").alias("a"),
+                    F.lit(0).cast(_BIG).alias("b"),
+                    F.lit(None).cast("double").alias("lo"),
+                    F.lit(None).cast("double").alias("hi"),
                 ),
             )
         ).alias("r")
-    ).select("r.variant", "r.label", "r.n", "r.flag")
-    return enum_rows.unionByName(pat_rows)
+    ).select("r.chk", "r.label", "r.a", "r.b", "r.lo", "r.hi")
+    return (
+        required.unionByName(length)
+        .unionByName(rng)
+        .unionByName(enum_rows)
+        .unionByName(pat_rows)
+    )
 
 
 # ===================== K: keys ============================================
 
 
 @q(
-    "k1_pk_orders",
-    "SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+    "k1_k2_keys",
+    "SELECT 'pk_orders' AS key, CAST(count(*) AS BIGINT) AS n_rows,"
     " count(*) FILTER (WHERE o_orderkey IS NULL) AS n_null,"
-    " CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_extra"
-    " FROM orders",
+    " CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_extra"
+    " FROM orders"
+    " UNION ALL"
+    " SELECT 'uk_lineitem', CAST(count(*) AS BIGINT),"
+    " count(*) FILTER (WHERE l_orderkey IS NULL"
+    " OR l_linenumber IS NULL),"
+    " CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))"
+    " AS BIGINT) FROM lineitem",
 )
-def _k1(spark, sf_dir):
-    from .checks.keys import check_primary_key
+def _k1_k2(spark, sf_dir):
+    """K1 primary key + K2 unique keys in one labeled query (r10 —
+    the COVERAGE.md pre-declared merge; the freed slot funds
+    x7_curriculum): both are uniqueness-over-key checks through the
+    fused null+dup kernel validate uses — 'pk_orders' runs
+    check_primary_key on o_orderkey, 'uk_lineitem' runs
+    check_unique_key on the composite (l_orderkey, l_linenumber);
+    n_rows/n_null make each row self-describing against the oracle's
+    direct recount."""
+    from .checks.keys import check_primary_key, check_unique_key
 
     o = t(spark, sf_dir, "orders")
-    res = check_primary_key(o, ["o_orderkey"])
-    n = o.count()
-    return spark.createDataFrame(
-        [(n, 0, res.count)], "n_rows bigint, n_null bigint, n_dup_extra bigint"
-    )
-
-
-@q(
-    "k2_unique_key_lineitem",
-    "SELECT CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))"
-    " AS BIGINT) AS n_extra FROM lineitem",
-)
-def _k2(spark, sf_dir):
-    from .checks.keys import check_unique_key
-
+    pk = check_primary_key(o, ["o_orderkey"])
     li = t(spark, sf_dir, "lineitem")
-    res = check_unique_key(li, ["l_orderkey", "l_linenumber"])
-    return spark.createDataFrame([(res.count,)], "n_extra bigint")
+    uk = check_unique_key(li, ["l_orderkey", "l_linenumber"])
+    n_o = o.count()
+    li_nulls = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(
+            F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull()
+        ).alias("n_null"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            ("pk_orders", n_o, 0, pk.count),
+            ("uk_lineitem", int(li_nulls["n"]), int(li_nulls["n_null"]),
+             uk.count),
+        ],
+        "key string, n_rows bigint, n_null bigint, n_extra bigint",
+    )
 
 
 @q(
@@ -3390,4 +3418,185 @@ def _x9rel(spark, sf_dir):
         .unionByName(merge_rows)
         .unionByName(merge_reused)
         .unionByName(v4_row)
+    )
+
+
+@q(
+    "x9_history",
+    """WITH d AS (SELECT doc_id, source, text FROM documents
+                  WHERE source IN ('src1','src2','src4')),
+app AS (SELECT doc_id + 2000000 AS doc_id FROM d WHERE source = 'src2'),
+del AS (SELECT doc_id FROM d WHERE source = 'src4' AND doc_id % 8 = 4)
+SELECT 'history' AS kind, 'v00000001:full:-' AS label,
+       (SELECT CAST(count(*) AS BIGINT) FROM d) AS n,
+       CAST(0 AS BIGINT) AS flag
+UNION ALL
+SELECT 'history', 'v00000002:append:v00000001',
+       (SELECT count(*) FROM d) + (SELECT count(*) FROM app), 0
+UNION ALL
+SELECT 'history', 'v00000003:merge:v00000002',
+       (SELECT count(*) FROM d) + (SELECT count(*) FROM app)
+         - (SELECT count(*) FROM del), 1
+UNION ALL
+SELECT 'diff', 'added', (SELECT count(*) FROM app), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'diff', 'changed', 0, CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'diff', 'removed', (SELECT count(*) FROM del), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'diff', 'unchanged',
+       (SELECT count(*) FROM d) - (SELECT count(*) FROM del),
+       CAST(NULL AS BIGINT)""",
+)
+def _x9hist(spark, sf_dir):
+    """X9b release audit surfaces (r10 — slot funded by the
+    c1_c3_c4+c5_c6 merge, VERDICT r9 item 5a): build a 3-version
+    chain (full publish → append → key-delete merge) on a 3-source
+    slice and certify the two READ-side audit tools against DuckDB
+    recomputing the chain from the mutation rules:
+
+    - 'history' rows: one per version from release_history — label
+      packs version:kind:base_version, n is the manifest row count,
+      flag the CURRENT marker. Any wrong manifest count, mislabeled
+      publish kind, broken base lineage, or pointer mismatch breaks
+      the hash.
+    - 'diff' rows: release_diff_summary(v1 → v3) status counts over
+      the full 4-status spine — added = the appended clones,
+      removed = the merge-deleted src4 ids (doc_id%8==4 — the
+      generator interleaves doc_id mod #sources, so src4 holds only
+      even ids and a %2 predicate would select nothing), changed = 0
+      (no
+      update rows in this chain), unchanged = the rest.
+
+    The chain is tiny by construction (75 docs) — this row certifies
+    AUDIT correctness; x9_release certifies the publish machinery at
+    corpus scale."""
+    import tempfile
+
+    from .extensions.pipeline import (
+        read_release,
+        release_diff_summary,
+        release_history,
+        write_release_append,
+        write_release_merge,
+        write_release_version,
+    )
+
+    root = tempfile.mkdtemp(prefix="gt_x9_history_")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).where(F.col("source").isin("src1", "src2", "src4"))
+    write_release_version(d, root, split_col="source")
+    app = d.where(F.col("source") == "src2").select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        "source",
+        F.concat(F.lit("app"), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    write_release_append(app, root, split_col="source")
+    dels = d.where(
+        (F.col("source") == "src4") & (F.col("doc_id") % 8 == 4)
+    ).select("doc_id", "source")
+    empty_updates = spark.createDataFrame([], d.schema)
+    write_release_merge(
+        empty_updates, root, id_col="doc_id", split_col="source",
+        deletes=dels,
+    )
+
+    hist = release_history(spark, root).select(
+        F.lit("history").alias("kind"),
+        F.concat(
+            F.col("version"),
+            F.lit(":"),
+            F.col("kind"),
+            F.lit(":"),
+            F.coalesce(F.col("base_version"), F.lit("-")),
+        ).alias("label"),
+        F.col("n_rows").cast(_BIG).alias("n"),
+        F.col("current").cast(_BIG).alias("flag"),
+    )
+
+    v1_df, _ = read_release(spark, root, version="v00000001")
+    v3_df, _ = read_release(spark, root)
+    diff = release_diff_summary(v1_df, v3_df, id_col="doc_id")
+    spine = spark.createDataFrame(
+        [("added",), ("changed",), ("removed",), ("unchanged",)],
+        "status string",
+    )
+    diff_rows = spine.join(F.broadcast(diff), "status", "left").select(
+        F.lit("diff").alias("kind"),
+        F.col("status").alias("label"),
+        F.coalesce(F.col("n"), F.lit(0)).cast(_BIG).alias("n"),
+        F.lit(None).cast(_BIG).alias("flag"),
+    )
+    return hist.unionByName(diff_rows)
+
+
+@q(
+    "x7_curriculum",
+    "SELECT lpad(CAST(doc_id % 4 AS VARCHAR), 6, '0') AS bin,"
+    " CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(doc_id) AS BIGINT) AS sum_ids,"
+    " CAST(1 AS BIGINT) AS deterministic"
+    " FROM documents GROUP BY 1",
+)
+def _x7curr(spark, sf_dir):
+    """X7g curriculum export certified (r10 — slot funded by the
+    k1+k2 merge, VERDICT r9 item 5b): write_curriculum over a
+    SQL-expressible binning (doc_id % 4) into bin=<k> directories,
+    then read the layout back and pin per-bin row count + id sum —
+    every document must land in exactly its bin's directory through
+    the per-bin training_shuffle write (loss, duplication, or
+    bin-bleed breaks the hash). The within-bin xxhash64 ORDER is not
+    DuckDB-expressible, so determinism is the Spark-side arm: the
+    corpus is exported TWICE with the same salt and the name-ordered
+    per-file id sequences must match byte-for-byte (pyarrow
+    driver-side read of the tiny oracle corpus — the 20x probe
+    checks the same contract at scale); the flag rides every row and
+    the oracle pins it to 1."""
+    import os as _os
+    import tempfile
+
+    from .extensions.splits import write_curriculum
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).cast("int").alias("quality_bin")
+    )
+    out1 = tempfile.mkdtemp(prefix="gt_x7_curr_a_")
+    out2 = tempfile.mkdtemp(prefix="gt_x7_curr_b_")
+    write_curriculum(d, out1, salt="r10-curriculum")
+    write_curriculum(d, out2, salt="r10-curriculum")
+
+    def file_ids(root):
+        import pyarrow.parquet as pq
+
+        seqs = []
+        for bdir in sorted(_os.listdir(root)):
+            full = _os.path.join(root, bdir)
+            if not _os.path.isdir(full):
+                continue
+            # part files sort by their part-NNNNN index; the rest of
+            # the name is Spark's per-write job UUID, so compare by
+            # POSITION, never by name — two identical exports always
+            # differ in the UUID
+            files = sorted(
+                f for f in _os.listdir(full) if f.endswith(".parquet")
+            )
+            for i, fname in enumerate(files):
+                tbl = pq.read_table(
+                    _os.path.join(full, fname), columns=["doc_id"]
+                )
+                seqs.append((bdir, i, tbl["doc_id"].to_pylist()))
+        return seqs
+
+    deterministic = int(file_ids(out1) == file_ids(out2))
+
+    back = spark.read.parquet(out1)
+    return back.groupBy(
+        F.lpad(F.col("bin").cast("string"), 6, "0").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n"),
+        F.sum("doc_id").cast(_BIG).alias("sum_ids"),
+        F.max(F.lit(deterministic)).cast(_BIG).alias("deterministic"),
     )

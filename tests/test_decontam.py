@@ -455,3 +455,42 @@ def test_near_contamination_plan_broadcasts_eval_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_contamination_fallback_guard_same_result(spark, sf_dir):
+    """VERDICT r9 item 4: the counted broadcast-cap guard exercised
+    synthetically — with the cap forced to 0 the verify joins fall
+    back to shuffle joins, which must change ONLY the plan (no
+    broadcast of the candidate set), never the result set. The
+    unpersist helper releases the internal candidate cache on both
+    paths."""
+    from tests.conftest import load
+
+    from goodtables_pandas_py_spark.cacheutil import unpersist_scan_state
+    from goodtables_pandas_py_spark.extensions.decontam import (
+        near_contamination_scan,
+    )
+
+    corpus = load(spark, sf_dir, "documents").select("doc_id", "text")
+    evals = corpus.where(F.col("doc_id") % 40 == 0)
+
+    def run(cap):
+        scan = near_contamination_scan(
+            corpus, evals, threshold=0.5,
+            max_broadcast_candidates=cap,
+        )
+        rows = sorted(
+            (r["corpus_id"], r["eval_id"], round(r["jaccard"], 9))
+            for r in scan.collect()
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert unpersist_scan_state(scan) == 1
+        return rows, plan
+
+    broadcast_rows, _ = run(5_000_000)
+    fallback_rows, fplan = run(0)
+    assert broadcast_rows == fallback_rows
+    assert len(broadcast_rows) >= len(evals.collect())  # self-pairs
+    # the fallback must still never plan a nested loop
+    assert "Cartesian" not in fplan
+    assert "BroadcastNestedLoopJoin" not in fplan

@@ -229,6 +229,24 @@ def main() -> None:
     ).count()
     timings["contamination_scan"] = round(time.time() - t0, 2)
 
+    # r10 (VERDICT r9 item 4): FUZZY decontamination at 20x — LSH
+    # candidates from the broadcast eval bands + exact-Jaccard verify.
+    # The replica corpus is adversarial: every eval doc has ~20
+    # near-dup replicas, so the candidate set is ~20x the eval size
+    # plus banding FPs. Watch: candidate count (reported) stays
+    # orders below the 5M broadcast cap, and wall time tracks the
+    # corpus banding scan (the same minhash machinery near_dedup
+    # times above), NOT a corpus shuffle.
+    from goodtables_pandas_py_spark.cacheutil import unpersist_scan_state
+
+    t0 = time.time()
+    fuzzy_scan = xdec.near_contamination_scan(
+        bd, ev, threshold=0.5, num_hashes=64, num_bands=16
+    )
+    sizes["fuzzy_contaminated_pairs"] = fuzzy_scan.count()
+    timings["near_contamination_scan"] = round(time.time() - t0, 2)
+    unpersist_scan_state(fuzzy_scan)
+
     # r5: cross-document boilerplate line removal at 20x — the one
     # text op with a full-text shuffle (reassembly). Watch the
     # distinct-(line,doc) count stage and the groupBy(id) rebuild.
