@@ -1895,7 +1895,7 @@ def release_history(spark, root: str) -> DataFrame:
     """Audit view of a release root (r9): one row per version dir —
     name, published (manifest present), current (the pointer's
     target), row count, publish kind (full / increment / append /
-    merge / compaction) and base version. Driver-side metadata only
+    merge / migrate / compaction) and base version. Driver-side metadata only
     (tiny manifest reads, no data scan) returned as a DataFrame so it
     composes with the rest of the audit tooling; the row count is the
     manifest's, never a recount. The "what happened to this corpus"
@@ -1916,6 +1916,7 @@ def release_history(spark, root: str) -> DataFrame:
             "compaction" if inc.get("compaction")
             else "merge" if inc.get("merge")
             else "append" if inc.get("append")
+            else "migrate" if inc.get("migrate")
             else "increment" if inc
             else "full"
         )
@@ -1957,6 +1958,258 @@ def rollback_release(spark, root: str, version: str) -> dict:
         )
     _swap_pointer(spark, root, version)
     return json.loads(text)
+
+
+# losslessly-castable Spark type pairs for migrate_release_schema:
+# widening within a family never loses information; anything not
+# listed needs allow_lossy=True. (long->double IS lossy past 2^53;
+# float->string renders the float's exact value; date->timestamp is
+# midnight-extension.)
+_LOSSLESS_CASTS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("byte", "double"), ("short", "double"), ("integer", "double"),
+    ("byte", "float"), ("short", "float"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+_STRINGABLE = {
+    "byte", "short", "integer", "long", "float", "double", "boolean",
+    "date", "timestamp", "string",
+}
+
+
+def migrate_release_schema(
+    spark,
+    root: str,
+    drop: list[str] | None = None,
+    rename: dict[str, str] | None = None,
+    retype: dict[str, str] | None = None,
+    allow_lossy: bool = False,
+    verify_untouched: bool = True,
+    manifest_extra: dict | None = None,
+    keep_versions: int | None = None,
+    spark_for_fs=None,
+) -> dict:
+    """Publish CURRENT rewritten through a column projection — the
+    schema migration ADD COLUMN cannot express (r10, VERDICT r9 item
+    9): ``drop`` removes columns, ``rename`` maps old→new names,
+    ``retype`` casts columns to new Spark type names. One new version
+    of kind 'migrate'; the base version stays readable (rollback is
+    the undo, same as every publish).
+
+    This is the full-rewrite complement to ``allow_new_columns``:
+    where ADD COLUMN hardlinks every untouched partition (old files
+    read back with NULL backfill), drop/rename/retype change the
+    bytes of every file, so every partition rewrites — cost ∝ the
+    corpus, stated upfront rather than hidden. At 100 TB you run this
+    rarely and deliberately; the claim + base-check publish guard
+    makes it safe next to concurrent appends (the loser gets
+    :class:`ReleaseConflictError`, never a half-migrated corpus).
+
+    Refused loudly: unknown columns, collisions (renaming onto a
+    surviving name, two sources renaming to one target), touching
+    the partition column (its hive layout key IS the directory
+    structure — repartition via write_release_version instead), a
+    no-op call (nothing to migrate), and any ``retype`` cast not in
+    the lossless table (family widenings, date→timestamp,
+    atomic→string) unless ``allow_lossy=True``. Lossy casts record
+    per-column introduced-NULL counts (cast failures) in the
+    manifest's ``migrate.cast_nulls`` — one extra agg over only the
+    retyped columns — so silent data loss is auditable, never
+    invisible.
+
+    ``verify_untouched=True`` (default) re-fingerprints the columns
+    the migration did NOT touch (surviving, un-retyped columns,
+    renamed ones compared under their new name) in the base and the
+    new version and refuses to swap the pointer on any mismatch —
+    the migration cannot corrupt what it did not change. Costs one
+    extra column-pruned scan of each side; disable for very large
+    corpora once the operator is trusted."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    fs_spark = spark_for_fs or spark
+    drop = list(drop or [])
+    rename = dict(rename or {})
+    retype = dict(retype or {})
+    if not (drop or rename or retype):
+        raise ValueError(
+            "migrate_release_schema: no drop/rename/retype given — "
+            "nothing to migrate"
+        )
+
+    cur = _read_text(fs_spark, _pointer_paths(root)[0])
+    if cur is None:
+        raise FileNotFoundError(
+            f"no CURRENT pointer under {root} — nothing published"
+        )
+    cur = cur.strip()
+    base_df, old_man = read_release(spark, root, version=cur)
+    old_schema = StructType.fromJson(old_man["schema"])
+    old_types = {f.name: f.dataType.typeName() for f in old_schema.fields}
+    parts = old_man.get("partitioned_by") or []
+    split_col = parts[0] if parts else None
+
+    unknown = [
+        c
+        for c in {*drop, *rename, *retype}
+        if c not in old_types
+    ]
+    if unknown:
+        raise ValueError(
+            f"migrate_release_schema: columns {sorted(unknown)} do not "
+            f"exist in {cur} (schema: {sorted(old_types)})"
+        )
+    touched_split = [
+        c for c in {*drop, *rename, *retype} if c == split_col
+    ]
+    if touched_split:
+        raise ValueError(
+            f"migrate_release_schema: {split_col!r} is the partition "
+            "column — its value IS the hive directory layout; "
+            "repartition through write_release_version instead"
+        )
+    dropped_and = [c for c in drop if c in rename or c in retype]
+    if dropped_and:
+        raise ValueError(
+            "migrate_release_schema: columns "
+            f"{sorted(dropped_and)} are both dropped and "
+            "renamed/retyped — pick one"
+        )
+    identity = [c for c, n in rename.items() if c == n]
+    if identity:
+        raise ValueError(
+            f"migrate_release_schema: identity renames {identity}"
+        )
+    surviving = [c for c in old_types if c not in drop]
+    targets = [rename.get(c, c) for c in surviving]
+    dup = sorted({t for t in targets if targets.count(t) > 1})
+    if dup:
+        raise ValueError(
+            "migrate_release_schema: rename collision on "
+            f"{dup} — two columns may not share a post-migration name"
+        )
+
+    lossy = {}
+    for c, new_t in retype.items():
+        old_t = old_types[c]
+        if old_t == new_t:
+            raise ValueError(
+                f"migrate_release_schema: {c!r} is already {new_t}"
+            )
+        if (old_t, new_t) in _LOSSLESS_CASTS or (
+            new_t == "string" and old_t in _STRINGABLE
+        ):
+            continue
+        lossy[c] = (old_t, new_t)
+    if lossy and not allow_lossy:
+        raise ValueError(
+            "migrate_release_schema: casts "
+            + ", ".join(
+                f"{c}: {a}->{b}" for c, (a, b) in sorted(lossy.items())
+            )
+            + " can lose information — pass allow_lossy=True to "
+            "accept (introduced NULLs are counted into the manifest)"
+        )
+
+    proj = []
+    for c in surviving:
+        col = F.col(c)
+        if c in lossy:
+            # ANSI mode (Spark 4 default) makes a failing cast THROW
+            # mid-rewrite; try_cast is the documented semantics here —
+            # unparseable values land as NULL and are counted below
+            col = col.try_cast(retype[c])
+        elif c in retype:
+            col = col.cast(retype[c])
+        proj.append(col.alias(rename.get(c, c)))
+    migrated = base_df.select(*proj)
+
+    cast_nulls = {}
+    if lossy:
+        # cast failures surface as NULL where the source was not:
+        # count them in ONE column-pruned agg so the manifest records
+        # exactly what the lossy flag cost
+        aggs = [
+            F.count_if(
+                F.col(c).isNotNull()
+                & F.col(c).try_cast(retype[c]).isNull()
+            ).alias(c)
+            for c in lossy
+        ]
+        row = base_df.agg(*aggs).collect()[0]
+        cast_nulls = {c: int(row[c]) for c in lossy}
+
+    base = cur
+    vname = _next_version_name(spark, root)
+    _claim_version(fs_spark, root, vname)
+    manifest = write_release(
+        migrated,
+        f"{root}/versions/{vname}",
+        split_col=split_col,
+        manifest_extra={
+            **(manifest_extra or {}),
+            "version": vname,
+            "incremental": {
+                "base_version": base,
+                "migrate": {
+                    "drop": sorted(drop),
+                    "rename": dict(sorted(rename.items())),
+                    "retype": dict(sorted(retype.items())),
+                    "cast_nulls": cast_nulls,
+                },
+                "reused": [],
+                "rewritten": sorted(
+                    old_man.get("partition_fingerprints", {})
+                ),
+            },
+        },
+        spark_for_fs=spark_for_fs,
+        require_claim=True,
+    )
+
+    if verify_untouched:
+        untouched_new = sorted(
+            rename.get(c, c)
+            for c in surviving
+            if c not in retype
+        )
+        if untouched_new:
+            old_side = base_df.select(
+                *[
+                    F.col(c).alias(rename.get(c, c))
+                    for c in surviving
+                    if c not in retype
+                ]
+            )
+            new_df, _ = read_release(spark, root, version=vname)
+            new_side = new_df.select(*untouched_new)
+            def _fp(side):
+                r = side.agg(*_fingerprint_agg(untouched_new)).collect()[0]
+                return int(r["n"]), None if r["fp"] is None else int(r["fp"])
+
+            fp_old, fp_new = _fp(old_side), _fp(new_side)
+            if fp_old != fp_new:
+                # un-publish the bad rewrite BEFORE raising (manifest
+                # first — publishedness marker — then the dir), same
+                # hygiene as a lost pointer race; CURRENT never moved
+                vdir = f"{root}/versions/{vname}"
+                _delete_file(fs_spark, f"{vdir}/manifest.json")
+                _delete_dir(fs_spark, vdir)
+                raise RuntimeError(
+                    "migrate_release_schema: untouched-column "
+                    f"fingerprint mismatch between {base} and the "
+                    f"migrated rewrite (rows {fp_old[0]} vs "
+                    f"{fp_new[0]}) — the new version was abandoned, "
+                    "CURRENT is unchanged"
+                )
+
+    _swap_or_abandon(fs_spark, root, vname, base)
+    _apply_retention(spark, fs_spark, root, keep_versions, vname)
+    return manifest
 
 
 def read_release(
