@@ -354,8 +354,13 @@ def ivf_index_topk_batch_distributed(
     Arrow batch of queries computes its ``nprobe`` nearest centroids
     with one BLAS distance matmul + stable argsort (ties broken by
     cid ascending — the exact ``sorted((dist, cid))`` order of
-    :func:`_probe_cids`), and the exploded (qid, qvec, ivf_cid)
-    probe rows hash-equi-join the postings on ``ivf_cid``. Per-query
+    :func:`_probe_cids`), emitting ONE row per query — the vector as
+    a packed float64 blob plus its probed-cid array, exploded
+    JVM-side into (qid, blob, ivf_cid) probe rows that hash-equi-join
+    the postings on ``ivf_cid`` (r10: the previous one-row-per-probe
+    Python emit built q×nprobe boxed float lists, which dominated the
+    serve at production nprobe — see BASELINE.md
+    §nlist-saturation). Per-query
     top-k is the same rank window as the collect path, so results
     are row-identical at any query count (parity-asserted in tests).
 
@@ -400,11 +405,21 @@ def ivf_index_topk_batch_distributed(
     cents_sq = (cents * cents).sum(axis=1)
 
     qid_type = queries.schema[id_col].dataType
+    # ONE row per query out of Python: the vector as a packed
+    # float64 blob plus the nprobe probed cids as an array. The
+    # (query × nprobe) duplication happens JVM-side via explode —
+    # at production nprobe (nlist/5 at constant recall fraction,
+    # measured in tools/nlist_saturation.py) the old one-row-per-
+    # probe shape built q×nprobe Python lists of floats and pushed
+    # them all through Arrow; that construction, not the BLAS, was
+    # the dominant serve cost at nprobe≥50. The blob also beats a
+    # list-of-float column per row AFTER the explode: one bytes cell
+    # vs dim boxed doubles in every probe row the shuffle carries.
     probe_schema = T.StructType(
         [
             T.StructField(id_col, qid_type, True),
-            T.StructField("__qvec", T.ArrayType(T.DoubleType()), False),
-            T.StructField("ivf_cid", T.IntegerType(), False),
+            T.StructField("__qvec", T.BinaryType(), False),
+            T.StructField("__cids", T.ArrayType(T.IntegerType()), False),
         ]
     )
 
@@ -426,24 +441,21 @@ def ivf_index_topk_batch_distributed(
             d = qn @ cents.T
             d = (qn * qn).sum(axis=1, keepdims=True) + cents_sq - 2.0 * d
             order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            order = order.astype("int32")
             yield pd.DataFrame(
                 {
-                    id_col: [
-                        raw[i][0]
-                        for i in range(len(raw))
-                        for _ in range(nprobe)
-                    ],
-                    "__qvec": [
-                        [float(x) for x in raw[i][1]]
-                        for i in range(len(raw))
-                        for _ in range(nprobe)
-                    ],
-                    "ivf_cid": order.reshape(-1).astype("int32"),
+                    id_col: [qid for qid, _ in raw],
+                    "__qvec": [q[i].tobytes() for i in range(len(raw))],
+                    "__cids": list(order),
                 }
             )
 
-    probes = queries.select(id_col, vec_col).mapInPandas(
-        probe_batches, probe_schema
+    probes = (
+        queries.select(id_col, vec_col)
+        .mapInPandas(probe_batches, probe_schema)
+        .select(
+            id_col, "__qvec", F.explode("__cids").alias("ivf_cid")
+        )
     )
     if index.manifest["quantized"]:
         # cast to double BEFORE Arrow: dequantize yields array<float>,
@@ -481,9 +493,11 @@ def ivf_index_topk_batch_distributed(
         p = np.stack(
             post_pdf["__pvec"].map(np.asarray).to_numpy()
         ).astype(np.float64, copy=False)
-        q = np.stack(
-            probe_pdf["__qvec"].map(np.asarray).to_numpy()
-        ).astype(np.float64, copy=False)
+        # decode the packed float64 blobs in one frombuffer — no
+        # per-element boxing on the hot side of the cogroup
+        q = np.frombuffer(
+            b"".join(probe_pdf["__qvec"]), dtype=np.float64
+        ).reshape(-1, dim)
         pn = np.sqrt((p * p).sum(axis=1))
         qn = np.sqrt((q * q).sum(axis=1))
         denom = qn[:, None] * pn[None, :]
