@@ -742,6 +742,204 @@ def recluster_ivf_index(
     return new_manifest
 
 
+def split_ivf_hot_lists(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    hot_factor: float = 2.0,
+    target_factor: float = 1.0,
+    refine: int = 1,
+    train_cap: int | None = 65_536,
+) -> dict:
+    """Split only the OVERSIZED lists of a persisted index — the
+    incremental complement to :func:`recluster_ivf_index` (r10).
+    Appends rarely drift uniformly: new data concentrates, a few
+    lists balloon, and every query probing a hot list pays its full
+    |list| candidate scores. A full recluster fixes that at
+    corpus-rewrite cost; this fixes it at cost ∝ the hot lists.
+
+    A list is hot when its size exceeds ``hot_factor`` × the mean
+    list size. Each hot list is re-fit ALONE (Lloyd on a
+    ``train_cap``-bounded sample of just that list — the builder's
+    :func:`~.similarity._centroid_rows`) into
+    ceil(size / (target_factor × mean)) sub-centroids; its rows
+    reassign among the sub-lists in one partition-pruned map-only
+    pass. The first sub-centroid takes the old cid (the centroid
+    table stays dense and position-indexed — read_ivf_index's
+    contract), the rest append after ``nlist``. Every UNTOUCHED
+    list's hive partition carries forward via the release sink's
+    directory-reuse machinery — file-identical, never rescanned or
+    rewritten. Payloads are verbatim (quantized int8 structs
+    byte-identical); only ``ivf_cid`` changes, and only for rows of
+    hot lists.
+
+    At 100 TB: the read is pruned to the hot partitions, the write is
+    those rows repartitioned by new cid, the rest is O(files)
+    metadata — the same cost shape as a release merge touching a few
+    partitions. Serving afterwards sees a wider index: fixed-nprobe
+    queries probe finer lists (fewer candidates — the measured
+    fixed4 curve in BASELINE.md §nlist-saturation); callers holding
+    recall constant scale nprobe with nlist as usual. At
+    nprobe=nlist the served results are EXACTLY the pre-split
+    results (same vectors, exhaustive probe — asserted in tests).
+
+    Refused loudly: ``out_dir == index_dir`` (no in-place rewrite —
+    wrap with the versioned-root helpers for atomic swap), and no
+    list over the threshold (check ``manifest['list_sizes']``
+    driver-side first; a scheduled no-op should not write a full
+    index copy). A hot list whose sample collapses to ONE centroid
+    (all-duplicate vectors) cannot be split and is carried unchanged,
+    recorded in the audit block. Returns the new manifest with a
+    ``split`` audit block mapping each split cid to its new cids."""
+    import math as _math
+
+    if os.path.normpath(out_dir) == os.path.normpath(index_dir):
+        raise ValueError(
+            "split_ivf_hot_lists: out_dir must differ from the live "
+            "index_dir — an in-place rewrite would expose a "
+            "half-built index to readers"
+        )
+    from .similarity import _assign_cids, _centroid_rows
+    from .pipeline import _copy_reused_partitions
+
+    idx = read_ivf_index(spark, index_dir)
+    manifest = idx.manifest
+    quantized = bool(manifest["quantized"])
+    sizes = {int(k): int(v) for k, v in manifest["list_sizes"].items()}
+    nlist = int(manifest["nlist"])
+    mean = max(1.0, manifest["n_vectors"] / max(nlist, 1))
+    hot = sorted(c for c, n in sizes.items() if n > hot_factor * mean)
+    if not hot:
+        raise ValueError(
+            "split_ivf_hot_lists: no list exceeds "
+            f"hot_factor={hot_factor} x mean={mean:.1f} "
+            f"(max list = {max(sizes.values(), default=0)}) — "
+            "nothing to split"
+        )
+
+    if quantized:
+        train_vec = dequantize_embedding(F.col("qvec")).cast(
+            "array<float>"
+        )
+        payload_col = "qvec"
+    else:
+        train_vec = F.col("vec")
+        payload_col = "vec"
+
+    cents = [list(c) for c in idx.centroids]
+    next_cid = nlist
+    split_audit: dict = {}
+    unsplittable: list[int] = []
+    rewritten_frames = []
+    for cid in hot:
+        k_sub = max(
+            2, _math.ceil(sizes[cid] / (target_factor * mean))
+        )
+        pruned = idx.postings.where(F.col("ivf_cid") == cid)
+        sub = _centroid_rows(
+            pruned.select(train_vec.alias("__v")),
+            "__v",
+            k_sub,
+            refine,
+            train_cap,
+        )
+        if len(sub) < 2:
+            # all-duplicate list: one centroid explains it — splitting
+            # is impossible, carry the partition forward unchanged
+            unsplittable.append(cid)
+            continue
+        global_ids = [cid] + list(range(next_cid, next_cid + len(sub) - 1))
+        next_cid += len(sub) - 1
+        cents[cid] = list(sub[0])
+        cents.extend(list(c) for c in sub[1:])
+        # local argmin index -> global cid via a literal array lookup
+        # (element_at is 1-based); stays one map-only projection
+        local = _assign_cids(train_vec, sub)
+        gid = F.element_at(
+            F.array(*[F.lit(g) for g in global_ids]), local + F.lit(1)
+        )
+        rewritten_frames.append(
+            pruned.select(
+                F.col("id"),
+                gid.cast("int").alias("ivf_cid"),
+                F.col(payload_col),
+            )
+        )
+        split_audit[str(cid)] = global_ids
+
+    if not rewritten_frames:
+        raise ValueError(
+            "split_ivf_hot_lists: every hot list "
+            f"({hot}) is all-duplicates — no list can be split"
+        )
+
+    moved = rewritten_frames[0]
+    for f in rewritten_frames[1:]:
+        moved = moved.unionByName(f)
+    out_postings = os.path.join(out_dir, "postings.parquet")
+    moved.write.mode("overwrite").partitionBy("ivf_cid").parquet(
+        out_postings
+    )
+    # split_audit keys are manifest-style STRINGS; membership tests
+    # must compare ints or the split cid lands in `reused` and its
+    # OLD partition gets copied on top of the fresh sub-list files
+    split_ints = {int(k) for k in split_audit}
+    reused = [
+        str(c) for c in sorted(sizes) if c not in split_ints
+    ]
+    _copy_reused_partitions(
+        spark,
+        os.path.join(index_dir, "postings.parquet"),
+        out_postings,
+        "ivf_cid",
+        reused,
+    )
+
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, centroid array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids.parquet")
+    )
+
+    # per-list counts: aggregate ONLY the rewritten rows (pruned agg);
+    # untouched lists carry their manifest sizes verbatim
+    counts = {c: n for c, n in sizes.items() if c not in split_ints}
+    for r in (
+        spark.read.parquet(out_postings)
+        .where(
+            ~F.col("ivf_cid").isin([int(c) for c in reused])
+        )
+        .groupBy("ivf_cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        if r["ivf_cid"] is not None:
+            counts[int(r["ivf_cid"])] = int(r["n"])
+    new_manifest = {
+        "format_version": FORMAT_VERSION,
+        "metric": manifest["metric"],
+        "dim": len(cents[0]),
+        "nlist": len(cents),
+        "n_vectors": sum(counts.values()),
+        "n_unindexable": int(manifest.get("n_unindexable", 0)),
+        "quantized": quantized,
+        "id_col": manifest["id_col"],
+        "list_sizes": {str(k): v for k, v in sorted(counts.items())},
+        "split": {
+            "hot_factor": hot_factor,
+            "target_factor": target_factor,
+            "nlist_before": nlist,
+            "split_lists": split_audit,
+            "unsplittable": unsplittable,
+            "reused_lists": len(reused),
+        },
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(new_manifest, fh, indent=2, sort_keys=True)
+    return new_manifest
+
+
 def ivf_recall_probe(
     index: IvfIndex,
     queries: DataFrame,

@@ -650,3 +650,152 @@ def test_versioned_index_conflict_and_retention(
         "v00000002"
     ]
     assert pl.list_release_versions(spark, root) == ["v00000003"]
+
+
+def _skewed_vectors(spark, dim=8):
+    """3 tight corner clusters (20 rows each) + 1 big cluster (200
+    rows) made of two separable sub-blobs — with nlist=4 the big
+    cluster's list is hot (200 > 2 x mean 65)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for corner in range(3):
+        base = [0.0] * dim
+        base[corner] = 10.0
+        for _ in range(20):
+            rows.append(
+                (vid, [x + rng.uniform(-0.1, 0.1) for x in base])
+            )
+            vid += 1
+    for blob in range(2):
+        base = [0.0] * dim
+        base[5] = 10.0
+        # sub-blobs only 1.0 apart: global 4-means keeps them ONE
+        # list (splitting them saves less distortion than splitting
+        # any two 14-apart corners would cost), but the local re-fit
+        # inside split_ivf_hot_lists can still separate them
+        base[6] = 1.0 * blob
+        for _ in range(100):
+            rows.append(
+                (vid, [x + rng.uniform(-0.1, 0.1) for x in base])
+            )
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_split_ivf_hot_lists_parity_and_reuse(spark, tmp_path):
+    """split_ivf_hot_lists (r10): only the hot list rewrites — every
+    untouched hive partition carries forward FILE-IDENTICAL; total
+    rows and payloads unchanged; max list size drops; and exhaustive
+    serving (nprobe=nlist) returns EXACTLY the pre-split rows."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        ivf_index_topk,
+        read_ivf_index,
+        split_ivf_hot_lists,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    out = str(tmp_path / "idx_split")
+    man0 = write_ivf_index(df, src, nlist=4, refine=2)
+    sizes0 = {int(k): v for k, v in man0["list_sizes"].items()}
+    assert max(sizes0.values()) > 2 * (sum(sizes0.values()) / 4)
+
+    man1 = split_ivf_hot_lists(spark, src, out, hot_factor=2.0)
+    sizes1 = {int(k): v for k, v in man1["list_sizes"].items()}
+    # same corpus, finer lists, better balance
+    assert sum(sizes1.values()) == sum(sizes0.values())
+    assert man1["nlist"] > man0["nlist"]
+    assert max(sizes1.values()) < max(sizes0.values())
+    hot = {int(c) for c in man1["split"]["split_lists"]}
+    assert hot  # at least the big list split
+
+    # untouched partitions: same file names + sizes, bit-for-bit reuse
+    for cid in sizes0:
+        if cid in hot:
+            continue
+        src_dir = os.path.join(src, "postings.parquet", f"ivf_cid={cid}")
+        out_dir = os.path.join(out, "postings.parquet", f"ivf_cid={cid}")
+        src_files = {
+            f: os.path.getsize(os.path.join(src_dir, f))
+            for f in os.listdir(src_dir)
+            if f.endswith(".parquet")
+        }
+        out_files = {
+            f: os.path.getsize(os.path.join(out_dir, f))
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        }
+        assert src_files == out_files and src_files
+
+    # exhaustive serve parity: nprobe=nlist scans everything on both
+    # indexes, so the split must not change a single result row
+    idx0 = read_ivf_index(spark, src)
+    idx1 = read_ivf_index(spark, out)
+    for q in df.limit(3).collect():
+        r0 = sorted(
+            (r["id"], round(r["cosine"], 9))
+            for r in ivf_index_topk(
+                idx0, list(q["embedding"]), k=10, nprobe=man0["nlist"]
+            ).collect()
+        )
+        r1 = sorted(
+            (r["id"], round(r["cosine"], 9))
+            for r in ivf_index_topk(
+                idx1, list(q["embedding"]), k=10, nprobe=man1["nlist"]
+            ).collect()
+        )
+        assert r0 == r1
+
+
+def test_split_ivf_hot_lists_refusals(spark, tmp_path):
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        split_ivf_hot_lists,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    write_ivf_index(df, src, nlist=4, refine=2)
+    with pytest.raises(ValueError, match="in-place|must differ"):
+        split_ivf_hot_lists(spark, src, src)
+    # a generous threshold finds nothing hot -> loud no-op refusal
+    with pytest.raises(ValueError, match="nothing to split"):
+        split_ivf_hot_lists(
+            spark, src, str(tmp_path / "x"), hot_factor=100.0
+        )
+
+
+def test_split_ivf_hot_lists_quantized_verbatim(spark, tmp_path):
+    """Quantized index: moved rows keep their int8 payload structs
+    byte-identical (no dequantize->requantize round trip)."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        split_ivf_hot_lists,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idxq")
+    out = str(tmp_path / "idxq_split")
+    write_ivf_index(df, src, nlist=4, refine=2, quantize=True)
+    man = split_ivf_hot_lists(spark, src, out, hot_factor=2.0)
+    assert man["quantized"] is True
+
+    before = {
+        r["id"]: (tuple(r["qvec"]["q"]), r["qvec"]["scale"])
+        for r in spark.read.parquet(
+            os.path.join(src, "postings.parquet")
+        ).collect()
+    }
+    after = {
+        r["id"]: (tuple(r["qvec"]["q"]), r["qvec"]["scale"])
+        for r in spark.read.parquet(
+            os.path.join(out, "postings.parquet")
+        ).collect()
+    }
+    assert before == after
