@@ -2650,7 +2650,7 @@ _VECINDEX_DIRS: dict[str, str] = {}
     " ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
     " CAST(b.embedding AS DOUBLE[])), 6) AS cosine"
     " FROM embeddings a CROSS JOIN embeddings b"
-    " WHERE a.vec_id IN (0, 17, 31, 49)"
+    " WHERE a.vec_id IN (0, 17, 23, 31, 49)"
     " QUALIFY row_number() OVER (PARTITION BY a.vec_id"
     " ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
     " CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10",
@@ -2686,7 +2686,18 @@ def _x6_vecindex(spark, sf_dir):
     payloads carried verbatim). At nprobe=nlist exactness is
     centroid-independent, so the SAME brute-force SQL is the oracle:
     any recluster bug that corrupts a payload, drops/duplicates a
-    posting, or mis-writes the new layout breaks the hash."""
+    posting, or mis-writes the new layout breaks the hash.
+
+    r10 fifth arm: query 23 serves from a SPLIT copy
+    (:func:`~.extensions.vecindex.split_ivf_hot_lists` — the
+    incremental maintenance path: largest list re-fit alone, rows
+    reassigned among its sub-lists, every other hive partition
+    carried forward file-identical). hot_factor derives from the
+    manifest so the largest list always qualifies regardless of how
+    kmeans balanced this SF's embeddings; at nprobe=nlist the same
+    brute-force SQL certifies that the split moved every row to a
+    valid list and corrupted none (reuse bugs, dropped/duplicated
+    rows, or a bad sub-assignment all break the hash)."""
     import tempfile
 
     from .extensions import vecindex as xvi
@@ -2712,8 +2723,31 @@ def _x6_vecindex(spark, sf_dir):
         )
         xvi.recluster_ivf_index(spark, idx_dir, re_dir, nlist=5)
         _VECINDEX_DIRS[sf_dir + "#reclustered"] = re_dir
+    sp_dir = _VECINDEX_DIRS.get(sf_dir + "#split")
+    if sp_dir is None or not os.path.exists(
+        os.path.join(sp_dir, "manifest.json")
+    ):
+        import json as _json
+
+        sp_dir = os.path.join(
+            tempfile.mkdtemp(prefix="gt_x6_vecindex_sp_"), "idx"
+        )
+        with open(os.path.join(idx_dir, "manifest.json")) as fh:
+            _m = _json.load(fh)
+        _sizes = list(_m["list_sizes"].values())
+        _mean = sum(_sizes) / len(_sizes)
+        xvi.split_ivf_hot_lists(
+            spark,
+            idx_dir,
+            sp_dir,
+            # just below max/mean: the LARGEST list always qualifies,
+            # however kmeans balanced this SF's embeddings
+            hot_factor=0.999 * max(_sizes) / _mean,
+        )
+        _VECINDEX_DIRS[sf_dir + "#split"] = sp_dir
     idx = xvi.read_ivf_index(spark, idx_dir)
     re_idx = xvi.read_ivf_index(spark, re_dir)
+    sp_idx = xvi.read_ivf_index(spark, sp_dir)
     qv = [
         float(x)
         for x in e.where(F.col("vec_id") == 0).first()["embedding"]
@@ -2765,8 +2799,23 @@ def _x6_vecindex(spark, sf_dir):
         F.col("id").cast(_BIG).alias("vec_id"),
         F.round("cosine", 6).alias("cosine"),
     )
+    # r10 fifth arm: the split index serving query 23 at nprobe=nlist
+    qv23 = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 23).first()["embedding"]
+    ]
+    split = xvi.ivf_index_topk(
+        sp_idx, qv23, k=10, nprobe=len(sp_idx.centroids)
+    ).select(
+        F.lit(23).cast(_BIG).alias("query_id"),
+        F.col("id").cast(_BIG).alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
     return (
-        single.unionByName(batch).unionByName(dist).unionByName(recl)
+        single.unionByName(batch)
+        .unionByName(dist)
+        .unionByName(recl)
+        .unionByName(split)
     )
 
 
