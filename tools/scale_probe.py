@@ -491,6 +491,42 @@ def main() -> None:
     ).count()
     timings["ivf_batch_distributed_100kq"] = round(time.time() - t0, 2)
 
+    # r10 (VERDICT r9 item 1): index MAINTENANCE cost at 20x.
+    # recluster = bounded-sample re-fit + ONE map-only reassignment
+    # pass + partitioned rewrite — watch it track the build entry
+    # above (same kernel family), never exceed it by class.
+    # split_ivf_hot_lists touches ONLY the largest list (manifest-
+    # derived hot_factor) — watch it land well under the recluster
+    # entry: cost ∝ hot rows, untouched partitions carry file-
+    # identical. The recall probe is the drift monitor at 2k queries.
+    import json as _json
+
+    with open(f"{idx_dir}/manifest.json") as _fh:
+        _man = _json.load(_fh)
+    t0 = time.time()
+    xvi.recluster_ivf_index(spark, idx_dir, f"{WORK}/ivf_recluster")
+    timings["ivf_recluster"] = round(time.time() - t0, 2)
+    _sz = list(_man["list_sizes"].values())
+    t0 = time.time()
+    sp_man = xvi.split_ivf_hot_lists(
+        spark,
+        idx_dir,
+        f"{WORK}/ivf_split",
+        hot_factor=0.999 * max(_sz) / (sum(_sz) / len(_sz)),
+    )
+    timings["ivf_split_hot_lists"] = round(time.time() - t0, 2)
+    sizes["ivf_split_lists"] = len(sp_man["split"]["split_lists"])
+    # no .limit() (it collapses to one partition and serializes the
+    # distributed probe selection) — a modulo filter keeps ~2k
+    # queries spread across the scan's partitions
+    probe_q = be.where(
+        F.col("vec_id") % max(1, sizes["vectors"] // 2000) == 0
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    t0 = time.time()
+    rec = xvi.ivf_recall_probe(idx, probe_q, k=10, nprobe=4)
+    timings["ivf_recall_probe_2kq"] = round(time.time() - t0, 2)
+    sizes["ivf_recall_at10_milli"] = int(round(rec * 1000))
+
     # r6: BPE — fit is ONE word-count agg over the corpus + driver
     # merge loop (must scale with corpus scan, not vocab); encode is
     # map-only Arrow batches (linear in tokens)
