@@ -3755,3 +3755,87 @@ def test_migrate_release_schema_verify_catches_corruption(
     cur2, m2 = pl.read_release(spark, root)
     assert m2["version"] == man["version"]
     assert "junk" not in cur2.columns
+
+
+def test_migrate_release_schema_loses_race_cleanly(spark, tmp_path):
+    """A publisher that lands between migrate's claim and its pointer
+    swap must win: migrate raises ReleaseConflictError, CURRENT stays
+    on the interloper's version, and the loser leaves no
+    manifest-complete phantom behind."""
+    import goodtables_pandas_py_spark.extensions.pipeline as pl
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, split string, junk string"
+    pl.write_release_version(
+        spark.createDataFrame([(1, "a", "j"), (2, "b", "j")], schema),
+        root,
+    )
+
+    real_finalize = pl._finalize_release_manifest
+
+    def finalize_then_interlope(*args, **kwargs):
+        man = real_finalize(*args, **kwargs)
+        # interloper publishes AFTER the migrate wrote its data but
+        # BEFORE its pointer swap — classic lost race
+        if not getattr(finalize_then_interlope, "_fired", False):
+            finalize_then_interlope._fired = True
+            pl._swap_pointer(spark, root, "v00000099")
+        return man
+
+    # fabricate the interloper's version dir so rollback-style reads
+    # of CURRENT still resolve
+    import json as _json
+    import os as _os
+
+    v99 = f"{root}/versions/v00000099"
+    _os.makedirs(v99, exist_ok=True)
+    pl.write_release(
+        spark.createDataFrame([(9, "a", "j")], schema),
+        v99,
+        split_col="split",
+        manifest_extra={"version": "v00000099"},
+    )
+
+    orig = pl._finalize_release_manifest
+    pl._finalize_release_manifest = finalize_then_interlope
+    try:
+        with pytest.raises(pl.ReleaseConflictError):
+            pl.migrate_release_schema(
+                spark, root, drop=["junk"], verify_untouched=False
+            )
+    finally:
+        pl._finalize_release_manifest = orig
+
+    cur = pl._read_text(spark, f"{root}/CURRENT").strip()
+    assert cur == "v00000099"
+    # no published phantom besides v1 and the interloper
+    hist = pl.release_history(spark, root).collect()
+    published = sorted(r["version"] for r in hist if r["published"])
+    assert published == ["v00000001", "v00000099"]
+
+
+def test_migrate_release_schema_non_partitioned(spark, tmp_path):
+    """A release written without a split column migrates the same
+    way — the projection applies to the single 'all' partition."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        migrate_release_schema,
+        read_release,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    write_release_version(
+        spark.createDataFrame(
+            [(1, "x", "drop-me"), (2, "y", "drop-me")],
+            "doc_id long, text string, junk string",
+        ),
+        root,
+        split_col=None,
+    )
+    man = migrate_release_schema(
+        spark, root, drop=["junk"], rename={"text": "body"}
+    )
+    assert man["incremental"]["migrate"]["drop"] == ["junk"]
+    got, m = read_release(spark, root)
+    assert sorted(got.columns) == ["body", "doc_id"]
+    assert got.count() == 2
