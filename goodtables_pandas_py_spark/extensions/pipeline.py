@@ -111,10 +111,15 @@ def prepare_corpus(
     whose 3-word-shingle Jaccard with any eval doc reaches the
     threshold (:func:`~.decontam.near_contaminated_ids` — the
     paraphrased-copy pass exact n-grams miss); both drop sets are
-    unioned into ONE anti-join. The fuzzy scan persists a bounded
-    candidate frame internally; call
-    :func:`~..cacheutil.unpersist_scan_state` on ``kept`` after
-    materializing to release it in a long-lived session.
+    unioned into ONE anti-join. Laziness caveat: the fuzzy scan's
+    broadcast-vs-shuffle guard COUNTS its candidate frame, so merely
+    constructing the prep with this flag runs one banded-signature
+    job over the clean→dedup→cap→mask lineage (persist that lineage
+    first, or turn the flag on only when ``kept`` will actually be
+    materialized). The scan persists a bounded candidate frame
+    internally; call :func:`~..cacheutil.unpersist_scan_state` on
+    ``kept`` after materializing to release it in a long-lived
+    session.
 
     ``audit=True`` additionally returns the per-row quality audit
     (keep + drop_reasons) and per-stage row counts. The audit frame is
@@ -135,9 +140,10 @@ def prepare_corpus(
     cut. A real deployment writing the corpus artifact and reading it
     back gets the same effect plus a restart point.
 
-    Lazy like everything else: without ``audit`` or
-    ``truncate_lineage`` no job runs until the caller acts on
-    ``kept``."""
+    Lazy like everything else: without ``audit``,
+    ``truncate_lineage``, or ``fuzzy_decontam_threshold`` (whose
+    candidate guard counts — see above) no job runs until the caller
+    acts on ``kept``."""
     clean_kwargs.pop("with_reasons", None)
     cleaned = clean_corpus(df, text_col=text_col, **clean_kwargs)
     deduped = near_dedup(
@@ -445,6 +451,19 @@ def _finalize_release_manifest(
     }
 
     payload = json.dumps(manifest, indent=2, sort_keys=True)
+    # re-check the claim AGAIN immediately before the manifest lands
+    # (r10 review fix): the check at function entry fails fast, but
+    # the fingerprint read-back above can run for minutes at corpus
+    # scale — a vacuum racing THROUGH that window would delete the
+    # claimed dir and this write would re-create it manifest-complete
+    # (the exact un-vacuumable phantom the guard exists to prevent)
+    if require_claim and _read_text(fs_spark, f"{out_dir}/.CLAIM") is None:
+        raise ReleaseConflictError(
+            f"claim file vanished under {out_dir} during the manifest "
+            "read-back — the version dir was vacuumed or deleted "
+            "while this publish was scanning; re-run against the "
+            "current base"
+        )
     # Hadoop FS write covers every Spark-visible filesystem; without
     # a JVM gateway (Spark Connect) fall back to a plain local write
     # for local out_dirs (VERDICT r5 item 6)
@@ -563,10 +582,21 @@ def _verify_base_and_swap(
     after = _read_text(fs_spark, _pointer_paths(root)[0])
     after = after.strip() if after is not None else None
     if after != vname:
-        raise ReleaseConflictError(
+        # the swap SUCCEEDED and was then overwritten — this version
+        # was briefly CURRENT: a reader may have resolved it, and the
+        # overwriting publish may have taken it as its base, so the
+        # loser's dir must NOT be cleaned up (r10 review fix —
+        # _swap_or_abandon keys off this marker). It stays published
+        # but not current, which is exactly what happened.
+        exc = ReleaseConflictError(
             f"pointer swap for {vname} under {root} was overwritten "
-            f"by a concurrent publish of {after!r}"
+            f"by a concurrent publish of {after!r} — {vname} was "
+            "briefly CURRENT and remains a published, superseded "
+            "version (not cleaned up: it may be the winner's base or "
+            "a reader's snapshot)"
         )
+        exc.was_published = True
+        raise exc
 
 
 def _swap_or_abandon(fs_spark, root: str, vname: str, base: str | None):
@@ -591,7 +621,13 @@ def _swap_or_abandon(fs_spark, root: str, vname: str, base: str | None):
     claim file and ages into :func:`vacuum_release_orphans` scope."""
     try:
         _verify_base_and_swap(fs_spark, root, vname, base)
-    except Exception:
+    except Exception as exc:
+        # post-swap losses keep their dir (r10 review fix): the
+        # version WAS CURRENT for a moment — a reader may be mid-scan
+        # on it and the overwriting publish may record it as base —
+        # so only a publish that never became visible cleans up
+        if getattr(exc, "was_published", False):
+            raise
         try:
             now = _read_text(fs_spark, _pointer_paths(root)[0])
             now = now.strip() if now is not None else None
@@ -2093,9 +2129,22 @@ def migrate_release_schema(
             f"{dup} — two columns may not share a post-migration name"
         )
 
+    def _norm_type(t: str) -> str:
+        # users write DDL aliases ('bigint', 'int'); the lossless
+        # table speaks DataType.typeName() ('long', 'integer') —
+        # normalize through Spark's parser so an identity cast is
+        # recognized as one instead of refused as lossy (r10 review)
+        from pyspark.sql.types import _parse_datatype_string
+
+        try:
+            return _parse_datatype_string(t).typeName()
+        except Exception:
+            return t
+
     lossy = {}
-    for c, new_t in retype.items():
+    for c, new_raw in retype.items():
         old_t = old_types[c]
+        new_t = _norm_type(new_raw)
         if old_t == new_t:
             raise ValueError(
                 f"migrate_release_schema: {c!r} is already {new_t}"

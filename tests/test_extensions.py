@@ -3839,3 +3839,73 @@ def test_migrate_release_schema_non_partitioned(spark, tmp_path):
     got, m = read_release(spark, root)
     assert sorted(got.columns) == ["body", "doc_id"]
     assert got.count() == 2
+
+
+def test_migrate_release_schema_normalizes_type_aliases(spark, tmp_path):
+    """DDL aliases ('bigint', 'int') normalize to typeName spellings
+    before the lossless-table lookup: an identity cast is refused AS
+    identity (not as lossy), and short->int is recognized lossless."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        migrate_release_schema,
+        read_release,
+        write_release_version,
+    )
+
+    root = str(tmp_path / "rel")
+    write_release_version(
+        spark.createDataFrame(
+            [(1, "a", 7)], "doc_id long, split string, n short"
+        ),
+        root,
+    )
+    with pytest.raises(ValueError, match="already long"):
+        migrate_release_schema(spark, root, retype={"doc_id": "bigint"})
+    man = migrate_release_schema(spark, root, retype={"n": "int"})
+    assert man["incremental"]["migrate"]["cast_nulls"] == {}
+    got, _ = read_release(spark, root)
+    assert dict(got.dtypes)["n"] == "int"
+
+
+def test_post_swap_pointer_loss_keeps_published_dir(
+    spark, tmp_path, monkeypatch
+):
+    """r10 review fix: when the pointer swap SUCCEEDS and is then
+    overwritten before the read-after-write check, the loser was
+    briefly CURRENT — a reader may hold it and the winner may have
+    based on it — so its version dir must STAY (published, not
+    current), unlike a pre-swap base-check loss."""
+    import goodtables_pandas_py_spark.extensions.pipeline as pl
+
+    root = str(tmp_path / "rel")
+    schema = "doc_id long, split string"
+    pl.write_release_version(
+        spark.createDataFrame([(1, "a")], schema), root
+    )
+
+    real_swap = pl._swap_pointer
+    state = {"fired": False}
+
+    def swap_then_overwrite(fs, r, version):
+        real_swap(fs, r, version)
+        if not state["fired"] and version == "v00000002":
+            state["fired"] = True
+            # a faster publisher overwrites immediately after our
+            # successful swap
+            real_swap(fs, r, "v00000042")
+
+    monkeypatch.setattr(pl, "_swap_pointer", swap_then_overwrite)
+    with pytest.raises(pl.ReleaseConflictError, match="briefly CURRENT"):
+        pl.write_release_version(
+            spark.createDataFrame([(2, "a")], schema), root
+        )
+    monkeypatch.undo()
+
+    # the loser's dir SURVIVES, manifest-complete (it was published)
+    assert pl._read_text(
+        spark, f"{root}/versions/v00000002/manifest.json"
+    ) is not None
+    hist = {
+        r["version"]: (r["published"], r["current"])
+        for r in pl.release_history(spark, root).collect()
+    }
+    assert hist["v00000002"] == (True, False)

@@ -90,7 +90,14 @@ def main() -> int:
     big_q = be.crossJoin(
         spark.range(qreps).select(F.col("id").alias("qr"))
     ).select(
-        (F.col("vec_id") + F.col("qr") * 10_000_000).alias("query_id"),
+        # stride must clear the REPLICATED id range (docs_reps tiers
+        # of 1M each), or query_ids collide across qr tiers and the
+        # rank window merges different query vectors into one group
+        # (r10 review fix; the pre-fix runs served ~80k distinct
+        # groups instead of 120k — workload shape noted in
+        # BASELINE.md, before/after comparison unaffected since both
+        # sides served the identical workload)
+        (F.col("vec_id") + F.col("qr") * 100_000_000).alias("query_id"),
         F.transform(
             F.col("embedding").cast("array<double>"),
             lambda x: x * (1.0 + F.col("qr") / 500.0),

@@ -478,7 +478,9 @@ def main() -> None:
     big_q = be.crossJoin(
         spark.range(qreps).select(F.col("id").alias("qr"))
     ).select(
-        (F.col("vec_id") + F.col("qr") * 10_000_000).alias("query_id"),
+        # stride must clear the replicated id range (docs_reps tiers
+        # of 1M) or query_ids collide across qr tiers (r10 review fix)
+        (F.col("vec_id") + F.col("qr") * 100_000_000).alias("query_id"),
         F.transform(
             F.col("embedding").cast("array<double>"),
             lambda x: x * (1.0 + F.col("qr") / 500.0),
