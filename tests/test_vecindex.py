@@ -799,3 +799,99 @@ def test_split_ivf_hot_lists_quantized_verbatim(spark, tmp_path):
         ).collect()
     }
     assert before == after
+
+
+def test_split_ivf_hot_lists_property(spark, tmp_path):
+    """Hypothesis property (r10): over random corpora and widths,
+    splitting conserves the posting multiset exactly (ids AND vector
+    payloads), never touches a reused list's assignments, and keeps
+    every moved row inside its audit's new cid set — the invariants
+    exhaustive-serve parity rests on, checked structurally so the
+    property stays cheap enough to run per-example."""
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        split_ivf_hot_lists,
+        write_ivf_index,
+    )
+
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seed=st.integers(min_value=0, max_value=10**6))
+    def run(seed):
+        rng = random.Random(seed)
+        dim = 4
+        nlist = rng.randint(2, 5)
+        rows = []
+        # a forced heavy cluster (~60% of rows) guarantees skew at
+        # the derived hot_factor whatever kmeans does with the rest
+        heavy = [rng.uniform(-1, 1) * 5 for _ in range(dim)]
+        n = rng.randint(60, 120)
+        for i in range(n):
+            if i < 0.6 * n:
+                base = heavy
+            else:
+                base = [rng.uniform(-8, 8) for _ in range(dim)]
+            rows.append(
+                (i, [b + rng.uniform(-0.4, 0.4) for b in base])
+            )
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        counter["n"] += 1
+        src = str(tmp_path / f"p{counter['n']}_src")
+        out = str(tmp_path / f"p{counter['n']}_out")
+        man0 = write_ivf_index(df, src, nlist=nlist, refine=1)
+        sizes0 = {int(k): v for k, v in man0["list_sizes"].items()}
+        mean = sum(sizes0.values()) / len(sizes0)
+        try:
+            man1 = split_ivf_hot_lists(
+                spark, src, out,
+                hot_factor=0.999 * max(sizes0.values()) / mean,
+            )
+        except ValueError as exc:
+            # only the documented degenerate refusal is acceptable
+            assert "all-duplicates" in str(exc)
+            return
+
+        def postings(d):
+            return {
+                (r["id"], tuple(round(x, 9) for x in r["vec"]),
+                 int(r["ivf_cid"]))
+                for r in spark.read.parquet(
+                    os.path.join(d, "postings.parquet")
+                ).collect()
+            }
+
+        before, after = postings(src), postings(out)
+        # posting multiset conserved on (id, payload)
+        assert {(i, v) for i, v, _ in before} == {
+            (i, v) for i, v, _ in after
+        }
+        split_lists = {
+            int(k): set(v)
+            for k, v in man1["split"]["split_lists"].items()
+        }
+        hot = set(split_lists)
+        moved_ok = set().union(*split_lists.values())
+        cid_before = {i: c for i, _, c in before}
+        for i, _, c in after:
+            if cid_before[i] in hot:
+                assert c in moved_ok
+            else:
+                assert c == cid_before[i]  # reused lists untouched
+        # manifest bookkeeping
+        assert sum(
+            v for v in man1["list_sizes"].values()
+        ) == sum(sizes0.values())
+        assert man1["nlist"] >= man0["nlist"]
+
+    run()
