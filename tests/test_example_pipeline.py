@@ -95,3 +95,30 @@ def test_drift_monitoring_example_end_to_end(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     report = json.load(open(os.path.join(out, "drift_report.json")))
     assert report, "empty drift report"
+
+
+def test_ann_index_lifecycle_end_to_end(tmp_path):
+    """The r10 ANN maintenance example: build→publish→serve→append
+    drift→monitor→split→recluster must run green and its own recall
+    gate (recluster restores what drift cost) must hold."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "index_root")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples",
+                                      "ann_index_lifecycle.py"),
+         "/root/testdata/sf0.001", root],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = proc.stdout
+    assert "published v00000001" in out
+    assert "split 1 hot list(s)" in out
+    assert "reclustered as v00000002" in out
+    # the example's own gate: recall restored
+    assert "recall did not improve" not in out
+    # both versions remain on disk; CURRENT points at v2
+    assert os.path.exists(
+        os.path.join(root, "versions", "v00000001", "manifest.json")
+    )
+    cur = open(os.path.join(root, "CURRENT")).read().strip()
+    assert cur == "v00000002"
