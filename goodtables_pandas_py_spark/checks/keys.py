@@ -52,16 +52,27 @@ def _tuple_col(df: DataFrame, key: list[str]):
     return [F.col(c) for c in key]
 
 
+def _free_name(base: str, taken) -> str:
+    """Internal alias guaranteed not to collide with a user field: a
+    fixed '__' prefix defends against a field named 'n' but not one
+    literally named '__n' (r10 review fix — that collision made the
+    post-agg filter AMBIGUOUS_REFERENCE instead of reporting)."""
+    name = base
+    while name in taken:
+        name = "_" + name
+    return name
+
+
 def duplicate_keys_df(df: DataFrame, key: list[str]) -> DataFrame:
     """Shared kernel of K1/K2/C2: key tuples appearing more than once,
-    with multiplicities. One hash-aggregate shuffle on the key —
-    partial (map-side) aggregation is automatic (SURVEY.md §4.2)."""
-    # count column is __-prefixed: a KEY FIELD literally named "n"
-    # must not make the filter ambiguous
+    with multiplicities (count column: ``_free_name('__n', key)``).
+    One hash-aggregate shuffle on the key — partial (map-side)
+    aggregation is automatic (SURVEY.md §4.2)."""
+    n = _free_name("__n", key)
     return (
         df.groupBy(*_tuple_col(df, key))
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") > 1)
+        .agg(F.count(F.lit(1)).alias(n))
+        .where(F.col(n) > 1)
     )
 
 
@@ -72,10 +83,11 @@ def _dup_count_and_sample(dups: DataFrame, key: list[str]) -> tuple[int, list]:
     a cache read, never a second shuffle or an unbounded collect
     (SURVEY.md §4.4). Worst case (everything duplicated) the persist
     spills to disk rather than recomputing."""
+    n = _free_name("__n", key)
     dups = dups.persist()
     try:
         extra = dups.select(
-            F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("extra")
+            F.coalesce(F.sum(F.col(n) - 1), F.lit(0)).alias("extra")
         ).first()["extra"]
         sample: list = []
         if extra:
@@ -102,21 +114,23 @@ def check_primary_key(df: DataFrame, key: list[str]) -> KeyCheckResult:
         m = F.col(c).isNull()
         null_mask = m if null_mask is None else (null_mask | m)
 
+    n = _free_name("__n", key)
+    isnull = _free_name("__isnull", key)
     viol = (
-        df.groupBy(null_mask.alias("__isnull"), *_tuple_col(df, key))
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__isnull") | (F.col("__n") > 1))
+        df.groupBy(null_mask.alias(isnull), *_tuple_col(df, key))
+        .agg(F.count(F.lit(1)).alias(n))
+        .where(F.col(isnull) | (F.col(n) > 1))
         .persist()  # violations only — tiny; sample is then a cache read
     )
     try:
         row = viol.agg(
             F.coalesce(
-                F.sum(F.when(F.col("__isnull"), F.col("__n")).otherwise(F.lit(0))),
+                F.sum(F.when(F.col(isnull), F.col(n)).otherwise(F.lit(0))),
                 F.lit(0),
             ).alias("nulls"),
             F.coalesce(
                 F.sum(
-                    F.when(~F.col("__isnull"), F.greatest(F.col("__n") - 1, F.lit(0)))
+                    F.when(~F.col(isnull), F.greatest(F.col(n) - 1, F.lit(0)))
                 ),
                 F.lit(0),
             ).alias("extra"),
@@ -125,13 +139,12 @@ def check_primary_key(df: DataFrame, key: list[str]) -> KeyCheckResult:
 
         sample: list = []
         if nulls + extra:
-            # violating groups: duplicated tuples AND null-component
-            # tuples — a PK violated only by nulls must still carry a
-            # sample (count>0 with empty values reads as a bug)
-            bad = viol.where(F.col("__isnull") | (F.col("__n") > 1))
+            # violating groups: viol already IS the filtered frame —
+            # sample straight from the cache (the old re-filter
+            # repeated viol's own predicate; r10 review cleanup)
             sample = [
                 tuple(r[c] for c in key)
-                for r in bad.limit(VALUE_SAMPLE_CAP).collect()
+                for r in viol.limit(VALUE_SAMPLE_CAP).collect()
             ]
         return KeyCheckResult(
             code="primary-key-constraint", count=nulls + extra, values=sample

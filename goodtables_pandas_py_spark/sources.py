@@ -348,6 +348,26 @@ def _read_first_line(
             )
         finally:
             stream.close()
+    # compressed members sniffed through globs / hadoop schemes land
+    # here as raw bytes (the local single-file fast path opens them
+    # with gzip/bz2 directly) — decompress the bounded prefix before
+    # decoding, or the 'header' is mojibake that csv.reader happily
+    # parses into nonsense columns and H1 reports every declared
+    # field missing (r10 review fix). Streaming decompressors yield
+    # whatever the 1 MiB prefix covers, which is plenty for a header.
+    lower = file_path.lower()
+    if lower.endswith((".gz", ".gzip")):
+        import zlib
+
+        data = zlib.decompressobj(wbits=47).decompress(data, 1 << 20)
+    elif lower.endswith(".bz2"):
+        import bz2
+
+        data = bz2.BZ2Decompressor().decompress(data, 1 << 20)
+    if lower.endswith((".gz", ".gzip", ".bz2")) and not data:
+        # prefix didn't cover one whole compressed block — let the
+        # caller's except degrade to Spark's own columns
+        raise ValueError(f"undecodable compressed prefix: {file_path}")
     text = data.decode(encoding, errors="replace")
     if line_sep in text:
         return text.split(line_sep, 1)[0]
@@ -388,8 +408,13 @@ def sniff_csv_header(
     if path.lower().rstrip("*").endswith((".zst", ".zstd")):
         # .zst is not gzip-transparent (see stage_zstd); the staging is
         # cached per (path, size, mtime), so the sniffer and the reader
-        # share one decompression
-        path = stage_zstd(spark, path)
+        # share one decompression. Staging failures (no JVM gateway on
+        # Connect, FS quirks) degrade to None like every other sniff
+        # failure — the caller falls back to df.columns (r10 review)
+        try:
+            path = stage_zstd(spark, path)
+        except Exception:
+            return None
     line: str | None = None
     if os.path.isfile(path):
         # compressed text resources (data.csv.gz): Spark's reader
@@ -619,14 +644,20 @@ def stage_zstd(spark: SparkSession, path: str) -> str:
     done_flag = os.path.join(out_dir, "._gt_staged")
     if not os.path.exists(done_flag):
         os.makedirs(out_dir, exist_ok=True)
-        for st in sorted(leaves, key=lambda s: s.getPath().toString()):
+        for i, st in enumerate(
+            sorted(leaves, key=lambda s: s.getPath().toString())
+        ):
             src = st.getPath()
             name = src.getName()
             for suf in (".zst", ".zstd"):
                 if name.lower().endswith(suf):
                     name = name[: -len(suf)]
                     break
-            dest = os.path.join(out_dir, name)
+            # index prefix: a glob like data/*/part.csv.zst matches
+            # same-named files in different directories — flattening
+            # by basename alone silently overwrote all but the last,
+            # halving the data with no error (r10 review fix)
+            dest = os.path.join(out_dir, f"{i:05d}_{name}")
             zin = jvm.com.github.luben.zstd.ZstdInputStream(fs.open(src))
             fout = jvm.java.io.FileOutputStream(dest)
             try:

@@ -20,6 +20,7 @@ import json
 from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field as dc_field
+from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -811,7 +812,28 @@ def validate_package(
         if dataframes and res.name in dataframes:
             df = dataframes[res.name]
         else:
-            df = read_resource(spark, res)
+            try:
+                df = read_resource(spark, res)
+            except Exception as exc:
+                # an unreadable/malformed SOURCE (ragged inline rows,
+                # empty inline list, unreachable path) is report
+                # content, never an exception — validate_package's
+                # contract (r10 review fix). The placeholder has ZERO
+                # columns, so header check and FK references against
+                # this resource degrade to structured errors too.
+                validations[res.name] = TableValidation(
+                    resource=res.name,
+                    parsed=spark.createDataFrame([], T.StructType([])),
+                    errors=[
+                        Error(
+                            code="source-error",
+                            resource=res.name,
+                            count=1,
+                            message=f"cannot read resource: {exc}",
+                        )
+                    ],
+                )
+                continue
             # TYPED columnar formats (parquet/ORC) stay typed from r6:
             # _compile_table renders each column lexically ONLY where
             # a parse or pattern surface needs it, and skips the
@@ -819,15 +841,12 @@ def validate_package(
             # type already is the parser's target (typed_fast_path —
             # the roundtrip used to be the bulk of the scan). The
             # repartition still moves compact typed rows.
-            if assume_typed is False and res.format in ("parquet", "orc"):
-                if row_ids:
-                    # row addresses must reflect SOURCE order — attach
-                    # them before the widening repartition shuffles
-                    # rows (validate_table skips re-adding the column)
-                    df = df.withColumn(
-                        "__row_id", F.monotonically_increasing_id()
-                    )
-                df = ensure_parallelism(df)
+            # no pre-attach of __row_id here (r10 review fix): doing
+            # it before validate_table runs check_header made every
+            # parquet/ORC resource report the injected column as an
+            # extra-header; validate_table attaches row ids AFTER the
+            # header check and before ITS ensure_parallelism, which
+            # preserves source order the same way
             if (res.format or "csv") == "csv" and res.path and res.data is None:
                 # H1 needs the RAW header row: Spark mangles duplicate
                 # and blank header names before df.columns exists

@@ -1746,3 +1746,101 @@ def test_fast_path_stands_down_on_bare_number_false(spark):
     assert _report_key(v_typed) == _report_key(v_lex)
     codes = {(e.code, e.field) for e in v_typed.errors}
     assert ("type-or-format-error", "x") in codes
+
+
+def test_row_ids_parquet_no_phantom_extra_header(spark, sf_dir):
+    """r10 review fix (live-reproduced): validate_package(row_ids=True)
+    used to pre-attach __row_id BEFORE validate_table's header check,
+    so every valid parquet resource reported the injected column as an
+    extra-header. Row addresses must still reach the error samples."""
+    desc = {"resources": [{
+        "name": "o", "path": f"{sf_dir}/orders.parquet",
+        "format": "parquet",
+        "schema": {"fields": [
+            {"name": "o_orderkey", "type": "integer"},
+            {"name": "o_custkey", "type": "integer"},
+            {"name": "o_orderstatus", "type": "string",
+             "constraints": {"enum": ["F"]}},
+            {"name": "o_totalprice", "type": "number"},
+            {"name": "o_orderdate", "type": "datetime"},
+            {"name": "o_orderpriority", "type": "string"}]}}]}
+    rep = gt.validate(spark, desc, row_ids=True)
+    codes = [e["code"] for t in rep["tables"] for e in t["errors"]]
+    assert "extra-header" not in codes, codes
+    enum_err = [e for t in rep["tables"] for e in t["errors"]
+                if e["code"] == "enumerable-constraint"]
+    assert enum_err and enum_err[0].get("row-ids"), enum_err
+
+
+def test_gz_header_sniff_through_glob_path(spark, tmp_path):
+    """r10 review fix: the sniff's glob branch read raw gzip bytes as
+    the 'header' (mojibake -> false missing-header on every field);
+    _read_first_line now decompresses the bounded prefix."""
+    import gzip
+    import json
+    import os
+
+    d = str(tmp_path)
+    os.makedirs(f"{d}/parts", exist_ok=True)
+    with gzip.open(f"{d}/parts/a.csv.gz", "wt") as fh:
+        fh.write("x,y\n1,2\n3,4\n")
+    pkg = {"resources": [{"name": "t", "path": "parts/*.csv.gz",
+        "schema": {"fields": [{"name": "x", "type": "integer"},
+                              {"name": "y", "type": "integer"}]}}]}
+    json.dump(pkg, open(f"{d}/datapackage.json", "w"))
+    rep = gt.validate(spark, f"{d}/datapackage.json")
+    assert rep["valid"] is True, [
+        e for t in rep["tables"] for e in t["errors"]
+    ]
+
+
+def test_inline_source_problems_report_not_raise(spark):
+    """r10 review fix: ragged or empty inline data is descriptor
+    CONTENT — it must surface as a source-error in the report, never
+    as an exception out of validate_package."""
+    ragged = {"resources": [{"name": "t",
+        "data": [["a", "b"], [1], [2, 3]],
+        "schema": {"fields": [{"name": "a", "type": "integer"},
+                              {"name": "b", "type": "integer"}]}}]}
+    rep = gt.validate(spark, ragged)
+    codes = [e["code"] for t in rep["tables"] for e in t["errors"]]
+    assert rep["valid"] is False and "source-error" in codes, codes
+
+    empty = {"resources": [{"name": "t", "data": [],
+        "schema": {"fields": [{"name": "a", "type": "integer"}]}}]}
+    rep2 = gt.validate(spark, empty)
+    c2 = [e["code"] for t in rep2["tables"] for e in t["errors"]]
+    assert rep2["valid"] is False and "source-error" in c2, c2
+    # an FK pointing AT the broken resource degrades structurally too
+    fk = {"resources": [
+        {"name": "child", "data": [["k"], [1]],
+         "schema": {"fields": [{"name": "k", "type": "integer"}],
+                    "foreignKeys": [{"fields": ["k"],
+                                     "reference": {"resource": "t",
+                                                   "fields": ["a"]}}]}},
+        {"name": "t", "data": [],
+         "schema": {"fields": [{"name": "a", "type": "integer"}]}}]}
+    rep3 = gt.validate(spark, fk)
+    c3 = {e["code"] for t in rep3["tables"] for e in t["errors"]}
+    assert "source-error" in c3 and "foreign-key-error" in c3, c3
+
+
+def test_key_field_named_like_internal_alias(spark):
+    """r10 review fix: a key field literally named '__n' collided with
+    the aggregate alias (AMBIGUOUS_REFERENCE mid-validation); aliases
+    now derive from the key's own names."""
+    from goodtables_pandas_py_spark.checks.keys import (
+        check_primary_key,
+        check_unique_key,
+        duplicate_keys_df,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d")],
+        "__n long, __isnull string",
+    )
+    pk = check_primary_key(df, ["__n"])
+    assert pk.count == 2  # one extra duplicate + one null row
+    uk = check_unique_key(df, ["__n"])
+    assert uk.count == 1
+    assert duplicate_keys_df(df, ["__n", "__isnull"]).count() == 0
