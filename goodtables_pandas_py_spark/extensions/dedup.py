@@ -41,12 +41,20 @@ def exact_dedup(
     formulation would sort all 10M copies in a single task."""
     if keep is None:
         return df.dropDuplicates(cols)
+
+    def q(c: str):
+        # backtick-quote names containing dots: a column literally
+        # named "meta.source" would otherwise parse as a nested field
+        # path at EVERY reference (r10 review)
+        return F.col(f"`{c}`" if "." in c else c)
+
     key = cols or df.columns
     rest = [c for c in df.columns if c not in key]
-    packed = F.struct(F.col(keep), *[F.col(c) for c in rest if c != keep])
-    agg = df.groupBy(*[F.col(c) for c in key]).agg(F.min(packed).alias("__keep"))
+    packed = F.struct(q(keep), *[q(c) for c in rest if c != keep])
+    agg = df.groupBy(*[q(c) for c in key]).agg(F.min(packed).alias("__keep"))
     out_cols = [
-        F.col(c) if c in key else F.col(f"__keep.{c}") for c in df.columns
+        q(c) if c in key else F.col("__keep").getField(c).alias(c)
+        for c in df.columns
     ]
     return agg.select(*out_cols)
 
@@ -951,7 +959,7 @@ def semantic_dedup_audit(
     import pandas as pd
     from pyspark.sql import types as T
 
-    from .similarity import _probe_dim, ivf_assign
+    from .similarity import _modal_dim, ivf_assign
 
     if keep not in ("far", "min_id"):
         raise ValueError(f"keep must be 'far' or 'min_id', got {keep!r}")
@@ -973,7 +981,17 @@ def semantic_dedup_audit(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    dim = _probe_dim(renamed, "v")
+    # the gating dimension: caller-supplied centroids DEFINE it (a
+    # corpus that disagrees is the ragged side, not the centroids);
+    # self-trained runs gate on the MODAL dim — the statistic the
+    # trainer restricts itself to — never the first row's (r10 review:
+    # a ragged first row reclassified the modal majority as ragged,
+    # partition-order-dependently)
+    dim = (
+        len(centroids[0])
+        if centroids
+        else _modal_dim(renamed, "v")
+    )
 
     def passthrough(rows: DataFrame) -> DataFrame:
         return rows.select(
@@ -1022,6 +1040,15 @@ def semantic_dedup_audit(
     bc = spark.sparkContext.broadcast(Cn)
     thr = float(threshold)
     keep_far = keep == "far"
+
+    # rows whose assignment came back NULL (pre-assigned tables with
+    # null ivf_cid, or vectors outside the centroids' dimension) are
+    # PASSTHROUGH, not silently dropped — the inner count-join below
+    # would otherwise discard them and break the one-row-per-input-row
+    # contract (r10 review fix: a centroid-dim mismatch used to make
+    # semantic_dedup a silent no-op)
+    stranded = assigned.where(F.col("cid").isNull())
+    assigned = assigned.where(F.col("cid").isNotNull())
 
     # hash-salt oversized clusters into <= max_cluster sub-blocks: the
     # counts side is nlist rows -> broadcast hash join, no extra shuffle
@@ -1090,7 +1117,9 @@ def semantic_dedup_audit(
     audited = salted.groupBy("cid", "salt").applyInPandas(
         _kernel, out_schema
     )
-    return audited.unionByName(passthrough(bad))
+    return audited.unionByName(passthrough(bad)).unionByName(
+        passthrough(stranded)
+    )
 
 
 def semantic_dedup(

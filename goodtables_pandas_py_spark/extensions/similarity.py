@@ -131,6 +131,24 @@ def _probe_dim(df: DataFrame, vec_col: str):
     return None if row is None else int(row["d"])
 
 
+def _modal_dim(df: DataFrame, vec_col: str):
+    """MODAL non-empty vector length (ties to the smaller dim), or
+    None when there is none — the statistic :func:`_centroid_rows`
+    trains on. Consumers that gate rows on "the" dimension must use
+    this, not :func:`_probe_dim`: a ragged FIRST row would otherwise
+    reclassify the modal majority as ragged, and ``.first()`` on an
+    unordered frame makes that partition-order-dependent (r10
+    review). One tiny size-histogram agg."""
+    row = (
+        df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .groupBy(F.size(F.col(vec_col)).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("d"))
+        .first()
+    )
+    return None if row is None else int(row["d"])
+
+
 def rp_signature(
     df: DataFrame,
     vec_col: str,
@@ -984,6 +1002,15 @@ def ivf_topk(
                 "ivf_cid", _assign_cids(F.col(vec_col), cents)
             )
     # probe in the same normalized space the lists were built in
+    if cents and len(query) != len(cents[0]):
+        # zip() below would silently TRUNCATE the distance to the
+        # shorter of the two and rank probes on garbage, and the HOF
+        # cosine then null-pads every corpus vector — k arbitrary rows
+        # with null scores instead of an error (r10 review fix)
+        raise ValueError(
+            f"ivf_topk: query has {len(query)} dims but the centroids "
+            f"have {len(cents[0])} — wrong index for this query"
+        )
     qn = sum(x * x for x in query) ** 0.5
     qv = [x / qn for x in query] if qn > 0 else list(query)
     qd = [

@@ -246,8 +246,16 @@ def pack_bins(
 
     from pyspark.sql import types as T
 
+    # sentinel-render a null id before hashing (the training_shuffle /
+    # select_token_budget convention): a null id would null the whole
+    # hash->conv->pmod chain, Arrow renders the null bucket as NaN in
+    # the kernel batch, and int(NaN) crashed the job (r10 review fix —
+    # null-id rows now land deterministically in one bucket)
+    sentinel_id = F.coalesce(
+        F.col(id_col).cast("string"), F.lit("__gt_null_id__")
+    )
     bucket = F.pmod(
-        F.conv(hash_bucket(F.col(id_col), salt), 16, 10).cast("long"),
+        F.conv(hash_bucket(sentinel_id, salt), 16, 10).cast("long"),
         F.lit(num_buckets),
     ).alias("__bucket")
     # build a NEW StructType: df.schema returns the DataFrame's cached

@@ -166,19 +166,31 @@ def unigram_logprob(
     skew), and only the miss rows (rare-token occurrences, near-
     uniform by construction) take the shuffled join against the full
     frequency table. One final groupBy(id) rolls up per-doc sums."""
+    from ..cacheutil import attach_persisted
+
     t = F.col(text_col)
     toks = whitespace_tokens(F.lower(t) if lowercase else t)
+    held = []
     if freqs is None:
         # persist: the table is consumed three times (total collect,
         # head limit, tail join); un-persisted each consumer would
         # re-run the full explode-every-token fit scan (review r5)
         freqs = token_frequencies(df, text_col, lowercase).persist()
+        held.append(freqs)
     freqs = freqs.select("token", F.col("n").cast("bigint").alias("n"))
     total = freqs.agg(F.sum("n")).collect()[0][0] or 1  # one scalar
     ln_total = F.log(F.lit(float(total)))
-    exploded = df.select(
-        F.col(id_col), F.explode_outer(toks).alias("token")
-    ).where(F.col("token").isNotNull())
+    # persist the exploded corpus: _two_path_join consumes it in BOTH
+    # its hits and misses branches, so without this the dominant
+    # tokenize+explode scan ran twice per action (r10 review fix —
+    # bigram_logprob already persisted each _two_path_join input);
+    # lifetime rides on the returned frame (cacheutil contract)
+    exploded = (
+        df.select(F.col(id_col), F.explode_outer(toks).alias("token"))
+        .where(F.col("token").isNotNull())
+        .persist()
+    )
+    held.append(exploded)
     rows = _two_path_join(exploded, freqs, ["token"], "n", head_vocab)
     milli = F.floor(
         (ln_total - F.log(F.coalesce(F.col("n"), F.lit(1)).cast("double")))
@@ -199,12 +211,15 @@ def unigram_logprob(
         ),
         "xent_milli",
     )
-    return out.withColumn(
-        "xent",
-        F.when(
-            F.col("n_tokens") > 0,
-            F.col("xent_milli") / 1000.0 / F.col("n_tokens"),
+    return attach_persisted(
+        out.withColumn(
+            "xent",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("xent_milli") / 1000.0 / F.col("n_tokens"),
+            ),
         ),
+        *held,
     )
 
 
@@ -326,9 +341,10 @@ def bigram_logprob(
     joins entirely — they are scored by the unigram branch alone, and
     shipping them through would both be wasted work and hash every
     null key to one straggler reducer. The persisted frames are the
-    lean pair/count projections; like the other scorers they are left
-    to Spark's LRU once the result is materialized (unpersist
-    explicitly in long-lived loops scoring many corpora).
+    lean pair/count projections, ATTACHED to the returned frame (r10,
+    cacheutil contract): long-lived loops scoring many corpora call
+    ``unpersist_scan_state(result)`` after materializing; callers
+    that don't merely fall back to Spark's LRU.
 
     Model-consistency guard: a token whose BIGRAM is in ``bi_counts``
     but whose predecessor is missing from ``uni_counts`` (possible
@@ -340,12 +356,16 @@ def bigram_logprob(
         uni_counts = token_frequencies(df, text_col, lowercase)
     if bi_counts is None:
         bi_counts = bigram_counts(df, text_col, lowercase)
+    from ..cacheutil import attach_persisted
+
+    held = []
     uni = uni_counts.select("token", F.col("n").cast("bigint").alias("n"))
     bi = bi_counts.select(
         "prev", "cur", F.col("n").cast("bigint").alias("n")
     )
     if persist:
         uni, bi = uni.persist(), bi.persist()
+        held += [uni, bi]
     total = uni.agg(F.sum("n")).collect()[0][0] or 1
     ln_total = F.log(F.lit(float(total)))
     ln_backoff = -math.log(backoff)
@@ -353,6 +373,7 @@ def bigram_logprob(
     pairs = _token_pairs(df, id_col, text_col, lowercase)
     if persist:
         pairs = pairs.persist()
+        held.append(pairs)
     r1 = _two_path_join(
         pairs,
         uni.select(F.col("token").alias("cur"), F.col("n").alias("__n1c")),
@@ -362,6 +383,7 @@ def bigram_logprob(
     )
     if persist:
         r1 = r1.persist()
+        held.append(r1)
     ln_n1c = F.log(F.coalesce(F.col("__n1c"), F.lit(1)).cast("double"))
     uni_milli = F.floor((ln_total - ln_n1c) * 1000 + F.lit(0.5))
     backoff_milli = F.floor(
@@ -380,6 +402,7 @@ def bigram_logprob(
     )
     if persist:
         r2 = r2.persist()
+        held.append(r2)
     r3 = _two_path_join(
         r2,
         bi.select("prev", "cur", F.col("n").alias("__n2")),
@@ -421,12 +444,15 @@ def bigram_logprob(
             "xent_milli",
         )
     )
-    return out.withColumn(
-        "xent",
-        F.when(
-            F.col("n_tokens") > 0,
-            F.col("xent_milli") / 1000.0 / F.col("n_tokens"),
+    return attach_persisted(
+        out.withColumn(
+            "xent",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("xent_milli") / 1000.0 / F.col("n_tokens"),
+            ),
         ),
+        *held,
     )
 
 
@@ -679,9 +705,14 @@ def remove_boilerplate_lines(
     if max_docs <= 0:
         raise ValueError("max_docs must be positive")
     others = [c for c in df.columns if c != text_col]
-    lines = df.select(
+    # NULL text passes through untouched: the old coalesce(text,'')
+    # silently rewrote null docs to empty STRING through the
+    # explode/rebuild, erasing the null-vs-empty distinction
+    # downstream hygiene rules depend on (r10 review fix)
+    null_rows = df.where(F.col(text_col).isNull())
+    lines = df.where(F.col(text_col).isNotNull()).select(
         *others,
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
             "__pos", "__line"
         ),
     )
@@ -729,7 +760,9 @@ def remove_boilerplate_lines(
             "\n",
         ).alias(text_col)
     )
-    return rebuilt.select(*df.columns)
+    return rebuilt.select(*df.columns).unionByName(
+        null_rows.select(*df.columns)
+    )
 
 
 # --- PII scrubbing --------------------------------------------------------

@@ -3909,3 +3909,85 @@ def test_post_swap_pointer_loss_keeps_published_dir(
         for r in pl.release_history(spark, root).collect()
     }
     assert hist["v00000002"] == (True, False)
+
+
+def test_r10_extension_review_fixes(spark):
+    """Batch of r10 review fixes over the extension surface, each
+    previously a silent wrong answer or a crash:
+
+    - semantic_dedup_audit: NULL-cid rows (centroid-dim mismatch /
+      pre-assigned null ivf_cid) are PASSTHROUGH, not dropped — the
+      one-row-per-input-row contract holds, and a dim-mismatched
+      centroids argument no longer makes semantic_dedup a silent
+      no-op (every row is kept, visibly unclustered).
+    - the gating dim is the MODAL one, so a ragged FIRST row cannot
+      reclassify the majority as ragged.
+    - ivf_topk refuses a query whose length differs from the
+      centroids' instead of ranking probes on a zip-truncated
+      distance.
+    - remove_boilerplate_lines preserves NULL text as NULL.
+    - exact_dedup keep-path survives a column name containing a dot.
+    """
+    from goodtables_pandas_py_spark.extensions.dedup import (
+        exact_dedup,
+        semantic_dedup,
+        semantic_dedup_audit,
+    )
+    from goodtables_pandas_py_spark.extensions.similarity import ivf_topk
+
+    # ragged FIRST row + modal majority: majority must still cluster
+    rows = [(0, [1.0, 2.0])]  # 2-dim stray listed first
+    rows += [(i, [float(i % 3), 1.0, 2.0, 3.0]) for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    audit = semantic_dedup_audit(df, nlist=2, threshold=0.999)
+    got = {r["doc_id"]: r for r in audit.collect()}
+    assert len(got) == 13  # one row per input row
+    assert got[0]["cluster"] is None and got[0]["kept"]  # ragged stray
+    clustered = [r for r in got.values() if r["cluster"] is not None]
+    assert len(clustered) == 12  # the modal majority clustered
+
+    # centroid-dim mismatch: keeps everything VISIBLY (null cluster)
+    audit2 = semantic_dedup_audit(
+        df.where(F.col("doc_id") > 0), centroids=[[1.0, 0.0]]
+    )
+    rows2 = audit2.collect()
+    assert len(rows2) == 12
+    assert all(r["kept"] and r["cluster"] is None for r in rows2)
+    assert semantic_dedup(
+        df.where(F.col("doc_id") > 0), centroids=[[1.0, 0.0]]
+    ).count() == 12
+
+    # ivf_topk dim guard
+    with pytest.raises(ValueError, match="dims"):
+        ivf_topk(
+            df.where(F.col("doc_id") > 0),
+            query=[1.0, 0.0],
+            centroids=[[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+        )
+
+    # boilerplate: NULL text stays NULL (not rewritten to '')
+    from goodtables_pandas_py_spark.extensions.text import (
+        remove_boilerplate_lines,
+    )
+
+    tdf = spark.createDataFrame(
+        [(1, "keep me\nBANNER LINE HERE!"), (2, None),
+         (3, "also keep\nBANNER LINE HERE!"), (4, "BANNER LINE HERE!")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_boilerplate_lines(tdf, max_docs=2).collect()
+    }
+    assert out[2] is None
+    assert out[1] == "keep me" and out[3] == "also keep"
+    assert 4 not in out  # pure-boilerplate doc dropped
+
+    # exact_dedup with a dotted column name on the keep path
+    ddf = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 0, "y"), ("b", 5, "z")],
+        ["k", "ts", "meta.source"],
+    )
+    surv = exact_dedup(ddf, cols=["k"], keep="ts").collect()
+    got_meta = {r["k"]: r["meta.source"] for r in surv}
+    assert got_meta == {"a": "y", "b": "z"}  # min ts survives

@@ -1245,3 +1245,19 @@ def test_select_token_budget_infinite_scores_are_excluded(spark):
         r["doc_id"] for r in select_token_budget(df, 100).collect()
     )
     assert got == [3]
+
+
+def test_pack_bins_null_id_does_not_crash(spark):
+    """r10 review fix: a NULL id nulled the hash->bucket chain, Arrow
+    rendered the bucket as NaN, and int(NaN) crashed the kernel; null
+    ids now land deterministically in one bucket and pack normally."""
+    from goodtables_pandas_py_spark.extensions.splits import pack_bins
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 30), (None, 5)],
+        "doc_id long, n_tokens long",
+    )
+    out = pack_bins(df, budget=64, num_buckets=4).collect()
+    assert len(out) == 4
+    assert all(r["bin_id"] is not None for r in out)
+    assert not any(r["oversize"] for r in out)
