@@ -216,7 +216,7 @@ def main() -> None:
     # captured before the session starts so it reflects EXTERNAL host
     # load, not the bench's own warm-up (1-min window)
     load_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else -1.0
-    spark = gt.get_spark(app_name="gt-bench")
+    spark = gt.get_spark(app_name="gt-bench", quiet_logs=True)
     sf_dir = SF_DIR
     errors: dict[str, str] = {}
 

@@ -62,10 +62,22 @@ def parse_table(df, schema, resource: str = ""):
     return tv.parsed, tv.errors
 
 
-def get_spark(app_name: str = "goodtables-spark", master: str | None = None):
+def get_spark(
+    app_name: str = "goodtables-spark",
+    master: str | None = None,
+    quiet_logs: bool | None = None,
+):
     """Opinionated local session: UTC timezone (canonical NTZ wall
     times, parsers/__init__.py note), AQE on (auto broadcast / skew
-    handling, SURVEY.md §4.2), Arrow on (pandas-UDF fast path)."""
+    handling, SURVEY.md §4.2), Arrow on (pandas-UDF fast path).
+
+    ``quiet_logs`` demotes two known-benign log sources (see below);
+    default is OFF (``None`` reads the ``GT_SPARK_QUIET_LOGS`` env
+    var) so a user session keeps Spark's logging — demoting
+    CodeGenerator session-wide would also hide GENUINE codegen errors
+    from user code sharing the session (ADVICE r10). The repo's own
+    harness entry points (tests, bench, probes, check_oracle) opt in
+    explicitly."""
     import os
 
     from pyspark.sql import SparkSession
@@ -95,9 +107,13 @@ def get_spark(app_name: str = "goodtables-spark", master: str | None = None):
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
+    if quiet_logs is None:
+        quiet_logs = os.environ.get("GT_SPARK_QUIET_LOGS", "0") == "1"
+    if not quiet_logs:
+        return spark
     # Two KNOWN-benign log sources read as alarms during runs (r10,
-    # VERDICT r9 cosmetic notes), so this opinionated session demotes
-    # them — a user wiring their own session keeps Spark's defaults:
+    # VERDICT r9 cosmetic notes), so the HARNESS sessions demote
+    # them — opt-in only (quiet_logs / GT_SPARK_QUIET_LOGS):
     # - CodeGenerator logs a full janino stack at ERROR when a huge
     #   fused expression exceeds codegen limits; Spark then falls
     #   back to interpreted execution and results are unaffected

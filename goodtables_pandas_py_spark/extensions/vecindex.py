@@ -719,6 +719,19 @@ def recluster_ivf_index(
         .collect()
         if r["ivf_cid"] is not None
     }
+    # row conservation (ADVICE r10): reassignment must move every
+    # posting — a NULL new cid (ragged/corrupt payload smuggled into a
+    # partition) would land in the hive default partition, vanish from
+    # the counts aggregate, and silently shrink the index. Raise
+    # BEFORE the manifest write so a versioned recluster never
+    # publishes the lossy copy.
+    if sum(counts.values()) != int(manifest["n_vectors"]):
+        raise ValueError(
+            "recluster_ivf_index: row loss during reassignment — "
+            f"{int(manifest['n_vectors'])} postings in, "
+            f"{sum(counts.values())} assigned out (a NULL-cid payload "
+            "cannot be reassigned; repair the source index first)"
+        )
     new_manifest = {
         "format_version": FORMAT_VERSION,
         "metric": manifest["metric"],
@@ -916,6 +929,16 @@ def split_ivf_hot_lists(
     ):
         if r["ivf_cid"] is not None:
             counts[int(r["ivf_cid"])] = int(r["n"])
+    # row conservation (ADVICE r10, same hazard as recluster): every
+    # hot-list row must reassign to SOME sub-list — raise before the
+    # manifest write rather than publish a silently smaller index
+    if sum(counts.values()) != int(manifest["n_vectors"]):
+        raise ValueError(
+            "split_ivf_hot_lists: row loss during sub-list "
+            f"reassignment — {int(manifest['n_vectors'])} postings "
+            f"in, {sum(counts.values())} out (a NULL-cid payload "
+            "cannot be reassigned; repair the source index first)"
+        )
     new_manifest = {
         "format_version": FORMAT_VERSION,
         "metric": manifest["metric"],
@@ -938,6 +961,239 @@ def split_ivf_hot_lists(
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(new_manifest, fh, indent=2, sort_keys=True)
     return new_manifest
+
+
+def _normalize_delete_ids(
+    spark: SparkSession, postings: DataFrame, ids
+) -> DataFrame:
+    """Normalize a delete set (DataFrame's FIRST column, or a plain
+    iterable) to a distinct one-column frame named ``id`` cast to the
+    posting id type (a type mismatch would silently join to nothing)."""
+    id_type = postings.schema["id"].dataType
+    if isinstance(ids, DataFrame):
+        first = ids.columns[0]
+        out = ids.select(F.col(first).cast(id_type).alias("id"))
+    else:
+        vals = [(v,) for v in ids]
+        out = spark.createDataFrame(
+            vals, schema=f"id {id_type.simpleString()}"
+        ) if vals else spark.range(0).select(
+            F.col("id").cast(id_type)
+        )
+    return out.where(F.col("id").isNotNull()).distinct()
+
+
+def delete_from_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    ids,
+    broadcast_cap: int = 5_000_000,
+) -> dict:
+    """Delete postings by id, rewriting ONLY the lists that contain
+    them (r11, VERDICT r10 item 1 — takedowns and dedup deletes used
+    to force a full recluster). ``ids`` is a DataFrame (first column)
+    or an iterable of ids.
+
+    Cost ∝ touched lists, the :func:`split_ivf_hot_lists` shape:
+    1. **discovery** — one column-pruned scan of ``(id, ivf_cid)``
+       (vector payloads never read) semi-joined against the broadcast
+       delete set yields the touched lists and per-list delete counts
+       in a single aggregate;
+    2. **rewrite** — the touched partitions (partition-pruned read)
+       anti-join the delete set and rewrite under the same cids;
+    3. **carry** — every untouched hive partition hardlinks forward
+       file-identical via the release sink machinery.
+
+    Centroids are UNCHANGED (deletion cannot move a cluster the
+    quantizer was trained on — recall for the survivors is identical,
+    asserted by the exhaustive-serve parity test). A list deleted to
+    zero rows drops out of ``list_sizes`` exactly like a list the
+    builder never filled (the centroid table stays dense; probing the
+    empty cid scans nothing). Deleting absent ids is a NO-OP, not an
+    error — replaying a takedown is idempotent; with zero matches the
+    output is a complete file-identical copy and the audit block says
+    ``n_deleted: 0``. Sets larger than ``broadcast_cap`` skip the
+    broadcast hint (same counted guard as the decontam scan). Row
+    conservation is asserted with an Observation riding the rewrite
+    job: kept + deleted must equal the touched lists' manifest sizes,
+    raising BEFORE the manifest write on any drift."""
+    if os.path.normpath(out_dir) == os.path.normpath(index_dir):
+        raise ValueError(
+            "delete_from_ivf_index: out_dir must differ from the live "
+            "index_dir — an in-place rewrite would expose a half-built "
+            "index to readers (delete_from_ivf_index_version gives the "
+            "atomic swap)"
+        )
+    from .pipeline import _copy_reused_partitions
+
+    idx = read_ivf_index(spark, index_dir)
+    manifest = idx.manifest
+    sizes = {int(k): int(v) for k, v in manifest["list_sizes"].items()}
+    payload_col = "qvec" if manifest["quantized"] else "vec"
+
+    del_df = _normalize_delete_ids(spark, idx.postings, ids)
+    n_requested = del_df.count()
+    del_hint = (
+        F.broadcast(del_df) if n_requested <= broadcast_cap else del_df
+    )
+
+    # discovery: touched lists + per-list delete counts in ONE
+    # column-pruned scan (ReadSchema is (id, ivf_cid) — payloads are
+    # never decoded to find out WHERE the ids live)
+    del_counts = {
+        int(r["ivf_cid"]): int(r["n"])
+        for r in idx.postings.select("id", "ivf_cid")
+        .join(del_hint, "id", "left_semi")
+        .groupBy("ivf_cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["ivf_cid"] is not None
+    }
+    touched = sorted(del_counts)
+    n_deleted = sum(del_counts.values())
+
+    out_postings = os.path.join(out_dir, "postings.parquet")
+    if touched:
+        survivors = (
+            idx.postings.where(
+                F.col("ivf_cid").isin([int(c) for c in touched])
+            )
+            .join(del_hint, "id", "left_anti")
+            .select("id", "ivf_cid", payload_col)
+        )
+        obs = Observation()
+        survivors.observe(
+            obs, F.count(F.lit(1)).alias("n_kept")
+        ).write.mode("overwrite").partitionBy("ivf_cid").parquet(
+            out_postings
+        )
+        n_kept = int(obs.get.get("n_kept") or 0)
+        expected = sum(sizes[c] for c in touched) - n_deleted
+        if n_kept != expected:
+            raise ValueError(
+                "delete_from_ivf_index: row conservation failed on "
+                f"the rewrite — expected {expected} survivors in the "
+                f"touched lists, wrote {n_kept} (stale manifest "
+                "counts or concurrent writer?)"
+            )
+    reused = [str(c) for c in sorted(sizes) if c not in del_counts]
+    _copy_reused_partitions(
+        spark,
+        os.path.join(index_dir, "postings.parquet"),
+        out_postings,
+        "ivf_cid",
+        reused,
+    )
+
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(idx.centroids)],
+        "cid int, centroid array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids.parquet")
+    )
+
+    counts = {
+        c: n - del_counts.get(c, 0)
+        for c, n in sizes.items()
+        if n - del_counts.get(c, 0) > 0
+    }
+    emptied = sorted(
+        c for c, n in sizes.items() if n - del_counts.get(c, 0) == 0
+    )
+    new_manifest = {
+        "format_version": FORMAT_VERSION,
+        "metric": manifest["metric"],
+        "dim": int(manifest["dim"]),
+        "nlist": int(manifest["nlist"]),
+        "n_vectors": sum(counts.values()),
+        "n_unindexable": int(manifest.get("n_unindexable", 0)),
+        "quantized": bool(manifest["quantized"]),
+        "id_col": manifest["id_col"],
+        "list_sizes": {str(k): v for k, v in sorted(counts.items())},
+        "deleted": {
+            "n_requested": int(n_requested),
+            "n_deleted": int(n_deleted),
+            "touched_lists": [int(c) for c in touched],
+            "emptied_lists": [int(c) for c in emptied],
+            "reused_lists": len(reused),
+        },
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(new_manifest, fh, indent=2, sort_keys=True)
+    return new_manifest
+
+
+def delete_from_ivf_index_version(
+    spark: SparkSession,
+    root: str,
+    ids,
+    keep_versions: int | None = None,
+    broadcast_cap: int = 5_000_000,
+) -> dict:
+    """Delete ids from the CURRENT version of a versioned index root,
+    publishing the survivor index as a NEW version with the atomic
+    claim + pointer swap (r11) — the production takedown path: serving
+    reads the old immutable version until the swap; a concurrent
+    publisher loses loudly. When NO requested id exists in the current
+    version the call returns the CURRENT manifest (audit
+    ``n_deleted: 0`` attached) without claiming or publishing — a
+    replayed takedown is a true no-op, not a version that duplicates
+    its base."""
+    from .pipeline import (
+        _apply_retention,
+        _claim_version,
+        _next_version_name,
+        _pointer_paths,
+        _read_text,
+        _swap_or_abandon,
+    )
+
+    cur = _read_text(spark, _pointer_paths(root)[0])
+    if cur is None:
+        raise FileNotFoundError(
+            f"no CURRENT pointer under {root} — nothing to delete from"
+        )
+    cur = cur.strip()
+    cur_dir = os.path.join(root, "versions", cur)
+    idx = read_ivf_index(spark, cur_dir)
+    del_df = _normalize_delete_ids(spark, idx.postings, ids)
+    n_requested = del_df.count()
+    hint = (
+        F.broadcast(del_df) if n_requested <= broadcast_cap else del_df
+    )
+    any_hit = (
+        idx.postings.select("id").join(hint, "id", "left_semi").head(1)
+    )
+    if not any_hit:
+        manifest = dict(idx.manifest)
+        manifest["deleted"] = {
+            "n_requested": int(n_requested),
+            "n_deleted": 0,
+            "touched_lists": [],
+            "emptied_lists": [],
+            "reused_lists": len(manifest["list_sizes"]),
+            "noop_replay": True,
+        }
+        return manifest
+    vname = _next_version_name(spark, root)
+    _claim_version(spark, root, vname)
+    manifest = delete_from_ivf_index(
+        spark,
+        cur_dir,
+        os.path.join(root, "versions", vname),
+        del_df,
+        broadcast_cap=broadcast_cap,
+    )
+    manifest["version"] = vname
+    manifest["deleted"]["base_version"] = cur
+    with open(
+        os.path.join(root, "versions", vname, "manifest.json"), "w"
+    ) as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    _swap_or_abandon(spark, root, vname, cur)
+    _apply_retention(spark, spark, root, keep_versions, vname)
+    return manifest
 
 
 def ivf_recall_probe(
@@ -964,27 +1220,36 @@ def ivf_recall_probe(
         index, queries, k=k, nprobe=min(nprobe, nlist),
         id_col=id_col, vec_col=vec_col,
     ).select(F.col(id_col).alias("__qid"), "id")
+    # the exact arm (nprobe=nlist — the dominant full-scan serve) has
+    # TWO consumers below (semi join + per-query count); persist it so
+    # the most expensive job runs once per probe (ADVICE r10; the
+    # approx arm has a single consumer and needs no cache)
     exact = ivf_index_topk_batch_distributed(
         index, queries, k=k, nprobe=nlist,
         id_col=id_col, vec_col=vec_col,
-    ).select(F.col(id_col).alias("__qid"), "id")
-    row = (
-        exact.alias("e")
-        .join(approx.alias("a"), ["__qid", "id"], "left_semi")
-        .groupBy("__qid")
-        .agg(F.count(F.lit(1)).alias("hit"))
-        .join(
-            exact.groupBy("__qid").agg(F.count(F.lit(1)).alias("n")),
-            "__qid",
-            "right",
+    ).select(F.col(id_col).alias("__qid"), "id").persist()
+    try:
+        row = (
+            exact.alias("e")
+            .join(approx.alias("a"), ["__qid", "id"], "left_semi")
+            .groupBy("__qid")
+            .agg(F.count(F.lit(1)).alias("hit"))
+            .join(
+                exact.groupBy("__qid").agg(
+                    F.count(F.lit(1)).alias("n")
+                ),
+                "__qid",
+                "right",
+            )
+            .agg(
+                F.avg(
+                    F.coalesce(F.col("hit"), F.lit(0)) / F.col("n")
+                ).alias("recall")
+            )
+            .collect()[0]
         )
-        .agg(
-            F.avg(
-                F.coalesce(F.col("hit"), F.lit(0)) / F.col("n")
-            ).alias("recall")
-        )
-        .collect()[0]
-    )
+    finally:
+        exact.unpersist()
     return float(row["recall"]) if row["recall"] is not None else 0.0
 
 

@@ -3535,6 +3535,18 @@ def _x9hist(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     ).where(F.col("source").isin("src1", "src2", "src4"))
+    # the +2,000,000 append offset below is mirrored LITERALLY in the
+    # oracle SQL, so it cannot be derived from data at runtime — guard
+    # the collision instead: if documents ever grows past 2M ids the
+    # appended clones would collide with existing ids and the
+    # added/unchanged arithmetic silently diverges (ADVICE r10)
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is not None and int(max_id) >= 2_000_000:
+        raise ValueError(
+            f"x9_history: max doc_id {max_id} >= 2,000,000 — the "
+            "append-offset constant collides; raise the offset in "
+            "BOTH the query and its oracle SQL"
+        )
     write_release_version(d, root, split_col="source")
     app = d.where(F.col("source") == "src2").select(
         (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),

@@ -644,6 +644,13 @@ def stage_zstd(spark: SparkSession, path: str) -> str:
     done_flag = os.path.join(out_dir, "._gt_staged")
     if not os.path.exists(done_flag):
         os.makedirs(out_dir, exist_ok=True)
+        # no done_flag but files present = a prior staging run died
+        # mid-copy (or predates the index-prefixed names). Re-staging
+        # on top would leave the stale files beside the fresh ones and
+        # the reader consumes the whole dir → duplicated rows (ADVICE
+        # r10) — clear the dir first so staging is all-or-nothing.
+        for stale in os.listdir(out_dir):
+            os.remove(os.path.join(out_dir, stale))
         for i, st in enumerate(
             sorted(leaves, key=lambda s: s.getPath().toString())
         ):

@@ -13,7 +13,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 def spark():
     import goodtables_pandas_py_spark as gt
 
-    spark = gt.get_spark(app_name="gt-tests")
+    spark = gt.get_spark(app_name="gt-tests", quiet_logs=True)
     yield spark
     spark.stop()
 

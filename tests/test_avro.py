@@ -323,6 +323,33 @@ def test_stage_zstd_multi_file_dir(spark, tmp_path):
     assert stage_zstd(spark, str(d / "*.zst")) == staged
 
 
+def test_stage_zstd_clears_half_staged_dir(spark, tmp_path):
+    """A staging dir left WITHOUT its done_flag (crashed prior run, or
+    a pre-r10 run using un-prefixed names) must be cleared before
+    re-staging — otherwise the stale files sit beside the fresh
+    index-prefixed ones and the directory reader double-counts rows
+    (ADVICE r10)."""
+    from goodtables_pandas_py_spark.sources import stage_zstd
+
+    if not hasattr(spark, "_jvm") or spark._jvm is None:
+        pytest.skip("no JVM gateway (Spark Connect)")
+    d = tmp_path / "parts2"
+    d.mkdir()
+    _zstd_write(spark, str(d / "a.ndjson.zst"), '{"v": 1}\n{"v": 2}\n')
+    _zstd_write(spark, str(d / "b.ndjson.zst"), '{"v": 3}\n')
+    staged = stage_zstd(spark, str(d / "*.zst"))
+    # simulate the half-written dir: drop the done flag, plant a stale
+    # old-convention (un-prefixed) file that a blind re-stage would keep
+    os.remove(os.path.join(staged, "._gt_staged"))
+    with open(os.path.join(staged, "a.ndjson"), "w") as fh:
+        fh.write('{"v": 1}\n{"v": 2}\n')
+    re_staged = stage_zstd(spark, str(d / "*.zst"))
+    assert re_staged == staged
+    back = spark.read.json(re_staged)
+    assert sorted(r["v"] for r in back.collect()) == [1, 2, 3]
+    assert not os.path.exists(os.path.join(staged, "a.ndjson"))
+
+
 # ------------------------------------------ Spark bridge fixes (r8 review)
 
 

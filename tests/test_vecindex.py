@@ -895,3 +895,290 @@ def test_split_ivf_hot_lists_property(spark, tmp_path):
         assert man1["nlist"] >= man0["nlist"]
 
     run()
+
+
+# --------------------------------------------------- delete (r11, VERDICT r10)
+
+
+def test_delete_absent_from_all_five_serve_paths(spark, tmp_path):
+    """delete_from_ivf_index (r11): deleted ids are provably absent
+    from EVERY serve path — per-query, collect-batch, distributed
+    batch, after a recluster of the deleted index, and after a
+    hot-list split of it — and exhaustive serving over the survivors
+    equals exact search over the source table minus the deleted rows
+    (recall for survivors is untouched: centroids never move)."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        delete_from_ivf_index,
+        ivf_index_topk,
+        ivf_index_topk_batch,
+        ivf_index_topk_batch_distributed,
+        read_ivf_index,
+        recluster_ivf_index,
+        split_ivf_hot_lists,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    out = str(tmp_path / "idx_del")
+    man0 = write_ivf_index(df, src, nlist=4, refine=2)
+    sizes0 = {int(k): v for k, v in man0["list_sizes"].items()}
+
+    # ids across at least two lists: a few corner rows + a few heavy
+    dels = [0, 1, 21, 60, 61, 150, 151, 152]
+    man1 = delete_from_ivf_index(spark, src, out, dels)
+    assert man1["n_vectors"] == man0["n_vectors"] - len(dels)
+    assert man1["deleted"]["n_deleted"] == len(dels)
+    assert man1["deleted"]["n_requested"] == len(dels)
+    assert man1["nlist"] == man0["nlist"]  # centroids untouched
+    touched = set(man1["deleted"]["touched_lists"])
+    assert len(touched) >= 2
+
+    # untouched partitions carry forward file-identical
+    for cid in sizes0:
+        if cid in touched:
+            continue
+        sdir = os.path.join(src, "postings.parquet", f"ivf_cid={cid}")
+        odir = os.path.join(out, "postings.parquet", f"ivf_cid={cid}")
+        sf = {
+            f: os.path.getsize(os.path.join(sdir, f))
+            for f in os.listdir(sdir)
+            if f.endswith(".parquet")
+        }
+        of = {
+            f: os.path.getsize(os.path.join(odir, f))
+            for f in os.listdir(odir)
+            if f.endswith(".parquet")
+        }
+        assert sf == of and sf
+
+    idx1 = read_ivf_index(spark, out)
+    survivors = df.where(~F.col("vec_id").isin(dels))
+    qs = [list(r["embedding"]) for r in df.limit(3).collect()]
+
+    # path 1: per-query, exhaustive — equals exact search on survivors
+    for q in qs:
+        got = [
+            (r["id"], round(r["cosine"], 9))
+            for r in ivf_index_topk(
+                idx1, q, k=10, nprobe=man1["nlist"]
+            ).collect()
+        ]
+        exact = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in cosine_topk(survivors, q, k=10).collect()
+        ]
+        assert got == exact
+        assert not set(dels) & {i for i, _ in got}
+
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qs)],
+        "query_id long, embedding array<double>",
+    )
+    # paths 2+3: batch serves (wide k so a lingering deleted row would
+    # surface), collect path and distributed path
+    for fn in (ivf_index_topk_batch, ivf_index_topk_batch_distributed):
+        served = fn(idx1, qdf, k=50, nprobe=man1["nlist"]).collect()
+        assert served
+        assert not set(dels) & {r["id"] for r in served}
+
+    # path 4: recluster of the deleted index (conservation assert
+    # must hold on the post-delete manifest counts)
+    recl = str(tmp_path / "idx_del_recl")
+    man2 = recluster_ivf_index(spark, out, recl)
+    assert man2["n_vectors"] == man1["n_vectors"]
+    idx2 = read_ivf_index(spark, recl)
+    served = ivf_index_topk_batch_distributed(
+        idx2, qdf, k=50, nprobe=man2["nlist"]
+    ).collect()
+    assert served and not set(dels) & {r["id"] for r in served}
+
+    # path 5: hot-list split of the deleted index (the heavy list is
+    # still hot after 3 deletions)
+    spl = str(tmp_path / "idx_del_split")
+    man3 = split_ivf_hot_lists(spark, out, spl, hot_factor=2.0)
+    assert sum(man3["list_sizes"].values()) == man1["n_vectors"]
+    idx3 = read_ivf_index(spark, spl)
+    served = ivf_index_topk_batch(
+        idx3, qdf, k=50, nprobe=man3["nlist"]
+    ).collect()
+    assert served and not set(dels) & {r["id"] for r in served}
+
+
+def test_delete_idempotent_replay_and_noop(spark, tmp_path):
+    """Deleting absent ids is a NO-OP: the flat variant writes a
+    complete file-identical copy with n_deleted=0; replaying the same
+    delete set against the already-deleted index matches nothing."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        delete_from_ivf_index,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    out1 = str(tmp_path / "d1")
+    out2 = str(tmp_path / "d2")
+    man0 = write_ivf_index(df, src, nlist=4, refine=2)
+    dels = [5, 6, 7]
+    man1 = delete_from_ivf_index(spark, src, out1, dels)
+    assert man1["deleted"]["n_deleted"] == 3
+    # replay against the deleted index: nothing matches, full reuse
+    man2 = delete_from_ivf_index(spark, out1, out2, dels)
+    assert man2["deleted"]["n_deleted"] == 0
+    assert man2["deleted"]["touched_lists"] == []
+    assert man2["n_vectors"] == man1["n_vectors"]
+    assert man2["list_sizes"] == man1["list_sizes"]
+    for cid in {int(k) for k in man1["list_sizes"]}:
+        d1 = os.path.join(out1, "postings.parquet", f"ivf_cid={cid}")
+        d2 = os.path.join(out2, "postings.parquet", f"ivf_cid={cid}")
+        f1 = {
+            f: os.path.getsize(os.path.join(d1, f))
+            for f in os.listdir(d1)
+            if f.endswith(".parquet")
+        }
+        f2 = {
+            f: os.path.getsize(os.path.join(d2, f))
+            for f in os.listdir(d2)
+            if f.endswith(".parquet")
+        }
+        assert f1 == f2 and f1
+    # mixed present/absent: counts split correctly
+    out3 = str(tmp_path / "d3")
+    man3 = delete_from_ivf_index(spark, out1, out3, [8, 5, 999_999])
+    assert man3["deleted"]["n_requested"] == 3
+    assert man3["deleted"]["n_deleted"] == 1  # only 8 still exists
+    assert man3["n_vectors"] == man1["n_vectors"] - 1
+    assert man0["n_vectors"] == man1["n_vectors"] + 3
+
+
+def test_delete_empties_a_list_and_quantized_verbatim(spark, tmp_path):
+    """Deleting EVERY posting of a list drops it from list_sizes (the
+    builder's empty-list convention) while the centroid table stays
+    dense; on a quantized index survivors keep their int8 payloads
+    byte-identical (delete never re-encodes)."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        delete_from_ivf_index,
+        ivf_index_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "qidx")
+    out = str(tmp_path / "qidx_del")
+    man0 = write_ivf_index(df, src, nlist=4, refine=2, quantize=True)
+    idx0 = read_ivf_index(spark, src)
+    # wipe out the smallest list entirely
+    sizes0 = {int(k): v for k, v in man0["list_sizes"].items()}
+    victim = min(sizes0, key=sizes0.get)
+    victim_ids = [
+        r["id"]
+        for r in idx0.postings.where(
+            F.col("ivf_cid") == victim
+        ).select("id").collect()
+    ]
+    man1 = delete_from_ivf_index(spark, src, out, victim_ids)
+    assert str(victim) not in man1["list_sizes"]
+    assert man1["deleted"]["emptied_lists"] == [victim]
+    assert man1["nlist"] == man0["nlist"]
+    idx1 = read_ivf_index(spark, out)
+    assert len(idx1.centroids) == man0["nlist"]  # still dense
+    # quantized payloads verbatim for survivors
+    before = {
+        r["id"]: (list(r["qvec"]["q"]), r["qvec"]["scale"])
+        for r in idx0.postings.collect()
+        if r["id"] not in set(victim_ids)
+    }
+    after = {
+        r["id"]: (list(r["qvec"]["q"]), r["qvec"]["scale"])
+        for r in idx1.postings.collect()
+    }
+    assert after == before
+    # probing the emptied cid serves fine (scans nothing, returns rest)
+    q = list(df.where(F.col("vec_id") == 0).first()["embedding"])
+    got = ivf_index_topk(idx1, q, k=5, nprobe=man1["nlist"]).collect()
+    assert got and not set(victim_ids) & {r["id"] for r in got}
+
+
+def test_delete_refuses_in_place(spark, tmp_path):
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        delete_from_ivf_index,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    write_ivf_index(df, src, nlist=4)
+    with pytest.raises(ValueError, match="out_dir must differ"):
+        delete_from_ivf_index(spark, src, src, [1])
+
+
+def test_delete_versioned_swap_and_noop_replay(spark, tmp_path):
+    """Versioned delete: a hit publishes a new version and swaps the
+    pointer; a replay with zero hits returns the CURRENT manifest
+    WITHOUT claiming or publishing (no version churn)."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        _pointer_paths,
+        _read_text,
+    )
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        delete_from_ivf_index_version,
+        read_ivf_index_current,
+        write_ivf_index_version,
+    )
+
+    df = _skewed_vectors(spark)
+    root = str(tmp_path / "root")
+    write_ivf_index_version(df, root, nlist=4, refine=2)
+    assert _read_text(spark, _pointer_paths(root)[0]).strip() == "v00000001"
+
+    man = delete_from_ivf_index_version(spark, root, [0, 1, 2])
+    assert man["version"] == "v00000002"
+    assert man["deleted"]["base_version"] == "v00000001"
+    assert man["deleted"]["n_deleted"] == 3
+    assert _read_text(spark, _pointer_paths(root)[0]).strip() == "v00000002"
+    idx = read_ivf_index_current(spark, root)
+    assert not {0, 1, 2} & {r["id"] for r in idx.postings.select("id").collect()}
+
+    # replay: nothing matches now -> no claim, no publish, pointer still v2
+    man2 = delete_from_ivf_index_version(spark, root, [0, 1, 2])
+    assert man2["deleted"]["n_deleted"] == 0
+    assert man2["deleted"].get("noop_replay") is True
+    assert man2["n_vectors"] == man["n_vectors"]
+    assert _read_text(spark, _pointer_paths(root)[0]).strip() == "v00000002"
+    assert sorted(os.listdir(os.path.join(root, "versions"))) == [
+        "v00000001",
+        "v00000002",
+    ]
+
+
+def test_recluster_raises_on_row_loss(spark, tmp_path):
+    """Conservation assert (ADVICE r10): a payload that reassigns to a
+    NULL cid (ragged vector smuggled into a partition and counted by
+    the manifest) must abort the recluster BEFORE the manifest write,
+    not shrink the index silently."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        recluster_ivf_index,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    man = write_ivf_index(df, src, nlist=4, refine=1)
+    some_cid = int(next(iter(man["list_sizes"])))
+    part_dir = os.path.join(
+        src, "postings.parquet", f"ivf_cid={some_cid}"
+    )
+    # smuggle a ragged-payload posting into the partition and count it
+    # in the manifest (the corruption scenario: counts say N, one of
+    # the N cannot be reassigned)
+    spark.createDataFrame(
+        [(999_999, [1.0])], "id long, vec array<float>"
+    ).coalesce(1).write.mode("append").parquet(part_dir)
+    man["n_vectors"] += 1
+    man["list_sizes"][str(some_cid)] += 1
+    with open(os.path.join(src, "manifest.json"), "w") as fh:
+        json.dump(man, fh)
+    with pytest.raises(ValueError, match="row loss"):
+        recluster_ivf_index(spark, src, out)

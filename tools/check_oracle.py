@@ -59,7 +59,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
     import goodtables_pandas_py_spark as gt
 
-    spark = gt.get_spark(app_name="check-oracle")
+    spark = gt.get_spark(app_name="check-oracle", quiet_logs=True)
     con = duckdb.connect()
     for tname in TABLES:
         con.sql(

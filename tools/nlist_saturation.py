@@ -56,7 +56,7 @@ def main() -> int:
     import goodtables_pandas_py_spark as gt
     from goodtables_pandas_py_spark.extensions import vecindex as xvi
 
-    spark = gt.get_spark(app_name="nlist-saturation")
+    spark = gt.get_spark(app_name="nlist-saturation", quiet_logs=True)
     out: dict = {
         "metric": "nlist_saturation",
         "sf_dir": SF_DIR,

@@ -121,7 +121,7 @@ def main() -> None:
     from goodtables_pandas_py_spark.sources import ensure_parallelism, stringly
     from goodtables_pandas_py_spark.validate import validate_table
 
-    spark = gt.get_spark(app_name="gt-scale-probe")
+    spark = gt.get_spark(app_name="gt-scale-probe", quiet_logs=True)
     if not args.skip_build:
         build_data(spark, args.docs_reps, args.li_reps)
 

@@ -57,7 +57,7 @@ def main() -> None:
     )
     from goodtables_pandas_py_spark.extensions import dedup as xdedup
 
-    spark = gt.get_spark(app_name="gt-skew-probe")
+    spark = gt.get_spark(app_name="gt-skew-probe", quiet_logs=True)
     timings: dict[str, float] = {}
     sizes: dict[str, int] = {}
 

@@ -213,7 +213,7 @@ def main() -> None:
     )
     from tools.scale_probe import lineitem_schema
 
-    spark = gt.get_spark(app_name="gt-validate-curve")
+    spark = gt.get_spark(app_name="gt-validate-curve", quiet_logs=True)
     if args.wide:
         entry = run_wide(spark, args.wide, args.wide_rows)
         entry["loadavg"] = os.getloadavg()[0]
