@@ -2653,6 +2653,16 @@ _VECINDEX_DIRS: dict[str, str] = {}
     " WHERE a.vec_id IN (0, 17, 23, 31, 49)"
     " QUALIFY row_number() OVER (PARTITION BY a.vec_id"
     " ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10"
+    " UNION ALL"
+    " SELECT CAST(a.vec_id AS BIGINT) AS query_id,"
+    " CAST(b.vec_id AS BIGINT) AS vec_id,"
+    " ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(b.embedding AS DOUBLE[])), 6) AS cosine"
+    " FROM embeddings a CROSS JOIN embeddings b"
+    " WHERE a.vec_id = 41 AND b.vec_id NOT IN (5, 11, 29)"
+    " QUALIFY row_number() OVER (PARTITION BY a.vec_id"
+    " ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
     " CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10",
 )
 def _x6_vecindex(spark, sf_dir):
@@ -2697,7 +2707,16 @@ def _x6_vecindex(spark, sf_dir):
     kmeans balanced this SF's embeddings; at nprobe=nlist the same
     brute-force SQL certifies that the split moved every row to a
     valid list and corrupted none (reuse bugs, dropped/duplicated
-    rows, or a bad sub-assignment all break the hash)."""
+    rows, or a bad sub-assignment all break the hash).
+
+    r11 sixth arm: query 41 serves from a copy with vec_ids 5/11/29
+    DELETED (:func:`~.extensions.vecindex.delete_from_ivf_index` —
+    partition-pruned posting deletion: only the lists holding those
+    ids rewrite, the rest carry forward file-identical) plus one
+    absent id in the request. The oracle's second block recomputes
+    brute force over embeddings EXCLUDING the deleted ids, so the six
+    arms together certify build, all three serve paths, recluster,
+    split, and delete against one independent SQL."""
     import tempfile
 
     from .extensions import vecindex as xvi
@@ -2811,11 +2830,42 @@ def _x6_vecindex(spark, sf_dir):
         F.col("id").cast(_BIG).alias("vec_id"),
         F.round("cosine", 6).alias("cosine"),
     )
+    # r11 sixth arm: query 41 serves from a DELETED copy
+    # (delete_from_ivf_index removes vec_ids 5/11/29 — only their
+    # lists rewrite, the rest hardlink forward — plus one absent id to
+    # exercise the partial-match accounting). The oracle's sixth block
+    # recomputes brute force over the SURVIVING embeddings, so a
+    # delete bug that leaves a deleted row serveable, drops a
+    # survivor, or corrupts a carried payload breaks the hash.
+    del_dir = _VECINDEX_DIRS.get(sf_dir + "#deleted")
+    if del_dir is None or not os.path.exists(
+        os.path.join(del_dir, "manifest.json")
+    ):
+        del_dir = os.path.join(
+            tempfile.mkdtemp(prefix="gt_x6_vecindex_del_"), "idx"
+        )
+        xvi.delete_from_ivf_index(
+            spark, idx_dir, del_dir, [5, 11, 29, -1]
+        )
+        _VECINDEX_DIRS[sf_dir + "#deleted"] = del_dir
+    del_idx = xvi.read_ivf_index(spark, del_dir)
+    qv41 = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 41).first()["embedding"]
+    ]
+    deleted = xvi.ivf_index_topk(
+        del_idx, qv41, k=10, nprobe=len(del_idx.centroids)
+    ).select(
+        F.lit(41).cast(_BIG).alias("query_id"),
+        F.col("id").cast(_BIG).alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
     return (
         single.unionByName(batch)
         .unionByName(dist)
         .unionByName(recl)
         .unionByName(split)
+        .unionByName(deleted)
     )
 
 

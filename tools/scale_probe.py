@@ -518,6 +518,48 @@ def main() -> None:
     )
     timings["ivf_split_hot_lists"] = round(time.time() - t0, 2)
     sizes["ivf_split_lists"] = len(sp_man["split"]["split_lists"])
+    # r11 (VERDICT r10 item 1): DELETE cost at 20x — remove ~1% of the
+    # corpus spread across every list (the worst pruning case: all
+    # lists touched, so this is delete's UPPER bound; a takedown
+    # hitting a few lists prunes the rest). Watch: discovery is a
+    # 2-column scan, the rewrite is one partitioned pass over
+    # survivors — the entry must land well under the recluster entry
+    # (no re-fit, no full payload re-read) and the manifest must
+    # conserve rows exactly.
+    del_ids = be.where(
+        F.col("vec_id") % 100 == 7
+    ).select(F.col("vec_id").alias("id"))
+    t0 = time.time()
+    del_man = xvi.delete_from_ivf_index(
+        spark, idx_dir, f"{WORK}/ivf_delete", del_ids
+    )
+    timings["ivf_delete_1pct_all_lists"] = round(time.time() - t0, 2)
+    sizes["ivf_deleted_rows"] = del_man["deleted"]["n_deleted"]
+    assert (
+        del_man["n_vectors"]
+        == _man["n_vectors"] - del_man["deleted"]["n_deleted"]
+    )
+    # the pruned case: delete 100 ids that live in ONE list — cost
+    # must drop to roughly the touched list's share of the corpus
+    one_cid = max(
+        _man["list_sizes"], key=lambda k: _man["list_sizes"][k]
+    )
+    one_ids = [
+        r["id"]
+        for r in xvi.read_ivf_index(spark, idx_dir)
+        .postings.where(F.col("ivf_cid") == int(one_cid))
+        .select("id")
+        .limit(100)
+        .collect()
+    ]
+    t0 = time.time()
+    del1_man = xvi.delete_from_ivf_index(
+        spark, idx_dir, f"{WORK}/ivf_delete_one", one_ids
+    )
+    timings["ivf_delete_100ids_one_list"] = round(time.time() - t0, 2)
+    sizes["ivf_delete_one_touched"] = len(
+        del1_man["deleted"]["touched_lists"]
+    )
     # no .limit() (it collapses to one partition and serializes the
     # distributed probe selection) — a modulo filter keeps ~2k
     # queries spread across the scan's partitions
