@@ -18,15 +18,22 @@ unless the operator says so up front):
    centroids — zero training jobs, parquet append. The cost of that
    speed is drift: appended data concentrates, lists balloon, and
    recall at fixed nprobe decays.
-4. MONITOR: `ivf_recall_probe` measures recall@k against the index's
-   own exact answer on a query sample — the number that tells you
-   WHEN to spend on maintenance, instead of rebuilding on a timer.
+4. MONITOR→DECIDE: `ivf_maintenance_plan` measures recall@k against
+   the index's own exact answer on a query sample and returns the
+   repair action WITH its evidence (measured recall, hot/cold list
+   tables) — the scheduler dispatches on it instead of rebuilding on
+   a timer.
 5. REPAIR, cheap path first: `split_ivf_hot_lists` re-fits ONLY the
    ballooned lists (untouched partitions carry forward
    file-identical — cost ∝ hot rows). When drift is global,
    `recluster_ivf_index_version` retrains and reassigns everything
    as ONE new version under the root; readers mid-scan keep their
    snapshot, and the pointer flips atomically.
+6. TAKEDOWN: `delete_from_ivf_index_version` removes ids by
+   rewriting only the lists that hold them; replays are no-ops.
+7. COMPACT: when deletes leave runt lists, the plan says `merge` and
+   `merge_ivf_cold_lists` folds them into their nearest surviving
+   neighbor (renumbered dense, survivors hardlink forward).
 
 The appended batch here is deliberately adversarial: a tight cluster
 STRADDLING two existing centroids, the worst case for frozen
@@ -110,51 +117,105 @@ def main() -> int:
         f"{man2['n_vectors']} total (centroids FROZEN)"
     )
 
-    # 4. monitor: measured recall@10 at a small nprobe — the drift
-    # signal (the straddle cluster's neighbors now live in two lists)
-    idx = xvi.read_ivf_index_current(spark, root)
+    # 4. monitor: ivf_maintenance_plan measures recall@10 at the
+    # working nprobe and DECIDES (r11) — the scheduler runs this, not
+    # prose. The plan carries the evidence: measured recall, the
+    # hot/cold list tables, and the reason.
     probe_q = straddle.limit(50).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    recall_before = xvi.ivf_recall_probe(idx, probe_q, k=10, nprobe=1)
-    print(f"recall@10 (nprobe=1) after drift: {recall_before:.3f}")
-
-    # 5a. cheap repair: split the ballooned lists only
-    sizes_now = {
-        int(k): int(v)
-        for k, v in idx.manifest["list_sizes"].items()
-    }
-    mean = sum(sizes_now.values()) / len(sizes_now)
-    split_dir = os.path.join(
-        tempfile.mkdtemp(prefix="gt_ann_split_"), "idx"
+    plan = xvi.ivf_maintenance_plan(
+        spark, root, probe_q, recall_floor=0.9, nprobe=1
     )
-    sman = xvi.split_ivf_hot_lists(
-        spark,
-        vdir,
-        split_dir,
-        hot_factor=0.999 * max(sizes_now.values()) / mean,
-    )
+    recall_before = plan["recall_at_k"]
     print(
-        f"split {len(sman['split']['split_lists'])} hot list(s) -> "
-        f"nlist {sman['split']['nlist_before']}->{sman['nlist']}, "
-        f"{sman['split']['reused_lists']} lists reused file-identical"
+        f"maintenance plan: action={plan['action']} — {plan['reason']}"
     )
 
-    # 5b. global repair: recluster AS A NEW VERSION under the root —
-    # serving flips atomically, v1 stays readable for laggards. Keep
-    # the SAME nlist so the fixed-nprobe recall comparison is
-    # apples-to-apples (widening the index while holding nprobe cuts
-    # per-probe coverage — scale nprobe with nlist when you widen)
-    rman = xvi.recluster_ivf_index_version(spark, root)
-    idx2 = xvi.read_ivf_index_current(spark, root)
-    recall_after = xvi.ivf_recall_probe(idx2, probe_q, k=10, nprobe=1)
+    # 5. repair: dispatch on the plan. split is the cheap local fix
+    # (cost ∝ hot rows, untouched partitions carry file-identical);
+    # recluster is the global one, published AS A NEW VERSION under
+    # the root so serving flips atomically and v1 stays readable.
+    if plan["action"] == "split":
+        split_dir = os.path.join(
+            tempfile.mkdtemp(prefix="gt_ann_split_"), "idx"
+        )
+        sman = xvi.split_ivf_hot_lists(
+            spark, vdir, split_dir, hot_factor=plan["hot_factor"]
+        )
+        print(
+            f"split {len(sman['split']['split_lists'])} hot list(s) "
+            f"-> nlist {sman['split']['nlist_before']}->"
+            f"{sman['nlist']}, {sman['split']['reused_lists']} lists "
+            "reused file-identical"
+        )
+    if plan["action"] == "recluster" or plan.get(
+        "escalate_to_recluster"
+    ):
+        # keep the SAME nlist so the fixed-nprobe recall comparison
+        # is apples-to-apples (widening the index while holding
+        # nprobe cuts per-probe coverage — scale nprobe with nlist
+        # when you widen)
+        rman = xvi.recluster_ivf_index_version(spark, root)
+        idx2 = xvi.read_ivf_index_current(spark, root)
+        recall_after = xvi.ivf_recall_probe(
+            idx2, probe_q, k=10, nprobe=1
+        )
+        print(
+            f"reclustered as {rman['version']} (same nlist): "
+            f"recall@10 (nprobe=1) {recall_before:.3f} -> "
+            f"{recall_after:.3f}"
+        )
+        if not recall_after >= recall_before:
+            print("recall did not improve — investigate before promoting")
+            return 1
+
+    # 6. takedown: delete ids as a NEW version (partition-pruned —
+    # only the lists holding them rewrite); a replayed takedown is a
+    # no-op, not a duplicate version
+    victims = [r["vec_id"] for r in emb.limit(3).collect()]
+    dman = xvi.delete_from_ivf_index_version(spark, root, victims)
     print(
-        f"reclustered as {rman['version']} (same nlist): "
-        f"recall@10 (nprobe=1) {recall_before:.3f} -> {recall_after:.3f}"
+        f"takedown: deleted {dman['deleted']['n_deleted']} ids as "
+        f"{dman['version']} (touched "
+        f"{len(dman['deleted']['touched_lists'])} list(s), "
+        f"{dman['deleted']['reused_lists']} carried file-identical)"
     )
-    if not recall_after >= recall_before:
-        print("recall did not improve — investigate before promoting")
-        return 1
+    replay = xvi.delete_from_ivf_index_version(spark, root, victims)
+    print(
+        f"replayed takedown: n_deleted={replay['deleted']['n_deleted']}"
+        f" (no new version published)"
+    )
+
+    # 7. compaction: if deletes left runt lists, the plan says merge
+    # and merge_ivf_cold_lists folds them into their nearest
+    # neighbor (survivor partitions hardlink forward under renumbered
+    # cids — cost ∝ the cold rows only)
+    plan2 = xvi.ivf_maintenance_plan(
+        spark, root, probe_q, recall_floor=0.9, nprobe=1
+    )
+    print(
+        f"post-takedown plan: action={plan2['action']} — "
+        f"{plan2['reason']}"
+    )
+    if plan2["action"] == "merge":
+        cur = xvi.read_ivf_index_current(spark, root)
+        merge_dir = os.path.join(
+            tempfile.mkdtemp(prefix="gt_ann_merge_"), "idx"
+        )
+        mman = xvi.merge_ivf_cold_lists(
+            spark,
+            os.path.join(
+                root, "versions", cur.manifest["version"]
+            ),
+            merge_dir,
+            cold_factor=plan2["cold_factor"],
+        )
+        print(
+            f"merged {len(mman['merged']['merged_lists'])} cold "
+            f"list(s) -> nlist {mman['merged']['nlist_before']}->"
+            f"{mman['nlist']}"
+        )
     print(f"index root at {root}")
     spark.stop()
     return 0

@@ -1032,51 +1032,61 @@ def delete_from_ivf_index(
     sizes = {int(k): int(v) for k, v in manifest["list_sizes"].items()}
     payload_col = "qvec" if manifest["quantized"] else "vec"
 
-    del_df = _normalize_delete_ids(spark, idx.postings, ids)
-    n_requested = del_df.count()
-    del_hint = (
-        F.broadcast(del_df) if n_requested <= broadcast_cap else del_df
-    )
-
-    # discovery: touched lists + per-list delete counts in ONE
-    # column-pruned scan (ReadSchema is (id, ivf_cid) — payloads are
-    # never decoded to find out WHERE the ids live)
-    del_counts = {
-        int(r["ivf_cid"]): int(r["n"])
-        for r in idx.postings.select("id", "ivf_cid")
-        .join(del_hint, "id", "left_semi")
-        .groupBy("ivf_cid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-        if r["ivf_cid"] is not None
-    }
-    touched = sorted(del_counts)
-    n_deleted = sum(del_counts.values())
-
-    out_postings = os.path.join(out_dir, "postings.parquet")
-    if touched:
-        survivors = (
-            idx.postings.where(
-                F.col("ivf_cid").isin([int(c) for c in touched])
-            )
-            .join(del_hint, "id", "left_anti")
-            .select("id", "ivf_cid", payload_col)
+    # persist the normalized set: it has THREE consumers (count,
+    # discovery semi-join, rewrite anti-join) and a caller-supplied
+    # frame may be expensive or nondeterministic across re-executions
+    # (e.g. derived through a bare .limit()) — the snapshot makes the
+    # delete set consistent between discovery and rewrite
+    del_df = _normalize_delete_ids(spark, idx.postings, ids).persist()
+    try:
+        n_requested = del_df.count()
+        del_hint = (
+            F.broadcast(del_df)
+            if n_requested <= broadcast_cap
+            else del_df
         )
-        obs = Observation()
-        survivors.observe(
-            obs, F.count(F.lit(1)).alias("n_kept")
-        ).write.mode("overwrite").partitionBy("ivf_cid").parquet(
-            out_postings
-        )
-        n_kept = int(obs.get.get("n_kept") or 0)
-        expected = sum(sizes[c] for c in touched) - n_deleted
-        if n_kept != expected:
-            raise ValueError(
-                "delete_from_ivf_index: row conservation failed on "
-                f"the rewrite — expected {expected} survivors in the "
-                f"touched lists, wrote {n_kept} (stale manifest "
-                "counts or concurrent writer?)"
+
+        # discovery: touched lists + per-list delete counts in ONE
+        # column-pruned scan (ReadSchema is (id, ivf_cid) — payloads
+        # are never decoded to find out WHERE the ids live)
+        del_counts = {
+            int(r["ivf_cid"]): int(r["n"])
+            for r in idx.postings.select("id", "ivf_cid")
+            .join(del_hint, "id", "left_semi")
+            .groupBy("ivf_cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+            if r["ivf_cid"] is not None
+        }
+        touched = sorted(del_counts)
+        n_deleted = sum(del_counts.values())
+
+        out_postings = os.path.join(out_dir, "postings.parquet")
+        if touched:
+            survivors = (
+                idx.postings.where(
+                    F.col("ivf_cid").isin([int(c) for c in touched])
+                )
+                .join(del_hint, "id", "left_anti")
+                .select("id", "ivf_cid", payload_col)
             )
+            obs = Observation()
+            survivors.observe(
+                obs, F.count(F.lit(1)).alias("n_kept")
+            ).write.mode("overwrite").partitionBy("ivf_cid").parquet(
+                out_postings
+            )
+            n_kept = int(obs.get.get("n_kept") or 0)
+            expected = sum(sizes[c] for c in touched) - n_deleted
+            if n_kept != expected:
+                raise ValueError(
+                    "delete_from_ivf_index: row conservation failed "
+                    f"on the rewrite — expected {expected} survivors "
+                    f"in the touched lists, wrote {n_kept} (stale "
+                    "manifest counts or concurrent writer?)"
+                )
+    finally:
+        del_df.unpersist()
     reused = [str(c) for c in sorted(sizes) if c not in del_counts]
     _copy_reused_partitions(
         spark,
@@ -1196,6 +1206,187 @@ def delete_from_ivf_index_version(
     return manifest
 
 
+def merge_ivf_cold_lists(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    cold_factor: float = 0.25,
+) -> dict:
+    """Merge UNDERSIZED lists into their nearest surviving neighbor —
+    the inverse of :func:`split_ivf_hot_lists` (r11, VERDICT r10
+    item 5). Deletes (:func:`delete_from_ivf_index`) and skewed
+    appends leave runt lists: each one still costs a centroid-distance
+    evaluation per query and a directory per scan, while contributing
+    almost no candidates. Compaction folds them away at cost ∝ the
+    cold rows.
+
+    A list is cold when its size falls below ``cold_factor`` × the
+    mean (``n_vectors / nlist``); a list emptied by deletes (centroid
+    present, zero rows) is always cold. Each cold list's rows move to
+    the nearest NON-cold centroid (L2 over the bounded centroid
+    matrix, driver-side); the centroid table is then RENUMBERED dense
+    over the survivors — chosen over tombstoning because the read
+    contract (:func:`read_ivf_index` collects centroids
+    position-indexed) stays untouched, and the renumbering itself is
+    O(files) metadata: every surviving partition hardlinks forward
+    file-identical under its NEW cid directory name, and only the
+    cold rows are read, rewritten, or shuffled. The moved rows land
+    as EXTRA files inside the target's partition directory (Spark
+    part filenames are UUID-unique), so target lists never rewrite.
+
+    At nprobe=nlist the merged index serves EXACTLY the pre-merge
+    results (same vectors, exhaustive probe — asserted in tests). At
+    fixed small nprobe, a merged row is now found via its TARGET's
+    centroid — coarser than before, the documented trade (recall on
+    the runt rows for a narrower index); run :func:`ivf_recall_probe`
+    after, or let :func:`ivf_maintenance_plan` decide.
+
+    Refused loudly: in-place output, no cold list (a scheduled no-op
+    must not write an index copy), and every-list-cold (merging needs
+    a surviving target — recluster instead). Returns the new manifest
+    with a ``merged`` audit block mapping each cold cid to its target
+    and each survivor to its new number."""
+    if os.path.normpath(out_dir) == os.path.normpath(index_dir):
+        raise ValueError(
+            "merge_ivf_cold_lists: out_dir must differ from the live "
+            "index_dir — an in-place rewrite would expose a "
+            "half-built index to readers"
+        )
+    from .pipeline import _copy_tree, _list_partition_dirs
+
+    idx = read_ivf_index(spark, index_dir)
+    manifest = idx.manifest
+    quantized = bool(manifest["quantized"])
+    nlist = int(manifest["nlist"])
+    sizes = {int(k): int(v) for k, v in manifest["list_sizes"].items()}
+    mean = manifest["n_vectors"] / max(nlist, 1)
+    cold = sorted(
+        c
+        for c in range(nlist)
+        if sizes.get(c, 0) < cold_factor * mean
+    )
+    if not cold:
+        raise ValueError(
+            "merge_ivf_cold_lists: no list falls below "
+            f"cold_factor={cold_factor} x mean={mean:.1f} "
+            f"(min list = {min(sizes.values(), default=0)}) — "
+            "nothing to merge"
+        )
+    survivors = [c for c in range(nlist) if c not in set(cold)]
+    if not survivors:
+        raise ValueError(
+            "merge_ivf_cold_lists: every list is cold at "
+            f"cold_factor={cold_factor} — there is no merge target; "
+            "recluster_ivf_index with a smaller nlist instead"
+        )
+
+    # nearest surviving centroid per cold list: nlist x nlist driver
+    # math over the bounded centroid matrix (the same budget probe
+    # selection spends per query)
+    def _d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    target = {
+        c: min(
+            survivors,
+            key=lambda s: (_d2(idx.centroids[c], idx.centroids[s]), s),
+        )
+        for c in cold
+    }
+    new_cid = {old: i for i, old in enumerate(survivors)}
+
+    payload_col = "qvec" if quantized else "vec"
+    cold_with_rows = [c for c in cold if sizes.get(c, 0) > 0]
+    out_postings = os.path.join(out_dir, "postings.parquet")
+    if cold_with_rows:
+        remap = F.col("ivf_cid")
+        for c in cold_with_rows:
+            remap = F.when(
+                F.col("ivf_cid") == c, F.lit(new_cid[target[c]])
+            ).otherwise(remap)
+        obs = Observation()
+        moved = (
+            idx.postings.where(
+                F.col("ivf_cid").isin([int(c) for c in cold_with_rows])
+            )
+            .select(
+                "id",
+                remap.cast("int").alias("ivf_cid"),
+                payload_col,
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n_moved"))
+        )
+        moved.write.mode("overwrite").partitionBy("ivf_cid").parquet(
+            out_postings
+        )
+        n_moved = int(obs.get.get("n_moved") or 0)
+        if n_moved != sum(sizes[c] for c in cold_with_rows):
+            raise ValueError(
+                "merge_ivf_cold_lists: row conservation failed — "
+                f"expected {sum(sizes[c] for c in cold_with_rows)} "
+                f"cold rows, moved {n_moved} (stale manifest counts "
+                "or concurrent writer?)"
+            )
+    # survivors hardlink forward file-identical under their NEW cid
+    # directory names — the renumbering is pure metadata
+    src_postings = os.path.join(index_dir, "postings.parquet")
+    old_dirs = _list_partition_dirs(spark, src_postings, "ivf_cid")
+    for s in survivors:
+        if str(s) not in old_dirs:
+            continue  # survivor with zero rows: nothing to carry
+        _copy_tree(
+            spark,
+            f"{src_postings}/{old_dirs[str(s)]}",
+            f"{out_postings}/ivf_cid={new_cid[s]}",
+        )
+
+    spark.createDataFrame(
+        [
+            (new_cid[s], [float(x) for x in idx.centroids[s]])
+            for s in survivors
+        ],
+        "cid int, centroid array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids.parquet")
+    )
+
+    counts = {
+        new_cid[s]: sizes.get(s, 0)
+        + sum(sizes.get(c, 0) for c in cold if target[c] == s)
+        for s in survivors
+    }
+    counts = {c: n for c, n in counts.items() if n > 0}
+    if sum(counts.values()) != int(manifest["n_vectors"]):
+        raise ValueError(
+            "merge_ivf_cold_lists: manifest conservation failed — "
+            f"{int(manifest['n_vectors'])} postings in, "
+            f"{sum(counts.values())} accounted out"
+        )
+    new_manifest = {
+        "format_version": FORMAT_VERSION,
+        "metric": manifest["metric"],
+        "dim": int(manifest["dim"]),
+        "nlist": len(survivors),
+        "n_vectors": sum(counts.values()),
+        "n_unindexable": int(manifest.get("n_unindexable", 0)),
+        "quantized": quantized,
+        "id_col": manifest["id_col"],
+        "list_sizes": {str(k): v for k, v in sorted(counts.items())},
+        "merged": {
+            "cold_factor": cold_factor,
+            "nlist_before": nlist,
+            "merged_lists": {
+                str(c): int(target[c]) for c in cold
+            },
+            "renumbered": {str(s): new_cid[s] for s in survivors},
+            "reused_lists": len(survivors),
+        },
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(new_manifest, fh, indent=2, sort_keys=True)
+    return new_manifest
+
+
 def ivf_recall_probe(
     index: IvfIndex,
     queries: DataFrame,
@@ -1251,6 +1442,130 @@ def ivf_recall_probe(
     finally:
         exact.unpersist()
     return float(row["recall"]) if row["recall"] is not None else 0.0
+
+
+def ivf_maintenance_plan(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    recall_floor: float = 0.8,
+    hot_factor: float = 2.0,
+    cold_factor: float = 0.25,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """MONITOR→REPAIR decision for a persisted index (r11, VERDICT
+    r10 item 4): read the manifest, measure recall@``k`` at the
+    working ``nprobe`` on a held-out query sample
+    (:func:`ivf_recall_probe` — the only cluster work), and recommend
+    ONE maintenance action with the measured reasons attached.
+    ``index_dir`` may be a flat index or a versioned root (resolved
+    via its ``CURRENT`` pointer).
+
+    The decision ladder, most- to least-specific repair:
+
+    1. **recall < recall_floor, hot lists exist** → ``split`` those
+       lists first: drift concentrates where the appended mass went,
+       and :func:`split_ivf_hot_lists` re-fits exactly those lists at
+       cost ∝ their rows. The plan carries
+       ``escalate_to_recluster: True`` — re-probe after the split and
+       recluster if recall stays low (local re-fit cannot fix drift
+       that moved EVERY centroid off its data).
+    2. **recall < recall_floor, no hot list** → ``recluster``: the
+       drift is global (the r10 drift fixture's shape — appends
+       straddling frozen bisectors inflate no single list), so only a
+       full re-fit (:func:`recluster_ivf_index`) restores the
+       quantizer. Corpus-proportional by nature.
+    3. **recall healthy, hot lists** → ``split``: correctness is
+       fine but every query probing a hot list pays its full |list|
+       candidate scores — repair is cost control, not recall.
+    4. **recall healthy, cold lists** (< ``cold_factor`` × mean,
+       including lists emptied by :func:`delete_from_ivf_index`) →
+       ``merge`` (:func:`merge_ivf_cold_lists`): runt lists pay a
+       centroid distance + a directory per scan for almost no
+       candidates.
+    5. otherwise → ``none``.
+
+    Driver-side cost: one manifest read + one recall probe (two batch
+    serves over the sample). The returned dict is the full evidence —
+    action, measured recall, the hot/cold list tables, thresholds —
+    so a scheduler can log WHY, not just WHAT
+    (``examples/ann_index_lifecycle.py`` wires it as the monitor
+    step)."""
+    flat_manifest = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(flat_manifest):
+        idx = read_ivf_index(spark, index_dir)
+    else:
+        idx = read_ivf_index_current(spark, index_dir)
+    manifest = idx.manifest
+    nlist = int(manifest["nlist"])
+    sizes = {int(c): int(n) for c, n in manifest["list_sizes"].items()}
+    mean = manifest["n_vectors"] / max(nlist, 1)
+    hot = {
+        c: n for c, n in sorted(sizes.items()) if n > hot_factor * mean
+    }
+    cold = {
+        c: sizes.get(c, 0)
+        for c in range(nlist)
+        if sizes.get(c, 0) < cold_factor * mean
+    }
+    recall = ivf_recall_probe(
+        idx, queries, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+    )
+    plan: dict = {
+        "recall_at_k": round(recall, 4),
+        "k": k,
+        "nprobe": nprobe,
+        "recall_floor": recall_floor,
+        "nlist": nlist,
+        "n_vectors": int(manifest["n_vectors"]),
+        "mean_list_size": round(mean, 1),
+        "hot_factor": hot_factor,
+        "cold_factor": cold_factor,
+        "hot_lists": {str(c): n for c, n in hot.items()},
+        "cold_lists": {str(c): n for c, n in cold.items()},
+    }
+    if recall < recall_floor and hot:
+        plan["action"] = "split"
+        plan["cids"] = sorted(hot)
+        plan["escalate_to_recluster"] = True
+        plan["reason"] = (
+            f"recall@{k} {recall:.3f} < floor {recall_floor} with "
+            f"{len(hot)} hot list(s) — split them first (cost ∝ hot "
+            "rows), re-probe, recluster if recall stays low"
+        )
+    elif recall < recall_floor:
+        plan["action"] = "recluster"
+        plan["reason"] = (
+            f"recall@{k} {recall:.3f} < floor {recall_floor} with no "
+            "hot list — global drift, only a full re-fit restores "
+            "the quantizer"
+        )
+    elif hot:
+        plan["action"] = "split"
+        plan["cids"] = sorted(hot)
+        plan["reason"] = (
+            f"recall healthy ({recall:.3f}) but {len(hot)} list(s) "
+            f"exceed {hot_factor}x mean {mean:.0f} — split to cap "
+            "per-query candidate cost"
+        )
+    elif cold:
+        plan["action"] = "merge"
+        plan["cids"] = sorted(cold)
+        plan["reason"] = (
+            f"recall healthy ({recall:.3f}); {len(cold)} list(s) "
+            f"under {cold_factor}x mean {mean:.0f} — merge the runts "
+            "away"
+        )
+    else:
+        plan["action"] = "none"
+        plan["reason"] = (
+            f"recall@{k} {recall:.3f} >= floor {recall_floor}, list "
+            "sizes within thresholds"
+        )
+    return plan
 
 
 # ---------------------------------------------------------------------------

@@ -98,9 +98,10 @@ def test_drift_monitoring_example_end_to_end(tmp_path):
 
 
 def test_ann_index_lifecycle_end_to_end(tmp_path):
-    """The r10 ANN maintenance example: build→publish→serve→append
-    drift→monitor→split→recluster must run green and its own recall
-    gate (recluster restores what drift cost) must hold."""
+    """The ANN maintenance example: build→publish→serve→append
+    drift→plan→split→recluster→takedown→plan again (r11 wires
+    ivf_maintenance_plan as the decision and delete as the takedown)
+    must run green and its own recall gate must hold."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     root = str(tmp_path / "index_root")
     proc = subprocess.run(
@@ -112,13 +113,17 @@ def test_ann_index_lifecycle_end_to_end(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     out = proc.stdout
     assert "published v00000001" in out
-    assert "split 1 hot list(s)" in out
+    assert "maintenance plan: action=" in out
     assert "reclustered as v00000002" in out
     # the example's own gate: recall restored
     assert "recall did not improve" not in out
-    # both versions remain on disk; CURRENT points at v2
+    # takedown published v3; the replay published NOTHING
+    assert "takedown: deleted 3 ids as v00000003" in out
+    assert "replayed takedown: n_deleted=0" in out
+    assert "post-takedown plan: action=" in out
+    # all three versions remain on disk; CURRENT points at v3
     assert os.path.exists(
         os.path.join(root, "versions", "v00000001", "manifest.json")
     )
     cur = open(os.path.join(root, "CURRENT")).read().strip()
-    assert cur == "v00000002"
+    assert cur == "v00000003"

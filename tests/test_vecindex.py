@@ -1182,3 +1182,342 @@ def test_recluster_raises_on_row_loss(spark, tmp_path):
         json.dump(man, fh)
     with pytest.raises(ValueError, match="row loss"):
         recluster_ivf_index(spark, src, out)
+
+
+# ------------------------------------- merge + maintenance plan (r11)
+
+
+def test_merge_ivf_cold_lists_parity_renumber_and_reuse(spark, tmp_path):
+    """merge_ivf_cold_lists (r11, inverse of split): a delete-runted
+    list folds into its nearest surviving neighbor; survivors carry
+    forward FILE-IDENTICAL under renumbered-dense cids; total rows
+    conserve; exhaustive serving (nprobe=nlist) returns EXACTLY the
+    pre-merge rows."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        delete_from_ivf_index,
+        ivf_index_topk,
+        merge_ivf_cold_lists,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    man0 = write_ivf_index(df, src, nlist=4, refine=2)
+    sizes0 = {int(k): v for k, v in man0["list_sizes"].items()}
+    # runt one corner list via delete: keep 4 of ~20 rows
+    idx0 = read_ivf_index(spark, src)
+    victim = min(sizes0, key=sizes0.get)
+    victim_ids = sorted(
+        r["id"]
+        for r in idx0.postings.where(F.col("ivf_cid") == victim)
+        .select("id")
+        .collect()
+    )
+    deleted = str(tmp_path / "idx_del")
+    man1 = delete_from_ivf_index(
+        spark, src, deleted, victim_ids[: len(victim_ids) - 4]
+    )
+    sizes1 = {int(k): v for k, v in man1["list_sizes"].items()}
+    assert sizes1[victim] == 4
+
+    out = str(tmp_path / "idx_merged")
+    man2 = merge_ivf_cold_lists(spark, deleted, out, cold_factor=0.25)
+    assert man2["n_vectors"] == man1["n_vectors"]
+    assert man2["nlist"] == man1["nlist"] - 1
+    assert man2["merged"]["merged_lists"] == {
+        str(victim): man2["merged"]["merged_lists"][str(victim)]
+    }
+    tgt_old = man2["merged"]["merged_lists"][str(victim)]
+    renum = {int(k): v for k, v in man2["merged"]["renumbered"].items()}
+    assert sorted(renum.values()) == list(range(man2["nlist"]))
+    assert victim not in renum
+
+    # conservation: target gained exactly the runt's rows
+    sizes2 = {int(k): v for k, v in man2["list_sizes"].items()}
+    assert sizes2[renum[tgt_old]] == sizes1[tgt_old] + 4
+    assert sum(sizes2.values()) == man1["n_vectors"]
+
+    # survivors other than the target carry forward file-identical
+    # under their NEW cid directory names
+    for old_cid, new_cid in renum.items():
+        sdir = os.path.join(
+            deleted, "postings.parquet", f"ivf_cid={old_cid}"
+        )
+        odir = os.path.join(out, "postings.parquet", f"ivf_cid={new_cid}")
+        sf = sorted(
+            (f, os.path.getsize(os.path.join(sdir, f)))
+            for f in os.listdir(sdir)
+            if f.endswith(".parquet")
+        )
+        of = sorted(
+            (f, os.path.getsize(os.path.join(odir, f)))
+            for f in os.listdir(odir)
+            if f.endswith(".parquet")
+        )
+        if old_cid == tgt_old:
+            # target keeps its old files PLUS the moved-row files
+            assert set(sf) <= set(of) and len(of) > len(sf)
+        else:
+            assert sf == of and sf
+
+    # centroid table: renumbered dense, centroids verbatim
+    idx1 = read_ivf_index(spark, deleted)
+    idx2 = read_ivf_index(spark, out)
+    assert len(idx2.centroids) == man2["nlist"]
+    for old_cid, new_cid in renum.items():
+        assert idx2.centroids[new_cid] == idx1.centroids[old_cid]
+
+    # exhaustive serve parity: merging moved rows, not vectors
+    for q in df.limit(3).collect():
+        r1 = sorted(
+            (r["id"], round(r["cosine"], 9))
+            for r in ivf_index_topk(
+                idx1, list(q["embedding"]), k=10, nprobe=man1["nlist"]
+            ).collect()
+        )
+        r2 = sorted(
+            (r["id"], round(r["cosine"], 9))
+            for r in ivf_index_topk(
+                idx2, list(q["embedding"]), k=10, nprobe=man2["nlist"]
+            ).collect()
+        )
+        assert r1 == r2
+
+
+def test_merge_folds_away_emptied_list(spark, tmp_path):
+    """A list deleted to ZERO rows still owns a centroid; merge drops
+    it from the centroid table with no row movement at all."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        delete_from_ivf_index,
+        merge_ivf_cold_lists,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    man0 = write_ivf_index(df, src, nlist=4, refine=2)
+    sizes0 = {int(k): v for k, v in man0["list_sizes"].items()}
+    victim = min(sizes0, key=sizes0.get)
+    idx0 = read_ivf_index(spark, src)
+    victim_ids = [
+        r["id"]
+        for r in idx0.postings.where(F.col("ivf_cid") == victim)
+        .select("id")
+        .collect()
+    ]
+    deleted = str(tmp_path / "d")
+    man1 = delete_from_ivf_index(spark, src, deleted, victim_ids)
+    assert str(victim) not in man1["list_sizes"]
+
+    out = str(tmp_path / "m")
+    man2 = merge_ivf_cold_lists(spark, deleted, out, cold_factor=0.25)
+    assert man2["nlist"] == man0["nlist"] - 1
+    assert man2["n_vectors"] == man1["n_vectors"]
+    # nothing moved: every surviving list keeps its exact size
+    renum = {int(k): v for k, v in man2["merged"]["renumbered"].items()}
+    sizes1 = {int(k): v for k, v in man1["list_sizes"].items()}
+    sizes2 = {int(k): v for k, v in man2["list_sizes"].items()}
+    assert sizes2 == {renum[c]: n for c, n in sizes1.items()}
+
+
+def test_merge_refusals(spark, tmp_path):
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        merge_ivf_cold_lists,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    write_ivf_index(df, src, nlist=4, refine=2)
+    with pytest.raises(ValueError, match="out_dir must differ"):
+        merge_ivf_cold_lists(spark, src, src)
+    with pytest.raises(ValueError, match="nothing to merge"):
+        merge_ivf_cold_lists(
+            spark, src, str(tmp_path / "o1"), cold_factor=0.001
+        )
+    with pytest.raises(ValueError, match="every list is cold"):
+        merge_ivf_cold_lists(
+            spark, src, str(tmp_path / "o2"), cold_factor=100.0
+        )
+
+
+def test_merge_quantized_payloads_verbatim(spark, tmp_path):
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        delete_from_ivf_index,
+        merge_ivf_cold_lists,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "q")
+    man0 = write_ivf_index(df, src, nlist=4, refine=2, quantize=True)
+    sizes0 = {int(k): v for k, v in man0["list_sizes"].items()}
+    victim = min(sizes0, key=sizes0.get)
+    idx0 = read_ivf_index(spark, src)
+    vids = [
+        r["id"]
+        for r in idx0.postings.where(F.col("ivf_cid") == victim)
+        .select("id")
+        .limit(sizes0[victim] - 3)
+        .collect()
+    ]
+    deleted = str(tmp_path / "qd")
+    delete_from_ivf_index(spark, src, deleted, vids)
+    out = str(tmp_path / "qm")
+    merge_ivf_cold_lists(spark, deleted, out, cold_factor=0.25)
+    before = {
+        r["id"]: (list(r["qvec"]["q"]), r["qvec"]["scale"])
+        for r in read_ivf_index(spark, deleted).postings.collect()
+    }
+    after = {
+        r["id"]: (list(r["qvec"]["q"]), r["qvec"]["scale"])
+        for r in read_ivf_index(spark, out).postings.collect()
+    }
+    assert after == before
+
+
+def _regime_index(spark, tmp_path, name, clusters=4, n=60, dim=8):
+    """Fixture index with PINNED centroids (one per axis cluster) so
+    the regimes are about the PLAN's decision ladder, not about which
+    local optimum this kmeans run found."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        write_ivf_index,
+    )
+
+    rows = []
+    for c in range(clusters):
+        rows += _cluster_rows(c, n, start_id=1000 * c)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = []
+    for c in range(clusters):
+        v = [0.0] * dim
+        v[c] = 1.0
+        cents.append(v)
+    d = str(tmp_path / name)
+    man = write_ivf_index(df, d, centroids=cents)
+    return d, df, man
+
+
+def test_maintenance_plan_three_regimes(spark, tmp_path):
+    """ivf_maintenance_plan (r11, VERDICT r10 item 4): the decision
+    ladder over the drift fixtures — healthy → none, hot-skewed with
+    healthy recall → split(hot cids), globally drifted (the straddle
+    fixture: recall sags, no list balloons) → recluster, and
+    delete-runted with healthy recall → merge(cold cids)."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        append_to_ivf_index,
+        delete_from_ivf_index,
+        ivf_maintenance_plan,
+    )
+
+    # regime 1: healthy — separated clusters, queries on them
+    d, df, man = _regime_index(spark, tmp_path, "healthy")
+    queries = spark.createDataFrame(
+        _cluster_rows(0, 6, start_id=9000)
+        + _cluster_rows(2, 6, start_id=9100),
+        "query_id long, embedding array<float>",
+    )
+    plan = ivf_maintenance_plan(spark, d, queries, nprobe=1)
+    assert plan["action"] == "none", plan
+    assert plan["recall_at_k"] >= 0.8
+
+    # regime 2: hot-skewed — 300 appended rows land in ONE frozen
+    # list; recall holds (the cluster is coherent), size balloons
+    d2, df2, man2 = _regime_index(spark, tmp_path, "hot")
+    append_to_ivf_index(
+        spark.createDataFrame(
+            _cluster_rows(0, 300, start_id=50_000),
+            "vec_id long, embedding array<float>",
+        ),
+        d2,
+    )
+    plan2 = ivf_maintenance_plan(spark, d2, queries, nprobe=1)
+    assert plan2["action"] == "split", plan2
+    assert plan2["cids"], plan2
+    assert plan2["recall_at_k"] >= 0.8
+
+    # regime 3: globally drifted — the r10 straddle fixture (2 lists,
+    # neutral queries at nprobe=1: drift splits true neighbors across
+    # both lists, neither balloons)
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        write_ivf_index,
+    )
+
+    base = _cluster_rows(0, 60) + _cluster_rows(1, 60, start_id=100)
+    d3 = str(tmp_path / "drifted")
+    write_ivf_index(
+        spark.createDataFrame(base, "vec_id long, embedding array<float>"),
+        d3,
+        nlist=2,
+        refine=2,
+    )
+    append_to_ivf_index(
+        spark.createDataFrame(
+            _cluster_rows(None, 200, start_id=500, lean="straddle"),
+            "vec_id long, embedding array<float>",
+        ),
+        d3,
+    )
+    neutral_q = spark.createDataFrame(
+        _cluster_rows(None, 12, start_id=9000, lean="neutral"),
+        "query_id long, embedding array<float>",
+    )
+    plan3 = ivf_maintenance_plan(spark, d3, neutral_q, nprobe=1)
+    assert plan3["action"] == "recluster", plan3
+    assert plan3["recall_at_k"] < 0.8
+    assert not plan3["hot_lists"]
+
+    # regime 4: delete-runted — healthy recall, one list far under
+    # cold_factor x mean -> merge
+    d4, df4, man4 = _regime_index(spark, tmp_path, "coldbase")
+    sizes = {int(k): v for k, v in man4["list_sizes"].items()}
+    victim = min(sizes, key=sizes.get)
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        read_ivf_index,
+    )
+
+    vids = [
+        r["id"]
+        for r in read_ivf_index(spark, d4)
+        .postings.where(F.col("ivf_cid") == victim)
+        .select("id")
+        .limit(sizes[victim] - 3)
+        .collect()
+    ]
+    d4_del = str(tmp_path / "cold")
+    delete_from_ivf_index(spark, d4, d4_del, vids)
+    # query the INTACT clusters: recall there is unharmed, so the
+    # plan's reason is the runt list, not recall (querying the gutted
+    # cluster at nprobe=1 would correctly sink recall — its survivors'
+    # true neighbors now live in other lists — and escalate the plan)
+    intact_q = spark.createDataFrame(
+        _cluster_rows(1, 6, start_id=9200)
+        + _cluster_rows(2, 6, start_id=9300),
+        "query_id long, embedding array<float>",
+    )
+    plan4 = ivf_maintenance_plan(spark, d4_del, intact_q, nprobe=1)
+    assert plan4["action"] == "merge", plan4
+    assert plan4["cids"] == [victim]
+
+
+def test_maintenance_plan_resolves_versioned_root(spark, tmp_path):
+    """index_dir may be a versioned ROOT: the plan resolves CURRENT."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        ivf_maintenance_plan,
+        write_ivf_index_version,
+    )
+
+    rows = _cluster_rows(0, 60) + _cluster_rows(1, 60, start_id=100)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    root = str(tmp_path / "root")
+    write_ivf_index_version(df, root, nlist=2, refine=2)
+    queries = spark.createDataFrame(
+        _cluster_rows(0, 6, start_id=9000),
+        "query_id long, embedding array<float>",
+    )
+    plan = ivf_maintenance_plan(spark, root, queries, nprobe=2)
+    assert plan["action"] == "none", plan
+    assert plan["recall_at_k"] == 1.0

@@ -560,6 +560,34 @@ def main() -> None:
     sizes["ivf_delete_one_touched"] = len(
         del1_man["deleted"]["touched_lists"]
     )
+    # r11 (VERDICT r10 item 5): COMPACTION cost at 20x — gut the
+    # largest list to a runt via delete, then merge_ivf_cold_lists
+    # folds it into its nearest neighbor. Watch: merge reads/writes
+    # ONLY the cold rows (here <1% of the corpus); every survivor
+    # hardlinks forward under its renumbered cid, so the entry must
+    # land near the metadata floor, far under any rewrite entry.
+    big_ids = (
+        xvi.read_ivf_index(spark, idx_dir)
+        .postings.where(F.col("ivf_cid") == int(one_cid))
+        .select(F.col("id"))
+    )
+    # deterministic survivor set: a bare .limit() picks a DIFFERENT
+    # 50 on every re-execution of the plan
+    keep = [
+        r["id"] for r in big_ids.orderBy("id").limit(50).collect()
+    ]
+    gut_ids = big_ids.where(~F.col("id").isin(keep))
+    gut_man = xvi.delete_from_ivf_index(
+        spark, idx_dir, f"{WORK}/ivf_delete_gut", gut_ids
+    )
+    t0 = time.time()
+    merge_man = xvi.merge_ivf_cold_lists(
+        spark, f"{WORK}/ivf_delete_gut", f"{WORK}/ivf_merged",
+        cold_factor=0.25,
+    )
+    timings["ivf_merge_cold_lists"] = round(time.time() - t0, 2)
+    sizes["ivf_merged_lists"] = len(merge_man["merged"]["merged_lists"])
+    assert merge_man["n_vectors"] == gut_man["n_vectors"]
     # no .limit() (it collapses to one partition and serializes the
     # distributed probe selection) — a modulo filter keeps ~2k
     # queries spread across the scan's partitions
