@@ -339,32 +339,64 @@ def _p11(spark, sf_dir):
 
 
 @q(
-    "p14_p15_json",
-    "SELECT 'object' AS kind, count(*) AS n_valid,"
-    " count(*) FILTER (WHERE FALSE) AS n_invalid,"
+    "p14_p18_parsers",
+    "SELECT 'object' AS kind, count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(count(*) AS BIGINT) AS v1,"
     " CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)"
-    " AS sum_x FROM events"
+    " AS v2, CAST(NULL AS BIGINT) AS v3 FROM events"
     " UNION ALL"
-    " SELECT 'array' AS kind, count(*) FILTER (WHERE event_id % 7 <> 0)"
-    " AS n_valid, count(*) FILTER (WHERE event_id % 7 = 0) AS n_invalid,"
-    " CAST(count(*) FILTER (WHERE event_id % 7 <> 0) * 2 AS BIGINT)"
-    " AS sum_x FROM events",
+    " SELECT 'array' AS kind, count(*) FILTER (WHERE event_id % 7 = 0)"
+    " AS n_bad, count(*) FILTER (WHERE event_id % 7 <> 0) AS v1,"
+    " CAST(count(*) FILTER (WHERE event_id % 7 <> 0) * 2 AS BIGINT) AS v2,"
+    " CAST(NULL AS BIGINT) AS v3 FROM events"
+    " UNION ALL"
+    " SELECT 'year' AS kind, count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(min(year(l_shipdate)) AS BIGINT) AS v1,"
+    " CAST(max(year(l_shipdate)) AS BIGINT) AS v2,"
+    " CAST(count(DISTINCT year(l_shipdate)) AS BIGINT) AS v3"
+    " FROM lineitem"
+    " UNION ALL"
+    " SELECT 'yearmonth' AS kind, count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(min(year(l_shipdate) * 100 + month(l_shipdate)) AS BIGINT) AS v1,"
+    " CAST(max(year(l_shipdate) * 100 + month(l_shipdate)) AS BIGINT) AS v2,"
+    " CAST(count(DISTINCT year(l_shipdate) * 100 + month(l_shipdate))"
+    " AS BIGINT) AS v3 FROM lineitem"
+    " UNION ALL"
+    " SELECT 'duration' AS kind, count(*) FILTER (WHERE FALSE) AS n_bad,"
+    " CAST(sum((l_partkey % 5) * 12) AS BIGINT) AS v1,"
+    " CAST(sum(l_linenumber * 86400 + (l_suppkey % 24) * 3600) AS BIGINT)"
+    " AS v2, CAST(0 AS BIGINT) AS v3 FROM lineitem",
 )
-def _p14_p15(spark, sf_dir):
-    """P14 object + P15 array JSON parsers in one query (50-entry
-    registry cap). 'object' validates events.props and sums $.k;
-    'array' parses synthesized array lexicals where event_id%7==0
-    rows are deliberately malformed — the oracle counts by the rule,
-    sum_x is the total parsed-array length."""
+def _p14_p18(spark, sf_dir):
+    """P14 object + P15 array + P16 year + P17 yearmonth + P18
+    duration parsers as one labeled-row parse audit (r11 — the
+    COVERAGE.md next-candidate merge of p14_p15_json +
+    p16_p18_temporal, funding the x9_migrate slot; every former
+    measure survives as a labeled row). Unified columns: ``n_bad`` =
+    parse failures under the row's rule, ``v1/v2/v3`` carry the
+    kind's own measures —
+
+    - 'object' (events.props): v1 = valid count, v2 = sum of $.k.
+    - 'array' (synthesized lexicals, event_id%7==0 malformed):
+      n_bad = malformed, v1 = valid, v2 = total parsed length.
+    - 'year' / 'yearmonth' (lineitem.l_shipdate lexicals): v1/v2 =
+      min/max (yearmonth as year*100+month), v3 = distinct count —
+      pins the struct<year,month> parse.
+    - 'duration' (ISO-8601 lexicals from modulo rules): v1 = summed
+      months, v2 = summed seconds, v3 = 0."""
     ev = t(spark, sf_dir, "events")
+    li = t(spark, sf_dir, "lineitem")
 
     pf_o = parse_field(F.col("props"), Field("v", type="object"))
     k = F.get_json_object(F.col("props"), "$.k").try_cast(_BIG)
-    obj = ev.select(pf_o.parsed.alias("p"), pf_o.bad.alias("b"), k.alias("k")).agg(
+    obj = ev.select(
+        pf_o.parsed.alias("p"), pf_o.bad.alias("b"), k.alias("k")
+    ).agg(
         F.lit("object").alias("kind"),
-        F.count("p").cast(_BIG).alias("n_valid"),
-        F.count_if(F.col("b")).alias("n_invalid"),
-        F.sum("k").cast(_BIG).alias("sum_x"),
+        F.count_if(F.col("b")).alias("n_bad"),
+        F.count("p").cast(_BIG).alias("v1"),
+        F.sum("k").cast(_BIG).alias("v2"),
+        F.lit(None).cast(_BIG).alias("v3"),
     )
 
     raw = F.when(
@@ -379,51 +411,25 @@ def _p14_p15(spark, sf_dir):
     ).otherwise(F.lit("[broken"))
     pf_a = parse_field(raw, Field("v", type="array"))
     ln = F.json_array_length(pf_a.parsed)
-    arr = ev.select(pf_a.parsed.alias("p"), pf_a.bad.alias("b"), ln.alias("ln")).agg(
+    arr = ev.select(
+        pf_a.parsed.alias("p"), pf_a.bad.alias("b"), ln.alias("ln")
+    ).agg(
         F.lit("array").alias("kind"),
-        F.count("p").cast(_BIG).alias("n_valid"),
-        F.count_if(F.col("b")).alias("n_invalid"),
-        F.sum("ln").cast(_BIG).alias("sum_x"),
+        F.count_if(F.col("b")).alias("n_bad"),
+        F.count("p").cast(_BIG).alias("v1"),
+        F.sum("ln").cast(_BIG).alias("v2"),
+        F.lit(None).cast(_BIG).alias("v3"),
     )
-    return obj.unionByName(arr)
 
-
-@q(
-    "p16_p18_temporal",
-    "SELECT 'year' AS kind, count(*) FILTER (WHERE FALSE) AS n_bad,"
-    " CAST(min(year(l_shipdate)) AS BIGINT) AS min_v,"
-    " CAST(max(year(l_shipdate)) AS BIGINT) AS max_v,"
-    " CAST(count(DISTINCT year(l_shipdate)) AS BIGINT) AS n_distinct"
-    " FROM lineitem"
-    " UNION ALL"
-    " SELECT 'yearmonth' AS kind, count(*) FILTER (WHERE FALSE) AS n_bad,"
-    " CAST(min(year(l_shipdate) * 100 + month(l_shipdate)) AS BIGINT) AS min_v,"
-    " CAST(max(year(l_shipdate) * 100 + month(l_shipdate)) AS BIGINT) AS max_v,"
-    " CAST(count(DISTINCT year(l_shipdate) * 100 + month(l_shipdate))"
-    " AS BIGINT) AS n_distinct FROM lineitem"
-    " UNION ALL"
-    " SELECT 'duration' AS kind, count(*) FILTER (WHERE FALSE) AS n_bad,"
-    " CAST(sum((l_partkey % 5) * 12) AS BIGINT) AS min_v,"
-    " CAST(sum(l_linenumber * 86400 + (l_suppkey % 24) * 3600) AS BIGINT)"
-    " AS max_v, CAST(0 AS BIGINT) AS n_distinct FROM lineitem",
-)
-def _p16_p18(spark, sf_dir):
-    """P16 year + P17 yearmonth + P18 duration parsers in one labeled
-    query (50-entry registry cap — P18 folded in r5 to make room for
-    x4_pii). The yearmonth struct<year,month> is pinned via
-    year*100+month min/max/distinct aggregates; the 'duration' row
-    reuses the stat columns as labeled sums (min_v=sum of months,
-    max_v=sum of seconds, n_distinct=0) over ISO-8601 lexicals built
-    from modulo rules the oracle recomputes arithmetically."""
-    li = t(spark, sf_dir, "lineitem")
-
-    pf_y = parse_field(F.date_format("l_shipdate", "yyyy"), Field("v", type="year"))
+    pf_y = parse_field(
+        F.date_format("l_shipdate", "yyyy"), Field("v", type="year")
+    )
     yr = li.select(pf_y.parsed.alias("p"), pf_y.bad.alias("b")).agg(
         F.lit("year").alias("kind"),
         F.count_if(F.col("b")).alias("n_bad"),
-        F.min("p").cast(_BIG).alias("min_v"),
-        F.max("p").cast(_BIG).alias("max_v"),
-        F.count_distinct("p").cast(_BIG).alias("n_distinct"),
+        F.min("p").cast(_BIG).alias("v1"),
+        F.max("p").cast(_BIG).alias("v2"),
+        F.count_distinct("p").cast(_BIG).alias("v3"),
     )
 
     pf_ym = parse_field(
@@ -435,9 +441,9 @@ def _p16_p18(spark, sf_dir):
     ).agg(
         F.lit("yearmonth").alias("kind"),
         F.count_if(F.col("b")).alias("n_bad"),
-        F.min("c").alias("min_v"),
-        F.max("c").alias("max_v"),
-        F.count_distinct("c").alias("n_distinct"),
+        F.min("c").alias("v1"),
+        F.max("c").alias("v2"),
+        F.count_distinct("c").alias("v3"),
     )
 
     raw_dur = F.concat(
@@ -453,11 +459,16 @@ def _p16_p18(spark, sf_dir):
     dur = li.select(pf_d.parsed.alias("p"), pf_d.bad.alias("b")).agg(
         F.lit("duration").alias("kind"),
         F.count_if(F.col("b")).alias("n_bad"),
-        F.sum("p.months").cast(_BIG).alias("min_v"),
-        F.sum("p.seconds").cast(_BIG).alias("max_v"),
-        F.lit(0).cast(_BIG).alias("n_distinct"),
+        F.sum("p.months").cast(_BIG).alias("v1"),
+        F.sum("p.seconds").cast(_BIG).alias("v2"),
+        F.lit(0).cast(_BIG).alias("v3"),
     )
-    return yr.unionByName(ym).unionByName(dur)
+    return (
+        obj.unionByName(arr)
+        .unionByName(yr)
+        .unionByName(ym)
+        .unionByName(dur)
+    )
 
 
 @q(
@@ -3642,6 +3653,140 @@ def _x9hist(spark, sf_dir):
         F.lit(None).cast(_BIG).alias("flag"),
     )
     return hist.unionByName(diff_rows)
+
+
+@q(
+    "x9_migrate",
+    """WITH d AS (
+  SELECT doc_id, source, text, n_chars,
+         CASE WHEN doc_id % 10 = 3 THEN 'n/a'
+              ELSE CAST(doc_id % 97 AS VARCHAR) END AS score_str
+  FROM documents WHERE source IN ('src3', 'src7', 'src12'))
+SELECT 'data' AS kind, source AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(TRY_CAST(score_str AS DOUBLE)) AS BIGINT) AS sum_score,
+       CAST(sum(length(text)) AS BIGINT) AS sum_len
+FROM d GROUP BY source
+UNION ALL
+SELECT 'cast_nulls', 'score_str',
+       (SELECT CAST(count(*) AS BIGINT) FROM d WHERE doc_id % 10 = 3),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'schema', 'body,doc_id,n_chars,score_str,source',
+       CAST(5 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+UNION ALL
+SELECT 'history', 'v00000002:migrate:v00000001',
+       (SELECT CAST(count(*) AS BIGINT) FROM d),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)""",
+)
+def _x9migrate(spark, sf_dir):
+    """X9c schema migration certified (r11 — VERDICT r10 item 2; slot
+    funded by the p14_p15+p16_p18 merge): publish a release with a
+    stringly score column (doc_id%10==3 rows deliberately
+    non-numeric), run :func:`~.extensions.pipeline.
+    migrate_release_schema` with ALL THREE mutation kinds at once —
+    ``drop`` (lang), ``rename`` (text→body), and a LOSSY ``retype``
+    (score_str→double, allow_lossy) — and certify the result against
+    DuckDB recomputing the migration as a projection over the base
+    data:
+
+    - 'data' rows (per source partition): row count, summed retyped
+      score (NULL where the cast failed — the sum proves try_cast
+      semantics, exact because the scores are small ints), summed
+      length of the RENAMED column. Any dropped/duplicated row, a
+      rename that lost values, or a cast that mangled a parseable
+      number breaks the hash.
+    - 'cast_nulls': the manifest's migrate.cast_nulls['score_str']
+      audit count vs the rule's row count — the lossy-cast
+      accounting is read from the PUBLISHED manifest, not recomputed.
+    - 'schema': the read-back column set (sorted) — drop and rename
+      actually landed; the retype is proven by sum_score above.
+    - 'history': version:kind:base lineage of the migrate publish
+      plus its manifest row count.
+
+    The chain exercises verify_untouched (default on): the migration
+    re-fingerprints doc_id/n_chars/source before the pointer swap."""
+    import tempfile
+
+    from .extensions.pipeline import (
+        migrate_release_schema,
+        read_release,
+        release_history,
+        write_release_version,
+    )
+
+    root = tempfile.mkdtemp(prefix="gt_x9_migrate_")
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("source").isin("src3", "src7", "src12"))
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            "lang",
+            "n_chars",
+            F.when(F.col("doc_id") % 10 == 3, F.lit("n/a"))
+            .otherwise((F.col("doc_id") % 97).cast("string"))
+            .alias("score_str"),
+        )
+    )
+    write_release_version(d, root, split_col="source")
+    migrate_release_schema(
+        spark,
+        root,
+        drop=["lang"],
+        rename={"text": "body"},
+        retype={"score_str": "double"},
+        allow_lossy=True,
+    )
+    # read-back certification: v2's data AND its PUBLISHED manifest
+    v2, man2 = read_release(spark, root)
+
+    data = v2.groupBy("source").agg(
+        F.count(F.lit(1)).cast(_BIG).alias("n"),
+        F.sum("score_str").cast(_BIG).alias("sum_score"),
+        F.sum(F.length("body")).cast(_BIG).alias("sum_len"),
+    ).select(
+        F.lit("data").alias("kind"),
+        F.col("source").alias("label"),
+        "n",
+        "sum_score",
+        "sum_len",
+    )
+
+    cast_nulls = int(
+        man2["incremental"]["migrate"]["cast_nulls"]["score_str"]
+    )
+    spine_rows = [
+        ("cast_nulls", "score_str", cast_nulls),
+        ("schema", ",".join(sorted(v2.columns)), len(v2.columns)),
+    ]
+    hist = (
+        release_history(spark, root)
+        .where(F.col("current"))
+        .select(
+            F.lit("history").alias("kind"),
+            F.concat(
+                F.col("version"),
+                F.lit(":"),
+                F.col("kind"),
+                F.lit(":"),
+                F.coalesce(F.col("base_version"), F.lit("-")),
+            ).alias("label"),
+            F.col("n_rows").cast(_BIG).alias("n"),
+            F.lit(None).cast(_BIG).alias("sum_score"),
+            F.lit(None).cast(_BIG).alias("sum_len"),
+        )
+    )
+    audit = spark.createDataFrame(
+        spine_rows, "kind string, label string, n long"
+    ).select(
+        "kind",
+        "label",
+        F.col("n").cast(_BIG).alias("n"),
+        F.lit(None).cast(_BIG).alias("sum_score"),
+        F.lit(None).cast(_BIG).alias("sum_len"),
+    )
+    return data.unionByName(audit).unionByName(hist)
 
 
 @q(
