@@ -979,17 +979,75 @@ def _dq(spark, sf_dir):
 
 
 @q(
-    "x1_exact_dedup",
-    "SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+    "x1_x2_dedup_groups",
+    "SELECT 'exact' AS kind, CAST(count(*) AS BIGINT) AS n,"
     " CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ',"
-    " 'g')))) AS BIGINT) AS n_distinct_fp FROM documents",
+    " 'g')))) AS BIGINT) AS v FROM documents"
+    " UNION ALL"
+    " SELECT 'simhash' AS kind, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(1 AS BIGINT) AS v FROM documents",
 )
-def _x1(spark, sf_dir):
+def _x1_x2(spark, sf_dir):
+    """X1 exact dedup + X2b SimHash completeness as labeled rows
+    (r11 — the COVERAGE.md next-candidate merge, funding the
+    x7_fuzzy_sweep slot; every former measure survives):
+
+    - 'exact': n = doc count, v = distinct normalized-md5
+      fingerprints (the former x1_exact_dedup columns; r10 fixed the
+      dotted-name misparse in the underlying exact_dedup).
+    - 'simhash': n = doc count, v = the pigeonhole-completeness flag
+      (1 iff the 4x16-bit chunk-LSH candidate set EQUALS brute-force
+      Hamming<=3 on the same-source pair subspace — the former
+      x2_simhash_dups 'complete_ok', cast to BIGINT for the unified
+      column). The brute twin stays bounded to same-source pairs via
+      an equi-join (never BroadcastNestedLoopJoin); the LSH side runs
+      on the FULL table — the 100 TB path. xxhash64 fingerprints are
+      not SQL-expressible, so the oracle pins the count + the
+      invariant's truth."""
     d = t(spark, sf_dir, "documents")
-    return d.select(xtext.fingerprint_md5(F.col("text")).alias("fp")).agg(
-        F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
-        F.count_distinct("fp").cast(_BIG).alias("n_distinct_fp"),
+    dw = t(spark, sf_dir, "documents", wide=True)
+
+    exact = d.select(
+        xtext.fingerprint_md5(F.col("text")).alias("fp")
+    ).agg(
+        F.lit("exact").alias("kind"),
+        F.count(F.lit(1)).cast(_BIG).alias("n"),
+        F.count_distinct("fp").cast(_BIG).alias("v"),
     )
+
+    src = dw.select(F.col("doc_id").alias("id"), "source")
+    lsh = (
+        # max_bucket=None: the pigeonhole-completeness claim needs the
+        # uncapped candidate set (the cap is the production default)
+        xdedup.simhash_candidates(dw, max_hamming=3, max_bucket=None)
+        .join(src.withColumnsRenamed({"id": "id_a", "source": "src_a"}), "id_a")
+        .join(src.withColumnsRenamed({"id": "id_b", "source": "src_b"}), "id_b")
+        .where(F.col("src_a") == F.col("src_b"))
+        .select("id_a", "id_b", F.lit(1).alias("in_l"))
+    )
+    fp = xdedup.simhash_fingerprints(dw).join(src, "id")
+    a = fp.select(F.col("id").alias("id_a"), "source", F.col("fp").alias("fp_a"))
+    b = fp.select(F.col("id").alias("id_b"), "source", F.col("fp").alias("fp_b"))
+    brute = (
+        a.join(b, "source")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(xdedup.hamming64(F.col("fp_a"), F.col("fp_b")) <= 3)
+        .select("id_a", "id_b", F.lit(1).alias("in_b"))
+    )
+    j = brute.join(lsh, ["id_a", "id_b"], "full")
+    # union + one aggregate, not a 1-row crossJoin: keeps the whole
+    # registry free of BroadcastNestedLoopJoin for the plan guard
+    u = dw.select(F.lit("doc").alias("kind")).unionAll(
+        j.where(F.col("in_b").isNull() | F.col("in_l").isNull()).select(
+            F.lit("diff").alias("kind")
+        )
+    )
+    simhash = u.agg(
+        F.lit("simhash").alias("kind"),
+        F.count_if(F.col("kind") == "doc").cast(_BIG).alias("n"),
+        (F.count_if(F.col("kind") == "diff") == 0).cast(_BIG).alias("v"),
+    )
+    return exact.unionByName(simhash)
 
 
 @q(
@@ -1363,59 +1421,6 @@ def _x2nd_cc(spark, sf_dir):
             ),
         ),
         pairs,
-    )
-
-
-@q(
-    "x2_simhash_dups",
-    "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS complete_ok"
-    " FROM documents",
-)
-def _x2s(spark, sf_dir):
-    """X2b SimHash chunk-LSH, restated as a DETERMINISTIC completeness
-    summary: at max_hamming=3 the 4×16-bit chunk LSH is pigeonhole-
-    COMPLETE (any pair within Hamming 3 shares an intact chunk), so on
-    any pair subspace the bucketed candidate set must EQUAL the
-    brute-force Hamming≤3 set. The brute twin is BOUNDED to
-    same-``source`` pairs via an equi-join (the minhash r3 cure —
-    shuffled hash join, never BroadcastNestedLoopJoin; VERDICT r3
-    §wrong 2), and the LSH side is restricted to the same subspace
-    before comparing; completeness on that subspace is still an exact
-    statement about it. The LSH side itself is the 100 TB path and
-    runs on the FULL table. xxhash64 fingerprints are not
-    SQL-expressible, so the oracle pins n_docs + the completeness
-    invariant."""
-    d = t(spark, sf_dir, "documents", wide=True)
-    src = d.select(F.col("doc_id").alias("id"), "source")
-    lsh = (
-        # max_bucket=None: the pigeonhole-completeness claim needs the
-        # uncapped candidate set (the cap is the production default)
-        xdedup.simhash_candidates(d, max_hamming=3, max_bucket=None)
-        .join(src.withColumnsRenamed({"id": "id_a", "source": "src_a"}), "id_a")
-        .join(src.withColumnsRenamed({"id": "id_b", "source": "src_b"}), "id_b")
-        .where(F.col("src_a") == F.col("src_b"))
-        .select("id_a", "id_b", F.lit(1).alias("in_l"))
-    )
-    fp = xdedup.simhash_fingerprints(d).join(src, "id")
-    a = fp.select(F.col("id").alias("id_a"), "source", F.col("fp").alias("fp_a"))
-    b = fp.select(F.col("id").alias("id_b"), "source", F.col("fp").alias("fp_b"))
-    brute = (
-        a.join(b, "source")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(xdedup.hamming64(F.col("fp_a"), F.col("fp_b")) <= 3)
-        .select("id_a", "id_b", F.lit(1).alias("in_b"))
-    )
-    j = brute.join(lsh, ["id_a", "id_b"], "full")
-    # union + one aggregate, not a 1-row crossJoin: keeps the whole
-    # registry free of BroadcastNestedLoopJoin for the plan guard
-    u = d.select(F.lit("doc").alias("kind")).unionAll(
-        j.where(F.col("in_b").isNull() | F.col("in_l").isNull()).select(
-            F.lit("diff").alias("kind")
-        )
-    )
-    return u.agg(
-        F.count_if(F.col("kind") == "doc").cast(_BIG).alias("n_docs"),
-        (F.count_if(F.col("kind") == "diff") == 0).alias("complete_ok"),
     )
 
 
@@ -2363,6 +2368,124 @@ def _x7_contam(spark, sf_dir):
         exact_rows.unionByName(fuzzy_row),
         *getattr(fscan, "_gt_persisted", []),
     )
+
+
+@q(
+    "x7_fuzzy_sweep",
+    """WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text),
+         '\\s+', ' ', 'g')), ' ') AS w FROM documents),
+shc AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+    THEN list_transform(range(1, len(w) - 1),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE CAST([] AS VARCHAR[]) END) AS s FROM toks),
+evw AS (
+  SELECT doc_id AS eval_id,
+         list_transform(range(1, len(w) + 1),
+           i -> CASE WHEN i % ([4, 9, 25][
+                      CAST((doc_id % 150) // 50 AS INTEGER) + 1]) = 0
+                THEN 'qq' || CAST(i AS VARCHAR) ELSE w[i] END) AS pw
+  FROM toks WHERE doc_id % 50 = 0 AND len(w) >= 3),
+she AS (
+  SELECT eval_id, list_distinct(CASE WHEN len(pw) >= 3
+    THEN list_transform(range(1, len(pw) - 1),
+         i -> pw[i] || ' ' || pw[i+1] || ' ' || pw[i+2])
+    ELSE CAST([] AS VARCHAR[]) END) AS s FROM evw),
+jacc AS (
+  SELECT c.doc_id AS corpus_id, e.eval_id,
+         CAST(len(list_intersect(c.s, e.s)) AS DOUBLE) /
+         CAST(len(list_distinct(list_concat(c.s, e.s))) AS DOUBLE) AS j
+  FROM shc c JOIN she e ON len(c.s) > 0 AND len(e.s) > 0),
+th AS (SELECT * FROM (VALUES ('t010', 0.10), ('t035', 0.35),
+                             ('t065', 0.65)) AS v(label, t))
+SELECT th.label AS kind,
+       CAST(count(*) FILTER (WHERE j >= t) AS BIGINT) AS n_pairs,
+       CAST(count(*) FILTER (WHERE j >= t AND corpus_id = eval_id)
+            AS BIGINT) AS n_self,
+       CAST(sum(CASE WHEN j >= t
+                THEN CAST(round(j * 1000000) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS sum_j_micro
+FROM th CROSS JOIN jacc GROUP BY th.label""",
+)
+def _x7sweep(spark, sf_dir):
+    """X7h fuzzy-decontam threshold S-curve (r11 — VERDICT r10 item 6's
+    named best use for the slot freed by the x1+x2_simhash merge).
+    The natural corpus has almost no mid-range near-pairs (every
+    natural dup sits at J>0.9), so the sweep DESIGNS them: each eval
+    doc (doc_id%50==0) is perturbed by replacing every m-th token
+    with a fresh token, m cycling {4, 9, 25} by doc — killing every
+    3-shingle that covers a replaced token and landing the
+    doc-vs-its-perturbation Jaccard in three separated tiers
+    (≈0.14 / ≈0.5 / ≈0.79 by the (1-3/m)/(2-(1-3/m)) shingle-survival
+    arithmetic, exact value data-dependent).
+
+    ONE :func:`~.extensions.decontam.near_contamination_scan` runs at
+    a floor threshold (0.05) under near-exhaustive banding
+    (num_bands = num_hashes = 64, r=1 — candidate on ANY shared
+    minhash, miss probability (1-J)^64, ≤1e-4 at the lowest tier;
+    production keeps the default 16×4 S-curve, this row certifies the
+    candidate→exact-verify machinery, not the banding trade), then
+    per-threshold rows aggregate the SAME verified pair frame at
+    0.10/0.35/0.65: pair count, designed-self-pair count, and the
+    exact-Jaccard micro-sum — DuckDB recomputes the perturbation, the
+    shingle sets, and every Jaccard from the rules. A verify-step
+    bug, a normalization drift between scan and shingle build, or a
+    banding miss at any tier breaks the hash."""
+    from .extensions.decontam import near_contamination_scan
+
+    d = t(spark, sf_dir, "documents")
+    w = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+        " ",
+    )
+    m = F.element_at(
+        F.array(F.lit(4), F.lit(9), F.lit(25)),
+        ((F.col("doc_id") % 150) / 50).cast("int") + 1,
+    )
+    perturbed = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w)),
+            lambda i: F.when(
+                i % m == 0, F.concat(F.lit("qq"), i.cast("string"))
+            ).otherwise(F.element_at(w, i)),
+        ),
+        " ",
+    )
+    ev = (
+        d.where((F.col("doc_id") % 50 == 0) & (F.size(w) >= 3))
+        .select(F.col("doc_id"), perturbed.alias("etext"))
+    )
+    sc = near_contamination_scan(
+        d,
+        ev,
+        threshold=0.05,
+        num_hashes=64,
+        num_bands=64,
+        eval_text_col="etext",
+    )
+    tiers = F.explode(
+        F.array(
+            F.struct(F.lit(0.10).alias("t"), F.lit("t010").alias("label")),
+            F.struct(F.lit(0.35).alias("t"), F.lit("t035").alias("label")),
+            F.struct(F.lit(0.65).alias("t"), F.lit("t065").alias("label")),
+        )
+    )
+    ex = sc.select("corpus_id", "eval_id", "jaccard", tiers.alias("th"))
+    hit = F.col("jaccard") >= F.col("th.t")
+    rows = ex.groupBy(F.col("th.label").alias("kind")).agg(
+        F.count_if(hit).cast(_BIG).alias("n_pairs"),
+        F.count_if(
+            hit & (F.col("corpus_id") == F.col("eval_id"))
+        ).cast(_BIG).alias("n_self"),
+        F.sum(
+            F.when(
+                hit,
+                F.round(F.col("jaccard") * 1_000_000).cast(_BIG),
+            ).otherwise(F.lit(0))
+        ).cast(_BIG).alias("sum_j_micro"),
+    )
+    return attach_persisted(rows, *getattr(sc, "_gt_persisted", []))
 
 
 @q(
