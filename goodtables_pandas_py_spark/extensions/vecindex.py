@@ -547,6 +547,33 @@ def ivf_index_topk_batch_distributed(
     )
 
 
+def _derived_manifest(
+    base: dict,
+    counts: dict,
+    nlist: int,
+    extra: dict,
+    dim: int | None = None,
+) -> dict:
+    """Manifest for an index DERIVED from ``base`` (recluster / split
+    / delete / merge): identity fields carry over, counts and width
+    come from the operation, ``extra`` is the operator's audit block.
+    One shape in one place so the four maintenance operators cannot
+    drift apart (r11 review)."""
+    return {
+        "format_version": FORMAT_VERSION,
+        "metric": base["metric"],
+        "dim": int(base["dim"] if dim is None else dim),
+        "nlist": int(nlist),
+        "n_vectors": sum(counts.values()),
+        # unindexable rows were never stored; the audit count carries
+        "n_unindexable": int(base.get("n_unindexable", 0)),
+        "quantized": bool(base["quantized"]),
+        "id_col": base["id_col"],
+        "list_sizes": {str(k): v for k, v in sorted(counts.items())},
+        **extra,
+    }
+
+
 def append_to_ivf_index(
     df: DataFrame,
     index_dir: str,
@@ -732,24 +759,20 @@ def recluster_ivf_index(
             f"{sum(counts.values())} assigned out (a NULL-cid payload "
             "cannot be reassigned; repair the source index first)"
         )
-    new_manifest = {
-        "format_version": FORMAT_VERSION,
-        "metric": manifest["metric"],
-        "dim": len(cents[0]),
-        "nlist": len(cents),
-        "n_vectors": sum(counts.values()),
-        # unindexable rows were never stored; the audit count carries
-        "n_unindexable": int(manifest.get("n_unindexable", 0)),
-        "quantized": quantized,
-        "id_col": manifest["id_col"],
-        "list_sizes": {str(k): v for k, v in sorted(counts.items())},
-        "reclustered": {
-            "nlist_before": int(manifest["nlist"]),
-            "n_vectors_before": int(manifest["n_vectors"]),
-            "refine": int(refine),
-            "train_cap": train_cap,
+    new_manifest = _derived_manifest(
+        manifest,
+        counts,
+        nlist=len(cents),
+        dim=len(cents[0]),
+        extra={
+            "reclustered": {
+                "nlist_before": int(manifest["nlist"]),
+                "n_vectors_before": int(manifest["n_vectors"]),
+                "refine": int(refine),
+                "train_cap": train_cap,
+            }
         },
-    }
+    )
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(new_manifest, fh, indent=2, sort_keys=True)
     return new_manifest
@@ -963,25 +986,22 @@ def split_ivf_hot_lists(
             f"in, {sum(counts.values())} out (a NULL-cid payload "
             "cannot be reassigned; repair the source index first)"
         )
-    new_manifest = {
-        "format_version": FORMAT_VERSION,
-        "metric": manifest["metric"],
-        "dim": len(cents[0]),
-        "nlist": len(cents),
-        "n_vectors": sum(counts.values()),
-        "n_unindexable": int(manifest.get("n_unindexable", 0)),
-        "quantized": quantized,
-        "id_col": manifest["id_col"],
-        "list_sizes": {str(k): v for k, v in sorted(counts.items())},
-        "split": {
-            "hot_factor": hot_factor,
-            "target_factor": target_factor,
-            "nlist_before": nlist,
-            "split_lists": split_audit,
-            "unsplittable": unsplittable,
-            "reused_lists": len(reused),
+    new_manifest = _derived_manifest(
+        manifest,
+        counts,
+        nlist=len(cents),
+        dim=len(cents[0]),
+        extra={
+            "split": {
+                "hot_factor": hot_factor,
+                "target_factor": target_factor,
+                "nlist_before": nlist,
+                "split_lists": split_audit,
+                "unsplittable": unsplittable,
+                "reused_lists": len(reused),
+            }
         },
-    }
+    )
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(new_manifest, fh, indent=2, sort_keys=True)
     return new_manifest
@@ -992,19 +1012,56 @@ def _normalize_delete_ids(
 ) -> DataFrame:
     """Normalize a delete set (DataFrame's FIRST column, or a plain
     iterable) to a distinct one-column frame named ``id`` cast to the
-    posting id type (a type mismatch would silently join to nothing)."""
+    posting id type (a type mismatch would silently join to nothing).
+    LOUD on lossy input (r11 review): an id whose cast to the posting
+    type fails would otherwise just vanish from the set and the
+    takedown would "succeed" as a no-op; a fractional id column would
+    silently truncate onto the WRONG posting — both raise instead."""
+    from pyspark.sql.types import FractionalType, IntegralType
+
     id_type = postings.schema["id"].dataType
     if isinstance(ids, DataFrame):
         first = ids.columns[0]
-        out = ids.select(F.col(first).cast(id_type).alias("id"))
+        src_type = ids.schema[first].dataType
+        if isinstance(src_type, FractionalType) and isinstance(
+            id_type, IntegralType
+        ):
+            raise TypeError(
+                f"delete ids column {first!r} is {src_type.simpleString()} "
+                f"but posting ids are {id_type.simpleString()} — a "
+                "truncating cast would delete the wrong postings; cast "
+                "the ids intentionally first"
+            )
+        raw = ids.select(F.col(first).alias("__raw"))
     else:
         vals = [(v,) for v in ids]
-        out = spark.createDataFrame(
-            vals, schema=f"id {id_type.simpleString()}"
-        ) if vals else spark.range(0).select(
-            F.col("id").cast(id_type)
+        if any(isinstance(v, float) and not v.is_integer() for v, in vals):
+            raise TypeError(
+                "delete ids contain non-integral floats — a truncating "
+                "cast would delete the wrong postings"
+            )
+        if not vals:
+            return spark.range(0).select(F.col("id").cast(id_type))
+        raw = spark.createDataFrame(
+            vals, schema=["__raw"]
         )
-    return out.where(F.col("id").isNotNull()).distinct()
+    # try_cast, not cast: ANSI mode makes a failed cast THROW a raw
+    # NumberFormatException mid-job — the guard below turns the null
+    # into the typed, id-naming error instead
+    out = raw.select(
+        F.col("__raw"), F.col("__raw").try_cast(id_type).alias("id")
+    )
+    lost = out.where(
+        F.col("__raw").isNotNull() & F.col("id").isNull()
+    ).head(1)
+    if lost:
+        raise ValueError(
+            f"delete id {lost[0]['__raw']!r} does not cast to the "
+            f"posting id type {id_type.simpleString()} — refusing a "
+            "delete set that would silently shrink (check the column "
+            "and its type)"
+        )
+    return out.select("id").where(F.col("id").isNotNull()).distinct()
 
 
 def delete_from_ivf_index(
@@ -1135,24 +1192,20 @@ def delete_from_ivf_index(
     emptied = sorted(
         c for c, n in sizes.items() if n - del_counts.get(c, 0) == 0
     )
-    new_manifest = {
-        "format_version": FORMAT_VERSION,
-        "metric": manifest["metric"],
-        "dim": int(manifest["dim"]),
-        "nlist": int(manifest["nlist"]),
-        "n_vectors": sum(counts.values()),
-        "n_unindexable": int(manifest.get("n_unindexable", 0)),
-        "quantized": bool(manifest["quantized"]),
-        "id_col": manifest["id_col"],
-        "list_sizes": {str(k): v for k, v in sorted(counts.items())},
-        "deleted": {
-            "n_requested": int(n_requested),
-            "n_deleted": int(n_deleted),
-            "touched_lists": [int(c) for c in touched],
-            "emptied_lists": [int(c) for c in emptied],
-            "reused_lists": len(reused),
+    new_manifest = _derived_manifest(
+        manifest,
+        counts,
+        nlist=int(manifest["nlist"]),
+        extra={
+            "deleted": {
+                "n_requested": int(n_requested),
+                "n_deleted": int(n_deleted),
+                "touched_lists": [int(c) for c in touched],
+                "emptied_lists": [int(c) for c in emptied],
+                "reused_lists": len(reused),
+            }
         },
-    }
+    )
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(new_manifest, fh, indent=2, sort_keys=True)
     return new_manifest
@@ -1191,34 +1244,48 @@ def delete_from_ivf_index_version(
     cur = cur.strip()
     cur_dir = os.path.join(root, "versions", cur)
     idx = read_ivf_index(spark, cur_dir)
-    del_df = _normalize_delete_ids(spark, idx.postings, ids)
-    n_requested = del_df.count()
-    hint = (
-        F.broadcast(del_df) if n_requested <= broadcast_cap else del_df
-    )
-    any_hit = (
-        idx.postings.select("id").join(hint, "id", "left_semi").head(1)
-    )
-    if not any_hit:
-        manifest = dict(idx.manifest)
-        manifest["deleted"] = {
-            "n_requested": int(n_requested),
-            "n_deleted": 0,
-            "touched_lists": [],
-            "emptied_lists": [],
-            "reused_lists": len(manifest["list_sizes"]),
-            "noop_replay": True,
-        }
-        return manifest
-    vname = _next_version_name(spark, root)
-    _claim_version(spark, root, vname)
-    manifest = delete_from_ivf_index(
-        spark,
-        cur_dir,
-        os.path.join(root, "versions", vname),
-        del_df,
-        broadcast_cap=broadcast_cap,
-    )
+    # persist the snapshot HERE: the noop-vs-publish decision and the
+    # inner delete must see the SAME delete set — an unpersisted,
+    # nondeterministic caller frame could pass the any_hit probe and
+    # then match nothing inside (publishing a version that duplicates
+    # its base), or vice versa (silently skipping a real takedown)
+    # — r11 review fix. The probe costs one extra column-pruned scan
+    # on real takedowns; on replays it is the whole job.
+    del_df = _normalize_delete_ids(spark, idx.postings, ids).persist()
+    try:
+        n_requested = del_df.count()
+        hint = (
+            F.broadcast(del_df)
+            if n_requested <= broadcast_cap
+            else del_df
+        )
+        any_hit = (
+            idx.postings.select("id")
+            .join(hint, "id", "left_semi")
+            .head(1)
+        )
+        if not any_hit:
+            manifest = dict(idx.manifest)
+            manifest["deleted"] = {
+                "n_requested": int(n_requested),
+                "n_deleted": 0,
+                "touched_lists": [],
+                "emptied_lists": [],
+                "reused_lists": len(manifest["list_sizes"]),
+                "noop_replay": True,
+            }
+            return manifest
+        vname = _next_version_name(spark, root)
+        _claim_version(spark, root, vname)
+        manifest = delete_from_ivf_index(
+            spark,
+            cur_dir,
+            os.path.join(root, "versions", vname),
+            del_df,
+            broadcast_cap=broadcast_cap,
+        )
+    finally:
+        del_df.unpersist()
     manifest["version"] = vname
     manifest["deleted"]["base_version"] = cur
     with open(
@@ -1322,34 +1389,57 @@ def merge_ivf_cold_lists(
     payload_col = "qvec" if quantized else "vec"
     cold_with_rows = [c for c in cold if sizes.get(c, 0) > 0]
     out_postings = os.path.join(out_dir, "postings.parquet")
+    # expected rows each NEW cid gains from the fold — the physical
+    # verification below compares the written files against this
+    expected_gain = {
+        new_cid[s]: sum(
+            sizes.get(c, 0) for c in cold_with_rows if target[c] == s
+        )
+        for s in survivors
+    }
+    expected_gain = {c: n for c, n in expected_gain.items() if n > 0}
     if cold_with_rows:
-        remap = F.col("ivf_cid")
-        for c in cold_with_rows:
-            remap = F.when(
-                F.col("ivf_cid") == c, F.lit(new_cid[target[c]])
-            ).otherwise(remap)
-        obs = Observation()
+        # cold→new-target remap via a broadcast equi-join on the tiny
+        # mapping frame — flat whatever the cold count (a nested
+        # per-list CASE WHEN was O(cold_lists) per row and blew janino
+        # past a few hundred branches — r11 review fix)
+        mapping = spark.createDataFrame(
+            [(int(c), int(new_cid[target[c]])) for c in cold_with_rows],
+            "ivf_cid int, __new_cid int",
+        )
         moved = (
             idx.postings.where(
                 F.col("ivf_cid").isin([int(c) for c in cold_with_rows])
             )
+            .join(F.broadcast(mapping), "ivf_cid")
             .select(
                 "id",
-                remap.cast("int").alias("ivf_cid"),
+                F.col("__new_cid").alias("ivf_cid"),
                 payload_col,
             )
-            .observe(obs, F.count(F.lit(1)).alias("n_moved"))
         )
         moved.write.mode("overwrite").partitionBy("ivf_cid").parquet(
             out_postings
         )
-        n_moved = int(obs.get.get("n_moved") or 0)
-        if n_moved != sum(sizes[c] for c in cold_with_rows):
+        # physical per-list conservation (r11 review fix: the old
+        # total-only Observation could not see a remap bug writing
+        # rows into the WRONG partition): aggregate the files just
+        # written — only moved rows exist at out_postings before the
+        # carry-forward — and compare against the arithmetic fold
+        written = {
+            int(r["ivf_cid"]): int(r["n"])
+            for r in spark.read.parquet(out_postings)
+            .groupBy("ivf_cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+            if r["ivf_cid"] is not None
+        }
+        if written != expected_gain:
             raise ValueError(
-                "merge_ivf_cold_lists: row conservation failed — "
-                f"expected {sum(sizes[c] for c in cold_with_rows)} "
-                f"cold rows, moved {n_moved} (stale manifest counts "
-                "or concurrent writer?)"
+                "merge_ivf_cold_lists: per-list row conservation "
+                f"failed — fold expects {expected_gain}, written "
+                f"files hold {written} (stale manifest counts, a "
+                "remap defect, or a concurrent writer)"
             )
     # survivors hardlink forward file-identical under their NEW cid
     # directory names — the renumbering is pure metadata
@@ -1380,32 +1470,33 @@ def merge_ivf_cold_lists(
         for s in survivors
     }
     counts = {c: n for c, n in counts.items() if n > 0}
+    # input-integrity only (the fold preserves any sum, so this can
+    # fire solely on a source manifest whose list_sizes disagree with
+    # its own n_vectors); the MERGE itself is verified physically by
+    # the written-files comparison above
     if sum(counts.values()) != int(manifest["n_vectors"]):
         raise ValueError(
-            "merge_ivf_cold_lists: manifest conservation failed — "
-            f"{int(manifest['n_vectors'])} postings in, "
-            f"{sum(counts.values())} accounted out"
+            "merge_ivf_cold_lists: source manifest is inconsistent — "
+            f"n_vectors {int(manifest['n_vectors'])} but list_sizes "
+            f"sum to {sum(counts.values())}; repair the source index "
+            "first"
         )
-    new_manifest = {
-        "format_version": FORMAT_VERSION,
-        "metric": manifest["metric"],
-        "dim": int(manifest["dim"]),
-        "nlist": len(survivors),
-        "n_vectors": sum(counts.values()),
-        "n_unindexable": int(manifest.get("n_unindexable", 0)),
-        "quantized": quantized,
-        "id_col": manifest["id_col"],
-        "list_sizes": {str(k): v for k, v in sorted(counts.items())},
-        "merged": {
-            "cold_factor": cold_factor,
-            "nlist_before": nlist,
-            "merged_lists": {
-                str(c): int(target[c]) for c in cold
-            },
-            "renumbered": {str(s): new_cid[s] for s in survivors},
-            "reused_lists": len(survivors),
+    new_manifest = _derived_manifest(
+        manifest,
+        counts,
+        nlist=len(survivors),
+        extra={
+            "merged": {
+                "cold_factor": cold_factor,
+                "nlist_before": nlist,
+                "merged_lists": {
+                    str(c): int(target[c]) for c in cold
+                },
+                "renumbered": {str(s): new_cid[s] for s in survivors},
+                "reused_lists": len(survivors),
+            }
         },
-    }
+    )
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(new_manifest, fh, indent=2, sort_keys=True)
     return new_manifest

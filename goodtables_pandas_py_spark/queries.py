@@ -3723,15 +3723,24 @@ def _x9hist(spark, sf_dir):
     # oracle SQL, so it cannot be derived from data at runtime — guard
     # the collision instead: if documents ever grows past 2M ids the
     # appended clones would collide with existing ids and the
-    # added/unchanged arithmetic silently diverges (ADVICE r10)
-    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    # added/unchanged arithmetic silently diverges (ADVICE r10). The
+    # max rides the v1 publish job as an Observation — zero extra
+    # scans on this benched query (r11 review fix).
+    from pyspark.sql import Observation as _Obs
+
+    obs = _Obs()
+    write_release_version(
+        d.observe(obs, F.max("doc_id").alias("max_id")),
+        root,
+        split_col="source",
+    )
+    max_id = obs.get.get("max_id")
     if max_id is not None and int(max_id) >= 2_000_000:
         raise ValueError(
             f"x9_history: max doc_id {max_id} >= 2,000,000 — the "
             "append-offset constant collides; raise the offset in "
             "BOTH the query and its oracle SQL"
         )
-    write_release_version(d, root, split_col="source")
     app = d.where(F.col("source") == "src2").select(
         (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
         "source",

@@ -1521,3 +1521,64 @@ def test_maintenance_plan_resolves_versioned_root(spark, tmp_path):
     plan = ivf_maintenance_plan(spark, root, queries, nprobe=2)
     assert plan["action"] == "none", plan
     assert plan["recall_at_k"] == 1.0
+
+
+def test_delete_id_normalization_guards(spark, tmp_path):
+    """r11 review fixes: a delete set whose ids cannot cast to the
+    posting id type must raise (not silently no-op the takedown), a
+    fractional id column must raise (not truncate onto the wrong
+    posting), and castable string ids work."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        delete_from_ivf_index,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    man0 = write_ivf_index(df, src, nlist=4, refine=2)
+
+    with pytest.raises(ValueError, match="does not cast"):
+        delete_from_ivf_index(
+            spark, src, str(tmp_path / "o1"), ["doc-123", "5"]
+        )
+    bad_floats = spark.createDataFrame(
+        [(5.7,), (6.0,)], "fid double"
+    )
+    with pytest.raises(TypeError, match="truncating cast"):
+        delete_from_ivf_index(spark, src, str(tmp_path / "o2"), bad_floats)
+    with pytest.raises(TypeError, match="non-integral floats"):
+        delete_from_ivf_index(spark, src, str(tmp_path / "o3"), [5.7])
+
+    # castable strings are fine — and integral floats in a list too
+    man1 = delete_from_ivf_index(
+        spark, src, str(tmp_path / "o4"), ["5", "6"]
+    )
+    assert man1["deleted"]["n_deleted"] == 2
+    assert man1["n_vectors"] == man0["n_vectors"] - 2
+
+
+def test_merge_many_cold_lists_broadcast_remap(spark, tmp_path):
+    """r11 review fix: the cold→target remap is a broadcast join, not
+    a per-list CASE WHEN — exercise a many-cold-list merge (every
+    corner list cold at a high cold_factor) and check per-list
+    physical conservation holds."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        merge_ivf_cold_lists,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    man0 = write_ivf_index(df, src, nlist=4, refine=2)
+    sizes0 = {int(k): v for k, v in man0["list_sizes"].items()}
+    # the 3 corner lists (~20 rows each) are all cold vs the heavy
+    # list at cold_factor just under heavy/mean
+    mean = man0["n_vectors"] / man0["nlist"]
+    cf = 0.999 * max(sizes0.values()) / mean
+    man1 = merge_ivf_cold_lists(spark, src, str(tmp_path / "m"), cold_factor=cf)
+    assert len(man1["merged"]["merged_lists"]) == 3
+    assert man1["nlist"] == 1
+    assert man1["n_vectors"] == man0["n_vectors"]
+    idx1 = read_ivf_index(spark, str(tmp_path / "m"))
+    assert idx1.postings.count() == man0["n_vectors"]
