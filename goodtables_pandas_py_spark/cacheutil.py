@@ -33,9 +33,13 @@ _ATTR = "_gt_persisted"
 def attach_persisted(out: DataFrame, *frames: DataFrame) -> DataFrame:
     """Record ``frames`` (persisted intermediates feeding ``out``'s
     plan) on ``out`` for a later :func:`unpersist_scan_state`."""
-    held = list(getattr(out, _ATTR, []))
+    # read/write via __dict__, NOT getattr/setattr: DataFrame's
+    # __getattr__ resolves unknown attributes as COLUMNS, so a frame
+    # with a column literally named "_gt_persisted" would hand back a
+    # Column here (not iterable → TypeError) instead of the stash
+    held = list(out.__dict__.get(_ATTR, []))
     held.extend(f for f in frames if f is not None)
-    setattr(out, _ATTR, held)
+    out.__dict__[_ATTR] = held
     return out
 
 
@@ -43,9 +47,9 @@ def unpersist_scan_state(df: DataFrame, blocking: bool = False) -> int:
     """Release every intermediate a builder attached to ``df``;
     returns how many were released (0 for frames with no attachment —
     safe to call unconditionally)."""
-    held = getattr(df, _ATTR, [])
+    held = df.__dict__.get(_ATTR, [])
     for f in held:
         f.unpersist(blocking)
     if held:
-        setattr(df, _ATTR, [])
+        df.__dict__[_ATTR] = []
     return len(held)

@@ -325,6 +325,33 @@ def ngram_jaccard(
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def hashed_shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """xxhash64'd DISTINCT shingle sets — the exact-Jaccard verify
+    payload: (``id``, ``s``: array<long>), one row per document. The
+    candidate join ships 8 B/shingle and intersects longs; Jaccard is
+    unchanged absent a 64-bit collision within one pair's sets
+    (P ≈ s²·2⁻⁶⁵ per pair). Shared by :func:`minhash_dedup_pairs` and
+    the streaming batch kernel (streaming/dedup.py) so the two verify
+    representations cannot drift."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.array_distinct(
+                shingles(
+                    whitespace_tokens(normalize_text(F.col(text_col))),
+                    shingle_k,
+                )
+            ),
+            lambda sh: F.xxhash64(sh),
+        ).alias("s"),
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -375,17 +402,7 @@ def minhash_dedup_pairs(
         df, id_col, text_col, num_hashes, num_bands, shingle_k,
         max_bucket=max_bucket, persist_banded=persist_banded,
     )
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.array_distinct(
-                shingles(
-                    whitespace_tokens(normalize_text(F.col(text_col))), shingle_k
-                )
-            ),
-            lambda sh: F.xxhash64(sh),
-        ).alias("s"),
-    )
+    sets = hashed_shingle_sets(df, id_col, text_col, shingle_k)
     if persist_sets:
         from pyspark import StorageLevel
 
@@ -829,6 +846,7 @@ def embedding_near_dups(
     planes_per_band: int = 16,
     seed: int = 42,
     max_bucket: int | None = 1000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via BANDED random-hyperplane
     LSH + exact cosine verify (see similarity.py for the signature
@@ -866,17 +884,20 @@ def embedding_near_dups(
     renamed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).where(
         F.col("v").isNotNull()
     )
-    from .similarity import _probe_dim
+    if dim is None:
+        # probing is a FALLBACK: a malformed leading vector would pin
+        # the wrong width and null every correct signature — callers
+        # that know the build dim (streaming batch kernels, index
+        # lookups) must pass it explicitly
+        from .similarity import _probe_dim
 
-    d = _probe_dim(renamed, "v")
-    first = None if d is None else {"d": d}
-    if first is None:
+        dim = _probe_dim(renamed, "v")
+    if dim is None:
         return renamed.select(
             F.col("id").alias("id_a"),
             F.col("id").alias("id_b"),
             F.lit(0.0).alias("cosine"),
         ).limit(0)
-    dim = first["d"]
     ex = embedding_banded_signatures(
         df, id_col, vec_col, num_bands, planes_per_band, seed, dim=dim
     )

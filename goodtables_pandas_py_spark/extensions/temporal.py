@@ -79,6 +79,11 @@ def asof_join(
         F.col(ts_col).alias(f"__rts"),
         *[F.col(c) for c in right_cols],
     )
+    # a NULL-ts right row can never be "at or before" any left ts,
+    # but NULLS FIRST ordering would place it at the window start and
+    # its non-null payload struct would match every left row preceding
+    # the first real right row — drop them before the union
+    right = right.where(F.col(ts_col).isNotNull())
     r = right.select(
         *[F.col(c) for c in by],
         F.col(ts_col),

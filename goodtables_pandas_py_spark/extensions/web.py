@@ -70,10 +70,22 @@ def _normalize_block_entry(raw: Column) -> Column:
     """Blocklist entry → host: full URLs (URLhaus publishes URLs, not
     hosts) go through url_host; bare hosts are lowercased with any
     trailing dot stripped — the SAME normalization url_host applies
-    to the corpus side, so the two cannot drift."""
-    return F.when(
-        raw.contains("://"), url_host(raw)
-    ).otherwise(F.regexp_replace(F.lower(F.trim(raw)), r"\.$", ""))
+    to the corpus side, so the two cannot drift.
+
+    The entry is trimmed FIRST: blocklist files routinely carry
+    padding/CRLF, and ``try_parse_url`` on a space-padded URL returns
+    null — which silently dropped the entry from the list (fail-OPEN
+    for exactly the rows the list exists to block). Scheme-less
+    host+path entries ('evil.com/path') keep only the host part —
+    the path can never participate in a host-suffix match, so leaving
+    it in made the entry silently ineffective the same way."""
+    # NOT F.trim: trim strips only the space character, and blocklist
+    # lines read without newline splitting carry \r\n / tabs
+    entry = F.regexp_replace(raw, r"^\s+|\s+$", "")
+    bare = F.regexp_replace(
+        F.lower(F.regexp_extract(entry, r"^([^/]*)", 1)), r"\.$", ""
+    )
+    return F.when(entry.contains("://"), url_host(entry)).otherwise(bare)
 
 
 def host_suffixes(host: Column) -> Column:

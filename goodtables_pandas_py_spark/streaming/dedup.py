@@ -34,28 +34,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cacheutil import attach_persisted, unpersist_scan_state
 from ..extensions.dedup import (
     banded_signatures,
     cap_buckets,
-    minhash_dedup_pairs,
+    hashed_shingle_sets,
 )
-from ..extensions.text import normalize_text, shingles, whitespace_tokens
-
-
-def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int):
-    # xxhash64'd shingle sets (array<long>, not array<string>) — the
-    # same verify-payload representation as minhash_dedup_pairs: the
-    # candidate join ships 8 B/shingle and intersects longs; Jaccard
-    # is unchanged absent a 64-bit collision within one pair's sets
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.array_distinct(
-                shingles(whitespace_tokens(normalize_text(F.col(text_col))), k)
-            ),
-            lambda sh: F.xxhash64(sh),
-        ).alias("s"),
-    )
 
 
 def dedup_batch_against_corpus(
@@ -88,10 +72,20 @@ def dedup_batch_against_corpus(
     with a corpus doc or a smaller-id batch doc ≥ ``threshold``
     (LSH-candidates-then-verify, so precision is exact and recall is
     the banding guarantee). Batch docs that near-dup only EACH OTHER
-    keep exactly the min id — same greedy policy as ``near_dedup``."""
+    keep exactly the min id — same greedy policy as ``near_dedup``.
+
+    The batch's banded signatures and hashed shingle sets are built
+    ONCE and PERSISTED for the handler's duration — they feed four and
+    three plan consumers respectively (corpus lookup + intra-batch
+    self-join; corpus verify + both intra verify sides), and on the
+    hot streaming path the unpersisted form re-ran the dominant
+    normalize→shingle→hash pipeline ~7× per micro-batch. Both frames
+    are attached to the returned plan: release them after
+    materializing with ``cacheutil.unpersist_scan_state(kept)`` (the
+    foreachBatch wrapper does this for you)."""
     new_banded = banded_signatures(
         batch, id_col, text_col, num_hashes, num_bands, shingle_k
-    )
+    ).persist()
     # restrict the corpus index to the buckets THIS batch hits before
     # any counting: a full-index groupBy per micro-batch re-aggregated
     # the whole corpus; the semi-join keeps bucket sizes exact for the
@@ -111,12 +105,12 @@ def dedup_batch_against_corpus(
         .select(F.col("id"), F.col("cid"))
         .distinct()
     )
-    new_sets = _shingle_sets(batch, id_col, text_col, shingle_k)
+    new_sets = hashed_shingle_sets(batch, id_col, text_col, shingle_k).persist()
     # shingle only the corpus docs that are actually candidates —
     # shingling the full corpus per batch contradicted the
     # "only candidate rows are ever fetched" contract
     cand_cids = cands.select(F.col("cid").alias(id_col)).distinct()
-    corpus_sets = _shingle_sets(
+    corpus_sets = hashed_shingle_sets(
         corpus_docs.join(cand_cids, id_col, "left_semi"),
         id_col, text_col, shingle_k,
     ).withColumnsRenamed({"id": "cid", "s": "cs"})
@@ -130,17 +124,40 @@ def dedup_batch_against_corpus(
         .select(F.col("id").alias(id_col))
         .distinct()
     )
+    # intra-batch arm from the SAME persisted signatures and sets —
+    # calling minhash_dedup_pairs here rebuilt the banded pipeline and
+    # the shingle sets from scratch (~4 more signature builds per
+    # batch). The self-join pair set within capped (band, bh) buckets
+    # is identical to minhash_candidates' collect_list pairing, and
+    # the verify payload is the same hashed-set frame, so the drop set
+    # is bit-identical to the previous minhash_dedup_pairs arm.
+    capped = cap_buckets(new_banded, ["band", "bh"], max_bucket)
+    intra_cands = (
+        capped.select(F.col("id").alias("id_a"), "band", "bh")
+        .join(capped.select(F.col("id").alias("id_b"), "band", "bh"),
+              ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    intra_jac = F.when(
+        F.size(F.col("s_a")) + F.size(F.col("s_b"))
+        - F.size(F.array_intersect(F.col("s_a"), F.col("s_b"))) > 0,
+        F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
+        / (F.size(F.col("s_a")) + F.size(F.col("s_b"))
+           - F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))),
+    ).otherwise(F.lit(0.0))
     intra_drops = (
-        minhash_dedup_pairs(
-            batch, id_col, text_col, threshold,
-            num_hashes, num_bands, shingle_k,
-            max_bucket=max_bucket,
-        )
+        intra_cands
+        .join(new_sets.withColumnsRenamed({"id": "id_a", "s": "s_a"}), "id_a")
+        .join(new_sets.withColumnsRenamed({"id": "id_b", "s": "s_b"}), "id_b")
+        .where(intra_jac >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
     drops = dup_of_corpus.unionByName(intra_drops).distinct()
-    return batch.join(drops, id_col, "left_anti")
+    kept = batch.join(drops, id_col, "left_anti")
+    return attach_persisted(kept, new_banded, new_sets)
 
 
 def _resolve(df_or_fn):
@@ -178,6 +195,7 @@ def incremental_near_dedup_foreach_batch(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.persist()
+        kept = None
         try:
             kept = dedup_batch_against_corpus(
                 batch, _resolve(corpus_docs), _resolve(corpus_banded),
@@ -186,6 +204,8 @@ def incremental_near_dedup_foreach_batch(
             )
             on_kept(kept, batch_id)
         finally:
+            if kept is not None:
+                unpersist_scan_state(kept)
             batch.unpersist()
 
     return handle
@@ -213,11 +233,18 @@ def embedding_dedup_batch_against_corpus(
     ``embedding_near_dups``). Null vectors pass through (near-dups of
     nothing). Vectors are fetched from ``corpus_vecs`` for candidate
     ids only; LSH parameters must match the index build (seed-derived
-    hyperplanes)."""
-    from ..extensions.dedup import (
-        embedding_banded_signatures,
-        embedding_near_dups,
-    )
+    hyperplanes).
+
+    The batch's banded signatures are built ONCE with the pinned
+    ``dim`` and PERSISTED for the handler's duration — the intra-batch
+    arm self-joins the SAME frame (the previous ``embedding_near_dups``
+    call re-probed dim from the batch, so a malformed leading vector
+    disabled intra-batch dedup even when ``dim`` was passed, and
+    rebuilt the signature matmul from scratch). The frame is attached
+    to the returned plan: release after materializing with
+    ``cacheutil.unpersist_scan_state(kept)`` (the foreachBatch wrapper
+    does this for you)."""
+    from ..extensions.dedup import embedding_banded_signatures
     from ..extensions.similarity import cosine_fixed
 
     from ..extensions.similarity import _probe_dim
@@ -233,7 +260,7 @@ def embedding_dedup_batch_against_corpus(
         return batch  # nothing scorable: keep all
     new_banded = embedding_banded_signatures(
         batch, id_col, vec_col, num_bands, planes_per_band, seed, dim=dim
-    )
+    ).persist()
     # restrict the corpus index to the buckets THIS batch hits BEFORE
     # any counting — same fix as the text kernel above: without the
     # semi-join, cap_buckets' groupBy re-aggregates the ENTIRE corpus
@@ -257,9 +284,19 @@ def embedding_dedup_batch_against_corpus(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
     )
-    corpus_v = corpus_vecs.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    # fetch corpus vectors for CANDIDATE ids only — joining the full
+    # corpus_vecs table scanned (and sort-merge-shuffled) the whole
+    # vector corpus every micro-batch, exactly the per-batch corpus
+    # re-scan the module contract rules out (same shape as the text
+    # kernel's corpus_docs semi-join above; the candidate id set is
+    # batch-bounded, so AQE broadcasts it)
+    cand_cids = cands.select(F.col("cid").alias(id_col)).distinct()
+    corpus_v = (
+        corpus_vecs.join(cand_cids, id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
     )
     dup_of_corpus = (
         cands.join(new_v, "id")
@@ -268,16 +305,29 @@ def embedding_dedup_batch_against_corpus(
         .select(F.col("id").alias(id_col))
         .distinct()
     )
+    # intra-batch arm from the SAME persisted, dim-pinned signatures —
+    # identical pair set to embedding_near_dups (capped (band, sig)
+    # self-join, id_a < id_b) but with the index's dim, not a re-probe
+    capped = cap_buckets(new_banded, ["band", "sig"], max_bucket)
+    intra_cands = (
+        capped.select(F.col("id").alias("id_a"), "band", "sig")
+        .join(capped.select(F.col("id").alias("id_b"), "band", "sig"),
+              ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     intra_drops = (
-        embedding_near_dups(
-            batch, id_col, vec_col, threshold,
-            num_bands, planes_per_band, seed, max_bucket,
-        )
+        intra_cands
+        .join(new_v.withColumnsRenamed({"id": "id_a", "nv": "v_a"}), "id_a")
+        .join(new_v.withColumnsRenamed({"id": "id_b", "nv": "v_b"}), "id_b")
+        .where(cosine_fixed(F.col("v_a"), F.col("v_b"), dim) >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
     drops = dup_of_corpus.unionByName(intra_drops).distinct()
-    return batch.join(drops, id_col, "left_anti")
+    kept = batch.join(drops, id_col, "left_anti")
+    return attach_persisted(kept, new_banded)
 
 
 def incremental_embedding_dedup_foreach_batch(
@@ -300,6 +350,7 @@ def incremental_embedding_dedup_foreach_batch(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.persist()
+        kept = None
         try:
             kept = embedding_dedup_batch_against_corpus(
                 batch, _resolve(corpus_vecs), _resolve(corpus_banded),
@@ -309,6 +360,8 @@ def incremental_embedding_dedup_foreach_batch(
             )
             on_kept(kept, batch_id)
         finally:
+            if kept is not None:
+                unpersist_scan_state(kept)
             batch.unpersist()
 
     return handle

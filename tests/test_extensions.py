@@ -3991,3 +3991,24 @@ def test_r10_extension_review_fixes(spark):
     surv = exact_dedup(ddf, cols=["k"], keep="ts").collect()
     got_meta = {r["k"]: r["meta.source"] for r in surv}
     assert got_meta == {"a": "y", "b": "z"}  # min ts survives
+
+
+def test_cacheutil_tolerates_stash_named_column(spark):
+    """r11 review regression: the stash was read with getattr, which
+    falls through to DataFrame.__getattr__ COLUMN resolution — a frame
+    with a column literally named '_gt_persisted' handed back a Column
+    (not iterable) and broke the 'safe to call unconditionally'
+    contract. The stash now lives in __dict__ directly."""
+    from pyspark.sql import functions as F
+
+    from goodtables_pandas_py_spark.cacheutil import (
+        attach_persisted,
+        unpersist_scan_state,
+    )
+
+    df = spark.range(3).withColumn("_gt_persisted", F.lit(1))
+    assert unpersist_scan_state(df) == 0           # no-op, no crash
+    inter = spark.range(2).persist()
+    out = attach_persisted(df, inter)
+    assert out.columns == ["id", "_gt_persisted"]  # plan untouched
+    assert unpersist_scan_state(out) == 1

@@ -978,3 +978,61 @@ def test_streaming_release_merge_upserts(spark, tmp_path):
     )
     assert len(versions2) == n_before
     assert got2.count() == 4
+
+
+def test_embedding_intra_batch_dedup_pins_index_dim(spark):
+    """r11 review regression (reproduced live): the intra-batch arm
+    called embedding_near_dups, which had no dim parameter and
+    re-probed dim from the batch — a malformed leading vector nulled
+    every correct signature and let an EXACT intra-batch duplicate
+    survive despite the pinned dim. The arm now self-joins the same
+    dim-pinned signature frame the corpus arm uses."""
+    from goodtables_pandas_py_spark.extensions.dedup import (
+        embedding_banded_signatures,
+    )
+    from goodtables_pandas_py_spark.streaming.dedup import (
+        embedding_dedup_batch_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, [0.0] * 7 + [1.0])], "vec_id long, embedding array<double>"
+    )
+    index = embedding_banded_signatures(corpus, dim=8)
+    batch = spark.createDataFrame(
+        [(1, [0.1, 0.2]),              # malformed 2-dim leads
+         (10, [1.0] * 8),
+         (11, [1.0] * 8)],             # exact dup of 10 (cosine 1.0)
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    kept = embedding_dedup_batch_against_corpus(
+        batch, corpus, index, threshold=0.9, dim=8
+    )
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert ids == {1, 10}              # 11 dropped as intra-batch dup
+
+
+def test_dedup_batch_attaches_releasable_scan_state(spark):
+    """The batch kernels persist their signature/set frames for the
+    handler's duration and attach them for release — the attachment
+    must be present and unpersist_scan_state must release it."""
+    from goodtables_pandas_py_spark.cacheutil import unpersist_scan_state
+    from goodtables_pandas_py_spark.extensions.dedup import (
+        banded_signatures,
+    )
+    from goodtables_pandas_py_spark.streaming.dedup import (
+        dedup_batch_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    index = banded_signatures(corpus)
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text about spark plans")],
+        "doc_id long, text string",
+    )
+    kept = dedup_batch_against_corpus(batch, corpus, index, threshold=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == {2}
+    assert unpersist_scan_state(kept) == 2   # banded + sets released

@@ -739,3 +739,24 @@ def test_auto_width_ceil_never_trips_max_bins_guard(spark):
     assert {(r["pid"], r["lo_right"], r["hi_right"]) for r in got} == {
         (1, 0, 25)
     }
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    """r11 review regression: a right row with a NULL timestamp sorted
+    FIRST in the window (NULLS FIRST) and its non-null payload struct
+    matched as the 'latest at or before' row for every left row
+    preceding the first real right row — silently violating left-outer
+    semantics. NULL-ts right rows must be ignored entirely."""
+    left = spark.createDataFrame(
+        [("A", 5, 1), ("A", 50, 2)], "sym string, ts long, qty long"
+    )
+    right = spark.createDataFrame(
+        [("A", None, "NULLTS"), ("A", 40, "REAL")],
+        "sym string, ts long, val string",
+    )
+    got = {
+        r["qty"]: (r["ts_right"], r["val_right"])
+        for r in asof_join(left, right, by=["sym"]).collect()
+    }
+    assert got[1] == (None, None)   # nothing at or before ts=5
+    assert got[2] == (40, "REAL")   # the real row still matches

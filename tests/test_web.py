@@ -115,3 +115,20 @@ def test_blocklist_host_entries_block_self_and_subdomains(spark):
         df, ["www.Evil.example.COM.", "https://bad.site.io/some/path"]
     ).collect()}
     assert kept == {2, 4}
+
+
+def test_blocklist_entries_normalize_padding_and_paths(spark):
+    """r11 review regression: a whitespace/CRLF-padded URL entry made
+    try_parse_url return null and the entry silently dropped from the
+    blocklist (fail-OPEN); a scheme-less host+path entry normalized to
+    a slash-bearing string that could never match a host suffix. Both
+    forms must block."""
+    df = spark.createDataFrame(
+        [(1, "http://evil.com/x"),
+         (2, "https://sub.bad.org/y"),
+         (3, "https://fine.example.org/z")],
+        "id long, url string",
+    )
+    blocked = [" http://evil.com/some/path \r\n", "bad.org/malware.html"]
+    kept = {r["id"] for r in filter_blocked_domains(df, blocked).collect()}
+    assert kept == {3}
