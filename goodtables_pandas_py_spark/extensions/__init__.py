@@ -14,6 +14,7 @@ from . import (
     similarity,
     spans,
     splits,
+    takedown,
     temporal,
     text,
     web,
@@ -21,5 +22,6 @@ from . import (
 
 __all__ = [
     "decontam", "dedup", "dsir", "multimodal", "pipeline", "profiling",
-    "similarity", "spans", "splits", "temporal", "text", "web",
+    "similarity", "spans", "splits", "takedown", "temporal", "text",
+    "web",
 ]

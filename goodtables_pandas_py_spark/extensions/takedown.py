@@ -1,0 +1,221 @@
+"""End-to-end document takedown across a versioned release AND its
+ANN index (r11).
+
+The two halves exist separately — :func:`pipeline.write_release_merge`
+deletes keys from a release, :func:`vecindex.delete_from_ivf_index_version`
+purges postings from an index — but a compliance takedown needs BOTH,
+and sequencing them by hand invites the gap this module closes: a
+crash between the halves leaves documents served by one surface and
+gone from the other, with no single audit record tying the operation
+together.
+
+Crash-safety is BY REPLAY, not by a cross-root transaction (there is
+deliberately no 2-phase commit across two independent version roots —
+each root keeps its own single-writer claim + atomic pointer swap):
+both halves are idempotent no-ops when their ids are already gone, so
+re-running the same call after any partial failure completes exactly
+the missing half and publishes nothing twice. The composite is
+therefore at-least-once-safe end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["takedown_documents"]
+
+
+def takedown_documents(
+    spark: SparkSession,
+    release_root: str,
+    ids,
+    index_root: str | None = None,
+    id_col: str = "doc_id",
+    split_col: str | None = "split",
+    keep_versions: int | None = None,
+    broadcast_cap: int = 5_000_000,
+    verify: bool = False,
+) -> dict:
+    """Remove ``ids`` from the CURRENT release under ``release_root``
+    and (when given) from the CURRENT index version under
+    ``index_root``, in one audited call.
+
+    Order is release first, then index: the release is the content
+    surface a takedown legally targets; a crash after the release
+    publish leaves only stale index POSTINGS (ids pointing at content
+    no longer served), which the replay purges. The reverse order
+    could leave the content itself live.
+
+    Cost ∝ touched data on both sides, never the corpus:
+
+    - release: the requested ids are resolved to (id, split) pairs by
+      ONE column-pruned scan of the current version semi-joined
+      against the (broadcast, capped) id set; the merge then rewrites
+      only the partitions those splits name and hardlinks the rest
+      forward (see ``write_release_merge``).
+    - index: ``delete_from_ivf_index_version`` rewrites only the
+      lists containing the ids; untouched lists carry forward
+      file-identical.
+
+    Replay semantics: ids absent from the release produce an empty
+    delete set → the merge returns the current manifest without
+    publishing; the index path has the same no-op guard. Replaying a
+    completed takedown therefore publishes NOTHING on either root
+    (``noop_replay`` true in both audits).
+
+    ``verify=True`` re-reads the TOUCHED partitions/lists of the new
+    versions and asserts the ids are gone — cost ∝ touched data, same
+    class as the deletes themselves (off by default; the publishes'
+    own fingerprint machinery already audits content).
+
+    Returns an audit dict::
+
+        {"requested": N,
+         "release": {"version", "n_deleted", "touched_splits",
+                     "noop_replay", "manifest"},
+         "index":   {... delete audit from the index manifest ...}
+                    | None}
+    """
+    from .pipeline import read_release, write_release_merge
+    from .vecindex import _normalize_delete_ids, delete_from_ivf_index_version
+
+    from pyspark.sql.types import StructType
+
+    current, manifest = read_release(spark, release_root)
+    if id_col not in current.columns:
+        raise ValueError(
+            f"takedown_documents: release under {release_root} has no "
+            f"id column {id_col!r} (columns: {current.columns})"
+        )
+    # normalize via the index-side helper (it only reads the stand-in
+    # frame's SCHEMA): same loud refusals for lossy casts — a takedown
+    # id that silently vanished or truncated onto the wrong document
+    # is exactly the failure this op exists to prevent
+    del_ids = _normalize_delete_ids(
+        spark, current.select(F.col(id_col).alias("id")), ids
+    ).persist()
+    pairs = None
+    try:
+        n_requested = del_ids.count()
+        hint = (
+            F.broadcast(del_ids) if n_requested <= broadcast_cap else del_ids
+        )
+        # ONE column-pruned scan resolves which (id, split) pairs the
+        # release actually holds — merge needs the split to prune its
+        # partition rewrites
+        pairs = (
+            current.select(
+                F.col(id_col), *( [F.col(split_col)] if split_col else [] )
+            )
+            .join(hint.withColumnRenamed("id", id_col), id_col, "left_semi")
+            .distinct()
+            .persist()
+        )
+        n_matched = pairs.count()
+
+        release_audit: dict = {"noop_replay": n_matched == 0}
+        if n_matched == 0:
+            new_manifest = manifest
+        else:
+            empty_updates = spark.createDataFrame(
+                [], StructType.fromJson(manifest["schema"])
+            )
+            new_manifest = write_release_merge(
+                empty_updates,
+                release_root,
+                id_col=id_col,
+                split_col=split_col,
+                deletes=pairs,
+                keep_versions=keep_versions,
+                spark_for_fs=spark,
+            )
+        touched = sorted(
+            new_manifest.get("incremental", {}).get("rewritten", [])
+            + new_manifest.get("incremental", {}).get("removed", [])
+        ) if n_matched else []
+        release_audit.update(
+            version=new_manifest.get("version"),
+            n_deleted=int(n_matched),
+            touched_splits=touched,
+            manifest=new_manifest,
+        )
+
+        index_audit = None
+        if index_root is not None:
+            idx_manifest = delete_from_ivf_index_version(
+                spark,
+                index_root,
+                del_ids,
+                keep_versions=keep_versions,
+                broadcast_cap=broadcast_cap,
+            )
+            index_audit = dict(idx_manifest.get("deleted", {}))
+            index_audit["version"] = idx_manifest.get("version")
+            index_audit["manifest"] = idx_manifest
+
+        if verify:
+            _verify_absent(
+                spark, release_root, index_root, del_ids, id_col,
+                split_col, release_audit, index_audit,
+            )
+        return {
+            "requested": int(n_requested),
+            "release": release_audit,
+            "index": index_audit,
+        }
+    finally:
+        del_ids.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
+
+
+def _verify_absent(
+    spark, release_root, index_root, del_ids, id_col, split_col,
+    release_audit, index_audit,
+) -> None:
+    """Partition-pruned post-condition: no requested id survives in
+    the new CURRENT of either root. Reads only the partitions/lists
+    the deletes touched (ids lived nowhere else in the base version,
+    and every other partition carried forward file-identical)."""
+    from .pipeline import read_release
+    from .vecindex import read_ivf_index_current
+
+    cur, _ = read_release(spark, release_root)
+    scan = cur.select(id_col)
+    touched = release_audit.get("touched_splits") or []
+    if split_col and touched:
+        scan = cur.where(
+            F.col(split_col).cast("string").isin(
+                [t for t in touched if t != "__null__"]
+            )
+            | (
+                F.col(split_col).isNull()
+                if "__null__" in touched
+                else F.lit(False)
+            )
+        ).select(id_col)
+    leak = scan.join(
+        F.broadcast(del_ids.withColumnRenamed("id", id_col)),
+        id_col,
+        "left_semi",
+    ).head(1)
+    if leak:
+        raise AssertionError(
+            f"takedown verify: id {leak[0][id_col]!r} still present in "
+            f"the release under {release_root}"
+        )
+    if index_root is not None and index_audit is not None:
+        idx = read_ivf_index_current(spark, index_root)
+        postings = idx.postings
+        cids = index_audit.get("touched_lists") or []
+        if cids:
+            postings = postings.where(F.col("ivf_cid").isin(list(cids)))
+        leak = postings.select("id").join(
+            F.broadcast(del_ids), "id", "left_semi"
+        ).head(1)
+        if leak:
+            raise AssertionError(
+                f"takedown verify: id {leak[0]['id']!r} still has "
+                f"postings in the index under {index_root}"
+            )

@@ -1,0 +1,122 @@
+"""Composite takedown across a versioned release + its IVF index
+(extensions/takedown.py, r11): one audited call, both surfaces,
+idempotent replay as the crash-recovery story."""
+
+import os
+
+import pytest
+
+from goodtables_pandas_py_spark.extensions.pipeline import (
+    list_release_versions,
+    read_release,
+    write_release_version,
+)
+from goodtables_pandas_py_spark.extensions.takedown import takedown_documents
+from goodtables_pandas_py_spark.extensions.vecindex import (
+    read_ivf_index_current,
+    write_ivf_index_version,
+)
+
+
+def _publish_pair(spark, tmp_path):
+    """A 8-doc release partitioned by split + a versioned IVF index
+    over the same ids."""
+    rows = [
+        (i, f"document {i}", "train" if i % 2 == 0 else "test")
+        for i in range(8)
+    ]
+    rel = str(tmp_path / "rel")
+    write_release_version(
+        spark.createDataFrame(rows, "doc_id long, text string, split string"),
+        rel,
+    )
+    vecs = [
+        (i, [1.0 if j == i % 4 else 0.0 for j in range(4)])
+        for i in range(8)
+    ]
+    idx = str(tmp_path / "idx")
+    write_ivf_index_version(
+        spark.createDataFrame(vecs, "vec_id long, embedding array<float>"),
+        idx,
+        nlist=2,
+        refine=2,
+    )
+    return rel, idx
+
+
+def test_takedown_purges_release_and_index(spark, tmp_path):
+    rel, idx = _publish_pair(spark, tmp_path)
+    audit = takedown_documents(
+        spark, rel, [2, 5], index_root=idx, verify=True
+    )
+    assert audit["requested"] == 2
+    assert audit["release"]["n_deleted"] == 2
+    assert not audit["release"]["noop_replay"]
+    # id 2 is train, id 5 is test — both partitions rewritten
+    assert audit["release"]["touched_splits"] == ["test", "train"]
+    assert audit["index"]["n_deleted"] == 2
+    assert not audit["index"].get("noop_replay", False)
+
+    cur, man = read_release(spark, rel)
+    got = {r["doc_id"] for r in cur.select("doc_id").collect()}
+    assert got == {0, 1, 3, 4, 6, 7}
+    assert man["version"] == audit["release"]["version"]
+    postings = read_ivf_index_current(spark, idx).postings
+    assert {r["id"] for r in postings.select("id").collect()} == got
+
+
+def test_takedown_replay_is_noop_on_both_roots(spark, tmp_path):
+    rel, idx = _publish_pair(spark, tmp_path)
+    takedown_documents(spark, rel, [2, 5], index_root=idx)
+    rel_versions = list_release_versions(spark, rel)
+    idx_versions = sorted(os.listdir(os.path.join(idx, "versions")))
+
+    replay = takedown_documents(
+        spark, rel, [2, 5], index_root=idx, verify=True
+    )
+    assert replay["requested"] == 2
+    assert replay["release"]["noop_replay"]
+    assert replay["release"]["n_deleted"] == 0
+    assert replay["index"]["noop_replay"]
+    # NOTHING published twice on either root
+    assert list_release_versions(spark, rel) == rel_versions
+    assert (
+        sorted(os.listdir(os.path.join(idx, "versions"))) == idx_versions
+    )
+
+
+def test_takedown_crash_between_halves_completes_by_replay(
+    spark, tmp_path
+):
+    """Release publishes, index half fails (its root has no CURRENT)
+    → the audit trail is the exception; replaying the SAME call with
+    the index repaired completes only the missing half."""
+    rel, idx = _publish_pair(spark, tmp_path)
+    with pytest.raises(FileNotFoundError, match="CURRENT"):
+        takedown_documents(
+            spark, rel, [2, 5], index_root=str(tmp_path / "nowhere")
+        )
+    # release half went through
+    cur, _ = read_release(spark, rel)
+    assert cur.where("doc_id in (2, 5)").count() == 0
+
+    done = takedown_documents(spark, rel, [2, 5], index_root=idx)
+    assert done["release"]["noop_replay"]          # already purged
+    assert done["index"]["n_deleted"] == 2         # completed now
+    postings = read_ivf_index_current(spark, idx).postings
+    assert postings.where("id in (2, 5)").count() == 0
+
+
+def test_takedown_release_only_and_id_guards(spark, tmp_path):
+    rel, _ = _publish_pair(spark, tmp_path)
+    with pytest.raises(TypeError, match="non-integral floats"):
+        takedown_documents(spark, rel, [5.7])
+    with pytest.raises(ValueError, match="does not cast"):
+        takedown_documents(spark, rel, ["not-an-id"])
+
+    audit = takedown_documents(spark, rel, [0, 99], verify=True)
+    assert audit["index"] is None
+    assert audit["requested"] == 2
+    assert audit["release"]["n_deleted"] == 1      # 99 never existed
+    cur, _ = read_release(spark, rel)
+    assert cur.where("doc_id = 0").count() == 0
