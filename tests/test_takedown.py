@@ -120,3 +120,100 @@ def test_takedown_release_only_and_id_guards(spark, tmp_path):
     assert audit["release"]["n_deleted"] == 1      # 99 never existed
     cur, _ = read_release(spark, rel)
     assert cur.where("doc_id = 0").count() == 0
+
+
+def test_takedown_property_conservation_and_replay(spark, tmp_path):
+    """Hypothesis property (r11): over random corpora, splits, and
+    delete sets (existing, absent, and mixed ids), the composite
+    takedown conserves exactly — survivors on BOTH surfaces are the
+    base ids minus the requested set, version counts advance only
+    when something matched, and an immediate replay publishes nothing
+    on either root."""
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seed=st.integers(min_value=0, max_value=10**6))
+    def run(seed):
+        rng = random.Random(seed)
+        counter["n"] += 1
+        rel = str(tmp_path / f"p{counter['n']}_rel")
+        idx = str(tmp_path / f"p{counter['n']}_idx")
+        n = rng.randint(10, 30)
+        splits = ["train", "val", "test"][: rng.randint(1, 3)]
+        rows = [
+            (i, f"doc {i}", rng.choice(splits)) for i in range(n)
+        ]
+        write_release_version(
+            spark.createDataFrame(
+                rows, "doc_id long, text string, split string"
+            ),
+            rel,
+        )
+        dim = 4
+        vecs = [
+            (i, [rng.uniform(-4, 4) for _ in range(dim)])
+            for i in range(n)
+        ]
+        write_ivf_index_version(
+            spark.createDataFrame(
+                vecs, "vec_id long, embedding array<double>"
+            ),
+            idx,
+            nlist=rng.randint(2, 4),
+            refine=1,
+        )
+        # requested set mixes present and absent ids; may match nothing
+        requested = sorted(
+            set(
+                rng.sample(
+                    range(0, 2 * n), rng.randint(0, min(8, n))
+                )
+            )
+        )
+        matched = sorted(i for i in requested if i < n)
+        audit = takedown_documents(
+            spark, rel, requested, index_root=idx, verify=True
+        )
+        assert audit["requested"] == len(requested)
+        assert audit["release"]["n_deleted"] == len(matched)
+        expect = set(range(n)) - set(matched)
+        cur, man = read_release(spark, rel)
+        assert {
+            r["doc_id"] for r in cur.select("doc_id").collect()
+        } == expect
+        postings = read_ivf_index_current(spark, idx).postings
+        assert {
+            r["id"] for r in postings.select("id").collect()
+        } == expect
+        rel_versions = list_release_versions(spark, rel)
+        idx_versions = sorted(os.listdir(os.path.join(idx, "versions")))
+        if matched:
+            assert audit["index"]["n_deleted"] == len(matched)
+            assert len(rel_versions) == 2
+        else:
+            assert audit["release"]["noop_replay"]
+            assert len(rel_versions) == 1
+            assert len(idx_versions) == 1
+        replay = takedown_documents(
+            spark, rel, requested, index_root=idx
+        )
+        assert replay["release"]["noop_replay"]
+        assert replay["index"] is None or replay["index"].get(
+            "noop_replay", requested == []
+        )
+        assert list_release_versions(spark, rel) == rel_versions
+        assert (
+            sorted(os.listdir(os.path.join(idx, "versions")))
+            == idx_versions
+        )
+
+    run()
