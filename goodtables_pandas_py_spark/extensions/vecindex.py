@@ -1297,6 +1297,376 @@ def delete_from_ivf_index_version(
     return manifest
 
 
+def _upsert_changed_rows(
+    idx: IvfIndex, df: DataFrame, id_col: str, vec_col: str,
+    broadcast_cap: int,
+) -> tuple[DataFrame, DataFrame, str]:
+    """Assign the upsert batch with the STORED centroids and reduce it
+    to the rows that would actually change the index: new ids, and
+    existing ids whose stored payload differs from the incoming one
+    (null-safe struct/array equality — quantization applied BEFORE the
+    compare, so a re-embed that quantizes identically is unchanged).
+    Returns (assigned, changed, payload_col); ``changed`` carries
+    ``__old_cid`` (NULL for inserts). The compare reads payloads ONLY
+    from the lists the batch ids currently live in — a partition-
+    pruned join, never a corpus scan. ``assigned`` comes back
+    PERSISTED (the id-count for the broadcast-cap decision already
+    materialized it); callers unpersist."""
+    manifest = idx.manifest
+    dim = int(manifest["dim"])
+    payload_col = "qvec" if manifest["quantized"] else "vec"
+    batch = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    )
+    valid = F.col("__v").isNotNull() & (F.size(F.col("__v")) == dim)
+    if manifest["quantized"]:
+        payload = quantize_embedding(F.col("__v").cast("array<float>"))
+    else:
+        payload = F.col("__v").cast("array<float>")
+    assigned = (
+        batch.withColumn("__ok", valid)
+        .withColumn(
+            "ivf_cid",
+            F.when(valid, _assign_cids(F.col("__v"), idx.centroids)),
+        )
+        .withColumn(payload_col, F.when(valid, payload))
+        .select("id", "ivf_cid", payload_col, "__ok")
+    ).persist()
+    valid_rows = assigned.where(F.col("__ok")).drop("__ok")
+    ids_hint = valid_rows.select("id")
+    # counted broadcast-cap policy, same as delete: micro-batches and
+    # refresh runs broadcast; a corpus-sized batch falls back to the
+    # shuffle join instead of OOMing the driver
+    if valid_rows.count() <= broadcast_cap:
+        ids_hint = F.broadcast(ids_hint)
+    # discovery: WHERE do the batch ids currently live (column-pruned
+    # (id, ivf_cid) scan) — bounds the payload compare to those lists
+    old_lists = [
+        int(r["ivf_cid"])
+        for r in idx.postings.select("id", "ivf_cid")
+        .join(ids_hint, "id", "left_semi")
+        .select("ivf_cid")
+        .distinct()
+        .collect()
+        if r["ivf_cid"] is not None
+    ]
+    old = (
+        idx.postings.where(
+            F.col("ivf_cid").isin(old_lists)
+            if old_lists
+            else F.lit(False)
+        )
+        .join(ids_hint, "id", "left_semi")
+        .select(
+            "id",
+            F.col("ivf_cid").alias("__old_cid"),
+            F.col(payload_col).alias("__old_p"),
+        )
+    )
+    changed = (
+        valid_rows.join(old, "id", "left_outer")
+        .where(~F.col(payload_col).eqNullSafe(F.col("__old_p")))
+        .select("id", "ivf_cid", payload_col, "__old_cid")
+    )
+    return assigned, changed, payload_col
+
+
+def upsert_into_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_cap: int = 5_000_000,
+) -> dict:
+    """UPSERT vectors by id — the re-embedding refresh path (r11):
+    matched ids get their posting REPLACED (moving lists when the new
+    vector assigns elsewhere), new ids are inserted, and rows whose
+    incoming payload equals the stored one are LEFT IN PLACE — so a
+    partial re-embed run (or a replayed micro-batch) touches only the
+    lists holding genuinely changed ids, not every list the batch
+    mentions. Without this op a vector refresh needs
+    delete-version + append-version: two pointer swaps with a window
+    where the documents are absent from serving.
+
+    Cost ∝ touched lists (the :func:`delete_from_ivf_index` shape):
+    discovery is a column-pruned (id, ivf_cid) scan against the
+    broadcast batch ids; the payload compare and the rewrite read only
+    the discovered lists plus the lists changed vectors newly assign
+    to; every untouched hive partition carries forward file-identical.
+    Centroids are UNCHANGED — an upsert assigns with the stored
+    quantizer exactly like :func:`append_to_ivf_index`, and the same
+    drift remedies apply (:func:`ivf_maintenance_plan`).
+
+    Contracts: batch ids unique and non-null (a duplicate would both
+    insert — refused loudly, like the release merge); posting ids
+    unique in the index (an id with two postings makes "replace"
+    ambiguous — refused loudly; build/append with ``dedupe_ids``
+    guarantee it). Unindexable batch rows (NULL / wrong-dim vector)
+    are skipped entirely — the old posting, if any, is KEPT (an
+    upsert must never act as a silent takedown) — and counted in the
+    audit. Row conservation across the rewrite is asserted with an
+    Observation before the manifest write."""
+    if os.path.normpath(out_dir) == os.path.normpath(index_dir):
+        raise ValueError(
+            "upsert_into_ivf_index: out_dir must differ from the live "
+            "index_dir — an in-place rewrite would expose a half-built "
+            "index to readers (upsert_into_ivf_index_version gives the "
+            "atomic swap)"
+        )
+    from .pipeline import _copy_reused_partitions
+
+    idx = read_ivf_index(spark, index_dir)
+    manifest = idx.manifest
+    sizes = {int(k): int(v) for k, v in manifest["list_sizes"].items()}
+
+    assigned, changed, payload_col = _upsert_changed_rows(
+        idx, df, id_col, vec_col, broadcast_cap
+    )
+    changed = changed.persist()
+    try:
+        stats = assigned.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("id")).alias("n_ids"),
+            F.count_if(F.col("id").isNull()).alias("n_null"),
+            F.count_if(~F.col("__ok")).alias("n_unindexable"),
+        ).collect()[0]
+        if stats["n"] != stats["n_ids"] or stats["n_null"]:
+            raise ValueError(
+                "upsert_into_ivf_index: batch ids are not unique/"
+                "non-null — a duplicate id would both insert "
+                f"(rows={stats['n']}, distinct={stats['n_ids']}, "
+                f"null={stats['n_null']})"
+            )
+        # posting-id uniqueness among the matched ids (bounded: the
+        # pruned discovery scan, one agg) — two postings for one id
+        # make "replace" ambiguous
+        dup = (
+            idx.postings.select("id")
+            .join(F.broadcast(changed.select("id")), "id", "left_semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .head(1)
+        )
+        if dup:
+            raise ValueError(
+                f"upsert_into_ivf_index: index holds {dup[0]['n']} "
+                f"postings for id {dup[0]['id']!r} — replace is "
+                "ambiguous; rebuild or delete the id first"
+            )
+        ch = changed.agg(
+            F.count(F.lit(1)).alias("n_changed"),
+            F.count_if(F.col("__old_cid").isNotNull()).alias(
+                "n_replaced"
+            ),
+            F.count_if(
+                F.col("__old_cid").isNotNull()
+                & (F.col("__old_cid") != F.col("ivf_cid"))
+            ).alias("n_moved"),
+            F.count_if(F.col("ivf_cid").isNull()).alias("n_null_cid"),
+        ).collect()[0]
+        if ch["n_null_cid"]:
+            # can't happen through the dim/null validity gate above,
+            # but a NULL cid would land in the hive default partition
+            # and vanish from the counts — refuse, never shrink
+            # silently (the recluster/split lesson, ADVICE r11)
+            raise ValueError(
+                "upsert_into_ivf_index: assignment produced "
+                f"{ch['n_null_cid']} NULL list ids — refusing a write "
+                "that would drop rows into the default partition"
+            )
+        n_changed = int(ch["n_changed"])
+
+        repl_counts = {
+            int(r["__old_cid"]): int(r["n"])
+            for r in changed.where(F.col("__old_cid").isNotNull())
+            .groupBy("__old_cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        add_counts = {
+            int(r["ivf_cid"]): int(r["n"])
+            for r in changed.groupBy("ivf_cid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+            if r["ivf_cid"] is not None
+        }
+        touched = sorted(set(repl_counts) | set(add_counts))
+
+        out_postings = os.path.join(out_dir, "postings.parquet")
+        if touched:
+            survivors = (
+                idx.postings.where(
+                    F.col("ivf_cid").isin([int(c) for c in touched])
+                )
+                .join(
+                    F.broadcast(changed.select("id")), "id", "left_anti"
+                )
+                .select("id", "ivf_cid", payload_col)
+            )
+            merged = survivors.unionByName(
+                changed.select("id", "ivf_cid", payload_col)
+            )
+            obs = Observation()
+            merged.observe(
+                obs, F.count(F.lit(1)).alias("n_written")
+            ).write.mode("overwrite").partitionBy("ivf_cid").parquet(
+                out_postings
+            )
+            n_written = int(obs.get.get("n_written") or 0)
+            expected = (
+                sum(sizes.get(c, 0) for c in touched)
+                - sum(repl_counts.values())
+                + n_changed
+            )
+            if n_written != expected:
+                raise ValueError(
+                    "upsert_into_ivf_index: row conservation failed "
+                    f"on the rewrite — expected {expected} rows in "
+                    f"the touched lists, wrote {n_written} (stale "
+                    "manifest counts or concurrent writer?)"
+                )
+    finally:
+        assigned.unpersist()
+        changed.unpersist()
+
+    reused = [str(c) for c in sorted(sizes) if c not in set(touched)]
+    _copy_reused_partitions(
+        spark,
+        os.path.join(index_dir, "postings.parquet"),
+        out_postings,
+        "ivf_cid",
+        reused,
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(idx.centroids)],
+        "cid int, centroid array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids.parquet")
+    )
+
+    counts = {
+        c: sizes.get(c, 0)
+        - repl_counts.get(c, 0)
+        + add_counts.get(c, 0)
+        for c in set(sizes) | set(touched)
+    }
+    emptied = sorted(c for c, n in counts.items() if n == 0 and c in sizes)
+    counts = {c: n for c, n in counts.items() if n > 0}
+    new_manifest = _derived_manifest(
+        manifest,
+        counts,
+        nlist=int(manifest["nlist"]),
+        extra={
+            "upserted": {
+                "n_batch": int(stats["n"]),
+                "n_unindexable": int(stats["n_unindexable"]),
+                "n_changed": n_changed,
+                "n_replaced": int(ch["n_replaced"]),
+                "n_inserted": n_changed - int(ch["n_replaced"]),
+                "n_unchanged": int(stats["n"])
+                - int(stats["n_unindexable"])
+                - n_changed,
+                "n_moved": int(ch["n_moved"]),
+                "touched_lists": [int(c) for c in touched],
+                "emptied_lists": [int(c) for c in emptied],
+                "reused_lists": len(reused),
+            }
+        },
+    )
+    new_manifest["n_unindexable"] = int(
+        manifest.get("n_unindexable", 0)
+    ) + int(stats["n_unindexable"])
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(new_manifest, fh, indent=2, sort_keys=True)
+    return new_manifest
+
+
+def upsert_into_ivf_index_version(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_versions: int | None = None,
+    broadcast_cap: int = 5_000_000,
+) -> dict:
+    """Upsert into the CURRENT version of a versioned index root,
+    publishing the result as a NEW version with the atomic claim +
+    pointer swap — ONE swap, so serving never sees a window where a
+    re-embedded document is absent (the delete-version +
+    append-version sequence has exactly that window).
+
+    True idempotent replay: when NO batch row would change the index
+    (every id present with a payload that quantizes identically) the
+    call returns the CURRENT manifest (audit ``n_changed: 0``,
+    ``noop_replay`` true) without claiming or publishing — the
+    at-least-once foreachBatch contract with zero version churn. The
+    probe costs one pruned compare join on real upserts; on replays
+    it is the whole job. The batch is persisted around the probe and
+    the inner rewrite so both see the same rows even from a
+    nondeterministic caller frame (the delete-path lesson)."""
+    from .pipeline import (
+        _apply_retention,
+        _claim_version,
+        _next_version_name,
+        _pointer_paths,
+        _read_text,
+        _swap_or_abandon,
+    )
+
+    cur = _read_text(spark, _pointer_paths(root)[0])
+    if cur is None:
+        raise FileNotFoundError(
+            f"no CURRENT pointer under {root} — nothing to upsert into"
+        )
+    cur = cur.strip()
+    cur_dir = os.path.join(root, "versions", cur)
+    idx = read_ivf_index(spark, cur_dir)
+    snap = df.persist()
+    probe_assigned = None
+    try:
+        probe_assigned, changed, _ = _upsert_changed_rows(
+            idx, snap, id_col, vec_col, broadcast_cap
+        )
+        if not changed.head(1):
+            manifest = dict(idx.manifest)
+            manifest["upserted"] = {
+                "n_changed": 0,
+                "touched_lists": [],
+                "emptied_lists": [],
+                "reused_lists": len(manifest["list_sizes"]),
+                "noop_replay": True,
+            }
+            return manifest
+        vname = _next_version_name(spark, root)
+        _claim_version(spark, root, vname)
+        manifest = upsert_into_ivf_index(
+            spark,
+            cur_dir,
+            os.path.join(root, "versions", vname),
+            snap,
+            id_col=id_col,
+            vec_col=vec_col,
+            broadcast_cap=broadcast_cap,
+        )
+    finally:
+        if probe_assigned is not None:
+            probe_assigned.unpersist()
+        snap.unpersist()
+    manifest["version"] = vname
+    manifest["upserted"]["base_version"] = cur
+    with open(
+        os.path.join(root, "versions", vname, "manifest.json"), "w"
+    ) as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    _swap_or_abandon(spark, root, vname, cur)
+    _apply_retention(spark, spark, root, keep_versions, vname)
+    return manifest
+
+
 def merge_ivf_cold_lists(
     spark: SparkSession,
     index_dir: str,
@@ -1824,6 +2194,38 @@ def ivf_append_foreach_batch(
         append_to_ivf_index(
             batch_df, index_dir, id_col=id_col, vec_col=vec_col,
             dedupe_ids=dedupe_ids,
+        )
+
+    return handle
+
+
+def ivf_upsert_foreach_batch(
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_versions: int | None = None,
+):
+    """``foreachBatch`` handler for a stream of embedding REFRESHES
+    against a versioned index root (r11): each micro-batch upserts via
+    :func:`upsert_into_ivf_index_version` — replaced ids move lists,
+    new ids insert, and a REPLAYED batch (every payload already
+    stored) publishes nothing, so at-least-once delivery causes zero
+    version churn. Where :func:`ivf_append_foreach_batch` mutates a
+    flat index in place and can only ADD, this publishes immutable
+    versions and can also update — size ``keep_versions`` past the
+    longest-running query's lifetime. foreachBatch serializes handler
+    invocations, satisfying the single-writer publish contract."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        upsert_into_ivf_index_version(
+            batch_df.sparkSession,
+            root,
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            keep_versions=keep_versions,
         )
 
     return handle

@@ -1582,3 +1582,261 @@ def test_merge_many_cold_lists_broadcast_remap(spark, tmp_path):
     assert man1["n_vectors"] == man0["n_vectors"]
     idx1 = read_ivf_index(spark, str(tmp_path / "m"))
     assert idx1.postings.count() == man0["n_vectors"]
+
+
+def test_upsert_refresh_insert_unchanged_and_parity(spark, tmp_path):
+    """upsert_into_ivf_index (r11): matched ids are REPLACED (moving
+    lists when the refreshed vector assigns elsewhere), new ids
+    insert, payload-identical rows are left in place (their lists are
+    not even touched), unindexable rows never act as a takedown —
+    and exhaustive serving over the result equals exact search over
+    the upserted corpus."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        ivf_index_topk,
+        read_ivf_index,
+        upsert_into_ivf_index,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    out = str(tmp_path / "idx_up")
+    man0 = write_ivf_index(df, src, nlist=4, refine=2)
+    sizes0 = {int(k): v for k, v in man0["list_sizes"].items()}
+    rows = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+    dim = len(rows[0])
+
+    mover = [0.0] * dim
+    mover[5] = 10.0                      # id 0 (corner 0) → heavy blob
+    inplace = [x + 0.05 for x in rows[1]]  # id 1: same cluster, new vec
+    batch = [
+        (0, mover),
+        (1, inplace),
+        (21, rows[21]),                  # byte-identical → unchanged
+        (9000, [x + 0.1 for x in rows[60]]),   # brand-new id
+        (22, [1.0, 2.0]),                # wrong dim → skipped, old kept
+    ]
+    bdf = spark.createDataFrame(
+        batch, "vec_id long, embedding array<double>"
+    )
+    man1 = upsert_into_ivf_index(spark, src, out, bdf)
+    up = man1["upserted"]
+    assert up["n_batch"] == 5
+    assert up["n_unindexable"] == 1
+    assert up["n_changed"] == 3
+    assert up["n_replaced"] == 2
+    assert up["n_inserted"] == 1
+    assert up["n_unchanged"] == 1
+    assert up["n_moved"] == 1            # id 0 crossed lists
+    assert man1["n_vectors"] == man0["n_vectors"] + 1
+    assert man1["nlist"] == man0["nlist"]  # centroids untouched
+
+    # unchanged-id's list and every other untouched list carry
+    # forward file-identical
+    touched = set(up["touched_lists"])
+    for cid in sizes0:
+        if cid in touched:
+            continue
+        sdir = os.path.join(src, "postings.parquet", f"ivf_cid={cid}")
+        odir = os.path.join(out, "postings.parquet", f"ivf_cid={cid}")
+        sf = {
+            f: os.path.getsize(os.path.join(sdir, f))
+            for f in os.listdir(sdir)
+            if f.endswith(".parquet")
+        }
+        of = {
+            f: os.path.getsize(os.path.join(odir, f))
+            for f in os.listdir(odir)
+            if f.endswith(".parquet")
+        }
+        assert sf == of and sf
+
+    # the upserted corpus, exactly
+    expect = dict(rows)
+    expect[0] = mover
+    expect[1] = inplace
+    expect[9000] = batch[3][1]
+    idx1 = read_ivf_index(spark, out)
+    assert idx1.postings.count() == len(expect)
+
+    # exhaustive serve parity vs exact search over the expected corpus
+    surv = spark.createDataFrame(
+        [(i, v) for i, v in expect.items()],
+        "vec_id long, embedding array<double>",
+    )
+    for q in (mover, rows[40], batch[3][1]):
+        got = [
+            (r["id"], round(r["cosine"], 9))
+            for r in ivf_index_topk(
+                idx1, q, k=10, nprobe=man1["nlist"]
+            ).collect()
+        ]
+        exact = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in cosine_topk(surv, q, k=10).collect()
+        ]
+        assert got == exact
+
+
+def test_upsert_version_swap_and_true_noop_replay(spark, tmp_path):
+    """upsert_into_ivf_index_version: one atomic swap per effective
+    upsert; a replayed batch (every payload already stored) returns
+    the CURRENT manifest without claiming or publishing — zero
+    version churn under at-least-once delivery."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        read_ivf_index_current,
+        upsert_into_ivf_index_version,
+        write_ivf_index_version,
+    )
+
+    df = _skewed_vectors(spark)
+    root = str(tmp_path / "root")
+    write_ivf_index_version(df, root, nlist=4, refine=2)
+
+    dim = len(df.head()["embedding"])
+    refreshed = [0.0] * dim
+    refreshed[5] = 10.0
+    bdf = spark.createDataFrame(
+        [(0, refreshed), (7777, [1.0] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    man1 = upsert_into_ivf_index_version(spark, root, bdf)
+    assert man1["version"] == "v00000002"
+    assert man1["upserted"]["base_version"] == "v00000001"
+    assert man1["upserted"]["n_changed"] == 2
+
+    replay = upsert_into_ivf_index_version(spark, root, bdf)
+    assert replay["upserted"]["noop_replay"]
+    assert replay["upserted"]["n_changed"] == 0
+    versions = sorted(os.listdir(os.path.join(root, "versions")))
+    assert versions == ["v00000001", "v00000002"]
+    got = read_ivf_index_current(spark, root).postings
+    assert got.where("id = 7777").count() == 1
+
+
+def test_upsert_guards_dup_batch_and_dup_postings(spark, tmp_path):
+    """Loud refusals: duplicate batch ids (both would insert) and an
+    index holding two postings for one id (replace is ambiguous)."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        append_to_ivf_index,
+        upsert_into_ivf_index,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    write_ivf_index(df, src, nlist=4, refine=2)
+    dim = len(df.head()["embedding"])
+
+    dup_batch = spark.createDataFrame(
+        [(5, [1.0] * dim), (5, [2.0] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        upsert_into_ivf_index(
+            spark, src, str(tmp_path / "o1"), dup_batch
+        )
+
+    # duplicate POSTING: append id 3 again without dedupe_ids
+    append_to_ivf_index(
+        df.where("vec_id = 3"), src, dedupe_ids=False
+    )
+    refresh = spark.createDataFrame(
+        [(3, [1.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="replace is ambiguous"):
+        upsert_into_ivf_index(
+            spark, src, str(tmp_path / "o2"), refresh
+        )
+
+
+def test_upsert_quantized_compares_post_quantization(spark, tmp_path):
+    """On a quantized index the unchanged-detection compares the
+    int8 payloads: a re-embed that quantizes identically is a no-op
+    (list untouched), one that quantizes differently replaces."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        read_ivf_index,
+        upsert_into_ivf_index,
+        write_ivf_index,
+    )
+
+    df = _skewed_vectors(spark)
+    src = str(tmp_path / "idx")
+    man0 = write_ivf_index(df, src, nlist=4, refine=2, quantize=True)
+    assert man0["quantized"]
+    rows = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+    dim = len(rows[0])
+
+    # id 2 re-sends its exact vector — quantizes to the identical
+    # struct, so the compare (which runs POST-quantization) must
+    # leave it in place; id 3 genuinely moves
+    big = [0.0] * dim
+    big[5] = 10.0
+    bdf = spark.createDataFrame(
+        [(2, rows[2]), (3, big)], "vec_id long, embedding array<double>"
+    )
+    man1 = upsert_into_ivf_index(
+        spark, src, str(tmp_path / "out"), bdf
+    )
+    up = man1["upserted"]
+    assert up["n_unchanged"] == 1        # id 2: same int8 codes
+    assert up["n_replaced"] == 1         # id 3: moved to the heavy blob
+    assert up["n_moved"] == 1
+    idx1 = read_ivf_index(spark, str(tmp_path / "out"))
+    assert idx1.manifest["quantized"]
+    assert idx1.postings.count() == man0["n_vectors"]
+
+
+def test_streaming_upsert_refresh_into_versioned_root(
+    spark, emb, tmp_path
+):
+    """ivf_upsert_foreach_batch (r11): a stream of re-embeddings
+    lands as versioned upserts — refreshed ids are served with their
+    NEW vectors, brand-new ids appear, and restarting the stream over
+    the same source (at-least-once replay) publishes no further
+    versions."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        ivf_index_topk,
+        ivf_upsert_foreach_batch,
+        read_ivf_index_current,
+        write_ivf_index_version,
+    )
+
+    root = str(tmp_path / "vroot")
+    base = emb.where(F.col("vec_id") < 100)
+    write_ivf_index_version(base, root, nlist=4)
+    dim = len(emb.first()["embedding"])
+
+    # refresh id 5 to a brand-new direction + insert id 500
+    newv = [0.0] * dim
+    newv[dim - 1] = 5.0
+    updates = spark.createDataFrame(
+        [(5, newv), (500, [x * 1.1 for x in newv])],
+        "vec_id long, embedding array<double>",
+    )
+    staged = str(tmp_path / "staged")
+    updates.write.parquet(staged)
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema(updates.schema)
+            .parquet(staged)
+            .writeStream.foreachBatch(ivf_upsert_foreach_batch(root))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    idx = read_ivf_index_current(spark, root)
+    assert idx.manifest["n_vectors"] == 101
+    got = ivf_index_topk(idx, newv, k=2, nprobe=4).collect()
+    assert {r["id"] for r in got} == {5, 500}
+    versions = sorted(os.listdir(os.path.join(root, "versions")))
+
+    # a FRESH checkpoint replays the whole source — zero churn
+    run("ckpt2")
+    assert (
+        sorted(os.listdir(os.path.join(root, "versions"))) == versions
+    )
