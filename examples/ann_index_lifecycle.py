@@ -29,6 +29,9 @@ unless the operator says so up front):
    `recluster_ivf_index_version` retrains and reassigns everything
    as ONE new version under the root; readers mid-scan keep their
    snapshot, and the pointer flips atomically.
+5b. REFRESH: `upsert_into_ivf_index_version` applies a re-embedding
+   wave as ONE pointer swap — replaced ids move lists, unchanged
+   payloads stay put, replayed batches publish nothing.
 6. TAKEDOWN: `delete_from_ivf_index_version` removes ids by
    rewriting only the lists that hold them; replays are no-ops.
 7. COMPACT: when deletes leave runt lists, the plan says `merge` and
@@ -169,6 +172,28 @@ def main() -> int:
         if not recall_after >= recall_before:
             print("recall did not improve — investigate before promoting")
             return 1
+
+    # 5b. refresh: a model upgrade re-embeds part of the corpus —
+    # upsert_into_ivf_index_version replaces those ids in ONE pointer
+    # swap (no delete+append window where they vanish from serving);
+    # only the lists holding changed ids rewrite, and replaying the
+    # same batch publishes nothing
+    refreshed = emb.orderBy("vec_id").limit(5).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    uman = xvi.upsert_into_ivf_index_version(spark, root, refreshed)
+    print(
+        f"refresh: {uman['upserted']['n_replaced']} ids re-embedded "
+        f"as {uman['version']} ({uman['upserted']['n_moved']} moved "
+        f"lists, {uman['upserted']['reused_lists']} carried "
+        f"file-identical)"
+    )
+    ureplay = xvi.upsert_into_ivf_index_version(spark, root, refreshed)
+    print(
+        f"replayed refresh: n_changed="
+        f"{ureplay['upserted']['n_changed']} (no new version)"
+    )
 
     # 6. takedown: delete ids as a NEW version (partition-pruned —
     # only the lists holding them rewrite); a replayed takedown is a

@@ -99,9 +99,10 @@ def test_drift_monitoring_example_end_to_end(tmp_path):
 
 def test_ann_index_lifecycle_end_to_end(tmp_path):
     """The ANN maintenance example: build→publish→serve→append
-    drift→plan→split→recluster→takedown→plan again (r11 wires
-    ivf_maintenance_plan as the decision and delete as the takedown)
-    must run green and its own recall gate must hold."""
+    drift→plan→split→recluster→refresh→takedown→plan again (r11
+    wires ivf_maintenance_plan as the decision, upsert as the
+    re-embedding refresh, and delete as the takedown) must run green
+    and its own recall gate must hold."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     root = str(tmp_path / "index_root")
     proc = subprocess.run(
@@ -117,13 +118,16 @@ def test_ann_index_lifecycle_end_to_end(tmp_path):
     assert "reclustered as v00000002" in out
     # the example's own gate: recall restored
     assert "recall did not improve" not in out
-    # takedown published v3; the replay published NOTHING
-    assert "takedown: deleted 3 ids as v00000003" in out
+    # refresh published v3 in ONE swap; its replay published NOTHING
+    assert "refresh: 5 ids re-embedded as v00000003" in out
+    assert "replayed refresh: n_changed=0" in out
+    # takedown published v4; the replay published NOTHING
+    assert "takedown: deleted 3 ids as v00000004" in out
     assert "replayed takedown: n_deleted=0" in out
     assert "post-takedown plan: action=" in out
-    # all three versions remain on disk; CURRENT points at v3
+    # all four versions remain on disk; CURRENT points at v4
     assert os.path.exists(
         os.path.join(root, "versions", "v00000001", "manifest.json")
     )
     cur = open(os.path.join(root, "CURRENT")).read().strip()
-    assert cur == "v00000003"
+    assert cur == "v00000004"

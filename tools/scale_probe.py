@@ -560,6 +560,34 @@ def main() -> None:
     sizes["ivf_delete_one_touched"] = len(
         del1_man["deleted"]["touched_lists"]
     )
+    # r11: UPSERT cost at 20x — refresh the same ~1% with NEGATED
+    # vectors (payload differs everywhere, most rows change lists:
+    # delete's worst-case pruning shape plus the compare join). Watch:
+    # the entry must track the all-lists delete entry's class, far
+    # under recluster. Replaying the SAME batch against the result
+    # detects zero changes and lands at the file-copy floor — the
+    # at-least-once story, measured.
+    up_batch = be.where(F.col("vec_id") % 100 == 7).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    t0 = time.time()
+    up_man = xvi.upsert_into_ivf_index(
+        spark, idx_dir, f"{WORK}/ivf_upsert", up_batch
+    )
+    timings["ivf_upsert_1pct_refresh"] = round(time.time() - t0, 2)
+    sizes["ivf_upsert_changed"] = up_man["upserted"]["n_changed"]
+    sizes["ivf_upsert_moved"] = up_man["upserted"]["n_moved"]
+    assert up_man["n_vectors"] == _man["n_vectors"]
+    t0 = time.time()
+    re_man = xvi.upsert_into_ivf_index(
+        spark,
+        f"{WORK}/ivf_upsert",
+        f"{WORK}/ivf_upsert_replay",
+        up_batch,
+    )
+    timings["ivf_upsert_replay_noop"] = round(time.time() - t0, 2)
+    assert re_man["upserted"]["n_changed"] == 0
     # r11 (VERDICT r10 item 5): COMPACTION cost at 20x — gut the
     # largest list to a runt via delete, then merge_ivf_cold_lists
     # folds it into its nearest neighbor. Watch: merge reads/writes
