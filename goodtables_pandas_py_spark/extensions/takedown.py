@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["takedown_documents"]
+__all__ = ["ingest_documents", "takedown_documents"]
 
 
 def takedown_documents(
@@ -168,6 +168,172 @@ def takedown_documents(
         del_ids.unpersist()
         if pairs is not None:
             pairs.unpersist()
+
+
+def ingest_documents(
+    spark: SparkSession,
+    release_root: str,
+    updates: DataFrame,
+    index_root: str | None = None,
+    embeddings: DataFrame | None = None,
+    id_col: str = "doc_id",
+    split_col: str | None = "split",
+    vec_col: str = "embedding",
+    keep_versions: int | None = None,
+    broadcast_cap: int = 5_000_000,
+    check_id_migration: bool = False,
+    allow_new_columns: bool = False,
+    verify: bool = False,
+) -> dict:
+    """The inverse of :func:`takedown_documents`: land a batch of
+    documents in BOTH surfaces — upsert ``updates`` into the CURRENT
+    release (matched ids replaced, new ids inserted — the
+    partition-pruned ``write_release_merge``) and upsert their
+    ``embeddings`` into the CURRENT index version
+    (:func:`~.vecindex.upsert_into_ivf_index_version` — changed ids
+    move lists, payload-identical rows stay put). Together with
+    takedown this completes the document lifecycle: ingest / refresh
+    / remove, each one audited call per wave.
+
+    Order is release first, then index — the opposite failure mode to
+    takedown, chosen for the same reason: a crash between the halves
+    may leave new documents briefly unsearchable (content published,
+    postings pending), never postings that point at unpublished
+    content. Both halves are idempotent (merge detects byte-identical
+    partitions by fingerprint; upsert detects payload-identical
+    postings), so replaying the same call after any partial failure
+    completes exactly the missing half and publishes nothing twice.
+
+    ``embeddings`` is a frame of (``id_col``, ``vec_col``); when
+    omitted and ``updates`` itself carries ``vec_col``, the pair is
+    derived from it (the release schema then must also carry that
+    column, or the merge refuses the schema fork loudly).
+
+    Returns ``{"release": {...}, "index": {...}|None}`` — each half's
+    audit with its manifest and a ``noop_replay`` flag."""
+    from .pipeline import read_release, write_release_merge
+
+    if index_root is not None and embeddings is None:
+        if vec_col not in updates.columns:
+            raise ValueError(
+                "ingest_documents: index_root given but no embeddings "
+                f"frame and updates lack {vec_col!r} — pass "
+                "embeddings=(id, vector) explicitly"
+            )
+        embeddings = updates.select(F.col(id_col), F.col(vec_col))
+
+    _, cur_manifest = read_release(spark, release_root)
+    cur_version = cur_manifest.get("version")
+    new_manifest = write_release_merge(
+        updates,
+        release_root,
+        id_col=id_col,
+        split_col=split_col,
+        keep_versions=keep_versions,
+        check_id_migration=check_id_migration,
+        allow_new_columns=allow_new_columns,
+        spark_for_fs=spark,
+    )
+    release_noop = new_manifest.get("version") == cur_version
+    release_audit = {
+        "version": new_manifest.get("version"),
+        "noop_replay": release_noop,
+        "touched_splits": sorted(
+            new_manifest.get("incremental", {}).get("rewritten", [])
+            + new_manifest.get("incremental", {}).get("removed", [])
+        )
+        if not release_noop
+        else [],
+        "manifest": new_manifest,
+    }
+
+    index_audit = None
+    if index_root is not None:
+        from .vecindex import upsert_into_ivf_index_version
+
+        idx_manifest = upsert_into_ivf_index_version(
+            spark,
+            index_root,
+            embeddings,
+            id_col=id_col,
+            vec_col=vec_col,
+            keep_versions=keep_versions,
+            broadcast_cap=broadcast_cap,
+        )
+        index_audit = dict(idx_manifest.get("upserted", {}))
+        index_audit["version"] = idx_manifest.get("version")
+        index_audit["manifest"] = idx_manifest
+
+    if verify:
+        _verify_present(
+            spark, release_root, index_root, updates, embeddings,
+            id_col, split_col, release_audit, index_audit,
+        )
+    return {"release": release_audit, "index": index_audit}
+
+
+def _verify_present(
+    spark, release_root, index_root, updates, embeddings, id_col,
+    split_col, release_audit, index_audit,
+) -> None:
+    """Partition-pruned post-condition for ingest: every update id is
+    present in the new CURRENT release (update rows live only in the
+    merge's touched splits), and every CHANGED embedding id has a
+    posting in the upsert's touched lists (unchanged ids were already
+    present — that is what unchanged means)."""
+    from .pipeline import read_release
+    from .vecindex import read_ivf_index_current
+
+    cur, _ = read_release(spark, release_root)
+    ids = updates.select(id_col).distinct()
+    n_ids = ids.count()
+    scan = cur
+    touched = release_audit.get("touched_splits") or []
+    if split_col and touched and not release_audit["noop_replay"]:
+        scan = cur.where(
+            F.col(split_col).cast("string").isin(
+                [t for t in touched if t != "__null__"]
+            )
+            | (
+                F.col(split_col).isNull()
+                if "__null__" in touched
+                else F.lit(False)
+            )
+        )
+    n_found = (
+        scan.select(id_col)
+        .join(F.broadcast(ids), id_col, "left_semi")
+        .count()
+    )
+    if n_found != n_ids:
+        raise AssertionError(
+            f"ingest verify: {n_ids - n_found} of {n_ids} update ids "
+            f"missing from the release under {release_root}"
+        )
+    if index_root is not None and index_audit is not None:
+        idx = read_ivf_index_current(spark, index_root)
+        postings = idx.postings
+        cids = index_audit.get("touched_lists") or []
+        if cids:
+            postings = postings.where(F.col("ivf_cid").isin(list(cids)))
+        n_changed = int(index_audit.get("n_changed", 0))
+        if n_changed:
+            # changed ids = the upsert's insertions/replacements; all
+            # of their postings live in the touched lists
+            vec_ids = embeddings.select(
+                F.col(id_col).alias("id")
+            ).distinct()
+            n_post = (
+                postings.select("id")
+                .join(F.broadcast(vec_ids), "id", "left_semi")
+                .count()
+            )
+            if n_post < n_changed:
+                raise AssertionError(
+                    f"ingest verify: expected ≥{n_changed} changed "
+                    f"postings in the touched lists, found {n_post} "
+                    f"under {index_root}"
+                )
 
 
 def _verify_absent(

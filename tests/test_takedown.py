@@ -217,3 +217,130 @@ def test_takedown_property_conservation_and_replay(spark, tmp_path):
         )
 
     run()
+
+
+def test_ingest_updates_and_inserts_both_surfaces(spark, tmp_path):
+    """ingest_documents (r11): one call upserts a document wave into
+    the release AND its embeddings into the index — matched ids
+    replaced on both surfaces, new ids inserted on both."""
+    from goodtables_pandas_py_spark.extensions.takedown import (
+        ingest_documents,
+    )
+
+    rel, idx = _publish_pair(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(0, "rewritten zero", "train"), (100, "brand new", "test")],
+        "doc_id long, text string, split string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 2.0]), (100, [0.0, 0.0, 2.0, 0.0])],
+        "doc_id long, embedding array<float>",
+    )
+    audit = ingest_documents(
+        spark, rel, updates, index_root=idx, embeddings=emb,
+        verify=True,
+    )
+    assert not audit["release"]["noop_replay"]
+    assert audit["index"]["n_changed"] == 2
+    assert audit["index"]["n_inserted"] == 1
+    assert audit["index"]["n_replaced"] == 1
+
+    cur, _ = read_release(spark, rel)
+    got = {r["doc_id"]: r["text"] for r in cur.collect()}
+    assert got[0] == "rewritten zero"
+    assert got[100] == "brand new"
+    assert len(got) == 9
+    postings = read_ivf_index_current(spark, idx).postings
+    assert postings.count() == 9
+    assert postings.where("id = 100").count() == 1
+
+    # replay: NOTHING published on either root
+    rel_versions = list_release_versions(spark, rel)
+    idx_versions = sorted(os.listdir(os.path.join(idx, "versions")))
+    replay = ingest_documents(
+        spark, rel, updates, index_root=idx, embeddings=emb,
+        verify=True,
+    )
+    assert replay["release"]["noop_replay"]
+    assert replay["index"]["noop_replay"]
+    assert list_release_versions(spark, rel) == rel_versions
+    assert (
+        sorted(os.listdir(os.path.join(idx, "versions"))) == idx_versions
+    )
+
+
+def test_ingest_crash_between_halves_completes_by_replay(
+    spark, tmp_path
+):
+    """Release half lands, index half fails → replaying the same
+    call no-ops the release and completes the index."""
+    from goodtables_pandas_py_spark.extensions.takedown import (
+        ingest_documents,
+    )
+
+    rel, idx = _publish_pair(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(50, "late doc", "train")],
+        "doc_id long, text string, split string",
+    )
+    emb = spark.createDataFrame(
+        [(50, [0.5, 0.5, 0.5, 0.5])],
+        "doc_id long, embedding array<float>",
+    )
+    with pytest.raises(FileNotFoundError, match="CURRENT"):
+        ingest_documents(
+            spark, rel, updates,
+            index_root=str(tmp_path / "nowhere"), embeddings=emb,
+        )
+    cur, _ = read_release(spark, rel)
+    assert cur.where("doc_id = 50").count() == 1   # content landed
+
+    done = ingest_documents(
+        spark, rel, updates, index_root=idx, embeddings=emb,
+    )
+    assert done["release"]["noop_replay"]
+    assert done["index"]["n_inserted"] == 1
+    postings = read_ivf_index_current(spark, idx).postings
+    assert postings.where("id = 50").count() == 1
+
+
+def test_ingest_derives_embeddings_and_requires_them(spark, tmp_path):
+    """embeddings=None derives (id, vec) from updates when the column
+    is there — and refuses loudly when it is not."""
+    from goodtables_pandas_py_spark.extensions.takedown import (
+        ingest_documents,
+    )
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        write_release_version,
+    )
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        write_ivf_index_version,
+    )
+
+    rel = str(tmp_path / "rel")
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(i, f"d{i}", "train", [float(i), 0.0]) for i in range(4)],
+        "doc_id long, text string, split string, "
+        "embedding array<float>",
+    )
+    write_release_version(base, rel)
+    write_ivf_index_version(
+        base.select("doc_id", "embedding"), idx,
+        id_col="doc_id", nlist=2, refine=1,
+    )
+    updates = spark.createDataFrame(
+        [(9, "with vec", "train", [9.0, 1.0])],
+        "doc_id long, text string, split string, "
+        "embedding array<float>",
+    )
+    audit = ingest_documents(
+        spark, rel, updates, index_root=idx, verify=True
+    )
+    assert audit["index"]["n_inserted"] == 1
+    postings = read_ivf_index_current(spark, idx).postings
+    assert postings.where("id = 9").count() == 1
+
+    bare = updates.drop("embedding")
+    with pytest.raises(ValueError, match="embeddings"):
+        ingest_documents(spark, rel, bare, index_root=idx)
