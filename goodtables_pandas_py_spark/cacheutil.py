@@ -43,6 +43,17 @@ def attach_persisted(out: DataFrame, *frames: DataFrame) -> DataFrame:
     return out
 
 
+def get_persisted(df: DataFrame) -> list:
+    """The persisted intermediates attached to ``df`` (empty list if
+    none). ALWAYS use this instead of ``getattr(df, _ATTR, [])``:
+    DataFrame's ``__getattr__`` resolves unknown attributes as
+    COLUMNS, so on a frame whose schema happens to carry a
+    ``_gt_persisted`` column the getattr form hands back a Column
+    (not a list) — the r11 cacheutil lesson, centralized so no call
+    site can re-introduce it."""
+    return list(df.__dict__.get(_ATTR, []))
+
+
 def unpersist_scan_state(df: DataFrame, blocking: bool = False) -> int:
     """Release every intermediate a builder attached to ``df``;
     returns how many were released (0 for frames with no attachment —

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..cacheutil import attach_persisted
+from ..cacheutil import attach_persisted, get_persisted
 from .text import normalize_text, shingles, whitespace_tokens
 
 
@@ -243,5 +243,5 @@ def near_contaminated_ids(
     )
     return attach_persisted(
         scan.select("corpus_id").distinct(),
-        *getattr(scan, "_gt_persisted", []),
+        *get_persisted(scan),
     )

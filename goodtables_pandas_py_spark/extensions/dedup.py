@@ -352,6 +352,18 @@ def hashed_shingle_sets(
     )
 
 
+def hashed_set_jaccard(sa: Column, sb: Column) -> Column:
+    """Exact Jaccard over two hashed DISTINCT sets (the
+    :func:`hashed_shingle_sets` payload): |∩|/|∪|, 0.0 for two empty
+    sets. THE one formula for the verify step — the batch
+    (:func:`minhash_dedup_pairs`) and streaming
+    (``streaming/dedup.py`` intra-batch) arms both use it, so their
+    dedup semantics cannot fork (r11 review)."""
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -407,9 +419,7 @@ def minhash_dedup_pairs(
         from pyspark import StorageLevel
 
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
-    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
-    union = F.size(F.array_union(F.col("s_a"), F.col("s_b")))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    jac = hashed_set_jaccard(F.col("s_a"), F.col("s_b"))
     return (
         cands.join(sets.withColumnsRenamed({"id": "id_a", "s": "s_a"}), "id_a")
         .join(sets.withColumnsRenamed({"id": "id_b", "s": "s_b"}), "id_b")

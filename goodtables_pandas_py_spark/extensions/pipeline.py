@@ -197,7 +197,7 @@ def prepare_corpus(
         )
         held = []
         if fuzzy_decontam_threshold is not None:
-            from ..cacheutil import attach_persisted
+            from ..cacheutil import attach_persisted, get_persisted
             from .decontam import near_contaminated_ids
 
             fuzzy_drop = near_contaminated_ids(
@@ -209,7 +209,7 @@ def prepare_corpus(
                 eval_text_col=text_col,
                 threshold=fuzzy_decontam_threshold,
             )
-            held = getattr(fuzzy_drop, "_gt_persisted", [])
+            held = get_persisted(fuzzy_drop)
             drop = drop.unionByName(fuzzy_drop).distinct()
         kept = span_masked.join(
             drop, span_masked[id_col] == drop["corpus_id"], "left_anti"

@@ -32,7 +32,7 @@ def takedown_documents(
     ids,
     index_root: str | None = None,
     id_col: str = "doc_id",
-    split_col: str | None = "split",
+    split_col: str = "split",
     keep_versions: int | None = None,
     broadcast_cap: int = 5_000_000,
     verify: bool = False,
@@ -82,6 +82,17 @@ def takedown_documents(
 
     from pyspark.sql.types import StructType
 
+    if not split_col:
+        # don't accommodate a path the callee refuses: the release
+        # half is a key-delete MERGE, and write_release_merge requires
+        # a split-partitioned release — say so here, with the remedy,
+        # instead of raising its misleading error only when ids match
+        raise ValueError(
+            "takedown_documents: split_col must name the release's "
+            "partition column (write_release_merge needs a "
+            "partitioned release); index-only takedowns go through "
+            "delete_from_ivf_index_version directly"
+        )
     current, manifest = read_release(spark, release_root)
     if id_col not in current.columns:
         raise ValueError(
@@ -105,9 +116,7 @@ def takedown_documents(
         # release actually holds — merge needs the split to prune its
         # partition rewrites
         pairs = (
-            current.select(
-                F.col(id_col), *( [F.col(split_col)] if split_col else [] )
-            )
+            current.select(F.col(id_col), F.col(split_col))
             .join(hint.withColumnRenamed("id", id_col), id_col, "left_semi")
             .distinct()
             .persist()
@@ -177,7 +186,7 @@ def ingest_documents(
     index_root: str | None = None,
     embeddings: DataFrame | None = None,
     id_col: str = "doc_id",
-    split_col: str | None = "split",
+    split_col: str = "split",
     vec_col: str = "embedding",
     keep_versions: int | None = None,
     broadcast_cap: int = 5_000_000,
@@ -213,6 +222,13 @@ def ingest_documents(
     audit with its manifest and a ``noop_replay`` flag."""
     from .pipeline import read_release, write_release_merge
 
+    if not split_col:
+        raise ValueError(
+            "ingest_documents: split_col must name the release's "
+            "partition column (write_release_merge needs a "
+            "partitioned release); index-only ingestion goes through "
+            "upsert_into_ivf_index_version directly"
+        )
     if index_root is not None and embeddings is None:
         if vec_col not in updates.columns:
             raise ValueError(

@@ -1379,6 +1379,7 @@ def upsert_into_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_cap: int = 5_000_000,
+    _prepared: tuple | None = None,
 ) -> dict:
     """UPSERT vectors by id — the re-embedding refresh path (r11):
     matched ids get their posting REPLACED (moving lists when the new
@@ -1421,10 +1422,19 @@ def upsert_into_ivf_index(
     manifest = idx.manifest
     sizes = {int(k): int(v) for k, v in manifest["list_sizes"].items()}
 
-    assigned, changed, payload_col = _upsert_changed_rows(
-        idx, df, id_col, vec_col, broadcast_cap
-    )
-    changed = changed.persist()
+    if _prepared is None:
+        assigned, changed, payload_col = _upsert_changed_rows(
+            idx, df, id_col, vec_col, broadcast_cap
+        )
+        changed = changed.persist()
+        own_frames = True
+    else:
+        # the versioned wrapper already built + persisted these for
+        # its noop probe — reuse them so a real upsert pays the
+        # assign/discovery/compare pipeline ONCE (review r11); the
+        # wrapper owns their lifecycle
+        assigned, changed, payload_col = _prepared
+        own_frames = False
     try:
         stats = assigned.agg(
             F.count(F.lit(1)).alias("n"),
@@ -1438,6 +1448,17 @@ def upsert_into_ivf_index(
                 "non-null — a duplicate id would both insert "
                 f"(rows={stats['n']}, distinct={stats['n_ids']}, "
                 f"null={stats['n_null']})"
+            )
+        if stats["n"] and stats["n"] == stats["n_unindexable"]:
+            # every row failed the dim/null gate: that is a model or
+            # config mismatch (e.g. re-embedded at a new dim), not
+            # data raggedness — refuse rather than audit a refresh
+            # wave into oblivion (review r11)
+            raise ValueError(
+                f"upsert_into_ivf_index: all {stats['n']} batch rows "
+                f"are unindexable against dim={manifest['dim']} — "
+                "wrong embedding width? (a mixed batch skips and "
+                "audits; a wholly-unindexable one is refused)"
             )
         # posting-id uniqueness among the matched ids (bounded: the
         # pruned discovery scan, one agg) — two postings for one id
@@ -1529,8 +1550,9 @@ def upsert_into_ivf_index(
                     "manifest counts or concurrent writer?)"
                 )
     finally:
-        assigned.unpersist()
-        changed.unpersist()
+        if own_frames:
+            assigned.unpersist()
+            changed.unpersist()
 
     reused = [str(c) for c in sorted(sizes) if c not in set(touched)]
     _copy_reused_partitions(
@@ -1602,12 +1624,18 @@ def upsert_into_ivf_index_version(
     True idempotent replay: when NO batch row would change the index
     (every id present with a payload that quantizes identically) the
     call returns the CURRENT manifest (audit ``n_changed: 0``,
-    ``noop_replay`` true) without claiming or publishing — the
-    at-least-once foreachBatch contract with zero version churn. The
-    probe costs one pruned compare join on real upserts; on replays
-    it is the whole job. The batch is persisted around the probe and
-    the inner rewrite so both see the same rows even from a
-    nondeterministic caller frame (the delete-path lesson)."""
+    ``noop_replay`` true, with ``n_batch``/``n_unindexable`` so a
+    skipped-rows noop is distinguishable from a clean replay) without
+    claiming or publishing — the at-least-once foreachBatch contract
+    with zero version churn. A non-empty batch whose EVERY row fails
+    the dim gate is refused loudly, never reported as a replay (a
+    re-embed at the wrong width must not be discarded forever in
+    silence — review r11). The probe's assigned/changed frames are
+    built ONCE, persisted, and threaded into the inner rewrite, so a
+    real upsert pays the assign/discovery/compare pipeline once; the
+    batch is persisted around both so probe and rewrite see the same
+    rows even from a nondeterministic caller frame (the delete-path
+    lesson)."""
     from .pipeline import (
         _apply_retention,
         _claim_version,
@@ -1626,14 +1654,29 @@ def upsert_into_ivf_index_version(
     cur_dir = os.path.join(root, "versions", cur)
     idx = read_ivf_index(spark, cur_dir)
     snap = df.persist()
-    probe_assigned = None
+    probe_assigned = changed = None
     try:
-        probe_assigned, changed, _ = _upsert_changed_rows(
+        probe_assigned, changed, payload_col = _upsert_changed_rows(
             idx, snap, id_col, vec_col, broadcast_cap
         )
+        changed = changed.persist()
         if not changed.head(1):
+            gate = probe_assigned.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(~F.col("__ok")).alias("n_unindexable"),
+            ).collect()[0]
+            if gate["n"] and gate["n"] == gate["n_unindexable"]:
+                raise ValueError(
+                    "upsert_into_ivf_index_version: all "
+                    f"{gate['n']} batch rows are unindexable against "
+                    f"dim={idx.manifest['dim']} — wrong embedding "
+                    "width? Refusing to report a discarded refresh "
+                    "wave as a replay"
+                )
             manifest = dict(idx.manifest)
             manifest["upserted"] = {
+                "n_batch": int(gate["n"]),
+                "n_unindexable": int(gate["n_unindexable"]),
                 "n_changed": 0,
                 "touched_lists": [],
                 "emptied_lists": [],
@@ -1651,10 +1694,13 @@ def upsert_into_ivf_index_version(
             id_col=id_col,
             vec_col=vec_col,
             broadcast_cap=broadcast_cap,
+            _prepared=(probe_assigned, changed, payload_col),
         )
     finally:
         if probe_assigned is not None:
             probe_assigned.unpersist()
+        if changed is not None:
+            changed.unpersist()
         snap.unpersist()
     manifest["version"] = vname
     manifest["upserted"]["base_version"] = cur

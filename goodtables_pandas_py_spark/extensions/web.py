@@ -76,16 +76,29 @@ def _normalize_block_entry(raw: Column) -> Column:
     padding/CRLF, and ``try_parse_url`` on a space-padded URL returns
     null — which silently dropped the entry from the list (fail-OPEN
     for exactly the rows the list exists to block). Scheme-less
-    host+path entries ('evil.com/path') keep only the host part —
-    the path can never participate in a host-suffix match, so leaving
-    it in made the entry silently ineffective the same way."""
+    host+path entries ('evil.com/path') keep only the host part, and
+    a ':port' suffix is stripped from it — neither can participate in
+    a host-suffix match (url_host drops ports on the corpus side), so
+    leaving them in made the entry silently ineffective the same way.
+    URL routing keys on an actual SCHEME PREFIX, not contains('://'):
+    'evil.com/redirect?u=https://x' is a host+path entry whose host
+    must survive, not a URL for url_host to fail-open on (r11)."""
     # NOT F.trim: trim strips only the space character, and blocklist
     # lines read without newline splitting carry \r\n / tabs
     entry = F.regexp_replace(raw, r"^\s+|\s+$", "")
+    # port first, then trailing dot: 'evil.com.:8080' → 'evil.com'
     bare = F.regexp_replace(
-        F.lower(F.regexp_extract(entry, r"^([^/]*)", 1)), r"\.$", ""
+        F.regexp_replace(
+            F.lower(F.regexp_extract(entry, r"^([^/]*)", 1)),
+            r":\d+$",
+            "",
+        ),
+        r"\.$",
+        "",
     )
-    return F.when(entry.contains("://"), url_host(entry)).otherwise(bare)
+    return F.when(
+        entry.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), url_host(entry)
+    ).otherwise(bare)
 
 
 def host_suffixes(host: Column) -> Column:

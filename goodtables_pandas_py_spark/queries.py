@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .cacheutil import attach_persisted
+from .cacheutil import attach_persisted, get_persisted
 from .extensions import dedup as xdedup
 from .extensions import similarity as xsim
 from .extensions import text as xtext
@@ -2366,7 +2366,7 @@ def _x7_contam(spark, sf_dir):
     )
     return attach_persisted(
         exact_rows.unionByName(fuzzy_row),
-        *getattr(fscan, "_gt_persisted", []),
+        *get_persisted(fscan),
     )
 
 
@@ -2485,7 +2485,7 @@ def _x7sweep(spark, sf_dir):
             ).otherwise(F.lit(0))
         ).cast(_BIG).alias("sum_j_micro"),
     )
-    return attach_persisted(rows, *getattr(sc, "_gt_persisted", []))
+    return attach_persisted(rows, *get_persisted(sc))
 
 
 @q(

@@ -38,6 +38,7 @@ from ..cacheutil import attach_persisted, unpersist_scan_state
 from ..extensions.dedup import (
     banded_signatures,
     cap_buckets,
+    hashed_set_jaccard,
     hashed_shingle_sets,
 )
 
@@ -114,9 +115,7 @@ def dedup_batch_against_corpus(
         corpus_docs.join(cand_cids, id_col, "left_semi"),
         id_col, text_col, shingle_k,
     ).withColumnsRenamed({"id": "cid", "s": "cs"})
-    inter = F.size(F.array_intersect(F.col("s"), F.col("cs")))
-    union = F.size(F.col("s")) + F.size(F.col("cs")) - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    jac = hashed_set_jaccard(F.col("s"), F.col("cs"))
     dup_of_corpus = (
         cands.join(new_sets, "id")
         .join(corpus_sets, "cid")
@@ -140,13 +139,11 @@ def dedup_batch_against_corpus(
         .select("id_a", "id_b")
         .distinct()
     )
-    intra_jac = F.when(
-        F.size(F.col("s_a")) + F.size(F.col("s_b"))
-        - F.size(F.array_intersect(F.col("s_a"), F.col("s_b"))) > 0,
-        F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
-        / (F.size(F.col("s_a")) + F.size(F.col("s_b"))
-           - F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))),
-    ).otherwise(F.lit(0.0))
+    # the ONE shared verify formula (hashed_set_jaccard) — both sets
+    # come from hashed_shingle_sets (array_distinct'd), so |∪| via
+    # array_union here equals the corpus arm exactly and the two
+    # verify semantics cannot fork (r11 review)
+    intra_jac = hashed_set_jaccard(F.col("s_a"), F.col("s_b"))
     intra_drops = (
         intra_cands
         .join(new_sets.withColumnsRenamed({"id": "id_a", "s": "s_a"}), "id_a")

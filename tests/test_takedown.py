@@ -344,3 +344,25 @@ def test_ingest_derives_embeddings_and_requires_them(spark, tmp_path):
     bare = updates.drop("embedding")
     with pytest.raises(ValueError, match="embeddings"):
         ingest_documents(spark, rel, bare, index_root=idx)
+
+
+def test_lifecycle_composites_refuse_null_split_col(spark, tmp_path):
+    """r11 review: split_col=None could never work (the merge half
+    requires a partitioned release) — refuse up front with the remedy
+    instead of failing only when ids happen to match."""
+    from goodtables_pandas_py_spark.extensions.takedown import (
+        ingest_documents,
+    )
+
+    rel, _ = _publish_pair(spark, tmp_path)
+    with pytest.raises(ValueError, match="split_col must name"):
+        takedown_documents(spark, rel, [0], split_col=None)
+    with pytest.raises(ValueError, match="split_col must name"):
+        ingest_documents(
+            spark, rel,
+            spark.createDataFrame(
+                [(0, "x", "train")],
+                "doc_id long, text string, split string",
+            ),
+            split_col=None,
+        )

@@ -1840,3 +1840,50 @@ def test_streaming_upsert_refresh_into_versioned_root(
     assert (
         sorted(os.listdir(os.path.join(root, "versions"))) == versions
     )
+
+
+def test_upsert_refuses_wholly_unindexable_batch(spark, tmp_path):
+    """r11 review: a re-embed wave at the WRONG dim must be refused
+    loudly on both paths, never reported as a no-op replay (versioned)
+    or silently audited into oblivion (flat); a MIXED batch still
+    skips-and-audits the bad rows."""
+    from goodtables_pandas_py_spark.extensions.vecindex import (
+        upsert_into_ivf_index,
+        upsert_into_ivf_index_version,
+        write_ivf_index,
+        write_ivf_index_version,
+    )
+
+    df = _skewed_vectors(spark)
+    dim = len(df.head()["embedding"])
+    src = str(tmp_path / "idx")
+    root = str(tmp_path / "root")
+    write_ivf_index(df, src, nlist=4, refine=1)
+    write_ivf_index_version(df, root, nlist=4, refine=1)
+
+    wrong = spark.createDataFrame(
+        [(0, [1.0] * (dim * 2)), (1, [2.0] * (dim * 2))],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="unindexable against dim"):
+        upsert_into_ivf_index(spark, src, str(tmp_path / "o1"), wrong)
+    with pytest.raises(ValueError, match="unindexable against dim"):
+        upsert_into_ivf_index_version(spark, root, wrong)
+    # nothing claimed or published
+    assert sorted(
+        os.listdir(os.path.join(root, "versions"))
+    ) == ["v00000001"]
+
+    # mixed batch: the bad row skips-and-audits; noop replays of an
+    # unchanged-but-partly-bad batch carry the unindexable count
+    mixed = spark.createDataFrame(
+        [(0, [1.0] * (dim * 2)),
+         (1, list(df.head()["embedding"]))],   # wrong row's vec for id 1
+        "vec_id long, embedding array<double>",
+    )
+    man = upsert_into_ivf_index_version(spark, root, mixed)
+    assert man["upserted"]["n_unindexable"] == 1
+    replay = upsert_into_ivf_index_version(spark, root, mixed)
+    assert replay["upserted"]["noop_replay"]
+    assert replay["upserted"]["n_unindexable"] == 1
+    assert replay["upserted"]["n_batch"] == 2

@@ -132,3 +132,21 @@ def test_blocklist_entries_normalize_padding_and_paths(spark):
     blocked = [" http://evil.com/some/path \r\n", "bad.org/malware.html"]
     kept = {r["id"] for r in filter_blocked_domains(df, blocked).collect()}
     assert kept == {3}
+
+
+def test_blocklist_entry_ports_and_midstring_scheme(spark):
+    """r11 review: 'host:port' entries must match their host (url_host
+    strips ports on the corpus side), and a scheme-less entry whose
+    PATH contains '://' is a host entry, not a URL to fail-open on."""
+    from goodtables_pandas_py_spark.extensions.web import (
+        filter_blocked_domains,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "https://evil.com/x"), (2, "https://sub.bad.org/y"),
+         (3, "https://fine.net/z")],
+        "doc_id long, url string",
+    )
+    blocked = ["evil.com:8080/mal.exe", "bad.org/redirect?u=https://x"]
+    kept = filter_blocked_domains(docs, blocked)
+    assert {r["doc_id"] for r in kept.collect()} == {3}
