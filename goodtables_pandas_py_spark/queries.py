@@ -2797,7 +2797,25 @@ _VECINDEX_DIRS: dict[str, str] = {}
     " WHERE a.vec_id = 41 AND b.vec_id NOT IN (5, 11, 29)"
     " QUALIFY row_number() OVER (PARTITION BY a.vec_id"
     " ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
-    " CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10",
+    " CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 10"
+    " UNION ALL"
+    " SELECT CAST(37 AS BIGINT) AS query_id, b.vec_id,"
+    " ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " b.embedding), 6) AS cosine"
+    " FROM embeddings a CROSS JOIN ("
+    "   SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+    "     CASE WHEN vec_id IN (7, 13)"
+    "       THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)"
+    "       ELSE CAST(embedding AS DOUBLE[]) END AS embedding"
+    "   FROM embeddings"
+    "   UNION ALL"
+    "   SELECT CAST(1000001 AS BIGINT), CAST(embedding AS DOUBLE[])"
+    "   FROM embeddings WHERE vec_id = 3"
+    " ) b"
+    " WHERE a.vec_id = 37"
+    " QUALIFY row_number() OVER (PARTITION BY a.vec_id"
+    " ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+    " b.embedding) DESC, b.vec_id) <= 10",
 )
 def _x6_vecindex(spark, sf_dir):
     """X6b persisted-index serving, driver-verified end-to-end (r7 —
@@ -2848,9 +2866,21 @@ def _x6_vecindex(spark, sf_dir):
     partition-pruned posting deletion: only the lists holding those
     ids rewrite, the rest carry forward file-identical) plus one
     absent id in the request. The oracle's second block recomputes
-    brute force over embeddings EXCLUDING the deleted ids, so the six
-    arms together certify build, all three serve paths, recluster,
-    split, and delete against one independent SQL."""
+    brute force over embeddings EXCLUDING the deleted ids.
+
+    r11 seventh arm: query 37 serves from an UPSERTED copy
+    (:func:`~.extensions.vecindex.upsert_into_ivf_index` — the
+    re-embedding refresh path: vec_ids 7/13 replaced with their
+    NEGATED vectors, an exact fp transform the oracle recomputes with
+    list_transform, and a brand-new id 1000001 inserted carrying
+    vec 3's embedding — an exact duplicate whose tie the id ORDER
+    resolves identically on both sides). The oracle's third block
+    recomputes brute force over the CASE-modified + unioned corpus,
+    so an upsert bug that leaves a stale payload, double-inserts,
+    drops an untouched row, or mis-assigns a moved posting breaks the
+    hash. The seven arms together certify build, all three serve
+    paths, recluster, split, delete, and upsert against one
+    independent SQL."""
     import tempfile
 
     from .extensions import vecindex as xvi
@@ -2994,12 +3024,55 @@ def _x6_vecindex(spark, sf_dir):
         F.col("id").cast(_BIG).alias("vec_id"),
         F.round("cosine", 6).alias("cosine"),
     )
+    # r11 seventh arm: query 37 serves from an UPSERTED copy — vec_ids
+    # 7/13 refreshed with their negated vectors (moved lists), id
+    # 1000001 inserted with vec 3's embedding (exact-duplicate tie,
+    # id-ordered identically on both sides). Exactness at nprobe=nlist
+    # makes the CASE-modified brute-force SQL the oracle for the whole
+    # assign→compare→touched-rewrite→carry chain.
+    up_dir = _VECINDEX_DIRS.get(sf_dir + "#upserted")
+    if up_dir is None or not os.path.exists(
+        os.path.join(up_dir, "manifest.json")
+    ):
+        up_dir = os.path.join(
+            tempfile.mkdtemp(prefix="gt_x6_vecindex_up_"), "idx"
+        )
+        refresh = (
+            e.where(F.col("vec_id").isin([7, 13]))
+            .select(
+                "vec_id",
+                F.transform("embedding", lambda x: -x).alias(
+                    "embedding"
+                ),
+            )
+            .unionByName(
+                e.where(F.col("vec_id") == 3).select(
+                    F.lit(1000001).cast("long").alias("vec_id"),
+                    "embedding",
+                )
+            )
+        )
+        xvi.upsert_into_ivf_index(spark, idx_dir, up_dir, refresh)
+        _VECINDEX_DIRS[sf_dir + "#upserted"] = up_dir
+    up_idx = xvi.read_ivf_index(spark, up_dir)
+    qv37 = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 37).first()["embedding"]
+    ]
+    upserted = xvi.ivf_index_topk(
+        up_idx, qv37, k=10, nprobe=len(up_idx.centroids)
+    ).select(
+        F.lit(37).cast(_BIG).alias("query_id"),
+        F.col("id").cast(_BIG).alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
     return (
         single.unionByName(batch)
         .unionByName(dist)
         .unionByName(recl)
         .unionByName(split)
         .unionByName(deleted)
+        .unionByName(upserted)
     )
 
 
