@@ -24,23 +24,42 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..parsers import parse_constraint_value
+from ..schema import Field
 
 
-def _const_lit(v):
-    """Constraint literal as a Column: yearmonth tuples become struct
-    literals (struct comparison is field-order lexicographic —
-    (year, month) orders correctly); everything else F.lit."""
+def _const_lit(v, field: Field | None = None):
+    """Constraint literal as a Column: tuple literals become struct
+    literals whose FIELD NAMES AND TYPES match the parsed column
+    (struct equality needs the same dataType — a name/type mismatch
+    is a plan-time DATATYPE_MISMATCH, the r11 review finding):
+    yearmonth → struct<year int, month int> (field-order
+    lexicographic, so ordering works too), duration →
+    struct<months long, seconds double>, geopoint →
+    struct<lon double, lat double>. Everything else F.lit."""
     if isinstance(v, tuple):
+        t = field.type if field is not None else "yearmonth"
+        if t == "duration":
+            return F.struct(
+                F.lit(int(v[0])).cast("long").alias("months"),
+                F.lit(float(v[1])).cast("double").alias("seconds"),
+            )
+        if t == "geopoint":
+            return F.struct(
+                F.lit(float(v[0])).cast("double").alias("lon"),
+                F.lit(float(v[1])).cast("double").alias("lat"),
+            )
         return F.struct(
             F.lit(int(v[0])).alias("year"), F.lit(int(v[1])).alias("month")
         )
     return F.lit(v)
-from ..schema import Field
 
-#: constraint name -> goodtables data-quality-spec error code
+
+#: constraint name -> goodtables data-quality-spec error code.
+#: No 'unique' entry: C2 is a KEY check (single-field unique key via
+#: checks/keys.py), never a row mask, so compile_constraints cannot
+#: emit it — the entry only misled readers (r11 review).
 CONSTRAINT_CODES = {
     "required": "required-constraint",
-    "unique": "unique-constraint",
     "minLength": "minimum-length-constraint",
     "maxLength": "maximum-length-constraint",
     "minimum": "minimum-constraint",
@@ -108,10 +127,10 @@ def compile_constraints(
 
     if "minimum" in cons:
         v = parse_constraint_value(cons["minimum"], field)
-        add("minimum", v, parsed < _const_lit(v), parsed)
+        add("minimum", v, parsed < _const_lit(v, field), parsed)
     if "maximum" in cons:
         v = parse_constraint_value(cons["maximum"], field)
-        add("maximum", v, parsed > _const_lit(v), parsed)
+        add("maximum", v, parsed > _const_lit(v, field), parsed)
 
     if "enum" in cons:
         values = [parse_constraint_value(v, field) for v in cons["enum"]]
@@ -122,7 +141,7 @@ def compile_constraints(
         if any(isinstance(v, tuple) for v in values):
             hit = None
             for v in values:
-                eq = parsed == _const_lit(v)
+                eq = parsed == _const_lit(v, field)
                 hit = eq if hit is None else (hit | eq)
             mask = parsed.isNotNull() & ~F.coalesce(hit, F.lit(False))
         else:

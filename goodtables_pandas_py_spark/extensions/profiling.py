@@ -38,7 +38,17 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     for c in cols:
         numeric = isinstance(df.schema[c].dataType, NumericType)
         v = F.col(c)
-        dv = v.cast("double") if numeric else F.lit(None).cast("double")
+        # NaN-exclude the moment aggregates (value_histogram already
+        # does): avg/stddev/min/max PROPAGATE NaN, and a NaN baseline
+        # mean/stddev makes every profile_drift comparison NaN — and
+        # NaN > NaN is FALSE under Spark semantics, so mean_drift
+        # could never fire again for that column (r11 review,
+        # repro-confirmed)
+        dv = (
+            F.when(~F.isnan(v.cast("double")), v.cast("double"))
+            if numeric
+            else F.lit(None).cast("double")
+        )
         per_col.append(
             F.struct(
                 F.lit(c).alias("column"),
@@ -271,13 +281,11 @@ def top_values(
     counts = pairs.groupBy("column", "value").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # the selection's OWN rank — re-deriving it with a second window
+    # duplicated the sort and had to stay byte-consistent with the
+    # selection's ordering spec by hand (r11 review)
     top = top_k_per_group(
         counts, ["column"], "n", k,
-        tiebreak=["value"], prune_salts=prune_salts,
+        tiebreak=["value"], prune_salts=prune_salts, keep_rank="rank",
     )
-    rank = F.row_number().over(
-        Window.partitionBy("column").orderBy(
-            F.col("n").desc(), F.asc_nulls_first("value")
-        )
-    )
-    return top.select("column", "value", "n", rank.alias("rank"))
+    return top.select("column", "value", "n", "rank")

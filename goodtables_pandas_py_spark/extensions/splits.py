@@ -374,6 +374,7 @@ def top_k_per_group(
     descending: bool = True,
     tiebreak: list[str] | None = None,
     prune_salts: int | None = None,
+    keep_rank: str | None = None,
 ) -> DataFrame:
     """Keep the best ``k`` rows per group — the corpus-curation
     selection step ("top 10k docs per domain by quality score").
@@ -393,6 +394,12 @@ def top_k_per_group(
     competitors there), so the prune never drops a winner. The salt
     hashes the tiebreak columns (required with ``prune_salts``) —
     deterministic, engine-portable, no RNG.
+
+    ``keep_rank="col"`` keeps the selection's own 1-based rank as a
+    column — callers that need it (e.g. profiling top_values) must
+    NOT re-derive it with a second window, which would duplicate the
+    sort and could silently diverge from the selection order (r11
+    review).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -422,11 +429,11 @@ def top_k_per_group(
             .drop("__salt", "__prn")
         )
     w = Window.partitionBy(*group_cols).orderBy(*order)
-    return (
-        out.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .drop("__rn")
+    rn = keep_rank if keep_rank is not None else "__rn"
+    out = out.withColumn(rn, F.row_number().over(w)).where(
+        F.col(rn) <= k
     )
+    return out if keep_rank is not None else out.drop("__rn")
 
 
 def mixture_rates(

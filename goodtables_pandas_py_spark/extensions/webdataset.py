@@ -18,7 +18,9 @@ Spark-first shape:
 - **Write**: one (or more) shards PER PARTITION, written inside the
   same map-only pass (``foreachPartition`` semantics with a manifest
   row yielded per shard) — repartition upstream to choose the shard
-  count. Atomicity: each shard writes to ``<name>.tmp`` and renames
+  count. Atomicity: each shard writes to ``<name>.<attempt>.tmp``
+  (attempt-unique, so speculative/zombie attempts never interleave
+  into one file) and renames
   into place, so readers never see a torn tar; pair with
   :func:`.pipeline.write_release_version` for whole-release atomic
   publish.
@@ -95,11 +97,13 @@ def iter_tar_samples(
             if not member.isfile():
                 continue
             key, ext = _split_key(member.name)
+            if keep_exts is not None and ext not in keep_exts:
+                continue  # payload never read; key NOT registered —
+                # a sample none of whose members survive the filter
+                # must not yield a phantom empty-files row (r11 review)
             if key not in buf:
                 buf[key] = {}
                 order.append(key)
-            if keep_exts is not None and ext not in keep_exts:
-                continue  # payload never read
             fh = tf.extractfile(member)
             buf[key][ext] = fh.read() if fh is not None else b""
     for k in order:
@@ -163,7 +167,13 @@ def write_webdataset(
     ) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        # the tmp name must be unique PER ATTEMPT, not per partition:
+        # with speculation (or a zombie original overlapping a retry)
+        # two attempts of the same partition would interleave into one
+        # .tmp and os.replace a torn tar into place (r11 review)
+        attempt = ctx.taskAttemptId() if ctx else 0
         seq = 0
         out_rows = []
         tf = None
@@ -175,7 +185,7 @@ def write_webdataset(
             final_path = os.path.join(
                 out_dir, f"part-{pid:05d}-{seq:04d}{suffix}"
             )
-            tmp_path = final_path + ".tmp"
+            tmp_path = f"{final_path}.{attempt}.tmp"
             tf = tarfile.open(tmp_path, mode)
             n_in_shard = 0
 

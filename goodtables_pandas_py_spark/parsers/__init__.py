@@ -585,6 +585,43 @@ def parse_constraint_value(value, field: Field):
     if t == "time":
         tm = dt.time.fromisoformat(value) if isinstance(value, str) else value
         return tm.hour * 3600 + tm.minute * 60 + tm.second
+    if t == "duration":
+        # Python twin of _parse_duration: ISO 8601 → (months, seconds)
+        # tuple matching the parsed struct<months,seconds> — leaving
+        # the literal a STRING made enum's isin a struct-vs-string
+        # DATATYPE_MISMATCH that killed the whole plan (r11 review)
+        import re as _re
+
+        s = str(value)
+        if not _re.match(DURATION_RE, s):  # pattern is ^...$-anchored
+            raise ValueError(f"bad duration constraint literal {value!r}")
+
+        def _num(pat: str) -> float:
+            m = _re.search(pat, s)
+            return float(m.group(1)) if m else 0.0
+
+        months = int(
+            _num(r"P[^T]*?([0-9]+)Y") * 12 + _num(r"P[^T]*?([0-9]+)M")
+        )
+        seconds = (
+            _num(r"P[^T]*?([0-9]+)W") * 7 * 86400
+            + _num(r"P[^T]*?([0-9]+(?:\.[0-9]+)?)D") * 86400
+            + _num(r"T.*?([0-9]+)H") * 3600
+            + _num(r"T[0-9H]*?([0-9]+)M") * 60
+            + _num(r"T.*?([0-9]+(?:\.[0-9]+)?)S")
+        )
+        return (months, seconds)
+    if t == "geopoint":
+        # → (lon, lat) tuple matching struct<lon,lat>; accepts the
+        # spec's three literal shapes
+        if isinstance(value, dict):
+            return (float(value["lon"]), float(value["lat"]))
+        if isinstance(value, (list, tuple)) and len(value) == 2:
+            return (float(value[0]), float(value[1]))
+        parts = str(value).split(",")
+        if len(parts) != 2:
+            raise ValueError(f"bad geopoint constraint literal {value!r}")
+        return (float(parts[0]), float(parts[1]))
     # JSON-typed fields keep their lexical string physical form:
     # render dict/list literals as JSON so the comparison literal is
     # a string (F.lit(dict) crashes), documented compare-lexical

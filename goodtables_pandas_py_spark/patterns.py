@@ -118,42 +118,6 @@ def strptime_to_spark(fmt: str) -> str:
     return "".join(out)
 
 
-def strptime_guard_regex(fmt: str) -> str | None:
-    """Build a strict shape regex from a strptime pattern so that
-    Spark's slightly-lenient parser is tightened to strptime strictness
-    (SURVEY.md §7.3.1). Returns None when a directive has no fixed
-    width (named months etc.) — then only the parser decides."""
-    widths = {
-        "%Y": r"[0-9]{4}",
-        "%y": r"[0-9]{2}",
-        "%m": r"[0-9]{2}",
-        "%d": r"[0-9]{2}",
-        "%H": r"[0-9]{2}",
-        "%I": r"[0-9]{2}",
-        "%M": r"[0-9]{2}",
-        "%S": r"[0-9]{2}",
-        "%f": r"[0-9]{1,6}",
-        "%j": r"[0-9]{3}",
-        "%z": r"[+-][0-9]{2}:?[0-9]{2}|Z",
-        "%%": "%",
-    }
-    out = ["^"]
-    i = 0
-    while i < len(fmt):
-        if fmt[i] == "%":
-            directive = fmt[i : i + 2]
-            if directive not in widths:
-                return None
-            out.append("(" + widths[directive] + ")")
-            i += 2
-        else:
-            ch = fmt[i]
-            out.append("\\" + ch if ch in ".^$*+?()[]{}|\\" else ch)
-            i += 1
-    out.append("$")
-    return "".join(out)
-
-
 def two_digit_year_correction(ts, fmt: str):
     """Python strptime pivots 2-digit years at 69 (69-99 → 1969-1999,
     00-68 → 2000-2068); java.time 'yy' uses base 2000 (69 → 2069).

@@ -102,9 +102,9 @@ def validate_stream(
                 pf = parse_field(raw_col, fld, schema.missing_values)
                 parsed = pf.parsed
                 cols.append(pf.bad.alias(f"__bad__{fld.name}"))
+        # (compile_constraints never emits 'unique' — C2 routes
+        # through the key machinery, not the mask path)
         for ck in compile_constraints(fld, parsed, raw):
-            if ck.constraint == "unique":
-                continue  # needs global state; not a streaming check
             cols.append(ck.mask.alias(f"__viol__{fld.name}__{ck.constraint}"))
     return stream.select(*cols)
 
@@ -195,18 +195,28 @@ def fk_check_foreach_batch(
     child_fields: list[str],
     parent_fields: list[str],
     on_violations: Callable[[DataFrame, int], None],
+    broadcast_parent: bool = True,
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` function that anti-joins each
     micro-batch against a parent snapshot and hands violations to
-    ``on_violations(viol_df, batch_id)``. The parent is broadcast
-    when small (AQE decides; hint forced here since dimension parents
-    are the norm). Keeps FK state out of the stream — micro-batch
-    joins only (SURVEY.md §7.3.6)."""
+    ``on_violations(viol_df, batch_id)``. ``broadcast_parent``
+    defaults ON — dimension-sized parents are the norm and the hint
+    avoids re-shuffling the parent every micro-batch — but it is a
+    FORCED hint: pass ``False`` for fact-sized parents (hundreds of
+    millions of keys), where a forced broadcast dies on
+    broadcast-size/driver limits; the plain join lets AQE decide
+    (r11 review — the knob existed on foreign_key_violations_df but
+    was not exposed here). Keeps FK state out of the stream —
+    micro-batch joins only (SURVEY.md §7.3.6)."""
     from ..checks.keys import foreign_key_violations_df
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         viol = foreign_key_violations_df(
-            batch_df, child_fields, parent, parent_fields, broadcast_parent=True
+            batch_df,
+            child_fields,
+            parent,
+            parent_fields,
+            broadcast_parent=broadcast_parent,
         )
         on_violations(viol, batch_id)
 

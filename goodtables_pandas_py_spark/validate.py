@@ -345,9 +345,9 @@ def _compile_table(
         # constraints compose over the parsed EXPRESSION (not an alias
         # reference — aliases in the same select are not resolvable);
         # Catalyst's subexpression elimination dedups the shared parse.
+        # (compile_constraints never emits 'unique' — C2 routes
+        # through the key machinery below, not the mask path)
         for cc in compile_constraints(fld, parsed_expr, raw_expr):
-            if cc.constraint == "unique":
-                continue  # handled via key machinery below
             mask_name = f"__viol__{fld.name}__{cc.constraint}"
             select_cols.append(cc.mask.alias(mask_name))
             rep_name = f"__rep__{fld.name}__{cc.constraint}"

@@ -238,3 +238,40 @@ def test_primary_key_null_only_violations_carry_sample(spark):
     res = check_primary_key(df, ["id"])
     assert res.count == 2
     assert res.values and all(t == (None,) for t in res.values)
+
+
+def test_enum_on_struct_typed_fields(spark):
+    """r11 review regression (repro-confirmed): enum literals on
+    duration/geopoint fields stayed STRINGS while the parsed column is
+    a struct — parsed.isin(strings) was a plan-time DATATYPE_MISMATCH
+    that killed the whole validation. Literals now parse to tuples and
+    compile to name/type-matched struct equalities."""
+    from goodtables_pandas_py_spark.parsers import parse_field
+
+    f = Field(
+        "v", type="duration", constraints={"enum": ["P1D", "PT1H30M"]}
+    )
+    df = spark.createDataFrame(
+        [("P1D",), ("PT1H30M",), ("P2D",), ("P1DT0S",), (None,)],
+        "v string",
+    )
+    parsed = parse_field(F.col("v"), f).parsed
+    checks = compile_constraints(f, parsed, F.col("v"))
+    enum_ck = [c for c in checks if c.constraint == "enum"][0]
+    # P2D violates; P1DT0S == P1D as a (months, seconds) value —
+    # typed comparison, not lexical
+    assert df.select(F.count_if(enum_ck.mask).alias("n")).first()["n"] == 1
+
+    g = Field(
+        "v", type="geopoint",
+        constraints={"enum": ["1.5,2.5", [3.0, 4.0]]},
+    )
+    gdf = spark.createDataFrame(
+        [("1.5, 2.5",), ("3,4",), ("9,9",), (None,)], "v string"
+    )
+    gparsed = parse_field(F.col("v"), g).parsed
+    gchecks = compile_constraints(g, gparsed, F.col("v"))
+    genum = [c for c in gchecks if c.constraint == "enum"][0]
+    assert (
+        gdf.select(F.count_if(genum.mask).alias("n")).first()["n"] == 1
+    )

@@ -295,3 +295,27 @@ def test_top_values_validates_args(spark):
         top_values(df, ["nope"])
     with _pytest.raises(ValueError, match="k must be"):
         top_values(df, ["s"], k=0)
+
+
+def test_nan_does_not_poison_moments_or_silence_drift(spark):
+    """r11 review (repro-confirmed): one NaN in the baseline made
+    mean/stddev NaN, and since NaN > NaN is FALSE under Spark
+    semantics, mean_drift could never fire again for that column.
+    Moments now exclude NaN (value_histogram always did)."""
+    from goodtables_pandas_py_spark.extensions.profiling import (
+        column_profile,
+        profile_drift,
+    )
+
+    before = spark.createDataFrame(
+        [(float("nan"),), (1.0,), (2.0,), (3.0,)], "x double"
+    )
+    after = spark.createDataFrame(
+        [(100.0,), (101.0,), (102.0,)], "x double"
+    )
+    pb = column_profile(before)
+    row = pb.collect()[0]
+    assert row["mean"] == 2.0           # NaN excluded, not propagated
+    assert row["stddev"] == 1.0
+    drift = profile_drift(pb, column_profile(after)).collect()[0]
+    assert drift["mean_drift"] is True  # a 100-sigma shift FIRES

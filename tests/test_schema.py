@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from goodtables_pandas_py_spark.patterns import strptime_guard_regex, strptime_to_spark
+from goodtables_pandas_py_spark.patterns import strptime_to_spark
 from goodtables_pandas_py_spark.schema import (
     Field,
     ForeignKey,
@@ -73,14 +73,6 @@ def test_strptime_translation():
     assert strptime_to_spark("%H%M%S") == "HHmmss"
     with pytest.raises(ValueError):
         strptime_to_spark("%Q")
-
-
-def test_strptime_guard():
-    g = strptime_guard_regex("%d/%m/%Y")
-    import re
-
-    assert re.match(g, "01/02/2024")
-    assert not re.match(g, "1/2/2024")
 
 
 def test_infer_schema_from_strings(spark):

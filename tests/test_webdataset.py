@@ -254,3 +254,43 @@ def test_streaming_shard_ingest(spark, tmp_path):
     assert back.count() == 12
     got = {r["key"]: bytes(r["files"]["txt"]) for r in back.collect()}
     assert got == {f"{i:04d}": str(i).encode() for i in range(12)}
+
+
+def test_keep_exts_drops_memberless_samples():
+    """r11 review: a sample NONE of whose members survive keep_exts
+    must not yield a phantom empty-files row."""
+    samples = [
+        ("a", {"txt": b"keep", "jpg": b"J"}),
+        ("imgonly", {"jpg": b"J", "png": b"P"}),
+        ("b", {"txt": b"also"}),
+    ]
+    blob = _stdlib_tar(samples)
+    got = dict(iter_tar_samples(blob, keep_exts={"txt"}))
+    assert got == {"a": {"txt": b"keep"}, "b": {"txt": b"also"}}
+
+
+def test_write_tmp_names_are_attempt_unique(spark, tmp_path):
+    """r11 review: the shard tmp path embeds the task ATTEMPT id, so
+    a speculative/zombie second attempt of the same partition can
+    never interleave into the first attempt's .tmp and rename a torn
+    tar into place. (Attempt concurrency itself can't be forced in
+    local mode — pin the naming contract instead.)"""
+    import glob
+
+    from goodtables_pandas_py_spark.extensions.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}", {"txt": bytearray(b"x")}) for i in range(4)],
+        "key string, files map<string, binary>",
+    ).coalesce(1)
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(df, out, samples_per_shard=2).collect()
+    assert len(manifest) == 2
+    # finals renamed into place, no tmp left behind
+    assert glob.glob(out + "/*.tmp") == []
+    finals = sorted(glob.glob(out + "/part-*.tar"))
+    assert len(finals) == 2
+    assert read_webdataset(spark, out + "/*.tar").count() == 4
