@@ -196,20 +196,28 @@ def dsir_logweights(
     ``raw_counts`` gets the same treatment (persisted here unless the
     caller already did — advisor r5), since its lineage usually
     includes the same full-corpus featurization."""
+    from ..cacheutil import attach_persisted
+
     tc = bucket_counts(target, text_col, num_buckets, ngrams).persist()
+    own = [tc]
     rc = raw_counts
     if rc is None:
         rc = bucket_counts(df, text_col, num_buckets, ngrams).persist()
+        own.append(rc)
     elif not (
         rc.storageLevel.useMemory
         or rc.storageLevel.useDisk
         or rc.storageLevel.useOffHeap
     ):
         rc = rc.persist()
+        own.append(rc)
     model, nt, nr = dsir_logratio_model(tc, rc, num_buckets)
-    return dsir_score(
+    out = dsir_score(
         df, model, nt, nr, id_col, text_col, num_buckets, ngrams
     )
+    # attach OUR persists for caller release (cacheutil contract —
+    # r11 review; a caller-persisted raw_counts stays the caller's)
+    return attach_persisted(out, *own)
 
 
 def dsir_score(
@@ -322,6 +330,12 @@ def dsir_sample(
         ).cast("double")
         + 0.5
     ) / float(_HEX_SPACE)
+    from ..cacheutil import attach_persisted, get_persisted
+
+    # internally-computed weights carry their own attached persists
+    # (tc/rc) — re-attach them to whatever we return so callers can
+    # release everything through the one contract (r11 review)
+    inherited = get_persisted(w) if weights is None else []
     keyed = w.where(F.col("logw").isNotNull()).select(
         id_col, (F.col("logw") - F.log(-F.log(u))).alias("__key")
     )
@@ -337,6 +351,18 @@ def dsir_sample(
         keyed = keyed.persist()
         qs = keyed.approxQuantile("__key", [1.0 - fraction], 1e-4)
         if not qs:  # every doc weightless (empty/null text) or df empty
+            keyed.unpersist()
+            for f in inherited:
+                f.unpersist()
             return df.where(F.lit(False))
         picked = keyed.where(F.col("__key") >= qs[0])
-    return df.join(picked.select(id_col), id_col, "left_semi")
+        # keyed is O(num_docs) rows — attach it so callers can release
+        # (cacheutil contract, r11 review); the k-path never persists it
+        return attach_persisted(
+            df.join(picked.select(id_col), id_col, "left_semi"),
+            keyed,
+            *inherited,
+        )
+    return attach_persisted(
+        df.join(picked.select(id_col), id_col, "left_semi"), *inherited
+    )

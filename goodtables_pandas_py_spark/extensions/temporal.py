@@ -55,7 +55,9 @@ def asof_join(
     Semantics notes: ties on ``ts`` match (inclusive); among right
     rows sharing the same key AND timestamp the winner is
     plan-order-dependent — disambiguate upstream if right has
-    same-instant duplicates.
+    same-instant duplicates. NULL ``by`` keys never match (plain SQL
+    join-key semantics, like ``range_join`` and DuckDB's native
+    ASOF): NULL-keyed left rows come through unmatched.
 
     SCALE CAVEAT: with ``by=[]`` the window has no partition keys —
     Spark moves everything to ONE task for the sort. Fine for small
@@ -84,6 +86,14 @@ def asof_join(
     # its non-null payload struct would match every left row preceding
     # the first real right row — drop them before the union
     right = right.where(F.col(ts_col).isNotNull())
+    # NULL by-keys never match (SQL join-key semantics, same as
+    # range_join and DuckDB's native ASOF): the window's partitionBy
+    # GROUPS nulls, so without this a NULL-keyed event silently
+    # inherited the latest NULL-keyed dimension row (r11 review).
+    # Left rows keep flowing (they just match nothing) — only the
+    # right side filters.
+    for c in by:
+        right = right.where(F.col(c).isNotNull())
     r = right.select(
         *[F.col(c) for c in by],
         F.col(ts_col),
@@ -263,6 +273,11 @@ def range_join(
         right_cols = [
             c for c in intervals.columns if c not in {*by, lo_col, hi_col}
         ]
+    # the bounds are always exported as <lo_col>/<hi_col><suffix>;
+    # keeping them in a user-supplied right_cols would emit duplicate
+    # output names (AMBIGUOUS_REFERENCE downstream — r11 review, the
+    # asof_join ts_col rule applied to both bounds)
+    right_cols = [c for c in right_cols if c not in (lo_col, hi_col)]
 
     to_num, unit_scale, integral = _range_domain(
         points.schema[point_col].dataType
@@ -395,6 +410,9 @@ def interval_join(
         right_cols = [
             c for c in right.columns if c not in {*by, r_lo, r_hi}
         ]
+    # same duplicate-name rule as range_join: bounds export under
+    # their own suffixed names (r11 review)
+    right_cols = [c for c in right_cols if c not in (r_lo, r_hi)]
 
     to_num, unit_scale, integral = _range_domain(left.schema[l_lo].dataType)
     if bin_width is not None and bin_width <= 0:

@@ -89,11 +89,16 @@ class Field:
                 raise SchemaError(f"field {self.name!r}: unknown constraint {k!r}")
         # minimum/maximum need a totally-ordered physical type
         # [SPEC table-schema §constraints: applies to numeric, date,
-        # time, datetime, year, yearmonth]; a struct/JSON/string type
-        # would otherwise die at plan time with an opaque
-        # DATATYPE_MISMATCH deep inside the checks
+        # time, datetime, year, yearmonth, duration]; a JSON/string/
+        # geopoint type would otherwise die at plan time with an
+        # opaque DATATYPE_MISMATCH deep inside the checks. duration
+        # (r11): the parsed struct<months,seconds> orders field-wise
+        # lexicographically and the constraint literal parses to the
+        # matching struct — note calendar months vs clock seconds are
+        # compared POSITIONALLY (P1M > P30D), the same convention as
+        # the parse itself
         ORDERED = {"integer", "number", "year", "yearmonth",
-                   "date", "time", "datetime"}
+                   "date", "time", "datetime", "duration"}
         for k in ("minimum", "maximum"):
             if k in self.constraints and self.type not in ORDERED:
                 raise SchemaError(

@@ -60,6 +60,8 @@ def unigram_score_foreach_batch(
         freqs = freqs.persist()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from ..cacheutil import unpersist_scan_state
+
         scored = unigram_logprob(
             batch_df,
             freqs=_resolve(freqs),
@@ -68,7 +70,15 @@ def unigram_score_foreach_batch(
             lowercase=lowercase,
             head_vocab=head_vocab,
         )
-        on_scored(scored, batch_id)
+        try:
+            on_scored(scored, batch_id)
+        finally:
+            # unigram_logprob persists the per-batch exploded-tokens
+            # frame and attaches it (cacheutil contract) — release it
+            # after the sink, like the dedup handlers, or a long
+            # stream accumulates one cached frame PER MICRO-BATCH
+            # (r11 review)
+            unpersist_scan_state(scored)
 
     return handle
 

@@ -30,11 +30,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-#: per-key accumulated state: total seen, duplicates suppressed
+#: per-key accumulated state: total seen. (No stored n_dup — the
+#: lifetime duplicate count is always n_seen - 1 once seen, and the
+#: emitted n_dup is the BATCH delta; storing it doubled the state row
+#: for a derivable value — r11 review.)
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_seen", T.LongType()),
-        T.StructField("n_dup", T.LongType()),
     ]
 )
 
@@ -71,15 +73,11 @@ def dedup_counts_stream(
         n_batch = 0
         for pdf in pdfs:
             n_batch += len(pdf)
-        if state.exists:
-            n_seen, n_dup = state.get
-        else:
-            n_seen, n_dup = 0, 0
+        n_seen = state.get[0] if state.exists else 0
         n_new = 1 if n_seen == 0 and n_batch > 0 else 0
         dup_delta = n_batch - n_new
         n_seen += n_batch
-        n_dup += dup_delta
-        state.update((n_seen, n_dup))
+        state.update((n_seen,))
         if state_timeout_ms:
             state.setTimeoutDuration(state_timeout_ms)
         yield pd.DataFrame(

@@ -275,3 +275,26 @@ def test_enum_on_struct_typed_fields(spark):
     assert (
         gdf.select(F.count_if(genum.mask).alias("n")).first()["n"] == 1
     )
+
+
+def test_duration_minimum_maximum(spark):
+    """r11 review: Table Schema lists duration as min/max-applicable
+    and the engine's struct<months,seconds> is totally ordered — the
+    schema guard no longer refuses it."""
+    from goodtables_pandas_py_spark.parsers import parse_field
+
+    f = Field(
+        "v", type="duration",
+        constraints={"minimum": "PT1H", "maximum": "P1D"},
+    )
+    df = spark.createDataFrame(
+        [("PT30M",), ("PT2H",), ("P1D",), ("P2D",), (None,)],
+        "v string",
+    )
+    parsed = parse_field(F.col("v"), f).parsed
+    got = {
+        c.constraint: df.select(F.count_if(c.mask).alias("n")).first()["n"]
+        for c in compile_constraints(f, parsed, F.col("v"))
+    }
+    assert got["minimum"] == 1    # PT30M under PT1H
+    assert got["maximum"] == 1    # P2D over P1D (P1D inclusive)

@@ -4012,3 +4012,31 @@ def test_cacheutil_tolerates_stash_named_column(spark):
     out = attach_persisted(df, inter)
     assert out.columns == ["id", "_gt_persisted"]  # plan untouched
     assert unpersist_scan_state(out) == 1
+
+
+def test_dsir_persists_are_attached_for_release(spark):
+    """r11 review: dsir_logweights' count-table persists and
+    dsir_sample's fraction-path keyed frame now ride the cacheutil
+    contract so callers can release them."""
+    from goodtables_pandas_py_spark.cacheutil import unpersist_scan_state
+    from goodtables_pandas_py_spark.extensions.dsir import (
+        dsir_logweights,
+        dsir_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc about topic {i % 3} words") for i in range(12)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(0, "doc about topic 0 words"), (1, "topic 0 again")],
+        "doc_id long, text string",
+    )
+    w = dsir_logweights(df, target, num_buckets=64)
+    assert w.count() == 12
+    assert unpersist_scan_state(w) == 2      # tc + rc released
+
+    sampled = dsir_sample(df, target, fraction=0.5, num_buckets=64)
+    n = sampled.count()
+    assert 1 <= n <= 12
+    assert unpersist_scan_state(sampled) >= 1  # keyed (+ tc/rc if nested)

@@ -760,3 +760,56 @@ def test_asof_join_null_right_ts_never_matches(spark):
     }
     assert got[1] == (None, None)   # nothing at or before ts=5
     assert got[2] == (40, "REAL")   # the real row still matches
+
+
+def test_asof_null_by_keys_never_match(spark):
+    """r11 review: the window's partitionBy GROUPS null keys, so a
+    NULL-keyed event silently inherited the latest NULL-keyed
+    dimension row — now null by keys never match (SQL join-key
+    semantics, same as range_join and DuckDB's native ASOF)."""
+    from goodtables_pandas_py_spark.extensions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10, "e1"), ("a", 10, "e2")],
+        "k string, ts int, ev string",
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "garbage"), ("a", 5, "good")],
+        "k string, ts int, val string",
+    )
+    got = {
+        r["ev"]: r["val_right"]
+        for r in asof_join(left, right, ts_col="ts", by=["k"]).collect()
+    }
+    assert got == {"e1": None, "e2": "good"}
+
+
+def test_range_join_right_cols_bounds_filtered(spark):
+    """r11 review: a user-supplied right_cols naming the bounds
+    columns emitted DUPLICATE output names (the bounds always export
+    as <lo>/<hi><suffix>) — they are now filtered like asof's ts."""
+    from goodtables_pandas_py_spark.extensions.temporal import (
+        interval_join,
+        range_join,
+    )
+
+    pts = spark.createDataFrame([(5, "p1")], "x int, pid string")
+    ivs = spark.createDataFrame(
+        [(0, 10, "A")], "lo int, hi int, owner string"
+    )
+    out = range_join(
+        pts, ivs, point_col="x", right_cols=["lo", "owner"],
+    )
+    assert sorted(out.columns) == sorted(
+        ["x", "pid", "lo_right", "hi_right", "owner_right"]
+    )
+    assert out.count() == 1
+
+    li = spark.createDataFrame([(1, 4, "L")], "lo int, hi int, lid string")
+    ri = spark.createDataFrame([(2, 6, "R")], "lo int, hi int, rid string")
+    out2 = interval_join(
+        li, ri, left_bounds=("lo", "hi"), right_bounds=("lo", "hi"),
+        right_cols=["hi", "rid"],
+    )
+    assert len(out2.columns) == len(set(out2.columns))
+    assert out2.count() == 1
