@@ -380,6 +380,11 @@ def test_knn_join_blocked_matches_loop_oracle(spark, vecs, k):
 
     got = per_query(knn_join(df, df, k=k, method="blocked"))
     want = per_query(knn_join(df, df, k=k, method="loop"))
+    # ALL candidate scores per query (k = table size): tie detection
+    # must see candidates the top-k CUT — a tie straddling the k
+    # boundary (two parallel vectors, one kept by each path) is
+    # invisible inside want[q] alone (found by hypothesis in r11)
+    full = per_query(knn_join(df, df, k=len(vecs), method="loop"))
     assert set(got) == set(want)
     for q in want:
         g_scores = sorted((c for _, c in got[q] if c is not None),
@@ -392,12 +397,14 @@ def test_knn_join_blocked_matches_loop_oracle(spark, vecs, k):
             abs(a - b) <= 2e-9 for a, b in zip(g_scores, w_scores)
         ), (q, g_scores, w_scores)
         # ids agree wherever the oracle's score is strictly distinct
-        # from every other candidate score (no tie to hide behind)
+        # from every other candidate score (no tie to hide behind) —
+        # candidates from the FULL ranking, not just the kept top-k
         w_pairs = [(c, rid) for rid, c in want[q] if c is not None]
+        all_pairs = [(c, rid) for rid, c in full.get(q, []) if c is not None]
         got_ids = {rid for rid, c in got[q] if c is not None}
         for wc, wid in w_pairs:
             distinct = all(
-                abs(wc - oc) > 2e-9 for oc, oid in w_pairs if oid != wid
+                abs(wc - oc) > 2e-9 for oc, oid in all_pairs if oid != wid
             )
             if distinct:
                 assert wid in got_ids, (q, wid, wc, got[q])
