@@ -204,10 +204,26 @@ class TableValidation:
     row_count: int = 0
     errors: list[Error] = dc_field(default_factory=list)
     cached: DataFrame | None = None  # the persisted wide projection
+    # deferred key checks (r11): (cols, kind, code, Future) submitted
+    # on a caller-owned executor so package-level FK anti-joins can
+    # OVERLAP the PK/unique groupBys instead of serializing after them
+    pending_keys: list = dc_field(default_factory=list)
 
     @property
     def valid(self) -> bool:
         return not self.errors
+
+    def resolve_keys(self) -> None:
+        """Drain deferred key-check futures, appending their errors in
+        declaration order (deterministic reports)."""
+        for cols, kind, code, fut in self.pending_keys:
+            res = fut.result()
+            if not res.ok:
+                err = res.to_error(self.resource, cols, kind)
+                if code:
+                    err.code = code  # field-level C2 code
+                self.errors.append(err)
+        self.pending_keys = []
 
     def key_view(self, cols: list[str]) -> DataFrame:
         """Cheapest DataFrame containing ``cols`` (cache when it
@@ -412,9 +428,18 @@ def validate_table(
     row_ids: bool = False,
     custom_checks: list[CustomCheck] | None = None,
     dataset_checks: list[DatasetCheck] | None = None,
+    key_executor=None,
 ) -> TableValidation:
     """Validate one table (header + parse + constraints + PK/unique
     keys). FK checks live at package level (they need sibling tables).
+
+    ``key_executor`` (r11, package-internal): a caller-owned
+    ThreadPoolExecutor. When given, PK/unique checks are SUBMITTED on
+    it and returned unresolved in ``TableValidation.pending_keys``
+    instead of being awaited here — ``validate_package`` then starts
+    the FK anti-joins immediately (they only need the key cache, which
+    is already filled) so FK jobs overlap the key groupBys.
+    ``resolve_keys()`` must be called before reading ``errors``.
 
     ``custom_checks`` (X6 plugin surface): extra :class:`CustomCheck`
     masks fused into the same single-scan pass as C1-C6.
@@ -689,28 +714,53 @@ def validate_table(
     for key in schema.unique_keys:
         if _key_cols_present(key, "uniqueKeys"):
             key_tasks.append((key, "uniqueKeys", None))
+    pending_keys: list = []
     if key_tasks:
-        with ThreadPoolExecutor(max_workers=min(4, len(key_tasks))) as pool:
-            futs = [
+        if key_executor is not None:
+            # deferred mode: submit and return; validate_package drains
+            # via resolve_keys() AFTER launching the FK anti-joins so
+            # both job families share the cluster instead of queueing
+            pending_keys = [
                 (
                     cols,
                     kind,
                     code,
-                    pool.submit(
-                        check_primary_key if kind == "primaryKey" else check_unique_key,
+                    key_executor.submit(
+                        check_primary_key
+                        if kind == "primaryKey"
+                        else check_unique_key,
                         key_view(cols),
                         cols,
                     ),
                 )
                 for cols, kind, code in key_tasks
             ]
-            for cols, kind, code, fut in futs:
-                res = fut.result()
-                if not res.ok:
-                    err = res.to_error(resource, cols, kind)
-                    if code:
-                        err.code = code  # field-level C2 code
-                    errors.append(err)
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(4, len(key_tasks))
+            ) as pool:
+                futs = [
+                    (
+                        cols,
+                        kind,
+                        code,
+                        pool.submit(
+                            check_primary_key
+                            if kind == "primaryKey"
+                            else check_unique_key,
+                            key_view(cols),
+                            cols,
+                        ),
+                    )
+                    for cols, kind, code in key_tasks
+                ]
+                for cols, kind, code, fut in futs:
+                    res = fut.result()
+                    if not res.ok:
+                        err = res.to_error(resource, cols, kind)
+                        if code:
+                            err.code = code  # field-level C2 code
+                        errors.append(err)
 
     return TableValidation(
         resource=resource,
@@ -718,6 +768,7 @@ def validate_table(
         row_count=int(n_rows),
         errors=errors,
         cached=wide_cached,
+        pending_keys=pending_keys,
     )
 
 
@@ -858,86 +909,111 @@ def validate_package(
     # independent resources validate concurrently: each thread only
     # *submits* Spark jobs (job scheduling is thread-safe), so table
     # B's scan overlaps table A's aggregate instead of idling the
-    # executors between sequential driver round-trips
-    with ThreadPoolExecutor(max_workers=max(1, min(8, len(pending)))) as pool:
-        futs = {
-            name: pool.submit(
-                validate_table,
-                df,
-                schema,
-                resource=name,
-                assume_typed=assume_typed,
-                cache_cols=sorted(cache_need.get(name, set())),
-                header=header,
-                row_ids=row_ids,
-                custom_checks=(custom_checks or {}).get(name),
-                dataset_checks=desc_ds.get(name, [])
-                + list((dataset_checks or {}).get(name) or []),
-            )
-            for name, df, schema, header in pending
-        }
-        for name, fut in futs.items():
-            validations[name] = fut.result()
+    # executors between sequential driver round-trips. Key checks are
+    # DEFERRED onto key_pool (r11): validate_table returns as soon as
+    # its cache is filled and samples are drawn, with the PK/unique
+    # groupBys still in flight — the FK anti-joins below only need the
+    # key cache, so they launch immediately and overlap the key jobs
+    # (previously FK waited for every key check: strict serialization
+    # of the two independent job families on the critical path).
+    key_pool = ThreadPoolExecutor(max_workers=8)
+    try:
+        with ThreadPoolExecutor(
+            max_workers=max(1, min(8, len(pending)))
+        ) as pool:
+            futs = {
+                name: pool.submit(
+                    validate_table,
+                    df,
+                    schema,
+                    resource=name,
+                    assume_typed=assume_typed,
+                    cache_cols=sorted(cache_need.get(name, set())),
+                    header=header,
+                    row_ids=row_ids,
+                    custom_checks=(custom_checks or {}).get(name),
+                    dataset_checks=desc_ds.get(name, [])
+                    + list((dataset_checks or {}).get(name) or []),
+                    key_executor=key_pool,
+                )
+                for name, df, schema, header in pending
+            }
+            for name, fut in futs.items():
+                validations[name] = fut.result()
 
-    # --- K3: foreign keys (cross-resource + self-referencing) --------
-    # independent anti-joins: submit concurrently (same rationale as
-    # the per-table pool above)
-    fk_tasks = []
-    for res in package.resources:
-        if res.schema is None:
-            continue
-        child_v = validations[res.name]
-        for fk in res.schema.foreign_keys:
-            parent_name = fk.reference_resource or res.name  # "" = self
-            parent_v = validations.get(parent_name)
-            if parent_v is None:
-                child_v.errors.append(
-                    Error(
-                        code="foreign-key-error",
-                        resource=res.name,
-                        field=",".join(fk.fields),
-                        constraint="reference resource missing",
-                        count=1,
-                        message=f"unknown reference resource {parent_name!r}",
-                    )
-                )
+        # --- K3: foreign keys (cross-resource + self-referencing) ----
+        # independent anti-joins: submitted concurrently AND before the
+        # deferred key checks are drained, so FK jobs overlap the
+        # PK/unique groupBys. Degraded (non-job) FK errors are queued
+        # and appended only after resolve_keys() so the report keeps
+        # its historical order: header/parse → keys → FK.
+        fk_tasks = []
+        fk_degraded: list[tuple[TableValidation, Error]] = []
+        for res in package.resources:
+            if res.schema is None:
                 continue
-            absent_child = [
-                f for f in fk.fields if f not in child_v.parsed.columns
-            ]
-            absent_parent = [
-                f
-                for f in fk.reference_fields
-                if f not in parent_v.parsed.columns
-            ]
-            if absent_child or absent_parent:
-                # degrade like the unknown-resource case: a structured
-                # report error, never an AnalysisException mid-join
-                child_v.errors.append(
-                    Error(
-                        code="foreign-key-error",
-                        resource=res.name,
-                        field=",".join(fk.fields),
-                        constraint="reference fields missing",
-                        values=absent_child + absent_parent,
-                        count=1,
-                        message=(
-                            f"foreign key fields missing: child {absent_child},"
-                            f" parent ({parent_name}) {absent_parent}"
+            child_v = validations[res.name]
+            for fk in res.schema.foreign_keys:
+                parent_name = fk.reference_resource or res.name  # "" = self
+                parent_v = validations.get(parent_name)
+                if parent_v is None:
+                    fk_degraded.append((
+                        child_v,
+                        Error(
+                            code="foreign-key-error",
+                            resource=res.name,
+                            field=",".join(fk.fields),
+                            constraint="reference resource missing",
+                            count=1,
+                            message=(
+                                f"unknown reference resource {parent_name!r}"
+                            ),
                         ),
-                    )
-                )
-                continue
-            fk_tasks.append((res.name, child_v, fk, parent_name, parent_v))
-    if fk_tasks:
-        with ThreadPoolExecutor(max_workers=max(1, min(8, len(fk_tasks)))) as pool:
+                    ))
+                    continue
+                absent_child = [
+                    f for f in fk.fields if f not in child_v.parsed.columns
+                ]
+                absent_parent = [
+                    f
+                    for f in fk.reference_fields
+                    if f not in parent_v.parsed.columns
+                ]
+                if absent_child or absent_parent:
+                    # degrade like the unknown-resource case: a
+                    # structured report error, never an
+                    # AnalysisException mid-join
+                    fk_degraded.append((
+                        child_v,
+                        Error(
+                            code="foreign-key-error",
+                            resource=res.name,
+                            field=",".join(fk.fields),
+                            constraint="reference fields missing",
+                            values=absent_child + absent_parent,
+                            count=1,
+                            message=(
+                                "foreign key fields missing: child "
+                                f"{absent_child}, parent ({parent_name}) "
+                                f"{absent_parent}"
+                            ),
+                        ),
+                    ))
+                    continue
+                fk_tasks.append((res.name, child_v, fk, parent_name, parent_v))
+        futs = []
+        fk_pool = None
+        if fk_tasks:
+            fk_pool = ThreadPoolExecutor(
+                max_workers=max(1, min(8, len(fk_tasks)))
+            )
             futs = [
                 (
                     name,
                     child_v,
                     fk,
                     parent_name,
-                    pool.submit(
+                    fk_pool.submit(
                         check_foreign_key,
                         child_v.key_view(fk.fields),
                         fk.fields,
@@ -947,12 +1023,22 @@ def validate_package(
                 )
                 for name, child_v, fk, parent_name, parent_v in fk_tasks
             ]
-            for name, child_v, fk, parent_name, fut in futs:
-                result = fut.result()
-                if not result.ok:
-                    err = result.to_error(name, fk.fields, "foreignKey")
-                    err.message += f" (reference: {parent_name})"
-                    child_v.errors.append(err)
+        # drain the deferred PK/unique checks while the FK anti-joins
+        # run; key errors land before FK errors, as they always did
+        for v in validations.values():
+            v.resolve_keys()
+        for child_v, err in fk_degraded:
+            child_v.errors.append(err)
+        for name, child_v, fk, parent_name, fut in futs:
+            result = fut.result()
+            if not result.ok:
+                err = result.to_error(name, fk.fields, "foreignKey")
+                err.message += f" (reference: {parent_name})"
+                child_v.errors.append(err)
+        if fk_pool is not None:
+            fk_pool.shutdown()
+    finally:
+        key_pool.shutdown(wait=True)
 
     report = assemble_report(validations)
     for v in validations.values():
