@@ -302,7 +302,19 @@ def _part_key(value) -> str:
     return str(value)
 
 
-def _fingerprint_agg(columns: list[str]) -> list:
+#: current fingerprint scheme, recorded in manifests as ``fp_scheme``.
+#: Scheme 2 (r11) hashes each column to a long FIRST (xxhash64 of a
+#: null input degenerates to the seed, so every column contributes
+#: exactly one non-null long) and combines the longs positionally —
+#: no string rendering. Scheme 1 (r8) rendered every cell to a
+#: sentinel-prefixed string; it is kept so publishes onto releases
+#: written before r11 compare against their stored fingerprints with
+#: the identical expression (each publish inherits its BASE manifest's
+#: scheme — a chain never mixes schemes).
+FP_SCHEME = 2
+
+
+def _fingerprint_agg(columns: list[str], scheme: int = FP_SCHEME) -> list:
     """Order-insensitive per-group content fingerprint: row count plus
     the decimal(38,0) SUM of xxhash64 over all columns (sorted by name
     so both sides of a compare build the identical expression).
@@ -312,21 +324,35 @@ def _fingerprint_agg(columns: list[str]) -> list:
     unchanged needs a 64-bit hash-sum collision at equal counts —
     negligible for release hygiene.
 
-    Columns render to sentinel-prefixed strings before hashing (the
-    same scheme as release_diff's row fingerprint, and for the same
-    reason): Spark's xxhash64 SKIPS null arguments, so raw columns
-    would make ("x", null) and (null, "x") in same-typed neighbours
-    hash identically — a value shifting across a null between
-    releases would silently pass the partition off as unchanged
-    (caught by the r8 property test, fixed before first release).
-    'v'+value vs ' null' keeps every column positionally present."""
-    parts = [
-        F.coalesce(
-            F.concat(F.lit("v"), F.col(c).cast("string")),
-            F.lit(" null"),
-        )
-        for c in sorted(columns)
-    ]
+    Null-position safety (both schemes): Spark's xxhash64 SKIPS null
+    arguments, so hashing raw columns together would make ("x", null)
+    and (null, "x") in same-typed neighbours hash identically — a
+    value shifting across a null between releases would silently pass
+    the partition off as unchanged (caught by the r8 property test,
+    fixed before first release).
+
+    Scheme 2 (default, r11): hash each column separately —
+    ``xxhash64(col)`` of a null is the bare seed, a non-null long, so
+    every column occupies its position in the outer hash. Measured
+    2.2x faster than scheme 1 (0.86 -> 0.39 s on the 600k x 5-col
+    bench agg): no per-cell string rendering. Cost: the fingerprint
+    sees PHYSICAL values, so a lossless retype (int->long) of
+    identical data reads as changed and rewrites once — correctness
+    never at stake, same one-publish-pays rule as schema evolution.
+
+    Scheme 1 (legacy, r8): cells render to sentinel-prefixed strings
+    ('v'+value vs ' null') before one combined hash — type-insensitive
+    but pays a string render per cell."""
+    if scheme == 1:
+        parts = [
+            F.coalesce(
+                F.concat(F.lit("v"), F.col(c).cast("string")),
+                F.lit(" null"),
+            )
+            for c in sorted(columns)
+        ]
+    else:
+        parts = [F.xxhash64(F.col(c)) for c in sorted(columns)]
     return [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.xxhash64(*parts).cast("decimal(38,0)")).alias("fp"),
@@ -343,6 +369,7 @@ def _finalize_release_manifest(
     fingerprint: bool = True,
     known_fps: dict | None = None,
     require_claim: bool = False,
+    fp_scheme: int = FP_SCHEME,
 ) -> dict:
     """Shared tail of every release write: read BACK what's on disk,
     compute per-split counts + content fingerprints in one scan, and
@@ -423,7 +450,9 @@ def _finalize_release_manifest(
         # a null split (e.g. a user-joined assignment with misses)
         # lands in the hive default partition; name it explicitly
         # rather than crashing json.dump on a None key
-        rows = back.groupBy(split_col).agg(*_fingerprint_agg(cols)).collect()
+        rows = back.groupBy(split_col).agg(
+            *_fingerprint_agg(cols, fp_scheme)
+        ).collect()
         counts = {}
         fps = {}
         for r in rows:
@@ -434,7 +463,7 @@ def _finalize_release_manifest(
             counts[k] = int(v["n"])
             fps[k] = {"n": int(v["n"]), "fp": str(v["fp"])}
     else:
-        row = back.agg(*_fingerprint_agg(cols)).collect()[0]
+        row = back.agg(*_fingerprint_agg(cols, fp_scheme)).collect()[0]
         counts = {"all": row["n"]}
         fps = (
             {"all": {"n": int(row["n"]), "fp": str(int(row["fp"]))}}
@@ -448,6 +477,9 @@ def _finalize_release_manifest(
         "schema": schema.jsonValue(),
         "partitioned_by": [split_col] if split_col is not None else [],
         "partition_fingerprints": fps,
+        # which _fingerprint_agg expression produced fps — a future
+        # publish onto this version must compare with the SAME scheme
+        "fp_scheme": fp_scheme,
     }
 
     payload = json.dumps(manifest, indent=2, sort_keys=True)
@@ -1004,10 +1036,14 @@ def write_release_increment(
         )
     cur = cur.strip()
     old_fps = old["partition_fingerprints"]
+    # compare with the SAME expression that produced the stored fps
+    fp_scheme = int(old.get("fp_scheme", 1))
 
     data_cols = df.columns
     rows = (
-        df.groupBy(split_col).agg(*_fingerprint_agg(data_cols)).collect()
+        df.groupBy(split_col)
+        .agg(*_fingerprint_agg(data_cols, fp_scheme))
+        .collect()
     )
     new_parts = {}  # manifest string key -> (typed value, n, fp)
     for r in rows:
@@ -1068,6 +1104,7 @@ def write_release_increment(
         # changes, not corpus)
         known_fps={k: old_fps[k] for k in reused},
         require_claim=True,
+        fp_scheme=fp_scheme,
     )
     _swap_or_abandon(fs_spark, root, vname, cur)
     _apply_retention(spark, fs_spark, root, keep_versions, vname)
@@ -1202,6 +1239,7 @@ def write_release_append(
         )
     cur = cur.strip()
     old_fps = old["partition_fingerprints"]
+    fp_scheme = int(old.get("fp_scheme", 1))
     old_cols = sorted(
         f["name"] for f in old.get("schema", {}).get("fields", [])
     )
@@ -1277,6 +1315,7 @@ def write_release_append(
         },
         known_fps={k: old_fps[k] for k in reused},
         require_claim=True,
+        fp_scheme=fp_scheme,
     )
     _swap_or_abandon(fs_spark, root, vname, cur)
     _apply_retention(spark, fs_spark, root, keep_versions, vname)
@@ -1397,6 +1436,7 @@ def write_release_merge(
                 f"— it needs ({id_col!r}, {split_col!r})"
             )
     old_fps = old["partition_fingerprints"]
+    fp_scheme = int(old.get("fp_scheme", 1))
 
     # touched partitions + update-id uniqueness in ONE bounded pass
     # over the batch-sized updates frame (driver rows <= #partitions)
@@ -1475,7 +1515,7 @@ def write_release_merge(
     # the publish when nothing actually changes
     new_fps = {}
     for r in merged.groupBy(split_col).agg(
-        *_fingerprint_agg(updates.columns)
+        *_fingerprint_agg(updates.columns, fp_scheme)
     ).collect():
         new_fps[_part_key(r[split_col])] = {
             "n": int(r["n"]),
@@ -1521,6 +1561,7 @@ def write_release_merge(
         },
         known_fps={k: old_fps[k] for k in reused},
         require_claim=True,
+        fp_scheme=fp_scheme,
     )
     _swap_or_abandon(fs_spark, root, vname, cur)
     _apply_retention(spark, fs_spark, root, keep_versions, vname)
@@ -1780,6 +1821,9 @@ def compact_release_version(
         )
     split_col = parts[0]
     old_fps = old["partition_fingerprints"]
+    # the equality proof compares readback fps against the stored
+    # ones — compute them with the scheme that produced the stored set
+    fp_scheme = int(old.get("fp_scheme", 1))
     old_data = f"{root}/versions/{cur}/data.parquet"
 
     def _file_counts() -> dict:
@@ -1855,6 +1899,7 @@ def compact_release_version(
         },
         known_fps={k: old_fps[k] for k in reused},
         require_claim=True,
+        fp_scheme=fp_scheme,
     )
     # the equality proof: a compaction that changed ANY partition's
     # content must die before readers can see it — and un-publish its

@@ -4040,3 +4040,66 @@ def test_dsir_persists_are_attached_for_release(spark):
     n = sampled.count()
     assert 1 <= n <= 12
     assert unpersist_scan_state(sampled) >= 1  # keyed (+ tc/rc if nested)
+
+
+def test_fingerprint_scheme_versioning(spark, tmp_path):
+    """r11: _fingerprint_agg scheme 2 (per-column hash, no string
+    render) is recorded in manifests as fp_scheme, and a publish onto
+    a LEGACY (scheme-1 / unmarked) release compares — and keeps
+    writing — scheme 1, so pre-r11 chains never misread an unchanged
+    partition as changed."""
+    import json
+    import os
+
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        _fingerprint_agg,
+        _part_key,
+        write_release_increment,
+        write_release_version,
+    )
+
+    schema = "doc_id long, text string, split string"
+    rows = [
+        (1, "a", "train"), (2, "b", "train"),
+        (3, None, "val"), (4, "d", "val"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+
+    # fresh chain: scheme 2 recorded; unchanged increment reuses all
+    root = str(tmp_path / "fresh")
+    m1 = write_release_version(df, root)
+    assert m1["fp_scheme"] == 2
+    m2 = write_release_increment(df, root)
+    assert m2["fp_scheme"] == 2
+    assert m2["incremental"]["rewritten"] == []
+    assert sorted(m2["incremental"]["reused"]) == ["train", "val"]
+
+    # legacy chain: strip the marker and downgrade the stored fps to
+    # the scheme-1 expression (what an r8-r10 library wrote)
+    root2 = str(tmp_path / "legacy")
+    m1 = write_release_version(df, root2)
+    man_path = os.path.join(root2, "versions", m1["version"], "manifest.json")
+    man = json.loads(open(man_path).read())
+    del man["fp_scheme"]
+    legacy = {}
+    for r in df.groupBy("split").agg(
+        *_fingerprint_agg(df.columns, scheme=1)
+    ).collect():
+        legacy[_part_key(r["split"])] = {
+            "n": int(r["n"]), "fp": str(int(r["fp"])),
+        }
+    man["partition_fingerprints"] = legacy
+    open(man_path, "w").write(json.dumps(man))
+    # the library wrote manifest.json through Hadoop's checksummed
+    # local FS — drop the .crc sidecar our raw rewrite invalidated
+    crc = os.path.join(os.path.dirname(man_path), ".manifest.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # unchanged increment onto the legacy base must still reuse ALL
+    # partitions (compare ran with scheme 1), and the chain stays
+    # scheme 1 so ITS next publish compares consistently too
+    m2 = write_release_increment(df, root2)
+    assert m2["incremental"]["rewritten"] == []
+    assert sorted(m2["incremental"]["reused"]) == ["train", "val"]
+    assert m2["fp_scheme"] == 1
