@@ -189,7 +189,14 @@ def _pandas_any_datetime(raw: Column) -> Column:
                 d = d.astimezone(dt.timezone.utc)
             return d.replace(tzinfo=None)
 
-        return s.map(one)
+        # parse each DISTINCT lexical once per batch (r11): dateutil
+        # is the whole cost of this path and real columns repeat
+        # values heavily (the bench's rendered order dates: ~60 rows
+        # per distinct). one() is pure for a fixed anchor, so the
+        # memo is exact; unseen values (incl. None) fall through to
+        # NaT, which Arrow returns as NULL — same as one(None).
+        lut = {v: one(v) for v in s.dropna().unique()}
+        return s.map(lut)
 
     return any_dt(raw)
 

@@ -1710,6 +1710,13 @@ def _x3sem(spark, sf_dir):
     c0 = [1.0] + [0.0] * (dim - 1)
     c1 = [0.0, 1.0] + [0.0] * (dim - 2)
     thr = 0.45
+    # persisted (r11): the audit feeds SEVEN consumers — assign_rows
+    # in the returned union, the four verification actions below, and
+    # the dropped/kept join arms — and its lineage is the full
+    # SemDeDup kernel (assign + per-cluster matmul + label
+    # propagation). Uncached, every consumer re-ran it: 59 s at
+    # sf0.01; cached it fills once (~6 s) and the rest are cache
+    # reads. Released by the harness via the cacheutil contract.
     audit = xdedup.semantic_dedup_audit(
         e, id_col="vec_id", vec_col="embedding",
         threshold=thr, centroids=[c0, c1], keep="min_id",
@@ -1718,7 +1725,7 @@ def _x3sem(spark, sf_dir):
         F.col("cluster").cast(_BIG).alias("cluster"),
         F.col("component").cast(_BIG).alias("component"),
         "kept",
-    )
+    ).persist()
     assign_rows = audit.groupBy("cluster").agg(
         F.count(F.lit(1)).cast(_BIG).alias("b")
     ).select(
@@ -1763,16 +1770,24 @@ def _x3sem(spark, sf_dir):
         )
         .where((F.col("k_id") < F.col("k2_id")) & (kcos >= thr + 1e-6))
     )
-    n_rows = audit.count()
-    n_dropped = audit.where(~F.col("kept")).count()
-    witness_ok = witnessed.count() == n_dropped
-    kept_ok = kept_bad.count() == 0
-    reps_ok = (
-        audit.where(
-            F.col("kept") != (F.col("id") == F.col("component"))
-        ).count()
-        == 0
-    )
+    n_rows = audit.count()  # fills the cache; later actions read it
+    # the four verification actions are independent — submit them
+    # concurrently so their driver round trips overlap (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_drop = pool.submit(audit.where(~F.col("kept")).count)
+        f_wit = pool.submit(witnessed.count)
+        f_kept = pool.submit(kept_bad.count)
+        f_reps = pool.submit(
+            audit.where(
+                F.col("kept") != (F.col("id") == F.col("component"))
+            ).count
+        )
+        n_dropped = f_drop.result()
+        witness_ok = f_wit.result() == n_dropped
+        kept_ok = f_kept.result() == 0
+        reps_ok = f_reps.result() == 0
     spark2 = e.sparkSession
     summary = spark2.createDataFrame(
         [
@@ -1781,7 +1796,7 @@ def _x3sem(spark, sf_dir):
         ],
         "kind string, a bigint, b bigint, x double",
     )
-    return assign_rows.unionByName(summary)
+    return attach_persisted(assign_rows.unionByName(summary), audit)
 
 
 @q(
