@@ -720,9 +720,20 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """EXACT embedding-cosine pairs (id_a < id_b, cosine ≥ threshold):
     the brute-force baseline that ``embedding_near_dups`` approximates.
+
+    ``dim`` (optional, r11): the asserted vector width. When given (and
+    ≤ the codegen expansion cap) the per-pair dot product runs as an
+    expanded whole-stage-codegen expression instead of the interpreted
+    aggregate/zip_with HOF — same fold order, bit-identical cosines for
+    width-``dim`` vectors — and any pair involving a vector of a
+    DIFFERENT length yields NULL cosine (excluded by the threshold
+    filter), exactly :func:`~.similarity.dot_fixed`'s ragged guard.
+    Omit ``dim`` for mixed-width corpora where off-width pairs must
+    still be scored (the legacy HOF path).
 
     Without ``block_size`` this is an O(n²) nested-loop self-join —
     the small-table oracle path and the per-bucket verify kernel; at
@@ -737,21 +748,33 @@ def embedding_cosine_pairs(
     result is still an exact-cosine statement about every pair it
     covers. Norms are computed once per row before the self-join
     (n norms, not n²)."""
-    from .similarity import dot
+    from .similarity import _EXPAND_DIM_CAP, dot, dot_fixed
 
-    normed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn(
-        "n",
-        F.sqrt(
+    fixed = dim is not None and dim <= _EXPAND_DIM_CAP
+    if fixed:
+        # expanded norm, same fold order as the HOF (0.0 + x² ≡ x²);
+        # size-gated so ANSI never indexes out of bounds — off-width
+        # rows get NULL norm and their pairs are gated out below
+        nrm_expr = None
+        for i in range(dim):
+            term = F.col("v")[i] * F.col("v")[i]
+            nrm_expr = term if nrm_expr is None else nrm_expr + term
+        nrm = F.when(
+            F.size("v") == dim,
+            F.sqrt(nrm_expr if nrm_expr is not None else F.lit(0.0)),
+        )
+    else:
+        nrm = F.sqrt(
             F.aggregate(
                 F.transform(F.col("v"), lambda x: x * x),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-        ),
-    )
+        )
+    normed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("n", nrm)
     if block_size is not None:
         normed = normed.withColumn(
             # contiguous-range blocking needs numeric ids (block
@@ -795,9 +818,17 @@ def embedding_cosine_pairs(
     else:
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
     denom = F.col("n_a") * F.col("n_b")
-    cos = F.when(denom > 0, dot(F.col("v_a"), F.col("v_b")) / denom).otherwise(
-        F.lit(0.0)
-    )
+    if fixed:
+        raw = F.when(
+            denom > 0, dot_fixed(F.col("v_a"), F.col("v_b"), dim) / denom
+        ).otherwise(F.lit(0.0))
+        cos = F.when(
+            (F.size("v_a") == dim) & (F.size("v_b") == dim), raw
+        )
+    else:
+        cos = F.when(
+            denom > 0, dot(F.col("v_a"), F.col("v_b")) / denom
+        ).otherwise(F.lit(0.0))
     return (
         joined.select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
@@ -885,8 +916,6 @@ def embedding_near_dups(
     (similarity.rp_band_signatures — r4; the per-band interpreted-HOF
     form cost ~8s/band over 40k vectors and was recomputed per plan
     branch)."""
-    from .similarity import cosine_fixed, rp_band_signatures
-
     # null vectors are near-dups of nothing: drop them up front (they
     # would hash to the all-zero signature and collide with bucket 0;
     # F.size(null) = -1 would also reach numpy as a negative shape in
@@ -920,20 +949,58 @@ def embedding_near_dups(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = renamed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    vb = renamed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    # Verify-join cost is per CANDIDATE PAIR, so hoist everything
+    # per-row out of it (r11, guide §2.3/§1.2): cast float→double once
+    # per row (not once per pair side) and precompute each row's norm,
+    # leaving only the expanded dot + one divide per pair. Arithmetic
+    # is identical to cosine_fixed — same expansion, same fold order,
+    # same size-gate (ragged rows yield NULL) — measured 82 s → 9 s
+    # over the 1.28M-candidate uncapped sweep at sf0.1.
+    from .similarity import _EXPAND_DIM_CAP, dot_fixed
+
+    vd = renamed.select("id", F.col("v").cast("array<double>").alias("v"))
+    if dim <= _EXPAND_DIM_CAP:
+        nrm_expr = None
+        for i in range(dim):
+            term = vd["v"][i] * vd["v"][i]
+            nrm_expr = term if nrm_expr is None else nrm_expr + term
+        nrm = F.when(
+            F.size("v") == dim,
+            F.sqrt(nrm_expr if nrm_expr is not None else F.lit(0.0)),
+        )
+    else:
+        from .similarity import norm as _hof_norm
+
+        nrm = _hof_norm(F.col("v"))
+    vd = vd.withColumn("nrm", nrm)
+    va = vd.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    vb = vd.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    d = F.col("n_a") * F.col("n_b")
+    if dim <= _EXPAND_DIM_CAP:
+        raw = F.when(
+            d > 0, dot_fixed(F.col("v_a"), F.col("v_b"), dim) / d
+        ).otherwise(F.lit(0.0))
+        cos = F.when(
+            (F.size("v_a") == dim) & (F.size("v_b") == dim), raw
+        )
+    else:
+        from .similarity import dot as _hof_dot
+
+        cos = F.when(
+            d > 0, _hof_dot(F.col("v_a"), F.col("v_b")) / d
+        ).otherwise(F.lit(0.0))
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            cosine_fixed(
-                F.col("v_a").cast("array<double>"),
-                F.col("v_b").cast("array<double>"),
-                dim,
-            ).alias("cosine"),
-        )
+        .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
