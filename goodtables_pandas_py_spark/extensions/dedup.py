@@ -748,21 +748,12 @@ def embedding_cosine_pairs(
     result is still an exact-cosine statement about every pair it
     covers. Norms are computed once per row before the self-join
     (n norms, not n²)."""
-    from .similarity import _EXPAND_DIM_CAP, dot, dot_fixed
+    from .similarity import cosine_prenormed, dot, norm_fixed
 
-    fixed = dim is not None and dim <= _EXPAND_DIM_CAP
-    if fixed:
-        # expanded norm, same fold order as the HOF (0.0 + x² ≡ x²);
-        # size-gated so ANSI never indexes out of bounds — off-width
-        # rows get NULL norm and their pairs are gated out below
-        nrm_expr = None
-        for i in range(dim):
-            term = F.col("v")[i] * F.col("v")[i]
-            nrm_expr = term if nrm_expr is None else nrm_expr + term
-        nrm = F.when(
-            F.size("v") == dim,
-            F.sqrt(nrm_expr if nrm_expr is not None else F.lit(0.0)),
-        )
+    if dim is not None:
+        # size-gated expanded norm (see norm_fixed) — off-width rows
+        # get NULL norm and their pairs are gated out below
+        nrm = norm_fixed(F.col("v"), dim)
     else:
         nrm = F.sqrt(
             F.aggregate(
@@ -818,12 +809,9 @@ def embedding_cosine_pairs(
     else:
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
     denom = F.col("n_a") * F.col("n_b")
-    if fixed:
-        raw = F.when(
-            denom > 0, dot_fixed(F.col("v_a"), F.col("v_b"), dim) / denom
-        ).otherwise(F.lit(0.0))
-        cos = F.when(
-            (F.size("v_a") == dim) & (F.size("v_b") == dim), raw
+    if dim is not None:
+        cos = cosine_prenormed(
+            F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b"), dim
         )
     else:
         cos = F.when(
@@ -956,23 +944,11 @@ def embedding_near_dups(
     # is identical to cosine_fixed — same expansion, same fold order,
     # same size-gate (ragged rows yield NULL) — measured 82 s → 9 s
     # over the 1.28M-candidate uncapped sweep at sf0.1.
-    from .similarity import _EXPAND_DIM_CAP, dot_fixed
+    from .similarity import cosine_prenormed, norm_fixed
 
-    vd = renamed.select("id", F.col("v").cast("array<double>").alias("v"))
-    if dim <= _EXPAND_DIM_CAP:
-        nrm_expr = None
-        for i in range(dim):
-            term = vd["v"][i] * vd["v"][i]
-            nrm_expr = term if nrm_expr is None else nrm_expr + term
-        nrm = F.when(
-            F.size("v") == dim,
-            F.sqrt(nrm_expr if nrm_expr is not None else F.lit(0.0)),
-        )
-    else:
-        from .similarity import norm as _hof_norm
-
-        nrm = _hof_norm(F.col("v"))
-    vd = vd.withColumn("nrm", nrm)
+    vd = renamed.select(
+        "id", F.col("v").cast("array<double>").alias("v")
+    ).withColumn("nrm", norm_fixed(F.col("v"), dim))
     va = vd.select(
         F.col("id").alias("id_a"),
         F.col("v").alias("v_a"),
@@ -983,20 +959,9 @@ def embedding_near_dups(
         F.col("v").alias("v_b"),
         F.col("nrm").alias("n_b"),
     )
-    d = F.col("n_a") * F.col("n_b")
-    if dim <= _EXPAND_DIM_CAP:
-        raw = F.when(
-            d > 0, dot_fixed(F.col("v_a"), F.col("v_b"), dim) / d
-        ).otherwise(F.lit(0.0))
-        cos = F.when(
-            (F.size("v_a") == dim) & (F.size("v_b") == dim), raw
-        )
-    else:
-        from .similarity import dot as _hof_dot
-
-        cos = F.when(
-            d > 0, _hof_dot(F.col("v_a"), F.col("v_b")) / d
-        ).otherwise(F.lit(0.0))
+    cos = cosine_prenormed(
+        F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b"), dim
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
@@ -1123,13 +1088,15 @@ def semantic_dedup_audit(
         # centroids given but no stored assignment: assign inline (no
         # training jobs — codegen argmin expression for small nlist,
         # Arrow-batched matmul past _ASSIGN_EXPR_MAX_NLIST)
-        from .similarity import _assign_cids
+        from .similarity import _with_assigned_cid
 
         cents = centroids
-        assigned = good.select(
-            "id", "v",
-            _assign_cids(F.col("v"), cents).cast("int").alias("cid"),
-        )
+        # frame-level assign (r11): materializes the normalize once —
+        # the expression form duplicates it dim × nlist times inside
+        # the expanded argmin (Catalyst blowup); values identical
+        assigned = _with_assigned_cid(
+            good.select("id", "v"), "v", cents, out_col="cid"
+        ).select("id", "v", F.col("cid").cast("int").alias("cid"))
 
     spark = df.sparkSession
     C = np.asarray(cents, dtype=np.float64)

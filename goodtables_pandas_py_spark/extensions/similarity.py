@@ -95,6 +95,43 @@ def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
     return F.when((F.size(a) == dim) & (F.size(b) == dim), raw)
 
 
+def norm_fixed(v: Column, dim: int) -> Column:
+    """Size-gated codegen-expanded L2 norm for PRE-COMPUTING per-row
+    norms ahead of a pair join (r11, guide §2.3): vectors whose length
+    differs from ``dim`` yield NULL (never an ANSI out-of-bounds —
+    the expansion only evaluates under the size gate). Above the
+    expansion cap falls back to the HOF :func:`norm` (ungated, like
+    :func:`cosine`'s fallback). Fold order matches the HOF form
+    (0.0 + x² ≡ x²), so values are bit-identical."""
+    if dim > _EXPAND_DIM_CAP:
+        return norm(v)
+    expr: Column | None = None
+    for i in range(dim):
+        term = v[i] * v[i]
+        expr = term if expr is None else expr + term
+    return F.when(
+        F.size(v) == dim,
+        F.sqrt(expr if expr is not None else F.lit(0.0)),
+    )
+
+
+def cosine_prenormed(
+    va: Column, vb: Column, na: Column, nb: Column, dim: int
+) -> Column:
+    """:func:`cosine_fixed` with the two norms supplied by the caller
+    (computed ONCE PER ROW via :func:`norm_fixed` before the pair
+    join), leaving only the expanded dot + one divide per pair —
+    the verify-join cost is per candidate PAIR, so hoisting the casts
+    and norms out of it is the §2.3 "shuffle/compute fewer bytes"
+    move. Same expansion, fold order, zero-denominator and ragged
+    semantics as :func:`cosine_fixed`: bit-identical results."""
+    d = na * nb
+    if dim > _EXPAND_DIM_CAP:
+        return F.when(d > 0, dot(va, vb) / d).otherwise(F.lit(0.0))
+    raw = F.when(d > 0, dot_fixed(va, vb, dim) / d).otherwise(F.lit(0.0))
+    return F.when((F.size(va) == dim) & (F.size(vb) == dim), raw)
+
+
 def cosine_topk(
     df: DataFrame,
     query: list[float],
@@ -726,16 +763,22 @@ def similarity_join(
         .select("left_id", "right_id")
         .distinct()
     )
+    # per-row cast + norm hoisted out of the per-pair verify (r11,
+    # guide §2.3) — bit-identical to cosine_fixed, see cosine_prenormed
+    l_scored = l_renamed.select(
+        "left_id", F.col("lv").cast("array<double>").alias("lv")
+    ).withColumn("ln", norm_fixed(F.col("lv"), dim))
+    r_scored = r_renamed.select(
+        "right_id", F.col("rv").cast("array<double>").alias("rv")
+    ).withColumn("rn", norm_fixed(F.col("rv"), dim))
     scored = (
-        cands.join(l_renamed, "left_id")
-        .join(r_renamed, "right_id")
+        cands.join(l_scored, "left_id")
+        .join(r_scored, "right_id")
         .select(
             "left_id",
             "right_id",
-            cosine_fixed(
-                F.col("lv").cast("array<double>"),
-                F.col("rv").cast("array<double>"),
-                dim,
+            cosine_prenormed(
+                F.col("lv"), F.col("rv"), F.col("ln"), F.col("rn"), dim
             ).alias("cosine"),
         )
     )
@@ -829,10 +872,22 @@ def _centroid_rows(
     )
     cents = [list(r["v"]) for r in seed_rows.collect()]
     for _ in range(refine):
-        assigned = df.select(
-            _l2_normalized(F.col(vec_col)).alias("v"),
-            _assign_cids(F.col(vec_col), cents).alias("cid"),
-        )
+        # r11: on the expression fallback path, materialize the
+        # normalized vector in its OWN projection before the argmin
+        # (see _with_assigned_cid) — _nearest_cid references its input
+        # per centroid, and inlining _l2_normalized there duplicates
+        # the whole HOF subtree per reference. Values are identical:
+        # same normalize expression, same argmin over it. The default
+        # matmul path (else) normalizes inside the UDF in numpy.
+        if len(cents) <= _ASSIGN_EXPR_MAX_NLIST:
+            assigned = df.select(
+                _l2_normalized(F.col(vec_col)).alias("v")
+            ).select("v", _nearest_cid(F.col("v"), cents).alias("cid"))
+        else:
+            assigned = df.select(
+                _l2_normalized(F.col(vec_col)).alias("v"),
+                _assign_cids(F.col(vec_col), cents).alias("cid"),
+            )
         # NOTE: no .where(cid.isNotNull()) here — the training frame
         # is already filtered to the modal dimension, so cid is never
         # null, and a filter ON the assign expression would force
@@ -860,7 +915,17 @@ def _centroid_rows(
 def _nearest_cid(vec: Column, centroids: list[list[float]]) -> Column:
     """argmin_c ||v - c||² as a literal-folded expression: one struct
     per centroid (distance, cid), array_min picks the closest — all
-    inside codegen, centroids behave like a broadcast."""
+    inside the plan, centroids behave like a broadcast.
+
+    FALLBACK path only (r11): assignment now defaults to the
+    Arrow-batched BLAS matmul in :func:`_assign_cids`
+    (:data:`_ASSIGN_EXPR_MAX_NLIST` = 0) — measured 10.9 s → 0.9 s on
+    the sf0.1 ivf_topk noop, because the HOF lambdas here evaluate
+    interpreted, nlist × dim folds per row. Callers that re-enable
+    this path must go through :func:`_with_assigned_cid`: each
+    centroid references ``vec`` twice, and Catalyst inlines a
+    non-trivial ``vec`` expression (e.g. the normalization) at every
+    reference — including into filters pushed through the projection."""
     if not centroids:
         raise ValueError(
             "no centroids (empty training DataFrame?) — cannot assign"
@@ -885,22 +950,31 @@ def _nearest_cid(vec: Column, centroids: list[list[float]]) -> Column:
     ).otherwise(F.lit(None).cast("int"))
 
 
-# past this many centroids the literal-folded argmin expression stops
-# being a codegen win: _nearest_cid evaluates one interpreted
-# aggregate/zip_with fold PER CENTROID per row (HOF lambdas run
-# outside whole-stage codegen), so assignment cost is n × nlist
-# interpreted folds — measured 109s for 80k×64-dim rows at nlist=40,
-# growing with nlist. One Arrow-batched (batch × dim) @ (dim × nlist)
-# BLAS matmul per batch does the same argmin in milliseconds — the
-# same interpreted-HOF-to-matmul move as rp_band_signatures (r4).
-_ASSIGN_EXPR_MAX_NLIST = 16
+# past this many centroids assignment uses the literal-folded argmin
+# EXPRESSION; at or below it (i.e. never, at 0) the Arrow-batched
+# BLAS matmul. r11 measurement (guide §1/§4) dropped this from 16 to
+# 0: the expression's HOF lambdas evaluate interpreted — nlist × dim
+# folds per row (109 s for 80k×64-dim rows at nlist=40, r4; 10.9 s
+# for the sf0.1 ivf_topk noop at nlist=16) — while one
+# (batch × dim) @ (dim × nlist) matmul per Arrow batch does the same
+# argmin in milliseconds (0.9 s on the same noop). A codegen-expanded
+# expression form was tried and rejected: per-element expansion puts
+# dim × nlist references of the input into the plan, and Catalyst
+# inlines the normalization subtree at every reference wherever a
+# filter is pushed through the projection (a 1.6 MB plan and a 380 s
+# noop over 1.2k rows at sf0.001), plus ~12 s of fixed
+# Janino-compile cost per distinct centroid set. Tie-break (lowest
+# cid) is identical on both paths; assignments agree everywhere
+# except ulp-level near-ties (oracle-verified at both check SFs).
+_ASSIGN_EXPR_MAX_NLIST = 0
 
 
 def _assign_cids(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid id for a RAW vector column (normalization
     happens inside — matching ``_nearest_cid(_l2_normalized(v), c)``):
-    the codegen literal expression for small ``nlist``, an
-    Arrow-batched numpy matmul beyond :data:`_ASSIGN_EXPR_MAX_NLIST`.
+    an Arrow-batched numpy matmul beyond
+    :data:`_ASSIGN_EXPR_MAX_NLIST` (= 0, so always — see the
+    constant's rationale), the literal argmin expression otherwise.
     Null/ragged/empty vectors get a NULL cid on BOTH paths (matmul
     skips them; the expression path gates the argmin on size(v)==dim
     — r7 fix: the bare HOF fold used to yield a null distance that
@@ -947,6 +1021,51 @@ def _assign_cids(vec: Column, centroids: list[list[float]]) -> Column:
     return _assign(vec.cast("array<double>"))
 
 
+def _with_assigned_cid(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "ivf_cid",
+) -> DataFrame:
+    """``df`` + ``out_col`` = :func:`_assign_cids` — the frame-level
+    entry every assignment call site uses (r11). On the default
+    matmul path this is a plain ``withColumn``. On the expression
+    fallback path (``_ASSIGN_EXPR_MAX_NLIST`` raised above 0) it
+    additionally materializes the L2 normalization in its own
+    projection — each centroid distance references the normalized
+    vector, and inlined it would be re-evaluated per reference
+    (CollapseProject keeps a non-cheap multi-referenced alias in its
+    own project) — and plants a pushdown barrier so a downstream
+    filter on the cid cannot be substituted through the projection.
+    Values are identical to ``withColumn(out, _assign_cids(vec))`` —
+    same normalization, same argmin, same tie-break."""
+    if not centroids or len(centroids) > _ASSIGN_EXPR_MAX_NLIST:
+        return df.withColumn(out_col, _assign_cids(F.col(vec_col), centroids))
+    tmp = f"__nvec_{out_col}"
+    cid = _nearest_cid(F.col(tmp), centroids)
+    # pushdown barrier (r11): serving filters the assigned cid
+    # (ivf_topk's probe isin, semantic_dedup's validity gates), and
+    # PushPredicateThroughNonJoin substitutes project aliases into a
+    # pushed predicate with NO cost guard — the filter would land on
+    # the scan carrying the argmin with the normalize subtree inlined
+    # at every reference (measured on the per-element-expanded form:
+    # a 1.6 MB physical plan and a 380 s noop on 1.2k rows at
+    # sf0.001; the HOF form duplicates 2 × nlist references).
+    # A value-neutral non-deterministic term marks the field
+    # non-deterministic, which stops predicate pushdown and
+    # CollapseProject at this projection; cid values are unchanged
+    # (x + 0 ≡ x, NULL + 0 ≡ NULL). monotonically_increasing_id — not
+    # rand(): the optimizer knows rand's [0,1) bounds and folds
+    # always-true comparisons on it right back out (verified), while
+    # mono_id×0 survives with the filter staying above the project.
+    cid = cid + (F.monotonically_increasing_id() * F.lit(0)).cast("int")
+    return (
+        df.withColumn(tmp, _l2_normalized(F.col(vec_col)))
+        .withColumn(out_col, cid)
+        .drop(tmp)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -957,15 +1076,12 @@ def ivf_assign(
     """(df + ``ivf_cid`` column, centroids). At 100 TB the assignment
     is computed once and the table is written partitioned/bucketed by
     ``ivf_cid`` so probes become partition pruning. Assignment runs
-    via :func:`_assign_cids` (codegen expression for small ``nlist``,
-    Arrow-batched matmul past :data:`_ASSIGN_EXPR_MAX_NLIST`);
+    via :func:`_assign_cids` (Arrow-batched BLAS matmul by default
+    — see :data:`_ASSIGN_EXPR_MAX_NLIST`);
     centroid FITTING samples down to ``train_cap`` rows (see
     :func:`_centroid_rows`) while assignment covers every row."""
     cents = _centroid_rows(df, vec_col, nlist, refine, train_cap)
-    return (
-        df.withColumn("ivf_cid", _assign_cids(F.col(vec_col), cents)),
-        cents,
-    )
+    return _with_assigned_cid(df, vec_col, cents), cents
 
 
 def ivf_topk(
@@ -998,9 +1114,7 @@ def ivf_topk(
         if "ivf_cid" in df.columns:
             assigned = df
         else:
-            assigned = df.withColumn(
-                "ivf_cid", _assign_cids(F.col(vec_col), cents)
-            )
+            assigned = _with_assigned_cid(df, vec_col, cents)
     # probe in the same normalized space the lists were built in
     if cents and len(query) != len(cents[0]):
         # zip() below would silently TRUNCATE the distance to the

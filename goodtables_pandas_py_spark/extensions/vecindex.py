@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .similarity import (
-    _assign_cids,
+    _with_assigned_cid,
     cosine,
     dequantize_embedding,
     ivf_assign,
@@ -84,7 +84,7 @@ def write_ivf_index(
         assigned = (
             df
             if "ivf_cid" in df.columns
-            else df.withColumn("ivf_cid", _assign_cids(F.col(vec_col), cents))
+            else _with_assigned_cid(df, vec_col, cents)
         )
     if not cents:
         # an empty table trains zero centroids and would persist an
@@ -606,9 +606,7 @@ def append_to_ivf_index(
         batch = batch.join(
             idx.postings.select("id"), "id", "left_anti"
         )
-    assigned = batch.withColumn(
-        "ivf_cid", _assign_cids(F.col("__v"), idx.centroids)
-    )
+    assigned = _with_assigned_cid(batch, "__v", idx.centroids)
     if manifest["quantized"]:
         payload = quantize_embedding(
             F.col("__v").cast("array<float>")
@@ -722,11 +720,9 @@ def recluster_ivf_index(
             f"recluster_ivf_index: index at {index_dir} has no "
             "postings to recluster"
         )
-    reassigned = idx.postings.select(
-        F.col("id"),
-        _assign_cids(train_vec, cents).alias("ivf_cid"),
-        payload,
-    )
+    reassigned = _with_assigned_cid(
+        idx.postings.withColumn("__tv", train_vec), "__tv", cents
+    ).select(F.col("id"), F.col("ivf_cid"), payload)
     reassigned.write.mode("overwrite").partitionBy("ivf_cid").parquet(
         os.path.join(out_dir, "postings.parquet")
     )
@@ -835,7 +831,7 @@ def split_ivf_hot_lists(
             "index_dir — an in-place rewrite would expose a "
             "half-built index to readers"
         )
-    from .similarity import _assign_cids, _centroid_rows
+    from .similarity import _centroid_rows
     from .pipeline import _copy_reused_partitions
 
     idx = read_ivf_index(spark, index_dir)
@@ -914,12 +910,17 @@ def split_ivf_hot_lists(
         cents.extend(list(c) for c in sub[1:])
         # local argmin index -> global cid via a literal array lookup
         # (element_at is 1-based); stays one map-only projection
-        local = _assign_cids(train_vec, sub)
+        # (frame-level assign, r11 — see _with_assigned_cid)
+        assigned_sub = _with_assigned_cid(
+            pruned.withColumn("__tv", train_vec), "__tv", sub,
+            out_col="__local",
+        )
         gid = F.element_at(
-            F.array(*[F.lit(g) for g in global_ids]), local + F.lit(1)
+            F.array(*[F.lit(g) for g in global_ids]),
+            F.col("__local") + F.lit(1),
         )
         rewritten_frames.append(
-            pruned.select(
+            assigned_sub.select(
                 F.col("id"),
                 gid.cast("int").alias("ivf_cid"),
                 F.col(payload_col),
@@ -1324,11 +1325,11 @@ def _upsert_changed_rows(
     else:
         payload = F.col("__v").cast("array<float>")
     assigned = (
-        batch.withColumn("__ok", valid)
-        .withColumn(
-            "ivf_cid",
-            F.when(valid, _assign_cids(F.col("__v"), idx.centroids)),
+        _with_assigned_cid(
+            batch.withColumn("__ok", valid), "__v", idx.centroids,
+            out_col="__cid_raw",
         )
+        .withColumn("ivf_cid", F.when(valid, F.col("__cid_raw")))
         .withColumn(payload_col, F.when(valid, payload))
         .select("id", "ivf_cid", payload_col, "__ok")
     ).persist()
