@@ -99,6 +99,18 @@ def get_spark(
         .config("spark.driver.memory", mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # let AQE plan CACHE-FILL queries too (off by default): the
+        # registry persists several pair/candidate frames whose fill
+        # is a skewed hot-key join — without AQE the fill runs on
+        # static partitions with no skew split (measured 43 s vs 7 s
+        # for the x2_pair_checks cache fill at sf0.1, r11). The
+        # trade (a cached plan's output partitioning may differ from
+        # the static plan's) only affects performance of downstream
+        # exchanges, never values.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
         # split small file sets so scans use every core (no effect at

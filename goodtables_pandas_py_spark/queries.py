@@ -1259,18 +1259,36 @@ def _x2pc(spark, sf_dir):
     )
     a = sh.select(F.col("id").alias("id_a"), "source", F.col("s").alias("sa"))
     b = sh.select(F.col("id").alias("id_b"), "source", F.col("s").alias("sb"))
-    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
-    jac = F.when(
-        union > 0,
-        F.size(F.array_intersect(F.col("sa"), F.col("sb"))) / union,
-    ).otherwise(F.lit(0.0))
-    bounded = (
+    # r11 (guide §1.2/§2.3): ONE array_intersect per pair — |A∪B| by
+    # inclusion-exclusion over the distinct shingle arrays
+    # (|A|+|B|-|A∩B|), the same independent denominator the
+    # dedup_summary recheck uses. The former array_union materialized
+    # the union ARRAY per pair just to take its size, and the pushed
+    # filter below the projection re-evaluated both set ops a second
+    # time per pair. Values identical: same integers, same division.
+    sized = (
         a.join(b, "source")
         .where(F.col("id_a") < F.col("id_b"))
         .where((F.size("sa") > 0) & (F.size("sb") > 0))
-        .select("id_a", "id_b", jac.alias("j"))
+        .select(
+            "id_a", "id_b",
+            F.size("sa").alias("na"), F.size("sb").alias("nb"),
+            F.size(F.array_intersect("sa", "sb")).alias("ni"),
+        )
     )
-    jaccard_rows = bounded.where(F.col("j") >= 0.1).select(
+    union = F.col("na") + F.col("nb") - F.col("ni")
+    jac = F.when(union > 0, F.col("ni") / union).otherwise(F.lit(0.0))
+    # the j ≥ 0.1 frame feeds BOTH the 'jaccard' rows and (further
+    # filtered to 0.5 — a subset by construction) the exact twin of
+    # the minhash summary: compute the quadratic pair join ONCE and
+    # persist the few surviving rows, instead of re-running the whole
+    # join per consumer (r11, guide §2.4)
+    bounded = (
+        sized.select("id_a", "id_b", jac.alias("j"))
+        .where(F.col("j") >= 0.1)
+        .persist()
+    )
+    jaccard_rows = bounded.select(
         F.lit("jaccard").alias("kind"),
         F.col("id_a").alias("a"),
         F.col("id_b").alias("b"),
@@ -1341,10 +1359,10 @@ def _x2pc(spark, sf_dir):
         (F.count_if(F.col("k") == "malformed") == 0).cast(_BIG).alias("b"),
         (F.count_if(F.col("k") == "recheck") == 0).cast("double").alias("x"),
     )
-    # hand the persisted pair frame's lifetime to the materializer
+    # hand the persisted pair frames' lifetimes to the materializer
     # (check_oracle / any caller) instead of waiting for session GC
     return attach_persisted(
-        jaccard_rows.unionByName(summary).unionByName(dedup), pairs
+        jaccard_rows.unionByName(summary).unionByName(dedup), pairs, bounded
     )
 
 
