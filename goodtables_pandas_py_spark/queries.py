@@ -192,17 +192,19 @@ def _p6(spark, sf_dir):
     'default' parses the plain lexical; 'options' parses
     decimalChar=',' + bareNumber=false lexicals like '€57151,66'
     built from the typed column. Both must recover the same sum."""
-    li = t(spark, sf_dir, "lineitem")
+    # wide=True: the parse projection is the cost here, and the sf
+    # parquet is a single row group (serial decode) — one cheap
+    # round-robin shuffle of the raw column unlocks every core for
+    # the regex/cast work (no-op at real scale; see t()).
+    li = t(spark, sf_dir, "lineitem", wide=True)
 
+    # r11 (guide §2.4): one lineitem scan, not two — both variants
+    # parse renditions of the same column, so they share a projection
+    # and ONE partial/final aggregate pair; the 1-row wide aggregate
+    # reshapes into the same two labeled rows (values identical).
     pf_a = parse_field(
         F.col("l_extendedprice").cast("string"), Field("v", type="number")
     )
-    default = li.select(pf_a.parsed.alias("p"), pf_a.bad.alias("b")).agg(
-        F.lit("default").alias("variant"),
-        F.count_if(F.col("b")).alias("n_bad"),
-        F.sum(dec2(F.col("p"))).cast("double").alias("sum_parsed"),
-    )
-
     raw = F.concat(
         F.lit("€"),
         F.replace(F.col("l_extendedprice").cast("string"), F.lit("."), F.lit(",")),
@@ -210,12 +212,35 @@ def _p6(spark, sf_dir):
     pf_b = parse_field(
         raw, Field("v", type="number", decimal_char=",", bare_number=False)
     )
-    options = li.select(pf_b.parsed.alias("p"), pf_b.bad.alias("b")).agg(
-        F.lit("options").alias("variant"),
-        F.count_if(F.col("b")).alias("n_bad"),
-        F.sum(dec2(F.col("p"))).cast("double").alias("sum_parsed"),
+    return (
+        li.select(
+            pf_a.parsed.alias("p_a"), pf_a.bad.alias("b_a"),
+            pf_b.parsed.alias("p_b"), pf_b.bad.alias("b_b"),
+        )
+        .agg(
+            F.count_if(F.col("b_a")).alias("nb_a"),
+            F.sum(dec2(F.col("p_a"))).cast("double").alias("sum_a"),
+            F.count_if(F.col("b_b")).alias("nb_b"),
+            F.sum(dec2(F.col("p_b"))).cast("double").alias("sum_b"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("default").alias("variant"),
+                        F.col("nb_a").alias("n_bad"),
+                        F.col("sum_a").alias("sum_parsed"),
+                    ),
+                    F.struct(
+                        F.lit("options").alias("variant"),
+                        F.col("nb_b").alias("n_bad"),
+                        F.col("sum_b").alias("sum_parsed"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
     )
-    return default.unionByName(options)
 
 
 @q(
@@ -263,36 +288,75 @@ def _p9_p13(spark, sf_dir):
 
     Out-of-variant columns are typed NULLs; date min/max render as
     ISO strings so all four kinds share one schema."""
-    li = t(spark, sf_dir, "lineitem")
+    # wide=True (r11): date-parse projection over a single-row-group
+    # parquet — repartition first so try_to_timestamp runs full-width
+    li = t(spark, sf_dir, "lineitem", wide=True)
     nul = F.lit(None).cast(_BIG)
     nus = F.lit(None).cast("string")
 
-    def date_row(pf, label):
-        return li.select(pf.parsed.alias("p"), pf.bad.alias("b")).agg(
-            F.lit(label).alias("variant"),
-            nul.alias("sum_secs"),
-            F.count_if(F.col("b")).alias("n_bad"),
-            F.date_format(F.min("p"), "yyyy-MM-dd").alias("min_ts"),
-            F.date_format(F.max("p"), "yyyy-MM-dd").alias("max_ts"),
-            F.count_distinct("p").cast(_BIG).alias("n"),
+    # r11 (guide §2.4): 'iso' and 'pattern' both parse renditions of
+    # l_shipdate — ONE lineitem scan + one aggregate pair instead of
+    # two, reshaped into the same two labeled rows (values identical).
+    pf_i = parse_field(
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+        Field("v", type="date"),
+    )
+    pf_p = parse_field(
+        F.date_format("l_shipdate", "dd/MM/yyyy"),
+        Field("v", type="date", format="%d/%m/%Y"),
+    )
+    # two-level aggregate (same reason as p14_p18): a flat aggregate
+    # with two count_distincts plans an Expand×3 of the whole scan;
+    # grouping by the parsed dates first (both renditions parse the
+    # SAME underlying date, so the key space is the few thousand
+    # distinct ship dates) keeps the partial aggregation map-side and
+    # the distinct counts land on the tiny grouped frame.
+    dates = (
+        li.select(
+            pf_i.parsed.alias("p_i"), pf_i.bad.alias("b_i"),
+            pf_p.parsed.alias("p_p"), pf_p.bad.alias("b_p"),
         )
-
-    iso = date_row(
-        parse_field(
-            F.date_format("l_shipdate", "yyyy-MM-dd"),
-            Field("v", type="date"),
-        ),
-        "iso",
+        .groupBy("p_i", "p_p")
+        .agg(
+            F.count_if(F.col("b_i")).alias("pnb_i"),
+            F.count_if(F.col("b_p")).alias("pnb_p"),
+        )
+        .agg(
+            F.sum("pnb_i").alias("nb_i"),
+            F.date_format(F.min("p_i"), "yyyy-MM-dd").alias("min_i"),
+            F.date_format(F.max("p_i"), "yyyy-MM-dd").alias("max_i"),
+            F.count_distinct("p_i").cast(_BIG).alias("cd_i"),
+            F.sum("pnb_p").alias("nb_p"),
+            F.date_format(F.min("p_p"), "yyyy-MM-dd").alias("min_p"),
+            F.date_format(F.max("p_p"), "yyyy-MM-dd").alias("max_p"),
+            F.count_distinct("p_p").cast(_BIG).alias("cd_p"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("iso").alias("variant"),
+                        nul.alias("sum_secs"),
+                        F.col("nb_i").alias("n_bad"),
+                        F.col("min_i").alias("min_ts"),
+                        F.col("max_i").alias("max_ts"),
+                        F.col("cd_i").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("pattern").alias("variant"),
+                        nul.alias("sum_secs"),
+                        F.col("nb_p").alias("n_bad"),
+                        F.col("min_p").alias("min_ts"),
+                        F.col("max_p").alias("max_ts"),
+                        F.col("cd_p").alias("n"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
     )
-    pat = date_row(
-        parse_field(
-            F.date_format("l_shipdate", "dd/MM/yyyy"),
-            Field("v", type="date", format="%d/%m/%Y"),
-        ),
-        "pattern",
-    )
 
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events", wide=True)
     pf_t = parse_field(
         F.date_format("ts", "HH:mm:ss"), Field("v", type="time")
     )
@@ -305,7 +369,7 @@ def _p9_p13(spark, sf_dir):
         nul.alias("n"),
     )
 
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders", wide=True)
     pf_d = parse_field(
         F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"),
         Field("v", type="datetime"),
@@ -318,7 +382,7 @@ def _p9_p13(spark, sf_dir):
         F.date_format(F.max("p"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
         F.count("p").cast(_BIG).alias("n"),
     )
-    return iso.unionByName(pat).unionByName(time_row).unionByName(dt_row)
+    return dates.unionByName(time_row).unionByName(dt_row)
 
 
 @q(
@@ -330,7 +394,7 @@ def _p9_p13(spark, sf_dir):
 )
 def _p11(spark, sf_dir):
     """P11 format='any' — the one pandas-UDF parser (dateutil)."""
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders", wide=True)
     raw = F.date_format("o_orderdate", "MMMM dd, yyyy")
     pf = parse_field(raw, Field("v", type="date", format="any"))
     return o.select(pf.parsed.alias("p")).agg(
@@ -384,21 +448,22 @@ def _p14_p18(spark, sf_dir):
       pins the struct<year,month> parse.
     - 'duration' (ISO-8601 lexicals from modulo rules): v1 = summed
       months, v2 = summed seconds, v3 = 0."""
-    ev = t(spark, sf_dir, "events")
-    li = t(spark, sf_dir, "lineitem")
+    # wide=True (r11): both arms are parse-bound (try_parse_json /
+    # regex-heavy duration+yearmonth) over single-row-group parquet —
+    # repartition first so the parse projections run full-width
+    ev = t(spark, sf_dir, "events", wide=True)
+    li = t(spark, sf_dir, "lineitem", wide=True)
 
+    # r11 (guide §2.3/§2.4): the five arms were five separate
+    # scan+aggregate pipelines — events decoded twice, lineitem THREE
+    # times, 5 partial/final exchange pairs (14 Exchanges total).
+    # Each table is now scanned ONCE with every arm's parse expression
+    # in one projection (per-row parse work is unchanged — the arms
+    # parse disjoint renditions), aggregated once, and the 1-row wide
+    # aggregate is reshaped into the same labeled rows with an
+    # explode. Values and schema identical; only the plan shape moved.
     pf_o = parse_field(F.col("props"), Field("v", type="object"))
     k = F.get_json_object(F.col("props"), "$.k").try_cast(_BIG)
-    obj = ev.select(
-        pf_o.parsed.alias("p"), pf_o.bad.alias("b"), k.alias("k")
-    ).agg(
-        F.lit("object").alias("kind"),
-        F.count_if(F.col("b")).alias("n_bad"),
-        F.count("p").cast(_BIG).alias("v1"),
-        F.sum("k").cast(_BIG).alias("v2"),
-        F.lit(None).cast(_BIG).alias("v3"),
-    )
-
     raw = F.when(
         F.col("event_id") % 7 != 0,
         F.concat(
@@ -411,41 +476,52 @@ def _p14_p18(spark, sf_dir):
     ).otherwise(F.lit("[broken"))
     pf_a = parse_field(raw, Field("v", type="array"))
     ln = F.json_array_length(pf_a.parsed)
-    arr = ev.select(
-        pf_a.parsed.alias("p"), pf_a.bad.alias("b"), ln.alias("ln")
-    ).agg(
-        F.lit("array").alias("kind"),
-        F.count_if(F.col("b")).alias("n_bad"),
-        F.count("p").cast(_BIG).alias("v1"),
-        F.sum("ln").cast(_BIG).alias("v2"),
-        F.lit(None).cast(_BIG).alias("v3"),
+    nul = F.lit(None).cast(_BIG)
+    ev_rows = (
+        ev.select(
+            pf_o.parsed.alias("p_o"), pf_o.bad.alias("b_o"), k.alias("k"),
+            pf_a.parsed.alias("p_a"), pf_a.bad.alias("b_a"), ln.alias("ln"),
+        )
+        .agg(
+            F.count_if(F.col("b_o")).alias("nb_o"),
+            F.count("p_o").cast(_BIG).alias("v1_o"),
+            F.sum("k").cast(_BIG).alias("v2_o"),
+            F.count_if(F.col("b_a")).alias("nb_a"),
+            F.count("p_a").cast(_BIG).alias("v1_a"),
+            F.sum("ln").cast(_BIG).alias("v2_a"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("object").alias("kind"),
+                        F.col("nb_o").alias("n_bad"),
+                        F.col("v1_o").alias("v1"),
+                        F.col("v2_o").alias("v2"),
+                        nul.alias("v3"),
+                    ),
+                    F.struct(
+                        F.lit("array").alias("kind"),
+                        F.col("nb_a").alias("n_bad"),
+                        F.col("v1_a").alias("v1"),
+                        F.col("v2_a").alias("v2"),
+                        nul.alias("v3"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
     )
 
     pf_y = parse_field(
         F.date_format("l_shipdate", "yyyy"), Field("v", type="year")
     )
-    yr = li.select(pf_y.parsed.alias("p"), pf_y.bad.alias("b")).agg(
-        F.lit("year").alias("kind"),
-        F.count_if(F.col("b")).alias("n_bad"),
-        F.min("p").cast(_BIG).alias("v1"),
-        F.max("p").cast(_BIG).alias("v2"),
-        F.count_distinct("p").cast(_BIG).alias("v3"),
-    )
-
     pf_ym = parse_field(
         F.date_format("l_shipdate", "yyyy-MM"), Field("v", type="yearmonth")
     )
-    code = (F.col("p.year") * 100 + F.col("p.month")).cast(_BIG)
-    ym = li.select(pf_ym.parsed.alias("p"), pf_ym.bad.alias("b")).select(
-        code.alias("c"), "b"
-    ).agg(
-        F.lit("yearmonth").alias("kind"),
-        F.count_if(F.col("b")).alias("n_bad"),
-        F.min("c").alias("v1"),
-        F.max("c").alias("v2"),
-        F.count_distinct("c").alias("v3"),
-    )
-
+    code = (
+        pf_ym.parsed.getField("year") * 100 + pf_ym.parsed.getField("month")
+    ).cast(_BIG)
     raw_dur = F.concat(
         F.lit("P"),
         (F.col("l_partkey") % 5).cast("string"),
@@ -456,19 +532,73 @@ def _p14_p18(spark, sf_dir):
         F.lit("H"),
     )
     pf_d = parse_field(raw_dur, Field("v", type="duration"))
-    dur = li.select(pf_d.parsed.alias("p"), pf_d.bad.alias("b")).agg(
-        F.lit("duration").alias("kind"),
-        F.count_if(F.col("b")).alias("n_bad"),
-        F.sum("p.months").cast(_BIG).alias("v1"),
-        F.sum("p.seconds").cast(_BIG).alias("v2"),
-        F.lit(0).cast(_BIG).alias("v3"),
+    # two count_distincts in ONE flat aggregate would plan an
+    # Expand×3 of every scanned row (measured: 11.9 s vs the 8.0 s
+    # unfused shape — worse). Instead aggregate in two levels: group
+    # by the parsed values themselves (year is a function of
+    # yearmonth, so the key space is the ~tens of distinct months —
+    # map-side partial aggregation collapses the scan to that), then
+    # a global aggregate over those few rows takes the distinct
+    # counts for free and merges the decomposable measures (counts,
+    # min/max, and the duration sums — integer-valued doubles < 2^53,
+    # so partial-sum merge order cannot change the value).
+    li_rows = (
+        li.select(
+            pf_y.parsed.alias("p_y"), pf_y.bad.alias("b_y"),
+            code.alias("c"), pf_ym.bad.alias("b_ym"),
+            pf_d.parsed.alias("p_d"), pf_d.bad.alias("b_d"),
+        )
+        .groupBy("p_y", "c")
+        .agg(
+            F.count_if(F.col("b_y")).alias("pnb_y"),
+            F.count_if(F.col("b_ym")).alias("pnb_ym"),
+            F.count_if(F.col("b_d")).alias("pnb_d"),
+            F.sum("p_d.months").alias("psum_m"),
+            F.sum("p_d.seconds").alias("psum_s"),
+        )
+        .agg(
+            F.sum("pnb_y").alias("nb_y"),
+            F.min("p_y").cast(_BIG).alias("min_y"),
+            F.max("p_y").cast(_BIG).alias("max_y"),
+            F.count_distinct("p_y").cast(_BIG).alias("cd_y"),
+            F.sum("pnb_ym").alias("nb_ym"),
+            F.min("c").alias("min_c"),
+            F.max("c").alias("max_c"),
+            F.count_distinct("c").alias("cd_c"),
+            F.sum("pnb_d").alias("nb_d"),
+            F.sum("psum_m").cast(_BIG).alias("sum_m"),
+            F.sum("psum_s").cast(_BIG).alias("sum_s"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("year").alias("kind"),
+                        F.col("nb_y").alias("n_bad"),
+                        F.col("min_y").alias("v1"),
+                        F.col("max_y").alias("v2"),
+                        F.col("cd_y").alias("v3"),
+                    ),
+                    F.struct(
+                        F.lit("yearmonth").alias("kind"),
+                        F.col("nb_ym").alias("n_bad"),
+                        F.col("min_c").alias("v1"),
+                        F.col("max_c").alias("v2"),
+                        F.col("cd_c").alias("v3"),
+                    ),
+                    F.struct(
+                        F.lit("duration").alias("kind"),
+                        F.col("nb_d").alias("n_bad"),
+                        F.col("sum_m").alias("v1"),
+                        F.col("sum_s").alias("v2"),
+                        F.lit(0).cast(_BIG).alias("v3"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
     )
-    return (
-        obj.unionByName(arr)
-        .unionByName(yr)
-        .unionByName(ym)
-        .unionByName(dur)
-    )
+    return ev_rows.unionByName(li_rows)
 
 
 @q(
@@ -1160,7 +1290,7 @@ def _x4q(spark, sf_dir):
 
     One scan per arm, both map-side-combinable aggregates; lang_id is
     pure Column algebra (no UDF)."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", wide=True)
     measures = [
         F.count(F.lit(1)).cast(_BIG).alias("n_docs"),
         F.sum(F.length("text")).cast(_BIG).alias("sum_chars"),
@@ -2105,7 +2235,7 @@ def _a4(spark, sf_dir):
     compute rollup levels natively; map-side partial agg + single
     shuffle). The approx variant (approx_count_distinct/HLL) is the
     100 TB path but is not oracle-comparable across engines."""
-    li = t(spark, sf_dir, "lineitem")
+    li = t(spark, sf_dir, "lineitem", wide=True)
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).cast(_BIG).alias("n"),
         F.count_distinct(F.col("l_orderkey")).cast(_BIG).alias("n_orders"),
@@ -2138,13 +2268,25 @@ def _dq2(spark, sf_dir):
     from .schema import TableSchema
     from .validate import partition_valid
 
-    li = t(spark, sf_dir, "lineitem")
+    # wide=True (r11): partition_valid's check projection (number
+    # parse + enum/required masks) is the cost — run it full-width.
+    # The rendition columns additionally carry the value-neutral
+    # non-deterministic barrier (monotonically_increasing_id()*0 — the
+    # similarity.py::_with_assigned_cid pattern): partition_valid's
+    # valid/invalid branches FILTER on the compiled label array, and
+    # PushPredicateThroughNonJoin would substitute the whole check
+    # expression through this projection and below the repartition,
+    # landing the entire parse+check work back on the serial scan
+    # (measured: 3.6 s with the filter at the scan vs 0.9 s held
+    # above the exchange). Values are identical: x + 0 ≡ x.
+    li = t(spark, sf_dir, "lineitem", wide=True)
+    bar = F.monotonically_increasing_id() * F.lit(0)
     raw = li.select(
-        F.col("l_orderkey").cast("string").alias("okey"),
-        F.when(F.col("l_orderkey") % 97 == 0, F.lit("x"))
+        (F.col("l_orderkey") + bar).cast("string").alias("okey"),
+        F.when((F.col("l_orderkey") + bar) % 97 == 0, F.lit("x"))
         .otherwise(F.col("l_quantity").cast("string"))
         .alias("qty"),
-        F.when(F.col("l_linenumber") % 5 == 0, F.lit(""))
+        F.when((F.col("l_linenumber") + bar) % 5 == 0, F.lit(""))
         .otherwise(F.col("l_returnflag"))
         .alias("flag"),
     )
@@ -2160,25 +2302,34 @@ def _dq2(spark, sf_dir):
         }
     )
     valid, invalid = partition_valid(raw, schema)
-    inv = invalid.select(
-        F.explode_outer(F.col("__failed_checks")).alias("label")
-    )
-    # three-way union + one aggregate, not chained 1-row crossJoins
-    # (plan guard); the exploded label rows get their own kind so
-    # multi-failure rows don't inflate n_invalid
-    nul = F.lit(None).cast("string")
+    # two-way union + one aggregate, not chained 1-row crossJoins
+    # (plan guard). r11 (guide §2.4): the former third branch exploded
+    # invalid's __failed_checks into label rows, re-running the whole
+    # parse/check lineage a THIRD time just to count two specific
+    # labels — partition_valid emits each check's label at most once
+    # per row (one when() per compiled check), so array_contains over
+    # the invalid branch counts the identical quantity with one fewer
+    # pass and no explode.
+    nul = F.lit(None).cast("array<string>")
     u = (
-        valid.select(F.lit("v").alias("kind"), nul.alias("label"))
-        .unionAll(invalid.select(F.lit("i").alias("kind"), nul.alias("label")))
-        .unionAll(inv.select(F.lit("x").alias("kind"), F.col("label")))
+        valid.select(F.lit("v").alias("kind"), nul.alias("fc"))
+        .unionAll(
+            invalid.select(
+                F.lit("i").alias("kind"), F.col("__failed_checks").alias("fc")
+            )
+        )
     )
     return u.agg(
         F.count_if(F.col("kind") == "v").cast(_BIG).alias("n_valid"),
         F.count_if(F.col("kind") == "i").cast(_BIG).alias("n_invalid"),
-        F.count_if(F.col("label") == "qty:type-or-format-error")
+        F.count_if(
+            F.array_contains(F.col("fc"), "qty:type-or-format-error")
+        )
         .cast(_BIG)
         .alias("n_bad_qty"),
-        F.count_if(F.col("label") == "flag:required-constraint")
+        F.count_if(
+            F.array_contains(F.col("fc"), "flag:required-constraint")
+        )
         .cast(_BIG)
         .alias("n_missing_flag"),
     )
@@ -2344,9 +2495,20 @@ def _x7_contam(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents", wide=True)
     ev = d.where(F.col("doc_id") % 50 == 0)
-    scan = xdec.contamination_scan(d, ev, ngram=3, min_ratio=0.2)
-    exact_rows = scan.where(
-        F.col("corpus_id") != F.col("eval_id")
+    # r11: the 'exact' rows (min_ratio=0.2) are BY CONSTRUCTION the
+    # ratio-filtered subset of the min_matched=1 scan the fuzzy twin
+    # needs, so both consumers derive from ONE builder call. The
+    # obvious next step — persisting this frame so the corpus n-gram
+    # explode+join+agg runs once — was tried and REVERTED on
+    # measurement: warm noop went 8.2 → 11.0 s at sf0.1, because the
+    # two consumers previously executed as independent subtrees of
+    # one job, overlapping across the idle cores (guide §2.6), while
+    # the cache fill serialized them behind one partition-race-prone
+    # InMemoryRelation. Lineage sharing keeps the code single-source;
+    # Spark still evaluates each consumer's subtree concurrently.
+    scan_all = xdec.contamination_scan(d, ev, ngram=3, min_matched=1)
+    exact_rows = scan_all.where(
+        (F.col("ratio") >= 0.2) & (F.col("corpus_id") != F.col("eval_id"))
     ).select(
         F.lit("exact").alias("kind"),
         F.col("corpus_id").cast(_BIG).alias("a"),
@@ -2369,7 +2531,6 @@ def _x7_contam(spark, sf_dir):
     # registry guard forbids): jaccard = matched / (|corpus set| +
     # |eval set| - matched) from the scan's match counts plus one
     # corpus-set-size column
-    pairs3 = xdec.contamination_scan(d, ev, ngram=3, min_matched=1)
     sizes = xdec._shingle_set(d, "doc_id", "text", 3).select(
         F.col("id").alias("corpus_id"), F.size("s").alias("n_c")
     )
@@ -2377,7 +2538,7 @@ def _x7_contam(spark, sf_dir):
         F.col("n_c") + F.col("n_eval") - F.col("n_matched")
     )
     twin = (
-        pairs3.join(sizes, "corpus_id")
+        scan_all.join(sizes, "corpus_id")
         .where(tj >= 0.5)
         .select("corpus_id", "eval_id")
     )
@@ -2473,7 +2634,7 @@ def _x7sweep(spark, sf_dir):
     banding miss at any tier breaks the hash."""
     from .extensions.decontam import near_contamination_scan
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", wide=True)
     w = F.split(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
         " ",
