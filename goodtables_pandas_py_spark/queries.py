@@ -2531,8 +2531,21 @@ def _x7_contam(spark, sf_dir):
     # registry guard forbids): jaccard = matched / (|corpus set| +
     # |eval set| - matched) from the scan's match counts plus one
     # corpus-set-size column
+    # value-neutral non-deterministic barrier on n_c (x + 0 ≡ x, the
+    # similarity.py::_with_assigned_cid pattern): the twin's
+    # tj >= 0.5 filter makes InferFiltersFromConstraints derive
+    # isnotnull(n_c), and PushPredicateThroughNonJoin substitutes the
+    # WHOLE shingle expression into a Filter below the wide
+    # repartition — the corpus re-shingles SERIALLY at the scan and
+    # then again in the projection (measured: the twin join 8.1 s
+    # with the duplicated serial filter vs 1.6 s with the barrier;
+    # plan diff shows the shingle expr inside the pre-exchange
+    # Filter).
     sizes = xdec._shingle_set(d, "doc_id", "text", 3).select(
-        F.col("id").alias("corpus_id"), F.size("s").alias("n_c")
+        F.col("id").alias("corpus_id"),
+        (
+            F.size("s") + F.monotonically_increasing_id() * F.lit(0)
+        ).alias("n_c"),
     )
     tj = F.col("n_matched") / (
         F.col("n_c") + F.col("n_eval") - F.col("n_matched")
