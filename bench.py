@@ -126,6 +126,7 @@ def bench_near_dedup(spark, sf_dir):
     banded LSH candidates (count-first bucket cap) → exact-Jaccard
     verify → greedy anti-join — what a 100 TB dedup run executes.
     Plan-guarded in tests/test_plans.py alongside the registry."""
+    from goodtables_pandas_py_spark.cacheutil import unpersist_scan_state
     from goodtables_pandas_py_spark.extensions import dedup as xdedup
     from goodtables_pandas_py_spark.queries import t
 
@@ -137,9 +138,21 @@ def bench_near_dedup(spark, sf_dir):
     # 184.9s, BASELINE.md §persist). They are what a real deployment
     # sets — prepare_corpus defaults both ON (the low-level library
     # defaults stay False — see minhash_candidates).
-    return xdedup.near_dedup(
+    #
+    # r12 measurement fix (VERDICT r11 item 8): the persisted frames
+    # are RELEASED after each rep. Previously they were never
+    # unpersisted, so every warm rep's "fill" found rep 1's cache
+    # already registered (CacheManager "already cached" warnings in
+    # the driver tail) and the warm headline partly measured cache
+    # reads. Each rep now pays the full signature+verify cost from
+    # parquet — warm numbers are higher than r11's for this entry by
+    # construction, not by regression (OPTIMIZATION_r12.md).
+    out = xdedup.near_dedup(
         d, threshold=0.5, persist_banded=True, persist_sets=True
-    ).count()
+    )
+    n = out.count()
+    unpersist_scan_state(out)
+    return n
 
 
 # Benched registry queries (bench name -> (registry key, action)).
@@ -317,6 +330,16 @@ def main() -> None:
         "reps": reps,
         "stat": "min_of_warm",
         "sf": _sf_from_dir(sf_dir),
+        # scaling-probe legibility (VERDICT r11 item 8): what the
+        # session actually got. cpus = requested local[] width;
+        # default_parallelism = what the scheduler reports. The sf
+        # fixtures are single-row-group parquet, so scan+fused-
+        # projection stages decode on ONE task regardless of cpus —
+        # flat 8-vs-32 ratios at this SF are a fixture-layout
+        # property, not evidence that the bench ignores the env var.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "input_layout": "single_row_group_parquet",
         # contention evidence: loadavg(1m) bracketing the run + every
         # raw sample; spread = (max-min)/median per query
         "loadavg_start": round(load_start, 2),

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cacheutil import attach_persisted, get_persisted
 from .text import normalize_text, shingles, whitespace_tokens
 
 # --- X1: exact dedup ------------------------------------------------------
@@ -277,6 +278,12 @@ def minhash_candidates(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    if persist_banded:
+        # hand the persisted banded frame's lifetime to the caller
+        # (cacheutil contract, r12): a bench/driver that materializes
+        # the result per rep can release the cache between reps instead
+        # of re-reading rep 1's fill
+        return attach_persisted(pairs, banded)
     return pairs
 
 
@@ -420,11 +427,16 @@ def minhash_dedup_pairs(
 
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     jac = hashed_set_jaccard(F.col("s_a"), F.col("s_b"))
-    return (
+    out = (
         cands.join(sets.withColumnsRenamed({"id": "id_a", "s": "s_a"}), "id_a")
         .join(sets.withColumnsRenamed({"id": "id_b", "s": "s_b"}), "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+    return attach_persisted(
+        out,
+        *(get_persisted(cands)),
+        *([sets] if persist_sets else []),
     )
 
 
@@ -571,7 +583,9 @@ def near_dedup(
         )
     else:
         raise ValueError(f"unknown policy {policy!r}: use 'greedy' or 'cc'")
-    return df.join(drop, id_col, "left_anti")
+    return attach_persisted(
+        df.join(drop, id_col, "left_anti"), *get_persisted(pairs)
+    )
 
 
 # --- X2b: SimHash ---------------------------------------------------------

@@ -314,7 +314,23 @@ def _part_key(value) -> str:
 FP_SCHEME = 2
 
 
-def _fingerprint_agg(columns: list[str], scheme: int = FP_SCHEME) -> list:
+def _xxhash64_rejects(dt) -> bool:
+    """True when ``xxhash64`` refuses the type: MapType (unordered —
+    hashing is ambiguous) or VariantType, at any nesting depth."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _xxhash64_rejects(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_xxhash64_rejects(f.dataType) for f in dt.fields)
+    return type(dt).__name__ == "VariantType"
+
+
+def _fingerprint_agg(
+    columns: list[str], scheme: int = FP_SCHEME, schema=None
+) -> list:
     """Order-insensitive per-group content fingerprint: row count plus
     the decimal(38,0) SUM of xxhash64 over all columns (sorted by name
     so both sides of a compare build the identical expression).
@@ -342,7 +358,20 @@ def _fingerprint_agg(columns: list[str], scheme: int = FP_SCHEME) -> list:
 
     Scheme 1 (legacy, r8): cells render to sentinel-prefixed strings
     ('v'+value vs ' null') before one combined hash — type-insensitive
-    but pays a string render per cell."""
+    but pays a string render per cell.
+
+    ``schema`` (r12, ADVICE r11): xxhash64 rejects MapType/VariantType
+    anywhere in a column's type (AnalysisException unless the legacy
+    allowHashOnMapType conf is set), so publishing a map-bearing table
+    under scheme 2 failed where scheme 1's string render worked. With
+    the frame's schema available, such columns fall back PER COLUMN to
+    hashing the scheme-1 sentinel render — still one non-null long per
+    column, so null-position safety holds. Both sides of a fingerprint
+    compare pass their own frame's schema, which for the same logical
+    table selects the same per-column expressions — fps stay
+    comparable. Hashable columns keep the exact scheme-2 expression,
+    so every previously-publishable table's fingerprints are
+    unchanged."""
     if scheme == 1:
         parts = [
             F.coalesce(
@@ -352,7 +381,22 @@ def _fingerprint_agg(columns: list[str], scheme: int = FP_SCHEME) -> list:
             for c in sorted(columns)
         ]
     else:
-        parts = [F.xxhash64(F.col(c)) for c in sorted(columns)]
+        unhashable = set()
+        if schema is not None:
+            unhashable = {
+                f.name for f in schema.fields if _xxhash64_rejects(f.dataType)
+            }
+        parts = [
+            F.xxhash64(
+                F.coalesce(
+                    F.concat(F.lit("v"), F.col(c).cast("string")),
+                    F.lit(" null"),
+                )
+            )
+            if c in unhashable
+            else F.xxhash64(F.col(c))
+            for c in sorted(columns)
+        ]
     return [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.xxhash64(*parts).cast("decimal(38,0)")).alias("fp"),
@@ -451,7 +495,7 @@ def _finalize_release_manifest(
         # lands in the hive default partition; name it explicitly
         # rather than crashing json.dump on a None key
         rows = back.groupBy(split_col).agg(
-            *_fingerprint_agg(cols, fp_scheme)
+            *_fingerprint_agg(cols, fp_scheme, schema=back.schema)
         ).collect()
         counts = {}
         fps = {}
@@ -463,7 +507,9 @@ def _finalize_release_manifest(
             counts[k] = int(v["n"])
             fps[k] = {"n": int(v["n"]), "fp": str(v["fp"])}
     else:
-        row = back.agg(*_fingerprint_agg(cols, fp_scheme)).collect()[0]
+        row = back.agg(
+            *_fingerprint_agg(cols, fp_scheme, schema=back.schema)
+        ).collect()[0]
         counts = {"all": row["n"]}
         fps = (
             {"all": {"n": int(row["n"]), "fp": str(int(row["fp"]))}}
@@ -1042,7 +1088,7 @@ def write_release_increment(
     data_cols = df.columns
     rows = (
         df.groupBy(split_col)
-        .agg(*_fingerprint_agg(data_cols, fp_scheme))
+        .agg(*_fingerprint_agg(data_cols, fp_scheme, schema=df.schema))
         .collect()
     )
     new_parts = {}  # manifest string key -> (typed value, n, fp)
@@ -1515,7 +1561,7 @@ def write_release_merge(
     # the publish when nothing actually changes
     new_fps = {}
     for r in merged.groupBy(split_col).agg(
-        *_fingerprint_agg(updates.columns, fp_scheme)
+        *_fingerprint_agg(updates.columns, fp_scheme, schema=merged.schema)
     ).collect():
         new_fps[_part_key(r[split_col])] = {
             "n": int(r["n"]),
@@ -2282,7 +2328,9 @@ def migrate_release_schema(
             new_df, _ = read_release(spark, root, version=vname)
             new_side = new_df.select(*untouched_new)
             def _fp(side):
-                r = side.agg(*_fingerprint_agg(untouched_new)).collect()[0]
+                r = side.agg(
+                    *_fingerprint_agg(untouched_new, schema=side.schema)
+                ).collect()[0]
                 return int(r["n"]), None if r["fp"] is None else int(r["fp"])
 
             fp_old, fp_new = _fp(old_side), _fp(new_side)

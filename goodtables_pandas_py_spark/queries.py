@@ -322,11 +322,13 @@ def _p9_p13(spark, sf_dir):
             F.count_if(F.col("b_p")).alias("pnb_p"),
         )
         .agg(
-            F.sum("pnb_i").alias("nb_i"),
+            # coalesce: the pre-fusion flat count_if yielded 0 on an
+            # empty table where sum-of-partials yields NULL (ADVICE r11)
+            F.coalesce(F.sum("pnb_i"), F.lit(0)).alias("nb_i"),
             F.date_format(F.min("p_i"), "yyyy-MM-dd").alias("min_i"),
             F.date_format(F.max("p_i"), "yyyy-MM-dd").alias("max_i"),
             F.count_distinct("p_i").cast(_BIG).alias("cd_i"),
-            F.sum("pnb_p").alias("nb_p"),
+            F.coalesce(F.sum("pnb_p"), F.lit(0)).alias("nb_p"),
             F.date_format(F.min("p_p"), "yyyy-MM-dd").alias("min_p"),
             F.date_format(F.max("p_p"), "yyyy-MM-dd").alias("max_p"),
             F.count_distinct("p_p").cast(_BIG).alias("cd_p"),
@@ -557,15 +559,17 @@ def _p14_p18(spark, sf_dir):
             F.sum("p_d.seconds").alias("psum_s"),
         )
         .agg(
-            F.sum("pnb_y").alias("nb_y"),
+            # coalesce: empty-table parity with the pre-fusion
+            # flat count_if (ADVICE r11)
+            F.coalesce(F.sum("pnb_y"), F.lit(0)).alias("nb_y"),
             F.min("p_y").cast(_BIG).alias("min_y"),
             F.max("p_y").cast(_BIG).alias("max_y"),
             F.count_distinct("p_y").cast(_BIG).alias("cd_y"),
-            F.sum("pnb_ym").alias("nb_ym"),
+            F.coalesce(F.sum("pnb_ym"), F.lit(0)).alias("nb_ym"),
             F.min("c").alias("min_c"),
             F.max("c").alias("max_c"),
             F.count_distinct("c").alias("cd_c"),
-            F.sum("pnb_d").alias("nb_d"),
+            F.coalesce(F.sum("pnb_d"), F.lit(0)).alias("nb_d"),
             F.sum("psum_m").cast(_BIG).alias("sum_m"),
             F.sum("psum_s").cast(_BIG).alias("sum_s"),
         )
@@ -1364,10 +1368,13 @@ def _x2pc(spark, sf_dir):
       invariants): a = n_docs (DuckDB recounts), b = wellformed_ok as
       1/0 — every emitted pair canonical (id_a < id_b, no self-pairs
       or mirrors), x = jaccard_recheck_ok as 1.0/0.0 — every pair's
-      Jaccard RECOMPUTED from the raw texts with the independent
-      inclusion-exclusion denominator |A|+|B|-|A∩B| must match the
-      emitted value to 1e-9 AND clear the threshold. Both falsifiable
-      against pair-generation / verify-join / set-construction bugs.
+      Jaccard RECOMPUTED from per-doc hashed shingle sets (r12: the
+      same xxhash64-per-distinct-shingle longs the verify payload
+      uses; DuckDB's raw-text recompute stays the fully independent
+      engine) with the independent inclusion-exclusion denominator
+      |A|+|B|-|A∩B| must match the emitted value to 1e-9 AND clear
+      the threshold. Both falsifiable against pair-generation /
+      verify-join / set-construction bugs.
 
     Perf posture (all arms): shingle arrays computed ONCE PER DOC
     before the pair joins (n arrays, not n² evaluations — r2 rebuilt
@@ -1378,32 +1385,70 @@ def _x2pc(spark, sf_dir):
     both dedup_summary invariants; the cache is released by Spark's
     ContextCleaner when the driver drops the plan."""
     d = t(spark, sf_dir, "documents", wide=True)
+    # r12 (guide §2.3): the per-doc shingle sets are XXHASH64'D — the
+    # exact expression of dedup.hashed_shingle_sets, so the exact arm
+    # intersects longs instead of ~30-byte strings and the broadcast
+    # side shrinks ~4×. Set sizes (na/nb/ni, hence every emitted
+    # jaccard) are unchanged absent a 64-bit collision inside one
+    # pair's sets (P ≈ s²·2⁻⁶⁵ — the bound the verify path already
+    # accepts); A/B at sf0.1 re-collected both forms: identical rows.
     sh = d.select(
         F.col("doc_id").cast(_BIG).alias("id"),
         "source",
-        F.array_distinct(
-            xtext.shingles(
-                xtext.whitespace_tokens(xtext.normalize_text(F.col("text"))), 3
-            )
+        F.transform(
+            F.array_distinct(
+                xtext.shingles(
+                    xtext.whitespace_tokens(
+                        xtext.normalize_text(F.col("text"))
+                    ),
+                    3,
+                )
+            ),
+            lambda g: F.xxhash64(g),
         ).alias("s"),
     )
-    a = sh.select(F.col("id").alias("id_a"), "source", F.col("s").alias("sa"))
-    b = sh.select(F.col("id").alias("id_b"), "source", F.col("s").alias("sb"))
+    # value-neutral §4.4 barrier (x + 0 ≡ x) on the size: without it
+    # InferFiltersFromConstraints + PushPredicateThroughNonJoin land
+    # `size(shingles(text)) > 0` BELOW the wide repartition — the
+    # whole shingle build runs on the serial single-row-group scan,
+    # once per side, before the real projection computes it again.
+    shf = sh.select(
+        "id",
+        "source",
+        "s",
+        (
+            F.size("s") + F.monotonically_increasing_id() * F.lit(0)
+        ).cast("int").alias("ns"),
+    ).where(F.col("ns") > 0)
+    a = shf.select(
+        F.col("id").alias("id_a"), "source",
+        F.col("s").alias("sa"), F.col("ns").alias("na"),
+    )
+    b = shf.select(
+        F.col("id").alias("id_b"), "source",
+        F.col("s").alias("sb"), F.col("ns").alias("nb"),
+    )
     # r11 (guide §1.2/§2.3): ONE array_intersect per pair — |A∪B| by
     # inclusion-exclusion over the distinct shingle arrays
     # (|A|+|B|-|A∩B|), the same independent denominator the
-    # dedup_summary recheck uses. The former array_union materialized
-    # the union ARRAY per pair just to take its size, and the pushed
-    # filter below the projection re-evaluated both set ops a second
-    # time per pair. Values identical: same integers, same division.
+    # dedup_summary recheck uses. Values identical: same integers,
+    # same division.
+    # r12: the intersect carries its own §4.4 barrier — without it the
+    # j ≥ 0.1 filter below is substituted into the BroadcastHashJoin's
+    # join CONDITION, where the plan evaluates array_intersect THREE
+    # times (ni, and twice via the union term) for every one of the
+    # ~n²/sources probed combinations, pre-filter (plan diff:
+    # 3 array_intersect in the join condition → 1 in a post-join
+    # projection; bounded fill 12.4 → ~2 s steady at sf0.1).
     sized = (
         a.join(b, "source")
         .where(F.col("id_a") < F.col("id_b"))
-        .where((F.size("sa") > 0) & (F.size("sb") > 0))
         .select(
-            "id_a", "id_b",
-            F.size("sa").alias("na"), F.size("sb").alias("nb"),
-            F.size(F.array_intersect("sa", "sb")).alias("ni"),
+            "id_a", "id_b", "na", "nb",
+            (
+                F.size(F.array_intersect("sa", "sb"))
+                + F.monotonically_increasing_id() * F.lit(0)
+            ).cast("int").alias("ni"),
         )
     )
     union = F.col("na") + F.col("nb") - F.col("ni")

@@ -211,6 +211,13 @@ class TableValidation:
 
     @property
     def valid(self) -> bool:
+        if self.pending_keys:
+            # deferred key checks still in flight: reading valid now
+            # would silently ignore their verdicts (ADVICE r11)
+            raise RuntimeError(
+                "TableValidation.valid read with undrained key checks "
+                "— call resolve_keys() first"
+            )
         return not self.errors
 
     def resolve_keys(self) -> None:
@@ -917,6 +924,7 @@ def validate_package(
     # (previously FK waited for every key check: strict serialization
     # of the two independent job families on the critical path).
     key_pool = ThreadPoolExecutor(max_workers=8)
+    fk_pool = None
     try:
         with ThreadPoolExecutor(
             max_workers=max(1, min(8, len(pending)))
@@ -1002,7 +1010,6 @@ def validate_package(
                     continue
                 fk_tasks.append((res.name, child_v, fk, parent_name, parent_v))
         futs = []
-        fk_pool = None
         if fk_tasks:
             fk_pool = ThreadPoolExecutor(
                 max_workers=max(1, min(8, len(fk_tasks)))
@@ -1035,9 +1042,11 @@ def validate_package(
                 err = result.to_error(name, fk.fields, "foreignKey")
                 err.message += f" (reference: {parent_name})"
                 child_v.errors.append(err)
-        if fk_pool is not None:
-            fk_pool.shutdown()
     finally:
+        # both pools shut down on ANY exit (ADVICE r11: an exception
+        # in resolve_keys()/an FK future used to leak fk_pool threads)
+        if fk_pool is not None:
+            fk_pool.shutdown(wait=True)
         key_pool.shutdown(wait=True)
 
     report = assemble_report(validations)

@@ -4103,3 +4103,40 @@ def test_fingerprint_scheme_versioning(spark, tmp_path):
     assert m2["incremental"]["rewritten"] == []
     assert sorted(m2["incremental"]["reused"]) == ["train", "val"]
     assert m2["fp_scheme"] == 1
+
+
+def test_fingerprint_scheme2_map_column_fallback(spark, tmp_path):
+    """r12 (ADVICE r11): xxhash64 rejects MapType anywhere in a column
+    type, so scheme 2 used to raise AnalysisException on the public
+    release-write path for map-bearing tables (scheme 1's string
+    render worked). Such columns now fall back per column to hashing
+    the scheme-1 sentinel render: publish succeeds, unchanged
+    increments reuse every partition, and a changed map value still
+    rewrites its partition."""
+    from goodtables_pandas_py_spark.extensions.pipeline import (
+        write_release_increment,
+        write_release_version,
+    )
+
+    schema = "doc_id long, meta map<string,string>, split string"
+    df = spark.createDataFrame(
+        [(1, {"a": "x"}, "train"), (2, {"b": "y"}, "val")], schema
+    )
+    root = str(tmp_path / "maprel")
+    m1 = write_release_version(df, root)
+    assert m1["fp_scheme"] == 2
+    assert sorted(m1["row_counts"]) == ["train", "val"]
+
+    # identical content: both partitions reuse (fingerprints compare)
+    m2 = write_release_increment(df, root)
+    assert m2["incremental"]["rewritten"] == []
+    assert sorted(m2["incremental"]["reused"]) == ["train", "val"]
+
+    # change only the val row's MAP value: exactly val rewrites —
+    # the fallback hash sees map content, not just the other columns
+    df2 = spark.createDataFrame(
+        [(1, {"a": "x"}, "train"), (2, {"b": "z"}, "val")], schema
+    )
+    m3 = write_release_increment(df2, root)
+    assert m3["incremental"]["rewritten"] == ["val"]
+    assert m3["incremental"]["reused"] == ["train"]

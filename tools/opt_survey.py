@@ -57,6 +57,7 @@ def main() -> int:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--tag", default="before")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--round", default="r12")
     ap.add_argument("--plans-only", action="store_true")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
@@ -65,7 +66,7 @@ def main() -> int:
     import goodtables_pandas_py_spark as gt
 
     spark = gt.get_spark(app_name="opt-survey", quiet_logs=True)
-    plans_dir = os.path.join(REPO, "plans", "r11")
+    plans_dir = os.path.join(REPO, "plans", args.round)
     os.makedirs(plans_dir, exist_ok=True)
     out_path = os.path.join(plans_dir, f"survey_{args.tag}.jsonl")
     qs = entrymod.queries()
