@@ -841,17 +841,22 @@ def _centroid_rows(
     df = df.where(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
     )
-    dim_row = (
+    # ONE job for modal dim AND its row count (r12, guide §2.4): the
+    # size histogram is a handful of rows, and its modal entry carries
+    # exactly the count the train_cap branch used to re-derive with a
+    # second full count() job. Modal pick replicates the former
+    # orderBy(n DESC, d ASC).first() tie-break.
+    hist = (
         df.groupBy(F.size(F.col(vec_col)).alias("d"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("d"))
-        .first()
+        .collect()
     )
-    if dim_row is None:
+    if not hist:
         return []
+    dim_row = min(hist, key=lambda r: (-int(r["n"]), int(r["d"])))
     df = df.where(F.size(F.col(vec_col)) == int(dim_row["d"]))
     if train_cap is not None and train_cap >= nlist:
-        n = df.count()
+        n = int(dim_row["n"])
         if n > train_cap:
             every = int(n // train_cap) + 1
             df = df.where(
@@ -894,21 +899,28 @@ def _centroid_rows(
         # Catalyst to evaluate the interpreted argmin twice per row
         # (measured 16x on the refine job, r7). Driver-side skip in
         # the dict below is the belt-and-braces.
+        #
+        # r12 (guide §2.4): collect the (cid, pos, mean) rows directly
+        # — nlist × dim rows, a few KB — and assemble the centroid
+        # arrays in Python. The former second-level groupBy(cid) with
+        # collect_list + array_sort added one more exchange per refine
+        # pass just to do that assembly on the cluster; the per-
+        # dimension means (and therefore the centroids) are the exact
+        # same floats either way.
         new = (
             assigned
             .select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cid", F.transform(F.col("pm"), lambda s: s["m"]).alias("v"))
         )
-        got = {
-            int(r["cid"]): list(r["v"])
-            for r in new.collect()
-            if r["cid"] is not None
-        }
-        cents = [got.get(i, c) for i, c in enumerate(cents)]
+        got: dict = {}
+        for r in new.collect():
+            if r["cid"] is not None:
+                got.setdefault(int(r["cid"]), {})[int(r["pos"])] = r["m"]
+        cents = [
+            [got[i][p] for p in sorted(got[i])] if i in got else c
+            for i, c in enumerate(cents)
+        ]
     return cents
 
 

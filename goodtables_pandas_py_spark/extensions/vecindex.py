@@ -48,6 +48,47 @@ from .similarity import (
 FORMAT_VERSION = 1
 
 
+def _write_centroids_file(out_dir: str, cents) -> None:
+    """Write ``centroids.parquet`` driver-side via pyarrow (r12,
+    guide §1.2): the centroid table is nlist tiny rows living on the
+    same local/posix ``out_dir`` the manifest's ``open()`` already
+    assumes, and launching a Spark job for it cost a consistent
+    6-8 s per index build (createDataFrame conversion + a 1-task
+    write job) — the single largest fixed cost of every build,
+    recluster, split, delete, upsert and merge. The on-disk shape is
+    kept directory-style (part file + _SUCCESS) so every existing
+    reader — spark.read.parquet, pyarrow.dataset in faiss_handoff,
+    layout tooling — sees exactly what Spark's writer produced.
+    Values identical: float64 → float32 is the same IEEE
+    round-to-nearest cast Spark applied."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, "centroids.parquet")
+    if os.path.exists(path):
+        # match .mode("overwrite")
+        shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+    os.makedirs(path)
+    table = pa.Table.from_arrays(
+        [
+            pa.array(range(len(cents)), type=pa.int32()),
+            pa.array(
+                [[float(x) for x in c] for c in cents],
+                type=pa.list_(pa.float32()),
+            ),
+        ],
+        names=["cid", "centroid"],
+    )
+    pq.write_table(
+        table, os.path.join(path, "part-00000.snappy.parquet"),
+        compression="snappy",
+    )
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+
+
 class IvfIndex(NamedTuple):
     postings: DataFrame  # (id, ivf_cid, vec | qvec)
     centroids: list[list[float]]
@@ -118,17 +159,12 @@ def write_ivf_index(
         .filter(valid)
         .select(F.col(id_col).alias("id"), F.col("ivf_cid"), payload)
     )
+    spark = df.sparkSession
+    _write_centroids_file(out_dir, cents)
     postings.write.mode("overwrite").partitionBy("ivf_cid").parquet(
         os.path.join(out_dir, "postings.parquet")
     )
     n_unindexable = int(obs.get.get("n_unindexable") or 0)
-    spark = df.sparkSession
-    spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cid int, centroid array<float>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "centroids.parquet")
-    )
     counts = {
         int(r["ivf_cid"]): int(r["n"])
         for r in spark.read.parquet(
@@ -169,12 +205,22 @@ def read_ivf_index(spark: SparkSession, index_dir: str) -> IvfIndex:
             f"unsupported index format_version "
             f"{manifest.get('format_version')!r} (expected {FORMAT_VERSION})"
         )
-    cent_rows = (
-        spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
-        .orderBy("cid")
-        .collect()
+    # centroids load driver-side via pyarrow (r12): they live beside
+    # the manifest this function already open()s from a local/posix
+    # path, and a Spark collect job for nlist tiny rows cost ~0.5 s
+    # per index open. Same values in the same cid order.
+    import pyarrow.dataset as _pds
+
+    ctab = (
+        _pds.dataset(
+            os.path.join(index_dir, "centroids.parquet"), format="parquet"
+        )
+        .to_table()
+        .sort_by("cid")
     )
-    cents = [list(r["centroid"]) for r in cent_rows]
+    cents = [
+        [float(x) for x in c] for c in ctab.column("centroid").to_pylist()
+    ]
     postings = spark.read.parquet(
         os.path.join(index_dir, "postings.parquet")
     )
@@ -726,12 +772,7 @@ def recluster_ivf_index(
     reassigned.write.mode("overwrite").partitionBy("ivf_cid").parquet(
         os.path.join(out_dir, "postings.parquet")
     )
-    spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cid int, centroid array<float>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "centroids.parquet")
-    )
+    _write_centroids_file(out_dir, cents)
     counts = {
         int(r["ivf_cid"]): int(r["n"])
         for r in spark.read.parquet(
@@ -956,12 +997,7 @@ def split_ivf_hot_lists(
         reused,
     )
 
-    spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cid int, centroid array<float>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "centroids.parquet")
-    )
+    _write_centroids_file(out_dir, cents)
 
     # per-list counts: aggregate ONLY the rewritten rows (pruned agg);
     # untouched lists carry their manifest sizes verbatim
@@ -1178,12 +1214,7 @@ def delete_from_ivf_index(
         reused,
     )
 
-    spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(idx.centroids)],
-        "cid int, centroid array<float>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "centroids.parquet")
-    )
+    _write_centroids_file(out_dir, idx.centroids)
 
     counts = {
         c: n - del_counts.get(c, 0)
@@ -1563,12 +1594,7 @@ def upsert_into_ivf_index(
         "ivf_cid",
         reused,
     )
-    spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(idx.centroids)],
-        "cid int, centroid array<float>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "centroids.parquet")
-    )
+    _write_centroids_file(out_dir, idx.centroids)
 
     counts = {
         c: sizes.get(c, 0)
@@ -1871,14 +1897,12 @@ def merge_ivf_cold_lists(
             f"{out_postings}/ivf_cid={new_cid[s]}",
         )
 
-    spark.createDataFrame(
+    _write_centroids_file(
+        out_dir,
         [
-            (new_cid[s], [float(x) for x in idx.centroids[s]])
-            for s in survivors
+            idx.centroids[s]
+            for s in sorted(survivors, key=lambda s: new_cid[s])
         ],
-        "cid int, centroid array<float>",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "centroids.parquet")
     )
 
     counts = {

@@ -2542,16 +2542,25 @@ def _x7_contam(spark, sf_dir):
     ev = d.where(F.col("doc_id") % 50 == 0)
     # r11: the 'exact' rows (min_ratio=0.2) are BY CONSTRUCTION the
     # ratio-filtered subset of the min_matched=1 scan the fuzzy twin
-    # needs, so both consumers derive from ONE builder call. The
-    # obvious next step — persisting this frame so the corpus n-gram
-    # explode+join+agg runs once — was tried and REVERTED on
-    # measurement: warm noop went 8.2 → 11.0 s at sf0.1, because the
-    # two consumers previously executed as independent subtrees of
-    # one job, overlapping across the idle cores (guide §2.6), while
-    # the cache fill serialized them behind one partition-race-prone
-    # InMemoryRelation. Lineage sharing keeps the code single-source;
-    # Spark still evaluates each consumer's subtree concurrently.
-    scan_all = xdec.contamination_scan(d, ev, ngram=3, min_matched=1)
+    # needs, so both consumers derive from ONE builder call.
+    # Persisting the frame was tried and REVERTED in r11 (warm noop
+    # 8.2 → 11.0 s: the InMemoryRelation fill serialized the two
+    # previously-overlapping consumer subtrees). r12 (VERDICT item 6):
+    # an EAGER localCheckpoint instead — the scan's ~44k small rows
+    # materialize once at build (executor-local, lineage-truncating,
+    # released by the ContextCleaner when the plan drops — the
+    # pair_components pattern), and both consumers read the
+    # checkpoint instead of re-running the corpus n-gram
+    # explode+join+agg. Plain lineage sharing could not dedupe them:
+    # the exact arm's corpus_id != eval_id filter pushes BELOW the
+    # aggregate on its branch only, so the two exchanges stop being
+    # canonically equal and ReusedExchange never fires. Measured at
+    # sf0.1 (min-of-3, two sessions): noop 3.4-4.5 → ~1.2 s,
+    # build+first-noop 6.7-14.9 → 5.7-5.9 s. Values identical — the
+    # checkpoint replays the same deterministic rows.
+    scan_all = xdec.contamination_scan(
+        d, ev, ngram=3, min_matched=1
+    ).localCheckpoint(eager=True)
     exact_rows = scan_all.where(
         (F.col("ratio") >= 0.2) & (F.col("corpus_id") != F.col("eval_id"))
     ).select(
