@@ -1901,8 +1901,6 @@ def _x3sem(spark, sf_dir):
     audit covers every input exactly once). Threshold 0.45 so the
     near-random testdata has real duplicate structure; joins are
     cluster equi-joins (plan-guard clean)."""
-    from .extensions.similarity import cosine_fixed
-
     e = t(spark, sf_dir, "embeddings")
     first = e.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"])
@@ -1934,39 +1932,71 @@ def _x3sem(spark, sf_dir):
         F.lit(0.0).alias("x"),
     )
 
+    from .extensions.similarity import cosine_prenormed, norm_fixed
+
+    # r12 (VERDICT r11 item 4, guide §2.3/§2.5): the two verification
+    # joins were the build mass — measured at sf0.1: witnessed 7.8 s,
+    # kept_bad 19.8 s of the 39 s builder. Two causes, two fixes:
+    # (a) cosine_fixed recomputed BOTH norms per candidate PAIR —
+    #     norms now hoist per ROW (norm_fixed) and the pair pays only
+    #     the expanded dot + one divide (cosine_prenormed — the same
+    #     expansion, fold order and ragged/zero semantics, the r11
+    #     embedding-verify hoist);
+    # (b) the join key is the CLUSTER id and nlist=2, so the whole
+    #     ~n²/2-pair comparison ran on two tasks — the pair space is
+    #     now block-SALTED (one side exploded over k salts, the other
+    #     keyed by its own deterministic salt; every pair still meets
+    #     exactly once) so it spreads across k × nlist tasks. k
+    #     derives from the session's shuffle partitions, not a local
+    #     constant.
+    # Verification booleans are unchanged (same cosines, same
+    # comparisons): witnessed 7.8 → ~1 s, kept_bad 19.8 → ~2 s.
+    n_salt = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32") or 32
+    )
     vecs = e.select(
         F.col("vec_id").cast(_BIG).alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    av = audit.join(vecs, "id")
+    av = audit.join(vecs, "id").withColumn(
+        "nrm", norm_fixed(F.col("v"), dim)
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     dropped = av.where(~F.col("kept")).select(
         F.col("id").alias("d_id"), F.col("cluster").alias("c"),
-        F.col("v").alias("dv"),
+        F.col("v").alias("dv"), F.col("nrm").alias("dn"),
+        salts.alias("salt"),
     )
     anyrow = av.select(
         F.col("id").alias("o_id"), F.col("cluster").alias("c"),
-        F.col("v").alias("ov"),
+        F.col("v").alias("ov"), F.col("nrm").alias("on"),
+        F.pmod(F.xxhash64("id"), F.lit(n_salt)).cast("int").alias("salt"),
     )
-    cos = cosine_fixed(F.col("dv"), F.col("ov"), dim)
+    cos = cosine_prenormed(
+        F.col("dv"), F.col("ov"), F.col("dn"), F.col("on"), dim
+    )
     witnessed = (
-        dropped.join(anyrow, "c")
+        dropped.join(anyrow, ["c", "salt"])
         .where((F.col("d_id") != F.col("o_id")) & (cos >= thr - 1e-6))
         .select("d_id")
         .distinct()
     )
-    kept_rows = av.where(F.col("kept")).select(
+    kept = av.where(F.col("kept"))
+    kept_a = kept.select(
         F.col("id").alias("k_id"), F.col("cluster").alias("c"),
-        F.col("v").alias("kv"),
+        F.col("v").alias("kv"), F.col("nrm").alias("kn"),
+        salts.alias("salt"),
     )
-    kcos = cosine_fixed(F.col("kv"), F.col("k2v"), dim)
+    kept_b = kept.select(
+        F.col("id").alias("k2_id"), F.col("cluster").alias("c"),
+        F.col("v").alias("k2v"), F.col("nrm").alias("k2n"),
+        F.pmod(F.xxhash64("id"), F.lit(n_salt)).cast("int").alias("salt"),
+    )
+    kcos = cosine_prenormed(
+        F.col("kv"), F.col("k2v"), F.col("kn"), F.col("k2n"), dim
+    )
     kept_bad = (
-        kept_rows.join(
-            kept_rows.select(
-                F.col("k_id").alias("k2_id"), F.col("c"),
-                F.col("kv").alias("k2v"),
-            ),
-            "c",
-        )
+        kept_a.join(kept_b, ["c", "salt"])
         .where((F.col("k_id") < F.col("k2_id")) & (kcos >= thr + 1e-6))
     )
     n_rows = audit.count()  # fills the cache; later actions read it
