@@ -105,10 +105,14 @@ def check_primary_key(df: DataFrame, key: list[str]) -> KeyCheckResult:
     tuple unique. Returns combined violation count (null rows + extra
     duplicate rows).
 
-    One action, one shuffle: group on (any-null?, key tuple) and fold
-    null-row and duplicate counts out of the grouped result in the same
-    job (vs the naive two passes — a scan-count for nulls plus a
-    groupBy for dups)."""
+    One action, one shuffle: group on the key tuple and fold null-row
+    and duplicate counts out of the grouped result in the same job (vs
+    the naive two passes — a scan-count for nulls plus a groupBy for
+    dups). The any-null flag is DERIVED from the key columns after the
+    aggregate (r12): it is constant within a key group, so grouping on
+    it was redundant — and keying the groupBy on the bare tuple lets a
+    frame already hash-partitioned by the PK (validate_table's cache)
+    satisfy the distribution with no exchange at all (guide §2.4)."""
     null_mask = None
     for c in key:
         m = F.col(c).isNull()
@@ -117,8 +121,9 @@ def check_primary_key(df: DataFrame, key: list[str]) -> KeyCheckResult:
     n = _free_name("__n", key)
     isnull = _free_name("__isnull", key)
     viol = (
-        df.groupBy(null_mask.alias(isnull), *_tuple_col(df, key))
+        df.groupBy(*_tuple_col(df, key))
         .agg(F.count(F.lit(1)).alias(n))
+        .select(null_mask.alias(isnull), "*")
         .where(F.col(isnull) | (F.col(n) > 1))
         .persist()  # violations only — tiny; sample is then a cache read
     )

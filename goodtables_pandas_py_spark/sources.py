@@ -967,14 +967,28 @@ def read_ndjson_stringly(
     return df.select(*cols)
 
 
-def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame,
+    target: int | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
     """Repartition only when the source yields far fewer partitions
     than the session's parallelism (e.g. single-row-group parquet
     files, which Spark cannot split below one task per row group).
     At real scale (partitions >> cores) this is a no-op, so no shuffle
     is added where it would hurt; on under-split inputs the one cheap
-    round-robin shuffle unlocks full-width execution for everything
-    downstream."""
+    shuffle unlocks full-width execution for everything downstream.
+
+    ``keys`` (r12, guide §2.4): when given (and present on the frame),
+    the repartition HASHES on those columns instead of round-robin —
+    two wins for the same shuffle: (a) a downstream groupBy/distinct
+    on the same columns reuses the partitioning and skips its own
+    exchange (validate_table passes the primary key so the PK check
+    runs exchange-free on the cache), and (b) hash partitioning is
+    deterministic, so Spark skips the per-task local sort that
+    round-robin pays for retry-safety (sortBeforeRepartition). Only
+    sensible for near-unique keys — a hot key would skew where
+    round-robin balances."""
     spark = df.sparkSession
     if target is None:
         target = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -995,6 +1009,8 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
             # than fail the read path
             return df
     if current * 2 <= target:
+        if keys and all(k in df.columns for k in keys):
+            return df.repartition(target, *[F.col(k) for k in keys])
         return df.repartition(target)
     return df
 

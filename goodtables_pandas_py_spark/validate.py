@@ -488,7 +488,18 @@ def validate_table(
     # sources — global ordinals would cost an extra pass at scale)
     if row_ids and "__row_id" not in df.columns:
         df = df.withColumn("__row_id", F.monotonically_increasing_id())
-    df = ensure_parallelism(df)
+    # under-split sources repartition BY THE PRIMARY KEY when one is
+    # declared (r12, guide §2.4): the PK check's groupBy then reuses
+    # the cache's partitioning instead of re-shuffling it, and the
+    # hash repartition skips round-robin's retry-safety local sort.
+    # A PK is unique by intent, so the hash spreads evenly; at real
+    # scale (partitions >> cores) no repartition happens either way.
+    df = ensure_parallelism(
+        df,
+        keys=[
+            k for k in (schema.primary_key or []) if k in df.columns
+        ] or None,
+    )
     wide, checks, typed_names = _compile_table(
         df, schema, assume_typed, custom_checks
     )
