@@ -82,6 +82,7 @@ def test_encode_property_rank_inference_equals_replay(corpus, n, probe):
         assert "".join(got) == w + EOW
 
 
+@pytest.mark.slow
 def test_spark_fit_and_encode_end_to_end(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
     merges = bpe_fit(docs, n_merges=50, max_words=5_000)

@@ -291,6 +291,7 @@ def _py_boilerplate(docs, max_docs, min_chars):
     st.integers(min_value=1, max_value=6),
     st.integers(min_value=1, max_value=12),
 )
+@pytest.mark.slow
 def test_boilerplate_property_matches_python(spark, docs, max_docs, min_chars):
     df = spark.createDataFrame(
         list(docs.items()), "doc_id long, text string"

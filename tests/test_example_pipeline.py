@@ -5,12 +5,14 @@ artifacts and stage accounting it promises."""
 
 from __future__ import annotations
 
+import pytest
 import json
 import os
 import subprocess
 import sys
 
 
+@pytest.mark.slow
 def test_training_data_pipeline_end_to_end(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = str(tmp_path / "release_out")
@@ -80,6 +82,7 @@ def test_training_data_pipeline_end_to_end(tmp_path):
     assert cur_man["n_rows"] == m["n_rows"]
 
 
+@pytest.mark.slow
 def test_drift_monitoring_example_end_to_end(tmp_path):
     """Same snapshot on both sides: the profile/drift/PSI/gate chain
     runs clean and exits 0 with a report; example bit-rot fails here
@@ -97,6 +100,7 @@ def test_drift_monitoring_example_end_to_end(tmp_path):
     assert report, "empty drift report"
 
 
+@pytest.mark.slow
 def test_ann_index_lifecycle_end_to_end(tmp_path):
     """The ANN maintenance example: build→publish→serve→append
     drift→plan→split→recluster→refresh→takedown→plan again (r11

@@ -943,6 +943,7 @@ def test_prepare_corpus_end_to_end(spark):
     assert {r["doc_id"] for r in lazy.kept.collect()} == kept_ids
 
 
+@pytest.mark.slow
 def test_prepare_corpus_decontaminates_against_eval_sets(spark):
     from goodtables_pandas_py_spark.extensions.pipeline import (
         prepare_corpus,
@@ -2064,6 +2065,7 @@ def test_bigram_logprob_oov_prev_with_known_bigram_backs_off(spark):
     assert got["xent_milli"] == want and got["n_tokens"] == 3
 
 
+@pytest.mark.slow
 def test_prepare_corpus_truncate_lineage_same_result(spark):
     """r6: truncate_lineage cuts the logical plan at the dedup and
     span-mask boundaries without changing a single row; the output
@@ -3385,6 +3387,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
     ),
     st.data(),
 )
+@pytest.mark.slow
 def test_write_release_merge_property_matches_python(
     spark, tmp_path_factory, base_rows, data
 ):

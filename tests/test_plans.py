@@ -482,6 +482,7 @@ def test_dsir_featurization_plan_is_linear(spark):
             )
 
 
+@pytest.mark.slow
 def test_wide_schema_validation_plan_shape(spark, tmp_path):
     """r8 (VERDICT r7 item 2): a 150-field descriptor (beyond
     spark.sql.codegen.maxFields=100) must STILL compile to one
@@ -579,6 +580,7 @@ def test_aqe_skew_split_engages_on_hot_shuffle_join(spark):
     broadcast threshold). Thresholds are scaled to test size; at
     100 TB the 256 MB defaults play the identical role."""
     confs = {
+        "spark.sql.adaptive.enabled": "true",  # conftest disables AQE
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",

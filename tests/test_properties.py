@@ -353,6 +353,7 @@ def test_pair_components_matches_union_find(spark, edges):
     ),
     st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.slow
 def test_knn_join_blocked_matches_loop_oracle(spark, vecs, k):
     """The blocked-matmul exact kNN must agree with the legacy
     cross-join+window form on ANY random vector table — including
@@ -723,6 +724,7 @@ def _py_repetition(t: str) -> tuple:
         max_size=10,
     )
 )
+@pytest.mark.slow
 def test_repetition_features_match_python_reference(spark, texts):
     """The sorted-run fold behind repetition_features (dup counts,
     top-gram chars) must agree with a straightforward Counter-based
@@ -1020,6 +1022,7 @@ def _py_dup_spans(texts: dict[int, str], k: int, min_count: int = 2):
     ),
     st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.slow
 def test_dup_spans_matches_python_reference(spark, docs, k):
     """dup_spans over tiny random corpora (4-token alphabet forces
     dense duplication, within- and cross-doc) equals the sequential
@@ -1076,6 +1079,7 @@ def _py_unigram_milli(texts: dict[int, str]):
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_unigram_logprob_matches_python_reference(spark, docs):
     """Exact integer milli-nat parity with the sequential reference on
     random corpora (mixed case exercises the lowercase path; empty
@@ -1150,6 +1154,7 @@ def _py_dsir_milli(texts, tgt_ids, b):
         max_size=8,
     ).filter(lambda rows: any(t for _, t in rows))
 )
+@pytest.mark.slow
 def test_dsir_logweights_matches_python_reference(spark, rows):
     """Exact parity of DSIR milli-nat weights with the sequential
     reference — featurization (incl. bigram order), engine-portable
@@ -1211,6 +1216,7 @@ def _py_bigram_milli(texts: dict[int, str]):
         max_size=7,
     )
 )
+@pytest.mark.slow
 def test_bigram_logprob_matches_python_reference(spark, docs):
     """Exact integer milli-nat parity with the sequential stupid-
     backoff reference on random corpora over a 3-token alphabet

@@ -376,6 +376,7 @@ def test_incremental_embedding_dedup_foreach_batch(spark, tmp_path):
     assert got == {11, 13, 14}
 
 
+@pytest.mark.slow
 def test_incremental_dedup_growing_corpus_across_batches(spark, tmp_path):
     """The full ingestion protocol: on_kept appends survivors to the
     corpus store, corpus args are CALLABLES re-resolved per batch —

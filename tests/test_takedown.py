@@ -65,6 +65,7 @@ def test_takedown_purges_release_and_index(spark, tmp_path):
     assert {r["id"] for r in postings.select("id").collect()} == got
 
 
+@pytest.mark.slow
 def test_takedown_replay_is_noop_on_both_roots(spark, tmp_path):
     rel, idx = _publish_pair(spark, tmp_path)
     takedown_documents(spark, rel, [2, 5], index_root=idx)
@@ -85,6 +86,7 @@ def test_takedown_replay_is_noop_on_both_roots(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_takedown_crash_between_halves_completes_by_replay(
     spark, tmp_path
 ):
@@ -122,6 +124,7 @@ def test_takedown_release_only_and_id_guards(spark, tmp_path):
     assert cur.where("doc_id = 0").count() == 0
 
 
+@pytest.mark.slow
 def test_takedown_property_conservation_and_replay(spark, tmp_path):
     """Hypothesis property (r11): over random corpora, splits, and
     delete sets (existing, absent, and mixed ids), the composite
@@ -269,6 +272,7 @@ def test_ingest_updates_and_inserts_both_surfaces(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ingest_crash_between_halves_completes_by_replay(
     spark, tmp_path
 ):

@@ -801,6 +801,7 @@ def test_split_ivf_hot_lists_quantized_verbatim(spark, tmp_path):
     assert before == after
 
 
+@pytest.mark.slow
 def test_split_ivf_hot_lists_property(spark, tmp_path):
     """Hypothesis property (r10): over random corpora and widths,
     splitting conserves the posting multiset exactly (ids AND vector
@@ -1401,6 +1402,7 @@ def _regime_index(spark, tmp_path, name, clusters=4, n=60, dim=8):
     return d, df, man
 
 
+@pytest.mark.slow
 def test_maintenance_plan_three_regimes(spark, tmp_path):
     """ivf_maintenance_plan (r11, VERDICT r10 item 4): the decision
     ladder over the drift fixtures — healthy → none, hot-skewed with
